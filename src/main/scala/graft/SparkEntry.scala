@@ -1,13 +1,513 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators._
+import graft.functions.Hashing
+
+/** Driver contract (see SURVEY.md §7 + BASELINE.md): the declared query
+  * inventory. Every entry in [[queries]] exercises one operator row from
+  * SURVEY.md §2 (or a T2/T3 generalization) through the graft library, and
+  * [[oracleSql]] carries the DuckDB-equivalent SQL the driver hash-checks
+  * at sf0.01.
+  *
+  * Engine-parity rules used throughout (SURVEY.md §5):
+  *  - money/quantity aggregates run in DECIMAL (exact, order-independent)
+  *    and only the final value is cast to DOUBLE — bit-identical in both
+  *    engines;
+  *  - counts are BIGINT in both engines;
+  *  - timestamps cross the boundary as formatted strings;
+  *  - hashes are md5-based (Hashing.hexLong ≡ DuckDB
+  *    `CAST(concat('0x', substr(md5(x),1,14)) AS BIGINT)`);
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
+    * reference's headline semantic — keep-last dedup (latest order per
+    * customer, SURVEY.md §2 O18+O19) — through the library operators. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q11_keeplast")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Reference-operator queries (SURVEY.md §2, O-numbers in comments)
+  // ---------------------------------------------------------------------
+
+  private val referenceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O9 — ordered column projection
+    "q01_project" -> ((s, d) =>
+      Relational.project(Seq("c_custkey", "c_name", "c_mktsegment"))(
+        Tables.customer(s, d))),
+
+    // O10 — drop rows with any null
+    "q02_dropna_any" -> ((s, d) =>
+      Relational.dropNullsAny(
+        Tables.events(s, d)
+          .withColumn("big_value", when(col("value") > 150, col("value")))
+          .select("event_id", "event_type", "big_value"))),
+
+    // O11 — drop nulls on subset (null source: JSON field extraction)
+    "q03_dropna_subset" -> ((s, d) =>
+      Relational.dropNulls(Seq("k_value"))(
+        Tables.events(s, d).select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_value")))),
+
+    // O12 — bulk rename
+    "q04_rename_bulk" -> ((s, d) =>
+      Relational.project(Seq("supplier_id", "supplier_name", "nation_id", "account_balance"))(
+        Relational.renameAll(Map(
+          "s_suppkey" -> "supplier_id", "s_name" -> "supplier_name",
+          "s_nationkey" -> "nation_id", "s_acctbal" -> "account_balance"))(
+          Tables.supplier(s, d)))),
+
+    // O13 — constant batch audit stamp (injected literal for determinism)
+    "q05_audit_stamp" -> ((s, d) =>
+      Relational.auditStamp("updated_ts", lit("2026-01-01 00:00:00"))(
+        Tables.customer(s, d).select("c_custkey"))),
+
+    // O14 — regex-strip + numeric cast (fixed prefix "A4" -> 4.0)
+    "q06_regex_cast" -> ((s, d) =>
+      Relational.regexStripCast("grade", "A")(
+        Tables.customer(s, d).select(col("c_custkey"),
+          concat(lit("A"), ((col("c_nationkey") % 5) + 1).cast("string")).as("grade")))),
+
+    // O15 — regex-strip with alternation ("A|N")
+    "q07_regex_alt" -> ((s, d) =>
+      Relational.regexStripCast("nps", "A|N")(
+        Tables.customer(s, d).select(col("c_custkey"),
+          concat(when(col("c_custkey") % 2 === 0, lit("A")).otherwise(lit("N")),
+            (col("c_custkey") % 11).cast("string")).as("nps")))),
+
+    // O16 — membership filter
+    "q08_membership" -> ((s, d) =>
+      Relational.membership("o_orderpriority", Seq("1-URGENT", "2-HIGH"))(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))),
+
+    // O17 — date-range predicate (idempotency-delete survivor set)
+    "q09_range_filter" -> ((s, d) =>
+      Relational.rangeFilter("o_orderdate", _ >= lit(ts("1998-01-01 00:00:00")))(
+        Tables.orders(s, d))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))),
+
+    // O18 + O5 iLimit — top-k under a total order (TakeOrderedAndProject)
+    "q10_topk" -> ((s, d) =>
+      Relational.topK(100, Seq(col("o_totalprice").desc, col("o_orderkey").asc))(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"))),
+
+    // O18+O19 — deterministic keep-last dedup per key
+    "q11_keeplast" -> ((s, d) =>
+      Relational.keepLast(Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))(
+        Tables.orders(s, d))
+        .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))),
+
+    // O7/O20 — positional un-nest (posexplode keeps the ingest position)
+    "q12_unnest_pos" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("token")))
+  )
+
+  private val referenceOracle: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    "q02_dropna_any" ->
+      "SELECT event_id, event_type, value AS big_value FROM events WHERE value > 150",
+    "q03_dropna_subset" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL",
+    "q04_rename_bulk" ->
+      "SELECT s_suppkey AS supplier_id, s_name AS supplier_name, s_nationkey AS nation_id, s_acctbal AS account_balance FROM supplier",
+    "q05_audit_stamp" ->
+      "SELECT c_custkey, '2026-01-01 00:00:00' AS updated_ts FROM customer",
+    "q06_regex_cast" ->
+      "SELECT c_custkey, CAST(regexp_replace('A' || CAST(c_nationkey % 5 + 1 AS VARCHAR), 'A', '') AS DOUBLE) AS grade FROM customer",
+    "q07_regex_alt" ->
+      "SELECT c_custkey, CAST(regexp_replace((CASE WHEN c_custkey % 2 = 0 THEN 'A' ELSE 'N' END) || CAST(c_custkey % 11 AS VARCHAR), 'A|N', '') AS DOUBLE) AS nps FROM customer",
+    "q08_membership" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "q09_range_filter" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'",
+    "q10_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q11_keeplast" ->
+      "SELECT o_custkey, o_orderkey AS latest_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1",
+    "q12_unnest_pos" ->
+      "SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos, unnest(string_split(text, ' ')) AS token FROM documents"
+  )
+
+  // ---------------------------------------------------------------------
+  // T2 generalization queries (joins / aggs / windows / set ops — §2.8)
+  // ---------------------------------------------------------------------
+
+  /** Exact money arithmetic that casts identically in Spark and DuckDB. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private val generalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style scan + groupBy aggregation
+    "q13_agg_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3-style 3-way join + agg + total-order top-k.
+    // customer is the small side → broadcast hint; orders⋈lineitem is the
+    // big shuffle join AQE handles.
+    "q14_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit(ts("1999-01-01 00:00:00")))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit(ts("1997-01-01 00:00:00")))
+      Relational.topK(20, Seq(col("revenue").desc, col("l_orderkey").asc))(
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue")))
+    }),
+
+    // TPC-H Q5-style snowflake join: dims broadcast, facts shuffle.
+    "q15_join_multi" -> ((s, d) => {
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // left-semi join (EXISTS)
+    "q16_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // left-anti join (NOT EXISTS)
+    "q17_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // UNION (distinct) of two predicates
+    "q18_union_distinct" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 300000).select("o_orderkey")
+        .union(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey"))
+        .distinct()),
+
+    // ROLLUP grouping sets
+    "q19_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))),
+
+    // running window aggregate (exact decimal running sum)
+    "q20_window_running" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice")))
+          .over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))),
+
+    // distinct aggregate + plain aggregates
+    "q21_distinct_agg" -> ((s, d) =>
+      Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_balance"))),
+
+    // scalar string/case expressions
+    "q22_case_string" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        when(col("p_size") < 10, "small").when(col("p_size") < 30, "medium")
+          .otherwise("large").as("size_class"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))),
+
+    // time-bucketed aggregation — the batch equivalent of the streaming
+    // tumbling-window count (streaming.EventsStream runs the readStream
+    // version of exactly this plan)
+    "q23_time_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value")))
+  )
+
+  private val generalOracle: Map[String, String] = Map(
+    "q13_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q14_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_orderkey, orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q15_join_multi" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q16_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
+    "q17_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
+    "q18_union_distinct" ->
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 UNION SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q20_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders""",
+    "q21_distinct_agg" ->
+      """SELECT c_nationkey, CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+         FROM customer GROUP BY c_nationkey""",
+    "q22_case_string" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name_prefix,
+         CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+         p_brand || '#' || p_type AS brand_type FROM part""",
+    "q23_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
+
+  // ---------------------------------------------------------------------
+  // T3 training-data-pipeline queries (dedup / similarity / text / media)
+  // ---------------------------------------------------------------------
+
+  private val MinhashK = 5
+  private val MinhashPerms = 16
+  private val MinhashBands = 4
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token statistics (whitespace + BPE-ish estimate)
+    "q24_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        TextAnalysis.tokenCountEstimate(col("text")).cast(LongType).as("n_tokens_bpe"),
+        length(col("text")).cast(LongType).as("n_chars_measured"))),
+
+    // content fingerprints (md5 + polynomial rolling hash)
+    "q25_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingHash(col("text")).as("roll_hash"))),
+
+    // marker-word language ID
+    "q26_text_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_declared"))),
+
+    // quality-score features
+    "q27_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+          col("avg_token_len"), col("stopword_ratio"), col("quality_score"))),
+
+    // exact dedup by content hash
+    "q28_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", col("text"))),
+
+    // MinHash + LSH band-join near-dup candidates
+    "q29_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", col("text"),
+        MinhashK, MinhashPerms, MinhashBands)),
+
+    // SimHash signatures
+    "q30_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashSignatures(Tables.documents(s, d), "doc_id", col("text"))),
+
+    // exact cosine top-k (ANN correctness baseline)
+    "q31_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast(LongType).as("knn_rank"))
+    }),
+
+    // blocked embedding near-dup pairs (exact within block)
+    "q32_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") > 0.3)
+    }),
+
+    // multimodal payload metadata (binary column plumbing)
+    "q33_multimodal_meta" -> ((s, d) =>
+      Multimodal.payloadMeta(Tables.documents(s, d), "text"))
+  )
+
+  /** DuckDB equivalent of Hashing.hexLong. */
+  private def sqlHexLong(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 14)) AS BIGINT)"
+
+  /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL. */
+  private def minhashOracle: String = {
+    val rows = MinhashPerms / MinhashBands
+    val mins = (0 until MinhashPerms).map(p =>
+      s"min(${sqlHexLong(s"concat('$p:', s)")}) AS mh$p").mkString(", ")
+    val bands = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, CASE WHEN len(w) >= $MinhashK
+         THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
+         ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
+       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       banded AS ($bands)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM banded a JOIN banded b
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+  }
+
+  /** Generated oracle: SimHash signatures, same bit-vote algorithm. */
+  private def simhashOracle: String = {
+    val bits = 56
+    val votes = (0 until bits).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val sig = (0 until bits).map(i =>
+      s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       e AS (SELECT doc_id, ${sqlHexLong("u")} AS h FROM (SELECT doc_id, unnest(w) AS u FROM t)),
+       v AS (SELECT doc_id, $votes FROM e GROUP BY doc_id)
+       SELECT doc_id AS doc, CAST($sig AS BIGINT) AS simhash FROM v"""
+  }
+
+  /** Generated oracle: marker-word language ID. */
+  private def langidOracle: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"list_sum([CASE WHEN x IN ($set) THEN 1 ELSE 0 END for x in w]) AS score_$lang"
+    }.mkString(", ")
+    val names = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+    val best = s"greatest(${names.mkString(", ")})"
+    val pick = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       sc AS (SELECT doc_id, lang, $scores FROM t),
+       b AS (SELECT *, $best AS best FROM sc)
+       SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred, lang AS lang_declared FROM b"""
+  }
+
+  private def cosineSql(ae: String, be: String): String = {
+    def dotp(u: String, v: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$u[i+1] * $v[i+1] for i in range(0, 64)]), (acc, x) -> acc + x)"
+    s"${dotp(ae, be)} / (sqrt(${dotp(ae, ae)}) * sqrt(${dotp(be, be)}))"
+  }
+
+  private val pipelineOracle: Map[String, String] = Map(
+    "q24_text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(string_split(text, ' ')) + list_sum([greatest(0, (length(x) - 1) // 4) for x in string_split(text, ' ')]) AS BIGINT) AS n_tokens_bpe,
+         length(text) AS n_chars_measured FROM documents""",
+    "q25_text_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [${sqlHexLong("x")} % 2147483647 for x in string_split(text, ' ')]),
+           (acc, v) -> (acc * 31 + v) % 2147483647) AS roll_hash
+         FROM documents""",
+    "q26_text_langid" -> langidOracle,
+    "q27_text_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len,
+         round(CAST(list_sum([CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END for x in string_split(text, ' ')]) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         round(least(CAST(1 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 64) * 0.5
+             + least(CAST(1 AS DOUBLE), CAST(list_sum([CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END for x in string_split(text, ' ')]) AS DOUBLE) / len(string_split(text, ' ')) * 5) * 0.5, 4) AS quality_score
+         FROM documents""",
+    "q28_dedup_exact" ->
+      "SELECT md5(lower(trim(text))) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1",
+    "q29_dedup_minhash" -> minhashOracle,
+    "q30_dedup_simhash" -> simhashOracle,
+    "q31_knn_brute" -> {
+      val cos = cosineSql("qe", "ce")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+         sim AS (SELECT query_id, neighbor_id, round($cos, 6) AS cos_sim
+                 FROM q, c WHERE query_id <> neighbor_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sim)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank FROM r WHERE rn <= 10"""
+    },
+    "q32_embedding_neardup" -> {
+      val cos = cosineSql("ae", "be")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 300)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS cos_sim
+         FROM (SELECT vec_id, emb AS ae FROM e) a, (SELECT vec_id, emb AS be FROM e) b
+         WHERE a.vec_id < b.vec_id AND round($cos, 6) > 0.3"""
+    },
+    "q33_multimodal_meta" ->
+      s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
+         ${sqlHexLong("text")} % 640 AS fake_width,
+         ${sqlHexLong("concat('1:', text)")} % 480 AS fake_height,
+         octet_length(encode(text)) // 1024 + 1 AS fake_n_frames FROM documents"""
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    referenceQueries ++ generalQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] =
+    referenceOracle ++ generalOracle ++ pipelineOracle
 }

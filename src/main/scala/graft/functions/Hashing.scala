@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * Everything that feeds the DuckDB correctness oracle must hash
+  * identically in both engines, so the base hash is md5 (bit-identical
+  * everywhere) truncated to 14 hex digits = 56 bits, which fits a signed
+  * 64-bit long in both Spark and DuckDB. Spark's own `hash`/`xxhash64`
+  * would be faster but are not reproducible outside Spark; they're fine
+  * for internal-only salting, not for declared query output.
+  *
+  * All of these are built-in Catalyst expressions (Md5, Substring, Conv,
+  * Cast) — whole-stage codegen'd, no UDFs in the hot path.
+  */
+object Hashing {
+
+  /** 56-bit non-negative hash of any string column; equals DuckDB's
+    * `CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)`. */
+  def hexLong(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast(LongType)
+
+  /** Seeded variant: one independent hash family member per seed —
+    * the MinHash permutation family. */
+  def hexLongSeeded(c: Column, seed: Int): Column =
+    hexLong(concat(lit(s"$seed:"), c))
+
+  /** Full 128-bit content fingerprint as hex (document identity). */
+  def fingerprint(c: Column): Column = md5(c)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The reference's relational transform surface (SURVEY.md §2.3–§2.4),
+  * re-expressed as composable lazy DataFrame stages. Every stage is
+  * plan-to-plan: Catalyst fuses the whole chain into one physical plan
+  * (projection pruning + predicate pushdown reach the source scan), unlike
+  * the reference's eager per-op materialization
+  * (/root/reference/lime_survey_orders_shipped.py:55-74).
+  */
+object Relational {
+
+  /** O9 — ordered column projection (`df[req_cols]`,
+    * /root/reference/lime_survey_orders_shipped.py:55-56). */
+  def project(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** O10 — drop rows with any null (`dropna()`,
+    * /root/reference/lime_survey_orders_shipped.py:57). Nulls only —
+    * empty strings are data and survive (SURVEY.md §7.4.2). */
+  def dropNullsAny(df: DataFrame): DataFrame = df.na.drop("any")
+
+  /** O11 — drop nulls on a column subset (`dropna(subset=...)`,
+    * /root/reference/lime_survey_nps.py:70). */
+  def dropNulls(subset: Seq[String])(df: DataFrame): DataFrame =
+    df.na.drop("any", subset)
+
+  /** O12 — bulk rename (`rename(columns=dict)`,
+    * /root/reference/lime_survey_orders_shipped.py:60-66). */
+  def renameAll(mapping: Map[String, String])(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(mapping)
+
+  /** O13 — constant batch audit stamp
+    * (/root/reference/lime_survey_orders_shipped.py:67). Injected as a
+    * parameter so runs are reproducible (SURVEY.md §7.4.4); production
+    * callers pass `date_format(current_timestamp(), ...)` which Catalyst
+    * folds to one literal per query — matching the reference's
+    * same-value-for-all-rows semantics. */
+  def auditStamp(column: String, value: Column)(df: DataFrame): DataFrame =
+    df.withColumn(column, value)
+
+  /** O14/O15 — regex-strip + numeric cast
+    * (`float(x.replace("A",""))` /root/reference/lime_survey_orders_shipped.py:74,
+    * `float(re.sub("A|N","",x))` /root/reference/lime_survey_nps.py:73).
+    * Built-in `RegExpReplace`+`Cast` expressions — whole-stage codegen'd,
+    * no UDF. */
+  def regexStripCast(column: String, pattern: String)(df: DataFrame): DataFrame =
+    df.withColumn(column, regexp_replace(col(column), pattern, "").cast(DoubleType))
+
+  /** O16 — membership filter (`isin`,
+    * /root/reference/lime_survey_orders_shipped.py:73). Applied BEFORE the
+    * numeric cast for cast safety, matching reference order. */
+  def membership(column: String, allowed: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(col(column).isin(allowed: _*))
+
+  /** O17 — date-range predicate (the survivor set of the reference's
+    * idempotency DELETE, /root/reference/lime_survey_orders_shipped.py:111-119). */
+  def rangeFilter(column: String, predicate: Column => Column)(df: DataFrame): DataFrame =
+    df.filter(predicate(col(column)))
+
+  /** O18 — multi-key global sort
+    * (/root/reference/lime_survey_orders_shipped.py:69). Range-partitioned
+    * shuffle; when only feeding keep-last dedup, skip this and let the
+    * window's hash partitioning do the work (see [[keepLast]]). */
+  def sortBy(keys: Seq[Column])(df: DataFrame): DataFrame = df.orderBy(keys: _*)
+
+  /** O18+O19 — deterministic keep-last dedup per key
+    * (`sort_values(...)` + `drop_duplicates(keep='last')`,
+    * /root/reference/lime_survey_orders_shipped.py:69-70): latest `order`
+    * columns win per key; ties broken by an explicit ingest-position column
+    * (pandas keep-last is position-stable; Spark `dropDuplicates` is
+    * order-nondeterministic — SURVEY.md §7.4.1).
+    *
+    * One hash-partition shuffle on `keys`; no global sort. At scale this is
+    * the right plan: the window sort is per-partition and spills, and AQE
+    * handles key skew.
+    */
+  def keepLast(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k under a total order — generalizes O18 sort + O5's iLimit.
+    * Spark plans this as TakeOrderedAndProject: per-partition top-k then a
+    * k-row merge on the driver — no global sort shuffle at any scale. */
+  def topK(k: Int, order: Seq[Column])(df: DataFrame): DataFrame =
+    df.orderBy(order: _*).limit(k)
+}

@@ -1,0 +1,95 @@
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two tiers:
+  *
+  *  - [[bruteForceKnn]] — exact cosine top-k of each query against the
+  *    corpus. The query set is broadcast (it is small by construction),
+  *    so the corpus is scanned once, partition-parallel, with NO shuffle
+  *    until the final per-query top-k (TakeOrdered-style partial top-k
+  *    then merge). This is the correctness baseline and is the right
+  *    plan even at 100 TB when |queries| is modest.
+  *  - [[lshKnn]] — random-hyperplane LSH: corpus and queries are bucketed
+  *    by sign-bit signatures; candidates come from an equi-join on
+  *    (table, bucket), then exact cosine re-ranks within buckets. Sublinear
+  *    candidate sets at scale; recall tuned by (nTables, nBits).
+  *
+  * Cosine math is done in double precision via codegen'd higher-order
+  * functions (`zip_with`/`aggregate`), deterministic fold order — this is
+  * what lets the DuckDB oracle reproduce the exact values.
+  */
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors per query. `queries` must be small (it is
+    * broadcast). Ranking key is (rounded cosine desc, corpus id asc) so
+    * results are total-ordered and reproducible across engines. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-bit signature under `nBits` pseudo-random hyperplanes. The
+    * hyperplanes are themselves derived deterministically from md5 of
+    * (table, bit, dim) so the whole structure is reproducible without a
+    * random-state side channel. */
+  def lshBucket(emb: Column, table: Int, nBits: Int, dim: Int): Column = {
+    (0 until nBits).map { bit =>
+      val proj = (0 until dim).map { d =>
+        val w = (graft.functions.Hashing
+          .hexLong(lit(s"$table:$bit:$d")) % 1000L).cast(DoubleType) / 500.0 - 1.0
+        emb.getItem(d).cast(DoubleType) * w
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L) * (1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket in at least one table;
+    * exact cosine re-rank within candidates. */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 4, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(s"emb_$idAs"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"),
+            lshBucket(col("embedding"), t, nBits, dim).as("bucket"))
+        }: _*)).as("b"))
+        .select(col(idAs), col(s"emb_$idAs"), col("b.tbl"), col("b.bucket"))
+    val c = bucketed(corpus, "neighbor_id")
+    val q = bucketed(queries, "query_id")
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("emb_query_id"), col("emb_neighbor_id"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("emb_query_id"), col("emb_neighbor_id")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * narrow (per-row) transformations built from codegen'd built-in
+  * expressions — they scale embarrassingly: no shuffle, no state, pure
+  * map over however many partitions the 100 TB scan produces.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Single-space split (matches DuckDB
+    * `string_split(text, ' ')` for oracle parity; a production tokenizer
+    * would split on `\\s+`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword token-count estimate: words plus an extra token per
+    * 4 chars of long words (a cheap, deterministic proxy for byte-pair
+    * merges — real BPE needs a vocab file). */
+  def tokenCountEstimate(text: Column): Column = {
+    val words = tokens(text)
+    size(words).cast(LongType) +
+      aggregate(words, lit(0L),
+        (acc, w) => acc + greatest(lit(0L), floor((length(w) - 1) / 4)))
+  }
+
+  /** Quality-score features: length, token stats, stopword ratio,
+    * alphabetic ratio — the usual cheap filters applied before expensive
+    * dedup/training steps. Deterministic; each feature is SQL-expressible
+    * for the oracle. */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopCount = aggregate(toks, lit(0),
+      (acc, w) => acc + when(w.isin(stop: _*), 1).otherwise(0))
+    df.withColumn("n_chars_m", length(text))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        round((length(text) - nTok + 1).cast(DoubleType) / nTok, 4))
+      .withColumn("stopword_ratio",
+        round(stopCount.cast(DoubleType) / nTok, 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), nTok.cast(DoubleType) / 64) * 0.5
+          + least(lit(1.0), stopCount.cast(DoubleType) / nTok * 5) * 0.5, 4))
+  }
+
+  /** Marker-word language ID: score each candidate language by the count
+    * of its high-frequency function words, pick the argmax (ties broken by
+    * language code order). An n-gram heuristic in the classic
+    * stopword-profile style; deterministic and engine-portable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "pt" -> Seq("o", "a", "de", "que", "em"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.map { case (lang, markers) =>
+      lang -> aggregate(toks, lit(0),
+        (acc, w) => acc + when(w.isin(markers: _*), 1).otherwise(0))
+    }
+  }
+
+  /** Predicted language: argmax of marker scores, `und` when all zero. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // greatest(...) then first lang matching it, in fixed code order
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means earlier langs override later ones on ties
+    pick
+  }
+
+  /** 128-bit content fingerprint (md5 of normalized text). */
+  def fingerprint(text: Column): Column =
+    Hashing.fingerprint(lower(trim(text)))
+
+  /** Polynomial rolling hash over tokens, mod 2^31-ish so the arithmetic
+    * never overflows a signed 64-bit intermediate in either engine
+    * (DuckDB errors on BIGINT overflow; Spark wraps — keep both exact). */
+  def rollingHash(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => (acc * 31L + pmod(Hashing.hexLong(w), lit(M))) % M)
+  }
+
+  /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
+    * than k tokens contribute one whole-text shingle (sequence() would
+    * otherwise run backwards on a negative length). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-only harness emulating the driver's correctness gate: reads the
+parquet dumps Verify.scala wrote, runs each oracle SQL in DuckDB over the
+same sf dir, and compares (rows, schema names, sorted values).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None: return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)  # full precision
+    return str(v)
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+def main(sf_dir, out_dir):
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq = os.path.join(out_dir, name)
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+            spark_cols = [c.lower() for c in spark_rel.columns]
+            spark_rows = spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}"); n_fail += 1; continue
+        try:
+            duck_rel = con.sql(sql)
+            duck_cols = [c.lower() for c in duck_rel.columns]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}"); n_fail += 1; continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: schema {sorted(spark_cols)} vs {sorted(duck_cols)}"); n_fail += 1; continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rows {len(spark_rows)} vs {len(duck_rows)}"); n_fail += 1; continue
+        a, b = rows_key(spark_cols, spark_rows), rows_key(duck_cols, duck_rows)
+        if a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}"); n_fail += 1; continue
+        print(f"PASS {name} ({len(spark_rows)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -402,11 +402,17 @@ object SparkEntry {
   private def sqlHexLong(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 14)) AS BIGINT)"
 
-  /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL. */
+  /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL
+    * (one md5 per shingle, affine family `(a_p*h + b_p) mod P` — mirrors
+    * Dedup.minHashFamily exactly). */
   private def minhashOracle: String = {
+    val P = Dedup.MinHashP
     val rows = MinhashPerms / MinhashBands
-    val mins = (0 until MinhashPerms).map(p =>
-      s"min(${sqlHexLong(s"concat('$p:', s)")}) AS mh$p").mkString(", ")
+    val mins = (0 until MinhashPerms).map { p =>
+      val a = (p * 1000003L + 17L) % P
+      val b = (p * 999983L + 9176L) % P
+      s"min((h * $a + $b) % $P) AS mh$p"
+    }.mkString(", ")
     val bands = (0 until MinhashBands).map { b =>
       val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM mh"
@@ -416,7 +422,8 @@ object SparkEntry {
          THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
          ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       hh AS (SELECT doc_id, ${sqlHexLong("s")} % $P AS h FROM ex),
+       mh AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
        banded AS ($bands)
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM banded a JOIN banded b

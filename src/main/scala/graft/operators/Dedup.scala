@@ -33,45 +33,79 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: `numPerm` independent 56-bit hash families over
-    * word `k`-shingles; signature column `mh` = array of per-family
-    * minima. Computed per row via `transform` over the shingle array —
-    * no explode, no shuffle. */
-  def minHashSignature(text: Column, k: Int, numPerm: Int): Column = {
-    val sh = TextAnalysis.shingles(text, k)
-    array((0 until numPerm).map { p =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, Hashing.hexLongSeeded(s, p)))
-    }: _*)
+  /** Modulus for the MinHash permutation family: 2^31 - 1 (prime). The
+    * product (P-1)*(P-1) < 2^63, so the affine-hash arithmetic never
+    * overflows a signed 64-bit long in Spark or DuckDB. */
+  val MinHashP = 2147483647L
+
+  /** Member `p` of the affine hash family over a pre-reduced base hash
+    * `h ∈ [0, P)`: `(a_p * h + b_p) mod P`. Fixed deterministic
+    * coefficients — no random-state side channel, reproducible in SQL. */
+  def minHashFamily(h: Column, p: Int): Column = {
+    val a = (p * 1000003L + 17L) % MinHashP
+    val b = (p * 999983L + 9176L) % MinHashP
+    (h * a + b) % MinHashP
   }
+
+  /** MinHash signatures: one row per doc with columns `mh0..mh{numPerm-1}`
+    * = per-family minima over word `k`-shingles.
+    *
+    * Cost model (the reason for this shape): each shingle is md5-hashed
+    * ONCE; the `numPerm` family members are derived arithmetically from
+    * that one hash inside a codegen'd hash aggregate with map-side partial
+    * aggregation — the shuffle carries one `numPerm`-column row per doc
+    * per partition, not one row per shingle. (A per-row higher-order
+    * `aggregate` over the shingle array would be interpreted, not
+    * codegen'd, and cost `numPerm` md5s per shingle: measured 30s vs ~2s
+    * on 5k docs / 250k shingles.) */
+  def minHashSignatures(df: DataFrame, idCol: String, text: Column,
+      k: Int, numPerm: Int): DataFrame = {
+    val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(TextAnalysis.shingles(col("__t"), k)).as("s"))
+      .select(col("doc"), pmod(Hashing.hexLong(col("s")), lit(MinHashP)).as("h"))
+    val mins = (0 until numPerm).map(p => min(minHashFamily(col("h"), p)).as(s"mh$p"))
+    ex.groupBy("doc").agg(mins.head, mins.tail: _*)
+  }
+
+  /** All unordered pairs (a, b), a < b, from a sorted bucket array —
+    * the within-bucket candidate enumeration shared by the LSH variants.
+    * Interpreted HOF, but only over small bucket arrays. */
+  private def bucketPairs(docs: Column): Column =
+    flatten(transform(docs, (x, i) =>
+      transform(slice(docs, i + lit(2), size(docs)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
 
   /** MinHash + LSH banding: docs sharing any band (of `bands` bands with
     * `numPerm/bands` rows each) become candidate pairs. Returns distinct
     * (a, b) with a < b.
     *
-    * Plan shape: scan → map (signature+bands) → explode bands →
-    * shuffle on (band_idx, band_hash) → within-bucket self-join →
-    * distinct. The self-join is an equi-join, so at 1000 executors it is
-    * a single co-partitioned shuffle; bucket sizes are bounded by band
-    * selectivity (tune bands/rows for the target Jaccard threshold).
+    * Plan shape: scan → explode shingles → hash-agg signatures (one
+    * shuffle on doc) → explode bands → groupBy (band_idx, band_hash)
+    * collecting the bucket → emit within-bucket pairs → distinct.
+    * Grouping instead of a self-join means the signature subplan runs
+    * ONCE (a self-join re-executes it per side — measured 2× cost) and
+    * there is no join at all: two hash-partitioned shuffles total,
+    * co-locatable at any executor count. Bucket sizes are bounded by
+    * band selectivity (tune bands/rows for the target Jaccard
+    * threshold); a degenerate band (e.g. empty docs) shows up as one
+    * large bucket — cap it upstream by filtering empty text, not here.
     */
   def minHashCandidates(df: DataFrame, idCol: String, text: Column,
       k: Int = 5, numPerm: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numPerm / bands
-    val sig = df.select(col(idCol).as("doc"),
-      minHashSignature(text, k, numPerm).as("mh"))
+    val sig = minHashSignatures(df, idCol, text, k, numPerm)
     val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
           md5(concat_ws(",", (0 until rows).map(r =>
-            col("mh").getItem(b * rows + r)): _*)).as("band_hash"))
+            col(s"mh${b * rows + r}")): _*)).as("band_hash"))
       }: _*)).as("band"))
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band_idx") === col("r.band_idx") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+    banded.groupBy("band_idx", "band_hash")
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(bucketPairs(col("docs"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -86,8 +120,8 @@ object Dedup {
     * but recompute the token md5 once per bit — 56× the hash work. */
   def simHashSignatures(df: DataFrame, idCol: String, text: Column,
       bits: Int = 56): DataFrame = {
-    val hashed = df.select(col(idCol).as("doc"),
-      explode(array_distinct(TextAnalysis.tokens(text))).as("tok"))
+    val hashed = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(array_distinct(TextAnalysis.tokens(col("__t")))).as("tok"))
       .select(col("doc"), Hashing.hexLong(col("tok")).as("h"))
     val votes = (0 until bits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"s$i")
@@ -101,22 +135,24 @@ object Dedup {
 
   /** SimHash near-dup candidates: block on 4 × 14-bit sub-bands (docs
     * within Hamming distance 3 of each other share at least one band by
-    * pigeonhole). Same equi-join shuffle shape as MinHash LSH. */
+    * pigeonhole). Same group-by-bucket shape as [[minHashCandidates]] —
+    * the signature subplan runs once, no self-join. */
   def simHashCandidates(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val sig = simHashSignatures(df, idCol, text)
       .withColumnRenamed("simhash", "sh")
-    val banded = sig.select(col("doc"), col("sh"),
+    val banded = sig.select(
+      struct(col("doc"), col("sh")).as("ds"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),
           shiftright(col("sh"), b * 14).bitwiseAND(0x3FFF).as("band_val"))
       }: _*)).as("band"))
-      .select(col("doc"), col("sh"), col("band.band_idx"), col("band.band_val"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band_idx") === col("r.band_idx") &&
-        col("l.band_val") === col("r.band_val") &&
-        col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .select(col("ds"), col("band.band_idx"), col("band.band_val"))
+    banded.groupBy("band_idx", "band_val")
+      .agg(array_sort(collect_list(col("ds"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(bucketPairs(col("docs"))).as("p"))
+      .select(col("p.doc_a.doc").as("doc_a"), col("p.doc_b.doc").as("doc_b"),
+        bit_count(col("p.doc_a.sh").bitwiseXOR(col("p.doc_b.sh"))).as("hamming"))
       .distinct()
   }
 

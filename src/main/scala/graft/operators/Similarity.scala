@@ -41,7 +41,7 @@ object Similarity {
     * broadcast). Ranking key is (rounded cosine desc, corpus id asc) so
     * results are total-ordered and reproducible across engines. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.as("c")
+    val joined = Parallelism.ensure(corpus).as("c")
       .join(broadcast(queries.as("q")),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),

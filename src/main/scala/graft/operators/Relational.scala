@@ -46,10 +46,12 @@ object Relational {
   /** O14/O15 — regex-strip + numeric cast
     * (`float(x.replace("A",""))` /root/reference/lime_survey_orders_shipped.py:74,
     * `float(re.sub("A|N","",x))` /root/reference/lime_survey_nps.py:73).
-    * Built-in `RegExpReplace`+`Cast` expressions — whole-stage codegen'd,
-    * no UDF. */
+    * Built-in `RegExpReplace`+`TryCast` expressions — whole-stage
+    * codegen'd, no UDF. `try_cast` so un-guarded non-numeric input yields
+    * null instead of an ANSI runtime error (Spark 4 default); guarded
+    * callers (membership first, reference order) never hit it. */
   def regexStripCast(column: String, pattern: String)(df: DataFrame): DataFrame =
-    df.withColumn(column, regexp_replace(col(column), pattern, "").cast(DoubleType))
+    df.withColumn(column, regexp_replace(col(column), pattern, "").try_cast(DoubleType))
 
   /** O16 — membership filter (`isin`,
     * /root/reference/lime_survey_orders_shipped.py:73). Applied BEFORE the

@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Survey-platform source connector (SURVEY.md §2.1 O1/O2/O5/O6 and the
+  * §2.7 control-plane surface): a JSON-RPC-over-HTTP client in the style
+  * of the LimeSurvey RemoteControl 2 API the reference consumes
+  * (/root/reference/limesurvey.py:11-218), re-designed for an engine:
+  *
+  *  - The HTTP transport is injectable ([[Transport]]) so tests and
+  *    offline runs substitute a file-backed fake; production uses
+  *    [[HttpTransport]] (java.net.http, keep-alive by default).
+  *  - RPC payloads are built with a real JSON encoder, not string
+  *    interpolation (the reference's hand-built envelopes produce
+  *    malformed JSON in release_session_key,
+  *    /root/reference/limesurvey.py:109 — a bug not reproduced).
+  *  - Errors fail fast; the reference swallows every exception to None
+  *    (/root/reference/limesurvey.py:30-32), which SURVEY §7.5 lists as a
+  *    non-goal.
+  *  - Extraction results enter Spark as DataFrames immediately
+  *    ([[responsesDF]]), so everything downstream is a lazy plan.
+  *
+  * Server-side pushdown hooks mirrored from the reference API surface:
+  * completion-status/heading/response filters and the `fields` projection
+  * on export (/root/reference/limesurvey.py:112-126 — projection
+  * pushdown), `conditions` + offset/limit pagination on participants
+  * (/root/reference/limesurvey.py:207-218 — filter/limit pushdown).
+  */
+object LimeSurveyClient {
+
+  /** Pluggable POST transport: url, json body → json reply. */
+  trait Transport { def post(url: String, body: String): String }
+
+  /** Production transport: HTTP/1.1 keep-alive POST. */
+  final class HttpTransport extends Transport {
+    private val client = HttpClient.newHttpClient()
+    def post(url: String, body: String): String = {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .header("content-type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(s"RPC HTTP ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  // -- minimal JSON encode/decode (no extra deps allowed) ---------------
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case s: String => jstr(s)
+    case b: Boolean => b.toString
+    case i: Int => i.toString
+    case l: Long => l.toString
+    case d: Double => d.toString
+    case m: Map[_, _] =>
+      m.map { case (k, x) => s"${jstr(k.toString)}:${jval(x)}" }
+        .mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(jval).mkString("[", ",", "]")
+  }
+
+  /** Extract the JSON value of a top-level key from an RPC reply without a
+    * JSON library: delegates to Spark's own parser at the call sites that
+    * build DataFrames; driver-side string results use this narrow path. */
+  private[graft] def topLevelString(json: String, key: String): String = {
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+      throw new RuntimeException(s"RPC reply missing string key '$key': ${json.take(200)}"))
+  }
+}
+
+/** One authenticated client session. `sessionKey` is obtained by the auth
+  * handshake on construction (reference ctor /root/reference/limesurvey.py:12-21). */
+class LimeSurveyClient(url: String, user: String, password: String,
+    transport: LimeSurveyClient.Transport) {
+  import LimeSurveyClient._
+
+  private var rpcId = 0
+  private def call(method: String, params: Map[String, Any]): String = {
+    rpcId += 1
+    transport.post(url, jval(Map(
+      "method" -> method, "params" -> params, "id" -> rpcId)))
+  }
+
+  val sessionKey: String = topLevelString(
+    call("get_session_key", Map("username" -> user, "password" -> password)),
+    "result")
+
+  private def sessioned(extra: Map[String, Any]): Map[String, Any] =
+    Map("sSessionKey" -> sessionKey) ++ extra
+
+  // -- O2: response export scan ----------------------------------------
+
+  /** Raw export: base64 payload → UTF-8 JSON string
+    * (/root/reference/limesurvey.py:112-126). `fields` is the server-side
+    * column projection (pushdown hook). */
+  def exportResponsesJson(surveyId: Int, status: String = "",
+      heading: String = "", response: String = "",
+      fields: Seq[String] = Nil): String = {
+    val reply = call("export_responses", sessioned(Map(
+      "iSurveyID" -> surveyId, "sDocumentType" -> "json",
+      "sLanguageCode" -> null, "sCompletionStatus" -> status,
+      "sHeadingType" -> heading, "sResponseType" -> response,
+      "aFields" -> fields)))
+    new String(Base64.getDecoder.decode(topLevelString(reply, "result")),
+      StandardCharsets.UTF_8)
+  }
+
+  /** Export as a DataFrame in the survey-export shape (FIXTURES.md §1):
+    * `responses: array<map<responseId, map<col, value>>>`. The single
+    * driver-side string enters Spark immediately; all un-nesting is lazy
+    * executor work (graft.pipelines.SurveyUnnest). */
+  def responsesDF(spark: SparkSession, surveyId: Int, status: String = "",
+      heading: String = "", response: String = "",
+      fields: Seq[String] = Nil): DataFrame =
+    Readers.surveyExportFromJson(spark,
+      exportResponsesJson(surveyId, status, heading, response, fields))
+
+  /** O2 variant: point lookup by token
+    * (/root/reference/limesurvey.py:128-140 — key-equality pushdown). */
+  def exportResponsesByTokenJson(surveyId: Int, token: String,
+      status: String = ""): String = {
+    val reply = call("export_responses_by_token", sessioned(Map(
+      "iSurveyID" -> surveyId, "sDocumentType" -> "json",
+      "sToken" -> token, "sLanguageCode" -> null,
+      "sCompletionStatus" -> status)))
+    new String(Base64.getDecoder.decode(topLevelString(reply, "result")),
+      StandardCharsets.UTF_8)
+  }
+
+  // -- O5/O6: catalog scans --------------------------------------------
+
+  private def resultArrayDF(spark: SparkSession, reply: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(Seq(reply)).toDF("j")
+      .select(from_json(col("j"),
+        StructType(Seq(StructField("result", ArrayType(schema))))).as("r"))
+      .select(explode(col("r.result")).as("e"))
+      .select(col("e.*"))
+  }
+
+  /** O6 — survey listing (/root/reference/limesurvey.py:200-205). */
+  def listSurveys(spark: SparkSession): DataFrame =
+    resultArrayDF(spark, call("list_surveys", sessioned(Map())),
+      StructType(Seq(
+        StructField("sid", StringType), StructField("surveyls_title", StringType),
+        StructField("startdate", StringType), StructField("expires", StringType),
+        StructField("active", StringType))))
+
+  /** O6 — question-group listing projecting (gid, group_name) from the
+    * nested id struct (/root/reference/limesurvey.py:166-181 reads
+    * `g['id']['gid']` ≙ `col("id.gid")`). */
+  def listGroups(spark: SparkSession, surveyId: Int): DataFrame =
+    resultArrayDF(spark,
+      call("list_groups", sessioned(Map("iSurveyID" -> surveyId))),
+      StructType(Seq(
+        StructField("id", StructType(Seq(
+          StructField("gid", StringType), StructField("language", StringType)))),
+        StructField("group_name", StringType))))
+      .select(col("id.gid").as("gid"), col("group_name"))
+
+  /** O6 — question listing projecting (qid, question)
+    * (/root/reference/limesurvey.py:183-198). */
+  def listQuestions(spark: SparkSession, surveyId: Int, groupId: Int): DataFrame =
+    resultArrayDF(spark,
+      call("list_questions", sessioned(Map(
+        "iSurveyID" -> surveyId, "iGroupID" -> groupId))),
+      StructType(Seq(
+        StructField("qid", StringType), StructField("question", StringType))))
+
+  /** O5 — paged participant scan with server-side predicate hook
+    * (/root/reference/limesurvey.py:207-218): offset/limit pagination ≙
+    * partitioned source read; `conditions` ≙ filter pushdown. */
+  def listParticipants(spark: SparkSession, surveyId: Int, start: Int = 0,
+      limit: Int = 1000000, unused: Boolean = false,
+      attributes: Seq[String] = Nil,
+      conditions: Map[String, String] = Map()): DataFrame =
+    resultArrayDF(spark,
+      call("list_participants", sessioned(Map(
+        "iSurveyID" -> surveyId, "iStart" -> start, "iLimit" -> limit,
+        "bUnused" -> unused, "aAttributes" -> attributes,
+        "aConditions" -> conditions))),
+      StructType(Seq(
+        StructField("tid", StringType),
+        StructField("participant_info", StructType(Seq(
+          StructField("firstname", StringType),
+          StructField("lastname", StringType),
+          StructField("email", StringType)))))))
+
+  // -- §2.7 control-plane (connector admin surface, not queries) --------
+
+  def getSummary(surveyId: Int, stat: String = "all"): String =
+    call("get_summary", sessioned(Map(
+      "iSurveyID" -> surveyId, "sStatname" -> stat)))
+
+  def activateSurvey(surveyId: Int): String =
+    call("activate_survey", sessioned(Map("iSurveyID" -> surveyId)))
+
+  def deleteSurvey(surveyId: Int): String =
+    call("delete_survey", sessioned(Map("iSurveyID" -> surveyId)))
+
+  def importSurvey(lssBase64: String, name: String): String =
+    call("import_survey", sessioned(Map(
+      "sImportData" -> lssBase64, "sImportDataType" -> "lss",
+      "sNewSurveyName" -> name)))
+
+  def setSurveyProperty(surveyId: Int, prop: String, value: String): String =
+    call("set_survey_properties", sessioned(Map(
+      "iSurveyID" -> surveyId, "aSurveyData" -> Map(prop -> value))))
+
+  def addResponse(surveyId: Int, row: Map[String, String]): String =
+    call("add_response", sessioned(Map(
+      "iSurveyID" -> surveyId, "aResponseData" -> row)))
+
+  /** Well-formed teardown (the reference's is malformed JSON,
+    * /root/reference/limesurvey.py:106-110). */
+  def releaseSessionKey(): String =
+    call("release_session_key", Map("sSessionKey" -> sessionKey))
+}

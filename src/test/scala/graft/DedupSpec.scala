@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules here"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", col("text"))
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L))) // docs 1,2 collapse to keep_id=1
+    assert(out.count(_._2 == 1L) == 3)
+  }
+
+  test("minhash LSH finds near-dup pair, not unrelated docs") {
+    val cand = Dedup.minHashCandidates(docs, "doc_id", col("text"), 5, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L))) // identical docs always collide
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L))) // near-dup
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated isolated
+  }
+
+  test("simhash signatures: identical docs equal, near-dups close, unrelated far") {
+    val sig = Dedup.simHashSignatures(docs, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("simhash candidates pair identical docs with hamming 0") {
+    val cand = Dedup.simHashCandidates(docs, "doc_id", col("text"))
+      .as[(Long, Long, Int)].collect()
+    assert(cand.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 0))
+  }
+
+  test("ngram jaccard verifies candidates: dup=1.0, near-dup high, ordered pairs") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(docs, "doc_id", col("text"), pairs, 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("embedding cosine near-dup: parallel vectors similarity 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(2.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sim = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(sim((1L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(sim((1L, 3L))) < 1e-9)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-grams for long text, whole text for short (minhash input)") {
+    val df = Seq("a b c d e f", "tiny").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 5).as("s"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c d e", "b c d e f"))
+    assert(out(1) == Seq("tiny"))
+  }
+
+  test("langId picks marker-majority language, und when none") {
+    val df = Seq(
+      "the cat is of the house and the dog",
+      "der hund und die katze ist das haus",
+      "xyzzy qwerty").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
+  }
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextAnalysis.rollingHash(col("text")).as("h"))
+    val out = df.as[Long].collect()
+    assert(out(0) == out(2) && out(0) != out(1))
+  }
+
+  test("quality features bounded and consistent") {
+    val out = TextAnalysis.qualityFeatures(
+      Seq("the quick brown fox is here of course").toDF("text"), col("text"))
+      .select("n_tokens", "stopword_ratio", "quality_score").head
+    assert(out.getInt(0) == 8)
+    assert(out.getDouble(1) > 0 && out.getDouble(1) <= 1)
+    assert(out.getDouble(2) >= 0 && out.getDouble(2) <= 1)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = (0 until 50).map { i =>
+    (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("bruteForceKnn returns k ranked neighbors per query, no self-match") {
+    val out = Similarity.bruteForceKnn(corpus,
+      corpus.filter(col("vec_id") < 2), 5)
+    val byQuery = out.as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      assert(rows.sortBy(_._4).map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+      assert(!rows.exists(r => r._2 == r._1)) // self excluded
+    }
+  }
+
+  test("lshKnn recall against brute force is substantial") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceKnn(corpus, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(corpus, queries, 3, nTables = 6, nBits = 4, dim = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("project keeps order and subset (O9)") {
+    val df = Seq((1, "a", true)).toDF("x", "y", "z")
+    assert(Relational.project(Seq("z", "x"))(df).columns.toSeq == Seq("z", "x"))
+  }
+
+  test("dropNullsAny drops null rows but keeps empty strings (O10, §7.4.2)") {
+    val df = Seq(("a", "b"), (null, "c"), ("", "d")).toDF("u", "v")
+    val out = Relational.dropNullsAny(df).collect().map(_.getString(0)).toSet
+    assert(out == Set("a", ""))
+  }
+
+  test("dropNulls on subset ignores nulls elsewhere (O11)") {
+    val df = Seq(("a", null: String, "x"), (null, "b", "y"))
+      .toDF("email", "nps", "other")
+    val out = Relational.dropNulls(Seq("email"))(df).collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("x"))
+  }
+
+  test("renameAll renames en masse (O12)") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val out = Relational.renameAll(Map("a" -> "x", "b" -> "y"))(df)
+    assert(out.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("auditStamp applies one literal to all rows (O13)") {
+    val df = Seq(1, 2).toDF("i")
+    val out = Relational.auditStamp("updated_ts", lit("2026-01-01 00:00:00"))(df)
+    assert(out.select("updated_ts").distinct().count() == 1)
+  }
+
+  test("regexStripCast handles fixed prefix and alternation (O14/O15)") {
+    val df = Seq("A4", "N10", "A10").toDF("v")
+    val fixed = Relational.regexStripCast("v", "A")(df.filter(col("v") =!= "N10"))
+    assert(fixed.as[Double].collect().toSet == Set(4.0, 10.0))
+    val alt = Relational.regexStripCast("v", "A|N")(df)
+    assert(alt.as[Double].collect().toSet == Set(4.0, 10.0))
+  }
+
+  test("membership filters before cast (O16)") {
+    val df = Seq("A1", "free text", "A5").toDF("grade")
+    val out = Relational.membership("grade", Seq("A1", "A2", "A3", "A4", "A5"))(df)
+    assert(out.count() == 2)
+  }
+
+  test("keepLast keeps max order key per group, ties to ingest pos (O18+O19)") {
+    val df = Seq(
+      ("o1", "2018-01-01", 0L), ("o1", "2018-01-03", 1L),
+      ("o2", "2018-01-02", 2L), ("o2", "2018-01-02", 3L) // tie on date
+    ).toDF("order_number", "date_sent", "_ingest_pos")
+    val out = Relational.keepLast(Seq("order_number"),
+      Seq(col("date_sent").desc, col("_ingest_pos").desc))(df)
+      .select("order_number", "_ingest_pos").as[(String, Long)]
+      .collect().toMap
+    assert(out == Map("o1" -> 1L, "o2" -> 3L)) // pandas keep-last parity
+  }
+
+  test("topK returns exactly k under total order (O18+O5)") {
+    val df = (1 to 100).toDF("n")
+    val out = Relational.topK(3, Seq(col("n").desc))(df).as[Int].collect()
+    assert(out.toSeq == Seq(100, 99, 98))
+  }
+}

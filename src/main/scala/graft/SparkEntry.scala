@@ -255,6 +255,33 @@ object SparkEntry {
           .otherwise("large").as("size_class"),
         concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))),
 
+    // as-of join (events -> latest order at-or-before the event, per
+    // user): union-sort technique, one shuffle, no join explosion. The
+    // right side is pre-aggregated to one row per (key, time) so the
+    // tie-break is deterministic in both engines.
+    "q35_asof_join" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      Temporal.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
+          col("asof_last_orderkey").as("last_orderkey"),
+          date_format(col("asof_o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    }),
+
+    // bounded range join via bucketing (equi-join meeting points, exact
+    // predicate within buckets) — never BroadcastNestedLoop
+    "q36_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"), col("value"))
+      Temporal.rangeJoinByValue(e, e, "value", "value", 0.5)
+        .filter(col("a_event_id") < col("b_event_id"))
+        .select(col("a_event_id"), col("b_event_id"),
+          col("a_value"), col("b_value"))
+    }),
+
     // time-bucketed aggregation — the batch equivalent of the streaming
     // tumbling-window count (streaming.EventsStream runs the readStream
     // version of exactly this plan)
@@ -324,7 +351,23 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q35_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+           FROM orders GROUP BY 1, 2),
+         ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM ev ASOF LEFT JOIN ord
+           ON ev.user_id = ord.o_custkey AND ev.ts >= ord.o_orderdate""",
+    "q36_range_join" ->
+      """WITH e AS (SELECT event_id, value FROM events WHERE event_id < 300)
+         SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+           a.value AS a_value, b.value AS b_value
+         FROM e a, e b
+         WHERE a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5"""
   )
 
   // ---------------------------------------------------------------------
@@ -395,7 +438,15 @@ object SparkEntry {
 
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
-      Multimodal.payloadMeta(Tables.documents(s, d), "text"))
+      Multimodal.payloadMeta(Tables.documents(s, d), "text")),
+
+    // exact n-gram Jaccard over a declared pair set (the LSH verify step)
+    "q34_jaccard" -> ((s, d) => {
+      val docs20 = Tables.documents(s, d).filter(col("doc_id") < 20)
+      val pairs = docs20.select(col("doc_id").as("doc_a"))
+        .join(docs20.select(col("doc_id").as("doc_b")), col("doc_a") < col("doc_b"))
+      Dedup.ngramJaccard(docs20, "doc_id", col("text"), pairs, 3)
+    })
   )
 
   /** DuckDB equivalent of Hashing.hexLong. */
@@ -509,7 +560,27 @@ object SparkEntry {
       s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
          ${sqlHexLong("text")} % 640 AS fake_width,
          ${sqlHexLong("concat('1:', text)")} % 480 AS fake_height,
-         octet_length(encode(text)) // 1024 + 1 AS fake_n_frames FROM documents"""
+         octet_length(encode(text)) // 1024 + 1 AS fake_n_frames FROM documents""",
+    "q34_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM d a, d b WHERE a.doc_id < b.doc_id),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           THEN list_distinct([array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w) - 2)])
+           ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+                   FROM ex sa JOIN ex sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+                   GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b,
+           round(CAST(COALESCE(i.ni, 0) AS DOUBLE) /
+             (za.n + zb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+         FROM pairs p
+         LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+         JOIN sizes za ON p.doc_a = za.doc_id
+         JOIN sizes zb ON p.doc_b = zb.doc_id"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

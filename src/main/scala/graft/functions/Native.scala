@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between the Column API and raw Catalyst expressions (Spark 4
+  * split Column from Expression behind ColumnNode; GraftShims crosses it
+  * for the classic backend). Lets library code use native expressions
+  * like [[CosineSimilarity]] without requiring callers to configure
+  * `spark.sql.extensions` — SQL users get the same functions via
+  * [[graft.GraftExtensions]]. */
+object Native {
+  def expr(c: Column): Expression = GraftShims.expressionOf(c)
+  def column(e: Expression): Column = GraftShims.columnOf(e)
+
+  /** Codegen'd fused cosine similarity (see [[CosineSimilarity]]). */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expr(a), expr(b)))
+}

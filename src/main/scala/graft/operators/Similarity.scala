@@ -34,7 +34,17 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
 
+  /** Cosine similarity via the native fused-loop expression
+    * (graft.functions.CosineSimilarity) — one codegen'd pass over both
+    * arrays. Bit-identical to [[cosineComposable]]: same left-to-right
+    * double accumulation order. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.Native.cosineSim(a, b)
+
+  /** The pure-builtin formulation (three interpreted HOF walks); kept as
+    * the portability fallback and the spec-level cross-check of the
+    * native expression. */
+  def cosineComposable(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors per query. `queries` must be small (it is

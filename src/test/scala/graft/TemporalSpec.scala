@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches latest right row at-or-before, per key") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:10")),
+      (3L, "B", ts("2024-01-01 10:00:01")),
+      (4L, "C", ts("2024-01-01 10:00:10"))
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:05"), 101.0), // equal ts -> inclusive
+      ("A", ts("2024-01-01 10:00:09"), 102.0),
+      ("B", ts("2024-01-01 10:00:02"), 50.0)   // after B's trade -> no match
+    ).toDF("qsym", "qt", "px")
+    val out = Temporal.asofJoin(trades, quotes, "sym", "qsym", "t", "qt")
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(101.0)) // equal-timestamp quote wins (<=)
+    assert(out(2L).contains(102.0)) // latest preceding
+    assert(out(3L).isEmpty)         // only later quotes exist
+    assert(out(4L).isEmpty)         // key never quoted
+  }
+
+  test("asofJoin plan has one shuffle and no join node") {
+    val l = (1 to 100).map(i => (i.toLong, i % 5, i)).toDF("id", "k", "t")
+    val r = (1 to 50).map(i => (i % 5, i, i * 10)).toDF("rk", "rt", "v")
+    val plan = Temporal.asofJoin(l, r, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan a join")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
+
+  test("rangeJoinByValue finds exactly the in-range pairs, no duplicates") {
+    val e = Seq((1L, 1.0), (2L, 1.3), (3L, 1.6), (4L, 5.0))
+      .toDF("event_id", "value")
+    val out = Temporal.rangeJoinByValue(e, e, "value", "value", 0.5)
+      .filter(col("a_event_id") < col("b_event_id"))
+      .select("a_event_id", "b_event_id").as[(Long, Long)].collect()
+    assert(out.length == out.distinct.length, "bucket expansion duplicated pairs")
+    // |1.0-1.3|=.3 ok; |1.3-1.6|=.3 ok; |1.0-1.6|=.6 out; 5.0 isolated
+    assert(out.toSet == Set((1L, 2L), (2L, 3L)))
+  }
+}
+
+class NativeCosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val vecs = (0 until 30).map { i =>
+    (i.toLong, Array.tabulate(16)(d => (math.sin(i * 16 + d) * 3).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("native cosine_sim is bit-identical to the composable HOF form") {
+    val both = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        graft.operators.Similarity.cosineComposable(col("a.embedding"), col("b.embedding")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h)) // exact, not approximate
+    }
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val df = vecs.as("a").join(vecs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(graft.operators.Similarity.cosine(
+        col("a.embedding"), col("b.embedding")).as("c"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks whole-stage-codegen membership in plan text
+    assert("""\*\(\d+\) Project \[cosine_sim""".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+  }
+
+  test("null array and length mismatch yield null") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f))),
+      (None, Some(Array(1.0f, 2.0f))),
+      (Some(Array(1.0f)), Some(Array(1.0f, 2.0f)))
+    ).toDF("a", "b")
+    val out = df.select(graft.functions.Native.cosineSim(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("cosine_sim registers for SQL via GraftExtensions") {
+    // the extension object is callable directly against this session's
+    // registry (same injection path spark.sql.extensions uses)
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+      reg.createOrReplaceTempFunction("cosine_sim",
+        exprs => graft.functions.CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    }
+    vecs.createOrReplaceTempView("v_native")
+    val n = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+         FROM v_native a JOIN v_native b ON a.vec_id < b.vec_id""").count()
+    assert(n == 30 * 29 / 2)
+  }
+}

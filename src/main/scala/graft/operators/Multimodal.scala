@@ -73,4 +73,54 @@ object Multimodal {
     }
     DecodedMedia(id, n.toLong, "text/plain", feats)
   }
+
+  /** One resized image record: payload replaced by the (stub-)resized
+    * bytes, target dims carried alongside. */
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Batch image resize over partitions — same seam as
+    * [[decodePartitions]]: iterator→iterator, constant memory, payloads
+    * never on the driver. STUB kernel: a real build decodes, resamples,
+    * and re-encodes; here the byte stream is deterministically
+    * down-sampled to width*height/64 bytes so output size scales with the
+    * requested dims and tests can assert the batch shape. */
+  def resizePartitions(spark: SparkSession, df: DataFrame, idCol: String,
+      width: Int, height: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val targetLen = math.max(1, width * height / 64)
+        val out = Array.tabulate(math.min(targetLen, math.max(1, bytes.length))) {
+          i => bytes((i.toLong * bytes.length / math.max(1, targetLen)).toInt % bytes.length)
+        }
+        ResizedImage(id, width, height, out) // NOT a real resampler (???)
+      })
+  }
+
+  /** One sampled video frame: every `stride`-th block of the payload
+    * stands in for a decoded frame. */
+  case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Long,
+      frame: Array[Byte])
+
+  /** Frame sampling over partitions — flatMap seam (one payload → many
+    * frames). STUB kernel: fixed-size byte blocks stand in for decoded
+    * frames; a production build swaps in a demuxer, the Spark shape
+    * (schema, partitioning, iterator discipline) is unchanged. */
+  def sampleFramesPartitions(spark: SparkSession, df: DataFrame,
+      idCol: String, frameBytes: Int = 1024,
+      everyNth: Int = 4): Dataset[SampledFrame] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by everyNth).map { f =>
+          val off = f.toLong * frameBytes
+          SampledFrame(id, f, off,
+            bytes.slice(off.toInt, math.min(off.toInt + frameBytes, bytes.length)))
+        }
+      })
+  }
 }

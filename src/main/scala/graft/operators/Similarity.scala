@@ -77,6 +77,48 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+    * each query probes only its `nProbe` nearest cells and re-ranks
+    * exactly within them — the classic inverted-file scale path
+    * (corpus scan cost per query drops from O(N) to O(N·nProbe/nCells)).
+    *
+    * The quantizer here is deterministic anchor sampling (every
+    * stride-th vector by id), not trained k-means — reproducible without
+    * a model artifact; production would swap in trained centroids, the
+    * plan shape is identical. Cell assignment is a broadcast
+    * (anchors × corpus) argmax — one narrow pass over the corpus, no
+    * shuffle until the candidate equi-join on cell id. At 100 TB the
+    * assignment is computed once and persisted alongside the embeddings
+    * (a partition column), making each query a partition-pruned scan. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1, n / nCells)
+    val anchors = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < stride * nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("anchor"))
+    def assign(df: DataFrame, idAs: String, top: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__sim").desc, col("cell_id").asc)
+      df.select(col("vec_id").as(idAs), col("embedding").as(s"emb_$idAs"))
+        .join(broadcast(anchors))
+        .withColumn("__sim", cosine(col(s"emb_$idAs"), col("anchor")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= top)
+        .select(col(idAs), col(s"emb_$idAs"), col("cell_id"))
+    }
+    val cells = assign(corpus, "neighbor_id", 1)
+    val probes = assign(queries, "query_id", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(cells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("emb_query_id"), col("emb_neighbor_id")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket in at least one table;
     * exact cosine re-rank within candidates. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,

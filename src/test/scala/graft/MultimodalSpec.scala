@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "a" * 3000), (2L, "hello world"), (3L, "b" * 1500)
+  ).toDF("doc_id", "text")
+  lazy val withPayload = Multimodal.withPayload(docs, "text")
+
+  test("payload metadata derives from binary content (schema plumbing)") {
+    val m = Multimodal.payloadMeta(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 3000L, 2L -> 11L, 3L -> 1500L))
+  }
+
+  test("decodePartitions emits one typed record per payload, iterator-safe") {
+    val out = Multimodal.decodePartitions(spark, withPayload, "doc_id").collect()
+    assert(out.length == 3)
+    val rec = out.find(_.doc_id == 2L).get
+    assert(rec.n_bytes == 11L && rec.features.length == 8)
+    assert(rec.features.forall(f => f >= 0f && f < 1f))
+    // determinism: same payload -> same features
+    val again = Multimodal.decodePartitions(spark, withPayload, "doc_id")
+      .collect().find(_.doc_id == 2L).get
+    assert(rec.features.toSeq == again.features.toSeq)
+  }
+
+  test("resizePartitions output scales with requested dims") {
+    val small = Multimodal.resizePartitions(spark, withPayload, "doc_id", 8, 8)
+      .collect().map(r => r.doc_id -> r.payload.length).toMap
+    val large = Multimodal.resizePartitions(spark, withPayload, "doc_id", 64, 64)
+      .collect().map(r => r.doc_id -> r.payload.length).toMap
+    assert(small(1L) == 1)      // 8*8/64 = 1 byte
+    assert(large(1L) == 64)     // 64*64/64 = 64 bytes
+    assert(large(2L) == 11)     // capped at source length
+  }
+
+  test("sampleFramesPartitions flatMaps payloads to frame records") {
+    val frames = Multimodal.sampleFramesPartitions(spark, withPayload,
+      "doc_id", frameBytes = 1024, everyNth = 1).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1)) // 3000B -> 2 frames
+    assert(byDoc(2L).map(_.frame_idx).toSeq == Seq(0)) // tiny payload, 1 frame
+    assert(byDoc(1L).find(_.frame_idx == 1).get.offset == 1024L)
+    assert(byDoc(1L).find(_.frame_idx == 1).get.frame.length == 1024)
+  }
+}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = (0 until 200).map { i =>
+    (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("ivfKnn: probing all cells equals brute force; fewer cells is a subset") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceKnn(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfKnn(corpus, queries, 5, nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact) // nProbe = nCells degenerates to exact search
+    val approx = Similarity.ivfKnn(corpus, queries, 5, nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}

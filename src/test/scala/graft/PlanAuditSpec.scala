@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression tests: the physical plans we actually want at
+  * scale, asserted so a refactor can't silently regress them. Run at
+  * sf0.001 — plan shape, not data volume, is what's under test.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Final adaptive plan after execution (for AQE-decided shapes). */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOf(pattern: String, plan: String): Int =
+    pattern.r.findAllIn(plan).size
+
+  test("q13 agg: shipdate filter is pushed to the parquet scan") {
+    val plan = planOf("q13_agg_q1")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q13 agg: scan reads only the 6 needed lineitem columns of 11") {
+    val plan = planOf("q13_agg_q1")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate").forall(read.contains), read)
+    assert(!read.contains("l_partkey") && !read.contains("l_comment"), read)
+  }
+
+  test("q14 join: customer dim is broadcast, not shuffled") {
+    val plan = planOf("q14_join_agg")
+    assert(plan.contains("BroadcastHashJoin"))
+    // the broadcast must be on the customer side (mktsegment filter scan)
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("q15 snowflake: nation and region broadcast; no nested-loop join") {
+    val plan = planOf("q15_join_multi")
+    assert(countOf("BroadcastHashJoin", plan) >= 2, plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q11 keep-last: exactly one shuffle (window partitioning), no sort-merge join") {
+    val plan = planOf("q11_keeplast")
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(800))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
+  }
+
+  test("q10 top-k plans as TakeOrderedAndProject (no global sort shuffle)") {
+    val plan = planOf("q10_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(800))
+  }
+
+  test("q29 minhash: no join anywhere; two hash shuffles (signatures, buckets)") {
+    val plan = planOf("q29_dedup_minhash")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(countOf("Exchange hashpartitioning", plan) <= 3, plan.take(800))
+    assert(plan.contains("partial_min"), "map-side partial aggregation missing")
+  }
+
+  test("q35 as-of: no join node; shuffles only for the pre-agg and the window") {
+    val plan = planOf("q35_asof_join")
+    assert(!plan.contains("Join"), plan.take(800))
+    // one exchange for the orders (custkey, orderdate) pre-aggregation,
+    // one for the as-of window partitioning — never a third
+    assert(countOf("Exchange hashpartitioning", plan) <= 2, plan.take(800))
+  }
+
+  test("q36 range join: bucketed equi-join, not BroadcastNestedLoop") {
+    val plan = finalPlanOf("q36_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q31 knn: query side broadcast so the corpus scans once without shuffle") {
+    val plan = planOf("q31_knn_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    // corpus side must NOT be exchanged before the join
+    val beforeWindow = plan.split("Window")(plan.split("Window").length - 1)
+    assert(beforeWindow.contains("BroadcastExchange"))
+  }
+
+  test("whole-stage codegen covers the scan->agg path of q13") {
+    // AQE wraps the unexecuted plan, hiding codegen subtrees from
+    // explain — turn it off just for this inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("q13_agg_q1")(spark, sf001).queryExecution
+      val s = qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      // both the partial-agg (scan side) and final-agg stages are codegen'd
+      val found = """Found (\d+) WholeStageCodegen subtrees""".r
+        .findFirstMatchIn(s).map(_.group(1).toInt)
+      assert(found.exists(_ >= 2), s.take(300))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("events loader still allows pushdown on non-converted columns") {
+    val df = Tables.events(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("event_id") < 300)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,300)]"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+}

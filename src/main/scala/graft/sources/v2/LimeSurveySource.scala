@@ -1,0 +1,253 @@
+package graft.sources.v2
+
+import java.util.{Base64, Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Transports
+
+/** DataSource V2 connector for the survey platform (SURVEY.md §7 T3; the
+  * §4 pushdown hooks made real):
+  *
+  * {{{
+  * spark.read.format("limesurvey")
+  *   .option("transport", "file:/path/to/replies")  // or "http"
+  *   .option("url", "https://server/admin/remotecontrol")
+  *   .option("table", "responses")                  // or "participants"
+  *   .option("surveyId", "101")
+  *   .load()
+  * }}}
+  *
+  * Pushdown surface, mapped to the reference API's own server-side hooks:
+  *  - **column pruning** → `aFields` on `export_responses`
+  *    (/root/reference/limesurvey.py:112-126): the scan's RPC envelope
+  *    carries only the required columns;
+  *  - **limit** → client truncation for responses; `iLimit` for
+  *    participants;
+  *  - **partitioned paged read** → the participants table plans one
+  *    InputPartition per page, each issuing its own `iStart`/`iLimit`
+  *    RPC (/root/reference/limesurvey.py:207-218) — pages stream
+  *    executor-side in parallel, never through the driver.
+  *
+  * The responses payload is fetched once at planning (one driver-side
+  * RPC, same as the reference's single export call) and shipped inside
+  * the InputPartition; a deployment with server-side response paging
+  * would split it the way participants does.
+  */
+class LimeSurveyTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "limesurvey"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = SourceConf(options.asCaseSensitiveMap().asScala.toMap)
+    conf.table match {
+      case "participants" => LimeSurveySource.participantsSchema
+      case "responses" =>
+        // one planning-time RPC; keys of the first response define the
+        // per-survey dynamic qNN columns (stringly typed, SURVEY.md §1.2)
+        val json = LimeSurveySource.fetchResponsesJson(conf, Nil)
+        val mapper = new ObjectMapper
+        val responses = mapper.readTree(json).get("responses")
+        val fields = scala.collection.mutable.LinkedHashSet[String]("index")
+        if (responses != null && responses.size() > 0) {
+          responses.elements().asScala.foreach { entry =>
+            entry.fields().asScala.foreach { kv =>
+              kv.getValue.fieldNames().asScala.foreach(fields += _)
+            }
+          }
+        }
+        StructType(fields.toSeq.map(f => StructField(f, StringType)))
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new LimeSurveyTable(schema, SourceConf(properties.asScala.toMap))
+}
+
+/** Serializable option bundle (executors rebuild the transport from it). */
+case class SourceConf(options: Map[String, String]) {
+  private def opt(k: String): Option[String] =
+    options.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+  val transportSpec: String = opt("transport").getOrElse("http")
+  val url: String = opt("url").getOrElse("http://localhost/admin/remotecontrol")
+  val user: String = opt("user").getOrElse("")
+  val password: String = opt("password").getOrElse("")
+  val table: String = opt("table").getOrElse("responses")
+  val surveyId: Int = opt("surveyId").map(_.toInt).getOrElse(0)
+  val pageSize: Int = opt("pageSize").map(_.toInt).getOrElse(1000)
+  val maxPages: Int = opt("maxPages").map(_.toInt).getOrElse(4)
+}
+
+object LimeSurveySource {
+  val participantsSchema: StructType = StructType(Seq(
+    StructField("tid", StringType), StructField("firstname", StringType),
+    StructField("lastname", StringType), StructField("email", StringType)))
+
+  private def rpc(conf: SourceConf, method: String,
+      params: Map[String, Any]): String = {
+    val mapper = new ObjectMapper
+    val node = mapper.createObjectNode()
+    node.put("method", method)
+    val p = node.putObject("params")
+    params.foreach {
+      case (k, v: String) => p.put(k, v)
+      case (k, v: Int) => p.put(k, v)
+      case (k, vs: Seq[_]) =>
+        val arr = p.putArray(k); vs.foreach(x => arr.add(x.toString))
+      case (k, null) => p.putNull(k)
+      case (k, v) => p.put(k, v.toString)
+    }
+    node.put("id", 1)
+    Transports.fromSpec(conf.transportSpec)
+      .post(conf.url, mapper.writeValueAsString(node))
+  }
+
+  /** Driver-side export fetch; `fields` non-empty = column-pruning
+    * pushdown via the API's own aFields projection hook. */
+  def fetchResponsesJson(conf: SourceConf, fields: Seq[String]): String = {
+    val reply = rpc(conf, "export_responses", Map(
+      "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
+      "sDocumentType" -> "json", "sCompletionStatus" -> "",
+      "sHeadingType" -> "", "sResponseType" -> "",
+      "aFields" -> fields))
+    val mapper = new ObjectMapper
+    val result = mapper.readTree(reply).get("result").asText()
+    new String(Base64.getDecoder.decode(result), "UTF-8")
+  }
+
+  def fetchParticipantsPage(conf: SourceConf, start: Int, limit: Int): String =
+    rpc(conf, "list_participants", Map(
+      "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
+      "iStart" -> start, "iLimit" -> limit))
+}
+
+class LimeSurveyTable(schema: StructType, conf: SourceConf)
+    extends Table with SupportsRead {
+  override def name(): String = s"limesurvey.${conf.table}.${conf.surveyId}"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LimeSurveyScanBuilder(schema, conf)
+}
+
+class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve connector column order; empty prune (count(*)) keeps none
+    required = StructType(fullSchema.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = conf.table == "participants"
+
+  override def build(): Scan =
+    new LimeSurveyScan(required, conf, limit)
+}
+
+class LimeSurveyScan(required: StructType, conf: SourceConf,
+    limit: Option[Int]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = conf.table match {
+    case "participants" =>
+      // one partition per page; each issues its own iStart/iLimit RPC on
+      // the executor (limit caps the page budget when pushed)
+      val pageCap = limit.map(l => math.min(conf.maxPages.toLong,
+        (l.toLong + conf.pageSize - 1) / conf.pageSize)).getOrElse(conf.maxPages.toLong)
+      (0L until pageCap).map(p =>
+        ParticipantsPartition(p.toInt * conf.pageSize, conf.pageSize): InputPartition).toArray
+    case "responses" =>
+      // aFields pushdown: index is the map key, not a server field
+      val serverFields = required.fieldNames.toSeq.filterNot(_ == "index")
+      val json = LimeSurveySource.fetchResponsesJson(conf, serverFields)
+      Array(ResponsesPartition(json))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LimeSurveyReaderFactory(required, conf, limit)
+}
+
+case class ResponsesPartition(json: String) extends InputPartition
+case class ParticipantsPartition(start: Int, limit: Int) extends InputPartition
+
+class LimeSurveyReaderFactory(required: StructType, conf: SourceConf,
+    limit: Option[Int]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case ResponsesPartition(json) =>
+        new JsonRowsReader(required, limit) {
+          lazy val rows: Iterator[Map[String, String]] = {
+            val mapper = new ObjectMapper
+            val responses = mapper.readTree(json).get("responses")
+            if (responses == null) Iterator.empty
+            else responses.elements().asScala.flatMap { entry =>
+              entry.fields().asScala.map { kv =>
+                val rec = kv.getValue.fields().asScala.map(f =>
+                  f.getKey -> (if (f.getValue.isNull) null else f.getValue.asText())).toMap
+                rec + ("index" -> kv.getKey)
+              }
+            }
+          }
+        }
+      case ParticipantsPartition(start, pageLimit) =>
+        new JsonRowsReader(required, None) {
+          lazy val rows: Iterator[Map[String, String]] = {
+            val reply = LimeSurveySource.fetchParticipantsPage(conf, start, pageLimit)
+            val mapper = new ObjectMapper
+            val result = mapper.readTree(reply).get("result")
+            if (result == null || !result.isArray) Iterator.empty
+            else result.elements().asScala.map { p =>
+              val info = p.get("participant_info")
+              Map(
+                "tid" -> Option(p.get("tid")).map(_.asText()).orNull,
+                "firstname" -> Option(info).flatMap(i => Option(i.get("firstname"))).map(_.asText()).orNull,
+                "lastname" -> Option(info).flatMap(i => Option(i.get("lastname"))).map(_.asText()).orNull,
+                "email" -> Option(info).flatMap(i => Option(i.get("email"))).map(_.asText()).orNull)
+            }
+          }
+        }
+    }
+}
+
+/** Shared row materialization: map records → pruned InternalRows. */
+abstract class JsonRowsReader(required: StructType, limit: Option[Int])
+    extends PartitionReader[InternalRow] {
+  def rows: Iterator[Map[String, String]]
+  private var emitted = 0
+  private var current: Map[String, String] = _
+
+  override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    if (rows.hasNext) { current = rows.next(); emitted += 1; true }
+    else false
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(required.fieldNames.toSeq.map(f =>
+      current.get(f).flatMap(Option(_)).map(UTF8String.fromString).orNull))
+
+  override def close(): Unit = ()
+}

@@ -19,13 +19,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count()
       .write.mode("overwrite").format("noop").save()
+    // Protocol (BASELINE.md): wall-clock per declared query, warm JVM —
+    // each query runs once untimed (codegen compilation, parquet footer
+    // cache), then the timed run. noop write materializes EVERY output
+    // column; count() would let Catalyst prune the projections and
+    // under-report map-only queries.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write materializes EVERY output column — count() would let
-      // Catalyst prune the projections and under-report map-only queries
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn) // warm
+        val t0 = System.nanoTime()
+        run(fn)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e"); name -> -1.0
+      }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -264,7 +264,8 @@ object SparkEntry {
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("last_orderkey"))
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
-      Temporal.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+      Temporal.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        pruneRightKeys = true) // event users are a small slice of customers
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
           col("asof_last_orderkey").as("last_orderkey"),

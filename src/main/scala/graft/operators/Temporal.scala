@@ -35,14 +35,25 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_",
+      pruneRightKeys: Boolean = false): DataFrame = {
+    // Optional domain pruning: when the left key set is small (e.g.
+    // per-entity probes against a wide history table), a broadcast
+    // semi-join drops right rows whose key can never match before they
+    // enter the union shuffle. Off by default — with a huge left key
+    // domain the broadcast itself would be the bottleneck.
+    val prunedRight =
+      if (pruneRightKeys)
+        right.join(broadcast(left.select(col(leftKey).as("__probe_k")).distinct()),
+          col(rightKey) === col("__probe_k"), "left_semi")
+      else right
     val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val rStruct = struct(prunedRight.columns.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
-    val rType = right.select(rStruct).schema.head.dataType
+    val rType = prunedRight.select(rStruct).schema.head.dataType
     val l2 = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"), lit(1).as("__s"))
-    val r2 = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+    val r2 = prunedRight.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__s"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)

@@ -72,12 +72,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min"), "map-side partial aggregation missing")
   }
 
-  test("q35 as-of: no join node; shuffles only for the pre-agg and the window") {
+  test("q35 as-of: no shuffled join; only the broadcast key-domain semi-join") {
     val plan = planOf("q35_asof_join")
-    assert(!plan.contains("Join"), plan.take(800))
-    // one exchange for the orders (custkey, orderdate) pre-aggregation,
-    // one for the as-of window partitioning — never a third
-    assert(countOf("Exchange hashpartitioning", plan) <= 2, plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(800))
+    // the only join is the broadcast semi pruning right keys
+    assert(countOf("BroadcastHashJoin", plan) <= 1, plan.take(800))
+    // exchanges: orders pre-aggregation, probe-key distinct (tiny), and
+    // the as-of window partitioning — never one per matched row
+    assert(countOf("Exchange hashpartitioning", plan) <= 3, plan.take(800))
   }
 
   test("q36 range join: bucketed equi-join, not BroadcastNestedLoop") {

@@ -43,16 +43,22 @@ object EventsStream {
         col("event_type"), col("n_events"), col("total_value"))
 
   /** Per-user session state for the custom-state path
-    * (`mapGroupsWithState`): running event count + last value per user,
-    * with a processing-time idle timeout. */
+    * (`mapGroupsWithState`): running event count + last value per user.
+    * Pass `idleTimeout` to evict idle state on a processing-time timer —
+    * note that pending timers keep a Trigger.AvailableNow query alive, so
+    * timer-based eviction belongs to continuously-running deployments,
+    * not run-to-completion batches. */
   case class UserSession(userId: Long, nEvents: Long, totalValue: Double)
 
   def sessionize(spark: SparkSession, events: DataFrame,
-      idleTimeout: String = "30 minutes"): DataFrame = {
+      idleTimeout: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.select(col("user_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState(timeoutConf) {
         (userId: Long, rows: Iterator[(Long, Double)],
          state: GroupState[UserSession]) =>
           val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0))
@@ -60,7 +66,7 @@ object EventsStream {
           rows.foreach { case (_, v) => n += 1; tot += v }
           val next = UserSession(userId, n, tot)
           state.update(next)
-          state.setTimeoutDuration(idleTimeout)
+          idleTimeout.foreach(state.setTimeoutDuration)
           next
       }
       .toDF()

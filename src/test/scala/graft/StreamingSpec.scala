@@ -5,6 +5,31 @@ import graft.streaming.EventsStream
 
 class StreamingSpec extends SparkSpec {
 
+  test("sessionize accumulates per-user state across restarts (checkpointed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val q = EventsStream.sessionize(spark, events)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sessions")
+      .start()
+    try {
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 2.0)) // state must carry over between batches
+      q.processAllAvailable()
+      // update mode appends each batch's updated rows to the memory
+      // table; the max per user is the final state
+      val rows = spark.table("sessions")
+        .groupBy("userId").agg(max("nEvents").as("n"), max("totalValue").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows(1L) == ((3L, 17.0))) // 2 events batch1 + 1 event batch2
+      assert(rows(2L) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("tumbling-window stream over events matches the batch plan (q23 twin)") {
     // the streaming file source needs a directory, not a single file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

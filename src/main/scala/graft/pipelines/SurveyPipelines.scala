@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
@@ -18,6 +18,38 @@ import graft.operators.Relational
   * same-literal-for-all-rows semantics (O13).
   */
 object SurveyPipelines {
+
+  /** Typed output rows (SURVEY.md §1.3: `Dataset[T]` after projection /
+    * rename gives the compile-time column safety the reference lacks;
+    * all-string except the coerced numeric, matching the reference's
+    * in-flight types). */
+  case class OrdersShippedRow(id_answer: String, date_sent: String,
+      grade: Double, email: String, order_number: String, updated_ts: String)
+  case class NpsRow(id_answer: String, date_sent: String, last_page: String,
+      language: String, start_date: String, last_action_date: String,
+      nps: Option[Double], email: String, cohort: String, updated_ts: String)
+  case class ReturnsRow(id_answer: String, date_sent: String,
+      grade: Option[Double], email: String, order_number: String,
+      return_order_number: String, language: String, updated_ts: String,
+      return_channel: String)
+
+  def ordersShippedTyped(export: DataFrame, updatedTs: Column): Dataset[OrdersShippedRow] = {
+    val spark = export.sparkSession
+    import spark.implicits._
+    ordersShipped(export, updatedTs).as[OrdersShippedRow]
+  }
+
+  def npsTyped(export: DataFrame, updatedTs: Column): Dataset[NpsRow] = {
+    val spark = export.sparkSession
+    import spark.implicits._
+    nps(export, updatedTs).as[NpsRow]
+  }
+
+  def returnsTyped(export: DataFrame, updatedTs: Column): Dataset[ReturnsRow] = {
+    val spark = export.sparkSession
+    import spark.implicits._
+    returns(export, updatedTs).as[ReturnsRow]
+  }
 
   /** O7/O20 — nested-response un-nest: one output row per response, with
     * the map key exposed as `index` and the array position kept as

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.pipelines.SurveyPipelines
+import graft.sources.Readers
+
+/** Degenerate-input behavior: empty tables, empty strings, single rows.
+  * At 100 TB some partition, some day, WILL be empty — operators must
+  * return empty results, not throw. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family on empty input returns empty, does not throw") {
+    assert(Dedup.exact(emptyDocs, "doc_id", col("text")).count() == 0)
+    assert(Dedup.minHashCandidates(emptyDocs, "doc_id", col("text")).count() == 0)
+    assert(Dedup.simHashSignatures(emptyDocs, "doc_id", col("text")).count() == 0)
+    assert(Dedup.simHashCandidates(emptyDocs, "doc_id", col("text")).count() == 0)
+  }
+
+  test("similarity on empty corpus/queries returns empty") {
+    assert(Similarity.bruteForceKnn(emptyVecs, emptyVecs, 5).count() == 0)
+    val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceKnn(one, one, 5).count() == 0) // only self
+  }
+
+  test("keepLast and topK on empty input return empty") {
+    val e = Seq.empty[(String, String)].toDF("k", "t")
+    assert(Relational.keepLast(Seq("k"), Seq(col("t").desc))(e).count() == 0)
+    assert(Relational.topK(5, Seq(col("t").desc))(e).count() == 0)
+  }
+
+  test("asofJoin with empty right yields all-null asof columns") {
+    val l = Seq((1L, "A", 10)).toDF("id", "k", "t")
+    val r = Seq.empty[(String, Int, Double)].toDF("rk", "rt", "px")
+    val out = Temporal.asofJoin(l, r, "k", "rk", "t", "rt")
+    assert(out.count() == 1)
+    assert(out.head.isNullAt(out.columns.indexOf("asof_px")))
+  }
+
+  test("empty-text documents survive the text operators") {
+    val docs = Seq((1L, ""), (2L, "real text here")).toDF("doc_id", "text")
+    assert(TextAnalysis.qualityFeatures(docs, col("text")).count() == 2)
+    assert(docs.select(TextAnalysis.langId(col("text"))).count() == 2)
+    // empty text forms a single empty-string shingle, not a crash
+    assert(Dedup.minHashSignatures(docs, "doc_id", col("text"), 5, 4).count() == 2)
+  }
+
+  test("pipelines over an export with zero responses return empty frames") {
+    val export = Readers.surveyExportFromJson(spark, """{ "responses": [] }""")
+    val ts = lit("2026-01-01 00:00:00")
+    assert(SurveyPipelines.ordersShipped(export, ts).count() == 0)
+    assert(SurveyPipelines.nps(export, ts).count() == 0)
+    assert(SurveyPipelines.returns(export, ts).count() == 0)
+  }
+
+  test("typed pipeline outputs round-trip through their case classes") {
+    val json = """{ "responses": [
+      { "1": { "id": "1", "datestamp": "2018-03-01 10:00:00", "submitdate": "2018-03-01 10:00:00", "startdate": "x", "lastpage": "3", "startlanguage": "pt", "q01": "A4", "q03": "a@x.com", "q06": "BR1", "q12": "mail", "q22": "R1" } }
+    ] }"""
+    val export = Readers.surveyExportFromJson(spark, json)
+    val ts = lit("2026-01-01 00:00:00")
+    val o = SurveyPipelines.ordersShippedTyped(export, ts).collect()
+    assert(o.toSeq == Seq(SurveyPipelines.OrdersShippedRow(
+      "1", "2018-03-01 10:00:00", 4.0, "a@x.com", "BR1", "2026-01-01 00:00:00")))
+    val n = SurveyPipelines.npsTyped(export, ts).head
+    assert(n.nps.contains(4.0) && n.cohort == "BR1")
+    val r = SurveyPipelines.returnsTyped(export, ts).head
+    assert(r.grade.contains(4.0) && r.return_channel == "mail")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Property-based tests (SURVEY.md §5.3): invariants over generated
+  * inputs, checked through the real operators on the real session.
+  * Raw ScalaCheck generators sampled under fixed seeds (the scalatest
+  * bridge artifact is not in the offline cache), so failures are
+  * reproducible by seed. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  val rowsGen: Gen[List[(String, String, Long)]] = Gen.listOf(for {
+    key <- Gen.oneOf("k1", "k2", "k3", "k4")
+    date <- Gen.choose(1, 28).map(d => f"2018-01-$d%02d")
+  } yield (key, date)).map(_.zipWithIndex.map {
+    case ((k, d), i) => (k, d, i.toLong)
+  })
+
+  test("keepLast: exactly one row per key, carrying the max (date, pos)") {
+    samples(rowsGen, 12).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "d", "pos")
+      val out = Relational.keepLast(Seq("k"),
+        Seq(col("d").desc, col("pos").desc))(df)
+        .as[(String, String, Long)].collect()
+      val expected = rows.groupBy(_._1).map { case (_, g) =>
+        g.maxBy(r => (r._2, r._3))
+      }.toSet
+      assert(out.toSet == expected, s"seed input: $rows")
+      assert(out.map(_._1).distinct.length == out.length)
+    }
+  }
+
+  test("regexStripCast: total on A-prefixed numerics, null on garbage") {
+    val vGen = Gen.oneOf(
+      Gen.choose(0, 99).map(n => s"A$n"),
+      Gen.alphaLowerStr.map("junk_" + _))
+    samples(Gen.nonEmptyListOf(vGen), 12).foreach { vs =>
+      val out = Relational.regexStripCast("v", "A")(vs.toDF("v"))
+        .as[Option[Double]].collect()
+      vs.zip(out).foreach { case (in, res) =>
+        if (in.matches("A\\d+")) assert(res.contains(in.drop(1).toDouble))
+        else assert(res.isEmpty, s"'$in' should cast to null")
+      }
+    }
+  }
+
+  test("minhash: identical docs always become a candidate pair; pairs ordered") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" "))
+    samples(Gen.nonEmptyListOf(textGen), 8).filter(_.length >= 2).foreach { texts =>
+      val docs = ((0L, texts.head) :: (1L, texts.head) ::
+        texts.tail.zipWithIndex.map { case (t, i) => (i + 2L, t) })
+        .toDF("doc_id", "text")
+      val cand = Dedup.minHashCandidates(docs, "doc_id", col("text"), 3, 8, 4)
+        .as[(Long, Long)].collect().toSet
+      assert(cand.contains((0L, 1L)), s"dup pair missed for: ${texts.head}")
+      assert(cand.forall(p => p._1 < p._2))
+    }
+  }
+
+  test("cosine similarity is within [-1, 1] and symmetric") {
+    val vecGen = Gen.listOfN(6, Gen.choose(-5.0, 5.0).map(_.toFloat))
+      .suchThat(_.exists(_ != 0f)).map(_.toArray)
+    samples(Gen.listOfN(4, vecGen), 6).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val sims = df.as("a").join(df.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+        .as[(Long, Long, Double)].collect()
+      sims.foreach { case (_, _, c) =>
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+      val m = sims.map { case (a, b, c) => (a, b) -> c }.toMap
+      m.foreach { case ((a, b), c) => assert(math.abs(m((b, a)) - c) < 1e-12) }
+    }
+  }
+}

@@ -405,9 +405,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
           col("avg_token_len"), col("stopword_ratio"), col("quality_score"))),
 
-    // exact dedup by content hash
+    // exact dedup by normalized content hash (normalization applied at
+    // the call site so the hashed value matches the oracle's
+    // md5(lower(trim(text))) exactly, corpus-independent)
     "q28_dedup_exact" -> ((s, d) =>
-      Dedup.exact(Tables.documents(s, d), "doc_id", col("text"))),
+      Dedup.exact(Tables.documents(s, d), "doc_id", lower(trim(col("text"))))),
 
     // MinHash + LSH band-join near-dup candidates
     "q29_dedup_minhash" -> ((s, d) =>

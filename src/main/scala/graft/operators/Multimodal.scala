@@ -91,10 +91,14 @@ object Multimodal {
     df.select(col(idCol).cast(LongType).as("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val targetLen = math.max(1, width * height / 64)
-        val out = Array.tabulate(math.min(targetLen, math.max(1, bytes.length))) {
-          i => bytes((i.toLong * bytes.length / math.max(1, targetLen)).toInt % bytes.length)
-        }
+        val out =
+          if (bytes.isEmpty) Array.emptyByteArray // empty payload: no crash
+          else {
+            val targetLen = math.max(1, width * height / 64)
+            Array.tabulate(math.min(targetLen, bytes.length)) {
+              i => bytes((i.toLong * bytes.length / targetLen).toInt % bytes.length)
+            }
+          }
         ResizedImage(id, width, height, out) // NOT a real resampler (???)
       })
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window => LWindow}
 
 /** Partition-count hygiene for compute-heavy narrow stages.
   *
@@ -14,11 +15,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelism {
 
-  /** Repartition up to the session default parallelism iff the plan's
-    * current partitioning is smaller. Driver-side planning only — no job
-    * is triggered by the partition-count check. */
+  /** Repartition up to the session default parallelism iff the plan is a
+    * narrow (scan-rooted) lineage with fewer partitions than the target.
+    *
+    * Plans containing a wide operator (join/aggregate/window/sort/
+    * distinct/repartition) are returned untouched for two reasons: their
+    * output partitioning is already `spark.sql.shuffle.partitions`-wide,
+    * and — the sharp edge — calling `.rdd` on an AQE plan with exchanges
+    * MATERIALIZES the upstream shuffle stages eagerly at construction
+    * time, doubling work when the real action runs. On narrow plans
+    * `.rdd` only plans; no job is triggered. */
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val hasWideOp = df.queryExecution.optimizedPlan.collectFirst {
+      case _: Join | _: Aggregate | _: LWindow | _: Sort | _: Distinct => ()
+      case _: RepartitionOperation => ()
+    }.isDefined
+    if (hasWideOp) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

@@ -47,7 +47,12 @@ object Sinks {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
     val staging = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${table}__staging")
+    val backup = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${table}__old")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover from a prior crash mid-swap: if only the backup survives,
+    // restore it before reading
+    if (!fs.exists(path) && fs.exists(backup)) fs.rename(backup, path)
+    fs.delete(staging, true)
     val merged =
       if (fs.exists(path))
         spark.read.parquet(path.toString)
@@ -55,12 +60,20 @@ object Sinks {
           .unionByName(df)
       else df
     // Self-overwrite safety without driver materialization: write the
-    // merged result to a staging dir (distributed), then swap. Stays
-    // executor-parallel at any table size.
+    // merged result to a staging dir (distributed), then swap via
+    // backup-rename so the previous table version survives any single
+    // failure point (a crash between the renames leaves the backup for
+    // the recovery branch above; data is never deleted before the new
+    // version is in place).
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(path, true)
-    if (!fs.rename(staging, path))
+    fs.delete(backup, true)
+    if (fs.exists(path) && !fs.rename(path, backup))
+      throw new RuntimeException(s"could not move current table aside for $path")
+    if (!fs.rename(staging, path)) {
+      if (fs.exists(backup)) fs.rename(backup, path) // roll back
       throw new RuntimeException(s"staging swap failed for $path")
+    }
+    fs.delete(backup, true)
   }
 
   /** The scalable form of O23: a date-partitioned table with DYNAMIC
@@ -113,7 +126,9 @@ object Sinks {
         val m = cols.zipWithIndex.map { case (c, i) =>
           c -> (if (row.isNullAt(i)) null else row.get(i).toString)
         }.toMap
-        insert(m.updated("id", "")) // reference blanks id before insert
+        // reference blanks id before insert — only when the row HAS an
+        // id column; never inject a phantom field
+        insert(if (m.contains("id")) m.updated("id", "") else m)
       }
     }
   }

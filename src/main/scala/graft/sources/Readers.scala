@@ -59,6 +59,8 @@ object Readers {
     val parts = split(col("value"), "\t", -1)
     lines.filter(col("__i") > headerId)
       .select(header.zipWithIndex.map { case (h, i) =>
-        parts.getItem(i).as(h) }: _*)
+        // get() nulls out-of-range instead of throwing under ANSI mode,
+        // so genuinely short rows pad with null rather than crash
+        get(parts, lit(i)).as(h) }: _*)
   }
 }

@@ -40,16 +40,25 @@ import graft.sources.Transports
   *    RPC (/root/reference/limesurvey.py:207-218) — pages stream
   *    executor-side in parallel, never through the driver.
   *
-  * The responses payload is fetched once at planning (one driver-side
-  * RPC, same as the reference's single export call) and shipped inside
-  * the InputPartition; a deployment with server-side response paging
-  * would split it the way participants does.
+  * The responses payload is fetched driver-side (as the reference's
+  * single export call is) and shipped inside the InputPartition. An
+  * unpruned scan reuses the schema-inference payload — one RPC total;
+  * a pruned scan refetches with `aFields` (the pushdown itself), and
+  * supplying an explicit schema skips the inference RPC. A deployment
+  * with server-side response paging would split this the way
+  * participants does.
   */
 class LimeSurveyTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "limesurvey"
 
   override def supportsExternalMetadata(): Boolean = true
+
+  // schema-inference payload, reused by the scan when no column pruning
+  // happens so an unpruned read costs ONE export RPC, not two (a pruned
+  // read legitimately refetches with aFields — that's the pushdown;
+  // supplying the schema explicitly skips the inference RPC entirely)
+  @transient private var planningFetch: Option[(SourceConf, String)] = None
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SourceConf(options.asCaseSensitiveMap().asScala.toMap)
@@ -59,6 +68,7 @@ class LimeSurveyTableProvider extends TableProvider with DataSourceRegister {
         // one planning-time RPC; keys of the first response define the
         // per-survey dynamic qNN columns (stringly typed, SURVEY.md §1.2)
         val json = LimeSurveySource.fetchResponsesJson(conf, Nil)
+        planningFetch = Some((conf, json))
         val mapper = new ObjectMapper
         val responses = mapper.readTree(json).get("responses")
         val fields = scala.collection.mutable.LinkedHashSet[String]("index")
@@ -74,8 +84,11 @@ class LimeSurveyTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new LimeSurveyTable(schema, SourceConf(properties.asScala.toMap))
+      properties: JMap[String, String]): Table = {
+    val conf = SourceConf(properties.asScala.toMap)
+    new LimeSurveyTable(schema, conf,
+      planningFetch.collect { case (c, json) if c == conf => json })
+  }
 }
 
 /** Serializable option bundle (executors rebuild the transport from it). */
@@ -135,17 +148,19 @@ object LimeSurveySource {
       "iStart" -> start, "iLimit" -> limit))
 }
 
-class LimeSurveyTable(schema: StructType, conf: SourceConf)
+class LimeSurveyTable(schema: StructType, conf: SourceConf,
+    prefetched: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"limesurvey.${conf.table}.${conf.surveyId}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LimeSurveyScanBuilder(schema, conf)
+    new LimeSurveyScanBuilder(schema, conf, prefetched)
 }
 
-class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf)
+class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
+    prefetched: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -161,11 +176,15 @@ class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf)
   override def isPartiallyPushed: Boolean = conf.table == "participants"
 
   override def build(): Scan =
-    new LimeSurveyScan(required, conf, limit)
+    new LimeSurveyScan(required, conf, limit,
+      // reuse the inference payload only for an unpruned scan — a pruned
+      // scan refetches with aFields (the projection pushdown itself)
+      prefetched.filter(_ => required.fieldNames.sameElements(fullSchema.fieldNames)))
 }
 
 class LimeSurveyScan(required: StructType, conf: SourceConf,
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int], prefetched: Option[String] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -181,7 +200,8 @@ class LimeSurveyScan(required: StructType, conf: SourceConf,
     case "responses" =>
       // aFields pushdown: index is the map key, not a server field
       val serverFields = required.fieldNames.toSeq.filterNot(_ == "index")
-      val json = LimeSurveySource.fetchResponsesJson(conf, serverFields)
+      val json = prefetched.getOrElse(
+        LimeSurveySource.fetchResponsesJson(conf, serverFields))
       Array(ResponsesPartition(json))
   }
 

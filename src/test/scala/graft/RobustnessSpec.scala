@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.pipelines.SurveyPipelines
 import graft.sources.Readers
+import graft.operators.Multimodal
 
 /** Degenerate-input behavior: empty tables, empty strings, single rows.
   * At 100 TB some partition, some day, WILL be empty — operators must
@@ -47,6 +48,30 @@ class RobustnessSpec extends SparkSpec {
     assert(docs.select(TextAnalysis.langId(col("text"))).count() == 2)
     // empty text forms a single empty-string shingle, not a crash
     assert(Dedup.minHashSignatures(docs, "doc_id", col("text"), 5, 4).count() == 2)
+  }
+
+  test("resizePartitions handles empty payloads without crashing") {
+    val docs = Seq((1L, ""), (2L, "content")).toDF("doc_id", "text")
+    val out = Multimodal.resizePartitions(spark,
+      Multimodal.withPayload(docs, "text"), "doc_id", 8, 8).collect()
+    assert(out.find(_.doc_id == 1L).get.payload.isEmpty)
+    assert(out.find(_.doc_id == 2L).get.payload.nonEmpty)
+  }
+
+  test("TSV rows shorter than the header pad with null under ANSI mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_short").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.txt"),
+      "JUNK\na\tb\tc\n1\tonly-two\n")
+    val row = Readers.tsvWithPreHeader(spark, s"$dir/t.txt").head
+    assert(row.getString(0) == "1" && row.getString(1) == "only-two")
+    assert(row.isNullAt(2)) // genuinely missing field -> null, not a crash
+  }
+
+  test("throttledRows does not inject a phantom id field") {
+    val df = Seq(("x", "y")).toDF("a", "b") // no id column
+    ThrottleProbe.seen.clear()
+    graft.sinks.Sinks.throttledRows(df, 0)(m => ThrottleProbe.seen.add(m))
+    assert(ThrottleProbe.snapshot().head.keySet == Set("a", "b"))
   }
 
   test("pipelines over an export with zero responses return empty frames") {

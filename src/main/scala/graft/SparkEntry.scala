@@ -443,6 +443,25 @@ object SparkEntry {
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Tables.documents(s, d), "text")),
 
+    // curation content flags (email/url/digit-run detection). The
+    // corpus text contains none of these, so flaggable content is
+    // injected deterministically by doc_id — the oracle match then
+    // exercises both regex branches instead of passing on all-false.
+    "q37_content_flags" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" contact user@example.com"))
+          .when(col("doc_id") % 11 === 0, lit(" see https://example.com/x"))
+          .when(col("doc_id") % 13 === 0, lit(" ref 123456789"))
+          .otherwise(lit("")))
+      val flags = TextAnalysis.contentFlags(spiked)
+      Tables.documents(s, d).select(
+        col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // repetition quality signals (distinct ratio, top-token share)
+    "q38_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", col("text"))),
+
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
       val docs20 = Tables.documents(s, d).filter(col("doc_id") < 20)
@@ -564,6 +583,25 @@ object SparkEntry {
          ${sqlHexLong("text")} % 640 AS fake_width,
          ${sqlHexLong("concat('1:', text)")} % 480 AS fake_height,
          octet_length(encode(text)) // 1024 + 1 AS fake_n_frames FROM documents""",
+    "q37_content_flags" ->
+      """WITH spiked AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 7 = 0 THEN ' contact user@example.com'
+                WHEN doc_id % 11 = 0 THEN ' see https://example.com/x'
+                WHEN doc_id % 13 = 0 THEN ' ref 123456789'
+                ELSE '' END AS text
+         FROM documents)
+         SELECT doc_id,
+         regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+') AS has_email,
+         regexp_matches(lower(text), 'https?://[a-z0-9./_%+-]+') AS has_url,
+         regexp_matches(lower(text), '[0-9]{8}') AS has_long_digits
+         FROM spiked""",
+    "q38_repetition" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         g AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2)
+         SELECT doc_id AS doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_share
+         FROM g GROUP BY doc_id""",
     "q34_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -94,6 +94,37 @@ object TextAnalysis {
       (acc, w) => (acc * 31L + pmod(Hashing.hexLong(w), lit(M))) % M)
   }
 
+  /** Content flags for curation filtering: email / URL / long-digit-run
+    * detection via regexes kept simple enough to behave identically in
+    * Java regex (Spark) and RE2 (DuckDB) — lowercase input, no
+    * backreferences, explicit classes. Narrow per-row map, codegen'd. */
+  def contentFlags(text: Column): Seq[(String, Column)] = {
+    val lower_ = lower(text)
+    Seq(
+      "has_email" -> lower_.rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"),
+      "has_url" -> lower_.rlike("https?://[a-z0-9./_%+-]+"),
+      "has_long_digits" -> lower_.rlike("[0-9]{8}")) // ids/phones/cards
+  }
+
+  /** Repetition statistics (Gopher-style quality signals): distinct-token
+    * ratio and the frequency share of the most common token. Shape:
+    * explode → per-(doc, token) count (map-side combined) → per-doc
+    * aggregate — two hash shuffles keyed by doc, no O(n²). */
+  def repetitionStats(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val ex = df.select(col(idCol).as("doc"), explode(tokens(text)).as("tok"))
+    ex.groupBy("doc", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok_count"))
+      .select(col("doc"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6)
+          .as("distinct_ratio"),
+        round(col("top_tok_count").cast(DoubleType) / col("n_tokens"), 6)
+          .as("top_token_share"))
+  }
+
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */

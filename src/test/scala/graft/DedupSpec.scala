@@ -93,6 +93,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == out(2) && out(0) != out(1))
   }
 
+  test("contentFlags detect emails, urls, digit runs") {
+    val df = Seq(
+      "contact me at Bob.Smith+x@Example.ORG today",
+      "see https://docs.example.com/path_1 for details",
+      "card 12345678 on file",
+      "nothing suspicious here").toDF("text")
+    val flags = TextAnalysis.contentFlags(col("text"))
+    val out = df.select(flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(out(0) == ((true, false, false)))
+    assert(out(1) == ((false, true, false)))
+    assert(out(2) == ((false, false, true)))
+    assert(out(3) == ((false, false, false)))
+  }
+
+  test("repetitionStats: repeated text scores low distinct ratio") {
+    val df = Seq((1L, "spam spam spam spam ham"),
+      (2L, "all words here are unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0.4, 0.8)))  // 2 distinct of 5; 'spam' 4/5
+    assert(out(2L) == ((1.0, 0.2)))  // all unique
+  }
+
   test("quality features bounded and consistent") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox is here of course").toDF("text"), col("text"))

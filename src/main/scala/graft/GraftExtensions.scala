@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite a bounded-difference inner join
+  * `a JOIN b ON abs(a.x - b.y) <= k` (no equi-keys → Spark plans a
+  * BroadcastNestedLoopJoin, O(n·m) comparisons) into the bucketed form
+  * that [[graft.operators.Temporal.rangeJoinByValue]] builds by hand:
+  *
+  *   - left gains bucket `floor(x / k)`;
+  *   - right is replicated into buckets `floor(y/k) - 1 | +0 | +1`
+  *     (a union of three projections — a matching pair is at most one
+  *     bucket apart, and lands in exactly ONE of the three, so no
+  *     duplicate results);
+  *   - join becomes an equi-join on the bucket with the original
+  *     predicate retained as a residual filter.
+  *
+  * Scope guard: fires only on an Inner join whose entire condition is
+  *  `abs(x - y) <= lit`, with x strictly from the left, y strictly from
+  *  the right, both double, k > 0, both sides deterministic. Anything
+  *  else is left untouched. Null semantics are preserved: a null x or y
+  *  nulls the bucket, the equi-join drops the row — the same rows the
+  *  original predicate would drop.
+  *
+  * Enable per-session via `RangeJoinRewrite.enable(spark)`
+  * (ExperimentalMethods — public API) or cluster-wide through
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if extract(j, cond).isDefined =>
+      val (x, y, k) = extract(j, cond).get
+      val lBucket = Alias(Floor(Divide(x, Literal(k, DoubleType))), "__rjr_lb")()
+      val newLeft = Project(left.output :+ lBucket, left)
+      val rBucket = Floor(Divide(y, Literal(k, DoubleType)))
+      val replicas = Seq(-1L, 0L, 1L).map { off =>
+        Project(right.output :+
+          Alias(Add(rBucket, Literal(off, LongType)), "__rjr_rb")(), right)
+      }
+      val newRight = Union(replicas)
+      val rbAttr = newRight.output.last
+      val joined = Join(newLeft, newRight,
+        Inner,
+        Some(And(EqualTo(lBucket.toAttribute, rbAttr), cond)), hint)
+      Project(j.output, joined)
+  }
+
+  /** Match `abs(x - y) <= k` with x ⊆ left, y ⊆ right (or mirrored),
+    * both DoubleType and deterministic, k a positive double literal. */
+  private def extract(j: Join, cond: Expression): Option[(Expression, Expression, Double)] =
+    cond match {
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(k: Double, DoubleType))
+          if k > 0 && a.deterministic && b.deterministic &&
+            a.dataType == DoubleType && b.dataType == DoubleType =>
+        if (a.references.subsetOf(j.left.outputSet) &&
+            b.references.subsetOf(j.right.outputSet)) Some((a, b, k))
+        else if (b.references.subsetOf(j.left.outputSet) &&
+            a.references.subsetOf(j.right.outputSet)) Some((b, a, k))
+        else None
+      case _ => None
+    }
+}

@@ -462,6 +462,20 @@ object SparkEntry {
     "q38_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", col("text"))),
 
+    // context-window chunking (token windows with overlap)
+    "q39_chunking" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), 32, 8)))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+          col("col").as("chunk"))),
+
+    // reproducible hash sampling (dataset mixing)
+    "q40_sample" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(TextAnalysis.deterministicSample(col("o_orderkey"), 0.1))
+        .select("o_orderkey", "o_custkey")),
+
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
       val docs20 = Tables.documents(s, d).filter(col("doc_id") < 20)
@@ -602,6 +616,18 @@ object SparkEntry {
            round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
            round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_share
          FROM g GROUP BY doc_id""",
+    "q39_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id,
+           [array_to_string(w[i*24+1 : i*24+32], ' ')
+            for i in range(0, greatest(1, CAST(ceil(CAST(len(w) - 8 AS DOUBLE) / 24) AS BIGINT)))] AS chunks
+           FROM t)
+         SELECT doc_id, unnest(range(0, len(chunks))) AS chunk_idx,
+           unnest(chunks) AS chunk FROM c""",
+    "q40_sample" -> {
+      s"SELECT o_orderkey, o_custkey FROM orders WHERE " +
+        s"${sqlHexLong("CAST(o_orderkey AS VARCHAR)")} % 10000 < 1000"
+    },
     "q34_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

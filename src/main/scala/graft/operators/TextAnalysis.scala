@@ -125,6 +125,34 @@ object TextAnalysis {
           .as("top_token_share"))
   }
 
+  /** Fixed-size token chunks with overlap — the standard LLM-ingest
+    * windowing (context-length packing). Chunk i covers tokens
+    * `[i*(size-overlap), i*(size-overlap)+size)`; the last chunk may be
+    * shorter; texts shorter than one chunk yield themselves. Pure
+    * per-row expression — chunking 100 TB is a narrow map followed by
+    * whatever explode the caller does. */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val toks = tokens(text)
+    val step = chunkTokens - overlap
+    val nChunks = greatest(lit(1L),
+      ceil((size(toks) - lit(overlap)).cast(DoubleType) / step).cast(LongType))
+    transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks, (i * step + 1).cast("int"), lit(chunkTokens))))
+  }
+
+  /** Deterministic hash sampling for reproducible dataset mixing: keeps
+    * a row iff `hexLong(key) % 10000 < fraction*10000`. Unlike
+    * `df.sample`, the decision is a pure function of the key — stable
+    * across runs, engines, partitionings, and retries, and expressible
+    * in the oracle. */
+  def deterministicSample(key: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    pmod(Hashing.hexLong(key.cast(org.apache.spark.sql.types.StringType)),
+      lit(10000L)) < (fraction * 10000).toLong
+  }
+
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */

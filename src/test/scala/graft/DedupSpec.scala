@@ -117,6 +117,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((1.0, 0.2)))  // all unique
   }
 
+  test("chunks: overlapping windows cover all tokens; short text = itself") {
+    val df = Seq("t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "tiny text").toDF("text")
+      .select(TextAnalysis.chunks(col("text"), 4, 1).as("c"))
+    val out = df.as[Seq[String]].collect()
+    // n=10, size=4, overlap=1, step=3 -> ceil(9/3)=3 chunks
+    assert(out(0) == Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(out(1) == Seq("tiny text"))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(out(0)(0).split(" ").last == out(0)(1).split(" ").head)
+  }
+
+  test("deterministicSample is stable and close to the target fraction") {
+    val df = (1 to 10000).map(_.toLong).toDF("k")
+    val kept = df.filter(TextAnalysis.deterministicSample(col("k"), 0.2))
+      .as[Long].collect().toSet
+    val kept2 = df.filter(TextAnalysis.deterministicSample(col("k"), 0.2))
+      .as[Long].collect().toSet
+    assert(kept == kept2) // pure function of key
+    assert(math.abs(kept.size / 10000.0 - 0.2) < 0.02)
+    // nested property: a 10% sample is a subset of the 20% sample
+    val kept10 = df.filter(TextAnalysis.deterministicSample(col("k"), 0.1))
+      .as[Long].collect().toSet
+    assert(kept10.subsetOf(kept))
+  }
+
   test("quality features bounded and consistent") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox is here of course").toDF("text"), col("text"))

@@ -138,8 +138,13 @@ object TextAnalysis {
     val step = chunkTokens - overlap
     val nChunks = greatest(lit(1L),
       ceil((size(toks) - lit(overlap)).cast(DoubleType) / step).cast(LongType))
-    transform(sequence(lit(0L), nChunks - 1),
+    val windows = transform(sequence(lit(0L), nChunks - 1),
       i => concat_ws(" ", slice(toks, (i * step + 1).cast("int"), lit(chunkTokens))))
+    // null text → one null chunk (engine parity: concat_ws would yield
+    // "" in Spark but NULL in SQL engines' array_to_string)
+    when(text.isNull,
+      array(lit(null).cast(org.apache.spark.sql.types.StringType)))
+      .otherwise(windows)
   }
 
   /** Deterministic hash sampling for reproducible dataset mixing: keeps

@@ -39,23 +39,39 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if extract(j, cond).isDefined =>
-      val (x, y, k) = extract(j, cond).get
-      val lBucket = Alias(Floor(Divide(x, Literal(k, DoubleType))), "__rjr_lb")()
-      val newLeft = Project(left.output :+ lBucket, left)
-      val rBucket = Floor(Divide(y, Literal(k, DoubleType)))
-      val replicas = Seq(-1L, 0L, 1L).map { off =>
-        Project(right.output :+
-          Alias(Add(rBucket, Literal(off, LongType)), "__rjr_rb")(), right)
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      extract(j, cond) match {
+        case None => j
+        case Some((x, y, k)) =>
+          val lBucket =
+            Alias(bucketOf(x, k), "__rjr_lb")()
+          val newLeft = Project(left.output :+ lBucket, left)
+          val rb = bucketOf(y, k)
+          val rbAttr = AttributeReference("__rjr_rb", LongType)()
+          // ONE Generate replicating each right row into its three
+          // neighbor buckets — the right subtree executes once (a union
+          // of three projections would execute it three times)
+          val newRight = Generate(
+            Explode(CreateArray(Seq(
+              Add(rb, Literal(-1L)), rb, Add(rb, Literal(1L))))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(rbAttr), child = right)
+          val joined = Join(newLeft, newRight, Inner,
+            Some(And(EqualTo(lBucket.toAttribute, rbAttr), cond)), hint)
+          Project(j.output, joined)
       }
-      val newRight = Union(replicas)
-      val rbAttr = newRight.output.last
-      val joined = Join(newLeft, newRight,
-        Inner,
-        Some(And(EqualTo(lBucket.toAttribute, rbAttr), cond)), hint)
-      Project(j.output, joined)
   }
+
+  /** `floor(v / k)`, clamped one step inside the Long range so the ±1
+    * neighbor arithmetic can never overflow under ANSI mode — huge or
+    * infinite values saturate into edge buckets and the residual
+    * predicate (false for any such pair: abs diff is inf/NaN) discards
+    * them, exactly as the un-rewritten join would. */
+  private def bucketOf(v: Expression, k: Double): Expression =
+    Least(Seq(
+      Greatest(Seq(Floor(Divide(v, Literal(k, DoubleType))),
+        Literal(Long.MinValue + 1, LongType))),
+      Literal(Long.MaxValue - 1, LongType)))
 
   /** Match `abs(x - y) <= k` with x ⊆ left, y ⊆ right (or mirrored),
     * both DoubleType and deterministic, k a positive double literal. */

@@ -126,6 +126,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == Seq("tiny text"))
     // consecutive chunks share exactly `overlap` tokens
     assert(out(0)(0).split(" ").last == out(0)(1).split(" ").head)
+    // null text yields one null chunk (oracle parity), not ""
+    val nullOut = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.chunks(col("text"), 4, 1).as("c"))
+      .as[Seq[String]].head
+    assert(nullOut == Seq(null))
   }
 
   test("deterministicSample is stable and close to the target fraction") {

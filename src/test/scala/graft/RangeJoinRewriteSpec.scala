@@ -6,18 +6,35 @@ import graft.plans.RangeJoinRewrite
 class RangeJoinRewriteSpec extends SparkSpec {
   import spark.implicits._
 
-  lazy val a = (1 to 300).map(i => (i.toLong, i * 0.37 % 17)).toDF("aid", "av")
-  lazy val b = (1 to 300).map(i => (i.toLong, i * 0.53 % 17)).toDF("bid", "bv")
+  val aRows = (1 to 300).map(i => (i.toLong, i * 0.37 % 17))
+  val bRows = (1 to 300).map(i => (i.toLong, i * 0.53 % 17))
+  lazy val a = aRows.toDF("aid", "av")
+  lazy val b = bRows.toDF("bid", "bv")
 
-  private def naive = a.join(b, abs(col("av") - col("bv")) <= 0.25)
+  private def viaSpark = a.join(b, abs(col("av") - col("bv")) <= 0.25)
     .select("aid", "bid").as[(Long, Long)].collect().toSet
 
-  test("rewritten range join returns exactly the nested-loop results") {
-    val before = naive // rule not yet enabled in this session
+  test("rewritten range join returns exactly the ground-truth pairs") {
+    // ground truth computed locally so the test cannot be fooled by the
+    // rule being enabled earlier in the (shared-session) JVM
+    val truth = (for {
+      (aid, av) <- aRows; (bid, bv) <- bRows
+      if math.abs(av - bv) <= 0.25
+    } yield (aid, bid)).toSet
     RangeJoinRewrite.enable(spark)
-    val after = naive
-    assert(after == before)
-    assert(after.nonEmpty, "degenerate: no in-range pairs to compare")
+    assert(viaSpark == truth)
+    assert(truth.nonEmpty, "degenerate: no in-range pairs to compare")
+  }
+
+  test("rewrite tolerates infinite and huge values (ANSI overflow clamp)") {
+    RangeJoinRewrite.enable(spark)
+    val ax = Seq((1L, 1.0), (2L, Double.PositiveInfinity), (3L, 1e300))
+      .toDF("aid", "av")
+    val bx = Seq((10L, 1.1), (11L, Double.PositiveInfinity), (12L, -1e300))
+      .toDF("bid", "bv")
+    val out = ax.join(bx, abs(col("av") - col("bv")) <= 0.25)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L))) // inf/huge rows never match, never crash
   }
 
   test("rewrite replaces the nested-loop join with a bucketed equi-join") {

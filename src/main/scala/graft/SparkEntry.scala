@@ -283,6 +283,14 @@ object SparkEntry {
           col("a_value"), col("b_value"))
     }),
 
+    // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont — same (1-f)*lo + f*hi arithmetic, probe-verified)
+    "q41_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))),
+
     // time-bucketed aggregation — the batch equivalent of the streaming
     // tumbling-window count (streaming.EventsStream runs the readStream
     // version of exactly this plan)
@@ -353,6 +361,12 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q41_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q35_asof_join" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
            FROM orders GROUP BY 1, 2),

@@ -283,6 +283,40 @@ object SparkEntry {
           col("a_value"), col("b_value"))
     }),
 
+    // set operations: INTERSECT / EXCEPT (distinct semantics)
+    "q42_intersect_except" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 200000).select("o_custkey")
+      urgent.intersect(big).withColumn("set_op", lit("both"))
+        .union(urgent.except(big).withColumn("set_op", lit("urgent_only")))
+    }),
+
+    // navigation window functions: lag / lead / rank / ntile
+    "q43_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_orderkey"),
+        lead("o_orderkey", 1).over(w).as("next_orderkey"),
+        rank().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("spend_rank"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    // datetime surface: component extraction + day arithmetic
+    "q44_datetime" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        month(col("o_orderdate")).cast(LongType).as("o_month"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("o_day"),
+        quarter(col("o_orderdate")).cast(LongType).as("o_quarter"),
+        datediff(lit("1999-01-01"), col("o_orderdate")).cast(LongType)
+          .as("days_to_1999"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus_30d"))),
+
     // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // quantile_cont — same (1-f)*lo + f*hi arithmetic, probe-verified)
     "q41_percentile" -> ((s, d) =>
@@ -361,6 +395,29 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q42_intersect_except" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+         SELECT o_custkey, 'both' AS set_op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+         UNION ALL
+         SELECT o_custkey, 'urgent_only' AS set_op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)""",
+    "q43_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_orderkey, 1) OVER w AS prev_orderkey,
+         lead(o_orderkey, 1) OVER w AS next_orderkey,
+         CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS spend_rank,
+         CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q44_datetime" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         CAST(day(o_orderdate) AS BIGINT) AS o_day,
+         CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+         strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d
+         FROM orders""",
     "q41_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

@@ -283,6 +283,21 @@ object SparkEntry {
           col("a_value"), col("b_value"))
     }),
 
+    // semi-structured extraction: multiple JSON fields from props
+    "q45_json_props" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_raw"),
+        get_json_object(col("props"), "$.v").as("v_raw"),
+        get_json_object(col("props"), "$.missing").as("absent"))),
+
+    // edit distance between derived strings (fuzzy-match surface)
+    "q46_levenshtein" -> ((s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_brand")).cast(LongType).as("dist_brand"),
+          levenshtein(substring(col("p_name"), 1, 10),
+            substring(col("p_type"), 1, 10)).cast(LongType).as("dist_type10"))),
+
     // set operations: INTERSECT / EXCEPT (distinct semantics)
     "q42_intersect_except" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
@@ -395,6 +410,17 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q45_json_props" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_raw,
+         json_extract_string(props, '$.v') AS v_raw,
+         json_extract_string(props, '$.missing') AS absent
+         FROM events""",
+    "q46_levenshtein" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_name, p_brand) AS BIGINT) AS dist_brand,
+         CAST(levenshtein(substr(p_name, 1, 10), substr(p_type, 1, 10)) AS BIGINT) AS dist_type10
+         FROM part WHERE p_partkey < 500""",
     "q42_intersect_except" ->
       """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
          big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)

@@ -337,8 +337,11 @@ object SparkEntry {
     "q41_percentile" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))),
+          // one buffered aggregate for both price quantiles, not two
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pq"))
+        .select(col("l_returnflag"), col("p50_qty"),
+          round(col("pq").getItem(0), 6).as("p25_price"),
+          round(col("pq").getItem(1), 6).as("p75_price"))),
 
     // time-bucketed aggregation — the batch equivalent of the streaming
     // tumbling-window count (streaming.EventsStream runs the readStream

@@ -283,6 +283,30 @@ object SparkEntry {
           col("a_value"), col("b_value"))
     }),
 
+    // pivot (wide aggregation): order counts by priority per customer
+    // bucket; absent combinations coalesced to 0 to match FILTER-count
+    // semantics in the oracle
+    "q47_pivot" -> ((s, d) => {
+      val p = Tables.orders(s, d)
+        .groupBy((col("o_custkey") % 10).as("cust_mod"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(count(lit(1)))
+      p.select(col("cust_mod"),
+        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"))
+    }),
+
+    // array aggregation: deterministic (sorted) collect per group plus
+    // array-derived scalars
+    "q48_array_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_orderkey"), col("line_numbers"), col("n_lines"),
+          array_max(col("line_numbers")).as("max_line"))),
+
     // semi-structured extraction: multiple JSON fields from props
     "q45_json_props" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
@@ -413,6 +437,17 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q47_pivot" ->
+      """SELECT o_custkey % 10 AS cust_mod,
+         CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+         CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+         CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium
+         FROM orders GROUP BY 1""",
+    "q48_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         list_max(list(l_linenumber)) AS max_line
+         FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey""",
     "q45_json_props" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_raw,

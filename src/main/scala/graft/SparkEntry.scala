@@ -298,21 +298,30 @@ object SparkEntry {
     }),
 
     // array aggregation: deterministic (sorted) collect per group plus
-    // array-derived scalars
+    // array-derived scalars. The list itself crosses the oracle boundary
+    // as a canonical comma-joined string — the driver's comparator sorts
+    // column values and cannot sort raw list cells.
     "q48_array_agg" -> ((s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
         .groupBy("l_orderkey")
-        .agg(array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+        .agg(array_sort(collect_list(col("l_linenumber"))).as("__ln"),
           count(lit(1)).as("n_lines"))
-        .select(col("l_orderkey"), col("line_numbers"), col("n_lines"),
-          array_max(col("line_numbers")).as("max_line"))),
+        .select(col("l_orderkey"),
+          concat_ws(",", transform(col("__ln"), _.cast("string"))).as("line_numbers"),
+          col("n_lines"),
+          array_max(col("__ln")).cast(LongType).as("max_line"))),
 
-    // semi-structured extraction: multiple JSON fields from props
+    // semi-structured extraction: multiple JSON fields from props. One
+    // from_json parse per row (Jackson renders scalar tokens verbatim, so
+    // numbers extract as their source text, same as get_json_object);
+    // three get_json_object calls would parse the same string three times.
     "q45_json_props" -> ((s, d) =>
-      Tables.events(s, d).select(col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_raw"),
-        get_json_object(col("props"), "$.v").as("v_raw"),
-        get_json_object(col("props"), "$.missing").as("absent"))),
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
+            "k STRING, v STRING, missing STRING")).as("__p"))
+        .select(col("event_id"), col("__p.k").as("k_raw"),
+          col("__p.v").as("v_raw"), col("__p.missing").as("absent"))),
 
     // edit distance between derived strings (fuzzy-match surface)
     "q46_levenshtein" -> ((s, d) =>
@@ -356,16 +365,23 @@ object SparkEntry {
         date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
           .as("plus_30d"))),
 
-    // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    // quantile_cont — same (1-f)*lo + f*hi arithmetic, probe-verified)
-    "q41_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          // one buffered aggregate for both price quantiles, not two
-          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pq"))
-        .select(col("l_returnflag"), col("p50_qty"),
-          round(col("pq").getItem(0), 6).as("p25_price"),
-          round(col("pq").getItem(1), 6).as("p75_price"))),
+    // exact interpolated percentiles via the sort-based operator (same
+    // (1-f)*lo + f*hi arithmetic as DuckDB quantile_cont and Spark's
+    // buffered `percentile`, but codegen'd and spill-safe — no per-group
+    // value buffer). Two sorted passes (quantity, price) joined on the
+    // 3-row group key.
+    "q41_percentile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = Quantiles.quantileCont(li, Seq("l_returnflag"),
+        col("l_quantity"), Seq(("__p50q", 0.5)))
+      val price = Quantiles.quantileCont(li, Seq("l_returnflag"),
+        col("l_extendedprice"), Seq(("__p25p", 0.25), ("__p75p", 0.75)))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("__p50q"), 6).as("p50_qty"),
+          round(col("__p25p"), 6).as("p25_price"),
+          round(col("__p75p"), 6).as("p75_price"))
+    }),
 
     // time-bucketed aggregation — the batch equivalent of the streaming
     // tumbling-window count (streaming.EventsStream runs the readStream
@@ -444,9 +460,10 @@ object SparkEntry {
          CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium
          FROM orders GROUP BY 1""",
     "q48_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers,
+      """SELECT l_orderkey,
+         array_to_string(list_transform(list_sort(list(l_linenumber)), x -> CAST(x AS VARCHAR)), ',') AS line_numbers,
          CAST(count(*) AS BIGINT) AS n_lines,
-         list_max(list(l_linenumber)) AS max_line
+         CAST(list_max(list(l_linenumber)) AS BIGINT) AS max_line
          FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey""",
     "q45_json_props" ->
       """SELECT event_id,
@@ -514,6 +531,15 @@ object SparkEntry {
   private val MinhashPerms = 16
   private val MinhashBands = 4
 
+  private val EmbDim = 64
+  private val LshTables = 4
+  private val LshBits = 8
+  private val SimhashMaxBucket = 500
+  private val SimhashMaxHamming = 3
+  private val IvfStride = 30L
+  private val IvfCells = 16
+  private val IvfProbe = 4
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token statistics (whitespace + BPE-ish estimate)
     "q24_text_tokens" -> ((s, d) =>
@@ -563,16 +589,11 @@ object SparkEntry {
           col("rank").cast(LongType).as("knn_rank"))
     }),
 
-    // blocked embedding near-dup pairs (exact within block)
-    "q32_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
-            .as("cos_sim"))
-        .filter(col("cos_sim") > 0.3)
-    }),
+    // embedding near-dup pairs, content-blocked by sign-bit LSH buckets
+    // (exact cosine within buckets; no join operator, never all-pairs)
+    "q32_embedding_neardup" -> ((s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.3,
+        nTables = LshTables, nBits = LshBits, dim = EmbDim)),
 
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
@@ -610,6 +631,25 @@ object SparkEntry {
       Tables.orders(s, d)
         .filter(TextAnalysis.deterministicSample(col("o_orderkey"), 0.1))
         .select("o_orderkey", "o_custkey")),
+
+    // simhash near-dup candidates: 4 × 14-bit pigeonhole bands over the
+    // q30 signature, degenerate bands capped at 500 docs, pairs kept only
+    // within the Hamming-3 radius the banding guarantees
+    "q49_simhash_candidates" -> ((s, d) =>
+      Dedup.simHashCandidates(Tables.documents(s, d), "doc_id", col("text"),
+        maxBucket = SimhashMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))),
+
+    // IVF ANN: stride-sampled coarse quantizer, nProbe-cell probe, exact
+    // re-rank within probed cells — fully deterministic, oracle-checked
+    "q50_ivf_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5), 10,
+        stride = IvfStride, nCells = IvfCells, nProbe = IvfProbe)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast(LongType).as("knn_rank"))
+    }),
 
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
@@ -665,6 +705,63 @@ object SparkEntry {
        SELECT doc_id AS doc, CAST($sig AS BIGINT) AS simhash FROM v"""
   }
 
+  /** Generated oracle: SimHash 4×14-bit pigeonhole band candidates —
+    * the q30 signature pipeline, then band extraction + bucket self-join
+    * (mirrors Dedup.simHashCandidates' grouping exactly: distinct pairs,
+    * doc_a < doc_b, Hamming distance of the full signatures). */
+  private def simhashCandidatesOracle: String = {
+    val bits = 56
+    val votes = (0 until bits).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val sig = (0 until bits).map(i =>
+      s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, sh, $b AS band_idx, (sh >> ${b * 14}) & 16383 AS band_val FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       e AS (SELECT doc_id, ${sqlHexLong("u")} AS h FROM (SELECT doc_id, unnest(w) AS u FROM t)),
+       v AS (SELECT doc_id, $votes FROM e GROUP BY doc_id),
+       sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM v),
+       banded AS ($bands),
+       ok AS (SELECT band_idx, band_val FROM banded
+              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $SimhashMaxBucket)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       FROM banded a JOIN banded b
+         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       JOIN ok ON a.band_idx = ok.band_idx AND a.band_val = ok.band_val
+       WHERE bit_count(xor(a.sh, b.sh)) <= $SimhashMaxHamming"""
+  }
+
+  /** Generated oracle: IVF ANN — stride-anchor quantizer, argmax-cosine
+    * cell assignment, nProbe probe, exact re-rank (mirrors
+    * Similarity.ivfKnn; cosine fold order is bit-identical, so the
+    * unrounded ORDER BY in the assignment windows agrees too). */
+  private def ivfOracle: String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    val anchorMax = IvfStride * IvfCells
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       a AS (SELECT vec_id AS cell_id, emb AS aemb FROM c
+             WHERE vec_id % $IvfStride = 0 AND vec_id < $anchorMax),
+       cells AS (SELECT vec_id AS neighbor_id, emb AS cemb, cell_id FROM (
+         SELECT c.vec_id AS vec_id, c.emb AS emb, a.cell_id AS cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY ${cos("c.emb", "a.aemb")} DESC, a.cell_id) AS rk
+         FROM c, a) WHERE rk = 1),
+       q AS (SELECT vec_id, emb FROM c WHERE vec_id < 5),
+       probes AS (SELECT vec_id AS query_id, emb AS qemb, cell_id FROM (
+         SELECT q.vec_id AS vec_id, q.emb AS emb, a.cell_id AS cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cos("q.emb", "a.aemb")} DESC, a.cell_id) AS rk
+         FROM q, a) WHERE rk <= $IvfProbe),
+       cand AS (SELECT query_id, neighbor_id, round(${cos("qemb", "cemb")}, 6) AS cos_sim
+         FROM probes JOIN cells USING (cell_id) WHERE query_id <> neighbor_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY cos_sim DESC, neighbor_id) AS rn FROM cand)
+       SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank
+       FROM r WHERE rn <= 10"""
+  }
+
   /** Generated oracle: marker-word language ID. */
   private def langidOracle: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -681,6 +778,20 @@ object SparkEntry {
        b AS (SELECT *, $best AS best FROM sc)
        SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred, lang AS lang_declared FROM b"""
   }
+
+  /** SQL mirror of Similarity.lshBucket / functions.LshBucketSig: same
+    * md5-derived weights (inlined as integer constants via
+    * Hashing.hexLongJvm — bit-identical to md5 in either engine), same
+    * left-to-right double fold, same sign test per bit. */
+  private def lshBucketSql(embExpr: String, table: Int, nBits: Int,
+      dim: Int): String =
+    (0 until nBits).map { bit =>
+      val proj = (0 until dim).map { dd =>
+        val k = Hashing.hexLongJvm(s"$table:$bit:$dd") % 1000L
+        s"$embExpr[${dd + 1}] * (CAST($k AS DOUBLE)/500.0 - 1.0)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
 
   private def cosineSql(ae: String, be: String): String = {
     def dotp(u: String, v: String) =
@@ -721,12 +832,19 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank FROM r WHERE rn <= 10"""
     },
     "q32_embedding_neardup" -> {
-      val cos = cosineSql("ae", "be")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 300)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS cos_sim
-         FROM (SELECT vec_id, emb AS ae FROM e) a, (SELECT vec_id, emb AS be FROM e) b
-         WHERE a.vec_id < b.vec_id AND round($cos, 6) > 0.3"""
+      val cos = cosineSql("x.emb", "y.emb")
+      val branches = (0 until LshTables).map(t =>
+        s"SELECT vec_id, emb, $t AS tbl, ${lshBucketSql("emb", t, LshBits, EmbDim)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS ($branches)
+         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, round($cos, 6) AS cos_sim
+         FROM b x JOIN b y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         WHERE round($cos, 6) > 0.3"""
     },
+    "q49_simhash_candidates" -> simhashCandidatesOracle,
+    "q50_ivf_knn" -> ivfOracle,
     "q33_multimodal_meta" ->
       s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
          ${sqlHexLong("text")} % 640 AS fake_width,

@@ -30,4 +30,15 @@ object Hashing {
 
   /** Full 128-bit content fingerprint as hex (document identity). */
   def fingerprint(c: Column): Column = md5(c)
+
+  /** JVM-side twin of [[hexLong]] for plan-construction-time constants
+    * (e.g. LSH hyperplane weights): standard md5, first 14 hex digits as
+    * a non-negative long — bit-identical to the Spark expression on the
+    * same literal, and to DuckDB's
+    * `CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)`. */
+  def hexLongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+  }
 }

@@ -16,4 +16,8 @@ object Native {
   /** Codegen'd fused cosine similarity (see [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
+
+  /** Codegen'd random-hyperplane LSH bucket (see [[LshBucketSig]]). */
+  def lshBucket(emb: Column, table: Int, nBits: Int, dim: Int): Column =
+    column(LshBucketSig(expr(emb), table, nBits, dim))
 }

@@ -1,0 +1,54 @@
+/** Exact interpolated quantiles without value buffering.
+  *
+  * Spark's built-in `percentile()` is an interpreted
+  * TypedImperativeAggregate that collects EVERY group value into a
+  * serialized buffer — at 100 TB that is an executor-memory bomb, and
+  * even at sf0.1 it was the second-slowest bench query (21× DuckDB).
+  * This formulation is the classic sort-based exact quantile: rank each
+  * value inside its group (window row_number + count, codegen'd), keep
+  * only the two rows bracketing each requested fraction, and fold them
+  * with the standard linear interpolation
+  * `(1-frac)·v_lo + frac·v_hi` — the same arithmetic DuckDB's
+  * `quantile_cont` and Spark's `percentile` use, so oracle parity holds.
+  *
+  * Scale shape: one hash exchange on the group key + per-group sort
+  * (Spark's external sort spills; nothing is buffered per group beyond
+  * the sort run), then a hash aggregate over contributions that are zero
+  * except at the two bracket rows per fraction. Adding 0.0 terms is
+  * IEEE-exact, so the fold is deterministic regardless of row order.
+  */
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+object Quantiles {
+
+  /** Per-group exact continuous quantiles of `valCol` at each requested
+    * fraction, returned as one row per group with one column per
+    * `(alias, fraction)` pair. */
+  def quantileCont(df: DataFrame, grp: Seq[String], valCol: Column,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val gcols = grp.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    val wp = Window.partitionBy(gcols: _*)
+    val ranked = df.select(gcols :+ valCol.cast(DoubleType).as("__v"): _*)
+      .withColumn("__rn", row_number().over(w) - 1) // 0-based rank
+      .withColumn("__n", count(lit(1)).over(wp))
+    val aggs = ps.map { case (name, p) =>
+      // 0-based fractional position h = (n-1)·p; the quantile is the
+      // interpolation between ranks floor(h) and ceil(h)
+      val h = (col("__n") - 1) * lit(p)
+      val lo = floor(h)
+      val hi = ceil(h)
+      val frac = h - lo
+      val contrib =
+        when(col("__rn") === lo, col("__v") * (lit(1.0) - frac)).otherwise(lit(0.0)) +
+          when(col("__rn") === hi && hi =!= lo, col("__v") * frac).otherwise(lit(0.0))
+      sum(contrib).as(name)
+    }
+    ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

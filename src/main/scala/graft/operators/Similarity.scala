@@ -62,11 +62,19 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Sign-bit signature under `nBits` pseudo-random hyperplanes. The
-    * hyperplanes are themselves derived deterministically from md5 of
+  /** Sign-bit signature under `nBits` pseudo-random hyperplanes, via the
+    * native fused-loop expression (graft.functions.LshBucketSig). The
+    * hyperplanes are derived deterministically from md5 of
     * (table, bit, dim) so the whole structure is reproducible without a
     * random-state side channel. */
-  def lshBucket(emb: Column, table: Int, nBits: Int, dim: Int): Column = {
+  def lshBucket(emb: Column, table: Int, nBits: Int, dim: Int): Column =
+    graft.functions.Native.lshBucket(emb, table, nBits, dim)
+
+  /** The pure-builtin formulation (one column node per weight — fine for
+    * small nBits·dim, but the expression tree grows as nBits×dim and its
+    * generated code explodes at 8×64×4 tables); kept as the portability
+    * fallback and the spec-level cross-check of the native expression. */
+  def lshBucketComposable(emb: Column, table: Int, nBits: Int, dim: Int): Column = {
     (0 until nBits).map { bit =>
       val proj = (0 until dim).map { d =>
         val w = (graft.functions.Hashing
@@ -83,17 +91,20 @@ object Similarity {
     * (corpus scan cost per query drops from O(N) to O(N·nProbe/nCells)).
     *
     * The quantizer here is deterministic anchor sampling (every
-    * stride-th vector by id), not trained k-means — reproducible without
-    * a model artifact; production would swap in trained centroids, the
-    * plan shape is identical. Cell assignment is a broadcast
-    * (anchors × corpus) argmax — one narrow pass over the corpus, no
-    * shuffle until the candidate equi-join on cell id. At 100 TB the
-    * assignment is computed once and persisted alongside the embeddings
-    * (a partition column), making each query a partition-pruned scan. */
+    * `stride`-th vector by id), not trained k-means — reproducible
+    * without a model artifact; production would swap in trained
+    * centroids, the plan shape is identical. `stride` is a caller
+    * parameter precisely so plan construction stays lazy: deriving it
+    * from `corpus.count()` would run an eager full-scan job before the
+    * query even plans (at 100 TB, a whole job just to pick a stride).
+    * Cell assignment is a broadcast (anchors × corpus) argmax — one
+    * narrow pass over the corpus, no shuffle until the candidate
+    * equi-join on cell id. At 100 TB the assignment is computed once and
+    * persisted alongside the embeddings (a partition column), making
+    * each query a partition-pruned scan. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1, n / nCells)
+      stride: Long, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     val anchors = corpus
       .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < stride * nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("anchor"))
@@ -117,6 +128,46 @@ object Similarity {
         round(cosine(col("emb_query_id"), col("emb_neighbor_id")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** All unordered pairs (a, b) from a sorted bucket array — within-
+    * bucket candidate enumeration (same idiom as Dedup.bucketPairs). */
+  private def bucketPairs(vs: Column): Column =
+    flatten(transform(vs, (x, i) =>
+      transform(slice(vs, i + lit(2), size(vs)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Embedding near-dup pairs via sign-bit LSH blocking: vectors sharing
+    * a bucket in ANY of `nTables` hyperplane tables are compared exactly,
+    * and pairs whose rounded cosine exceeds `threshold` are emitted
+    * (distinct, `vec_a < vec_b`).
+    *
+    * This is the content-blocked replacement for an all-pairs
+    * `a.vec_id < b.vec_id` nested-loop join: same group-by-bucket shape
+    * as Dedup.minHashCandidates — the corpus is scanned once, the plan is
+    * two hash-partitioned shuffles (bucket groupBy, then distinct), there
+    * is no join operator at all, and comparisons are O(Σ bucket²), never
+    * O(n²) over the corpus. Buckets above `maxBucket` (degenerate
+    * hyperplane cells) are dropped so no single task can be pinned by one
+    * giant bucket. The hyperplanes are md5-derived ([[lshBucket]]), so an
+    * external engine can reproduce the exact blocking in SQL. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+      nTables: Int = 4, nBits: Int = 8, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val banded = Parallelism.ensure(corpus)
+      .select(struct(col("vec_id").as("id"), col("embedding").as("emb")).as("ve"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"), lshBucket(col("embedding"), t, nBits, dim).as("bucket"))
+        }: _*)).as("b"))
+      .select(col("ve"), col("b.tbl"), col("b.bucket"))
+    banded.groupBy("tbl", "bucket")
+      .agg(collect_list(col("ve")).as("vs"))
+      .filter(size(col("vs")).between(2, maxBucket))
+      .select(explode(bucketPairs(array_sort(col("vs")))).as("p"))
+      .select(col("p.a.id").as("vec_a"), col("p.b.id").as("vec_b"),
+        round(cosine(col("p.a.emb"), col("p.b.emb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+      .distinct()
   }
 
   /** LSH-bucketed ANN: candidates share a bucket in at least one table;

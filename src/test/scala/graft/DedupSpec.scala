@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
     assert(cand.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 0))
   }
 
+  test("bucket cap: results unchanged when no bucket exceeds the cap; giant buckets dropped") {
+    val base = Dedup.minHashCandidates(docs, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toSet
+    val generous = Dedup.minHashCandidates(docs, "doc_id", col("text"),
+      maxBucket = 1000000).as[(Long, Long)].collect().toSet
+    assert(base == generous) // cap is invisible when no bucket exceeds it
+    val capped1 = Dedup.minHashCandidates(docs, "doc_id", col("text"),
+      maxBucket = 1).as[(Long, Long)].collect()
+    assert(capped1.isEmpty) // every >1 bucket dropped -> no candidates
+    val sh = Dedup.simHashCandidates(docs, "doc_id", col("text"), maxBucket = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(sh.isEmpty)
+  }
+
   test("ngram jaccard verifies candidates: dup=1.0, near-dup high, ordered pairs") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccard(docs, "doc_id", col("text"), pairs, 3)
@@ -174,6 +188,23 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.sortBy(_._4).map(_._3).sliding(2).forall(p => p(0) >= p(1)))
       assert(!rows.exists(r => r._2 == r._1)) // self excluded
     }
+  }
+
+  test("lshNearDupPairs: identical vectors share every bucket and are always found") {
+    // ids i and i+20 carry identical embeddings -> same bucket in every
+    // table -> the pair must survive blocking, with cosine 1.0
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin((i % 20) * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(vecs, 0.99, nTables = 2, nBits = 4, dim = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2))
+    (0 until 20).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 20L), s"missing pair $i")
+    }
+    // cap sanity: maxBucket = 1 drops every bucket -> empty
+    assert(Similarity.lshNearDupPairs(vecs, 0.99, nTables = 2, nBits = 4,
+      dim = 8, maxBucket = 1).count() == 0)
   }
 
   test("lshKnn recall against brute force is substantial") {

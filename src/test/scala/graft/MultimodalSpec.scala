@@ -61,10 +61,10 @@ class IvfSpec extends SparkSpec {
     val queries = corpus.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceKnn(corpus, queries, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val full = Similarity.ivfKnn(corpus, queries, 5, nCells = 8, nProbe = 8)
+    val full = Similarity.ivfKnn(corpus, queries, 5, stride = 25, nCells = 8, nProbe = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact) // nProbe = nCells degenerates to exact search
-    val approx = Similarity.ivfKnn(corpus, queries, 5, nCells = 8, nProbe = 3)
+    val approx = Similarity.ivfKnn(corpus, queries, 5, stride = 25, nCells = 8, nProbe = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx).toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")

@@ -89,6 +89,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q32 embedding near-dup: LSH bucket grouping, no join operator at all") {
+    val plan = planOf("q32_embedding_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // group-by-bucket shape: candidates come from collect_list buckets,
+    // not any self-join — the corpus subplan runs exactly once
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("collect_list"), plan.take(800))
+  }
+
+  test("q41 percentile: codegen'd sort-based plan, no interpreted value buffer") {
+    val plan = planOf("q41_percentile")
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.toLowerCase.contains("percentile"), plan.take(800))
+  }
+
+  test("q50 ivf: no eager job during plan construction (lazy stride anchors)") {
+    import org.apache.spark.sql.functions.col
+    // materialize the parquet footer-read first; it belongs to spark.read,
+    // not to the operator under test
+    val emb = Tables.embeddings(spark, sf001)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    graft.operators.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5), 10,
+      stride = 30, nCells = 16, nProbe = 4) // plan only, no action
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"plan construction launched ${after - before} job(s)")
+  }
+
   test("q31 knn: query side broadcast so the corpus scans once without shuffle") {
     val plan = planOf("q31_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))

@@ -60,6 +60,21 @@ class NativeCosineSpec extends SparkSpec {
     (i.toLong, Array.tabulate(16)(d => (math.sin(i * 16 + d) * 3).toFloat))
   }.toDF("vec_id", "embedding")
 
+  test("native lsh_bucket is bit-identical to the composable weight-chain form") {
+    val both = vecs.select(
+      graft.operators.Similarity.lshBucket(col("embedding"), 2, 8, 16).as("native"),
+      graft.operators.Similarity.lshBucketComposable(col("embedding"), 2, 8, 16).as("chain"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, c) => assert(n == c) }
+    // null array and short array both yield null
+    val edge = Seq((1L, Some(Array(1.0f, 2.0f))), (2L, None))
+      .toDF("id", "embedding")
+      .select(graft.operators.Similarity.lshBucket(col("embedding"), 0, 4, 16))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("native cosine_sim is bit-identical to the composable HOF form") {
     val both = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(

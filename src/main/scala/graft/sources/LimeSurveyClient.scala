@@ -38,6 +38,27 @@ object LimeSurveyClient {
   /** Pluggable POST transport: url, json body → json reply. */
   trait Transport { def post(url: String, body: String): String }
 
+  /** The reference client's default 58-field survey-property projection
+    * (/root/reference/limesurvey.py:53-70) — the widest control-plane
+    * call; [[LimeSurveyClient.getSurveyProperties]] requests exactly
+    * this set unless the caller narrows it. */
+  val DefaultSurveyProperties: Seq[String] = Seq(
+    "sid", "savetimings", "allowprev", "tokenanswerspersistence",
+    "showgroupinfo", "showwelcome", "owner_id", "template", "printanswers",
+    "assessments", "shownoanswer", "showprogress", "admin", "language",
+    "ipaddr", "usecaptcha", "showqnumcode", "allowjumps", "active",
+    "additional_languages", "refurl", "usetokens", "bouncetime",
+    "navigationdelay", "expires", "datestamp", "datecreated",
+    "bounce_email", "bounceprocessing", "nokeyboard", "startdate",
+    "usecookie", "publicstatistics", "attributedescriptions",
+    "bounceaccounttype", "alloweditaftercompletion", "adminemail",
+    "allowregister", "publicgraphs", "emailresponseto",
+    "bounceaccounthost", "googleanalyticsstyle", "anonymized",
+    "allowsave", "listpublic", "emailnotificationto", "bounceaccountpass",
+    "googleanalyticsapikey", "faxto", "autonumber_start", "htmlemail",
+    "tokenlength", "bounceaccountencryption", "format", "autoredirect",
+    "sendconfirmation", "showxquestions", "bounceaccountuser")
+
   /** Production transport: HTTP/1.1 keep-alive POST. */
   final class HttpTransport extends Transport {
     private val client = HttpClient.newHttpClient()
@@ -224,6 +245,14 @@ class LimeSurveyClient(url: String, user: String, password: String,
   def setSurveyProperty(surveyId: Int, prop: String, value: String): String =
     call("set_survey_properties", sessioned(Map(
       "iSurveyID" -> surveyId, "aSurveyData" -> Map(prop -> value))))
+
+  /** Survey property read with an explicit projection — the reference's
+    * widest control-plane call, defaulting to its 58-field settings list
+    * (/root/reference/limesurvey.py:51-78). */
+  def getSurveyProperties(surveyId: Int,
+      settings: Seq[String] = LimeSurveyClient.DefaultSurveyProperties): String =
+    call("get_survey_properties", sessioned(Map(
+      "iSurveyID" -> surveyId, "aSurveySettings" -> settings)))
 
   def addResponse(surveyId: Int, row: Map[String, String]): String =
     call("add_response", sessioned(Map(

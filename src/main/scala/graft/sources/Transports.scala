@@ -28,10 +28,15 @@ object Transports {
   }
 
   /** Replays canned per-method replies, emulating the server-side
-    * handling of paging parameters. Serializable: executors construct it
-    * from the spec string. */
+    * handling of paging AND condition parameters (`aConditions`
+    * equality filters apply BEFORE paging, as the real endpoint's SQL
+    * WHERE would). Serializable: executors construct it from the spec
+    * string. The last request envelope per JVM is recorded in
+    * [[FileServerTransport.lastBody]] so specs can assert pushdown
+    * reached the wire. */
   final class FileServerTransport(dir: String) extends Transport with Serializable {
     def post(url: String, body: String): String = {
+      FileServerTransport.lastBody.set(body)
       val mapper = new ObjectMapper
       val req = mapper.readTree(body)
       val method = req.get("method").asText()
@@ -40,23 +45,48 @@ object Transports {
         throw new RuntimeException(s"fake server has no handler file for '$method'")
       val raw = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
       val params = req.get("params")
-      if (params != null && params.has("iStart") && params.has("iLimit")) {
-        val start = params.get("iStart").asInt()
-        val limit = params.get("iLimit").asInt()
-        val reply = mapper.readTree(raw)
-        reply.get("result") match {
-          case arr: ArrayNode =>
-            val page = mapper.createArrayNode()
-            var i = start
-            while (i < math.min(arr.size(), start + limit)) {
-              page.add(arr.get(i)); i += 1
+      val needsPaging = params != null && params.has("iStart") && params.has("iLimit")
+      val conds = if (params != null && params.has("aConditions") &&
+          params.get("aConditions").isObject) {
+        val it = params.get("aConditions").fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      } else Map.empty[String, String]
+      if (!needsPaging && conds.isEmpty) return raw
+      val reply = mapper.readTree(raw)
+      reply.get("result") match {
+        case arr: ArrayNode =>
+          // equality conditions match top-level fields or participant_info
+          def matches(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+            conds.forall { case (k, v) =>
+              val direct = Option(n.get(k))
+              val nested = Option(n.get("participant_info")).flatMap(i => Option(i.get(k)))
+              direct.orElse(nested).exists(_.asText() == v)
             }
-            val out = reply.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-            out.set("result", page)
-            mapper.writeValueAsString(out)
-          case _ => raw
-        }
-      } else raw
+          val filtered = mapper.createArrayNode()
+          arr.elements().forEachRemaining(e => if (matches(e)) { filtered.add(e); () })
+          val page = if (needsPaging) {
+            val start = params.get("iStart").asInt()
+            val limit = params.get("iLimit").asInt()
+            val p = mapper.createArrayNode()
+            var i = start
+            while (i < math.min(filtered.size(), start + limit)) {
+              p.add(filtered.get(i)); i += 1
+            }
+            p
+          } else filtered
+          val out = reply.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          out.set("result", page)
+          mapper.writeValueAsString(out)
+        case _ => raw
+      }
     }
+  }
+
+  object FileServerTransport {
+    /** Last request body seen by any FileServerTransport in this JVM —
+      * spec-only observability (local mode shares the JVM). */
+    val lastBody = new java.util.concurrent.atomic.AtomicReference[String]("")
   }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -121,6 +122,9 @@ object LimeSurveySource {
       case (k, v: Int) => p.put(k, v)
       case (k, vs: Seq[_]) =>
         val arr = p.putArray(k); vs.foreach(x => arr.add(x.toString))
+      case (k, m: Map[_, _]) =>
+        val obj = p.putObject(k)
+        m.foreach { case (mk, mv) => obj.put(mk.toString, mv.toString) }
       case (k, null) => p.putNull(k)
       case (k, v) => p.put(k, v.toString)
     }
@@ -142,10 +146,14 @@ object LimeSurveySource {
     new String(Base64.getDecoder.decode(result), "UTF-8")
   }
 
-  def fetchParticipantsPage(conf: SourceConf, start: Int, limit: Int): String =
+  /** `conditions` non-empty = equality-filter pushdown via the API's own
+    * server-side `aConditions` hook (/root/reference/limesurvey.py:214). */
+  def fetchParticipantsPage(conf: SourceConf, start: Int, limit: Int,
+      conditions: Map[String, String] = Map.empty): String =
     rpc(conf, "list_participants", Map(
       "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
-      "iStart" -> start, "iLimit" -> limit))
+      "iStart" -> start, "iLimit" -> limit,
+      "aConditions" -> conditions))
 }
 
 class LimeSurveyTable(schema: StructType, conf: SourceConf,
@@ -162,10 +170,11 @@ class LimeSurveyTable(schema: StructType, conf: SourceConf,
 class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
     prefetched: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var pushedConds: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve connector column order; empty prune (count(*)) keeps none
@@ -175,15 +184,46 @@ class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = conf.table == "participants"
 
+  /** Equality filters on participants columns map to the API's
+    * server-side `aConditions` hook (SURVEY §4 lists this as the
+    * predicate-pushdown seam; /root/reference/limesurvey.py:214) — the
+    * RPC envelope carries the condition and Spark drops the post-scan
+    * Filter. Anything else stays a residual Spark filter. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    if (conf.table != "participants") filters
+    else {
+      val eqAttrs = filters.collect {
+        case sources.EqualTo(a, v: String) if fullSchema.fieldNames.contains(a) && v != null => a
+      }.toSet
+      val (supported, residual) = filters.partition {
+        case sources.EqualTo(attr, v: String) =>
+          fullSchema.fieldNames.contains(attr) && v != null
+        // Catalyst pairs every pushed equality with an IsNotNull on the
+        // same column; the server's equality condition subsumes it
+        case sources.IsNotNull(attr) => eqAttrs.contains(attr)
+        case _ => false
+      }
+      pushedConds = supported
+      residual
+    }
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushedConds
+
+  private def conditions: Map[String, String] =
+    pushedConds.collect { case sources.EqualTo(a, v: String) => a -> v }.toMap
+
   override def build(): Scan =
     new LimeSurveyScan(required, conf, limit,
       // reuse the inference payload only for an unpruned scan — a pruned
       // scan refetches with aFields (the projection pushdown itself)
-      prefetched.filter(_ => required.fieldNames.sameElements(fullSchema.fieldNames)))
+      prefetched.filter(_ => required.fieldNames.sameElements(fullSchema.fieldNames)),
+      conditions)
 }
 
 class LimeSurveyScan(required: StructType, conf: SourceConf,
-    limit: Option[Int], prefetched: Option[String] = None)
+    limit: Option[Int], prefetched: Option[String] = None,
+    conditions: Map[String, String] = Map.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -206,14 +246,15 @@ class LimeSurveyScan(required: StructType, conf: SourceConf,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LimeSurveyReaderFactory(required, conf, limit)
+    new LimeSurveyReaderFactory(required, conf, limit, conditions)
 }
 
 case class ResponsesPartition(json: String) extends InputPartition
 case class ParticipantsPartition(start: Int, limit: Int) extends InputPartition
 
 class LimeSurveyReaderFactory(required: StructType, conf: SourceConf,
-    limit: Option[Int]) extends PartitionReaderFactory {
+    limit: Option[Int], conditions: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -235,7 +276,7 @@ class LimeSurveyReaderFactory(required: StructType, conf: SourceConf,
       case ParticipantsPartition(start, pageLimit) =>
         new JsonRowsReader(required, None) {
           lazy val rows: Iterator[Map[String, String]] = {
-            val reply = LimeSurveySource.fetchParticipantsPage(conf, start, pageLimit)
+            val reply = LimeSurveySource.fetchParticipantsPage(conf, start, pageLimit, conditions)
             val mapper = new ObjectMapper
             val result = mapper.readTree(reply).get("result")
             if (result == null || !result.isArray) Iterator.empty

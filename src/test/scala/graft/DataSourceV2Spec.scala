@@ -74,6 +74,29 @@ class DataSourceV2Spec extends SparkSpec {
       (0 until 10).map(i => s"p$i@x.com").toSet)
   }
 
+  test("equality filter pushes to the participants RPC (aConditions) and drops from the plan") {
+    val df = read("participants").filter(col("email") === "p3@x.com")
+    val rows = df.collect()
+    // the fake server filters result arrays by aConditions BEFORE paging,
+    // so a correct single row proves server-side filtering end-to-end
+    assert(rows.map(_.getAs[String]("tid")).toSeq == Seq("3"))
+    // the condition reached the wire...
+    val body = graft.sources.Transports.FileServerTransport.lastBody.get()
+    assert(body.contains(""""aConditions""""), body)
+    assert(body.contains(""""email":"p3@x.com""""), body)
+    // ...and Spark dropped the post-scan Filter operator (fully pushed;
+    // "RuntimeFilters: []" in the scan line is not a Filter node)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains(") Filter "), plan.take(600))
+  }
+
+  test("non-equality filters stay residual and still evaluate correctly") {
+    val df = read("participants").filter(col("email") =!= "p3@x.com")
+    assert(df.collect().length == 9)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(") Filter "), plan.take(600)) // residual, not pushed
+  }
+
   test("the whole survey pipeline runs off the DSv2 source") {
     // connector rows -> the same transform chain the spool path uses
     val df = read("responses")

@@ -72,6 +72,24 @@ class SourcesSpec extends SparkSpec {
       .select("participant_info.email").head.getString(0) == "a@b.c")
   }
 
+  test("getSurveyProperties requests the reference's 58-field default projection") {
+    val t = new FakeTransport
+    val c = new LimeSurveyClient("http://fake/rpc", "admin", "pw", t)
+    c.getSurveyProperties(101)
+    val body = t.calls.head._2
+    assert(LimeSurveyClient.topLevelString(body, "method") == "get_survey_properties")
+    assert(body.contains(""""aSurveySettings""""), body)
+    // the reference's default list has 58 settings (limesurvey.py:54-70)
+    assert(LimeSurveyClient.DefaultSurveyProperties.size == 58)
+    LimeSurveyClient.DefaultSurveyProperties.foreach(f =>
+      assert(body.contains("\"" + f + "\""), s"missing $f"))
+    // narrowing works too
+    c.getSurveyProperties(101, Seq("sid", "active"))
+    val narrow = t.calls.head._2
+    assert(narrow.contains(""""sid"""") && narrow.contains(""""active""""))
+    assert(!narrow.contains(""""bounceaccountuser""""), narrow)
+  }
+
   test("control-plane calls build well-formed JSON envelopes (§2.7)") {
     val t = new FakeTransport
     val c = new LimeSurveyClient("http://fake/rpc", "admin", "pw", t)

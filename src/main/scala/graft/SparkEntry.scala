@@ -585,6 +585,10 @@ object SparkEntry {
   private val LshBits = 8
   private val SimhashMaxBucket = 500
   private val SimhashMaxHamming = 3
+  /** Operator-default degenerate-bucket cap (Dedup / Similarity) — the
+    * oracles mirror it so Spark and DuckDB agree even on a corpus where
+    * one bucket exceeds it. */
+  private val DefaultMaxBucket = 10000
   private val IvfStride = 30L
   private val IvfCells = 16
   private val IvfProbe = 4
@@ -728,6 +732,7 @@ object SparkEntry {
       val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM mh"
     }.mkString(" UNION ALL ")
+    // `ok` mirrors the operator's maxBucket degenerate-band cap exactly
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id, CASE WHEN len(w) >= $MinhashK
          THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
@@ -735,10 +740,13 @@ object SparkEntry {
        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        hh AS (SELECT doc_id, ${sqlHexLong("s")} % $P AS h FROM ex),
        mh AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
-       banded AS ($bands)
+       banded AS ($bands),
+       ok AS (SELECT band_idx, band_hash FROM banded
+              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM banded a JOIN banded b
-         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       JOIN ok ON a.band_idx = ok.band_idx AND a.band_hash = ok.band_hash"""
   }
 
   /** Generated oracle: SimHash signatures, same bit-vote algorithm. */
@@ -885,11 +893,15 @@ object SparkEntry {
       val branches = (0 until LshTables).map(t =>
         s"SELECT vec_id, emb, $t AS tbl, ${lshBucketSql("emb", t, LshBits, EmbDim)} AS bucket FROM e")
         .mkString(" UNION ALL ")
+      // `ok` mirrors the operator's maxBucket degenerate-bucket cap
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         b AS ($branches)
+         b AS ($branches),
+         ok AS (SELECT tbl, bucket FROM b
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)
          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, round($cos, 6) AS cos_sim
          FROM b x JOIN b y
            ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         JOIN ok ON x.tbl = ok.tbl AND x.bucket = ok.bucket
          WHERE round($cos, 6) > 0.3"""
     },
     "q49_simhash_candidates" -> simhashCandidatesOracle,

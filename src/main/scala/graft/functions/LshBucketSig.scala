@@ -26,7 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * and the sign test is unaffected by the −0.0 edge).
   *
   * Returns null for a null array; an array shorter than `dim` is also
-  * null (mirrors out-of-bounds `getItem`).
+  * null (an explicit guard — the composable weight-chain form would
+  * instead throw INVALID_ARRAY_INDEX under Spark 4 ANSI `getItem`, so
+  * prefer this expression on possibly-ragged data). Null ELEMENTS are
+  * not supported (embedding columns are dense — same contract as
+  * [[CosineSimilarity]]); a null slot reads as 0.0 here where the
+  * composable form would null-poison the whole projection.
   */
 case class LshBucketSig(child: Expression, table: Int, nBits: Int, dim: Int)
     extends UnaryExpression {

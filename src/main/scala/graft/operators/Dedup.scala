@@ -68,12 +68,14 @@ object Dedup {
   }
 
   /** All unordered pairs (a, b), a < b, from a sorted bucket array —
-    * the within-bucket candidate enumeration shared by the LSH variants.
-    * Interpreted HOF, but only over small bucket arrays. */
-  private def bucketPairs(docs: Column): Column =
+    * the within-bucket candidate enumeration shared by every LSH blocking
+    * variant (minhash bands, simhash bands, embedding buckets).
+    * Interpreted HOF, but only over small (capped) bucket arrays. */
+  private[operators] def bucketPairs(docs: Column,
+      aName: String = "doc_a", bName: String = "doc_b"): Column =
     flatten(transform(docs, (x, i) =>
       transform(slice(docs, i + lit(2), size(docs)),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
+        y => struct(x.as(aName), y.as(bName)))))
 
   /** MinHash + LSH banding: docs sharing any band (of `bands` bands with
     * `numPerm/bands` rows each) become candidate pairs. Returns distinct

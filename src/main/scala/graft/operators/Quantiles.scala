@@ -33,13 +33,17 @@ object Quantiles {
 
   /** Per-group exact continuous quantiles of `valCol` at each requested
     * fraction, returned as one row per group with one column per
-    * `(alias, fraction)` pair. */
+    * `(alias, fraction)` pair. NULL values are ignored, matching
+    * `percentile` / `quantile_cont` (they must not occupy ranks or count
+    * toward n); a group whose values are all null disappears, like an
+    * inner aggregate over its non-null rows would. */
   def quantileCont(df: DataFrame, grp: Seq[String], valCol: Column,
       ps: Seq[(String, Double)]): DataFrame = {
     val gcols = grp.map(col)
     val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
     val wp = Window.partitionBy(gcols: _*)
     val ranked = df.select(gcols :+ valCol.cast(DoubleType).as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w) - 1) // 0-based rank
       .withColumn("__n", count(lit(1)).over(wp))
     val aggs = ps.map { case (name, p) =>

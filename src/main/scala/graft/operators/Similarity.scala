@@ -130,13 +130,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** All unordered pairs (a, b) from a sorted bucket array — within-
-    * bucket candidate enumeration (same idiom as Dedup.bucketPairs). */
-  private def bucketPairs(vs: Column): Column =
-    flatten(transform(vs, (x, i) =>
-      transform(slice(vs, i + lit(2), size(vs)),
-        y => struct(x.as("a"), y.as("b")))))
-
   /** Embedding near-dup pairs via sign-bit LSH blocking: vectors sharing
     * a bucket in ANY of `nTables` hyperplane tables are compared exactly,
     * and pairs whose rounded cosine exceeds `threshold` are emitted
@@ -163,7 +156,7 @@ object Similarity {
     banded.groupBy("tbl", "bucket")
       .agg(collect_list(col("ve")).as("vs"))
       .filter(size(col("vs")).between(2, maxBucket))
-      .select(explode(bucketPairs(array_sort(col("vs")))).as("p"))
+      .select(explode(Dedup.bucketPairs(array_sort(col("vs")), "a", "b")).as("p"))
       .select(col("p.a.id").as("vec_a"), col("p.b.id").as("vec_b"),
         round(cosine(col("p.a.emb"), col("p.b.emb")), 6).as("cos_sim"))
       .filter(col("cos_sim") > threshold)

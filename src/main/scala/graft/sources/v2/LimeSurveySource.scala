@@ -232,11 +232,18 @@ class LimeSurveyScan(required: StructType, conf: SourceConf,
   override def planInputPartitions(): Array[InputPartition] = conf.table match {
     case "participants" =>
       // one partition per page; each issues its own iStart/iLimit RPC on
-      // the executor (limit caps the page budget when pushed)
+      // the executor (limit caps the page budget when pushed). The LAST
+      // partition drains: it keeps paging past the planned window until a
+      // short page, so `maxPages` is a parallelism hint, not a silent
+      // truncation — essential for pushdown consistency (a server-side
+      // aConditions filter changes which rows fall inside a fixed window,
+      // so a truncating scan would return different rows pushed vs
+      // residual; a draining scan sees every row either way).
       val pageCap = limit.map(l => math.min(conf.maxPages.toLong,
         (l.toLong + conf.pageSize - 1) / conf.pageSize)).getOrElse(conf.maxPages.toLong)
       (0L until pageCap).map(p =>
-        ParticipantsPartition(p.toInt * conf.pageSize, conf.pageSize): InputPartition).toArray
+        ParticipantsPartition(p.toInt * conf.pageSize, conf.pageSize,
+          drain = limit.isEmpty && p == pageCap - 1): InputPartition).toArray
     case "responses" =>
       // aFields pushdown: index is the map key, not a server field
       val serverFields = required.fieldNames.toSeq.filterNot(_ == "index")
@@ -250,7 +257,8 @@ class LimeSurveyScan(required: StructType, conf: SourceConf,
 }
 
 case class ResponsesPartition(json: String) extends InputPartition
-case class ParticipantsPartition(start: Int, limit: Int) extends InputPartition
+case class ParticipantsPartition(start: Int, limit: Int,
+    drain: Boolean = false) extends InputPartition
 
 class LimeSurveyReaderFactory(required: StructType, conf: SourceConf,
     limit: Option[Int], conditions: Map[String, String] = Map.empty)
@@ -273,13 +281,13 @@ class LimeSurveyReaderFactory(required: StructType, conf: SourceConf,
             }
           }
         }
-      case ParticipantsPartition(start, pageLimit) =>
+      case ParticipantsPartition(start, pageLimit, drain) =>
         new JsonRowsReader(required, None) {
-          lazy val rows: Iterator[Map[String, String]] = {
-            val reply = LimeSurveySource.fetchParticipantsPage(conf, start, pageLimit, conditions)
+          private def fetchPage(s: Int): Seq[Map[String, String]] = {
+            val reply = LimeSurveySource.fetchParticipantsPage(conf, s, pageLimit, conditions)
             val mapper = new ObjectMapper
             val result = mapper.readTree(reply).get("result")
-            if (result == null || !result.isArray) Iterator.empty
+            if (result == null || !result.isArray) Nil
             else result.elements().asScala.map { p =>
               val info = p.get("participant_info")
               Map(
@@ -287,8 +295,16 @@ class LimeSurveyReaderFactory(required: StructType, conf: SourceConf,
                 "firstname" -> Option(info).flatMap(i => Option(i.get("firstname"))).map(_.asText()).orNull,
                 "lastname" -> Option(info).flatMap(i => Option(i.get("lastname"))).map(_.asText()).orNull,
                 "email" -> Option(info).flatMap(i => Option(i.get("email"))).map(_.asText()).orNull)
-            }
+            }.toSeq
           }
+          // drain mode: page serially past the planned window until a
+          // short page marks the end of the server-side result
+          private def pagesFrom(s: Int): Iterator[Seq[Map[String, String]]] = {
+            val page = fetchPage(s)
+            if (!drain || page.size < pageLimit) Iterator.single(page)
+            else Iterator.single(page) ++ pagesFrom(s + pageLimit)
+          }
+          lazy val rows: Iterator[Map[String, String]] = pagesFrom(start).flatten
         }
     }
 }

@@ -74,6 +74,21 @@ class DataSourceV2Spec extends SparkSpec {
       (0 until 10).map(i => s"p$i@x.com").toSet)
   }
 
+  test("last partition drains past the planned window (maxPages is a hint, not truncation)") {
+    // 10 rows, pageSize 4, maxPages 2: planned window covers 8 rows; the
+    // drain on the last partition pages on until the short page
+    val df = spark.read.format("limesurvey")
+      .option("transport", s"file:$dir").option("table", "participants")
+      .option("surveyId", "101").option("pageSize", "4").option("maxPages", "2")
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 10) // 4 + (4 then drain 2)
+    // a pushed filter sees the same complete row set (pushdown can never
+    // change visible results vs residual filtering)
+    val pushed = df.filter(col("email") === "p9@x.com").collect()
+    assert(pushed.map(_.getAs[String]("tid")).toSeq == Seq("9"))
+  }
+
   test("equality filter pushes to the participants RPC (aConditions) and drops from the plan") {
     val df = read("participants").filter(col("email") === "p3@x.com")
     val rows = df.collect()

@@ -207,6 +207,31 @@ class SimilaritySpec extends SparkSpec {
       dim = 8, maxBucket = 1).count() == 0)
   }
 
+  test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {
+    import graft.operators.Quantiles
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 500).map { i =>
+      val g = s"g${i % 3}"
+      // ties on purpose: values drawn from a small integer range + noise
+      val v: java.lang.Double =
+        if (i % 41 == 0) null else rnd.nextInt(20) + (if (i % 2 == 0) 0.25 else 0.0)
+      (g, v)
+    }.toDF("g", "v")
+    val expected = data.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = Quantiles.quantileCont(data, Seq("g"), col("v"),
+      Seq(("p50", 0.5), ("p90", 0.9)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, (p50, p90)) =>
+      assert(java.lang.Double.doubleToLongBits(p50) ==
+        java.lang.Double.doubleToLongBits(expected(g)._1), s"$g p50")
+      assert(java.lang.Double.doubleToLongBits(p90) ==
+        java.lang.Double.doubleToLongBits(expected(g)._2), s"$g p90")
+    }
+  }
+
   test("lshKnn recall against brute force is substantial") {
     val queries = corpus.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceKnn(corpus, queries, 3)

@@ -62,10 +62,14 @@ object SparkEntry {
           .withColumn("big_value", when(col("value") > 150, col("value")))
           .select("event_id", "event_type", "big_value"))),
 
-    // O11 — drop nulls on subset (null source: JSON field extraction)
+    // O11 — drop nulls on subset (null source: JSON field extraction).
+    // No wide() here: the null-filter predicate pushes below any
+    // repartition (it's deterministic), which would put one of the two
+    // JSON parses on the single scan task AND still parse again above —
+    // measured slower than letting both run fused in the scan stage.
     "q03_dropna_subset" -> ((s, d) =>
       Relational.dropNulls(Seq("k_value"))(
-        wide(Tables.events(s, d)).select(col("event_id"),
+        Tables.events(s, d).select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k_value")))),
 
     // O12 — bulk rename
@@ -414,23 +418,20 @@ object SparkEntry {
         date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
           .as("plus_30d"))),
 
-    // exact interpolated percentiles via the sort-based operator (same
+    // exact interpolated percentiles via histogram selection (same
     // (1-f)*lo + f*hi arithmetic as DuckDB quantile_cont and Spark's
-    // buffered `percentile`, but spill-safe — no per-group value buffer
-    // in an aggregation buffer). Two sorted passes (quantity, price)
-    // joined on the 3-row group key.
-    "q41_percentile" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val qty = Quantiles.quantileCont(li, Seq("l_returnflag"),
-        col("l_quantity"), Seq(("__p50q", 0.5)))
-      val price = Quantiles.quantileCont(li, Seq("l_returnflag"),
-        col("l_extendedprice"), Seq(("__p25p", 0.25), ("__p75p", 0.75)))
-      qty.join(price, Seq("l_returnflag"))
+    // buffered `percentile`, but no per-group value buffer and no
+    // full-data window: codegen histogram -> tiny cumsum -> rank only
+    // the bracket buckets). Both metrics share the two passes.
+    "q41_percentile" -> ((s, d) =>
+      Quantiles.quantileContBucketed(Tables.lineitem(s, d), Seq("l_returnflag"),
+        Seq(("q", col("l_quantity"), 1.0, Seq(("__p50q", 0.5))),
+          ("p", col("l_extendedprice"), 100.0,
+            Seq(("__p25p", 0.25), ("__p75p", 0.75)))))
         .select(col("l_returnflag"),
           round(col("__p50q"), 6).as("p50_qty"),
           round(col("__p25p"), 6).as("p25_price"),
-          round(col("__p75p"), 6).as("p75_price"))
-    }),
+          round(col("__p75p"), 6).as("p75_price"))),
 
     // time-bucketed aggregation — the batch equivalent of the streaming
     // tumbling-window count (streaming.EventsStream runs the readStream

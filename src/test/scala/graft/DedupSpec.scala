@@ -230,6 +230,20 @@ class SimilaritySpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(p90) ==
         java.lang.Double.doubleToLongBits(expected(g)._2), s"$g p90")
     }
+    // histogram-selection form agrees bit-for-bit too, at several widths
+    // (bucketing is internal — width must not affect the result)
+    Seq(0.5, 3.0, 1000.0).foreach { width =>
+      val b = Quantiles.quantileContBucketed(data, Seq("g"),
+        Seq(("v", col("v"), width, Seq(("p50", 0.5), ("p90", 0.9)))))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(b.keySet == expected.keySet)
+      b.foreach { case (g, (p50, p90)) =>
+        assert(java.lang.Double.doubleToLongBits(p50) ==
+          java.lang.Double.doubleToLongBits(expected(g)._1), s"width $width $g p50")
+        assert(java.lang.Double.doubleToLongBits(p90) ==
+          java.lang.Double.doubleToLongBits(expected(g)._2), s"width $width $g p90")
+      }
+    }
   }
 
   test("lshKnn recall against brute force is substantial") {

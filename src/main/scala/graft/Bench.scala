@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false")
+      // broadcast sizing for this host: 64 MB is conservative on 128 GiB
+      // (the default 10 MB narrowly excludes the ~15 MB orders table and
+      // forces a 600 k-row shuffle in q14/q15; a production deployment
+      // sizes this to executor memory, and at 100 TB AQE re-plans to
+      // shuffle joins when a side outgrows it)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

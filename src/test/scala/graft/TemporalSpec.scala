@@ -125,4 +125,22 @@ class NativeCosineSpec extends SparkSpec {
          FROM v_native a JOIN v_native b ON a.vec_id < b.vec_id""").count()
     assert(n == 30 * 29 / 2)
   }
+
+  test("lsh_bucket registers for SQL and matches the Column API") {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bucket"))) {
+      reg.createOrReplaceTempFunction("lsh_bucket",
+        exprs => graft.functions.LshBucketSig(exprs.head,
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+          exprs(3).eval().asInstanceOf[Int]), "built-in")
+    }
+    vecs.createOrReplaceTempView("v_lsh")
+    val viaSql = spark.sql(
+      "SELECT vec_id, lsh_bucket(embedding, 1, 6, 16) AS b FROM v_lsh")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = vecs.select(col("vec_id"),
+      graft.operators.Similarity.lshBucket(col("embedding"), 1, 6, 16).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaApi)
+  }
 }

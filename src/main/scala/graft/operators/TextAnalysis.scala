@@ -158,6 +158,25 @@ object TextAnalysis {
       lit(10000L)) < (fraction * 10000).toLong
   }
 
+  /** Stratified deterministic sampling for dataset mixing: the keep
+    * decision is [[deterministicSample]]'s hash test, but the fraction
+    * is looked up per stratum (e.g. per language — upsample rare
+    * languages, downsample dominant ones). Strata not in `rates` fall
+    * back to `defaultRate`. Same reproducibility contract: a pure
+    * function of (key, stratum), stable across runs/engines/retries,
+    * and a nested sample (all rates scaled down) is a subset. */
+  def stratifiedSample(key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    (rates.values.toSeq :+ defaultRate).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f not in [0,1]"))
+    val h = pmod(Hashing.hexLong(key.cast(org.apache.spark.sql.types.StringType)),
+      lit(10000L))
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toLong)) {
+      case (acc, (s, f)) => when(stratum === s, lit((f * 10000).toLong)).otherwise(acc)
+    }
+    h < threshold
+  }
+
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */

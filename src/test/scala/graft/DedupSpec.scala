@@ -57,6 +57,39 @@ class DedupSpec extends SparkSpec {
     assert(sh.isEmpty)
   }
 
+  test("connectedComponents labels every doc with its cluster's min id") {
+    // two chains (1-2-3 via shared middle, 4-5) and an isolated edge pair;
+    // chain 1-2, 2-3 means 3 reaches 1 only transitively
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      8L -> 8L, 9L -> 8L))
+    // a long path needs diameter iterations, not 1
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chain = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert((1L to 8L).forall(chain(_) == 1L))
+    assert(Dedup.connectedComponents(spark.emptyDataset[(Long, Long)]
+      .toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("stratifiedSample: per-stratum rates, deterministic, subset of flat sample") {
+    import graft.operators.TextAnalysis
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("k", "lang")
+    val kept = df.filter(TextAnalysis.stratifiedSample(col("k"), col("lang"),
+      Map("en" -> 0.1), 0.8)).as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byLang("en") / 2000.0 - 0.1) < 0.03, byLang.toString)
+    assert(math.abs(byLang("fr") / 2000.0 - 0.8) < 0.03, byLang.toString)
+    // per-stratum decisions equal the flat sample at the same rate
+    val flatEn = df.filter(col("lang") === "en")
+      .filter(TextAnalysis.deterministicSample(col("k"), 0.1))
+      .as[(Long, String)].collect().toSet
+    assert(kept.filter(_._2 == "en").toSet == flatEn)
+  }
+
   test("ngram jaccard verifies candidates: dup=1.0, near-dup high, ordered pairs") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccard(docs, "doc_id", col("text"), pairs, 3)

@@ -21,23 +21,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     // lsh_bucket(emb, table, nBits, dim) — the hyperplane parameters must
-    // be foldable integer literals (they fix the weight matrix at plan
-    // time; see LshBucketSig)
+    // be foldable integer expressions (they fix the weight matrix at
+    // plan time; see LshBucketSig)
     ext.injectFunction((
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketSig].getName, "lsh_bucket"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 4,
-          "lsh_bucket takes (embedding, table, nBits, dim)")
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"lsh_bucket $name must be an integer literal, got $other")
-        }
-        LshBucketSig(children.head, intLit(children(1), "table"),
-          intLit(children(2), "nBits"), intLit(children(3), "dim"))
-      }))
+      GraftExtensions.lshBucketBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.IntegerType
+
+  /** The SQL builder for lsh_bucket — shared with specs so tests
+    * exercise exactly the constructor the extension registers. */
+  private[graft] def lshBucketBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 4,
+      "lsh_bucket takes (embedding, table, nBits, dim)")
+    def intArg(e: Expression, name: String): Int =
+      if (e.foldable && e.dataType == IntegerType &&
+          e.eval() != null) e.eval().asInstanceOf[Int]
+      else throw new IllegalArgumentException(
+        s"lsh_bucket $name must be a foldable non-null integer expression, got $e")
+    LshBucketSig(children.head, intArg(children(1), "table"),
+      intArg(children(2), "nBits"), intArg(children(3), "dim"))
   }
 }

@@ -943,7 +943,7 @@ object SparkEntry {
          FROM reach GROUP BY src""",
     "q52_stratified_sample" -> {
       val cases = StratRates.toSeq.sortBy(_._1).map { case (s, f) =>
-        s"WHEN lang = '$s' THEN ${(f * 10000).toLong}"
+        s"WHEN lang = '${s.replace("'", "''")}' THEN ${(f * 10000).toLong}"
       }.mkString(" ")
       s"""SELECT doc_id, lang FROM documents
          WHERE ${sqlHexLong("CAST(doc_id AS VARCHAR)")} % 10000 <

@@ -239,6 +239,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "a component's diameter exceeds maxIter; raise it (iterations " +
+          "are cheap: one join + one groupBy each) rather than accept " +
+          "silently wrong cluster labels")
     labels.select(col("id").as("doc"), col("component"))
   }
 

@@ -51,9 +51,17 @@ object Quantiles {
     * and one candidate scan, not 2n scans. */
   def quantileContBucketed(df: DataFrame, grp: Seq[String],
       metrics: Seq[(String, Column, Double, Seq[(String, Double)])]): DataFrame = {
+    metrics.foreach { case (m, _, width, _) =>
+      require(width > 0 && !width.isInfinite && !width.isNaN,
+        s"metric '$m': bucket width must be a positive finite double, got $width")
+    }
     val gcols = grp.map(col)
     val keys = grp :+ "__m"
-    // unpivot to (group, metric, value, bucket)
+    // unpivot to (group, metric, value, bucket). NaN values are ignored
+    // alongside NULLs — NaN would bucket to 0 (floor(NaN)→0L) while
+    // sorting LAST, corrupting every cumulative rank; [[quantileCont]]
+    // instead inherits Spark's NaN-sorts-last behavior, so feed NaN-free
+    // data when the two forms must agree.
     val stacked = df
       .select(gcols :+ explode(array(metrics.map { case (m, v, width, _) =>
         struct(lit(m).as("m"), v.cast(DoubleType).as("v"),
@@ -61,7 +69,7 @@ object Quantiles {
       }: _*)).as("__mv"): _*)
       .select(gcols :+ col("__mv.m").as("__m") :+ col("__mv.v").as("__v") :+
         col("__mv.b").as("__b"): _*)
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
     // pass 1: per-bucket histogram (codegen hash agg, tiny output)
     val hist = stacked.groupBy((keys :+ "__b").map(col): _*)
       .agg(count(lit(1)).as("__c"))
@@ -87,15 +95,14 @@ object Quantiles {
         (floor(col("__h")) >= col("__cum") - col("__c") && floor(col("__h")) < col("__cum")) ||
           (ceil(col("__h")) >= col("__cum") - col("__c") && ceil(col("__h")) < col("__cum")))
       .select(keys.map(col) :+ col("__b") :+
-        (col("__cum") - col("__c")).as("__start"): _*)
-      .distinct()
+        (col("__cum") - col("__c")).as("__start") :+ col("__n"): _*)
+      .distinct() // __start and __n are functions of (keys, __b) — still one row per bucket
     // pass 2: rank only the candidate-bucket rows; globalize local ranks
+    // (__n rides along on the broadcast targets — no extra aggregate)
     val cand = stacked.join(broadcast(targets), keys :+ "__b")
     val wloc = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(col("__v"))
     val ranked = cand
       .withColumn("__rn", col("__start") + row_number().over(wloc) - 1) // 0-based global
-      .join(broadcast(cum.groupBy(keys.map(col): _*)
-        .agg(max(col("__n")).as("__n"))), keys)
     val aggs = metrics.flatMap { case (m, _, _, ps) =>
       ps.map { case (name, p) =>
         val h = (col("__n") - 1) * lit(p)
@@ -107,7 +114,10 @@ object Quantiles {
             col("__v") * (lit(1.0) - frac)).otherwise(lit(0.0)) +
             when(col("__m") === m && col("__rn") === hi && hi =!= lo,
               col("__v") * frac).otherwise(lit(0.0))
-        sum(contrib).as(name)
+        // a metric with no rows in this group (all NULL/NaN) must yield
+        // NULL, not a 0.0 sum of never-firing branches
+        when(count(when(col("__m") === m, lit(1))) > 0, sum(contrib))
+          .otherwise(lit(null)).as(name)
       }
     }
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)

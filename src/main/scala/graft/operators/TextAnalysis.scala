@@ -147,16 +147,25 @@ object TextAnalysis {
       .otherwise(windows)
   }
 
+  /** The shared sampling hash: key → [0, 10000). Both samplers MUST use
+    * this same expression — the stratified sampler's "equal to the flat
+    * sampler at the same rate" guarantee depends on it. */
+  private def sampleHash(key: Column): Column =
+    pmod(Hashing.hexLong(key.cast(org.apache.spark.sql.types.StringType)),
+      lit(10000L))
+
+  private def sampleThreshold(fraction: Double): Long = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    (fraction * 10000).toLong
+  }
+
   /** Deterministic hash sampling for reproducible dataset mixing: keeps
     * a row iff `hexLong(key) % 10000 < fraction*10000`. Unlike
     * `df.sample`, the decision is a pure function of the key — stable
     * across runs, engines, partitionings, and retries, and expressible
     * in the oracle. */
-  def deterministicSample(key: Column, fraction: Double): Column = {
-    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    pmod(Hashing.hexLong(key.cast(org.apache.spark.sql.types.StringType)),
-      lit(10000L)) < (fraction * 10000).toLong
-  }
+  def deterministicSample(key: Column, fraction: Double): Column =
+    sampleHash(key) < sampleThreshold(fraction)
 
   /** Stratified deterministic sampling for dataset mixing: the keep
     * decision is [[deterministicSample]]'s hash test, but the fraction
@@ -167,14 +176,10 @@ object TextAnalysis {
     * and a nested sample (all rates scaled down) is a subset. */
   def stratifiedSample(key: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double): Column = {
-    (rates.values.toSeq :+ defaultRate).foreach(f =>
-      require(f >= 0 && f <= 1, s"fraction $f not in [0,1]"))
-    val h = pmod(Hashing.hexLong(key.cast(org.apache.spark.sql.types.StringType)),
-      lit(10000L))
-    val threshold = rates.foldLeft(lit((defaultRate * 10000).toLong)) {
-      case (acc, (s, f)) => when(stratum === s, lit((f * 10000).toLong)).otherwise(acc)
+    val threshold = rates.foldLeft(lit(sampleThreshold(defaultRate))) {
+      case (acc, (s, f)) => when(stratum === s, lit(sampleThreshold(f))).otherwise(acc)
     }
-    h < threshold
+    sampleHash(key) < threshold
   }
 
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter

@@ -126,21 +126,24 @@ class NativeCosineSpec extends SparkSpec {
     assert(n == 30 * 29 / 2)
   }
 
-  test("lsh_bucket registers for SQL and matches the Column API") {
+  test("lsh_bucket registers for SQL via the extension's own builder, matches the Column API") {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bucket"))) {
-      reg.createOrReplaceTempFunction("lsh_bucket",
-        exprs => graft.functions.LshBucketSig(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
-          exprs(3).eval().asInstanceOf[Int]), "built-in")
-    }
+    // register through the EXACT builder GraftExtensions injects, so a
+    // builder bug (argument order, literal handling) fails here
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      graft.GraftExtensions.lshBucketBuilder, "built-in")
     vecs.createOrReplaceTempView("v_lsh")
     val viaSql = spark.sql(
-      "SELECT vec_id, lsh_bucket(embedding, 1, 6, 16) AS b FROM v_lsh")
-      .as[(Long, Long)].collect().toMap
+      "SELECT vec_id, lsh_bucket(embedding, 1, 2 * 3, CAST(16 AS INT)) AS b FROM v_lsh")
+      .as[(Long, Long)].collect().toMap // foldable non-literal args accepted
     val viaApi = vecs.select(col("vec_id"),
       graft.operators.Similarity.lshBucket(col("embedding"), 1, 6, 16).as("b"))
       .as[(Long, Long)].collect().toMap
     assert(viaSql == viaApi)
+    // non-foldable parameters are rejected at analysis time
+    val err = intercept[Exception] {
+      spark.sql("SELECT lsh_bucket(embedding, 1, CAST(vec_id AS INT), 16) FROM v_lsh").collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
   }
 }

@@ -728,6 +728,11 @@ object SparkEntry {
           StratRates, StratDefault))
         .select(col("doc_id"), col("lang"))),
 
+    // corpus vocabulary: top-200 tokens by occurrence with document
+    // frequency (tokenizer/BPE-training prep; deterministic truncation)
+    "q53_vocabulary" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", col("text"), 200)),
+
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
       val docs20 = Tables.documents(s, d).filter(col("doc_id") < 20)
@@ -941,6 +946,11 @@ object SparkEntry {
                    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS component
          FROM reach GROUP BY src""",
+    "q53_vocabulary" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 200""",
     "q52_stratified_sample" -> {
       val cases = StratRates.toSeq.sortBy(_._1).map { case (s, f) =>
         s"WHEN lang = '${s.replace("'", "''")}' THEN ${(f * 10000).toLong}"

@@ -147,6 +147,29 @@ object TextAnalysis {
       .otherwise(windows)
   }
 
+  /** Corpus-level vocabulary statistics — the input to tokenizer/BPE
+    * training and stopword discovery: per distinct token, the total
+    * occurrence count and the document frequency, truncated to the
+    * top-k by count.
+    *
+    * Scale shape: explode tokens (narrow, in the scan tasks) → ONE hash
+    * aggregate on the token keyed across the corpus — `count(*)` is
+    * map-side combined, and the doc frequency uses the expand-based
+    * distinct-count path (partial aggregation per (token, doc), then
+    * merge), so the shuffle carries per-partition partials, never one
+    * row per occurrence. Top-k is TakeOrderedAndProject — no global
+    * sort. The total order (count desc, token asc) makes the truncation
+    * deterministic and oracle-reproducible. */
+  def vocabulary(df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    val ex = Parallelism.ensure(df.select(col(idCol).as("__doc"), text.as("__t")))
+      .select(col("__doc"), explode(tokens(col("__t"))).as("token"))
+    ex.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__doc")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** The shared sampling hash: key → [0, 10000). Both samplers MUST use
     * this same expression — the stratified sampler's "equal to the flat
     * sampler at the same rate" guarantee depends on it. */

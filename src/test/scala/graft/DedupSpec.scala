@@ -133,6 +133,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
   }
 
+  test("vocabulary: top-k tokens by count with doc frequency, deterministic order") {
+    val docs = Seq(
+      (1L, "a a a b c"), (2L, "a b b z"), (3L, "c c q")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "doc_id", col("text"), 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // a: 4 occurrences in 2 docs; b and c tie at 3 -> token asc breaks it
+    assert(out == Seq(("a", 4L, 2L), ("b", 3L, 2L), ("c", 3L, 2L)))
+  }
+
   test("rollingHash is deterministic and order-sensitive") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
       .select(TextAnalysis.rollingHash(col("text")).as("h"))

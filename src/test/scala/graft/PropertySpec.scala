@@ -66,6 +66,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling: nested rates give nested samples; rate 1 keeps all") {
+    import graft.operators.TextAnalysis
+    val ratesGen = for {
+      rEn <- Gen.choose(0.0, 1.0)
+      rFr <- Gen.choose(0.0, 1.0)
+      dflt <- Gen.choose(0.0, 1.0)
+    } yield (rEn, rFr, dflt)
+    val df = (1 to 800).map(i =>
+      (i.toLong, Seq("en", "fr", "zh")(i % 3))).toDF("k", "lang")
+    samples(ratesGen, 8).foreach { case (rEn, rFr, dflt) =>
+      def kept(scale: Double) = df.filter(TextAnalysis.stratifiedSample(
+        col("k"), col("lang"),
+        Map("en" -> rEn * scale, "fr" -> rFr * scale), dflt * scale))
+        .as[(Long, String)].collect().map(_._1).toSet
+      val full = kept(1.0)
+      val half = kept(0.5)
+      assert(half.subsetOf(full), s"rates ($rEn,$rFr,$dflt): not nested")
+    }
+    val all = df.filter(TextAnalysis.stratifiedSample(col("k"), col("lang"),
+      Map("en" -> 1.0), 1.0)).count()
+    assert(all == 800)
+  }
+
+  test("bucketed quantiles: min/max/median of generated lists match a direct computation") {
+    import graft.operators.Quantiles
+    val listGen = Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0))
+    samples(listGen, 8).filter(_.length >= 2).foreach { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val out = Quantiles.quantileContBucketed(df, Seq("g"),
+        Seq(("v", col("v"), 37.0, Seq(("p0", 0.0), ("p50", 0.5), ("p100", 1.0))))).head
+      val sorted = vs.sorted
+      assert(out.getDouble(1) == sorted.head, s"p0 for $vs")
+      assert(out.getDouble(3) == sorted.last, s"p100 for $vs")
+      val n = sorted.length
+      val h = (n - 1) * 0.5
+      val expected50 = sorted(h.toInt) * (1.0 - (h - h.toInt)) +
+        (if (math.ceil(h).toInt != h.toInt) sorted(math.ceil(h).toInt) * (h - h.toInt) else 0.0)
+      assert(math.abs(out.getDouble(2) - expected50) < 1e-9, s"p50 for $vs")
+    }
+  }
+
   test("cosine similarity is within [-1, 1] and symmetric") {
     val vecGen = Gen.listOfN(6, Gen.choose(-5.0, 5.0).map(_.toFloat))
       .suchThat(_.exists(_ != 0f)).map(_.toArray)

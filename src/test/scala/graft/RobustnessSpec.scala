@@ -22,6 +22,27 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.simHashCandidates(emptyDocs, "doc_id", col("text")).count() == 0)
   }
 
+  test("round-2 operators on degenerate input: empty, null strata, lone groups") {
+    // vocabulary of an empty corpus is empty, not a crash
+    assert(TextAnalysis.vocabulary(emptyDocs, "doc_id", col("text"), 10).count() == 0)
+    // null stratum falls to the default rate (stratum === s is null-safe false)
+    val withNull = Seq((1L, "en"), (2L, null: String)).toDF("k", "lang")
+    val kept = withNull.filter(TextAnalysis.stratifiedSample(col("k"), col("lang"),
+      Map("en" -> 0.0), 1.0)).as[(Long, String)].collect()
+    assert(kept.map(_._1).toSeq == Seq(2L)) // en dropped (rate 0), null kept (default 1.0)
+    // empty near-dup pair set -> empty components (no iterations run)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    // LSH near-dup pairs over an empty corpus
+    assert(Similarity.lshNearDupPairs(emptyVecs, 0.5, nTables = 1, nBits = 2,
+      dim = 2).count() == 0)
+    // quantiles of a single-row group: every fraction is that value
+    val one = Seq(("g", 42.0)).toDF("g", "v")
+    val q = Quantiles.quantileContBucketed(one, Seq("g"),
+      Seq(("v", col("v"), 10.0, Seq(("p25", 0.25), ("p75", 0.75))))).head
+    assert(q.getDouble(1) == 42.0 && q.getDouble(2) == 42.0)
+  }
+
   test("similarity on empty corpus/queries returns empty") {
     assert(Similarity.bruteForceKnn(emptyVecs, emptyVecs, 5).count() == 0)
     val one = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")

@@ -117,6 +117,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(after == before, s"plan construction launched ${after - before} job(s)")
   }
 
+  test("q53 vocabulary: top-k via TakeOrderedAndProject, no global sort") {
+    val plan = planOf("q53_vocabulary")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(800))
+  }
+
+  test("q52 stratified sample: pure narrow plan, zero exchanges") {
+    val plan = planOf("q52_stratified_sample")
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+
   test("q31 knn: query side broadcast so the corpus scans once without shuffle") {
     val plan = planOf("q31_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))

@@ -72,6 +72,72 @@ object EventsStream {
       .toDF()
   }
 
+  /** A closed user session: bounded by `gap` of inactivity. */
+  case class SessionWindow(userId: Long, sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp, nEvents: Long)
+
+  /** Open-session accumulator (flatMapGroupsWithState state). */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** Gap-based session windows via `flatMapGroupsWithState` with
+    * EVENT-time timeouts — the custom-state shape for emit-on-close
+    * semantics (mapGroupsWithState must emit exactly one row per group
+    * per batch; closed sessions need zero-or-many). A session closes
+    * either in-batch (an event arrives more than `gapMs` after the
+    * session end — emitted immediately) or by timeout (the watermark
+    * passes sessionEnd + gap — emitted from the timeout branch).
+    *
+    * Event-time timeouts, not processing-time: they are driven by the
+    * watermark, so a Trigger.AvailableNow run completes (pending
+    * processing-time timers would keep it alive forever — round-1 trap),
+    * and results are deterministic functions of the data, not of
+    * wall-clock scheduling.
+    *
+    * Scale shape: state is one small fixed-size record per ACTIVE user
+    * (closed sessions leave state immediately), hash-partitioned by
+    * user — the same plan at 32 or 1000 executors. */
+  def sessionWindows(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = SessionWindow(userId,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toList
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[SessionWindow]
+            var cur = state.getOption
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= close(s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the engine requires a timeout strictly beyond the watermark
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs + 1, s.endMs + gapMs))
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+
   /** Convenience writer: append mode to an in-memory or file sink. */
   def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
     df.writeStream.outputMode(OutputMode.Append).format("memory")

@@ -30,6 +30,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows closes sessions by event-time timeout and in-batch gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = EventsStream.sessionWindows(spark, events,
+      gapMs = 30L * 60 * 1000, watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_windows").start()
+    try {
+      // user 1: two events 10 min apart -> one session 10:00-10:10
+      input.addData((1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:10:00")))
+      q.processAllAvailable()
+      // user 2 at 13:00 — advances the NEXT batch's watermark past 10:40
+      input.addData((2L, t("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      // user 2 again 3h later: in-batch gap split closes the 13:00 session;
+      // the watermark (12:59:50) times out user 1's open session
+      input.addData((2L, t("2026-01-01 16:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("session_windows")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(rows.contains((1L, t("2026-01-01 10:00:00"),
+        t("2026-01-01 10:10:00"), 2L)), rows.toString) // timeout-closed
+      assert(rows.contains((2L, t("2026-01-01 13:00:00"),
+        t("2026-01-01 13:00:00"), 1L)), rows.toString) // gap-split-closed
+      // the 16:00 session is still open -> not emitted
+      assert(!rows.exists(r => r._2 == t("2026-01-01 16:00:00")), rows.toString)
+    } finally q.stop()
+  }
+
   test("tumbling-window stream over events matches the batch plan (q23 twin)") {
     // the streaming file source needs a directory, not a single file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

@@ -733,6 +733,30 @@ object SparkEntry {
     "q53_vocabulary" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", col("text"), 200)),
 
+    // canonicalization before fingerprinting (lowercase, strip
+    // punctuation, collapse whitespace) + a changed flag. The corpus text
+    // is already clean, so punctuation is injected deterministically by
+    // doc_id — the oracle then exercises every branch of the normalizer.
+    "q54_normalize" -> ((s, d) => {
+      val spiked = when(col("doc_id") % 5 === 0,
+        concat(lit("  \"Hello,  WORLD!\"  ("), col("text"), lit(") ...")))
+        .otherwise(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalize(spiked).as("norm_text"),
+        (TextAnalysis.normalize(spiked) =!= col("text")).as("changed"))
+    }),
+
+    // global dedup end-to-end: candidates -> clusters -> survivors (every
+    // near-dup cluster keeps only its canonical min doc id)
+    "q55_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.connectedComponents(
+        Dedup.minHashCandidates(docs, "doc_id", col("text"),
+          MinhashK, MinhashPerms, MinhashBands))
+      Dedup.keepCanonical(docs, "doc_id", comps)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
       val docs20 = Tables.documents(s, d).filter(col("doc_id") < 20)
@@ -951,6 +975,28 @@ object SparkEntry {
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 200""",
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    // default); the strip class escapes its single quotes for SQL
+    "q54_normalize" -> {
+      val strip = TextAnalysis.NormalizeStrip.replace("'", "''")
+      val spiked = """CASE WHEN doc_id % 5 = 0
+        THEN '  "Hello,  WORLD!"  (' || text || ') ...' ELSE text END"""
+      val norm =
+        s"trim(regexp_replace(regexp_replace(lower($spiked), '$strip', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""SELECT doc_id, $norm AS norm_text, $norm <> text AS changed
+         FROM documents"""
+    },
+    "q55_dedup_survivors" ->
+      s"""WITH RECURSIVE cand AS ($minhashOracle),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         cc AS (SELECT src AS doc, least(src, min(dst)) AS component
+                FROM reach GROUP BY src)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc FROM cc WHERE doc <> component)""",
     "q52_stratified_sample" -> {
       val cases = StratRates.toSeq.sortBy(_._1).map { case (s, f) =>
         s"WHEN lang = '${s.replace("'", "''")}' THEN ${(f * 10000).toLong}"

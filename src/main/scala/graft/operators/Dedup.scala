@@ -248,6 +248,18 @@ object Dedup {
     labels.select(col("id").as("doc"), col("component"))
   }
 
+  /** Keep-one-per-cluster — the final step of global dedup: drop every
+    * doc whose component label is another doc (the cluster's canonical
+    * min survives; near-dup followers go). A left-anti join against the
+    * (small) follower set, so the corpus scans once and the join
+    * broadcast-or-shuffles on the doc id. */
+  def keepCanonical(docs: DataFrame, idCol: String,
+      components: DataFrame): DataFrame =
+    docs.join(
+      components.filter(col("doc") =!= col("component"))
+        .select(col("doc").as("__follower")),
+      col(idCol) === col("__follower"), "left_anti")
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (the
     * verify step after LSH banding): explode shingles, count
     * intersections via an equi-join on the shingle, divide by union. */

@@ -147,6 +147,20 @@ object TextAnalysis {
       .otherwise(windows)
   }
 
+  /** Characters stripped by [[normalize]] — an explicit ASCII
+    * punctuation set rather than a unicode category class, so the regex
+    * means the same thing in every engine's dialect (java.util.regex
+    * and RE2 disagree on some \\p{...} classes). */
+  val NormalizeStrip = """[.,!?;:'"()\[\]{}]"""
+
+  /** Canonicalize text before fingerprinting/dedup: lowercase, strip
+    * punctuation ([[NormalizeStrip]]), collapse whitespace runs to one
+    * space, trim. Pure per-row expression — narrow, codegen'd,
+    * engine-portable. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), NormalizeStrip, ""),
+      "\\s+", " "))
+
   /** Corpus-level vocabulary statistics — the input to tokenizer/BPE
     * training and stopword discovery: per distinct token, the total
     * occurrence count and the document frequency, truncated to the

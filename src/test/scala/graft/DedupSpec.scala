@@ -133,6 +133,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
   }
 
+  test("normalize: lowercases, strips punctuation, collapses whitespace") {
+    val out = Seq("""  "Hello,  WORLD!"  (ok) ...  """, "already clean", "")
+      .toDF("t").select(TextAnalysis.normalize(col("t"))).as[String].collect()
+    assert(out(0) == "hello world ok")
+    assert(out(1) == "already clean")
+    assert(out(2) == "")
+  }
+
+  test("keepCanonical drops near-dup followers, keeps cluster minima and isolated docs") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc", "component")
+    val kept = Dedup.keepCanonical(docs, "doc_id", comps)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L)) // 2,3 follow 1; 7 isolated (absent from comps)
+  }
+
   test("vocabulary: top-k tokens by count with doc frequency, deterministic order") {
     val docs = Seq(
       (1L, "a a a b c"), (2L, "a b b z"), (3L, "c c q")).toDF("doc_id", "text")

@@ -741,7 +741,7 @@ object SparkEntry {
       val spiked = when(col("doc_id") % 5 === 0,
         concat(lit("  \"Hello,  WORLD!\"  ("), col("text"), lit(") ...")))
         .otherwise(col("text"))
-      Tables.documents(s, d).select(col("doc_id"),
+      wide(Tables.documents(s, d)).select(col("doc_id"),
         TextAnalysis.normalize(spiked).as("norm_text"),
         (TextAnalysis.normalize(spiked) =!= col("text")).as("changed"))
     }),

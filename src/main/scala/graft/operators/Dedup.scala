@@ -213,7 +213,14 @@ object Dedup {
     *
     * Returns (doc, component) for every doc appearing in `pairs`;
     * isolated docs (no candidate edge) are their own component by
-    * definition and are simply absent. */
+    * definition and are simply absent.
+    *
+    * NOTE: unlike every declarative operator in this library, CALLING
+    * this method executes the iterations (each round is checkpointed,
+    * so downstream actions reuse the result instead of recomputing) —
+    * an iterative fixpoint is a driver program, the same execution
+    * model as MLlib's training loops. Plan-only inspection of a query
+    * built on it therefore pays the clustering cost up front. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

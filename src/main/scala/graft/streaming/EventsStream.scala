@@ -118,11 +118,25 @@ object EventsStream {
             var cur = state.getOption
             rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
               cur = cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
-                case Some(s) =>
+                case Some(s) if t > s.endMs + gapMs =>
+                  // next session: the open one is closed by the gap
                   closed ::= close(s)
                   Some(OpenSession(t, t, 1))
+                case Some(s) if t < s.startMs - gapMs =>
+                  // in-watermark straggler from BEFORE the open session
+                  // (cross-batch out-of-order): it can never join a
+                  // session that starts > gap after it — emit it as its
+                  // own closed singleton (single-pass streaming
+                  // sessionization of late data is approximate by
+                  // nature; batch recomputation is the exact path)
+                  closed ::= SessionWindow(userId,
+                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
+                  Some(s)
+                case Some(s) =>
+                  // within the gap of the session interval — extend
+                  // either end (a late event may precede the start)
+                  Some(OpenSession(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1))
                 case None => Some(OpenSession(t, t, 1))
               }
             }

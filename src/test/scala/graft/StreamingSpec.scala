@@ -63,6 +63,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows handles cross-batch out-of-order events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sessionWindows(spark, input.toDF().toDF("user_id", "ts"),
+      gapMs = 30L * 60 * 1000, watermarkDelay = "6 hours") // wide watermark: late data in scope
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ooo_sessions").start()
+    try {
+      input.addData((1L, t("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // late, within gap of the open session's START: must extend start
+      input.addData((1L, t("2026-01-01 11:45:00")))
+      q.processAllAvailable()
+      // late, > gap BEFORE the session: emitted as its own singleton
+      input.addData((1L, t("2026-01-01 09:00:00")))
+      q.processAllAvailable()
+      // advance watermark far enough to time out the open session
+      input.addData((2L, t("2026-01-02 00:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, t("2026-01-02 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(rows.contains((1L, t("2026-01-01 09:00:00"),
+        t("2026-01-01 09:00:00"), 1L)), rows.toString) // stray singleton
+      assert(rows.contains((1L, t("2026-01-01 11:45:00"),
+        t("2026-01-01 12:00:00"), 2L)), rows.toString) // start extended backwards
+    } finally q.stop()
+  }
+
   test("tumbling-window stream over events matches the batch plan (q23 twin)") {
     // the streaming file source needs a directory, not a single file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

@@ -339,6 +339,24 @@ object SparkEntry {
           col("a_value"), col("b_value"))
     }),
 
+    // the SAME range-join semantics expressed as a plain DataFrame join
+    // with a nested-loop-shaped predicate — the custom optimizer rule
+    // (plans/RangeJoinRewrite, self-enabled on the session) rewrites it
+    // into the bucketed equi-join, proving the extension path through
+    // the correctness gate; all ordered pairs incl. self (the join
+    // condition must be exactly the range predicate for the rule to
+    // match, so no id-ordering filter here — q36 is the curated variant)
+    "q56_range_join_rule" -> ((s, d) => {
+      plans.RangeJoinRewrite.enable(s)
+      val e = Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"), col("value"))
+      e.as("a").join(e.as("b"),
+        abs(col("a.value") - col("b.value")) <= lit(0.5))
+        .select(col("a.event_id").as("a_event_id"),
+          col("b.event_id").as("b_event_id"),
+          col("a.value").as("a_value"), col("b.value").as("b_value"))
+    }),
+
     // pivot (wide aggregation): order counts by priority per customer
     // bucket; absent combinations coalesced to 0 to match FILTER-count
     // semantics in the oracle
@@ -573,7 +591,13 @@ object SparkEntry {
          SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
            a.value AS a_value, b.value AS b_value
          FROM e a, e b
-         WHERE a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5"""
+         WHERE a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5""",
+    "q56_range_join_rule" ->
+      """WITH e AS (SELECT event_id, value FROM events WHERE event_id < 300)
+         SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+           a.value AS a_value, b.value AS b_value
+         FROM e a, e b
+         WHERE abs(a.value - b.value) <= 0.5"""
   )
 
   // ---------------------------------------------------------------------

@@ -89,6 +89,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q56: the optimizer RULE turns the nested-loop range join into an equi-join") {
+    val plan = finalPlanOf("q56_range_join_rule")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the rewrite's bucket column is visible in the executed plan
+    assert(plan.contains("__rjr"), plan.take(800))
+  }
+
   test("q32 embedding near-dup: LSH bucket grouping, no join operator at all") {
     val plan = planOf("q32_embedding_neardup")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))

@@ -781,6 +781,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // per-(doc, token) TF-IDF weights (retrieval/curation scoring)
+    "q57_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", col("text"))),
+
     // exact n-gram Jaccard over a declared pair set (the LSH verify step)
     "q34_jaccard" -> ((s, d) => {
       val docs20 = Tables.documents(s, d).filter(col("doc_id") < 20)
@@ -999,6 +1003,15 @@ object SparkEntry {
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 200""",
+    "q57_tfidf" ->
+      """WITH ex AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+         dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents)
+         SELECT doc, tf.token AS token, tf,
+           round(ln(CAST(nd + 1 AS DOUBLE) / (df + 1)) + 1.0, 6) AS idf,
+           round(tf * (ln(CAST(nd + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+         FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n""",
     // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
     // default); the strip class escapes its single quotes for SQL
     "q54_normalize" -> {

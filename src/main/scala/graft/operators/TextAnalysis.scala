@@ -184,6 +184,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-(doc, token) TF-IDF weights — the classic retrieval/curation
+    * scorer: `tf` is the in-document term count, idf the smoothed
+    * `ln((N+1)/(df+1)) + 1` (every token keeps a positive weight, no
+    * division by zero on unseen terms).
+    *
+    * Scale shape: explode → ONE hash aggregate on (doc, token) with
+    * map-side combine; document frequency re-aggregates that result
+    * (already one row per doc-token, so df = count per token); the
+    * corpus size joins in as a broadcast 1-ROW aggregate — deriving N
+    * from a driver-side `count()` would run an eager job at plan time
+    * (the ivfKnn lesson). Both joins broadcast; the big side shuffles
+    * once. */
+  def tfIdf(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(tokens(col("__t"))).as("token"))
+    val tf = ex.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    val idf = log((col("__n") + 1).cast(DoubleType) / (col("df") + 1)) + 1.0
+    tf.join(broadcast(docFreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("token"), col("tf"),
+        round(idf, 6).as("idf"),
+        round(col("tf") * idf, 6).as("tfidf"))
+  }
+
   /** The shared sampling hash: key → [0, 10000). Both samplers MUST use
     * this same expression — the stratified sampler's "equal to the flat
     * sampler at the same rate" guarantee depends on it. */

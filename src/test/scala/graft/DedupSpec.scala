@@ -149,6 +149,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L, 7L)) // 2,3 follow 1; 7 isolated (absent from comps)
   }
 
+  test("tfIdf: rare tokens outweigh common ones; tf scales linearly") {
+    val docs = Seq((1L, "a a rare"), (2L, "a x"), (3L, "a y")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", col("text"))
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._5)).toMap
+    // 'a' in every doc (df=3): idf = ln(4/4)+1 = 1.0
+    assert(out((2L, "a")) == ((1L, 1.0)))
+    assert(out((1L, "a")) == ((2L, 2.0))) // tf=2 doubles the score
+    // 'rare' (df=1): idf = ln(4/2)+1 > 1 -> outweighs a same-tf common token
+    assert(out((1L, "rare"))._2 > out((2L, "a"))._2)
+    assert(math.abs(out((1L, "rare"))._2 - (math.log(2.0) + 1)) < 1e-6)
+  }
+
   test("vocabulary: top-k tokens by count with doc frequency, deterministic order") {
     val docs = Seq(
       (1L, "a a a b c"), (2L, "a b b z"), (3L, "c c q")).toDF("doc_id", "text")

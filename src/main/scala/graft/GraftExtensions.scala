@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, LshBucketSig}
+import graft.functions.{CosinePairsWithin, CosineSimilarity, LshBucketSig, TopKByScore}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the library's native Catalyst expressions so they are
@@ -27,6 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketSig].getName, "lsh_bucket"),
       GraftExtensions.lshBucketBuilder))
+    // top_k_by_score(score, id, k) — bounded two-phase top-k aggregate
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      GraftExtensions.topKBuilder))
+    // cosine_pairs_within(bucket, threshold) — fused near-dup pair generator
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_pairs_within"),
+      new ExpressionInfo(classOf[CosinePairsWithin].getName, "cosine_pairs_within"),
+      GraftExtensions.cosinePairsBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
@@ -47,5 +57,30 @@ object GraftExtensions {
         s"lsh_bucket $name must be a foldable non-null integer expression, got $e")
     LshBucketSig(children.head, intArg(children(1), "table"),
       intArg(children(2), "nBits"), intArg(children(3), "dim"))
+  }
+
+  // SQL literals arrive typed by the parser (`10` = int, `0.5` =
+  // decimal(1,1)), so the scalar-parameter builders accept any foldable
+  // numeric and convert, rather than demanding one exact type.
+  private def foldableNum(e: Expression, fn: String, name: String): Number =
+    (if (e.foldable) e.eval() else null) match {
+      case n: Number => n
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case _ => throw new IllegalArgumentException(
+        s"$fn $name must be a foldable non-null numeric expression, got $e")
+    }
+
+  private[graft] def topKBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "top_k_by_score takes (score, id, k)")
+    TopKByScore(children.head, children(1),
+      foldableNum(children(2), "top_k_by_score", "k").intValue())
+      .toAggregateExpression()
+  }
+
+  private[graft] def cosinePairsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "cosine_pairs_within takes (bucket, threshold)")
+    CosinePairsWithin(children.head,
+      foldableNum(children(1), "cosine_pairs_within", "threshold").doubleValue())
   }
 }

@@ -20,4 +20,12 @@ object Native {
   /** Codegen'd random-hyperplane LSH bucket (see [[LshBucketSig]]). */
   def lshBucket(emb: Column, table: Int, nBits: Int, dim: Int): Column =
     column(LshBucketSig(expr(emb), table, nBits, dim))
+
+  /** Bounded two-phase top-k aggregate (see [[TopKByScore]]). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    column(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
+
+  /** Fused within-bucket cosine pair generator (see [[CosinePairsWithin]]). */
+  def cosinePairsWithin(bucket: Column, threshold: Double): Column =
+    column(CosinePairsWithin(expr(bucket), threshold))
 }

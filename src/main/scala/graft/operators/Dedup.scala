@@ -205,11 +205,17 @@ object Dedup {
     * shallow almost-cliques (docs sharing bands), measured diameter ≤ 3
     * on the corpus, so the loop is 3–4 rounds of distributed work — the
     * classic MapReduce CC formulation. Lineage is truncated per
-    * iteration (localCheckpoint), so plans don't grow with rounds; the
-    * per-round convergence probe is an isEmpty (limit-1) action, the
-    * standard shape for iterative algorithms. At extreme diameters
-    * you'd switch to large-star/small-star (O(log n) rounds); for
-    * dedup graphs the simple propagation wins on constant factors.
+    * iteration (localCheckpoint), so plans don't grow with rounds.
+    * Per-round work is exactly ONE join + ONE groupBy: the previous
+    * label rides through the propagation row as `__old`, so the
+    * convergence probe is a limit-1 scan of the already-checkpointed
+    * round result — not a second labels join (the round-2 shape, which
+    * doubled per-round join work). Edges are hash-partitioned on the
+    * join key once before their checkpoint (localCheckpoint preserves
+    * outputPartitioning), so each round's join only exchanges the label
+    * side. At extreme diameters you'd switch to large-star/small-star
+    * (O(log n) rounds); for dedup graphs the simple propagation wins on
+    * constant factors.
     *
     * Returns (doc, component) for every doc appearing in `pairs`;
     * isolated docs (no candidate edge) are their own component by
@@ -224,6 +230,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -235,15 +242,12 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
       val next = labels
         .join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
-        .filter(col("component") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     if (!converged)

@@ -4,9 +4,11 @@
   *  - [[bruteForceKnn]] — exact cosine top-k of each query against the
   *    corpus. The query set is broadcast (it is small by construction),
   *    so the corpus is scanned once, partition-parallel, with NO shuffle
-  *    until the final per-query top-k (TakeOrdered-style partial top-k
-  *    then merge). This is the correctness baseline and is the right
-  *    plan even at 100 TB when |queries| is modest.
+  *    until the final per-query top-k — a genuine two-phase bounded
+  *    aggregate ([[graft.functions.TopKByScore]]): per-partition k-slot
+  *    buffers map-side, k-row merges after the shuffle. This is the
+  *    correctness baseline and is the right plan even at 100 TB when
+  *    |queries| is modest.
   *  - [[lshKnn]] — random-hyperplane LSH: corpus and queries are bucketed
   *    by sign-bit signatures; candidates come from an equi-join on
   *    (table, bucket), then exact cosine re-ranks within buckets. Sublinear
@@ -19,11 +21,29 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.functions.Native
+
 object Similarity {
+
+  /** Per-query bounded top-k over a scored candidate set
+    * (`query_id`, `neighbor_id`, `cos_sim`) — the two-phase replacement
+    * for `row_number().over(Window.partitionBy("query_id"))`: a window
+    * funnels EVERY scored row into one task per query (that task sorts
+    * the whole corpus at 100 TB); [[graft.functions.TopKByScore]] keeps a
+    * k-slot buffer per query per partition map-side, so the shuffle
+    * carries ≤ k rows per query per partition and no task ever sorts
+    * more than it merges. Ordering (cos_sim desc, neighbor_id asc) and
+    * rank = position+1 reproduce the window formulation exactly — the
+    * DuckDB oracles keep their row_number() form. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(Native.topKByScore(col("cos_sim"), col("neighbor_id"), k).as("__nb"))
+      .select(col("query_id"), posexplode(col("__nb")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p.id").as("neighbor_id"),
+        col("__p.score").as("cos_sim"), (col("__pos") + 1).as("rank"))
 
   /** Sequential-fold dot product in double precision. */
   def dot(a: Column, b: Column): Column =
@@ -51,15 +71,12 @@ object Similarity {
     * broadcast). Ranking key is (rounded cosine desc, corpus id asc) so
     * results are total-ordered and reproducible across engines. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = Parallelism.ensure(corpus).as("c")
+    val scored = Parallelism.ensure(corpus).as("c")
       .join(broadcast(queries.as("q")),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(cosine(col("q.embedding"), col("c.embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Sign-bit signature under `nBits` pseudo-random hyperplanes, via the
@@ -97,37 +114,54 @@ object Similarity {
     * parameter precisely so plan construction stays lazy: deriving it
     * from `corpus.count()` would run an eager full-scan job before the
     * query even plans (at 100 TB, a whole job just to pick a stride).
-    * Cell assignment is a broadcast (anchors × corpus) argmax — one
-    * narrow pass over the corpus, no shuffle until the candidate
-    * equi-join on cell id. At 100 TB the assignment is computed once and
-    * persisted alongside the embeddings (a partition column), making
-    * each query a partition-pruned scan. */
+    *
+    * Cell assignment is fully NARROW: the `nCells` anchors collapse to a
+    * single array row (one tiny single-partition agg), cross-join
+    * broadcast to every task, and each vector ranks them in-row
+    * (`transform` + `array_sort` over nCells elements — sim desc,
+    * cell_id asc, encoded as an ascending sort on (-sim, cell_id)). The
+    * corpus is never shuffled and never row-expanded: no per-anchor
+    * row explosion, no window exchange — the first corpus shuffle in the
+    * whole query is the final bounded top-k aggregate. At 100 TB the
+    * assignment is computed once and persisted alongside the embeddings
+    * (a partition column), making each query a partition-pruned scan. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       stride: Long, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
     val anchors = corpus
       .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < stride * nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("anchor"))
+    ivfKnnWith(anchors, corpus, queries, k, nProbe)
+  }
+
+  /** IVF ANN against an explicit quantizer (`anchors`: cell_id, anchor
+    * embedding) — the seam that lets [[ivfKnn]]'s deterministic stride
+    * quantizer and [[trainIvfAnchors]]' k-means centroids share one
+    * plan. */
+  def ivfKnnWith(anchors: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    // nCells anchors -> ONE array row, sorted by cell_id for determinism
+    val anchorArr = anchors
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("anchor"))))
+        .as("__anchors"))
     def assign(df: DataFrame, idAs: String, top: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__sim").desc, col("cell_id").asc)
+      val emb = col(s"emb_$idAs")
+      // ascending (-sim, cell_id) == (sim desc, cell_id asc)
+      val ranked = array_sort(transform(col("__anchors"), a =>
+        struct((-cosine(emb, a.getField("anchor"))).as("neg"),
+          a.getField("cell_id").as("cell_id"))))
       df.select(col("vec_id").as(idAs), col("embedding").as(s"emb_$idAs"))
-        .join(broadcast(anchors))
-        .withColumn("__sim", cosine(col(s"emb_$idAs"), col("anchor")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= top)
-        .select(col(idAs), col(s"emb_$idAs"), col("cell_id"))
+        .crossJoin(broadcast(anchorArr))
+        .select(col(idAs), emb, explode(slice(ranked, 1, top)).as("__sc"))
+        .select(col(idAs), emb, col("__sc.cell_id").as("cell_id"))
     }
     val cells = assign(corpus, "neighbor_id", 1)
     val probes = assign(queries, "query_id", nProbe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(cells, Seq("cell_id"))
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("emb_query_id"), col("emb_neighbor_id")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-dup pairs via sign-bit LSH blocking: vectors sharing
@@ -156,10 +190,13 @@ object Similarity {
     banded.groupBy("tbl", "bucket")
       .agg(collect_list(col("ve")).as("vs"))
       .filter(size(col("vs")).between(2, maxBucket))
-      .select(explode(Dedup.bucketPairs(array_sort(col("vs")), "a", "b")).as("p"))
-      .select(col("p.a.id").as("vec_a"), col("p.b.id").as("vec_b"),
-        round(cosine(col("p.a.emb"), col("p.b.emb")), 6).as("cos_sim"))
-      .filter(col("cos_sim") > threshold)
+      // fused native generator: enumerates the O(bucket²) pairs as a
+      // primitive loop (embeddings extracted once, norms precomputed) and
+      // emits ONLY pairs above threshold — the HOF bucketPairs form
+      // materialized every pair (two embedding copies each) as an array
+      // before scoring; see graft.functions.CosinePairsWithin
+      .select(Native.cosinePairsWithin(col("vs"), threshold)
+        .as(Seq("vec_a", "vec_b", "cos_sim")))
       .distinct()
   }
 
@@ -183,9 +220,6 @@ object Similarity {
       .distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
       round(cosine(col("emb_query_id"), col("emb_neighbor_id")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 }

@@ -194,16 +194,26 @@ object TextAnalysis {
     * (already one row per doc-token, so df = count per token); the
     * corpus size joins in as a broadcast 1-ROW aggregate — deriving N
     * from a driver-side `count()` would run an eager job at plan time
-    * (the ivfKnn lesson). Both joins broadcast; the big side shuffles
-    * once. */
-  def tfIdf(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    * (the ivfKnn lesson).
+    *
+    * `broadcastVocab` guards the doc-frequency join hint: the df side is
+    * one row PER DISTINCT TOKEN, so at web-corpus scale (100 TB, open
+    * vocabulary: typos, code, URLs) it can exceed any broadcast limit.
+    * `true` (default) forces the broadcast — right whenever the
+    * vocabulary is known bounded (natural-language tokens, a tokenizer
+    * vocab). `false` leaves the join unhinted: Catalyst/AQE picks
+    * broadcast when the measured size allows and falls back to a shuffle
+    * hash join on `token` when it doesn't — the safe corpus-scale
+    * setting. Results are identical either way (spec-checked). */
+  def tfIdf(df: DataFrame, idCol: String, text: Column,
+      broadcastVocab: Boolean = true): DataFrame = {
     val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
       .select(col("doc"), explode(tokens(col("__t"))).as("token"))
     val tf = ex.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
     val idf = log((col("__n") + 1).cast(DoubleType) / (col("df") + 1)) + 1.0
-    tf.join(broadcast(docFreq), "token")
+    tf.join(if (broadcastVocab) broadcast(docFreq) else docFreq, "token")
       .crossJoin(broadcast(nDocs))
       .select(col("doc"), col("token"), col("tf"),
         round(idf, 6).as("idf"),

@@ -326,4 +326,66 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.count(approx).toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("bounded top-k aggregate == window row_number across many partitions, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate embeddings (i and i+50 identical) force exact cos_sim
+    // ties, so the (score desc, id asc) tie-break is actually exercised;
+    // 13 partitions force real partial/merge traffic through the shuffle
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin((i % 50) * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding").repartition(13)
+    val queries = vecs.filter(col("vec_id") < 4)
+    val scored = vecs.as("c").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("q.embedding"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val reference = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = Similarity.bruteForceKnn(vecs, queries, 7)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == reference)
+  }
+
+  test("cosine_pairs_within == composable enumerate+score+filter on the same buckets") {
+    // reference: all distinct unordered pairs scored with the composable
+    // cosine + round(6) + threshold — the generator must agree exactly
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val thr = 0.2
+    val ref = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosineComposable(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") > thr)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // one bucket holding the whole corpus => generator enumerates all pairs
+    val bucket = vecs.agg(collect_list(struct(col("vec_id").as("id"),
+      col("embedding").as("emb"))).as("vs"))
+    val got = bucket.select(graft.functions.Native.cosinePairsWithin(col("vs"), thr)
+        .as(Seq("vec_a", "vec_b", "cos_sim")))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(ref(k)), s"pair $k")
+    }
+  }
+
+  test("tfIdf: unhinted vocab join path returns identical rows to the broadcast path") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha delta"),
+      (3L, "beta beta epsilon zeta")).toDF("doc_id", "text")
+    def rows(b: Boolean) =
+      TextAnalysis.tfIdf(docs, "doc_id", col("text"), broadcastVocab = b)
+        .as[(Long, String, Long, Double, Double)].collect().toSet
+    assert(rows(false) == rows(true))
+  }
 }

@@ -105,6 +105,9 @@ class PlanAuditSpec extends SparkSpec {
     // not any self-join — the corpus subplan runs exactly once
     assert(!plan.contains("Join"), plan.take(800))
     assert(plan.contains("collect_list"), plan.take(800))
+    // pair enumeration + cosine + threshold fused in one native generator:
+    // only surviving pairs become rows (no O(bucket²) pair array)
+    assert(plan.contains("cosine_pairs_within"), plan.take(800))
   }
 
   test("q41 percentile: codegen'd sort-based plan, no interpreted value buffer") {
@@ -139,9 +142,26 @@ class PlanAuditSpec extends SparkSpec {
   test("q31 knn: query side broadcast so the corpus scans once without shuffle") {
     val plan = planOf("q31_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
-    // corpus side must NOT be exchanged before the join
-    val beforeWindow = plan.split("Window")(plan.split("Window").length - 1)
-    assert(beforeWindow.contains("BroadcastExchange"))
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("q31 knn: two-phase bounded top-k, not a per-query window funnel") {
+    val plan = planOf("q31_knn_brute")
+    // the round-2 scale-killer: row_number() over partitionBy(query_id)
+    // shuffled every scored row into one task per query. Now the only
+    // exchange on query_id sits ABOVE a partial top-k, so it carries at
+    // most k rows per query per map partition.
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("partial_top_k_by_score"), plan.take(800))
+  }
+
+  test("q50 ivf: narrow cell assignment — no window, no corpus shuffle before top-k") {
+    val plan = planOf("q50_ivf_knn")
+    assert(!plan.contains("Window"), plan.take(1200))
+    // the only hash exchange is the final bounded top-k on the candidate
+    // set (plus the single-row anchor-array agg's SinglePartition)
+    assert(countOf("Exchange hashpartitioning", plan) <= 1, plan.take(1200))
+    assert(countOf("top_k_by_score", plan) >= 2, plan.take(1200))
   }
 
   test("whole-stage codegen covers the scan->agg path of q13") {

@@ -146,4 +146,28 @@ class NativeCosineSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("foldable"), err.getMessage)
   }
+
+  test("top_k_by_score and cosine_pairs_within register via the extension's builders") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("top_k_by_score",
+      graft.GraftExtensions.topKBuilder, "built-in")
+    reg.createOrReplaceTempFunction("cosine_pairs_within",
+      graft.GraftExtensions.cosinePairsBuilder, "built-in")
+    // ties break by id asc; SQL int literal `2` converts to the Int k
+    val tk = spark.sql(
+      """SELECT g, top_k_by_score(s, i, 2) AS tk FROM VALUES
+           ('a', 1.0D, 10L), ('a', 3.0D, 11L), ('a', 3.0D, 9L), ('b', 2.0D, 5L) t(g, s, i)
+         GROUP BY g ORDER BY g""")
+      .collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getDouble(0), p.getLong(1))))
+    assert(tk.toMap == Map("a" -> Seq((3.0, 9L), (3.0, 11L)), "b" -> Seq((2.0, 5L))))
+    // decimal SQL literal threshold accepted; only the near pair survives
+    val pairs = spark.sql(
+      """SELECT cosine_pairs_within(vs, 0.5) AS (vec_a, vec_b, cos_sim) FROM (
+           SELECT collect_list(struct(id, emb)) AS vs
+           FROM VALUES (1L, array(1.0F, 0.0F)), (2L, array(0.9F, 0.1F)),
+                       (3L, array(0.0F, 1.0F)) t(id, emb))""")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+  }
 }

@@ -7,13 +7,21 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_AQE=1: the 100 TB-config validation profile — AQE on
+    // AND the library's extensions loaded, proving every query (incl.
+    // the RangeJoinRewrite rule behind q56) survives adaptive
+    // replanning. The default profile leaves both at the driver's
+    // contract settings.
+    val spark = (if (sys.env.get("SPARK_GRAFT_AQE").contains("1"))
+      builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -198,24 +198,34 @@ object Dedup {
     * keep-one-per-cluster: every doc is labeled with the MINIMUM doc id
     * reachable through candidate edges (the canonical survivor).
     *
-    * Algorithm: hash-min label propagation — each iteration every
-    * vertex takes the min of its own and its neighbors' labels (one
-    * broadcast-or-shuffle join + one groupBy per iteration), until a
-    * fixpoint. Iterations = graph diameter; near-dup components are
-    * shallow almost-cliques (docs sharing bands), measured diameter ≤ 3
-    * on the corpus, so the loop is 3–4 rounds of distributed work — the
-    * classic MapReduce CC formulation. Lineage is truncated per
-    * iteration (localCheckpoint), so plans don't grow with rounds.
-    * Per-round work is exactly ONE join + ONE groupBy: the previous
-    * label rides through the propagation row as `__old`, so the
-    * convergence probe is a limit-1 scan of the already-checkpointed
-    * round result — not a second labels join (the round-2 shape, which
-    * doubled per-round join work). Edges are hash-partitioned on the
-    * join key once before their checkpoint (localCheckpoint preserves
-    * outputPartitioning), so each round's join only exchanges the label
-    * side. At extreme diameters you'd switch to large-star/small-star
-    * (O(log n) rounds); for dedup graphs the simple propagation wins on
-    * constant factors.
+    * Algorithm: hash-min label propagation WITH pointer jumping — each
+    * iteration every vertex takes the min of its own and its neighbors'
+    * labels (one join + one groupBy over the edge set), then applies one
+    * label-of-label shortcut (a self-join on the LABEL table, which is
+    * |V|-sized, not |E|-sized): `component := component(component)`.
+    * The shortcut is what makes convergence O(log diameter) instead of
+    * O(diameter) — the label table is a pointer forest, and jumping
+    * halves its depth per round (the classic doubling argument), so a
+    * diameter-10⁶ chain at 100 TB needs ~20 rounds, not 10⁶. The
+    * invariant is preserved because a label is always the id of a node
+    * known reachable from its owner, so label-of-label is reachable by
+    * transitivity, and labels only ever decrease toward the component
+    * min. Near-dup components are shallow almost-cliques (measured
+    * diameter ≤ 3), so the jump is skipped for the first two rounds —
+    * the common case converges without ever paying for it, and only a
+    * genuinely deep graph reaches the doubling rounds.
+    *
+    * Lineage is truncated per iteration (localCheckpoint), so plans
+    * don't grow with rounds. The previous label rides through the round
+    * as `__old`, so the convergence probe is a limit-1 scan of the
+    * already-checkpointed round result — not a second labels join.
+    * Edges are hash-partitioned on the join key once before their
+    * checkpoint (localCheckpoint preserves outputPartitioning), so each
+    * round's edge join only exchanges the label side. The alternative
+    * O(log n) scheme, large-star/small-star, additionally bounds
+    * per-round degree; hash-min never materializes neighbor lists at
+    * all (the min is a hash aggregate), so degree is not a concern
+    * here.
     *
     * Returns (doc, component) for every doc appearing in `pairs`;
     * isolated docs (no candidate edge) are their own component by
@@ -240,11 +250,23 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+      // pointer jump: component := component(component). Inner join is
+      // safe — every label is the id of some labeled node. Skipped for
+      // the first two rounds: shallow near-dup graphs (diameter ≤ 3, the
+      // overwhelmingly common case) converge before it would help, so
+      // they never pay the extra |V| self-join; anything still moving by
+      // round 3 gets the doubling.
+      val next = (if (iter < 2) propagated
+      else propagated.as("x")
+        .join(propagated.select(col("id").as("__pid"),
+          col("component").as("__pcomp")), col("x.component") === col("__pid"))
+        .select(col("x.id").as("id"), col("x.__old").as("__old"),
+          col("__pcomp").as("component")))
         .localCheckpoint(true)
       converged = next.filter(col("component") =!= col("__old")).isEmpty
       labels = next.select(col("id"), col("component"))

@@ -1,18 +1,27 @@
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
   * engine as opaque `binary` columns with typed metadata alongside.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB — but everything Spark-side is real
-  * and tested: the schema (binary payload + struct metadata), the
-  * partition-parallel batch shape (`mapPartitions` over iterators, the
-  * Scala analogue of `mapInPandas` batches), and the expression-level
-  * metadata math that the DuckDB oracle checks.
+  * The IMAGE path is real: PNG/JPEG/GIF/BMP payloads are decoded,
+  * feature-extracted, and resampled with `javax.imageio` +
+  * `java.awt.Graphics2D` (JDK-built-in codecs, headless-safe). Payloads
+  * that are not a decodable image fall back to a clearly-marked
+  * DETERMINISTIC STUB kernel (the container has no audio/video codecs) —
+  * and everything Spark-side is identical between the two: the schema
+  * (binary payload + struct metadata), the partition-parallel batch shape
+  * (`mapPartitions` over iterators, the Scala analogue of `mapInPandas`
+  * batches), and the expression-level metadata math that the DuckDB
+  * oracle checks.
   *
   * At 100 TB the pattern matters more than the kernel: payloads never hit
   * the driver, decode is a narrow map (no shuffle), and column pruning
   * still works because metadata lives in ordinary top-level columns.
   */
 package graft.operators
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,10 +55,37 @@ object Multimodal {
   case class DecodedMedia(doc_id: Long, n_bytes: Long, format: String,
       features: Array[Float])
 
-  /** Batch "decode" over partitions — the real-decoder seam. Iterator in,
+  /** Cheap container sniff (magic bytes) so non-image payloads skip the
+    * ImageIO reader-probe entirely — at 100 TB the common case must not
+    * pay a failed-decode attempt per row. */
+  private[graft] def imageMime(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 &&
+      bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      Some("image/png")
+    else if (bytes.length >= 3 &&
+      bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte)
+      Some("image/jpeg")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      Some("image/gif")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      Some("image/bmp")
+    else None
+
+  /** Real image decode via the JDK codec; None when the payload only
+    * pretended to be an image (sniff passed, stream corrupt). */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    imageMime(bytes).flatMap { _ =>
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    }
+
+  /** Batch decode over partitions — the real-decoder seam. Iterator in,
     * iterator out: constant memory per task, arbitrarily many partitions.
-    * STUB kernel: derives 8 deterministic pseudo-features from the bytes;
-    * a production build swaps `fakeDecode` for a codec call, nothing else
+    * PNG/JPEG/GIF/BMP payloads decode for real (`javax.imageio`) and
+    * emit 8 luminance-stripe features from actual pixels; anything else
+    * (audio/video — no codecs in this container) falls back to the
+    * deterministic STUB kernel [[fakeDecode]]. A production build adds
+    * codec branches next to the image one; the Spark shape never
     * changes. */
   def decodePartitions(spark: SparkSession, df: DataFrame,
       idCol: String): Dataset[DecodedMedia] = {
@@ -57,11 +93,43 @@ object Multimodal {
     df.select(col(idCol).cast(LongType).as("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(img) => imageDecode(id, bytes, img)
+            case None => fakeDecode(id, bytes)
+          }
+        }
       }
   }
 
-  /** STUB for the codec: deterministic features from byte content. */
+  /** Real image kernel: 8 features = mean luminance of 8 vertical
+    * stripes, in [0, 1) — deterministic, resolution-independent-ish, and
+    * computed from actual decoded pixels. */
+  private[graft] def imageDecode(id: Long, bytes: Array[Byte],
+      img: BufferedImage): DecodedMedia = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val stripe = x * 8 / w
+        sums(stripe) += lum; counts(stripe) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feats = Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 256.0).toFloat)
+    DecodedMedia(id, bytes.length.toLong, imageMime(bytes).get, feats)
+  }
+
+  /** STUB for the non-image codecs: deterministic features from byte
+    * content. */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val n = bytes.length
     val feats = Array.tabulate(8) { i =>
@@ -81,26 +149,45 @@ object Multimodal {
 
   /** Batch image resize over partitions — same seam as
     * [[decodePartitions]]: iterator→iterator, constant memory, payloads
-    * never on the driver. STUB kernel: a real build decodes, resamples,
-    * and re-encodes; here the byte stream is deterministically
-    * down-sampled to width*height/64 bytes so output size scales with the
-    * requested dims and tests can assert the batch shape. */
+    * never on the driver. Decodable images are REALLY resampled
+    * (bilinear `Graphics2D.drawImage`, headless-safe) and re-encoded as
+    * PNG; non-image payloads keep the deterministic STUB down-sample so
+    * the batch shape stays testable without codecs. */
   def resizePartitions(spark: SparkSession, df: DataFrame, idCol: String,
       width: Int, height: Int): Dataset[ResizedImage] = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType).as("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val out =
-          if (bytes.isEmpty) Array.emptyByteArray // empty payload: no crash
-          else {
-            val targetLen = math.max(1, width * height / 64)
-            Array.tabulate(math.min(targetLen, bytes.length)) {
-              i => bytes((i.toLong * bytes.length / targetLen).toInt % bytes.length)
+        val out = decodeImage(bytes) match {
+          case Some(img) => resampleToPng(img, width, height)
+          case None =>
+            if (bytes.isEmpty) Array.emptyByteArray // empty payload: no crash
+            else {
+              val targetLen = math.max(1, width * height / 64)
+              Array.tabulate(math.min(targetLen, bytes.length)) {
+                i => bytes((i.toLong * bytes.length / targetLen).toInt % bytes.length)
+              } // NOT a real resampler (???) — non-image fallback only
             }
-          }
-        ResizedImage(id, width, height, out) // NOT a real resampler (???)
+        }
+        ResizedImage(id, width, height, out)
       })
+  }
+
+  /** Real resample kernel: bilinear scale to (width, height), re-encoded
+    * PNG (lossless, always-available JDK writer). */
+  private[graft] def resampleToPng(img: BufferedImage,
+      width: Int, height: Int): Array[Byte] = {
+    val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, width, height, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
   }
 
   /** One sampled video frame: every `stride`-th block of the payload

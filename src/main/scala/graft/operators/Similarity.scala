@@ -164,6 +164,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Trained IVF quantizer: seeded k-means centroids over the corpus
+    * embeddings — the production alternative to [[ivfKnn]]'s stride
+    * anchors. Returns `(cell_id, anchor)` ready for [[ivfKnnWith]];
+    * cells follow the data distribution, so probe recall at equal
+    * `nProbe` is at least the stride quantizer's (spec-asserted).
+    *
+    * Spark-first: `org.apache.spark.ml.clustering.KMeans` (seeded
+    * k-means|| init, dense-vector input via the public
+    * `array_to_vector`), not a hand-rolled Lloyd loop — MLlib already
+    * implements the distributed iterate-broadcast-aggregate shape.
+    * NOTE: like every model fit (and [[Dedup.connectedComponents]]),
+    * CALLING this trains eagerly — it is a driver-coordinated loop, not
+    * a declarative plan. At 100 TB you train on a deterministic sample
+    * ([[TextAnalysis.deterministicSample]] on the id) and persist the
+    * centroid table next to the embeddings; the query path then just
+    * reads it. */
+  def trainIvfAnchors(corpus: DataFrame, nCells: Int, maxIter: Int = 10,
+      seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("__feat"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+      .toDF("cell_id", "anchor")
+  }
+
   /** Embedding near-dup pairs via sign-bit LSH blocking: vectors sharing
     * a bucket in ANY of `nTables` hyperplane tables are compared exactly,
     * and pairs whose rounded cosine exceeds `threshold` are emitted

@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("connectedComponents converges in O(log diameter): 200-node path within 10 rounds") {
+    // plain hash-min propagation moves the min label one hop per round,
+    // so a 200-node path would blow the default maxIter=10 guard; the
+    // pointer-jumping shortcut must cover it in ~log2(200) ≈ 8 rounds
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(out.size == 200 && (1L to 200L).forall(out(_) == 1L))
+  }
+
   test("stratifiedSample: per-stratum rates, deterministic, subset of flat sample") {
     import graft.operators.TextAnalysis
     val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
@@ -325,6 +334,25 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx).toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("trained k-means IVF recall >= stride-anchor IVF recall on the fixture") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    def recallOf(approx: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]) = {
+      val got = approx.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      exact.count(got).toDouble / exact.size
+    }
+    val exact = Similarity.bruteForceKnn(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val stride = recallOf(
+      Similarity.ivfKnn(corpus, queries, 5, stride = 10, nCells = 4, nProbe = 2), exact)
+    val anchors = Similarity.trainIvfAnchors(corpus, nCells = 4)
+    assert(anchors.count() == 4)
+    val trained = recallOf(
+      Similarity.ivfKnnWith(anchors, corpus, queries, 5, nProbe = 2), exact)
+    assert(trained >= stride, s"trained recall $trained < stride recall $stride")
+    assert(trained > 0.5, s"trained recall $trained implausibly low")
   }
 
   test("bounded top-k aggregate == window row_number across many partitions, ties included") {

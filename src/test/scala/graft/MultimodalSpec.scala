@@ -39,6 +39,40 @@ class MultimodalSpec extends SparkSpec {
     assert(large(2L) == 11)     // capped at source length
   }
 
+  lazy val pngBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/gradient_16x16.png")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodePartitions really decodes the committed PNG fixture (javax.imageio)") {
+    val df = Seq((10L, pngBytes), (11L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePartitions(spark, df, "doc_id")
+      .collect().map(r => r.doc_id -> r).toMap
+    val png = out(10L)
+    assert(png.format == "image/png")
+    assert(png.n_bytes == pngBytes.length.toLong)
+    // fixture is a horizontal R gradient (R = x*16): stripe luminance
+    // must strictly increase left to right — only true for real pixels
+    assert(png.features.length == 8)
+    assert(png.features.sliding(2).forall(p => p(0) < p(1)), png.features.toSeq)
+    // non-image payload falls back to the stub kernel, same schema
+    assert(out(11L).format == "text/plain" && out(11L).features.length == 8)
+  }
+
+  test("resizePartitions really resamples the PNG: output re-decodes at target dims") {
+    val df = Seq((10L, pngBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.resizePartitions(spark, df, "doc_id", 4, 6).collect().head
+    assert(out.width == 4 && out.height == 6)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(img != null, "resized payload is not a decodable image")
+    assert(img.getWidth == 4 && img.getHeight == 6)
+    // gradient preserved through the bilinear resample: right column
+    // redder than left
+    def red(x: Int) = (img.getRGB(x, 3) >> 16) & 0xff
+    assert(red(3) > red(0), s"${red(0)} !< ${red(3)}")
+  }
+
   test("sampleFramesPartitions flatMaps payloads to frame records") {
     val frames = Multimodal.sampleFramesPartitions(spark, withPayload,
       "doc_id", frameBytes = 1024, everyNth = 1).collect()

@@ -791,6 +791,33 @@ object SparkEntry {
       val pairs = docs20.select(col("doc_id").as("doc_a"))
         .join(docs20.select(col("doc_id").as("doc_b")), col("doc_a") < col("doc_b"))
       Dedup.ngramJaccard(docs20, "doc_id", col("text"), pairs, 3)
+    }),
+
+    // benchmark decontamination: every 7th doc plays the eval set; the
+    // rest of the corpus is checked for shared 5-shingles. Modulus
+    // chosen so the overlap join provably fires on the corpus (12
+    // contaminated docs / 636 shingle hits at sf0.01 — probed, not
+    // assumed; %97 gave a single hit, too weak to catch a broken join)
+    "q58_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", col("text"),
+        docs.filter(col("doc_id") % 7 === 0), col("text"), MinhashK)
+    }),
+
+    // PII redaction with typed placeholders + per-doc match count. The
+    // corpus text is clean, so PII is injected deterministically by
+    // doc_id (the q37 spike) — the oracle then exercises every pattern
+    // and the sequential-replace order.
+    "q59_pii_redact" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" contact user@example.com"))
+          .when(col("doc_id") % 11 === 0, lit(" see https://example.com/x"))
+          .when(col("doc_id") % 13 === 0, lit(" ref 1234567890"))
+          .otherwise(lit("")))
+      wide(Tables.documents(s, d)).select(col("doc_id"),
+        TextAnalysis.redactPii(spiked).as("redacted"),
+        TextAnalysis.piiMatchCount(spiked).as("n_pii"))
     })
   )
 
@@ -1097,7 +1124,38 @@ object SparkEntry {
          FROM pairs p
          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
          JOIN sizes za ON p.doc_a = za.doc_id
-         JOIN sizes zb ON p.doc_b = zb.doc_id"""
+         JOIN sizes zb ON p.doc_b = zb.doc_id""",
+    // same 5-shingle construction as the minhash oracle; every 7th doc
+    // is the benchmark side
+    "q58_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= $MinhashK
+           THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
+           ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         bs AS (SELECT DISTINCT s FROM ex WHERE doc_id % 7 = 0)
+         SELECT e.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_contaminated
+         FROM ex e JOIN bs USING (s) WHERE e.doc_id % 7 <> 0 GROUP BY 1""",
+    "q59_pii_redact" -> {
+      // regex constants embed verbatim: DuckDB single-quoted strings do
+      // not process backslash escapes, so `\.` crosses unchanged
+      val url = TextAnalysis.PiiUrlRe
+      val email = TextAnalysis.PiiEmailRe
+      val digits = TextAnalysis.PiiDigitsRe
+      s"""WITH spiked AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 7 = 0 THEN ' contact user@example.com'
+                WHEN doc_id % 11 = 0 THEN ' see https://example.com/x'
+                WHEN doc_id % 13 = 0 THEN ' ref 1234567890'
+                ELSE '' END AS text
+         FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'), '$digits', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '$url'))
+              + len(regexp_extract_all(text, '$email'))
+              + len(regexp_extract_all(text, '$digits')) AS BIGINT) AS n_pii
+         FROM spiked"""
+    }
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

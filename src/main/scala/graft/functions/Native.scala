@@ -28,4 +28,12 @@ object Native {
   /** Fused within-bucket cosine pair generator (see [[CosinePairsWithin]]). */
   def cosinePairsWithin(bucket: Column, threshold: Double): Column =
     column(CosinePairsWithin(expr(bucket), threshold))
+
+  /** Lazy within-bucket id pair generator (see [[IdPairs]]). */
+  def idPairs(bucket: Column): Column =
+    column(IdPairs(expr(bucket)))
+
+  /** Fused within-bucket Hamming pair generator (see [[HammingPairsWithin]]). */
+  def hammingPairsWithin(bucket: Column, maxHamming: Int): Column =
+    column(HammingPairsWithin(expr(bucket), maxHamming))
 }

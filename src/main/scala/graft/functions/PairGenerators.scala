@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native within-bucket pair generators — the lazy replacements for the
+  * interpreted-HOF `bucketPairs` pattern
+  * (`explode(flatten(transform(transform(slice(...)))))`), which
+  * materializes the whole O(bucket²) pair set as ONE array value before
+  * the explode. For a `maxBucket`-sized degenerate bucket that array is
+  * ~50M structs held by a single task at once; these generators emit
+  * pairs row-at-a-time from a primitive loop, so peak memory is O(bucket)
+  * regardless of pair count, and the per-pair filter (Hamming radius)
+  * runs before a row is ever created.
+  *
+  * Both sort the bucket by id internally (callers drop their upstream
+  * `array_sort`), so emitted pairs always satisfy id_a < id_b.
+  * CodegenFallback: the per-row work IS the fused loop; GenerateExec
+  * keeps surrounding stages codegen'd.
+  */
+
+/** All unordered id pairs (a < b) from `array<bigint>` — the MinHash-band
+  * candidate enumeration. */
+case class IdPairs(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"id_pairs expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false)))
+
+  override def prettyName: String = "id_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Nil
+    val data = arr.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    if (n < 2) return Nil
+    val ids = data.toLongArray().sorted
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(Array[Any](ids(i), ids(j)))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IdPairs =
+    copy(child = newChild)
+}
+
+/** Unordered pairs (doc_a < doc_b) from
+  * `array<struct<doc: bigint, sh: bigint>>` whose signature Hamming
+  * distance is ≤ `maxHamming`, emitted as (doc_a, doc_b, hamming) — the
+  * SimHash-band candidate enumeration with the radius filter fused into
+  * the loop, so far pairs never become rows at all. */
+case class HammingPairsWithin(child: Expression, maxHamming: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hamming_pairs_within expects array<struct<bigint, bigint>>, got ${t.catalogString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false)))
+
+  override def prettyName: String = "hamming_pairs_within"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Nil
+    val data = arr.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    if (n < 2) return Nil
+    val docs = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val st = data.getStruct(i, 2)
+      docs(i) = st.getLong(0); sigs(i) = st.getLong(1)
+      i += 1
+    }
+    val order = Array.range(0, n).sortBy(k => docs(k))
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var a = 0
+    while (a < n - 1) {
+      val ia = order(a)
+      var b = a + 1
+      while (b < n) {
+        val ib = order(b)
+        val h = java.lang.Long.bitCount(sigs(ia) ^ sigs(ib))
+        if (h <= maxHamming)
+          out += new GenericInternalRow(Array[Any](docs(ia), docs(ib), h))
+        b += 1
+      }
+      a += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HammingPairsWithin =
+    copy(child = newChild)
+}

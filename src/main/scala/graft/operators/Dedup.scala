@@ -67,16 +67,6 @@ object Dedup {
     ex.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
-  /** All unordered pairs (a, b), a < b, from a sorted bucket array —
-    * the within-bucket candidate enumeration shared by every LSH blocking
-    * variant (minhash bands, simhash bands, embedding buckets).
-    * Interpreted HOF, but only over small (capped) bucket arrays. */
-  private[operators] def bucketPairs(docs: Column,
-      aName: String = "doc_a", bName: String = "doc_b"): Column =
-    flatten(transform(docs, (x, i) =>
-      transform(slice(docs, i + lit(2), size(docs)),
-        y => struct(x.as(aName), y.as(bName)))))
-
   /** MinHash + LSH banding: docs sharing any band (of `bands` bands with
     * `numPerm/bands` rows each) become candidate pairs. Returns distinct
     * (a, b) with a < b.
@@ -108,10 +98,12 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
     banded.groupBy("band_idx", "band_hash")
-      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .agg(collect_list(col("doc")).as("docs"))
       .filter(size(col("docs")).between(2, maxBucket))
-      .select(explode(bucketPairs(col("docs"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // lazy native pair generator (sorts the bucket itself): O(bucket)
+      // peak memory instead of materializing the O(bucket²) pair array
+      .select(graft.functions.Native.idPairs(col("docs"))
+        .as(Seq("doc_a", "doc_b")))
       .distinct()
   }
 
@@ -183,12 +175,12 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("ds"), col("band.band_idx"), col("band.band_val"))
     banded.groupBy("band_idx", "band_val")
-      .agg(array_sort(collect_list(col("ds"))).as("docs"))
+      .agg(collect_list(col("ds")).as("docs"))
       .filter(size(col("docs")).between(2, maxBucket))
-      .select(explode(bucketPairs(col("docs"))).as("p"))
-      .select(col("p.doc_a.doc").as("doc_a"), col("p.doc_b.doc").as("doc_b"),
-        bit_count(col("p.doc_a.sh").bitwiseXOR(col("p.doc_b.sh"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      // fused native generator: Hamming radius applied inside the pair
+      // loop, so far pairs never become rows; O(bucket) peak memory
+      .select(graft.functions.Native.hammingPairsWithin(col("docs"), maxHamming)
+        .as(Seq("doc_a", "doc_b", "hamming")))
       .distinct()
   }
 
@@ -292,6 +284,31 @@ object Dedup {
       components.filter(col("doc") =!= col("component"))
         .select(col("doc").as("__follower")),
       col(idCol) === col("__follower"), "left_anti")
+
+  /** Benchmark decontamination — the eval-set overlap check every
+    * training corpus needs before release: a document is contaminated if
+    * it shares at least one word `k`-shingle with any benchmark
+    * document. Returns `(doc, n_contaminated)` — the count of DISTINCT
+    * contaminated shingles per corpus doc (shingles are de-duplicated
+    * per document by [[TextAnalysis.shingles]]); clean docs are absent
+    * (filter with a left-anti join to drop contaminated ones).
+    *
+    * Scale shape: the benchmark side is small by construction (eval
+    * sets, not corpora), so its distinct shingle set BROADCASTS; the
+    * corpus scans once, narrow, and the only shuffle is the final
+    * per-doc count. Shingle matching is an equi-join on the exact
+    * shingle string — at 13-gram scale you'd swap the join key for
+    * `Hashing.fingerprint(shingle)` to shrink the broadcast; the plan
+    * shape is identical. */
+  def decontaminate(docs: DataFrame, idCol: String, text: Column,
+      bench: DataFrame, benchText: Column, k: Int = 5): DataFrame = {
+    val docSh = Parallelism.ensure(docs.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(TextAnalysis.shingles(col("__t"), k)).as("shingle"))
+    val benchSh = bench.select(explode(TextAnalysis.shingles(benchText, k)).as("shingle"))
+      .distinct()
+    docSh.join(broadcast(benchSh), "shingle")
+      .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))
+  }
 
   /** Exact n-gram Jaccard similarity for a candidate pair set (the
     * verify step after LSH banding): explode shingles, count

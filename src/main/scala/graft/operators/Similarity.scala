@@ -223,9 +223,9 @@ object Similarity {
       .filter(size(col("vs")).between(2, maxBucket))
       // fused native generator: enumerates the O(bucket²) pairs as a
       // primitive loop (embeddings extracted once, norms precomputed) and
-      // emits ONLY pairs above threshold — the HOF bucketPairs form
-      // materialized every pair (two embedding copies each) as an array
-      // before scoring; see graft.functions.CosinePairsWithin
+      // emits ONLY pairs above threshold — the interpreted-HOF pair-array
+      // form materialized every pair (two embedding copies each) as one
+      // array value before scoring; see graft.functions.CosinePairsWithin
       .select(Native.cosinePairsWithin(col("vs"), threshold)
         .as(Seq("vec_a", "vec_b", "cos_sim")))
       .distinct()

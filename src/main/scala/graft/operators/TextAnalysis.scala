@@ -106,6 +106,35 @@ object TextAnalysis {
       "has_long_digits" -> lower_.rlike("[0-9]{8}")) // ids/phones/cards
   }
 
+  /** PII redaction patterns — explicit character classes only, so Java
+    * regex (Spark) and RE2 (DuckDB) match identically: no lookaround, no
+    * backreferences, no inline flags. */
+  val PiiUrlRe = "https?://[a-zA-Z0-9./_%+-]+"
+  val PiiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val PiiDigitsRe = "[0-9]{9,}"
+
+  /** PII redaction for training-data curation: masks URLs, then emails,
+    * then long digit runs (ids/phones/cards) with typed placeholders.
+    * Order matters and is part of the contract — URLs can contain both
+    * `@` and digit runs, so they are masked first; the replacement
+    * tokens themselves match none of the later patterns. Pure narrow
+    * codegen'd per-row map: three sequential `regexp_replace` passes, no
+    * shuffle, no UDF — at 100 TB this runs in the scan stage. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiUrlRe, "<URL>"),
+        PiiEmailRe, "<EMAIL>"),
+      PiiDigitsRe, "<NUM>")
+
+  /** Count of PII matches in `text` (pre-redaction, all three patterns).
+    * Counted on the ORIGINAL text so the number reports what was there,
+    * not what survived earlier passes. */
+  def piiMatchCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(PiiUrlRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PiiEmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PiiDigitsRe), lit(0)))).cast(LongType)
+
   /** Repetition statistics (Gopher-style quality signals): distinct-token
     * ratio and the frequency share of the most common token. Shape:
     * explode → per-(doc, token) count (map-side combined) → per-doc

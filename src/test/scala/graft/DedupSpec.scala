@@ -83,6 +83,35 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 200 && (1L to 200L).forall(out(_) == 1L))
   }
 
+  test("decontaminate counts shared shingles against the benchmark; clean docs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-shingles with bench
+      (2L, "totally unrelated words appear in this document text"),
+      (3L, "alpha beta gamma delta epsilon")       // one shingle, shared
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, "doc_id", col("text"), bench, col("text"), 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 has shingles {a b g d e, b g d e z} both in bench; doc 3 has
+    // exactly one; doc 2 none -> absent
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("redactPii masks urls, emails, digit runs in order and counts matches") {
+    val df = Seq(
+      (1L, "mail user@example.com or visit https://example.com/a ref 1234567890"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("r"),
+      TextAnalysis.piiMatchCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L)._1 == "mail <EMAIL> or visit <URL> ref <NUM>")
+    assert(out(1L)._2 == 3L)
+    assert(out(2L) == ("nothing sensitive here", 0L))
+  }
+
   test("stratifiedSample: per-stratum rates, deterministic, subset of flat sample") {
     import graft.operators.TextAnalysis
     val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))

@@ -805,6 +805,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), col("text"), MinhashK)
     }),
 
+    // trained-quantizer IVF ANN (seeded k-means centroids through the
+    // ivfKnnWith seam). No SQL oracle — an iterative MLlib fit is not
+    // SQL-expressible — so the driver records the weaker rows-only
+    // check; result quality is spec-gated instead (SimilaritySpec:
+    // trained recall >= stride-anchor recall vs brute force).
+    "q60_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKnnWith(
+        Similarity.trainIvfAnchors(emb, IvfCells, maxIter = 5),
+        emb, emb.filter(col("vec_id") < 5), 10, nProbe = IvfProbe)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast(LongType).as("knn_rank"))
+    }),
+
     // PII redaction with typed placeholders + per-doc match count. The
     // corpus text is clean, so PII is injected deterministically by
     // doc_id (the q37 spike) — the oracle then exercises every pattern

@@ -96,32 +96,49 @@ case class CosinePairsWithin(child: Expression, threshold: Double)
     // id-sorted iteration order => emitted pairs always have vec_a < vec_b
     val order = Array.range(0, n).sortBy(i => ids(i))
 
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var a = 0
-    while (a < n - 1) {
-      val ia = order(a)
-      val ea = embs(ia)
-      var b = a + 1
-      while (b < n) {
-        val ib = order(b)
-        val eb = embs(ib)
-        // length mismatch => null cosine (CosineSimilarity contract),
-        // and null > threshold is false: skip the pair
-        if (ea.length == eb.length) {
-          var dot = 0.0
-          var j = 0
-          while (j < ea.length) { dot += ea(j) * eb(j); j += 1 }
-          val sim = dot / (norms(ia) * norms(ib))
-          val rounded = JBigDecimal.valueOf(sim)
-            .setScale(6, RoundingMode.HALF_UP).doubleValue()
-          if (rounded > threshold)
-            out += new GenericInternalRow(Array[Any](ids(ia), ids(ib), rounded))
+    // lazy: survivors stream to GenerateExec one at a time, so peak
+    // memory stays O(bucket) even if a permissive threshold lets the
+    // whole O(bucket²) pair set through
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      private var pending: InternalRow = _
+      advance()
+
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && a < n - 1) {
+          val ia = order(a); val ib = order(b)
+          val ea = embs(ia); val eb = embs(ib)
+          // length mismatch => null cosine (CosineSimilarity contract),
+          // and null > threshold is false: skip the pair
+          if (ea.length == eb.length) {
+            var dot = 0.0
+            var j = 0
+            while (j < ea.length) { dot += ea(j) * eb(j); j += 1 }
+            val sim = dot / (norms(ia) * norms(ib))
+            // Spark's Round on DoubleType passes NaN/Infinity through
+            // unchanged (BigDecimal.valueOf would throw); NaN > threshold
+            // is then false, so zero-norm vectors drop their pairs
+            // instead of crashing the task — same behavior as the
+            // composable round()+filter pipeline this generator replaces
+            val rounded =
+              if (java.lang.Double.isNaN(sim) || java.lang.Double.isInfinite(sim)) sim
+              else JBigDecimal.valueOf(sim)
+                .setScale(6, RoundingMode.HALF_UP).doubleValue()
+            if (rounded > threshold)
+              pending = new GenericInternalRow(Array[Any](ids(ia), ids(ib), rounded))
+          }
+          b += 1
+          if (b >= n) { a += 1; b = a + 1 }
         }
-        b += 1
       }
-      a += 1
+
+      override def hasNext: Boolean = pending != null
+      override def next(): InternalRow = {
+        val r = pending; advance(); r
+      }
     }
-    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): CosinePairsWithin =

@@ -102,21 +102,32 @@ case class HammingPairsWithin(child: Expression, maxHamming: Int)
       i += 1
     }
     val order = Array.range(0, n).sortBy(k => docs(k))
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var a = 0
-    while (a < n - 1) {
-      val ia = order(a)
-      var b = a + 1
-      while (b < n) {
-        val ib = order(b)
-        val h = java.lang.Long.bitCount(sigs(ia) ^ sigs(ib))
-        if (h <= maxHamming)
-          out += new GenericInternalRow(Array[Any](docs(ia), docs(ib), h))
-        b += 1
+    // lazy: survivors stream out one at a time — a permissive radius
+    // cannot re-materialize the O(bucket²) pair set this generator
+    // exists to avoid
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      private var pending: InternalRow = _
+      advance()
+
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && a < n - 1) {
+          val ia = order(a); val ib = order(b)
+          val h = java.lang.Long.bitCount(sigs(ia) ^ sigs(ib))
+          if (h <= maxHamming)
+            pending = new GenericInternalRow(Array[Any](docs(ia), docs(ib), h))
+          b += 1
+          if (b >= n) { a += 1; b = a + 1 }
+        }
       }
-      a += 1
+
+      override def hasNext: Boolean = pending != null
+      override def next(): InternalRow = {
+        val r = pending; advance(); r
+      }
     }
-    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): HammingPairsWithin =

@@ -12,14 +12,23 @@ import org.apache.spark.sql.types._
 /** Bounded partial top-k state: the k best (score, id) pairs under
   * (score desc, id asc), kept sorted best-first in two primitive arrays.
   * Insertion is a linear shift — k is small (an ANN k, not a row count),
-  * so the branchy binary-search variant isn't worth it. */
+  * so the branchy binary-search variant isn't worth it.
+  *
+  * Score comparison uses `java.lang.Double.compare`, NOT `>`/`==`:
+  * Spark's SQL ordering ranks NaN above every other double (so a
+  * zero-norm embedding's NaN cosine ranks FIRST in the window
+  * formulation this aggregate replaces), while primitive `NaN > x` is
+  * always false — which would both mis-rank NaN and, once a NaN sat in
+  * the last slot, permanently reject every later insert. */
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
 
-  @inline private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  @inline private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size == k && !beats(s, id, k - 1)) return

@@ -247,19 +247,24 @@ object Dedup {
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-      // pointer jump: component := component(component). Inner join is
-      // safe — every label is the id of some labeled node. Skipped for
-      // the first two rounds: shallow near-dup graphs (diameter ≤ 3, the
+      // checkpoint BEFORE the jump, so the |E|-sized propagation subtree
+      // (edges join + min aggregate) materializes exactly once per
+      // round — the jump references the frame twice, which would
+      // otherwise recompute that subtree twice
+      val checkpointed = propagated.localCheckpoint(true)
+      // pointer jump: component := component(component) — a self-join of
+      // the CHECKPOINTED |V|-sized label frame only. Inner join is safe:
+      // every label is the id of some labeled node. Skipped for the
+      // first two rounds: shallow near-dup graphs (diameter ≤ 3, the
       // overwhelmingly common case) converge before it would help, so
       // they never pay the extra |V| self-join; anything still moving by
       // round 3 gets the doubling.
-      val next = (if (iter < 2) propagated
-      else propagated.as("x")
-        .join(propagated.select(col("id").as("__pid"),
+      val next = if (iter < 2) checkpointed
+      else checkpointed.as("x")
+        .join(checkpointed.select(col("id").as("__pid"),
           col("component").as("__pcomp")), col("x.component") === col("__pid"))
         .select(col("x.id").as("id"), col("x.__old").as("__old"),
-          col("__pcomp").as("component")))
-        .localCheckpoint(true)
+          col("__pcomp").as("component"))
       converged = next.filter(col("component") =!= col("__old")).isEmpty
       labels = next.select(col("id"), col("component"))
       iter += 1

@@ -71,12 +71,25 @@ object Multimodal {
       Some("image/bmp")
     else None
 
+  /** Disable ImageIO's default FILE-backed stream cache once per JVM:
+    * with it on, every `ImageIO.read(InputStream)` creates, writes, and
+    * deletes a temp file — per-row disk I/O in the decode kernel, and a
+    * silent total decode failure on a read-only tmpdir. The payloads are
+    * already in memory; the memory-cached stream is strictly better. */
+  private lazy val imageIoNoCache: Unit = ImageIO.setUseCache(false)
+
   /** Real image decode via the JDK codec; None when the payload only
-    * pretended to be an image (sniff passed, stream corrupt). */
+    * pretended to be an image (sniff passed, stream corrupt). NonFatal,
+    * not just IOException: the JDK JPEG/GIF/BMP readers throw unchecked
+    * exceptions (ArrayIndexOutOfBounds, NegativeArraySize, ...) on
+    * truncated or fuzzed streams, and at corpus scale payloads whose
+    * first bytes mimic an image magic by chance are routine — a decode
+    * failure must degrade to the stub kernel, never kill the task. */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
     imageMime(bytes).flatMap { _ =>
+      imageIoNoCache
       try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Batch decode over partitions — the real-decoder seam. Iterator in,
@@ -110,11 +123,16 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](8)
     val counts = new Array[Long](8)
+    // bulk row reads: per-pixel getRGB(x, y) pays a bounds check + color
+    // model conversion per call (≈10× slower on palette/grayscale
+    // sources); one reused row buffer keeps memory at O(width)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
           0.114 * (rgb & 0xff)
         val stripe = x * 8 / w

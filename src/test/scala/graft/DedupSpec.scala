@@ -316,6 +316,23 @@ class SimilaritySpec extends SparkSpec {
       dim = 8, maxBucket = 1).count() == 0)
   }
 
+  test("lshNearDupPairs survives zero-norm embeddings: NaN cosine drops the pair, no crash") {
+    // the zero vector lands in some bucket with real vectors; its
+    // pairs' cosine is NaN, which must be filtered (NaN > t is false),
+    // not crash the generator's rounding
+    val vecs = ((0 until 10).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    } :+ (10L, Array.fill(8)(0f)) :+ (11L, Array.fill(8)(0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(vecs, -2.0, nTables = 2, nBits = 2, dim = 8)
+      .as[(Long, Long, Double)].collect()
+    // threshold -2 keeps every REAL pair; the zero-vector pairs (NaN,
+    // including the identical 10-11 pair) are absent
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L || p._2 == 11L))
+    assert(pairs.forall(p => !p._3.isNaN))
+  }
+
   test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {
     import graft.operators.Quantiles
     val rnd = new scala.util.Random(7)
@@ -388,10 +405,12 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     // duplicate embeddings (i and i+50 identical) force exact cos_sim
     // ties, so the (score desc, id asc) tie-break is actually exercised;
+    // vec 100 is ZERO-NORM (cosine = NaN — must rank first, like the
+    // window's NaN-greatest sort, and must not poison the k-buffer);
     // 13 partitions force real partial/merge traffic through the shuffle
-    val vecs = (0 until 100).map { i =>
+    val vecs = ((0 until 100).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin((i % 50) * 8 + d).toFloat))
-    }.toDF("vec_id", "embedding").repartition(13)
+    } :+ (100L, Array.fill(8)(0f))).toDF("vec_id", "embedding").repartition(13)
     val queries = vecs.filter(col("vec_id") < 4)
     val scored = vecs.as("c").join(broadcast(queries.as("q")),
         col("q.vec_id") =!= col("c.vec_id"))
@@ -399,12 +418,18 @@ class SimilaritySpec extends SparkSpec {
         round(Similarity.cosine(col("q.embedding"), col("c.embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    val reference = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 7)
-      .as[(Long, Long, Double, Int)].collect().toSet
-    val got = Similarity.bruteForceKnn(vecs, queries, 7)
-      .as[(Long, Long, Double, Int)].collect().toSet
+    // NaN-safe set equality: the zero-norm vector's NaN row is expected
+    // on BOTH sides, and NaN != NaN would fail a plain tuple compare
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect()
+        .map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3), t._4)).toSet
+    val reference = rows(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7))
+    val got = rows(Similarity.bruteForceKnn(vecs, queries, 7))
     assert(got == reference)
+    // the NaN neighbor must rank FIRST for every query (window parity)
+    assert((0L to 3L).forall(q => got.contains((q, 100L,
+      java.lang.Double.doubleToLongBits(Double.NaN), 1))))
   }
 
   test("cosine_pairs_within == composable enumerate+score+filter on the same buckets") {

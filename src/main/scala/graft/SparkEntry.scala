@@ -819,6 +819,19 @@ object SparkEntry {
           col("rank").cast(LongType).as("knn_rank"))
     }),
 
+    // inverted-index posting lists: top tokens with counts, doc
+    // frequency, and capped ascending doc-id postings (bounded top-k
+    // aggregate — never a full collect_list per token)
+    "q61_postings" -> ((s, d) =>
+      TextAnalysis.postingLists(Tables.documents(s, d), "doc_id", col("text"),
+        topTokens = 100, maxPostings = 20)),
+
+    // fixed-width value histogram (distribution profiling before
+    // choosing curation cutoffs)
+    "q62_histogram" -> ((s, d) =>
+      Quantiles.fixedWidthHistogram(Tables.orders(s, d),
+        col("o_totalprice"), 0.0, 600000.0, 20)),
+
     // PII redaction with typed placeholders + per-doc match count. The
     // corpus text is clean, so PII is injected deterministically by
     // doc_id (the q37 spike) — the oracle then exercises every pattern
@@ -1150,6 +1163,23 @@ object SparkEntry {
          bs AS (SELECT DISTINCT s FROM ex WHERE doc_id % 7 = 0)
          SELECT e.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_contaminated
          FROM ex e JOIN bs USING (s) WHERE e.doc_id % 7 <> 0 GROUP BY 1""",
+    "q61_postings" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         pd AS (SELECT token, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
+         agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (list_sort(list(doc_id)))[1:20] AS postings FROM pd GROUP BY token)
+         SELECT token, n_occurrences, n_docs, postings FROM agg
+         ORDER BY n_occurrences DESC, token LIMIT 100""",
+    "q62_histogram" ->
+      """WITH b AS (SELECT CASE WHEN o_totalprice < 0.0 THEN CAST(-1 AS BIGINT)
+           WHEN o_totalprice >= 600000.0 THEN CAST(20 AS BIGINT)
+           ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 30000.0) AS BIGINT) END AS bucket
+         FROM orders)
+         SELECT bucket, 0.0 + bucket * 30000.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 30000.0 AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bucket""",
     "q59_pii_redact" -> {
       // regex constants embed verbatim: DuckDB single-quoted strings do
       // not process backslash escapes, so `\.` crosses unchanged

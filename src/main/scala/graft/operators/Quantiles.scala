@@ -27,7 +27,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 object Quantiles {
 
@@ -151,5 +151,31 @@ object Quantiles {
       sum(contrib).as(name)
     }
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-width value histogram — the distribution-profiling op a
+    * curation pipeline runs before choosing quality/length cutoffs.
+    * `nBuckets` equal buckets over [lo, hi); underflow collapses to
+    * bucket -1, overflow to bucket `nBuckets`, so the output is always
+    * ≤ nBuckets+2 rows. Fixed edges (not data-derived min/max) keep the
+    * plan a single narrow codegen'd map + one tiny hash aggregate — a
+    * data-derived range would need an eager min/max job first, and at
+    * 100 TB the caller knows the domain anyway. Edge arithmetic is
+    * plain double floor-division, bit-identical across engines. */
+  def fixedWidthHistogram(df: DataFrame, value: Column,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, "need nBuckets >= 1 and hi > lo")
+    val width = (hi - lo) / nBuckets
+    val v = value.cast(DoubleType)
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBuckets.toLong))
+      .otherwise(floor((v - lo) / width).cast(LongType))
+    df.select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
+        col("n"))
   }
 }

@@ -249,6 +249,34 @@ object TextAnalysis {
         round(col("tf") * idf, 6).as("tfidf"))
   }
 
+  /** Inverted-index posting lists: the `topTokens` highest-occurrence
+    * tokens, each with its total count, document frequency, and the
+    * first `maxPostings` doc ids (ascending) that contain it — the
+    * retrieval-index build step of a corpus pipeline.
+    *
+    * Scale shape: one (token, doc) hash aggregate with map-side combine,
+    * then one per-token aggregate. The posting list is NOT a
+    * `collect_list` (whose state for a stopword token is every doc id in
+    * the corpus): it reuses [[graft.functions.TopKByScore]] with
+    * score = -doc_id, so aggregation state is bounded at `maxPostings`
+    * per token per partition no matter how hot the token. Final top-k by
+    * occurrences plans as TakeOrderedAndProject. */
+  def postingLists(df: DataFrame, idCol: String, text: Column,
+      topTokens: Int = 100, maxPostings: Int = 20): DataFrame = {
+    val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(tokens(col("__t"))).as("token"))
+    val perDoc = ex.groupBy("token", "doc").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("token")
+      .agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        graft.functions.Native.topKByScore(
+          (-col("doc")).cast(DoubleType), col("doc"), maxPostings).as("__tk"))
+      .select(col("token"), col("n_occurrences"), col("n_docs"),
+        transform(col("__tk"), p => p.getField("id")).as("postings"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topTokens)
+  }
+
   /** The shared sampling hash: key → [0, 10000). Both samplers MUST use
     * this same expression — the stratified sampler's "equal to the flat
     * sampler at the same rate" guarantee depends on it. */

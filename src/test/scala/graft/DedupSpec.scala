@@ -372,6 +372,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("postingLists: counts, doc frequency, capped ascending postings, total order") {
+    val docs = Seq(
+      (5L, "b a a"), (3L, "a b"), (9L, "a c"), (1L, "c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.postingLists(docs, "doc_id", col("text"),
+      topTokens = 2, maxPostings = 2)
+      .as[(String, Long, Long, Seq[Long])].collect()
+    // 'a' has 4 occurrences over docs {3,5,9}; postings capped at the 2
+    // SMALLEST doc ids; 'b' (2 occ) vs 'c' (2 occ): tie broken by token
+    assert(out.toSeq == Seq(("a", 4L, 3L, Seq(3L, 5L)), ("b", 2L, 2L, Seq(3L, 5L))))
+  }
+
+  test("fixedWidthHistogram: bucket edges, counts, under/overflow rows") {
+    import graft.operators.Quantiles
+    val df = Seq(-5.0, 0.0, 1.0, 9.99, 10.0, 15.0, 99.9, 100.0, 250.0)
+      .toDF("v")
+    val out = Quantiles.fixedWidthHistogram(df, col("v"), 0.0, 100.0, 10)
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(-1L) == (-1L, -10.0, 0.0, 1L))        // underflow: -5
+    assert(out(0L) == (0L, 0.0, 10.0, 3L))           // 0, 1, 9.99
+    assert(out(1L) == (1L, 10.0, 20.0, 2L))          // 10, 15
+    assert(out(9L) == (9L, 90.0, 100.0, 1L))         // 99.9
+    assert(out(10L) == (10L, 100.0, 110.0, 2L))      // overflow: 100, 250
+    assert(out.values.map(_._4).sum == 9L)
+  }
+
   test("lshKnn recall against brute force is substantial") {
     val queries = corpus.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceKnn(corpus, queries, 3)

@@ -164,6 +164,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf("top_k_by_score", plan) >= 2, plan.take(1200))
   }
 
+  test("q58 decontamination: benchmark shingles broadcast; corpus shuffles only for the count") {
+    val plan = planOf("q58_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(800))
+    // exchanges: the benchmark-side distinct (tiny) + the final per-doc
+    // count — the corpus side itself never shuffles before the join
+    assert(countOf("Exchange hashpartitioning", plan) <= 2, plan.take(1000))
+  }
+
+  test("q59 pii redaction: pure narrow codegen'd map, zero exchanges") {
+    val plan = planOf("q59_pii_redact")
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
+  test("q61 postings: bounded top-k posting state + TakeOrderedAndProject, no global sort") {
+    val plan = planOf("q61_postings")
+    // posting lists accumulate through the bounded aggregate, never a
+    // per-token collect_list of every doc id
+    assert(plan.contains("top_k_by_score"), plan.take(800))
+    assert(!plan.contains("collect_list"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the scan->agg path of q13") {
     // AQE wraps the unexecuted plan, hiding codegen subtrees from
     // explain — turn it off just for this inspection

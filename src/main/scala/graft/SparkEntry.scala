@@ -819,6 +819,21 @@ object SparkEntry {
           col("rank").cast(LongType).as("knn_rank"))
     }),
 
+    // gap-based batch sessionization over the events stream table
+    // (30-minute gap; epoch-microsecond longs cross engines exactly)
+    "q63_sessions" -> ((s, d) =>
+      Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)),
+
+    // MinHash signature-agreement Jaccard estimate for the q29
+    // candidate pairs — the O(numPerm) triage before exact verify
+    "q64_minhash_est" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minHashEstimate(docs, "doc_id", col("text"),
+        Dedup.minHashCandidates(docs, "doc_id", col("text"),
+          MinhashK, MinhashPerms, MinhashBands),
+        MinhashK, MinhashPerms)
+    }),
+
     // inverted-index posting lists: top tokens with counts, doc
     // frequency, and capped ascending doc-id postings (bounded top-k
     // aggregate — never a full collect_list per token)
@@ -852,10 +867,10 @@ object SparkEntry {
   private def sqlHexLong(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 14)) AS BIGINT)"
 
-  /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL
-    * (one md5 per shingle, affine family `(a_p*h + b_p) mod P` — mirrors
-    * Dedup.minHashFamily exactly). */
-  private def minhashOracle: String = {
+  /** Shared CTE prefix of the MinHash oracles: shingles → per-shingle
+    * md5 → affine-family minima (mirrors Dedup.minHashFamily exactly) →
+    * LSH bands → capped buckets. */
+  private def minhashCtes: String = {
     val P = Dedup.MinHashP
     val rows = MinhashPerms / MinhashBands
     val mins = (0 until MinhashPerms).map { p =>
@@ -877,11 +892,31 @@ object SparkEntry {
        mh AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
        banded AS ($bands),
        ok AS (SELECT band_idx, band_hash FROM banded
-              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)
+              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)"""
+  }
+
+  /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL
+    * (one md5 per shingle, affine family `(a_p*h + b_p) mod P`). */
+  private def minhashOracle: String =
+    s"""$minhashCtes
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM banded a JOIN banded b
          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        JOIN ok ON a.band_idx = ok.band_idx AND a.band_hash = ok.band_hash"""
+
+  /** Generated oracle: signature-agreement Jaccard estimate for the
+    * q29 candidate pairs (mirrors Dedup.minHashEstimate). */
+  private def minhashEstOracle: String = {
+    val agree = (0 until MinhashPerms)
+      .map(p => s"(CASE WHEN x.mh$p = y.mh$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$minhashCtes,
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         JOIN ok ON a.band_idx = ok.band_idx AND a.band_hash = ok.band_hash)
+       SELECT c.doc_a, c.doc_b,
+         round(CAST($agree AS DOUBLE) / $MinhashPerms, 6) AS jaccard_est
+       FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id"""
   }
 
   /** Generated oracle: SimHash signatures, same bit-vote algorithm. */
@@ -1163,6 +1198,17 @@ object SparkEntry {
          bs AS (SELECT DISTINCT s FROM ex WHERE doc_id % 7 = 0)
          SELECT e.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_contaminated
          FROM ex e JOIN bs USING (s) WHERE e.doc_id % 7 <> 0 GROUP BY 1""",
+    "q63_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw FROM l),
+         s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM f)
+         SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS session_start_us, max(us) AS session_end_us,
+           (max(us) - min(us)) // 1000000 AS duration_secs
+         FROM s GROUP BY 1, 2""",
+    "q64_minhash_est" -> minhashEstOracle,
     "q61_postings" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          pd AS (SELECT token, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),

@@ -290,6 +290,30 @@ object Dedup {
         .select(col("doc").as("__follower")),
       col(idCol) === col("__follower"), "left_anti")
 
+  /** MinHash Jaccard ESTIMATE for a candidate pair set: the fraction of
+    * agreeing signature slots — `|{p : mh_p(a) = mh_p(b)}| / numPerm` —
+    * the O(numPerm) similarity proxy an LSH pipeline uses to triage
+    * candidates BEFORE paying for an exact shingle-join verify
+    * ([[ngramJaccard]]). Unbiased estimator of the true Jaccard;
+    * stderr ≈ sqrt(j(1-j)/numPerm).
+    *
+    * Shape: the signature subplan runs once; two broadcast-or-shuffle
+    * joins attach each side's numPerm-column row to the (small) pair
+    * set; the comparison is a codegen'd per-row sum of equalities — no
+    * shingle explosion anywhere near the pairs. */
+  def minHashEstimate(docs: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame, k: Int, numPerm: Int): DataFrame = {
+    val sig = minHashSignatures(docs, idCol, text, k, numPerm)
+    val matches = (0 until numPerm)
+      .map(p => when(col(s"a.mh$p") === col(s"b.mh$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("a"), col("doc_a") === col("a.doc"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast(DoubleType) / numPerm, 6).as("jaccard_est"))
+  }
+
   /** Benchmark decontamination — the eval-set overlap check every
     * training corpus needs before release: a document is contaminated if
     * it shares at least one word `k`-shingle with any benchmark

@@ -87,4 +87,46 @@ object Temporal {
       .filter(abs(col(leftPrefix + leftVal) - col(rightPrefix + rightVal)) <= maxDiff)
       .drop("__bucket")
   }
+
+  /** Batch sessionization — gap-based session assignment + per-session
+    * aggregates, the batch twin of `streaming/EventsStream`'s stateful
+    * sessionizer: events of one `userCol` belong to the same session
+    * while consecutive gaps stay ≤ `gapSeconds`.
+    *
+    * Returns one row per session: `(user, session_seq, n_events,
+    * session_start_us, session_end_us, duration_secs)` — timestamps as
+    * epoch MICROSECOND longs (they cross engine boundaries exactly;
+    * formatted strings would re-open fractional-second formatting
+    * differences).
+    *
+    * Shape: ONE hash exchange on the user, per-user sort, two window
+    * passes sharing it (lag for the gap test, running sum for the
+    * session id — `rowsBetween` explicitly, so it plans as the
+    * streaming-friendly RunningWindowFunction and never groups RANGE
+    * peers), then the per-session hash aggregate. Per-user data sits in
+    * one task — correct for sessionization (a user's history is the
+    * unit of work) and bounded by per-user activity, not corpus size;
+    * a hot synthetic user at 100 TB would be salted by session day
+    * first. `orderCol` breaks timestamp ties deterministically. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapSeconds: Long): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(orderCol))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(userCol), col(orderCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(wrun))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("session_start_us"),
+        max(col("__us")).as("session_end_us"))
+      // floor(double-div) == integer-div here: diffs are < 2^53 µs, so
+      // the correctly-rounded quotient can't cross an integer boundary
+      .withColumn("duration_secs",
+        floor((col("session_end_us") - col("session_start_us")) / 1000000L)
+          .cast(org.apache.spark.sql.types.LongType))
+  }
 }

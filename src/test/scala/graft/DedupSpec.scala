@@ -372,6 +372,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sessionize: gap splits sessions, seq increments, duration from span") {
+    import graft.operators.Temporal
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:10:00")),  // same session (10 min gap)
+      (3L, 7L, ts("2024-01-01 11:00:00")),  // 50 min gap -> new session
+      (4L, 8L, ts("2024-01-01 10:00:00"))   // other user
+    ).toDF("event_id", "user_id", "ts")
+    val out = Temporal.sessionize(ev, "user_id", "ts", "event_id", 1800)
+      .select("user_id", "session_seq", "n_events", "duration_secs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((7L, 1L, 2L, 600L), (7L, 2L, 1L, 0L), (8L, 1L, 1L, 0L)))
+  }
+
+  test("minHashEstimate: identical docs estimate 1.0; estimates in [0,1]") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely different content about spark catalyst optimizer rules here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", col("text"), 5, 16, 4)
+    val est = Dedup.minHashEstimate(docs, "doc_id", col("text"), pairs, 5, 16)
+      .as[(Long, Long, Double)].collect()
+    assert(est.nonEmpty)
+    val exact = est.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(exact._3 == 1.0) // identical docs agree on every slot
+    assert(est.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
+  }
+
   test("postingLists: counts, doc frequency, capped ascending postings, total order") {
     val docs = Seq(
       (5L, "b a a"), (3L, "a b"), (9L, "a c"), (1L, "c")

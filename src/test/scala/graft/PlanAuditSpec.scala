@@ -190,6 +190,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(800))
   }
 
+  test("q63 sessionization: lag + running sum + session agg share ONE exchange") {
+    val plan = planOf("q63_sessions")
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1000))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the scan->agg path of q13") {
     // AQE wraps the unexecuted plan, hiding codegen subtrees from
     // explain — turn it off just for this inspection

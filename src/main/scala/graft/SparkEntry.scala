@@ -1220,8 +1220,9 @@ object SparkEntry {
     "q62_histogram" ->
       """WITH b AS (SELECT CASE WHEN o_totalprice < 0.0 THEN CAST(-1 AS BIGINT)
            WHEN o_totalprice >= 600000.0 THEN CAST(20 AS BIGINT)
-           ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 30000.0) AS BIGINT) END AS bucket
-         FROM orders)
+           ELSE least(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 30000.0) AS BIGINT),
+                      CAST(19 AS BIGINT)) END AS bucket
+         FROM orders WHERE o_totalprice IS NOT NULL)
          SELECT bucket, 0.0 + bucket * 30000.0 AS bucket_lo,
            0.0 + (bucket + 1) * 30000.0 AS bucket_hi,
            CAST(count(*) AS BIGINT) AS n

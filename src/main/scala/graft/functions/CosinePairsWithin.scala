@@ -110,22 +110,18 @@ case class CosinePairsWithin(child: Expression, threshold: Double)
         while (pending == null && a < n - 1) {
           val ia = order(a); val ib = order(b)
           val ea = embs(ia); val eb = embs(ib)
-          // length mismatch => null cosine (CosineSimilarity contract),
-          // and null > threshold is false: skip the pair
-          if (ea.length == eb.length) {
+          // length mismatch or zero norm => NULL cosine (the
+          // CosineSimilarity contract, mirroring DuckDB's x/0.0 = NULL
+          // division), and NULL > threshold filters the pair in both
+          // engines: skip it. With null excluded the sim is always
+          // finite, so the Round replication cannot see NaN/Infinity.
+          if (ea.length == eb.length && norms(ia) != 0.0 && norms(ib) != 0.0) {
             var dot = 0.0
             var j = 0
             while (j < ea.length) { dot += ea(j) * eb(j); j += 1 }
             val sim = dot / (norms(ia) * norms(ib))
-            // Spark's Round on DoubleType passes NaN/Infinity through
-            // unchanged (BigDecimal.valueOf would throw); NaN > threshold
-            // is then false, so zero-norm vectors drop their pairs
-            // instead of crashing the task — same behavior as the
-            // composable round()+filter pipeline this generator replaces
-            val rounded =
-              if (java.lang.Double.isNaN(sim) || java.lang.Double.isInfinite(sim)) sim
-              else JBigDecimal.valueOf(sim)
-                .setScale(6, RoundingMode.HALF_UP).doubleValue()
+            val rounded = JBigDecimal.valueOf(sim)
+              .setScale(6, RoundingMode.HALF_UP).doubleValue()
             if (rounded > threshold)
               pending = new GenericInternalRow(Array[Any](ids(ia), ids(ib), rounded))
           }

@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (left-to-right adds in double precision), so results are bit-identical
   * to it and to the DuckDB oracle's `list_reduce` formulation.
   *
-  * Returns null if either array is null or lengths differ (the zip_with
-  * analogue: a length mismatch nullifies the fold). Null ELEMENTS are not
-  * supported (embedding columns are dense); declared via inputTypes.
+  * Returns null if either array is null, lengths differ (the zip_with
+  * analogue: a length mismatch nullifies the fold), or EITHER VECTOR HAS
+  * ZERO NORM — the degenerate-input contract that keeps engine parity:
+  * the result would be 0/0, which DuckDB's division defines as NULL and
+  * Spark's ANSI `/` refuses outright, so a silent NaN here would
+  * diverge from every SQL formulation of the same cosine. Null ELEMENTS
+  * are not supported (embedding columns are dense); declared via
+  * inputTypes.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,7 +66,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -83,7 +89,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    final double $yi = $getY;
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

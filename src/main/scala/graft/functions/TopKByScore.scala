@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
   * so the branchy binary-search variant isn't worth it.
   *
   * Score comparison uses `java.lang.Double.compare`, NOT `>`/`==`:
-  * Spark's SQL ordering ranks NaN above every other double (so a
-  * zero-norm embedding's NaN cosine ranks FIRST in the window
-  * formulation this aggregate replaces), while primitive `NaN > x` is
-  * always false — which would both mis-rank NaN and, once a NaN sat in
-  * the last slot, permanently reject every later insert. */
+  * Spark's SQL ordering ranks NaN above every other double, while
+  * primitive `NaN > x` is always false — which would both mis-rank a
+  * NaN score (should it ever reach this aggregate; the library's cosine
+  * returns NULL, not NaN, for degenerate vectors) and, once a NaN sat
+  * in the last slot, permanently reject every later insert. */
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)

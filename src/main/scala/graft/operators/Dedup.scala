@@ -259,12 +259,16 @@ object Dedup {
       // overwhelmingly common case) converge before it would help, so
       // they never pay the extra |V| self-join; anything still moving by
       // round 3 gets the doubling.
+      // ... and checkpoint the jump result too (cheap, |V|-sized): it is
+      // read three times (convergence probe + both sides of the next
+      // round), which would otherwise re-run the self-join each time
       val next = if (iter < 2) checkpointed
       else checkpointed.as("x")
         .join(checkpointed.select(col("id").as("__pid"),
           col("component").as("__pcomp")), col("x.component") === col("__pid"))
         .select(col("x.id").as("id"), col("x.__old").as("__old"),
           col("__pcomp").as("component"))
+        .localCheckpoint(true)
       converged = next.filter(col("component") =!= col("__old")).isEmpty
       labels = next.select(col("id"), col("component"))
       iter += 1

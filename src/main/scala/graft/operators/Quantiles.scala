@@ -161,7 +161,13 @@ object Quantiles {
     * plan a single narrow codegen'd map + one tiny hash aggregate — a
     * data-derived range would need an eager min/max job first, and at
     * 100 TB the caller knows the domain anyway. Edge arithmetic is
-    * plain double floor-division, bit-identical across engines. */
+    * plain double floor-division, bit-identical across engines; the
+    * in-range bucket is clamped to nBuckets-1 because an inexact width
+    * can make `floor((v-lo)/width)` round UP to nBuckets for a value
+    * strictly below `hi` (e.g. hi=1, n=3, v=0.9999999999999999) —
+    * without the clamp such a value would masquerade as overflow with a
+    * mislabeled edge. NULL values are dropped (aggregate semantics),
+    * not a null-edged bucket row. */
   def fixedWidthHistogram(df: DataFrame, value: Column,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && hi > lo, "need nBuckets >= 1 and hi > lo")
@@ -169,8 +175,10 @@ object Quantiles {
     val v = value.cast(DoubleType)
     val bucket = when(v < lo, lit(-1L))
       .when(v >= hi, lit(nBuckets.toLong))
-      .otherwise(floor((v - lo) / width).cast(LongType))
-    df.select(bucket.as("bucket"))
+      .otherwise(least(floor((v - lo) / width).cast(LongType),
+        lit(nBuckets.toLong - 1)))
+    df.filter(v.isNotNull)
+      .select(bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
       .select(col("bucket"),

@@ -63,9 +63,14 @@ object Similarity {
 
   /** The pure-builtin formulation (three interpreted HOF walks); kept as
     * the portability fallback and the spec-level cross-check of the
-    * native expression. */
-  def cosineComposable(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    * native expression. The zero-norm guard mirrors the native
+    * expression's NULL contract — and is REQUIRED under Spark 4 ANSI
+    * mode, where a plain `/` throws DIVIDE_BY_ZERO even for doubles. */
+  def cosineComposable(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(null).cast(DoubleType))
+      .otherwise(dot(a, b) / denom)
+  }
 
   /** Exact top-k neighbors per query. `queries` must be small (it is
     * broadcast). Ranking key is (rounded cosine desc, corpus id asc) so

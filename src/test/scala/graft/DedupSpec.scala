@@ -316,21 +316,30 @@ class SimilaritySpec extends SparkSpec {
       dim = 8, maxBucket = 1).count() == 0)
   }
 
-  test("lshNearDupPairs survives zero-norm embeddings: NaN cosine drops the pair, no crash") {
-    // the zero vector lands in some bucket with real vectors; its
-    // pairs' cosine is NaN, which must be filtered (NaN > t is false),
-    // not crash the generator's rounding
+  test("lshNearDupPairs survives zero-norm embeddings: NULL cosine drops the pair, no crash") {
+    // zero-norm cosine is NULL (the DuckDB-division contract shared by
+    // the native expression, the composable form, and the oracle SQL),
+    // and NULL > threshold filters the pair in every formulation — so
+    // the zero vectors' pairs are absent and nothing crashes
     val vecs = ((0 until 10).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
     } :+ (10L, Array.fill(8)(0f)) :+ (11L, Array.fill(8)(0f)))
       .toDF("vec_id", "embedding")
     val pairs = Similarity.lshNearDupPairs(vecs, -2.0, nTables = 2, nBits = 2, dim = 8)
       .as[(Long, Long, Double)].collect()
-    // threshold -2 keeps every REAL pair; the zero-vector pairs (NaN,
-    // including the identical 10-11 pair) are absent
+    // threshold -2 keeps every finite pair; zero-vector pairs (NULL
+    // cosine, including the identical 10-11 pair) are dropped
     assert(pairs.nonEmpty)
-    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L || p._2 == 11L))
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
     assert(pairs.forall(p => !p._3.isNaN))
+    // the composable pipeline agrees: NULL cosine never passes a filter
+    val ref = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(Similarity.cosineComposable(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .filter(col("c") > -2.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(!ref.exists(p => p._1 >= 10L || p._2 >= 10L))
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(ref))
   }
 
   test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {
@@ -431,6 +440,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.map(_._4).sum == 9L)
   }
 
+  test("fixedWidthHistogram: inexact width can't push in-range values to overflow; nulls dropped") {
+    import graft.operators.Quantiles
+    // width = 1/3 is inexact: floor(0.9999999999999999 / width) = 3,
+    // which the clamp must pull back into the last REAL bucket (2)
+    val df = Seq[java.lang.Double](0.9999999999999999, 1.0, null, 0.1)
+      .toDF("v")
+    val out = Quantiles.fixedWidthHistogram(df, col("v"), 0.0, 1.0, 3)
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map(0L -> 1L, 2L -> 1L, 3L -> 1L)) // null row dropped
+  }
+
   test("lshKnn recall against brute force is substantial") {
     val queries = corpus.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceKnn(corpus, queries, 3)
@@ -464,9 +485,10 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     // duplicate embeddings (i and i+50 identical) force exact cos_sim
     // ties, so the (score desc, id asc) tie-break is actually exercised;
-    // vec 100 is ZERO-NORM (cosine = NaN — must rank first, like the
-    // window's NaN-greatest sort, and must not poison the k-buffer);
-    // 13 partitions force real partial/merge traffic through the shuffle
+    // vec 100 is ZERO-NORM (cosine = NULL — ranks last in a desc window
+    // in both engines and is skipped by the aggregate, so it must be
+    // absent from every top-k on this corpus, and must not poison the
+    // k-buffer); 13 partitions force real partial/merge shuffle traffic
     val vecs = ((0 until 100).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin((i % 50) * 8 + d).toFloat))
     } :+ (100L, Array.fill(8)(0f))).toDF("vec_id", "embedding").repartition(13)
@@ -477,8 +499,6 @@ class SimilaritySpec extends SparkSpec {
         round(Similarity.cosine(col("q.embedding"), col("c.embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    // NaN-safe set equality: the zero-norm vector's NaN row is expected
-    // on BOTH sides, and NaN != NaN would fail a plain tuple compare
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double, Int)].collect()
         .map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3), t._4)).toSet
@@ -486,9 +506,9 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("rank") <= 7))
     val got = rows(Similarity.bruteForceKnn(vecs, queries, 7))
     assert(got == reference)
-    // the NaN neighbor must rank FIRST for every query (window parity)
-    assert((0L to 3L).forall(q => got.contains((q, 100L,
-      java.lang.Double.doubleToLongBits(Double.NaN), 1))))
+    // the zero-norm neighbor (NULL cosine) is in no query's top-k
+    assert(!got.exists(_._2 == 100L))
+    assert(got.size == 4 * 7)
   }
 
   test("cosine_pairs_within == composable enumerate+score+filter on the same buckets") {

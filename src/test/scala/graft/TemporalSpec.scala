@@ -99,16 +99,22 @@ class NativeCosineSpec extends SparkSpec {
       plan.take(1500))
   }
 
-  test("null array and length mismatch yield null") {
+  test("null array, length mismatch, and zero-norm vectors yield null") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f))),
       (None, Some(Array(1.0f, 2.0f))),
-      (Some(Array(1.0f)), Some(Array(1.0f, 2.0f)))
+      (Some(Array(1.0f)), Some(Array(1.0f, 2.0f))),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 2.0f))) // 0/0: NULL, not NaN
     ).toDF("a", "b")
     val out = df.select(graft.functions.Native.cosineSim(col("a"), col("b")))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(out(0).exists(v => math.abs(v - 1.0) < 1e-12))
-    assert(out(1).isEmpty && out(2).isEmpty)
+    assert(out(1).isEmpty && out(2).isEmpty && out(3).isEmpty)
+    // the composable twin agrees on the zero-norm contract (and must not
+    // throw under ANSI division)
+    val comp = df.select(graft.operators.Similarity.cosineComposable(col("a"), col("b")))
+      .collect().map(r => r.isNullAt(0))
+    assert(comp.toSeq == Seq(false, true, true, true))
   }
 
   test("cosine_sim registers for SQL via GraftExtensions") {

@@ -124,4 +124,33 @@ class PropertySpec extends SparkSpec {
       m.foreach { case ((a, b), c) => assert(math.abs(m((b, a)) - c) < 1e-12) }
     }
   }
+
+  test("bounded top-k aggregate == window row_number on random scored sets (any k)") {
+    import org.apache.spark.sql.expressions.Window
+    // random (query, id, score) triples with deliberate score ties and
+    // random k: the aggregate must reproduce the window's (score desc,
+    // id asc) ranking exactly, across shuffled partitions
+    val scoredGen: Gen[List[(Long, Long, Double)]] = Gen.listOf(for {
+      q <- Gen.choose(0L, 3L)
+      score <- Gen.choose(0, 8).map(_ / 4.0) // coarse grid => many ties
+    } yield (q, score)).map(_.zipWithIndex.map {
+      case ((q, s), i) => (q, i.toLong, s)
+    })
+    samples(scoredGen.flatMap(l => Gen.choose(1, 6).map(l -> _)), 10)
+      .filter(_._1.nonEmpty).foreach { case (rows, k) =>
+        val df = rows.toDF("query_id", "neighbor_id", "cos_sim").repartition(5)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val ref = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .as[(Long, Long, Double, Int)].collect().toSet
+        val got = df.groupBy("query_id")
+          .agg(graft.functions.Native.topKByScore(
+            col("cos_sim"), col("neighbor_id"), k).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "s")))
+          .select(col("query_id"), col("s.id"), col("s.score"), (col("p") + 1))
+          .as[(Long, Long, Double, Int)].collect().toSet
+        assert(got == ref, s"k=$k rows=$rows")
+      }
+  }
 }

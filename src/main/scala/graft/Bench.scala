@@ -13,12 +13,19 @@ object Bench {
     // is why the BENCH session disables it: it exists to re-plan
     // multi-minute stages, not 100 ms ones.)
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_BENCH_AQE=1: measure under the cluster-config profile
+    // (AQE + GraftExtensions) instead of the local-latency profile — the
+    // documented AQE cost on sub-second inputs is its stage-replanning
+    // latency, which this knob quantifies rather than asserts.
+    val aqe = sys.env.get("SPARK_GRAFT_BENCH_AQE").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+    val spark = (if (aqe) builder.config("spark.sql.extensions", "graft.GraftExtensions")
+      else builder)
       // broadcast sizing for this host: 64 MB is conservative on 128 GiB
       // (the default 10 MB narrowly excludes the ~15 MB orders table and
       // forces a 600 k-row shuffle in q14/q15; a production deployment

@@ -819,6 +819,25 @@ object SparkEntry {
           col("rank").cast(LongType).as("knn_rank"))
     }),
 
+    // per-language top-quality docs: the grouped bounded top-k through
+    // the same aggregate the ANN tier uses (data-mixing / curation pick)
+    "q65_top_quality_docs" -> ((s, d) => {
+      val q = TextAnalysis.qualityFeatures(wide(Tables.documents(s, d)), col("text"))
+      Relational.topKPerGroup(q, Seq("lang"), col("quality_score"), col("doc_id"), 3)
+        .select(col("lang"), col("id").as("doc_id"),
+          col("score").as("quality_score"), col("rank").cast(LongType).as("q_rank"))
+    }),
+
+    // adjacent-bigram PMI (collocation mining / tokenizer prep)
+    "q66_bigram_pmi" -> ((s, d) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, d), "doc_id", col("text"),
+        minCount = 2)),
+
+    // per-doc character entropy (gibberish/boilerplate signal);
+    // deterministic sorted-histogram fold for engine parity
+    "q67_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", col("text"))),
+
     // gap-based batch sessionization over the events stream table
     // (30-minute gap; epoch-microsecond longs cross engines exactly)
     "q63_sessions" -> ((s, d) =>
@@ -1198,6 +1217,37 @@ object SparkEntry {
          bs AS (SELECT DISTINCT s FROM ex WHERE doc_id % 7 = 0)
          SELECT e.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_contaminated
          FROM ex e JOIN bs USING (s) WHERE e.doc_id % 7 <> 0 GROUP BY 1""",
+    "q65_top_quality_docs" ->
+      """WITH q AS (SELECT doc_id, lang,
+           round(least(CAST(1 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 64) * 0.5
+             + least(CAST(1 AS DOUBLE), CAST(list_sum([CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END for x in string_split(text, ' ')]) AS DOUBLE) / len(string_split(text, ' ')) * 5) * 0.5, 4) AS quality_score
+         FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+           ORDER BY quality_score DESC, doc_id) AS rn FROM q)
+         SELECT lang, doc_id, quality_score, CAST(rn AS BIGINT) AS q_rank
+         FROM r WHERE rn <= 3""",
+    "q66_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b FROM toks),
+         bc AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c_ab
+                FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+         uni AS (SELECT unnest(w) AS tok FROM toks),
+         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM uc)
+         SELECT w1, w2, c_ab,
+           round(ln(CAST(nn AS DOUBLE) * c_ab / (a.c * b.c)), 6) AS pmi
+         FROM bc JOIN uc a ON bc.w1 = a.tok JOIN uc b ON bc.w2 = b.tok CROSS JOIN n""",
+    "q67_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch
+                WHERE c <> '' GROUP BY 1, 2),
+         h AS (SELECT doc_id, list(n ORDER BY c) AS hist,
+               CAST(sum(n) AS BIGINT) AS t FROM cc GROUP BY 1)
+         SELECT doc_id AS doc, t AS n_chars,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t) for n in hist]),
+             (acc, v) -> acc + v), 6) AS char_entropy
+         FROM h""",
     "q63_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

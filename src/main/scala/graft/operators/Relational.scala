@@ -93,4 +93,21 @@ object Relational {
     * k-row merge on the driver — no global sort shuffle at any scale. */
   def topK(k: Int, order: Seq[Column])(df: DataFrame): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Per-group bounded top-k — [[topK]]'s grouped sibling, via the same
+    * two-phase `top_k_by_score` aggregate the ANN operators use: a
+    * k-slot buffer per group per partition map-side, so the shuffle
+    * carries ≤ k rows per group per partition and no task ever sorts a
+    * whole group (the `row_number().over(partitionBy(...))` funnel this
+    * replaces). Output: group columns + (`id`, `score`, `rank`), rank
+    * 1-based in (score desc, id asc) order — callers alias. */
+  def topKPerGroup(df: DataFrame, grp: Seq[String], score: Column,
+      id: Column, k: Int): DataFrame =
+    df.groupBy(grp.map(col): _*)
+      .agg(graft.functions.Native.topKByScore(
+        score.cast(org.apache.spark.sql.types.DoubleType),
+        id.cast(org.apache.spark.sql.types.LongType), k).as("__tk"))
+      .select(grp.map(col) :+ posexplode(col("__tk")).as(Seq("__p", "__s")): _*)
+      .select(grp.map(col) :+ col("__s.id").as("id") :+
+        col("__s.score").as("score") :+ (col("__p") + 1).as("rank"): _*)
 }

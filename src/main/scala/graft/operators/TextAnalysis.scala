@@ -277,6 +277,76 @@ object TextAnalysis {
       .limit(topTokens)
   }
 
+  /** Adjacent-token bigram statistics with pointwise mutual information —
+    * the collocation/phrase-mining step of tokenizer and data-mixing
+    * prep: `pmi(a,b) = ln(N · c_ab / (c_a · c_b))` over corpus counts,
+    * keeping bigrams with `c_ab >= minCount`.
+    *
+    * Shape: one explode → hash-agg per bigram (map-side combined), one
+    * per-unigram agg, and the corpus token total as a broadcast 1-ROW
+    * agg (never an eager count). Unigram counts join back per side —
+    * broadcast when the vocabulary is bounded, shuffle otherwise
+    * (unhinted: Catalyst/AQE decides, the tfIdf lesson). The ln is one
+    * deterministic per-row evaluation — no cross-row double
+    * accumulation, so oracle parity needs no fold-order care. */
+  def bigramPmi(df: DataFrame, idCol: String, text: Column,
+      minCount: Long = 2): DataFrame = {
+    val toks = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), tokens(col("__t")).as("__w"))
+    val bigrams = toks
+      .select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks.select(explode(col("__w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = uni.select(sum(col("c")).as("__n"))
+    bigrams
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("__n").cast(DoubleType) * col("c_ab") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+  }
+
+  /** Character-level Shannon entropy per document (nats) — the cheap
+    * gibberish/boilerplate detector that complements token-level quality
+    * signals (random bytes score high, repeated padding scores low).
+    *
+    * Determinism contract: entropy is a SUM of `-p·ln p` terms whose
+    * floating-point value depends on accumulation order, so the fold
+    * runs over the per-doc character histogram SORTED BY CHARACTER —
+    * both engines fold the identical sequence left-to-right
+    * (`aggregate` here, `list_reduce` over a `list(... ORDER BY ...)`
+    * in the oracle). A plain SUM() aggregate would be
+    * partition-order-dependent and flap the hash compare.
+    *
+    * Shape: explode chars → (doc, char) hash agg (map-side combined) →
+    * per-doc sorted histogram → one tiny in-row fold (alphabet-sized,
+    * interpreted but ~dozens of elements). Two doc-keyed shuffles. */
+  def charEntropy(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(split(col("__t"), "")).as("ch"))
+      // Spark's split keeps a trailing "" element (java split limit -1);
+      // DuckDB's string_split('') does not — drop it on both sides
+      .filter(col("ch") =!= "")
+    val hist = ex.groupBy("doc", "ch").agg(count(lit(1)).as("n"))
+      .groupBy("doc")
+      .agg(array_sort(collect_list(struct(col("ch"), col("n")))).as("__h"),
+        sum(col("n")).as("__t"))
+    hist.select(col("doc"),
+      col("__t").cast(LongType).as("n_chars"),
+      round(aggregate(col("__h"), lit(0.0), (acc, s) => {
+        val p = s.getField("n").cast(DoubleType) / col("__t")
+        acc - p * log(p)
+      }), 6).as("char_entropy"))
+  }
+
   /** The shared sampling hash: key → [0, 10000). Both samplers MUST use
     * this same expression — the stratified sampler's "equal to the flat
     * sampler at the same rate" guarantee depends on it. */

@@ -413,6 +413,49 @@ class SimilaritySpec extends SparkSpec {
     assert(est.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
   }
 
+  test("bigramPmi: collocations score high, cross-products low; minCount filters") {
+    val docs = Seq(
+      (1L, "new york new york new york stock exchange"),
+      (2L, "york new stock market and new york again"),
+      (3L, "the stock market fell")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPmi(docs, "doc_id", col("text"), minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // "new york" co-occurs 4x; pmi = ln(N * c_ab / (c_a * c_b))
+    val (cab, pmi) = out(("new", "york"))
+    assert(cab == 4L)
+    val n = 20.0 // total tokens (8 + 8 + 4)
+    assert(math.abs(pmi - math.round(math.log(n * 4 / (5.0 * 5.0)) * 1e6) / 1e6) < 1e-9)
+    // "stock market" appears twice -> kept; singleton bigrams filtered
+    assert(out.contains(("stock", "market")))
+    assert(!out.contains(("stock", "exchange"))) // c_ab = 1 < minCount
+  }
+
+  test("charEntropy: uniform text maxes entropy, single-char text scores 0") {
+    val docs = Seq(
+      (1L, "abcd"),     // 4 distinct chars, uniform -> ln(4)
+      (2L, "aaaa"),     // single char -> 0
+      (3L, "aabb")      // 2 distinct uniform -> ln(2)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((4L, math.round(math.log(4) * 1e6) / 1e6)))
+    assert(out(2L) == ((4L, 0.0)))
+    assert(out(3L) == ((4L, math.round(math.log(2) * 1e6) / 1e6)))
+  }
+
+  test("topKPerGroup == per-group window ranking") {
+    import graft.operators.Relational
+    val df = Seq(
+      ("g1", 1L, 0.5), ("g1", 2L, 0.9), ("g1", 3L, 0.9), ("g1", 4L, 0.1),
+      ("g2", 5L, 0.3)
+    ).toDF("g", "item", "s")
+    val out = Relational.topKPerGroup(df, Seq("g"), col("s"), col("item"), 2)
+      .as[(String, Long, Double, Int)].collect().toSet
+    assert(out == Set(("g1", 2L, 0.9, 1), ("g1", 3L, 0.9, 2), ("g2", 5L, 0.3, 1)))
+  }
+
   test("postingLists: counts, doc frequency, capped ascending postings, total order") {
     val docs = Seq(
       (5L, "b a a"), (3L, "a b"), (9L, "a c"), (1L, "c")

@@ -823,6 +823,11 @@ object SparkEntry {
     // the same aggregate the ANN tier uses (data-mixing / curation pick)
     "q65_top_quality_docs" -> ((s, d) => {
       val q = TextAnalysis.qualityFeatures(wide(Tables.documents(s, d)), col("text"))
+        // aggregate semantics: unscoreable (null-quality) docs are out of
+        // the ranking on BOTH sides — TopKByScore skips null scores, and
+        // the oracle filters them before its window, so the contracts
+        // agree even on a corpus with null text
+        .filter(col("quality_score").isNotNull)
       Relational.topKPerGroup(q, Seq("lang"), col("quality_score"), col("doc_id"), 3)
         .select(col("lang"), col("id").as("doc_id"),
           col("score").as("quality_score"), col("rank").cast(LongType).as("q_rank"))
@@ -1223,7 +1228,8 @@ object SparkEntry {
              + least(CAST(1 AS DOUBLE), CAST(list_sum([CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END for x in string_split(text, ' ')]) AS DOUBLE) / len(string_split(text, ' ')) * 5) * 0.5, 4) AS quality_score
          FROM documents),
          r AS (SELECT *, row_number() OVER (PARTITION BY lang
-           ORDER BY quality_score DESC, doc_id) AS rn FROM q)
+           ORDER BY quality_score DESC, doc_id) AS rn FROM q
+           WHERE quality_score IS NOT NULL)
          SELECT lang, doc_id, quality_score, CAST(rn AS BIGINT) AS q_rank
          FROM r WHERE rn <= 3""",
     "q66_bigram_pmi" ->

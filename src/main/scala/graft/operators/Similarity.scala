@@ -37,13 +37,14 @@ object Similarity {
     * carries ≤ k rows per query per partition and no task ever sorts
     * more than it merges. Ordering (cos_sim desc, neighbor_id asc) and
     * rank = position+1 reproduce the window formulation exactly — the
-    * DuckDB oracles keep their row_number() form. */
+    * DuckDB oracles keep their row_number() form. Thin rename over the
+    * generic [[Relational.topKPerGroup]], so there is exactly ONE
+    * implementation of the unwrap/rank contract. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
-      .agg(Native.topKByScore(col("cos_sim"), col("neighbor_id"), k).as("__nb"))
-      .select(col("query_id"), posexplode(col("__nb")).as(Seq("__pos", "__p")))
-      .select(col("query_id"), col("__p.id").as("neighbor_id"),
-        col("__p.score").as("cos_sim"), (col("__pos") + 1).as("rank"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      col("cos_sim"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("score").as("cos_sim"), col("rank"))
 
   /** Sequential-fold dot product in double precision. */
   def dot(a: Column, b: Column): Column =

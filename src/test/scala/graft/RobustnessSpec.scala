@@ -71,6 +71,34 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.minHashSignatures(docs, "doc_id", col("text"), 5, 4).count() == 2)
   }
 
+  test("round-3 operators on degenerate input: empty corpora, single tokens, empty text") {
+    // decontamination: empty benchmark => no doc can be contaminated
+    val docs = Seq((1L, "some real text here")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs, "doc_id", col("text"),
+      emptyDocs, col("text")).count() == 0)
+    // minhash estimate over an empty pair set is empty
+    assert(Dedup.minHashEstimate(docs, "doc_id", col("text"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), 5, 16).count() == 0)
+    // bigrams need >= 2 tokens: single-token and empty-text docs yield none
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramPmi(tiny, "doc_id", col("text"), 1).count() == 0)
+    // char entropy of empty text: no chars survive the empty-split filter
+    val ent = TextAnalysis.charEntropy(tiny, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(ent.get(2L).isEmpty && ent(1L) == 4L)
+    // posting lists / per-group top-k on empty input are empty
+    assert(TextAnalysis.postingLists(emptyDocs, "doc_id", col("text")).count() == 0)
+    assert(Relational.topKPerGroup(
+      Seq.empty[(String, Long, Double)].toDF("g", "i", "s"),
+      Seq("g"), col("s"), col("i"), 3).count() == 0)
+    // sessionize on empty events is empty; histogram on empty df is empty
+    assert(Temporal.sessionize(
+      Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", "event_id", 1800).count() == 0)
+    assert(Quantiles.fixedWidthHistogram(
+      Seq.empty[Double].toDF("v"), col("v"), 0.0, 1.0, 4).count() == 0)
+  }
+
   test("resizePartitions handles empty payloads without crashing") {
     val docs = Seq((1L, ""), (2L, "content")).toDF("doc_id", "text")
     val out = Multimodal.resizePartitions(spark,

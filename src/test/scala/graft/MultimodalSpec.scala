@@ -91,6 +91,26 @@ class IvfSpec extends SparkSpec {
     (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
   }.toDF("vec_id", "embedding")
 
+  test("persisted IVF index: partition-pruned query == in-memory ivfKnnWith") {
+    import org.apache.spark.sql.functions.pmod
+    val queries = corpus.filter(col("vec_id") < 3)
+    val anchors = corpus
+      .filter(pmod(col("vec_id"), lit(25)) === 0 && col("vec_id") < 25 * 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("anchor"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.writeIvfIndex(anchors, corpus, dir)
+    val indexed = Similarity.ivfKnnIndexed(spark, dir, anchors, queries, 5, nProbe = 3)
+    val inMem = Similarity.ivfKnnWith(anchors, corpus, queries, 5, nProbe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(indexed) == rows(inMem))
+    // the scan must be statically partition-pruned to the probed cells,
+    // not a full-corpus read
+    val plan = indexed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert("""cell_id.* IN \(""".r.findFirstIn(pf).isDefined, pf)
+  }
+
   test("ivfKnn: probing all cells equals brute force; fewer cells is a subset") {
     val queries = corpus.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceKnn(corpus, queries, 5)

@@ -42,6 +42,21 @@ object EventsStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup with BOUNDED state: drops rows whose key was
+    * already seen among rows whose event time is within the watermark —
+    * the streaming twin of [[graft.operators.Dedup.exact]]'s keep-first
+    * semantics for the at-least-once-delivery case (replayed/duplicate
+    * events inside the lateness horizon). `dropDuplicatesWithinWatermark`
+    * is the scale-safe choice: plain `dropDuplicates` on a stream keeps
+    * EVERY key forever (state grows with the corpus); here state expires
+    * with the watermark, so memory is bounded by the duplicate horizon,
+    * not the stream length. */
+  def dedupedEvents(events: DataFrame, keys: Seq[String],
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-user session state for the custom-state path
     * (`mapGroupsWithState`): running event count + last value per user.
     * Pass `idleTimeout` to evict idle state on a processing-time timer —

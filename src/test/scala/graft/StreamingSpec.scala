@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedEvents drops within-watermark duplicates across batches, bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventsStream.dedupedEvents(events, Seq("event_id"), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ev")
+      .start()
+    try {
+      input.addData(
+        (1L, t("2026-01-01 10:00:00")),
+        (1L, t("2026-01-01 10:01:00")), // in-batch duplicate
+        (2L, t("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      input.addData((2L, t("2026-01-01 10:03:00"))) // cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ev").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("tumbling-window stream over events matches the batch plan (q23 twin)") {
     // the streaming file source needs a directory, not a single file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

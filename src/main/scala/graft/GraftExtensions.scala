@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosinePairsWithin, CosineSimilarity, LshBucketSig, TopKByScore}
+import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, TopKByScore}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the library's native Catalyst expressions so they are
@@ -37,6 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_pairs_within"),
       new ExpressionInfo(classOf[CosinePairsWithin].getName, "cosine_pairs_within"),
       GraftExtensions.cosinePairsBuilder))
+    // id_pairs(array<bigint>) — lazy within-bucket pair enumeration
+    ext.injectFunction((
+      new FunctionIdentifier("id_pairs"),
+      new ExpressionInfo(classOf[IdPairs].getName, "id_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "id_pairs takes exactly 1 argument")
+        IdPairs(children.head)
+      }))
+    // hamming_pairs_within(bucket, maxHamming) — fused radius pair generator
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_pairs_within"),
+      new ExpressionInfo(classOf[HammingPairsWithin].getName, "hamming_pairs_within"),
+      GraftExtensions.hammingPairsBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
@@ -82,5 +95,12 @@ object GraftExtensions {
       "cosine_pairs_within takes (bucket, threshold)")
     CosinePairsWithin(children.head,
       foldableNum(children(1), "cosine_pairs_within", "threshold").doubleValue())
+  }
+
+  private[graft] def hammingPairsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "hamming_pairs_within takes (bucket, maxHamming)")
+    HammingPairsWithin(children.head,
+      foldableNum(children(1), "hamming_pairs_within", "maxHamming").intValue())
   }
 }

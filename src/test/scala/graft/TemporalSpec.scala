@@ -176,4 +176,23 @@ class NativeCosineSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
   }
+
+  test("id_pairs and hamming_pairs_within register via the extension's builders") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("id_pairs",
+      exprs => graft.functions.IdPairs(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming_pairs_within",
+      graft.GraftExtensions.hammingPairsBuilder, "built-in")
+    val ids = spark.sql(
+      """SELECT id_pairs(array(3L, 1L, 2L)) AS (doc_a, doc_b)""")
+      .as[(Long, Long)].collect().toSeq
+    assert(ids == Seq((1L, 2L), (1L, 3L), (2L, 3L))) // sorted, a < b
+    val hp = spark.sql(
+      """SELECT hamming_pairs_within(
+           array(struct(1L, 7L), struct(2L, 5L), struct(3L, 56L)), 1)
+           AS (doc_a, doc_b, hamming)""")
+      .as[(Long, Long, Int)].collect().toSeq
+    // 7 xor 5 = 2 (1 bit) kept; pairs with 56 are 4-5 bits apart, dropped
+    assert(hp == Seq((1L, 2L, 1)))
+  }
 }

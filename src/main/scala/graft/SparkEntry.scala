@@ -806,14 +806,22 @@ object SparkEntry {
     }),
 
     // trained-quantizer IVF ANN (seeded k-means centroids through the
-    // ivfKnnWith seam). No SQL oracle — an iterative MLlib fit is not
-    // SQL-expressible — so the driver records the weaker rows-only
-    // check; result quality is spec-gated instead (SimilaritySpec:
+    // ivfKnnWith seam). The k-means FIT is not SQL-expressible, but
+    // everything after the centroids is: the builder captures the
+    // <= IvfCells trained centroids (a model artifact, driver-local by
+    // construction) and the oracle injects them as a VALUES CTE — the
+    // same shape of side-channel as the injected wall-clock literals —
+    // so the assignment + top-k is fully hash-checked like q50's.
+    // Result quality is additionally spec-gated (SimilaritySpec:
     // trained recall >= stride-anchor recall vs brute force).
     "q60_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainIvfCentroids(emb, IvfCells, maxIter = 5)
+      q60Centroids = Some(cents)
+      val sess = s
+      import sess.implicits._
       Similarity.ivfKnnWith(
-        Similarity.trainIvfAnchors(emb, IvfCells, maxIter = 5),
+        cents.toDF("cell_id", "anchor"),
         emb, emb.filter(col("vec_id") < 5), 10, nProbe = IvfProbe)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
           col("rank").cast(LongType).as("knn_rank"))
@@ -860,10 +868,15 @@ object SparkEntry {
 
     // inverted-index posting lists: top tokens with counts, doc
     // frequency, and capped ascending doc-id postings (bounded top-k
-    // aggregate — never a full collect_list per token)
+    // aggregate — never a full collect_list per token). The posting
+    // array crosses the correctness harness as a comma-joined string:
+    // the pandas-side comparison cannot factorize array columns, so
+    // every declared column must be scalar on both sides.
     "q61_postings" -> ((s, d) =>
       TextAnalysis.postingLists(Tables.documents(s, d), "doc_id", col("text"),
-        topTokens = 100, maxPostings = 20)),
+        topTokens = 100, maxPostings = 20)
+        .withColumn("postings",
+          concat_ws(",", transform(col("postings"), x => x.cast("string"))))),
 
     // fixed-width value histogram (distribution profiling before
     // choosing curation cutoffs)
@@ -989,11 +1002,25 @@ object SparkEntry {
     * Similarity.ivfKnn; cosine fold order is bit-identical, so the
     * unrounded ORDER BY in the assignment windows agrees too). */
   private def ivfOracle: String = {
-    def cos(a: String, b: String) = cosineSql(a, b)
     val anchorMax = IvfStride * IvfCells
+    ivfOracleFrom(
+      s"""a AS (SELECT vec_id AS cell_id, emb AS aemb FROM c
+             WHERE vec_id % $IvfStride = 0 AND vec_id < $anchorMax)""")
+  }
+
+  /** The shared post-quantizer IVF oracle: argmax-cosine cell
+    * assignment, nProbe probe, exact re-rank (mirrors
+    * Similarity.ivfKnnWith; cosine fold order is bit-identical, so the
+    * unrounded ORDER BY in the assignment windows agrees too). The
+    * quantizer arrives as a CTE named `a(cell_id, aemb)` — stride-
+    * filtered from the corpus for q50, an injected VALUES table of
+    * trained centroids for q60. The `cos_sim IS NOT NULL` guard
+    * mirrors TopKByScore's null-score skip (zero-norm embeddings are
+    * out of the ranking on BOTH sides). */
+  private def ivfOracleFrom(anchorsCte: String): String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       a AS (SELECT vec_id AS cell_id, emb AS aemb FROM c
-             WHERE vec_id % $IvfStride = 0 AND vec_id < $anchorMax),
+       $anchorsCte,
        cells AS (SELECT vec_id AS neighbor_id, emb AS cemb, cell_id FROM (
          SELECT c.vec_id AS vec_id, c.emb AS emb, a.cell_id AS cell_id,
            row_number() OVER (PARTITION BY c.vec_id
@@ -1008,10 +1035,40 @@ object SparkEntry {
        cand AS (SELECT query_id, neighbor_id, round(${cos("qemb", "cemb")}, 6) AS cos_sim
          FROM probes JOIN cells USING (cell_id) WHERE query_id <> neighbor_id),
        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         ORDER BY cos_sim DESC, neighbor_id) AS rn FROM cand)
+         ORDER BY cos_sim DESC, neighbor_id) AS rn FROM cand
+         WHERE cos_sim IS NOT NULL)
        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank
        FROM r WHERE rn <= 10"""
   }
+
+  /** Double literals that round-trip bit-exactly into DuckDB: Java's
+    * shortest-repr `Double.toString` parses back to the identical IEEE
+    * bits under any correctly-rounded strtod, so the injected centroid
+    * VALUES reproduce the trained quantizer exactly. */
+  private def sqlDouble(v: Double): String = {
+    require(!v.isNaN && !v.isInfinite, s"non-finite centroid component: $v")
+    s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+  }
+
+  /** Captured by the q60 builder when the k-means quantizer trains (the
+    * fit is eager and driver-coordinated, the centroids are <= IvfCells
+    * rows); read back when the oracle SQL is dumped — Verify runs every
+    * query BEFORE dumping oracle_sql.json, so the capture is always
+    * populated for the same data the dump was produced from. */
+  @volatile private var q60Centroids: Option[Seq[(Long, Array[Double])]] = None
+
+  /** Generated oracle: trained-quantizer IVF — the captured centroids as
+    * a VALUES CTE through the shared post-quantizer oracle. Empty (no
+    * entry -> driver records rows-only) only if q60 never ran or failed,
+    * in which case an oracle would be meaningless anyway. */
+  private def trainedIvfOracle: Map[String, String] =
+    q60Centroids.map { cents =>
+      val rows = cents.map { case (id, arr) =>
+        s"(CAST($id AS BIGINT), [${arr.map(sqlDouble).mkString(", ")}])"
+      }.mkString(", ")
+      "q60_ivf_trained" -> ivfOracleFrom(
+        s"a AS (SELECT cell_id, aemb FROM (VALUES $rows) AS t(cell_id, aemb))")
+    }.toMap
 
   /** Generated oracle: marker-word language ID. */
   private def langidOracle: String = {
@@ -1079,7 +1136,8 @@ object SparkEntry {
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
          sim AS (SELECT query_id, neighbor_id, round($cos, 6) AS cos_sim
                  FROM q, c WHERE query_id <> neighbor_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sim)
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+               FROM sim WHERE cos_sim IS NOT NULL)
          SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank FROM r WHERE rn <= 10"""
     },
     "q32_embedding_neardup" -> {
@@ -1270,7 +1328,8 @@ object SparkEntry {
          pd AS (SELECT token, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
          agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences,
            CAST(count(*) AS BIGINT) AS n_docs,
-           (list_sort(list(doc_id)))[1:20] AS postings FROM pd GROUP BY token)
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+           FROM pd GROUP BY token)
          SELECT token, n_occurrences, n_docs, postings FROM agg
          ORDER BY n_occurrences DESC, token LIMIT 100""",
     "q62_histogram" ->
@@ -1309,5 +1368,5 @@ object SparkEntry {
     referenceQueries ++ generalQueries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
-    referenceOracle ++ generalOracle ++ pipelineOracle
+    referenceOracle ++ generalOracle ++ pipelineOracle ++ trainedIvfOracle
 }

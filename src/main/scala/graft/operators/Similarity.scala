@@ -153,8 +153,16 @@ object Similarity {
   private def assignCells(anchorArr: DataFrame, df: DataFrame,
       idAs: String, top: Int): DataFrame = {
     val emb = col(s"emb_$idAs")
+    // NULL cosine (a zero-norm anchor or vector) must rank LAST, not
+    // first: Spark's ascending struct sort puts NULL fields first, so a
+    // single degenerate anchor would otherwise become every vector's
+    // rank-1 cell and collapse the index. Coalescing the negated sim to
+    // Double.MaxValue mirrors the oracle's `ORDER BY cos DESC` NULLS
+    // LAST ranking, and an all-NULL vector falls back to the cell_id
+    // tie-break in both engines.
     val ranked = array_sort(transform(col("__anchors"), a =>
-      struct((-cosine(emb, a.getField("anchor"))).as("neg"),
+      struct(coalesce(-cosine(emb, a.getField("anchor")), lit(Double.MaxValue))
+        .as("neg"),
         a.getField("cell_id").as("cell_id"))))
     df.select(col("vec_id").as(idAs), col("embedding").as(s"emb_$idAs"))
       .crossJoin(broadcast(anchorArr))
@@ -236,17 +244,27 @@ object Similarity {
     * reads it. */
   def trainIvfAnchors(corpus: DataFrame, nCells: Int, maxIter: Int = 10,
       seed: Long = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    trainIvfCentroids(corpus, nCells, maxIter, seed).toDF("cell_id", "anchor")
+  }
+
+  /** The k-means fit itself, returning the centroids as a LOCAL seq
+    * (they are ≤ nCells rows — a model artifact, not data). This is the
+    * seam that lets a correctness harness inject the exact trained
+    * centroids into an external engine's SQL (a VALUES CTE), making the
+    * post-fit assignment + top-k hash-checkable even though the fit is
+    * not SQL-expressible. */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int, maxIter: Int = 10,
+      seed: Long = 42): Seq[(Long, Array[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(
       array_to_vector(col("embedding").cast("array<double>")).as("__feat"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat").fit(feats)
-    val spark = corpus.sparkSession
-    import spark.implicits._
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
-      .toDF("cell_id", "anchor")
   }
 
   /** Embedding near-dup pairs via sign-bit LSH blocking: vectors sharing

@@ -524,6 +524,25 @@ class SimilaritySpec extends SparkSpec {
     assert(trained > 0.5, s"trained recall $trained implausibly low")
   }
 
+  test("a zero-norm anchor never captures the corpus (NULL sim ranks last)") {
+    // A degenerate (zero-norm) anchor yields NULL cosine against every
+    // vector; NULL struct fields sort FIRST in Spark's ascending array
+    // sort, so without the NULLS-LAST coalesce in assignCells one dead
+    // anchor would become every vector's rank-1 cell and the IVF index
+    // would collapse into a single cell. With it, results are identical
+    // to the quantizer without the dead anchor.
+    val queries = corpus.filter(col("vec_id") < 5)
+    val good = Similarity.trainIvfAnchors(corpus, nCells = 4)
+    val dead = Seq((99L, Array.fill(8)(0.0))).toDF("cell_id", "anchor")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val clean = rows(Similarity.ivfKnnWith(good, corpus, queries, 5, nProbe = 2))
+    val withDead =
+      rows(Similarity.ivfKnnWith(good.union(dead), corpus, queries, 5, nProbe = 2))
+    assert(withDead == clean)
+  }
+
   test("bounded top-k aggregate == window row_number across many partitions, ties included") {
     import org.apache.spark.sql.expressions.Window
     // duplicate embeddings (i and i+50 identical) force exact cos_sim

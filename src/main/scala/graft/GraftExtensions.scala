@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, TopKByScore}
+import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, SigAgreePairs, TopKByScore}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the library's native Catalyst expressions so they are
@@ -50,6 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hamming_pairs_within"),
       new ExpressionInfo(classOf[HammingPairsWithin].getName, "hamming_pairs_within"),
       GraftExtensions.hammingPairsBuilder))
+    // sig_agree_pairs(array<struct<doc,sig>>) — pair enumeration fused
+    // with the MinHash agreement count
+    ext.injectFunction((
+      new FunctionIdentifier("sig_agree_pairs"),
+      new ExpressionInfo(classOf[SigAgreePairs].getName, "sig_agree_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "sig_agree_pairs takes exactly 1 argument")
+        SigAgreePairs(children.head)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -856,15 +856,24 @@ object SparkEntry {
     "q63_sessions" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800)),
 
+    // the hot-key-safe variant: per-event work salted by (user, day),
+    // boundary sessions merged from mini-session summaries. Same
+    // semantics as q63 BY CONSTRUCTION — the oracle is q63's SQL
+    // verbatim, so the hash gate proves salting changes nothing on the
+    // real corpus
+    "q68_sessions_salted" -> ((s, d) =>
+      Temporal.sessionizeSalted(Tables.events(s, d), "user_id", "ts",
+        "event_id", 1800, saltDays = 1)),
+
     // MinHash signature-agreement Jaccard estimate for the q29
-    // candidate pairs — the O(numPerm) triage before exact verify
-    "q64_minhash_est" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.minHashEstimate(docs, "doc_id", col("text"),
-        Dedup.minHashCandidates(docs, "doc_id", col("text"),
-          MinhashK, MinhashPerms, MinhashBands),
-        MinhashK, MinhashPerms)
-    }),
+    // candidate pairs — the O(numPerm) triage before exact verify.
+    // Fused form: the signature subplan runs structurally ONCE (it
+    // rides through the banding aggregation into the pair generator),
+    // where composing minHashEstimate over minHashCandidates planned it
+    // three times (candidates + both re-attach join sides).
+    "q64_minhash_est" -> ((s, d) =>
+      Dedup.minHashCandidatesWithEstimate(Tables.documents(s, d), "doc_id",
+        col("text"), MinhashK, MinhashPerms, MinhashBands)),
 
     // inverted-index posting lists: top tokens with counts, doc
     // frequency, and capped ascending doc-id postings (bounded top-k
@@ -1069,6 +1078,20 @@ object SparkEntry {
       "q60_ivf_trained" -> ivfOracleFrom(
         s"a AS (SELECT cell_id, aemb FROM (VALUES $rows) AS t(cell_id, aemb))")
     }.toMap
+
+  /** Gap-based sessionization oracle — shared verbatim by q63 (plain)
+    * and q68 (salted): the salted operator's contract is bit-identical
+    * output. */
+  private val sessionsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+       f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw FROM l),
+       s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM f)
+       SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+         min(us) AS session_start_us, max(us) AS session_end_us,
+         (max(us) - min(us)) // 1000000 AS duration_secs
+       FROM s GROUP BY 1, 2"""
 
   /** Generated oracle: marker-word language ID. */
   private def langidOracle: String = {
@@ -1312,16 +1335,10 @@ object SparkEntry {
              [-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t) for n in hist]),
              (acc, v) -> acc + v), 6) AS char_entropy
          FROM h""",
-    "q63_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-         l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
-         f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw FROM l),
-         s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
-                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM f)
-         SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
-           min(us) AS session_start_us, max(us) AS session_end_us,
-           (max(us) - min(us)) // 1000000 AS duration_secs
-         FROM s GROUP BY 1, 2""",
+    "q63_sessions" -> sessionsOracle,
+    // the salted operator must produce byte-identical sessions — its
+    // oracle IS the unsalted formulation
+    "q68_sessions_salted" -> sessionsOracle,
     "q64_minhash_est" -> minhashEstOracle,
     "q61_postings" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

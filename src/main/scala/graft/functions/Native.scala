@@ -36,4 +36,9 @@ object Native {
   /** Fused within-bucket Hamming pair generator (see [[HammingPairsWithin]]). */
   def hammingPairsWithin(bucket: Column, maxHamming: Int): Column =
     column(HammingPairsWithin(expr(bucket), maxHamming))
+
+  /** Fused within-bucket signature-agreement pair generator (see
+    * [[SigAgreePairs]]). */
+  def sigAgreePairs(bucket: Column): Column =
+    column(SigAgreePairs(expr(bucket)))
 }

@@ -133,3 +133,72 @@ case class HammingPairsWithin(child: Expression, maxHamming: Int)
   override protected def withNewChildInternal(newChild: Expression): HammingPairsWithin =
     copy(child = newChild)
 }
+
+/** Unordered pairs (doc_a < doc_b) from
+  * `array<struct<doc: bigint, sig: array<bigint>>>` with the count of
+  * AGREEING signature positions — the MinHash agreement estimator fused
+  * into the bucket pair loop. Signatures ride through the banding
+  * aggregation, so the estimate never joins back to the corpus: the
+  * signature subplan runs exactly ONCE in the whole query (the
+  * alternative — re-attaching signatures to the emitted pairs — plans
+  * the signature aggregate once per join side and relies on runtime
+  * exchange reuse to dedupe them). */
+case class SigAgreePairs(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType == ArrayType(LongType, false) =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType == ArrayType(LongType, true) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sig_agree_pairs expects array<struct<bigint, array<bigint>>>, got ${t.catalogString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("n_agree", IntegerType, nullable = false)))
+
+  override def prettyName: String = "sig_agree_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Nil
+    val data = arr.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    if (n < 2) return Nil
+    val docs = new Array[Long](n)
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val st = data.getStruct(i, 2)
+      docs(i) = st.getLong(0)
+      sigs(i) = st.getArray(1).toLongArray()
+      i += 1
+    }
+    val order = Array.range(0, n).sortBy(k => docs(k))
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      override def hasNext: Boolean = a < n - 1
+      override def next(): InternalRow = {
+        val ia = order(a); val ib = order(b)
+        val sa = sigs(ia); val sb = sigs(ib)
+        var agree = 0
+        var p = 0
+        val m = math.min(sa.length, sb.length)
+        while (p < m) { if (sa(p) == sb(p)) agree += 1; p += 1 }
+        val r = new GenericInternalRow(Array[Any](docs(ia), docs(ib), agree))
+        b += 1
+        if (b >= n) { a += 1; b = a + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SigAgreePairs =
+    copy(child = newChild)
+}

@@ -318,6 +318,53 @@ object Dedup {
         round(matches.cast(DoubleType) / numPerm, 6).as("jaccard_est"))
   }
 
+  /** [[minHashCandidates]] and [[minHashEstimate]] fused into ONE pass:
+    * the full signature rides through the banding aggregation next to
+    * its doc id, and the within-bucket pair generator
+    * ([[graft.functions.SigAgreePairs]]) counts agreeing signature
+    * positions while it enumerates, so the Jaccard estimate costs zero
+    * extra scans, joins, or shuffles over candidate generation alone.
+    *
+    * Versus composing the two operators (`minHashEstimate(docs, ...,
+    * minHashCandidates(docs, ...))`): the composition plans the
+    * signature subplan THREE times — once under the candidate pipeline
+    * and once per join side re-attaching signatures to the emitted
+    * pairs — and only runtime exchange reuse may dedupe them. Here it
+    * is structurally once. The price is a wider banding shuffle (each
+    * (doc, band) row carries the `numPerm`-long signature); at
+    * numPerm = 16 that is 128 bytes/row against a shuffle it removes
+    * two joins from — the right trade at any scale.
+    *
+    * A pair surviving in multiple bands is emitted once per band with
+    * the same (signature-determined) agreement count; the final
+    * group-by collapses duplicates exactly where [[minHashCandidates]]
+    * runs its `distinct()`. Same estimator as [[minHashEstimate]]:
+    * `round(n_agree / numPerm, 6)`, unbiased for the true Jaccard. */
+  def minHashCandidatesWithEstimate(df: DataFrame, idCol: String, text: Column,
+      k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val rows = numPerm / bands
+    val sig = minHashSignatures(df, idCol, text, k, numPerm)
+    val sigArr = array((0 until numPerm).map(p => col(s"mh$p")): _*)
+    val banded = sig.select(col("doc"), sigArr.as("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat_ws(",", (0 until rows).map(r =>
+            col(s"mh${b * rows + r}")): _*)).as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    banded.groupBy("band_idx", "band_hash")
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("entries"))
+      .filter(size(col("entries")).between(2, maxBucket))
+      .select(graft.functions.Native.sigAgreePairs(col("entries"))
+        .as(Seq("doc_a", "doc_b", "n_agree")))
+      // max == min == the only value: n_agree is a pure function of the
+      // two signatures, identical from every band that emits the pair
+      .groupBy("doc_a", "doc_b").agg(max(col("n_agree")).as("__n"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__n").cast(DoubleType) / numPerm, 6).as("jaccard_est"))
+  }
+
   /** Benchmark decontamination — the eval-set overlap check every
     * training corpus needs before release: a document is contaminated if
     * it shares at least one word `k`-shingle with any benchmark

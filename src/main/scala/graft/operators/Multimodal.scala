@@ -3,10 +3,13 @@
   *
   * The IMAGE path is real: PNG/JPEG/GIF/BMP payloads are decoded,
   * feature-extracted, and resampled with `javax.imageio` +
-  * `java.awt.Graphics2D` (JDK-built-in codecs, headless-safe). Payloads
-  * that are not a decodable image fall back to a clearly-marked
-  * DETERMINISTIC STUB kernel (the container has no audio/video codecs) —
-  * and everything Spark-side is identical between the two: the schema
+  * `java.awt.Graphics2D` (JDK-built-in codecs, headless-safe). The
+  * AUDIO path is real too: RIFF/WAVE PCM payloads are decoded with
+  * `javax.sound.sampled` (also JDK-built-in) into mono [-1, 1] samples
+  * and feature-extracted as temporal amplitude stripes. Payloads that
+  * decode as neither fall back to a clearly-marked DETERMINISTIC STUB
+  * kernel (video — the container has no demuxer) —
+  * and everything Spark-side is identical between the paths: the schema
   * (binary payload + struct metadata), the partition-parallel batch shape
   * (`mapPartitions` over iterators, the Scala analogue of `mapInPandas`
   * batches), and the expression-level metadata math that the DuckDB
@@ -95,11 +98,12 @@ object Multimodal {
   /** Batch decode over partitions — the real-decoder seam. Iterator in,
     * iterator out: constant memory per task, arbitrarily many partitions.
     * PNG/JPEG/GIF/BMP payloads decode for real (`javax.imageio`) and
-    * emit 8 luminance-stripe features from actual pixels; anything else
-    * (audio/video — no codecs in this container) falls back to the
+    * emit 8 luminance-stripe features from actual pixels; RIFF/WAVE
+    * payloads decode for real too (`javax.sound.sampled`, JDK-native
+    * PCM) and emit 8 temporal-stripe amplitude features; anything else
+    * (video — no demuxer in this container) falls back to the
     * deterministic STUB kernel [[fakeDecode]]. A production build adds
-    * codec branches next to the image one; the Spark shape never
-    * changes. */
+    * codec branches next to these; the Spark shape never changes. */
   def decodePartitions(spark: SparkSession, df: DataFrame,
       idCol: String): Dataset[DecodedMedia] = {
     import spark.implicits._
@@ -109,10 +113,98 @@ object Multimodal {
         it.map { case (id, bytes) =>
           decodeImage(bytes) match {
             case Some(img) => imageDecode(id, bytes, img)
-            case None => fakeDecode(id, bytes)
+            case None => decodeWavSamples(bytes) match {
+              case Some(samples) => audioDecode(id, bytes, samples)
+              case None => fakeDecode(id, bytes)
+            }
           }
         }
       }
+  }
+
+  /** Container sniff for RIFF/WAVE — like [[imageMime]], the common
+    * non-audio case must not pay a failed parser probe per row. */
+  private[graft] def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Real WAV/PCM decode via the JDK (`javax.sound.sampled` — no
+    * external codec needed): parses the RIFF container, reads the PCM
+    * frames, averages channels to mono, and normalizes samples to
+    * [-1, 1]. Returns None when the payload only pretended to be a WAV
+    * (sniff passed, stream truncated/corrupt) or uses a compressed
+    * encoding the JDK can't stream — same degrade-to-stub contract as
+    * [[decodeImage]], NonFatal for the same reason (container parsers
+    * throw unchecked on fuzzed input). */
+  private[graft] def decodeWavSamples(bytes: Array[Byte]): Option[Array[Double]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!isWav(bytes)) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        if ((enc != AudioFormat.Encoding.PCM_SIGNED &&
+            enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+          (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return None
+        val data = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val channels = fmt.getChannels
+        val frameBytes = bytesPerSample * channels
+        val nFrames = data.length / frameBytes
+        if (nFrames == 0) return None
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val big = fmt.isBigEndian
+        val full = 1L << (bits - 1) // normalizer: |min signed value|
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPerSample
+            var v = 0L
+            var i = 0
+            while (i < bytesPerSample) {
+              val b = data(off + (if (big) i else bytesPerSample - 1 - i)) & 0xffL
+              v = (v << 8) | b
+              i += 1
+            }
+            // sign-extend (signed PCM) or re-center (unsigned PCM)
+            val s =
+              if (signed) (v << (64 - bits)) >> (64 - bits)
+              else v - full
+            acc += s.toDouble / full
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        Some(out)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real audio kernel: 8 features = mean absolute amplitude of 8
+    * temporal stripes, in [0, 1] — the audio twin of the image
+    * luminance stripes (deterministic, duration-independent-ish,
+    * computed from actually decoded samples). */
+  private[graft] def audioDecode(id: Long, bytes: Array[Byte],
+      samples: Array[Double]): DecodedMedia = {
+    val n = samples.length
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val stripe = (i.toLong * 8 / n).toInt
+      sums(stripe) += math.abs(samples(i)); counts(stripe) += 1
+      i += 1
+    }
+    val feats = Array.tabulate(8)(s =>
+      if (counts(s) == 0) 0f else (sums(s) / counts(s)).toFloat)
+    DecodedMedia(id, bytes.length.toLong, "audio/wav", feats)
   }
 
   /** Real image kernel: 8 features = mean luminance of 8 vertical
@@ -146,8 +238,9 @@ object Multimodal {
     DecodedMedia(id, bytes.length.toLong, imageMime(bytes).get, feats)
   }
 
-  /** STUB for the non-image codecs: deterministic features from byte
-    * content. */
+  /** STUB for the remaining codec gap (video — the JDK ships no
+    * demuxer): deterministic features from byte content. Image and WAV
+    * audio decode for real above. */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val n = bytes.length
     val feats = Array.tabulate(8) { i =>

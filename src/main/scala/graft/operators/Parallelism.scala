@@ -1,7 +1,9 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, LogicalPlan, RepartitionOperation, Sort, Window => LWindow}
 
 /** Partition-count hygiene for compute-heavy narrow stages.
   *
@@ -15,6 +17,28 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, R
   */
 object Parallelism {
 
+  /** The probe (optimize + physical-plan via `.rdd`) is a driver-side
+    * planning cost paid per [[ensure]] call. Query builders construct
+    * the same scan lineage over and over (every declared query re-reads
+    * the same tables), so the probed result is memoized by the
+    * CANONICALIZED analyzed plan: same semantic plan → same scan files →
+    * same partition count. The value is the probed partition count
+    * (-1 = wide plan, leave untouched), NOT the decision — the decision
+    * also depends on the calling session's parallelism, which is
+    * compared fresh each call. Bounded: cleared wholesale at [[CacheCap]]
+    * entries (plans are small and the cap is generous; an LRU would be
+    * ceremony for a driver-side planning cache). */
+  private val CacheCap = 256
+  private val probeCache = new ConcurrentHashMap[LogicalPlan, Integer]()
+
+  private def probedPartitions(df: DataFrame): Int = {
+    val hasWideOp = df.queryExecution.optimizedPlan.collectFirst {
+      case _: Join | _: Aggregate | _: LWindow | _: Sort | _: Distinct => ()
+      case _: RepartitionOperation => ()
+    }.isDefined
+    if (hasWideOp) -1 else df.rdd.getNumPartitions
+  }
+
   /** Repartition up to the session default parallelism iff the plan is a
     * narrow (scan-rooted) lineage with fewer partitions than the target.
     *
@@ -26,14 +50,14 @@ object Parallelism {
     * time, doubling work when the real action runs. On narrow plans
     * `.rdd` only plans; no job is triggered. */
   def ensure(df: DataFrame): DataFrame = {
-    val hasWideOp = df.queryExecution.optimizedPlan.collectFirst {
-      case _: Join | _: Aggregate | _: LWindow | _: Sort | _: Distinct => ()
-      case _: RepartitionOperation => ()
-    }.isDefined
-    if (hasWideOp) df
-    else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val key = df.queryExecution.analyzed.canonicalized
+    var n = probeCache.get(key)
+    if (n == null) {
+      n = Integer.valueOf(probedPartitions(df))
+      if (probeCache.size >= CacheCap) probeCache.clear()
+      probeCache.put(key, n)
     }
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (n >= 0 && n < target) df.repartition(target) else df
   }
 }

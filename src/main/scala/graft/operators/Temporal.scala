@@ -129,4 +129,70 @@ object Temporal {
         floor((col("session_end_us") - col("session_start_us")) / 1000000L)
           .cast(org.apache.spark.sql.types.LongType))
   }
+
+  /** Hot-key-safe sessionization — the salting escape hatch
+    * [[sessionize]]'s docstring promises, with IDENTICAL results
+    * (spec-asserted): a synthetic or bot user with years of events would
+    * pin one task in the per-user window sort; here the per-EVENT work
+    * is partitioned by (user, time bucket of `saltDays` days), so no
+    * task ever sorts more than one user-bucket of events.
+    *
+    * Two phases:
+    *  1. mini-sessions WITHIN each (user, bucket) — the same lag/
+    *     running-sum gap logic, but salted: the heavy exchange + sort
+    *     parallelizes across the hot user's days;
+    *  2. boundary merge per user — mini-sessions are gap-disjoint
+    *     within a bucket, so only the bucket-boundary gaps are left to
+    *     test; the same running-sum logic runs over mini-session
+    *     SUMMARIES (start/end/count), whose per-user cardinality is
+    *     O(sessions + buckets touched), orders of magnitude below the
+    *     event count — the one remaining per-user task is bounded by
+    *     session count, not event count.
+    *
+    * Semantics are exactly [[sessionize]]'s: a bucket boundary never
+    * splits a session (phase 2 merges when the inter-mini gap is ≤
+    * `gapSeconds`) and never joins one (phase 1 already split on every
+    * in-bucket gap). Events with equal timestamps share a bucket, so
+    * the `orderCol` tie-break behaves identically. Requires the bucket
+    * to be wider than the gap (otherwise a session could skip an entire
+    * empty bucket and the lag-1 boundary test would be wrong). */
+  def sessionizeSalted(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapSeconds: Long, saltDays: Int = 1): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val saltUs = saltDays.toLong * 86400L * 1000000L
+    require(saltUs > gapUs,
+      s"salt bucket (${saltDays}d) must exceed the session gap (${gapSeconds}s)")
+    val w = Window.partitionBy(col(userCol), col("__salt"))
+      .orderBy(col("__us"), col(orderCol))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mini = df
+      .select(col(userCol), col(orderCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__salt", floor(col("__us") / saltUs))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__mini", sum(col("__new")).over(wrun))
+      .groupBy(col(userCol), col("__salt"), col("__mini"))
+      .agg(count(lit(1)).as("__n"),
+        min(col("__us")).as("__start"), max(col("__us")).as("__end"))
+    // per-user minis are time-disjoint (buckets partition time; in-
+    // bucket sessions are gap-split), so ordering by start is total and
+    // lag(end) is the correct boundary-gap test
+    val wm = Window.partitionBy(col(userCol)).orderBy(col("__start"))
+    val wmrun = wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mini
+      .withColumn("__prev_end", lag(col("__end"), 1).over(wm))
+      .withColumn("__new",
+        when(col("__prev_end").isNull || col("__start") - col("__prev_end") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(wmrun))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(sum(col("__n")).as("n_events"),
+        min(col("__start")).as("session_start_us"),
+        max(col("__end")).as("session_end_us"))
+      .withColumn("duration_secs",
+        floor((col("session_end_us") - col("session_start_us")) / 1000000L)
+          .cast(org.apache.spark.sql.types.LongType))
+  }
 }

@@ -413,6 +413,23 @@ class SimilaritySpec extends SparkSpec {
     assert(est.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
   }
 
+  test("minHashCandidatesWithEstimate == minHashEstimate over minHashCandidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely different content about spark catalyst optimizer rules here"),
+      (5L, "the quick brown fox jumps over a sleepy dog again and again today")
+    ).toDF("doc_id", "text")
+    val composed = Dedup.minHashEstimate(docs, "doc_id", col("text"),
+      Dedup.minHashCandidates(docs, "doc_id", col("text"), 5, 16, 4), 5, 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val fused = Dedup.minHashCandidatesWithEstimate(docs, "doc_id", col("text"),
+      5, 16, 4).as[(Long, Long, Double)].collect().toSet
+    assert(fused == composed, s"fused=$fused composed=$composed")
+    assert(fused.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
   test("bigramPmi: collocations score high, cross-products low; minCount filters") {
     val docs = Seq(
       (1L, "new york new york new york stock exchange"),

@@ -73,6 +73,69 @@ class MultimodalSpec extends SparkSpec {
     assert(red(3) > red(0), s"${red(0)} !< ${red(3)}")
   }
 
+  /** 16-bit PCM mono WAV built with the same JDK API the decoder uses —
+    * a true container round-trip, not byte-twiddling: write with
+    * AudioSystem, read back with decodeWavSamples. */
+  def wavBytes(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodePartitions really decodes WAV PCM (javax.sound.sampled)") {
+    // first half: full-scale square wave (|amp| = 1); second half:
+    // silence — temporal stripes must read ~1 then ~0, which only
+    // happens if the PCM frames were actually decoded
+    val n = 8000
+    val loud = Array.tabulate(n / 2)(i =>
+      (if (i % 2 == 0) Short.MaxValue else (-Short.MaxValue).toShort))
+    val quiet = Array.fill(n / 2)(0.toShort)
+    val df = Seq((20L, wavBytes(loud ++ quiet)),
+      (21L, ("RIFF" + "x" * 20).getBytes("UTF-8"))) // sniff passes, corrupt
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePartitions(spark, df, "doc_id")
+      .collect().map(r => r.doc_id -> r).toMap
+    val wav = out(20L)
+    assert(wav.format == "audio/wav")
+    assert(wav.features.length == 8)
+    assert(wav.features.take(4).forall(f => f > 0.95f), wav.features.toSeq)
+    assert(wav.features.drop(4).forall(f => f < 0.05f), wav.features.toSeq)
+    // corrupt RIFF container degrades to the stub kernel, never throws
+    assert(out(21L).format == "text/plain" && out(21L).features.length == 8)
+  }
+
+  test("WAV decode normalizes multi-channel and 8-bit unsigned PCM") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo 8-bit unsigned: L = full-scale, R = silence -> mono mean
+    // amplitude ~0.5 in every stripe
+    val n = 1000
+    val fmt = new AudioFormat(8000f, 8, 2, false, false)
+    val data = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      data(2 * i) = (if (i % 2 == 0) 0xff else 0x00).toByte // L: +-full
+      data(2 * i + 1) = 0x80.toByte                         // R: center
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val samples = Multimodal.decodeWavSamples(bos.toByteArray)
+    assert(samples.isDefined)
+    val s = samples.get
+    assert(s.length == n)
+    // mono average of (+-~1, 0) alternates around +-0.5
+    assert(math.abs(s.map(math.abs).sum / s.length - 0.5) < 0.02)
+  }
+
   test("sampleFramesPartitions flatMaps payloads to frame records") {
     val frames = Multimodal.sampleFramesPartitions(spark, withPayload,
       "doc_id", frameBytes = 1024, everyNth = 1).collect()

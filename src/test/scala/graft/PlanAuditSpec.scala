@@ -196,6 +196,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("q68 salted sessionization: per-event exchange is on (user, salt), then only summaries shuffle") {
+    val plan = planOf("q68_sessions_salted")
+    assert(!plan.contains("Join"), plan.take(800))
+    // phase 1 partitions the EVENT stream by (user, salt); phase 2's
+    // exchanges (per-user merge window + final agg) carry mini-session
+    // summaries only — bounded by session count, so the per-user
+    // hash exchanges after phase 1 are fine at any skew
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(e => e.contains("user_id") && e.contains("__salt")),
+      exchanges.mkString("\n"))
+  }
+
+  test("q64 minhash estimate: the signature subplan is NOT duplicated (no self-join re-execution)") {
+    val plan = planOf("q64_minhash_est")
+    // signatures are one hash aggregate with 16 partial_min functions
+    // (one per permutation). The composed formulation (candidates +
+    // join signatures back per side) planned that subplan three times —
+    // 48 partial_mins; the fused operator carries signatures through
+    // the banding aggregation, so the subplan appears structurally once.
+    assert(countOf("partial_min", plan) == 16, plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(800))
+    // pair enumeration + agreement count fused in the native generator,
+    // no O(bucket^2) array, no re-attach joins
+    assert(plan.contains("sig_agree_pairs"), plan.take(800))
+  }
+
+  test("q66 bigram PMI: corpus token total crosses as a broadcast single row, never an eager count") {
+    val plan = planOf("q66_bigram_pmi")
+    // the 1-row total joins back via BroadcastNestedLoopJoin (a true
+    // cross join of cardinality 1) or broadcast hash — never a shuffle
+    // of the bigram table keyed on a constant, and never a collected
+    // count() baked in as a literal (which would mean an eager job at
+    // plan time)
+    assert(plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("q62 histogram: one narrow bucket map, exchanges only for the 22-row aggregate") {
+    val plan = planOf("q62_histogram")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    // bucket assignment is a codegen'd projection over the scan; the
+    // only exchange carries (bucket, partial count) rows — one per
+    // bucket per map partition, regardless of corpus size
+    assert(countOf("Exchange hashpartitioning", plan) <= 1, plan.take(1000))
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan.take(1000))
+  }
+
   test("whole-stage codegen covers the scan->agg path of q13") {
     // AQE wraps the unexecuted plan, hiding codegen subtrees from
     // explain — turn it off just for this inspection

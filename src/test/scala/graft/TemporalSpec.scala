@@ -41,6 +41,58 @@ class TemporalSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
   }
 
+  test("sessionizeSalted == sessionize on a skewed corpus with boundary sessions") {
+    // one hot user (0) with events spanning 6 days — including sessions
+    // that STRADDLE the day-bucket boundary (events at 23:59 and 00:10
+    // next day, gap 11 min < 30 min: the salt split must merge them
+    // back) and multi-day-gap silences; plus normal users and an
+    // equal-timestamp tie pair to exercise the orderCol tie-break
+    val base = ts("2024-03-01 00:00:00").getTime
+    def at(dayOffset: Double, id: Long, user: Long) =
+      (id, user, new Timestamp(base + (dayOffset * 86400000L).toLong))
+    val events = (
+      // hot user: a burst every 2 hours for 6 days (each burst = its own
+      // session; 3 events per burst, 5 min apart)
+      (for (d <- 0 until 6; h <- 0 until 24 by 2; i <- 0 until 3)
+        yield at(d + h / 24.0 + i * 5 / 1440.0,
+          (d * 100000 + h * 100 + i).toLong, 0L)) ++
+      // boundary straddle: 23:59 day 1 + 00:10 day 2 (same session)
+      Seq(at(1.9993, 900001L, 7L), at(2.0069, 900002L, 7L),
+        // equal timestamps, distinct event ids (tie-break path)
+        at(3.5, 900003L, 8L), at(3.5, 900004L, 8L),
+        // multi-day silence: day 0 and day 4 (separate sessions)
+        at(0.25, 900005L, 9L), at(4.25, 900006L, 9L))
+    ).toDF("event_id", "user_id", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_seq", "n_events",
+        "session_start_us", "session_end_us", "duration_secs")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val plain = rows(Temporal.sessionize(events, "user_id", "ts", "event_id", 1800))
+    val salted = rows(Temporal.sessionizeSalted(events, "user_id", "ts", "event_id",
+      1800, saltDays = 1))
+    assert(salted == plain)
+    // the straddling pair really did merge into ONE session
+    assert(plain.count(r => r._1 == 7L) == 1)
+    assert(plain.find(r => r._1 == 7L).get._3 == 2L)
+    // and the silence really did split
+    assert(plain.count(r => r._1 == 9L) == 2)
+  }
+
+  test("sessionizeSalted salts the per-event exchange by (user, bucket)") {
+    val events = (0 until 100).map(i =>
+      (i.toLong, i % 3L, new Timestamp(1700000000000L + i * 60000L)))
+      .toDF("event_id", "user_id", "ts")
+    val plan = Temporal.sessionizeSalted(events, "user_id", "ts", "event_id", 1800)
+      .queryExecution.executedPlan.toString
+    // phase-1 window partitions by (user, salt) — the hot-key defence
+    assert(plan.contains("__salt"), plan.take(2000))
+    // salt must not leak into the output schema
+    val cols = Temporal.sessionizeSalted(events, "user_id", "ts", "event_id", 1800)
+      .columns.toSeq
+    assert(cols == Seq("user_id", "session_seq", "n_events",
+      "session_start_us", "session_end_us", "duration_secs"))
+  }
+
   test("rangeJoinByValue finds exactly the in-range pairs, no duplicates") {
     val e = Seq((1L, 1.0), (2L, 1.3), (3L, 1.6), (4L, 5.0))
       .toDF("event_id", "value")

@@ -63,14 +63,17 @@ object SparkEntry {
           .select("event_id", "event_type", "big_value"))),
 
     // O11 — drop nulls on subset (null source: JSON field extraction).
-    // No wide() here: the null-filter predicate pushes below any
-    // repartition (it's deterministic), which would put one of the two
-    // JSON parses on the single scan task AND still parse again above —
-    // measured slower than letting both run fused in the scan stage.
+    // The ~1M-row JSON parse must NOT run on the single scan task:
+    // wide() repartitions the raw rows, and the non-pushable null
+    // filter (pushable = false) keeps Catalyst from substituting the
+    // parse into the predicate and dragging it below the exchange —
+    // with a plain filter both parses land on the scan task (measured
+    // ~0.65 s; barriered ~0.2 s at sf0.1).
     "q03_dropna_subset" -> ((s, d) =>
-      Relational.dropNulls(Seq("k_value"))(
-        Tables.events(s, d).select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("k_value")))),
+      Relational.dropNulls(Seq("k_value"), pushable = false)(
+        wide(Tables.events(s, d).select(col("event_id"), col("props")))
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k_value")))),
 
     // O12 — bulk rename
     "q04_rename_bulk" -> ((s, d) =>

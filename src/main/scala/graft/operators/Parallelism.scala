@@ -39,6 +39,28 @@ object Parallelism {
     if (hasWideOp) -1 else df.rdd.getNumPartitions
   }
 
+  /** A predicate Catalyst will NOT move: `cond` OR'd with an
+    * always-false non-deterministic term (`spark_partition_id() < 0`).
+    * Optimizer pushdown rules refuse to relocate conditions containing
+    * non-deterministic expressions — and because the term is a
+    * DISJUNCT, the condition cannot be split into pushable conjuncts
+    * either — so a filter built from this stays exactly where it is
+    * written. This is the escape hatch for the one case [[ensure]]
+    * cannot cover: a pushable predicate ABOVE the repartition gets
+    * substituted through the projection and pushed below the exchange,
+    * dragging the heavy narrow compute it guards (JSON parse, regex)
+    * back onto the single scan task. Runtime semantics are identical
+    * (partition ids are non-negative, the disjunct is constant-false,
+    * and codegen short-circuits it when `cond` holds); only the
+    * plan-time mobility changes. `spark_partition_id`, not `rand`:
+    * Spark 4 constant-folds out-of-range rand comparisons, which
+    * silently dissolves the barrier. Use ONLY above an [[ensure]] on a
+    * deliberately-widened stage: on an already-wide scan the same
+    * predicate should stay pushable so it reaches the parquet reader. */
+  def unpushable(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cond || (org.apache.spark.sql.functions.spark_partition_id() <
+      org.apache.spark.sql.functions.lit(0))
+
   /** Repartition up to the session default parallelism iff the plan is a
     * narrow (scan-rooted) lineage with fewer partitions than the target.
     *

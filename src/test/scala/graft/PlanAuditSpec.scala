@@ -25,6 +25,20 @@ class PlanAuditSpec extends SparkSpec {
   private def countOf(pattern: String, plan: String): Int =
     pattern.r.findAllIn(plan).size
 
+  test("q03 dropna: the JSON parse runs ABOVE the widening exchange, not on the scan task") {
+    val plan = planOf("q03_dropna_subset")
+    // the barriered filter keeps get_json_object out of the scan stage:
+    // nothing json-shaped may appear below the RoundRobin exchange
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    assert(exIdx >= 0, plan.take(800))
+    // physical plan prints top-down: everything BELOW the exchange line
+    // is the scan stage — the parse must only appear above it
+    assert(!lines.drop(exIdx + 1).exists(_.contains("get_json_object")),
+      lines.drop(exIdx + 1).filter(_.contains("json")).mkString("\n"))
+    assert(lines.take(exIdx).exists(_.contains("get_json_object")), plan.take(1200))
+  }
+
   test("q13 agg: shipdate filter is pushed to the parquet scan") {
     val plan = planOf("q13_agg_q1")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

@@ -868,6 +868,29 @@ object SparkEntry {
       Temporal.sessionizeSalted(Tables.events(s, d), "user_id", "ts",
         "event_id", 1800, saltDays = 1)),
 
+    // RefinedWeb-style segment-frequency dedup: 5-word windows present
+    // in >= 3 distinct docs are boilerplate, struck from every doc;
+    // docs rebuild from surviving segments (empty string when nothing
+    // survives). Thresholds probed against the corpus: 35 segments hit
+    // df >= 3 at sf0.01, so the filter provably fires.
+    "q69_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", col("text"),
+        segWords = 5, maxDocFreq = 3)),
+
+    // concat-and-chunk sequence packing: global token offsets in doc_id
+    // order, cut into 512-token context windows. Two-level cumsum (range
+    // shards + broadcast shard prefixes) — never a global one-task
+    // window; the oracle's single SUM() OVER (ORDER BY doc_id) is the
+    // semantic contract the sharded form must reproduce exactly.
+    "q70_pack_offsets" -> ((s, d) =>
+      TextAnalysis.packOffsets(Tables.documents(s, d), "doc_id", col("text"),
+        contextTokens = 512, shardSize = 100L)),
+
+    // per-vector symmetric int8 quantization digest (scale, L1, min/max,
+    // reconstruction RMSE) — the ANN-index compression path
+    "q71_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(wide(Tables.embeddings(s, d)), "vec_id")),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -1342,6 +1365,62 @@ object SparkEntry {
     // the salted operator must produce byte-identical sessions — its
     // oracle IS the unsalted formulation
     "q68_sessions_salted" -> sessionsOracle,
+    // segment = non-overlapping 5-word window (pos // 5 reproduces
+    // chunks(text, 5, 0)); boilerplate = segment in >= 3 distinct docs
+    "q69_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos FROM documents),
+         seg AS (SELECT doc_id, pos // 5 AS seg_idx,
+           string_agg(word, ' ' ORDER BY pos) AS seg FROM w GROUP BY doc_id, pos // 5),
+         freq AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df
+           FROM seg GROUP BY seg) WHERE df >= 3),
+         kept AS (SELECT s.* FROM seg s ANTI JOIN freq f ON s.seg = f.seg),
+         rebuilt AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+         totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+           FROM seg GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           t.n_total - coalesce(r.n_kept, 0) AS n_removed
+         FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
+    // the single global running sum IS the contract; the Spark side must
+    // reproduce it exactly from range shards + broadcast prefixes
+    "q70_pack_offsets" ->
+      """WITH n AS (SELECT doc_id,
+           CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_offset FROM n)
+         SELECT doc_id, n_tokens, start_offset,
+           start_offset // 512 AS chunk_first,
+           CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+                ELSE start_offset // 512 END AS chunk_last,
+           (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+                 ELSE start_offset // 512 END) - start_offset // 512 + 1 AS n_chunks
+         FROM o""",
+    // quantizer parity: floor(x + 0.5), never round() — engines
+    // disagree on half-value ties; fold order mirrors the Spark
+    // aggregate (left-to-right, 0-seeded)
+    "q71_quantize_int8" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         m AS (SELECT vec_id, emb,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [abs(emb[i+1]) for i in range(0, 64)]),
+             (acc, x) -> CASE WHEN x > acc THEN x ELSE acc END) AS max_abs FROM c),
+         q AS (SELECT vec_id, emb, max_abs / 127.0 AS scale,
+           CASE WHEN max_abs = 0 THEN [CAST(0 AS BIGINT) for i in range(0, 64)]
+             ELSE [CAST(least(greatest(floor(emb[i+1] / (max_abs / 127.0) + 0.5),
+               -127), 127) AS BIGINT) for i in range(0, 64)] END AS qv FROM m)
+         SELECT vec_id, round(scale, 9) AS scale,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), [abs(x) for x in qv]),
+             (acc, x) -> acc + x) AS q_l1,
+           list_min(qv) AS q_min, list_max(qv) AS q_max,
+           round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [pow(emb[i+1] - qv[i+1] * scale, 2) for i in range(0, 64)]),
+             (acc, x) -> acc + x) / 64), 6) AS rmse
+         FROM q""",
     "q64_minhash_est" -> minhashEstOracle,
     "q61_postings" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

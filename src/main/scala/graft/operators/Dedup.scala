@@ -390,6 +390,58 @@ object Dedup {
       .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Segment-level frequency dedup — the RefinedWeb/Gopher "repeated
+    * lines" filter generalized to fixed word windows: a segment
+    * ([[TextAnalysis.chunks]] of `segWords`, no overlap) that appears in
+    * at least `maxDocFreq` DISTINCT documents is boilerplate and is
+    * struck from every document; each document is re-assembled from its
+    * surviving segments in order (a document losing everything survives
+    * as an empty string — it is the caller's filter decision, not this
+    * operator's).
+    *
+    * Scale shape: segmentation is a narrow per-row expression (no
+    * shuffle); the document-frequency aggregate is ONE hash shuffle on
+    * the segment with map-side partial aggregation; the frequent-segment
+    * set is then SMALL BY CONSTRUCTION (segments repeated across ≥
+    * `maxDocFreq` documents — boilerplate, headers, license blobs) and
+    * crosses as a broadcast left-anti join, so the corpus is never
+    * shuffled to discover what to remove; re-assembly is one shuffle on
+    * the doc id. At a corpus where the frequent set could outgrow a
+    * broadcast (pathologically low `maxDocFreq` over 100 TB), drop the
+    * `broadcast` hint and let AQE pick the join — the plan stays an
+    * anti-join either way. */
+  def segmentDedup(df: DataFrame, idCol: String, text: Column,
+      segWords: Int = 5, maxDocFreq: Int = 3): DataFrame = {
+    val segs = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"),
+        posexplode(TextAnalysis.chunks(col("__t"), segWords, 0))
+          .as(Seq("seg_idx", "seg")))
+    val frequent = segs.groupBy("seg")
+      .agg(count_distinct(col("doc")).as("__df"))
+      .filter(col("__df") >= maxDocFreq)
+      .select("seg")
+    val kept = segs.join(broadcast(frequent), Seq("seg"), "left_anti")
+    // re-assemble in segment order; count removed segments from the
+    // original per-doc segment count so fully-boilerplate docs emerge
+    // as empty strings with n_kept = 0, not as dropped rows
+    val rebuilt = kept.groupBy("doc")
+      .agg(array_sort(collect_list(struct(col("seg_idx"), col("seg"))))
+        .as("__ordered"))
+      .select(col("doc"),
+        array_join(transform(col("__ordered"), s => s.getField("seg")), " ")
+          .as("clean_text"),
+        size(col("__ordered")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_kept"))
+    val totals = segs.groupBy("doc")
+      .agg(count(lit(1)).as("__n_total"))
+    totals.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (the
     * verify step after LSH banding): explode shingles, count
     * intersections via an equi-join on the shingle, divide by union. */

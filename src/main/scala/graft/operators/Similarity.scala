@@ -303,6 +303,44 @@ object Similarity {
       .distinct()
   }
 
+  /** Scalar int8 quantization of an embedding column — the 4×-memory
+    * compression an ANN index at 100 TB actually ships (a float32
+    * corpus that doesn't fit executor memory often does at int8):
+    * per-vector symmetric scale `max(|v|)/127`, values
+    * `clamp(floor(v/scale + 0.5), -127, 127)`. Rounding is spelled
+    * `floor(x + 0.5)` — NOT `round` — because Spark and SQL engines
+    * disagree on half-value tie-breaking, and the quantizer must be a
+    * bit-identical pure function in every engine that stores or
+    * queries the index.
+    *
+    * Emitted per vector: the scale and a scalar DIGEST of the
+    * quantized vector (L1 mass, min, max, reconstruction RMSE) rather
+    * than the int8 array itself — the array would be the payload in a
+    * production sink; the digest is what a correctness harness can
+    * hash-compare. Pure per-row expressions: narrow, no shuffle,
+    * arbitrarily parallel. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    val maxAbs = aggregate(emb, lit(0.0), (acc, v) => greatest(acc, abs(v)))
+    val scale = maxAbs / 127.0
+    val qArr = when(maxAbs === 0.0, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb, v =>
+        least(greatest(floor(v / (maxAbs / 127.0) + 0.5), lit(-127L)), lit(127L))))
+    df.select(col(idCol), emb.as("__e"), scale.as("__scale"), qArr.as("__q"))
+      .select(col(idCol),
+        round(col("__scale"), 9).as("scale"),
+        aggregate(col("__q"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"),
+        array_min(col("__q")).as("q_min"),
+        array_max(col("__q")).as("q_max"),
+        round(
+          sqrt(
+            aggregate(
+              zip_with(col("__e"), col("__q"), (v, q) =>
+                pow(v - q.cast(DoubleType) * col("__scale"), 2)),
+              lit(0.0), (acc, x) => acc + x) / size(col("__e"))),
+          6).as("rmse"))
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket in at least one table;
     * exact cosine re-rank within candidates. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,

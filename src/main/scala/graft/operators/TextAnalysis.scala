@@ -382,6 +382,53 @@ object TextAnalysis {
     sampleHash(key) < threshold
   }
 
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * layout: all documents are laid end-to-end in `idCol` order into one
+    * global token stream, which is cut every `contextTokens`; each
+    * document gets its global start offset and the span of context
+    * windows (chunks) it lands in. Documents are never reordered or
+    * bin-packed — the packer is a pure offset computation, so the
+    * output is a deterministic function of the corpus.
+    *
+    * Scale shape — the naive formulation is a global running sum, i.e.
+    * an un-partitioned Window that drags the WHOLE corpus through one
+    * task. This is the two-level form instead: token counts cumsum
+    * WITHIN range shards of `shardSize` ids (parallel windows), shard
+    * totals (one tiny row per shard) prefix-sum in a bounded window,
+    * and the shard prefix re-attaches by broadcast — the same
+    * mini-summary pattern as [[Temporal.sessionizeSalted]]. No stage
+    * ever holds more than one shard of one window's state. */
+  def packOffsets(df: DataFrame, idCol: String, text: Column,
+      contextTokens: Int, shardSize: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc"),
+      coalesce(size(tokens(text)).cast(LongType), lit(0L)).as("n_tokens"),
+      floor(col(idCol) / shardSize).as("__shard"))
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__local_start",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // one row per shard; the global prefix over them is a bounded
+    // window (|shards| rows), never the corpus
+    val wShard = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = base.groupBy("__shard")
+      .agg(sum(col("n_tokens")).as("__shard_total"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__shard_total")).over(wShard), lit(0L)))
+      .select("__shard", "__prefix")
+    local.join(broadcast(prefixes), Seq("__shard"))
+      .withColumn("start_offset", col("__prefix") + col("__local_start"))
+      .withColumn("chunk_first", floor(col("start_offset") / contextTokens))
+      .withColumn("chunk_last",
+        when(col("n_tokens") > 0,
+          floor((col("start_offset") + col("n_tokens") - 1) / contextTokens))
+          .otherwise(floor(col("start_offset") / contextTokens)))
+      .select(col("doc").as(idCol), col("n_tokens"), col("start_offset"),
+        col("chunk_first"), col("chunk_last"),
+        (col("chunk_last") - col("chunk_first") + 1).as("n_chunks"))
+  }
+
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */

@@ -57,6 +57,30 @@ class DedupSpec extends SparkSpec {
     assert(sh.isEmpty)
   }
 
+  test("segmentDedup strikes cross-doc repeated segments, rebuilds in order, keeps emptied docs") {
+    // "a b c d e" is a full 5-word segment shared by 3 docs (df=3 →
+    // boilerplate at maxDocFreq=3); each doc also has unique tail words
+    val segDocs = Seq(
+      (1L, "a b c d e one two three four five six"),
+      (2L, "a b c d e unrelated middle words here now extra"),
+      (3L, "a b c d e"), // nothing but boilerplate → empty survivor
+      (4L, "entirely distinct text with no shared segments at all padding")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(segDocs, "doc_id", col("text"), 5, 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4) // every doc survives as a row
+    assert(out(1L)._2 == "one two three four five six" && out(1L)._4 == 1L)
+    assert(out(2L)._2 == "unrelated middle words here now extra")
+    assert(out(3L)._2 == "" && out(3L)._3 == 0L && out(3L)._4 == 1L)
+    // untouched doc: full text back, zero removed
+    assert(out(4L)._2 == segDocs.filter(col("doc_id") === 4L)
+      .select("text").as[String].head && out(4L)._4 == 0L)
+    // below the threshold nothing is removed
+    val loose = Dedup.segmentDedup(segDocs, "doc_id", col("text"), 5, 4)
+      .as[(Long, String, Long, Long)].collect()
+    assert(loose.forall(_._4 == 0L))
+  }
+
   test("connectedComponents labels every doc with its cluster's min id") {
     // two chains (1-2-3 via shared middle, 4-5) and an isolated edge pair;
     // chain 1-2, 2-3 means 3 reaches 1 only transitively
@@ -270,6 +294,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept10.subsetOf(kept))
   }
 
+  test("packOffsets: sharded cumsum equals the global contract; docs straddle windows") {
+    // doc_id 0..99, doc i has i+1 tokens; shardSize=10 forces 10 shards
+    // whose prefixes must chain exactly
+    val docs = (0L until 100L)
+      .map(i => (i, (0 to i.toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packOffsets(docs, "doc_id", col("text"),
+      contextTokens = 7, shardSize = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // global contract: start_offset = sum of all earlier docs' tokens
+    var expect = 0L
+    out.foreach { case (id, n, start, cf, cl, nc) =>
+      assert(n == id + 1)
+      assert(start == expect, s"doc $id: start=$start expected=$expect")
+      assert(cf == start / 7 && cl == (start + n - 1) / 7)
+      assert(nc == cl - cf + 1)
+      expect += n
+    }
+    // long docs genuinely span multiple 7-token windows
+    assert(out.exists(_._6 > 2))
+    // shardSize larger than the corpus (single shard) is identical
+    val one = TextAnalysis.packOffsets(docs, "doc_id", col("text"), 7, 1000000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(one.toSeq == out.toSeq)
+  }
+
   test("quality features bounded and consistent") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox is here of course").toDF("text"), col("text"))
@@ -340,6 +391,29 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
     assert(!ref.exists(p => p._1 >= 10L || p._2 >= 10L))
     assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(ref))
+  }
+
+  test("quantizeInt8: known vectors round-trip; zero vector degrades to zeros") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id")
+      .as[(Long, Double, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // v1: scale 1/127; q = [127, floor(-63.5+0.5)=-63, 0, floor(31.75+0.5)=32]
+    val (_, s1, l1, mn1, mx1, e1) = out(1L)
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-9)
+    assert(l1 == 127L + 63L + 0L + 32L && mn1 == -63L && mx1 == 127L)
+    assert(e1 > 0 && e1 < 0.01) // small but nonzero reconstruction error
+    // zero vector: scale 0, all-zero digest, rmse 0 (no divide-by-zero)
+    assert(out(2L) == ((2L, 0.0, 0L, 0L, 0L, 0.0)))
+    // symmetric full-scale vector: extremes hit exactly; the interior
+    // values quantize to 64 (floor(63.5+0.5)) and -63 (floor(-63.0))
+    val (_, s3, l3, mn3, mx3, e3) = out(3L)
+    assert(math.abs(s3 - 2.0 / 127.0) < 1e-9)
+    assert(mn3 == -127L && mx3 == 127L && l3 == 127L + 127L + 64L + 63L && e3 < 0.01)
   }
 
   test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {

@@ -259,6 +259,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"), plan.take(1000))
   }
 
+  test("q69 segment dedup: frequent-segment set crosses as broadcast anti-join, never a shuffle join") {
+    val plan = planOf("q69_segment_dedup")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    // segmentation is narrow: no exchange between the scan and the
+    // first aggregate's partial side
+    assert(plan.contains("partial_count"), plan.take(1200))
+  }
+
+  test("q70 packing: the per-doc window is SHARD-partitioned; only shard summaries see a global window") {
+    val plan = planOf("q70_pack_offsets")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    // the corpus-sized window must carry the shard key in its partition
+    // spec — an unpartitioned window over docs would be the one-task
+    // scale-killer this operator exists to avoid
+    assert(windows.exists(_.contains("__shard")), windows.mkString("\n"))
+    assert(plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("q71 quantization is a pure narrow map: zero exchanges, zero joins") {
+    val plan = planOf("q71_quantize_int8")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the scan->agg path of q13") {
     // AQE wraps the unexecuted plan, hiding codegen subtrees from
     // explain — turn it off just for this inspection

@@ -891,6 +891,27 @@ object SparkEntry {
     "q71_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(wide(Tables.embeddings(s, d)), "vec_id")),
 
+    // greedy no-split packing (the SFT layout): 128-token bins, greedy
+    // state confined to 100-id range shards. The oracle replays the
+    // same greedy fold as a per-shard recursive CTE.
+    "q72_pack_greedy" -> ((s, d) =>
+      TextAnalysis.packGreedy(Tables.documents(s, d), "doc_id", col("text"),
+        capacity = 128, shardSize = 100L)),
+
+    // temperature-0.5 mixture sampling over the skewed lang strata
+    // (en 218 / fr 64 at sf0.01): rare languages upsample, the overall
+    // take lands near 50%
+    "q73_mixture_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, d), col("lang"),
+        col("doc_id"), targetFraction = 0.5)
+        .select("doc_id", "lang")),
+
+    // self-trained bigram-LM mean log-probability per doc (the
+    // KenLM-style quality proxy)
+    "q74_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id",
+        col("text"))),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -1400,6 +1421,64 @@ object SparkEntry {
            (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
                  ELSE start_offset // 512 END) - start_offset // 512 + 1 AS n_chunks
          FROM o""",
+    // the greedy fold replayed as a per-shard recursive CTE: row n
+    // derives its (bin, fill) from row n-1; recursion depth = docs per
+    // shard (= shardSize at dense ids), all shards advance in parallel
+    "q72_pack_greedy" ->
+      """WITH RECURSIVE n AS (SELECT doc_id,
+           CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
+           doc_id // 100 AS shard FROM documents),
+         r AS (SELECT shard, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM n),
+         g AS (
+           SELECT shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.shard, r.doc_id, r.n_tokens, r.rn,
+             CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 128
+                  THEN g.bin + 1 ELSE g.bin END,
+             CASE WHEN g.fill > 0 AND g.fill + r.n_tokens > 128
+                  THEN r.n_tokens ELSE g.fill + r.n_tokens END
+           FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
+         SELECT doc_id, n_tokens, shard, bin FROM g""",
+    // rates fold over the SORTED stratum array (bit-deterministic);
+    // sqrt, not pow(x, 0.5) — only sqrt is IEEE-guaranteed identical
+    "q73_mixture_sample" -> {
+      s"""WITH cnt AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+         a AS (SELECT list_sort(list(struct_pack(s := s, n := n))) AS arr FROM cnt),
+         t AS (SELECT
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [sqrt(CAST(x.n AS DOUBLE)) for x in arr]), (p, q) -> p + q) AS sw,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [x.n for x in arr]), (p, q) -> p + q) AS nt,
+           unnest(arr) AS x FROM a),
+         thr AS (SELECT x.s AS lang,
+           CAST(floor(least(1.0, 0.5 * nt / (sw * sqrt(CAST(x.n AS DOUBLE))))
+             * 10000) AS BIGINT) AS thr FROM t)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN thr ON d.lang = thr.lang
+         WHERE ${sqlHexLong("CAST(d.doc_id AS VARCHAR)")} % 10000 < thr.thr"""
+    },
+    // per-doc fold over the SORTED log-prob list (the charEntropy
+    // pattern) — never a scheduler-ordered float aggregation
+    "q74_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id,
+           unnest([struct_pack(w1 := w[i+1], w2 := w[i+2])
+             for i in range(0, len(w) - 1)]) AS b
+           FROM t WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgl),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cp FROM c12 GROUP BY 1),
+         lp AS (SELECT bg.doc_id, ln(CAST(c12.c AS DOUBLE) / c1.cp) AS lp
+           FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+         agg AS (SELECT doc_id, list_sort(list(lp)) AS lps FROM lp GROUP BY doc_id)
+         SELECT doc_id AS doc, CAST(len(lps) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), lps),
+             (acc, x) -> acc + x) / len(lps), 6) AS lm_score
+         FROM agg""",
     // quantizer parity: floor(x + 0.5), never round() — engines
     // disagree on half-value ties; fold order mirrors the Spark
     // aggregate (left-to-right, 0-seeded)

@@ -429,6 +429,144 @@ object TextAnalysis {
         (col("chunk_last") - col("chunk_first") + 1).as("n_chunks"))
   }
 
+  /** Temperature-based mixture sampling — the dataset-mixing step that
+    * rebalances sources before training: stratum `s` is kept at a rate
+    * proportional to `count(s)^temperature / count(s)`, so rare strata
+    * are upsampled relative to dominant ones (temperature < 1 flattens
+    * the mix; 1.0 is proportional; 0 is uniform-per-stratum), scaled so
+    * the expected overall keep fraction is `targetFraction`. The keep
+    * decision is [[deterministicSample]]'s pure hash test — stable
+    * across runs, engines, partitionings, retries.
+    *
+    * Determinism at the bit level (the oracle hash-compares): per-stratum
+    * rates are computed by folding over the stratum counts in SORTED
+    * stratum order inside the plan (one tiny row: the distinct-stratum
+    * array), never by a float aggregation whose partial-sum order the
+    * scheduler picks. `temperature = 0.5` is spelled `sqrt`, which IEEE
+    * requires correctly rounded in every engine — `pow(x, 0.5)` is not
+    * so guaranteed and is reserved for the non-gated general case.
+    *
+    * Scale shape: one count aggregate (map-side combined), a one-row
+    * fold, and a broadcast join of the per-stratum thresholds — the
+    * corpus is scanned once and never shuffled. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      targetFraction: Double, temperature: Double = 0.5): DataFrame = {
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction not in [0,1]")
+    def w(n: Column): Column =
+      if (temperature == 0.5) sqrt(n.cast(DoubleType))
+      else pow(n.cast(DoubleType), temperature)
+    val arr = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .agg(array_sort(collect_list(struct(col("__s"), col("__n"))))
+        .as("__arr"))
+    val thresholds = arr
+      .select(col("__arr"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + w(x.getField("__n"))).as("__sw"),
+        aggregate(col("__arr"), lit(0L),
+          (acc, x) => acc + x.getField("__n")).as("__nt"))
+      .select(explode(col("__arr")).as("__x"), col("__sw"), col("__nt"))
+      .select(col("__x.__s").as("__stratum"),
+        floor(least(lit(1.0),
+          lit(targetFraction) * col("__nt") /
+            (col("__sw") * w(col("__x.__n")))) * 10000)
+          .cast(LongType).as("__thr"))
+    df.join(broadcast(thresholds), stratum === col("__stratum"))
+      .filter(sampleHash(key) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /** Bigram language-model quality score — the KenLM-perplexity proxy of
+    * a curation pipeline, self-trained on the corpus: each document
+    * scores the mean log-probability of its adjacent-bigram transitions,
+    * `avg(ln(c(w1 w2) / c_prefix(w1)))` with counts from the corpus
+    * itself (every scored bigram therefore exists — no smoothing term
+    * needed). Low scores flag improbable token sequences (garbled text,
+    * wrong-language fragments); the score feeds quality cutoffs like
+    * [[qualityFeatures]]'s.
+    *
+    * Determinism: per-document scores fold over the SORTED per-doc
+    * log-probability list (the [[charEntropy]] pattern) — never a
+    * scheduler-ordered float aggregation — so the result is
+    * bit-reproducible and oracle-checkable at round(6).
+    *
+    * Scale shape: one bigram-count aggregate, a prefix-count aggregate
+    * derived FROM the bigram table (no second corpus scan), and two
+    * co-partitioned equi-joins on the bigram/prefix keys; per-doc state
+    * is bounded by document length. */
+  def bigramLmScore(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val grams = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(bigramsOf(tokens(col("__t")))).as("bg"))
+      .select(col("doc"), col("bg.w1"), col("bg.w2"))
+    val bgCounts = grams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val prefCounts = bgCounts.groupBy("w1").agg(sum("__c12").as("__c1"))
+    grams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(prefCounts, Seq("w1"))
+      .select(col("doc"),
+        log(col("__c12").cast(DoubleType) / col("__c1")).as("__lp"))
+      .groupBy("doc")
+      .agg(array_sort(collect_list(col("__lp"))).as("__lps"))
+      .select(col("doc"),
+        size(col("__lps")).cast(LongType).as("n_bigrams"),
+        round(
+          aggregate(col("__lps"), lit(0.0), (acc, x) => acc + x) /
+            size(col("__lps")), 6).as("lm_score"))
+  }
+
+  /** Adjacent bigrams of a token array as `struct<w1, w2>` — empty for
+    * texts shorter than two tokens. */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Greedy no-split bin packing — the SFT-style packer ([[packOffsets]]
+    * is the pretraining one): documents are NOT split across context
+    * windows; in `idCol` order, each doc joins the current bin unless it
+    * would overflow `capacity` tokens, which closes the bin and opens
+    * the next. A single doc larger than `capacity` gets a bin of its
+    * own. Emits `(id, n_tokens, shard, bin)` — `bin` numbering is per
+    * shard, so the packing is embarrassingly parallel BY CONSTRUCTION:
+    * greedy state never crosses a range shard of `shardSize` ids, the
+    * documented trade (bins at shard boundaries may be under-full by
+    * one doc's worth) that makes 100 TB packing a per-shard sequential
+    * scan instead of a global one.
+    *
+    * Implementation is the honest shape for a stateful sequential scan
+    * Catalyst cannot express: repartition by shard, sort each partition
+    * by (shard, id), and run the greedy fold in `mapPartitions` —
+    * constant memory, one pass, state reset on shard change. This is
+    * the documented last-resort tier (same as the multimodal codec
+    * seam): no window, aggregate, or join computes reset-on-overflow
+    * running sums. */
+  def packGreedy(df: DataFrame, idCol: String, text: Column,
+      capacity: Int, shardSize: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      coalesce(size(tokens(text)).cast(LongType), lit(0L)).as("n_tokens"),
+      floor(col(idCol) / shardSize).cast(LongType).as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { it =>
+      var shard = Long.MinValue
+      var bin = 0L
+      var fill = 0L
+      it.map { case (id, n, sh) =>
+        if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+        if (fill > 0L && fill + n > capacity) { bin += 1L; fill = 0L }
+        fill += n
+        (id, n, sh, bin)
+      }
+    }.toDF("id", "n_tokens", "shard", "bin")
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */

@@ -321,6 +321,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.toSeq == out.toSeq)
   }
 
+  test("packGreedy: no bin overflows unless one oversize doc; greedy replay matches; shards reset") {
+    val docs = Seq(
+      (0L, 40L), (1L, 50L), (2L, 45L),            // 40+50 fit 128; 45 overflows -> bin 1
+      (3L, 200L),                                 // oversize: own bin
+      (4L, 10L), (5L, 10L),
+      (100L, 100L), (101L, 100L)                  // next shard: bins restart at 0
+    ).map { case (id, n) => (id, (1L to n).map(_ => "w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packGreedy(docs, "doc_id", col("text"), 128, 100L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // local greedy replay over (shard, id) order
+    var (sh, bin, fill) = (Long.MinValue, 0L, 0L)
+    out.foreach { case (id, n, s, b) =>
+      if (s != sh) { sh = s; bin = 0L; fill = 0L }
+      if (fill > 0 && fill + n > 128) { bin += 1; fill = 0L }
+      fill += n
+      assert(b == bin, s"doc $id: bin $b, replay says $bin")
+    }
+    assert(byId(2L)._4 == 1L)       // 45 pushed to the next bin
+    assert(byId(3L)._4 == 2L)       // oversize doc isolated in its own bin
+    assert(byId(4L)._4 == 3L)       // ...and closes it for the next doc
+    assert(byId(100L)._4 == 0L)     // shard 1 restarts numbering
+    // no bin except the oversize one exceeds capacity
+    val fills = out.groupBy(r => (r._3, r._4)).map { case (_, rs) => rs.map(_._2).sum }
+    assert(fills.count(_ > 128) == 1)
+  }
+
+  test("mixtureSample: rare strata upsample, temperature 1.0 is flat, deterministic") {
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 450).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val kept = TextAnalysis.mixtureSample(df, col("src"), col("id"), 0.5)
+      .as[(Long, String)].collect()
+    val kept2 = TextAnalysis.mixtureSample(df, col("src"), col("id"), 0.5)
+      .as[(Long, String)].collect()
+    assert(kept.toSet == kept2.toSet) // pure function of (key, stratum)
+    val rateBig = kept.count(_._2 == "big") / 400.0
+    val rateSmall = kept.count(_._2 == "small") / 50.0
+    assert(rateSmall > rateBig, s"small=$rateSmall big=$rateBig")
+    assert(math.abs(kept.length / 450.0 - 0.5) < 0.1)
+    // temperature 1.0: every stratum keeps at the flat target rate
+    val flat = TextAnalysis.mixtureSample(df, col("src"), col("id"), 0.5, 1.0)
+      .as[(Long, String)].collect()
+    val fBig = flat.count(_._2 == "big") / 400.0
+    val fSmall = flat.count(_._2 == "small") / 50.0
+    assert(math.abs(fBig - fSmall) < 0.15, s"big=$fBig small=$fSmall")
+  }
+
+  test("bigramLmScore: common transitions outscore rare ones; deterministic chains score 0") {
+    // 'a' is followed by 'b' 5 times and by 'c' 2 times corpus-wide, so
+    // P(b|a)=5/7, P(c|a)=2/7; doc 2's chain has single-successor
+    // prefixes only (P=1 everywhere -> score exactly 0)
+    val docs = Seq(
+      (1L, "a b a b a b a b"),     // mostly the common a->b transition
+      (2L, "p q r s t u v w"),     // deterministic chain
+      (3L, "a b"),                 // single bigram
+      (4L, "a c a c")              // the rare a->c transition
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 7L && out(2L)._2 == 7L && out(3L)._2 == 1L && out(4L)._2 == 3L)
+    assert(out.values.forall(_._3 <= 0.0)) // log-probs never positive
+    assert(out(2L)._3 == 0.0)
+    // hand-check: doc1 = (4 ln(5/7) + 3 ln 1)/7; doc4 = (2 ln(2/7) + ln 1)/3
+    assert(math.abs(out(1L)._3 - 4 * math.log(5.0 / 7) / 7) < 1e-6)
+    assert(math.abs(out(4L)._3 - 2 * math.log(2.0 / 7) / 3) < 1e-6)
+    assert(out(1L)._3 > out(4L)._3)
+  }
+
   test("quality features bounded and consistent") {
     val out = TextAnalysis.qualityFeatures(
       Seq("the quick brown fox is here of course").toDF("text"), col("text"))

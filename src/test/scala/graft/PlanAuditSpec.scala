@@ -287,6 +287,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("q72 greedy packing: one shard exchange feeding the mapPartitions fold, nothing else") {
+    val plan = planOf("q72_pack_greedy")
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1200))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(800))
+  }
+
+  test("q73 mixture sampling: thresholds broadcast to the corpus scan, no corpus shuffle") {
+    val plan = planOf("q73_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    // the only hash exchanges aggregate the tiny stratum-count side
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("q74 bigram LM: equi-joins only, per-doc state bounded (sorted-list fold, no corpus window)") {
+    val plan = planOf("q74_bigram_lm")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the scan->agg path of q13") {
     // AQE wraps the unexecuted plan, hiding codegen subtrees from
     // explain — turn it off just for this inspection

@@ -628,6 +628,10 @@ object SparkEntry {
   private val IvfCells = 16
   private val IvfProbe = 4
 
+  /** q75 lexical query terms (drawn from the corpus vocabulary so the
+    * overlap ranking provably fires). */
+  private val RrfTerms = Seq("table", "scan", "fast")
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token statistics (whitespace + BPE-ish estimate)
     "q24_text_tokens" -> ((s, d) =>
@@ -911,6 +915,12 @@ object SparkEntry {
     "q74_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id",
         col("text"))),
+
+    // hybrid retrieval: lexical term-overlap top-100 + vector top-100
+    // from doc 0's embedding, fused by reciprocal rank (K=60), top-20
+    "q75_rrf_fusion" -> ((s, d) =>
+      Similarity.rrfFusion(Tables.documents(s, d), "doc_id", col("text"),
+        Tables.embeddings(s, d), RrfTerms, queryVecId = 0L)),
 
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
@@ -1442,6 +1452,37 @@ object SparkEntry {
                   THEN r.n_tokens ELSE g.fill + r.n_tokens END
            FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
          SELECT doc_id, n_tokens, shard, bin FROM g""",
+    // both legs bounded to 100 then fused: 1/(60+rank) summed, absent
+    // legs contribute 0; CAST(1.0 AS DOUBLE) because DuckDB's bare 1.0
+    // is DECIMAL and decimal division would not match Spark's double
+    "q75_rrf_fusion" -> {
+      val cos = cosineSql("qe", "ce")
+      val terms = RrfTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      s"""WITH lex0 AS (SELECT doc_id,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+             [$terms])) AS ov FROM documents),
+         lexr AS (SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY ov DESC, doc_id) AS BIGINT) AS lex_rank
+           FROM lex0 WHERE ov > 0
+           QUALIFY lex_rank <= 100),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0),
+         sim AS (SELECT neighbor_id, round($cos, 6) AS cos_sim
+           FROM c, q WHERE neighbor_id <> 0),
+         vr AS (SELECT neighbor_id AS doc_id, CAST(row_number() OVER
+             (ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS vec_rank
+           FROM sim WHERE cos_sim IS NOT NULL
+           QUALIFY vec_rank <= 100)
+         SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
+                 coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 6)
+             AS rrf_score
+         FROM lexr l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id
+         ORDER BY rrf_score DESC, doc_id LIMIT 20"""
+    },
     // rates fold over the SORTED stratum array (bit-deterministic);
     // sqrt, not pow(x, 0.5) — only sqrt is IEEE-guaranteed identical
     "q73_mixture_sample" -> {

@@ -341,6 +341,48 @@ object Similarity {
           6).as("rmse"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion — the standard way a
+    * retrieval pipeline combines a lexical ranking with a vector
+    * ranking without score calibration: each candidate list contributes
+    * `1 / (rrfK + rank)` and the fused score is their sum (docs absent
+    * from a list contribute 0 from it).
+    *
+    * Scale shape — the trap here is ranking the CORPUS (an
+    * un-partitioned `row_number` window = one task holds everything).
+    * Both legs are bounded instead: the lexical leg keeps only docs
+    * sharing ≥ 1 query term and cuts to `kCand` through the two-phase
+    * bounded [[Relational.topKPerGroup]] aggregate (≤ kCand rows per
+    * map partition cross the shuffle); the vector leg is
+    * [[bruteForceKnn]]'s bounded top-k. Fusion then joins two ≤ kCand
+    * row lists — driver-scale, not corpus-scale. */
+  def rrfFusion(docs: DataFrame, idCol: String, text: Column,
+      embeddings: DataFrame, queryTerms: Seq[String], queryVecId: Long,
+      kCand: Int = 100, kOut: Int = 20, rrfK: Int = 60): DataFrame = {
+    def overlap(t: Column) = size(array_intersect(
+      array_distinct(TextAnalysis.tokens(t)),
+      array(queryTerms.map(lit): _*)))
+    val lexCand = Parallelism.ensure(
+      docs.select(col(idCol).as("id"), text.as("__t")))
+      .select(col("id"), overlap(col("__t")).as("__ov"))
+      .filter(col("__ov") > 0).withColumn("__g", lit(0L))
+    val lex = graft.operators.Relational
+      .topKPerGroup(lexCand, Seq("__g"), col("__ov"), col("id"), kCand)
+      .select(col("id").as("__dl"),
+        col("rank").cast(org.apache.spark.sql.types.LongType).as("lex_rank"))
+    val vec = bruteForceKnn(embeddings,
+      embeddings.filter(col("vec_id") === queryVecId), kCand)
+      .select(col("neighbor_id").as("__dv"),
+        col("rank").cast(org.apache.spark.sql.types.LongType).as("vec_rank"))
+    lex.join(vec, col("__dl") === col("__dv"), "full_outer")
+      .select(coalesce(col("__dl"), col("__dv")).as(idCol),
+        col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol)).limit(kOut)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket in at least one table;
     * exact cosine re-rank within candidates. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,

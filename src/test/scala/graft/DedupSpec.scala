@@ -485,6 +485,41 @@ class SimilaritySpec extends SparkSpec {
     assert(mn3 == -127L && mx3 == 127L && l3 == 127L + 127L + 64L + 63L && e3 < 0.01)
   }
 
+  test("rrfFusion: fused score is exactly the sum of leg contributions; order and cut hold") {
+    val docs = Seq(
+      (0L, "anchor row carries the vector only"),
+      (1L, "query target words all three match"),
+      (2L, "query target only two match here"),
+      (3L, "query alone single match"),
+      (4L, "nothing relevant lexically at all"),
+      (5L, "also nothing shared with the terms")
+    ).toDF("doc_id", "text")
+    val vecs = (0 until 6).map { i =>
+      // doc 4 nearly parallel to the query vector (doc 0), doc 5 close
+      val base = Array.tabulate(8)(j => if (j == 0) 1.0f else 0.1f * i)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.rrfFusion(docs, "doc_id", col("text"), vecs,
+      Seq("query", "target", "words"), 0L, kCand = 4, kOut = 10, rrfK = 60)
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // self-consistency: score equals the reconstruction from its ranks
+    out.foreach { case (id, lr, vr, s) =>
+      val expect = lr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(s - expect) < 1e-6, s"doc $id")
+      assert(lr.nonEmpty || vr.nonEmpty)
+    }
+    // descending score, doc_id tie-break
+    val scores = out.map(r => (-r._4, r._1)).toSeq
+    assert(scores == scores.sorted)
+    // the full-overlap doc is lexical rank 1; doc 0 (the query vector
+    // itself) is excluded from the vector leg but may rank lexically
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2.contains(1L))
+    assert(byId.get(0L).forall(_._3.isEmpty))
+  }
+
   test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {
     import graft.operators.Quantiles
     val rnd = new scala.util.Random(7)

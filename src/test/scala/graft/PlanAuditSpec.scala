@@ -309,6 +309,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("q75 RRF: both legs bounded by top_k_by_score — no ranking window anywhere") {
+    val plan = planOf("q75_rrf_fusion")
+    // rank comes from the bounded two-phase aggregate in BOTH legs; an
+    // un-partitioned row_number window over the corpus would be the
+    // single-task funnel this operator exists to avoid
+    assert(!plan.contains("Window"), plan.take(1000))
+    assert(countOf("top_k_by_score", plan) >= 2, plan.take(1000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("whole-stage codegen covers the scan->agg path of q13") {
     // AQE wraps the unexecuted plan, hiding codegen subtrees from
     // explain — turn it off just for this inspection

@@ -99,6 +99,38 @@ class RobustnessSpec extends SparkSpec {
       Seq.empty[Double].toDF("v"), col("v"), 0.0, 1.0, 4).count() == 0)
   }
 
+  test("round-4 operators on degenerate input: empty corpora, empty text, lone strata") {
+    // segment dedup: empty corpus empty; single doc can never hit df>=2
+    assert(Dedup.segmentDedup(emptyDocs, "doc_id", col("text")).count() == 0)
+    val solo = Seq((1L, "only one document here now")).toDF("doc_id", "text")
+    val sd = Dedup.segmentDedup(solo, "doc_id", col("text"), 5, 2)
+      .as[(Long, String, Long, Long)].head()
+    assert(sd._2 == "only one document here now" && sd._4 == 0L)
+    // packers: empty in, empty out; empty-text doc packs as 1 token
+    // (split("") = [""], the cross-engine contract) at offset order
+    assert(TextAnalysis.packOffsets(emptyDocs, "doc_id", col("text"), 512).count() == 0)
+    assert(TextAnalysis.packGreedy(emptyDocs, "doc_id", col("text"), 512).count() == 0)
+    val tiny = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    val po = TextAnalysis.packOffsets(tiny, "doc_id", col("text"), 512)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(po.map(_._2).toSeq == Seq(1L, 2L) && po.map(_._3).toSeq == Seq(0L, 1L))
+    // mixture sampling: a single stratum keeps ~targetFraction; empty in, empty out
+    assert(TextAnalysis.mixtureSample(emptyDocs, col("text"), col("doc_id"), 0.5)
+      .count() == 0)
+    val oneStratum = (1 to 200).map(i => (i.toLong, "only")).toDF("id", "src")
+    val keptOne = TextAnalysis.mixtureSample(oneStratum, col("src"), col("id"), 0.5)
+      .count()
+    assert(math.abs(keptOne / 200.0 - 0.5) < 0.12, s"kept $keptOne/200")
+    // bigram LM: docs with < 2 tokens contribute and receive nothing
+    val lm = TextAnalysis.bigramLmScore(
+      Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text"),
+      "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(lm.map(_._1).toSet == Set(3L) && lm.head._3 == 0.0)
+    // int8 quantization on empty input is empty
+    assert(Similarity.quantizeInt8(emptyVecs, "vec_id").count() == 0)
+  }
+
   test("resizePartitions handles empty payloads without crashing") {
     val docs = Seq((1L, ""), (2L, "content")).toDF("doc_id", "text")
     val out = Multimodal.resizePartitions(spark,

@@ -167,6 +167,46 @@ object EventsStream {
       .toDF()
   }
 
+  /** Stream-static enrichment join: the streaming side joins a batch
+    * dimension (user profile, source metadata) with a broadcast hash
+    * join — STATELESS on the stream side (the static plan is
+    * re-evaluated per micro-batch, so a refreshed dim parquet is picked
+    * up without restarting the query). The everyday lookup-join of an
+    * event pipeline; needs no watermark because nothing is buffered. */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      on: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(on), "left")
+
+  /** Stream-stream self-join: correlate each `typeA` event with the
+    * `typeB` events the SAME user produced within `horizon` after it
+    * (click→purchase attribution, error→retry correlation, …).
+    *
+    * The scale contract is the TIME-RANGE predicate + watermarks on
+    * BOTH sides: they are what lets the engine expire buffered rows —
+    * a stream-stream join without a time bound must hold every row
+    * forever (unbounded state). Here each side's state is bounded by
+    * `lateness` + `horizon` of events, hash-partitioned by user: the
+    * same plan at 32 or 1000 executors. Inner join: a `typeA` event
+    * with no `typeB` inside the horizon emits nothing (outer variants
+    * additionally wait for the watermark before emitting nulls). */
+  def correlatedEvents(events: DataFrame, typeA: String, typeB: String,
+      horizon: String = "30 minutes", lateness: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("user_id").as("user_a"), col("event_id").as("event_a"),
+        col("ts").as("ts_a"))
+      .withWatermark("ts_a", lateness)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("user_id").as("user_b"), col("event_id").as("event_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", lateness)
+    a.join(b,
+      col("user_a") === col("user_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"interval $horizon"))
+      .select(col("user_a").as("user_id"), col("event_a"), col("event_b"),
+        col("ts_a"), col("ts_b"))
+  }
+
   /** Convenience writer: append mode to an in-memory or file sink. */
   def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
     df.writeStream.outputMode(OutputMode.Append).format("memory")

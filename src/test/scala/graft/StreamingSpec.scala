@@ -121,6 +121,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream correlation join matches the batch join; stream-static enrich is stateless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_join").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventsStream.readEvents(spark, dir)
+    val joined = EventsStream.correlatedEvents(stream, "click", "purchase",
+      "30 minutes", "2 hours")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ev_corr").option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_j").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_corr").select("event_a", "event_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth: same predicate over the static table
+    val ev = graft.Tables.events(spark, sf001)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("ua"), col("event_id").as("ea"), col("ts").as("ta"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ub"), col("event_id").as("eb"), col("ts").as("tb"))
+    val batch = a.join(b, col("ua") === col("ub") &&
+        col("tb") >= col("ta") &&
+        col("tb") <= col("ta") + expr("interval 30 minutes"))
+      .select("ea", "eb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)     // the predicate fires on the corpus
+    assert(streamed == batch)  // AvailableNow processes everything
+    // stream-static: broadcast lookup join plans without watermarks and
+    // enriches every row (left join keeps unmatched events)
+    val dim = graft.Tables.customer(spark, sf001)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = EventsStream.enrichEvents(stream, dim)
+    assert(enriched.isStreaming)
+    val q2 = enriched.select("event_id", "c_mktsegment")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ev_enrich").option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_e").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val n = spark.table("ev_enrich").count()
+    assert(n == ev.count()) // stateless: every event passes through once
+  }
+
   test("tumbling-window stream over events matches the batch plan (q23 twin)") {
     // the streaming file source needs a directory, not a single file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

@@ -1496,8 +1496,8 @@ object SparkEntry {
              [x.n for x in arr]), (p, q) -> p + q) AS nt,
            unnest(arr) AS x FROM a),
          thr AS (SELECT x.s AS lang,
-           CAST(floor(least(1.0, 0.5 * nt / (sw * sqrt(CAST(x.n AS DOUBLE))))
-             * 10000) AS BIGINT) AS thr FROM t)
+           CAST(floor(least(1.0, 0.5 * nt * sqrt(CAST(x.n AS DOUBLE)) /
+             (sw * CAST(x.n AS DOUBLE))) * 10000) AS BIGINT) AS thr FROM t)
          SELECT d.doc_id, d.lang FROM documents d
          JOIN thr ON d.lang = thr.lang
          WHERE ${sqlHexLong("CAST(d.doc_id AS VARCHAR)")} % 10000 < thr.thr"""

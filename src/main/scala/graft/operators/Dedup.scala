@@ -85,17 +85,27 @@ object Dedup {
     * explosion at 100 TB — such a bucket carries no dedup signal
     * anyway (its pairs are boilerplate, not near-duplicates).
     */
+  /** The LSH banding expression shared by [[minHashCandidates]] and
+    * [[minHashCandidatesWithEstimate]]: one `(band_idx, band_hash)`
+    * struct per band, hash = md5 of the band's comma-joined signature
+    * slots — the single definition both the candidate and the fused
+    * estimator pipelines (and their mirrored oracle SQL) must agree
+    * with. */
+  private def bandStructs(numPerm: Int, bands: Int): Column = {
+    val rows = numPerm / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",", (0 until rows).map(r =>
+          col(s"mh${b * rows + r}")): _*)).as("band_hash"))
+    }: _*)
+  }
+
   def minHashCandidates(df: DataFrame, idCol: String, text: Column,
       k: Int = 5, numPerm: Int = 16, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
-    val rows = numPerm / bands
     val sig = minHashSignatures(df, idCol, text, k, numPerm)
     val banded = sig.select(col("doc"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat_ws(",", (0 until rows).map(r =>
-            col(s"mh${b * rows + r}")): _*)).as("band_hash"))
-      }: _*)).as("band"))
+      explode(bandStructs(numPerm, bands)).as("band"))
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
     banded.groupBy("band_idx", "band_hash")
       .agg(collect_list(col("doc")).as("docs"))
@@ -343,15 +353,10 @@ object Dedup {
   def minHashCandidatesWithEstimate(df: DataFrame, idCol: String, text: Column,
       k: Int = 5, numPerm: Int = 16, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
-    val rows = numPerm / bands
     val sig = minHashSignatures(df, idCol, text, k, numPerm)
     val sigArr = array((0 until numPerm).map(p => col(s"mh$p")): _*)
     val banded = sig.select(col("doc"), sigArr.as("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat_ws(",", (0 until rows).map(r =>
-            col(s"mh${b * rows + r}")): _*)).as("band_hash"))
-      }: _*)).as("band"))
+      explode(bandStructs(numPerm, bands)).as("band"))
       .select(col("doc"), col("sig"), col("band.band_idx"), col("band.band_hash"))
     banded.groupBy("band_idx", "band_hash")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("entries"))
@@ -433,8 +438,13 @@ object Dedup {
           .as("clean_text"),
         size(col("__ordered")).cast(org.apache.spark.sql.types.LongType)
           .as("n_kept"))
-    val totals = segs.groupBy("doc")
-      .agg(count(lit(1)).as("__n_total"))
+    // per-doc segment totals come from a NARROW size(chunks) projection
+    // over the corpus, not a third structural instance of the exploded
+    // segs subplan (the explode already runs twice: the frequency
+    // aggregate and the anti-join probe)
+    val totals = df.select(col(idCol).as("doc"),
+      size(TextAnalysis.chunks(text, segWords, 0))
+        .cast(org.apache.spark.sql.types.LongType).as("__n_total"))
     totals.join(rebuilt, Seq("doc"), "left")
       .select(col("doc").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

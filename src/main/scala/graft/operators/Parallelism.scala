@@ -29,7 +29,31 @@ object Parallelism {
     * entries (plans are small and the cap is generous; an LRU would be
     * ceremony for a driver-side planning cache). */
   private val CacheCap = 256
-  private val probeCache = new ConcurrentHashMap[LogicalPlan, Integer]()
+  private val probeCache = new ConcurrentHashMap[(LogicalPlan, Long), Integer]()
+
+  /** File-level fingerprint of every scan leaf — part of the cache key
+    * because canonicalized-plan equality is PATH-based for file scans: a
+    * re-read of a path whose files were overwritten canonicalizes equal
+    * to the old plan but scans different physical data, and a stale
+    * partition count would defeat the repartition this operator exists
+    * to apply. `inputFiles` comes from the relation's already-cached
+    * listing (a new `spark.read` of a rewritten path builds a fresh
+    * index), so this costs a fold over file-name strings, not an
+    * re-listing. */
+  private def scanFingerprint(plan: LogicalPlan): Long =
+    plan.collectLeaves().foldLeft(0L) { (acc, leaf) =>
+      val h = leaf match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.foldLeft(fs.sizeInBytes.toLong)(
+                (a, p) => a * 31L + p.hashCode)
+            case other => other.hashCode.toLong
+          }
+        case other => other.hashCode.toLong
+      }
+      acc * 31L + h
+    }
 
   private def probedPartitions(df: DataFrame): Int = {
     val hasWideOp = df.queryExecution.optimizedPlan.collectFirst {
@@ -72,7 +96,8 @@ object Parallelism {
     * time, doubling work when the real action runs. On narrow plans
     * `.rdd` only plans; no job is triggered. */
   def ensure(df: DataFrame): DataFrame = {
-    val key = df.queryExecution.analyzed.canonicalized
+    val analyzed = df.queryExecution.analyzed
+    val key = (analyzed.canonicalized, scanFingerprint(analyzed))
     var n = probeCache.get(key)
     if (n == null) {
       n = Integer.valueOf(probedPartitions(df))

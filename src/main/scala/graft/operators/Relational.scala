@@ -39,7 +39,17 @@ object Relational {
       df: DataFrame): DataFrame =
     if (pushable) df.na.drop("any", subset)
     else df.filter(Parallelism.unpushable(
-      subset.map(col(_).isNotNull).reduce(_ && _)))
+      // exact na.drop semantics: it drops NaN as well as null on
+      // float/double columns, so the pinned predicate must too — the
+      // flag changes plan-time mobility only, never the row set
+      subset.map { c =>
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType =>
+            col(c).isNotNull && !isnan(col(c))
+          case _ => col(c).isNotNull
+        }
+      }.reduce(_ && _)))
 
   /** O12 — bulk rename (`rename(columns=dict)`,
     * /root/reference/lime_survey_orders_shipped.py:60-66). */

@@ -361,10 +361,15 @@ object Similarity {
     def overlap(t: Column) = size(array_intersect(
       array_distinct(TextAnalysis.tokens(t)),
       array(queryTerms.map(lit): _*)))
+    // unpushable: a plain `__ov > 0` is deterministic, so Catalyst would
+    // substitute the tokenize/intersect expression into it and push the
+    // whole computation below the widening exchange onto the single
+    // scan task — the exact q03 trap Parallelism.unpushable exists for
     val lexCand = Parallelism.ensure(
       docs.select(col(idCol).as("id"), text.as("__t")))
       .select(col("id"), overlap(col("__t")).as("__ov"))
-      .filter(col("__ov") > 0).withColumn("__g", lit(0L))
+      .filter(Parallelism.unpushable(col("__ov") > 0))
+      .withColumn("__g", lit(0L))
     val lex = graft.operators.Relational
       .topKPerGroup(lexCand, Seq("__g"), col("__ov"), col("id"), kCand)
       .select(col("id").as("__dl"),

@@ -466,10 +466,15 @@ object TextAnalysis {
         aggregate(col("__arr"), lit(0L),
           (acc, x) => acc + x.getField("__n")).as("__nt"))
       .select(explode(col("__arr")).as("__x"), col("__sw"), col("__nt"))
+      // stratum keep-probability p_s = n^T / Σn^T; expected picks from s
+      // = targetFraction · N · p_s; per-row rate = picks / n =
+      // targetFraction · N · n^T / (Σn^T · n). (Spelling matters for the
+      // oracle: the n^T/n factor is NOT reduced algebraically — the SQL
+      // mirror computes the same ops in the same order.)
       .select(col("__x.__s").as("__stratum"),
         floor(least(lit(1.0),
-          lit(targetFraction) * col("__nt") /
-            (col("__sw") * w(col("__x.__n")))) * 10000)
+          lit(targetFraction) * col("__nt") * w(col("__x.__n")) /
+            (col("__sw") * col("__x.__n").cast(DoubleType))) * 10000)
           .cast(LongType).as("__thr"))
     df.join(broadcast(thresholds), stratum === col("__stratum"))
       .filter(sampleHash(key) < col("__thr"))

@@ -361,12 +361,22 @@ class TextAnalysisSpec extends SparkSpec {
     val rateSmall = kept.count(_._2 == "small") / 50.0
     assert(rateSmall > rateBig, s"small=$rateSmall big=$rateBig")
     assert(math.abs(kept.length / 450.0 - 0.5) < 0.1)
-    // temperature 1.0: every stratum keeps at the flat target rate
+    // temperature 1.0 is proportional mixing: EVERY stratum keeps at the
+    // flat target rate itself — not merely "both rates similar" (a bug
+    // scaling both rates by 100x would pass a similarity-only check)
     val flat = TextAnalysis.mixtureSample(df, col("src"), col("id"), 0.5, 1.0)
       .as[(Long, String)].collect()
     val fBig = flat.count(_._2 == "big") / 400.0
     val fSmall = flat.count(_._2 == "small") / 50.0
-    assert(math.abs(fBig - fSmall) < 0.15, s"big=$fBig small=$fSmall")
+    assert(math.abs(fBig - 0.5) < 0.1, s"big=$fBig")
+    assert(math.abs(fSmall - 0.5) < 0.15, s"small=$fSmall")
+    // temperature 0: uniform-per-stratum — equal EXPECTED picks per
+    // stratum: picks = tF*N/|strata| = 112.5 per stratum, so the small
+    // stratum (50 rows) clamps to keep-all
+    val uni = TextAnalysis.mixtureSample(df, col("src"), col("id"), 0.5, 0.0)
+      .as[(Long, String)].collect()
+    assert(uni.count(_._2 == "small") == 50, s"small kept ${uni.count(_._2 == "small")}")
+    assert(math.abs(uni.count(_._2 == "big") - 112.5) < 40.0)
   }
 
   test("bigramLmScore: common transitions outscore rare ones; deterministic chains score 0") {

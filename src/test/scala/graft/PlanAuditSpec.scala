@@ -317,6 +317,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1000))
     assert(countOf("top_k_by_score", plan) >= 2, plan.take(1000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    // the lexical overlap must compute ABOVE the widening exchange (the
+    // q03 trap): nothing token-shaped below RoundRobin
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    assert(exIdx >= 0, plan.take(800))
+    assert(!lines.drop(exIdx + 1).exists(_.contains("array_intersect")),
+      lines.drop(exIdx + 1).filter(_.contains("array_intersect")).mkString("\n"))
   }
 
   test("whole-stage codegen covers the scan->agg path of q13") {

@@ -134,7 +134,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_ckpt_j").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream-stream join query timed out")
     val streamed = spark.table("ev_corr").select("event_a", "event_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // batch truth: same predicate over the static table
@@ -161,7 +161,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_ckpt_e").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "stream-static enrich query timed out")
     val n = spark.table("ev_enrich").count()
     assert(n == ev.count()) // stateless: every event passes through once
   }

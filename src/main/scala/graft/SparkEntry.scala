@@ -922,6 +922,73 @@ object SparkEntry {
       Similarity.rrfFusion(Tables.documents(s, d), "doc_id", col("text"),
         Tables.embeddings(s, d), RrfTerms, queryVecId = 0L)),
 
+    // per-customer trailing-7-day order features: RANGE frame over epoch
+    // micros — one exchange + a two-pointer sliding frame, never the
+    // O(n·w) self-range-join formulation. Money as long cents through
+    // the frame, shifted back exactly (the q13 contract).
+    "q76_rolling_spend" -> ((s, d) =>
+      Temporal.rollingWindow(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("__cents")),
+        "o_custkey", "o_orderdate", col("__cents"), 7L * 86400L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("ts_us").as("order_us"),
+          col("rolling_cnt").as("n_orders_7d"),
+          fromCents(col("rolling_sum"), 2).as("spend_7d"))),
+
+    // CDC merge: a synthetic change batch (two update versions for
+    // overlapping keys + inserts at shifted keys) applied to orders with
+    // MERGE semantics — one union + one max_by hash aggregate, no join.
+    // The batch is derived deterministically from the corpus so both
+    // merge paths (update wins by version, insert lands) provably fire.
+    "q77_merge_upsert" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+      val upd1 = t.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+        .withColumn("__v", lit(1L))
+      val upd2 = t.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_orderstatus", lit("R2"))
+        .withColumn("o_totalprice", col("o_totalprice") * 1.10)
+        .withColumn("__v", lit(2L))
+      val ins = t.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("__v", lit(1L))
+      Relational.mergeUpsert(t, upd1.unionByName(upd2).unionByName(ins),
+          Seq("o_orderkey"), col("__v"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+    }),
+
+    // SemDeDup: cluster embeddings with the stride quantizer, drop
+    // in-cell vectors with a smaller-id twin above cosine 0.2; output
+    // the semantic-dedup survivor set with its cell assignment
+    "q78_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb
+        .filter(pmod(col("vec_id"), lit(IvfStride)) === 0 &&
+          col("vec_id") < IvfStride * IvfCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("anchor"))
+      Similarity.semDedup(anchors, emb, 0.2)
+    }),
+
+    // Bloom semi-join reduction: lineitem probed against a sketch of the
+    // selective orders subset before the join — identical result to the
+    // plain join (the oracle IS the plain join), smaller shuffle
+    "q79_bloom_join" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("ok"), col("o_totalprice"))
+      Bloom.prefilterJoin(Tables.lineitem(s, d), dim, "l_orderkey", "ok",
+          expectedKeys = 20000L)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity"), col("o_totalprice"))
+    }),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -1561,6 +1628,66 @@ object SparkEntry {
            0.0 + (bucket + 1) * 30000.0 AS bucket_hi,
            CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bucket""",
+    "q76_rolling_spend" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+         SELECT o_orderkey, o_custkey, us AS order_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_7d,
+           CAST(sum(price) OVER w AS DOUBLE) AS spend_7d
+         FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY us
+           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""",
+    "q77_merge_upsert" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+             o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice, o_orderdate, 1 AS v
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'R2',
+             o_totalprice * CAST(1.10 AS DOUBLE), o_orderdate, 2
+           FROM orders WHERE o_orderkey % 20 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 'N',
+             o_totalprice, o_orderdate, 1
+           FROM orders WHERE o_orderkey % 97 = 0),
+         s1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY o_orderkey ORDER BY v DESC) AS rn FROM src)
+           WHERE rn = 1),
+         m AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM s1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+           FROM orders t
+           WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.o_orderkey = t.o_orderkey))
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate FROM m""",
+    "q78_semdedup" -> {
+      val cos = cosineSql("x.emb", "y.emb")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         a AS (SELECT vec_id AS cell_id, emb AS aemb FROM c
+               WHERE vec_id % $IvfStride = 0 AND vec_id < ${IvfStride * IvfCells}),
+         cells AS (SELECT vec_id, emb, cell_id FROM (
+           SELECT c.vec_id AS vec_id, c.emb AS emb, a.cell_id AS cell_id,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY ${cosineSql("c.emb", "a.aemb")} DESC, a.cell_id) AS rk
+           FROM c, a) WHERE rk = 1),
+         ok AS (SELECT cell_id FROM cells
+                GROUP BY 1 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket),
+         f AS (SELECT DISTINCT y.vec_id AS follower
+               FROM cells x JOIN cells y
+                 ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+               JOIN ok ON y.cell_id = ok.cell_id
+               WHERE round($cos, 6) > 0.2)
+         SELECT vec_id, cell_id FROM cells
+         WHERE vec_id NOT IN (SELECT follower FROM f)"""
+    },
+    "q79_bloom_join" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_quantity, o_totalprice
+         FROM lineitem JOIN (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderpriority = '1-URGENT'
+             AND o_totalprice > CAST(400000.0 AS DOUBLE)) o
+         ON l_orderkey = o_orderkey""",
     "q59_pii_redact" -> {
       // regex constants embed verbatim: DuckDB single-quoted strings do
       // not process backslash escapes, so `\.` crosses unchanged

@@ -116,6 +116,39 @@ object Relational {
   def topK(k: Int, order: Seq[Column])(df: DataFrame): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** CDC merge (MERGE INTO semantics, batch form): apply a change set to
+    * a target table — a matched key takes the source row (update), an
+    * unmatched source key inserts, an unmatched target row carries
+    * through. The upsert half of the reference's delete-then-reload
+    * idempotent window (O23), generalized from "replace a date range" to
+    * "replace by key".
+    *
+    * NOT a full-outer join: both sides are tagged and unioned, then ONE
+    * hash aggregate per key keeps `max_by(row, (priority, version))` —
+    * a single shuffle with map-side partial aggregation, no join
+    * operator, and the change set never needs to be broadcast (at 100 TB
+    * a CDC batch can itself be huge). Within the source, the highest
+    * `versionCol` wins (a CDC batch may carry several updates for one
+    * key); target rows all carry version −∞ via the priority tag.
+    * Deterministic as long as (priority, version) is unique per key —
+    * callers feed an ingest position as the version, exactly like
+    * [[keepLast]]. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+      versionCol: Column): DataFrame = {
+    val dataCols = target.columns
+    require(dataCols.forall(source.columns.contains),
+      "source must carry every target column (extra version columns allowed)")
+    val t2 = target.select(dataCols.map(col) :+
+      lit(0L).as("__pri") :+ lit(0L).as("__ver"): _*)
+    val s2 = source.select(dataCols.map(col) :+
+      lit(1L).as("__pri") :+ versionCol.cast("long").as("__ver"): _*)
+    t2.unionByName(s2)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*),
+        struct(col("__pri"), col("__ver"))).as("__row"))
+      .select(dataCols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Per-group bounded top-k — [[topK]]'s grouped sibling, via the same
     * two-phase `top_k_by_score` aggregate the ANN operators use: a
     * k-slot buffer per group per partition map-side, so the shuffle

@@ -303,6 +303,44 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a quantizer, then WITHIN
+    * each cluster drop every vector that has a higher-similarity twin
+    * with a smaller id — near-duplicate *meaning*, not near-duplicate
+    * *text*, which catches paraphrases MinHash/SimHash can't.
+    *
+    * Survivor contract (deterministic, engine-portable): vector x is
+    * dropped iff some y in the same cell has `y.id < x.id` and
+    * `round(cos(x,y), 6) > threshold`. This is the pairwise-minimal
+    * rule, not connected-component clustering — chains longer than one
+    * hop keep their per-pair minima (for transitive-closure semantics
+    * feed [[lshNearDupPairs]] into [[Dedup.connectedComponents]]).
+    *
+    * Shape: narrow in-row cell assignment against the broadcast
+    * quantizer ([[assignCells]] — no shuffle, no row expansion), ONE
+    * hash exchange grouping by cell, the fused native pair generator
+    * within cells (O(Σ cell²) comparisons, O(matches) rows out), and a
+    * left-anti join of the corpus against the follower set. Cells
+    * bigger than `maxCell` are skipped (their members all survive) so a
+    * degenerate quantizer can never pin one task — mirror the cap in
+    * any external re-implementation. At 100 TB the quantizer comes from
+    * [[trainIvfAnchors]] on a sample and cells are sized so cell² work
+    * stays bounded (more cells = less work per cell). */
+  def semDedup(anchors: DataFrame, corpus: DataFrame, threshold: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val cells = assignCells(anchorArray(anchors), corpus, "vec_id", 1)
+    val followers = cells
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("vec_id").as("id"),
+        col("emb_vec_id").as("emb"))).as("vs"))
+      .filter(size(col("vs")).between(2, maxCell))
+      .select(Native.cosinePairsWithin(col("vs"), threshold)
+        .as(Seq("vec_a", "vec_b", "cos_sim")))
+      .select(col("vec_b").as("__follower")).distinct()
+    cells.select(col("vec_id"), col("cell_id"))
+      .join(followers, col("vec_id") === col("__follower"), "left_anti")
+  }
+
   /** Scalar int8 quantization of an embedding column — the 4×-memory
     * compression an ANN index at 100 TB actually ships (a float32
     * corpus that doesn't fit executor memory often does at int8):

@@ -446,6 +446,53 @@ class SimilaritySpec extends SparkSpec {
       dim = 8, maxBucket = 1).count() == 0)
   }
 
+  test("semDedup drops the larger-id twin within a cell, keeps cross-cell twins") {
+    // anchors = two orthogonal axes; vectors hug one axis each, so cell
+    // membership is unambiguous. In cell 0: ids 1/2 identical (2 drops),
+    // id 3 orthogonal-ish stays. Ids 4 (cell 1) duplicates id 1 but in
+    // the OTHER cell -> survives (SemDeDup is per-cluster by design).
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val anchors = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0))
+    ).toDF("cell_id", "anchor")
+    val corpus = Seq(
+      (1L, v(1, 0, 0.1, 0)),
+      (2L, v(1, 0, 0.1, 0)),    // identical to 1, same cell -> dropped
+      (3L, v(1, 0.2, -0.9, 0)), // cell 0 but dissimilar -> survives
+      (4L, v(0.1, 1, 0.01, 0))  // cell 1 -> survives regardless
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(anchors, corpus, 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(out(1L) == 0L && out(3L) == 0L && out(4L) == 1L)
+  }
+
+  test("semDedup: pairwise-minimal chain keeps only the smallest id; maxCell skips big cells") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val anchors = Seq((0L, v(1, 0, 0, 0))).toDF("cell_id", "anchor")
+    val chain = Seq(                    // all mutually similar, one cell
+      (5L, v(1, 0.01, 0, 0)),
+      (6L, v(1, 0.02, 0, 0)),
+      (7L, v(1, 0.03, 0, 0))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(anchors, chain, 0.9)
+      .as[(Long, Long)].collect().toMap.keySet == Set(5L))
+    // a cell above maxCell is skipped: everything survives
+    assert(Similarity.semDedup(anchors, chain, 0.9, maxCell = 2)
+      .count() == 3)
+  }
+
+  test("semDedup survives zero-norm vectors: NULL cosine never marks a follower") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val anchors = Seq((0L, v(1, 0, 0, 0))).toDF("cell_id", "anchor")
+    val corpus = Seq(
+      (1L, v(1, 0, 0, 0)),
+      (2L, v(0, 0, 0, 0)),   // zero-norm: NULL against everything
+      (3L, v(0, 0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(anchors, corpus, -2.0).count() == 3)
+  }
+
   test("lshNearDupPairs survives zero-norm embeddings: NULL cosine drops the pair, no crash") {
     // zero-norm cosine is NULL (the DuckDB-division contract shared by
     // the native expression, the composable form, and the oracle SQL),

@@ -341,6 +341,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("q76 rolling window: one exchange, RANGE frame, no join") {
+    val plan = planOf("q76_rolling_spend")
+    assert(!plan.contains("Join"), "rolling features must not plan a range self-join")
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1200))
+    assert(plan.contains("RangeFrame"), plan.take(1200))
+  }
+
+  test("q77 merge: union + one hash aggregate, no join operator") {
+    val plan = planOf("q77_merge_upsert")
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1200))
+    // map-side partial aggregation is present: struct max_by plans as
+    // SortAggregate (no mutable hash buffer for struct ordering), but
+    // the partial_max_by below the exchange is what bounds shuffle
+    // volume to one row per key per partition
+    assert(plan.contains("partial_max_by"), plan.take(1200))
+  }
+
+  test("q79 bloom: the sketch probe filters the fact scan BELOW the join") {
+    val plan = planOf("q79_bloom_join")
+    val lines = plan.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0, plan.take(800))
+    // plan prints top-down: the probe must sit under the join, on the
+    // lineitem branch, so pruned rows never reach the join input
+    assert(lines.drop(joinIdx).exists(_.contains("bloom_key_might_contain")),
+      lines.mkString("\n").take(1500))
+  }
+
   test("events loader still allows pushdown on non-converted columns") {
     val df = Tables.events(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("event_id") < 300)

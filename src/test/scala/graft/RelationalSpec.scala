@@ -88,4 +88,33 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.topK(3, Seq(col("n").desc))(df).as[Int].collect()
     assert(out.toSeq == Seq(100, 99, 98))
   }
+
+  test("mergeUpsert: update wins by version, insert lands, untouched rows carry") {
+    val target = Seq(
+      (1L, "old-1", 10.0),
+      (2L, "old-2", 20.0),
+      (3L, "old-3", 30.0)
+    ).toDF("k", "s", "v")
+    val source = Seq(
+      (2L, "new-2a", 21.0, 1L),  // two versions for key 2 -> v2 wins
+      (2L, "new-2b", 22.0, 2L),
+      (4L, "ins-4", 40.0, 1L)    // unmatched -> insert
+    ).toDF("k", "s", "v", "ver")
+    val out = Relational.mergeUpsert(target, source, Seq("k"), col("ver"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set(
+      (1L, "old-1", 10.0),
+      (2L, "new-2b", 22.0),
+      (3L, "old-3", 30.0),
+      (4L, "ins-4", 40.0)))
+  }
+
+  test("mergeUpsert plans one exchange and no join") {
+    val target = Seq((1L, "a")).toDF("k", "s")
+    val source = Seq((1L, "b", 1L)).toDF("k", "s", "ver")
+    val plan = Relational.mergeUpsert(target, source, Seq("k"), col("ver"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "merge must be union+aggregate, not a join")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
 }

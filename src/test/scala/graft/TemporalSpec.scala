@@ -41,6 +41,43 @@ class TemporalSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
   }
 
+  test("rollingWindow computes trailing-window count/sum per key") {
+    val df = Seq(
+      // key A: days 1, 5, 9, 20 — 7d window spans [t-7d, t] inclusive
+      ("A", ts("2024-01-01 00:00:00"), 10L),
+      ("A", ts("2024-01-05 00:00:00"), 20L),
+      ("A", ts("2024-01-09 00:00:00"), 30L),
+      ("A", ts("2024-01-20 00:00:00"), 40L),
+      // key B: single row
+      ("B", ts("2024-01-01 00:00:00"), 5L)
+    ).toDF("k", "t", "v")
+    val out = Temporal.rollingWindow(df, "k", "t", col("v"), 7L * 86400)
+      .select("k", "v", "rolling_cnt", "rolling_sum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", 10L, 1L, 10L),          // nothing precedes
+      ("A", 20L, 2L, 30L),          // day 1 is 4d back
+      ("A", 30L, 2L, 50L),          // day 5 in, day 1 (8d) out
+      ("A", 40L, 1L, 40L),          // 11d gap
+      ("B", 5L, 1L, 5L)))           // keys never mix
+  }
+
+  test("rollingWindow frame is inclusive at exactly -window and on timestamp peers") {
+    val df = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1L),
+      ("A", ts("2024-01-08 00:00:00"), 2L),  // exactly 7d later -> included
+      // two rows at one instant: RANGE peers see each other
+      ("C", ts("2024-02-01 12:00:00"), 3L),
+      ("C", ts("2024-02-01 12:00:00"), 4L)
+    ).toDF("k", "t", "v")
+    val out = Temporal.rollingWindow(df, "k", "t", col("v"), 7L * 86400)
+      .select("k", "v", "rolling_cnt", "rolling_sum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out(("A", 2L, 2L, 3L)), "boundary row exactly window-distant is in frame")
+    assert(out(("C", 3L, 2L, 7L)) && out(("C", 4L, 2L, 7L)),
+      "equal-timestamp rows are mutual frame peers")
+  }
+
   test("sessionizeSalted == sessionize on a skewed corpus with boundary sessions") {
     // one hot user (0) with events spanning 6 days — including sessions
     // that STRADDLE the day-bucket boundary (events at 23:59 and 00:10

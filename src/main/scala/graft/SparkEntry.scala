@@ -989,6 +989,62 @@ object SparkEntry {
           col("l_quantity"), col("o_totalprice"))
     }),
 
+    // incremental aggregate maintenance: per-customer rollup computed as
+    // base-partition aggregate + delta-partition aggregate MERGED by the
+    // re-aggregation algebra (sum-of-sums / sum-of-counts / max-of-maxes)
+    // — the oracle recomputes from raw rows, so the hash gate proves the
+    // merge is exact. At 100 TB the base partial is a persisted artifact;
+    // only the delta touches raw data.
+    "q80_incremental_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit(ts("1997-01-01 00:00:00"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("__cents"),
+          max(col("o_orderdate")).as("__last"))
+      Relational.mergePartialAggs(
+          Seq(partial(o.filter(col("o_orderdate") < cut)),
+            partial(o.filter(col("o_orderdate") >= cut))),
+          Seq("o_custkey"),
+          sumCols = Seq("n_orders", "__cents"), maxCols = Seq("__last"))
+        .select(col("o_custkey"), col("n_orders"),
+          fromCents(col("__cents"), 2).as("total_spend"),
+          date_format(col("__last"), "yyyy-MM-dd").as("last_order"))
+    }),
+
+    // ordered conversion funnel over the event stream: first view, first
+    // click after it, first purchase after that — per-step slice
+    // aggregates + per-user frontier joins, never a whole-history sort
+    "q81_funnel" -> ((s, d) =>
+      Temporal.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // per-source fixed-size deterministic sample (reservoir-style, but
+    // reproducible): rank by a pure key hash through the bounded
+    // two-phase top-k — balanced k-per-stratum without a corpus sort
+    "q82_reservoir" -> ((s, d) =>
+      Relational.topKPerGroup(
+        Tables.documents(s, d).withColumn("__score",
+          (Hashing.hexLong(concat(lit("rsv:"), col("doc_id")))
+            % lit(1099511627776L)).cast("double")),
+        Seq("source"), col("__score"), col("doc_id"), 5)
+        .select(col("source"), col("id").as("doc_id"),
+          col("rank").cast(LongType).as("sample_rank"))),
+
+    // declarative data-quality gate: five expectations over orders in
+    // ONE conditional-aggregation pass (the price cap provably fires on
+    // this corpus — ~4% of orders exceed it)
+    "q83_expectations" -> ((s, d) =>
+      Quality.expectations(Tables.orders(s, d), Seq(
+        "price_nonneg" -> (col("o_totalprice") >= 0.0),
+        "price_below_cap" -> (col("o_totalprice") < 450000.0),
+        "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_window" ->
+          (col("o_orderdate") >= lit(ts("1992-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(ts("1999-01-01 00:00:00"))),
+        "custkey_present" -> col("o_custkey").isNotNull))),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -1680,6 +1736,46 @@ object SparkEntry {
          SELECT vec_id, cell_id FROM cells
          WHERE vec_id NOT IN (SELECT follower FROM f)"""
     },
+    "q80_incremental_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+         FROM orders GROUP BY 1""",
+    "q81_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS step1_us FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT user_id, min(us) AS step2_us FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > step1_us GROUP BY 1),
+         s3 AS (SELECT user_id, min(us) AS step3_us FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > step2_us GROUP BY 1)
+         SELECT user_id, step1_us, step2_us, step3_us
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+    "q82_reservoir" -> {
+      val h = sqlHexLong("concat('rsv:', CAST(doc_id AS VARCHAR))")
+      s"""WITH s AS (SELECT source, doc_id,
+           CAST($h % 1099511627776 AS DOUBLE) AS score FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+           ORDER BY score DESC, doc_id) AS rn FROM s)
+         SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+         FROM r WHERE rn <= 5"""
+    },
+    "q83_expectations" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice >= 0.0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 450000.0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+           CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+           CAST(sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00', false) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+           CAST(sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, false) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+           FROM orders)
+         SELECT * FROM (
+           SELECT 'price_nonneg' AS rule, v0 AS n_violations, n_rows,
+             CAST(v0 AS DOUBLE) / n_rows AS violation_rate FROM t
+           UNION ALL SELECT 'price_below_cap', v1, n_rows, CAST(v1 AS DOUBLE) / n_rows FROM t
+           UNION ALL SELECT 'status_domain', v2, n_rows, CAST(v2 AS DOUBLE) / n_rows FROM t
+           UNION ALL SELECT 'date_in_window', v3, n_rows, CAST(v3 AS DOUBLE) / n_rows FROM t
+           UNION ALL SELECT 'custkey_present', v4, n_rows, CAST(v4 AS DOUBLE) / n_rows FROM t)""",
     "q79_bloom_join" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          l_quantity, o_totalprice

@@ -149,6 +149,36 @@ object Relational {
       .select(dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Incremental aggregate maintenance: merge pre-aggregated partial
+    * results (a persisted base aggregate + a fresh delta aggregate, or
+    * any number of partition-wise partials) into the aggregate of the
+    * union, WITHOUT rescanning the underlying rows — the re-aggregation
+    * algebra that lets a 100 TB daily pipeline fold yesterday's rollup
+    * with today's partition instead of recomputing from raw data.
+    *
+    * Works for the decomposable aggregates: counts and sums merge by
+    * SUM, minima by MIN, maxima by MAX (a count column is just a sum of
+    * counts — pass it in `sumCols`). Averages ship as (sum, count)
+    * pairs and divide at the end; non-decomposable aggregates (exact
+    * distinct, exact median) fundamentally need the rows and don't
+    * belong here.
+    *
+    * Shape: union of the partials (already tiny — one row per key per
+    * partial) + one hash aggregate. The shuffle carries aggregate rows,
+    * never raw data; with P partials the cost is O(P·|keys|),
+    * independent of corpus size. */
+  def mergePartialAggs(parts: Seq[DataFrame], keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataFrame = {
+    require(parts.nonEmpty && (sumCols ++ minCols ++ maxCols).nonEmpty)
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group bounded top-k — [[topK]]'s grouped sibling, via the same
     * two-phase `top_k_by_score` aggregate the ANN operators use: a
     * k-slot buffer per group per partition map-side, so the shuffle

@@ -169,6 +169,41 @@ object Temporal {
       .drop("__us")
   }
 
+  /** Ordered-funnel analysis: for each user, the timestamp of the first
+    * `steps(0)` event, then the first `steps(1)` event strictly AFTER
+    * it, and so on — the conversion-path primitive (view → click →
+    * purchase) behind funnel dashboards. Greedy earliest-first
+    * matching, the standard funnel semantics: step i+1 matches against
+    * the first completion of step i, not against every candidate path.
+    *
+    * Returns one row per user who completed step 1, with
+    * `step1_us … stepN_us` epoch-microsecond columns, null from the
+    * first uncompleted step on.
+    *
+    * Shape: each step aggregates ONLY that step's event-type slice
+    * (the type filter pushes to the scan), joined per user to the
+    * previous step's one-row-per-user frontier — k-1 equi-joins over
+    * per-step subsets, never a per-user sort of the whole history, so
+    * a hot user costs what their matching events cost. All joins and
+    * aggregates share the user-hash partitioning; AQE collapses the
+    * co-partitioned exchanges at scale. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.select(col(userCol), col(typeCol).as("__t"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+    val s1 = ev.filter(col("__t") === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__us")).as("step1_us"))
+    steps.zipWithIndex.drop(1).foldLeft(s1) { case (acc, (st, i)) =>
+      val prev = s"step${i}_us"
+      val cand = ev.filter(col("__t") === st)
+        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col("__us") > col(prev))
+        .groupBy(col(userCol)).agg(min(col("__us")).as(s"step${i + 1}_us"))
+      acc.join(cand, Seq(userCol), "left")
+    }
+  }
+
   /** Hot-key-safe sessionization — the salting escape hatch
     * [[sessionize]]'s docstring promises, with IDENTICAL results
     * (spec-asserted): a synthetic or bot user with years of events would

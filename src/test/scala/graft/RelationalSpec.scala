@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Relational
+import graft.operators.{Quality, Relational}
 
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
@@ -107,6 +107,53 @@ class RelationalSpec extends SparkSpec {
       (2L, "new-2b", 22.0),
       (3L, "old-3", 30.0),
       (4L, "ins-4", 40.0)))
+  }
+
+  test("mergePartialAggs == aggregate of the union, for sum/min/max algebra") {
+    val rows = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 3.0), ("b", 3L, 9.0),
+      ("a", 4L, 7.0), ("b", 5L, 1.0), ("c", 6L, 2.0))
+    def agg(part: Seq[(String, Long, Double)]) =
+      part.toDF("k", "id", "v").groupBy("k").agg(
+        count(lit(1)).as("cnt"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val (p1, p2) = rows.splitAt(3)
+    val merged = Relational.mergePartialAggs(Seq(agg(p1), agg(p2)),
+      Seq("k"), sumCols = Seq("cnt", "s"),
+      minCols = Seq("mn"), maxCols = Seq("mx"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    val full = agg(rows)
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(merged == full)
+  }
+
+  test("expectations counts violations per rule in one pass; null fails the rule") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(-1.0)), (3L, None), (4L, Some(5.0))
+    ).toDF("id", "v")
+    val out = Quality.expectations(df, Seq(
+      "v_nonneg" -> (col("v") >= 0.0),
+      "id_low" -> (col("id") <= 2L)))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // -1 violates; the NULL cannot prove the expectation -> violation
+    assert(out("v_nonneg") == ((2L, 4L, 0.5)))
+    assert(out("id_low") == ((2L, 4L, 0.5)))
+  }
+
+  test("expectations runs as one aggregate: a single plan, no per-rule scans") {
+    val df = (1 to 100).toDF("n")
+    val plan = Quality.expectations(df, Seq(
+      "a" -> (col("n") > 0), "b" -> (col("n") < 50), "c" -> (col("n") =!= 7)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan.take(800))
+  }
+
+  test("orphanCount finds fact keys missing from the dim") {
+    val fact = Seq(1L, 2L, 2L, 9L, 10L).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    assert(Quality.orphanCount(fact, "fk", dim, "dk")
+      .as[Long].head() == 2L) // 9 and 10; the duplicated key 2 is covered
   }
 
   test("mergeUpsert plans one exchange and no join") {

@@ -78,6 +78,36 @@ class TemporalSpec extends SparkSpec {
       "equal-timestamp rows are mutual frame peers")
   }
 
+  test("funnel enforces step order and nulls out from the first drop-off") {
+    val ev = Seq(
+      // user 1: full conversion, with a decoy earlier purchase BEFORE
+      // the click — step 3 must pick the one after step 2
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 10:00:30")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      // user 2: view only
+      (2L, "view", ts("2024-01-01 11:00:00")),
+      // user 3: click BEFORE the first view -> step 2 unmatched
+      (3L, "click", ts("2024-01-01 09:00:00")),
+      (3L, "view", ts("2024-01-01 09:30:00")),
+      // user 4: never views -> not in the funnel at all
+      (4L, "click", ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_type", "t")
+    val out = Temporal.funnel(ev, "user_id", "t", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((us("2024-01-01 10:00:00"),
+      Some(us("2024-01-01 10:01:00")), Some(us("2024-01-01 10:02:00")))),
+      "the pre-click purchase must not satisfy step 3")
+    assert(out(2L) == ((us("2024-01-01 11:00:00"), None, None)))
+    assert(out(3L) == ((us("2024-01-01 09:30:00"), None, None)),
+      "a click before the first view does not convert")
+  }
+
   test("sessionizeSalted == sessionize on a skewed corpus with boundary sessions") {
     // one hot user (0) with events spanning 6 days — including sessions
     // that STRADDLE the day-bucket boundary (events at 23:59 and 00:10

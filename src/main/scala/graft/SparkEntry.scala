@@ -1045,6 +1045,20 @@ object SparkEntry {
             col("o_orderdate") < lit(ts("1999-01-01 00:00:00"))),
         "custkey_present" -> col("o_custkey").isNotNull))),
 
+    // PageRank centrality over the part co-purchase graph (parts sharing
+    // an order are linked): 5 fixed-point iterations — integer micro-rank
+    // units so the per-node sums are order-independent and the iterative
+    // result hash-matches the oracle's unrolled CTE chain exactly
+    "q84_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 5)
+        .select(col("node").as("l_partkey"), col("rank_unit"))
+    }),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -1735,6 +1749,31 @@ object SparkEntry {
                WHERE round($cos, 6) > 0.2)
          SELECT vec_id, cell_id FROM cells
          WHERE vec_id NOT IN (SELECT follower FROM f)"""
+    },
+    "q84_pagerank" -> {
+      // unrolled fixed-point iterations, every op integer: `//` floor
+      // division == Spark's `div` on the all-positive rank mass, sums
+      // cast back from DuckDB's HUGEINT to BIGINT
+      val unit = "1000000000000"
+      val rk = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node AS node,
+           (SELECT b FROM base) + coalesce(CAST((85 * s.s) // 100 AS BIGINT), CAST(0 AS BIGINT)) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS s
+             FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+             JOIN deg ON e.src = deg.src GROUP BY 1) s
+           ON n.node = s.node)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         base AS (SELECT CAST((15 * ($unit // (SELECT n FROM nn))) // 100 AS BIGINT) AS b),
+         r0 AS (SELECT node, CAST($unit // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+         $rk
+         SELECT node AS l_partkey, r AS rank_unit FROM r5"""
     },
     "q80_incremental_agg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

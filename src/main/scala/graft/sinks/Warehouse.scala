@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Bucketed warehouse layout — the storage-side half of shuffle
   * elimination. Writing both sides of a recurring join bucketed (and
@@ -26,5 +27,52 @@ object Warehouse {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Morton (Z-order) curve value of two numeric columns — each
+    * min/max-normalized to `bits` bits, then bit-interleaved. Rows close
+    * on the curve are close in BOTH dimensions, which is what makes the
+    * clustered layout below skippable on either predicate. */
+  def zValue(c1: Column, c2: Column,
+      min1: Double, max1: Double, min2: Double, max2: Double,
+      bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    def scaled(c: Column, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(
+        floor((c.cast("double") - lit(lo)) / lit(span) * lit((1L << bits) - 1)),
+        lit(0L)), lit((1L << bits) - 1L)).cast("long")
+    }
+    val (x, y) = (scaled(c1, min1, max1), scaled(c2, min2, max2))
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1)): Column
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered parquet write: range-partition + sort the data by
+    * its Morton value so each output file covers a small rectangle of
+    * the (c1, c2) space — parquet min/max footer stats then prune files
+    * for predicates on EITHER column, where a single-column sort layout
+    * only prunes its leading column. This is the multi-dimensional
+    * data-skipping layout a 100 TB table wants under point/range lookups
+    * on two independent keys (the same trick behind Delta/Iceberg
+    * OPTIMIZE ZORDER, here as a plain parquet write).
+    *
+    * The min/max bounds for normalization come from one tiny agg job
+    * (eager, like every write); `files` controls layout granularity —
+    * at scale, size it to ~128 MB-1 GB per file. The z column is
+    * dropped before writing: it orders the layout, it is not data. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      bits: Int = 16, files: Int = 16): Unit = {
+    val b = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val z = zValue(col(c1), col(c2),
+      b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

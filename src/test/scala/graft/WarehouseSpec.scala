@@ -44,4 +44,53 @@ class WarehouseSpec extends SparkSpec {
         plan.take(1200))
     } finally spark.sql("DROP TABLE IF EXISTS wh_li2")
   }
+
+  test("zValue interleaves bits: curve-adjacent values are close in both dims") {
+    import spark.implicits._
+    // hand-checked Morton values on a 2-bit grid over [0,3]x[0,3]
+    val df = Seq((0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (1.0, 2.0))
+      .toDF("x", "y")
+    val z = df.select(Warehouse.zValue(col("x"), col("y"), 0, 3, 0, 3, 2))
+      .as[Long].collect().toSeq
+    // (x,y) scaled to ints: (0,0)(3,0)(0,3)(3,3)(1,2); interleave x even
+    // bits, y odd bits: 0b0000, 0b0101, 0b1010, 0b1111, 0b1001
+    assert(z == Seq(0L, 5L, 10L, 15L, 9L))
+  }
+
+  test("z-ordered layout: every file covers a small rectangle of BOTH dimensions") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val zDir = java.nio.file.Files.createTempDirectory("wh_z").toString
+    val linDir = java.nio.file.Files.createTempDirectory("wh_lin").toString
+    // 16 files = 4 fixed curve-prefix bits = 2 bits per dimension: each
+    // file's rectangle covers ~1/4 of each domain (8 files would fix
+    // only ONE x-bit — half-domain x spans by construction)
+    Warehouse.writeZOrdered(li, zDir, "l_partkey", "l_suppkey",
+      bits = 8, files = 16)
+    // the single-column competitor: range-layout by partkey only
+    li.repartitionByRange(16, col("l_partkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file fraction of each key's full domain covered (parquet
+    // footer min/max is exactly what a reader prunes on)
+    def fileSpans(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(
+          (max(col(c)) - min(col(c))).cast("double").as("w"))
+        .select(avg(col("w"))).as[Double].head()
+      val dom = spark.read.parquet(dir)
+        .select((max(col(c)) - min(col(c))).cast("double")).as[Double].head()
+      spans / dom
+    }
+    // no row lost by the rewrite
+    assert(spark.read.parquet(zDir).count() == li.count())
+    // partkey-ranged layout: partkey tight but suppkey spans ~full domain
+    assert(fileSpans(linDir, "l_suppkey") > 0.8)
+    // z-order: BOTH dimensions well under half the domain per file
+    assert(fileSpans(zDir, "l_partkey") < 0.5,
+      s"partkey span ${fileSpans(zDir, "l_partkey")}")
+    assert(fileSpans(zDir, "l_suppkey") < 0.5,
+      s"suppkey span ${fileSpans(zDir, "l_suppkey")}")
+  }
 }

@@ -1045,6 +1045,34 @@ object SparkEntry {
             col("o_orderdate") < lit(ts("1999-01-01 00:00:00"))),
         "custkey_present" -> col("o_custkey").isNotNull))),
 
+    // CDC extraction: diff two deterministic snapshots of orders (price
+    // updates, shifted-key inserts, modular deletes) into a typed change
+    // feed — the inverse of q77's merge, same union+aggregate shape
+    "q85_snapshot_diff" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+      val changed = t.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice")))
+      val ins = t.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      Relational.snapshotDiff(t, changed.unionByName(ins), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change_type"),
+          col("new.o_totalprice").as("new_totalprice"))
+    }),
+
+    // bucketed content checksum of lineitem — the replica-verification
+    // digest: 64 buckets, XOR of an md5-derived row hash over an
+    // integer-rendered canonical row string
+    "q86_checksum" -> ((s, d) =>
+      Quality.checksum(Tables.lineitem(s, d),
+        pmod(col("l_orderkey"), lit(64)).cast(LongType),
+        Hashing.hexLong(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")), cents(col("l_quantity")),
+          col("l_returnflag"), col("l_linestatus"))))),
+
     // PageRank centrality over the part co-purchase graph (parts sharing
     // an order are linked): 5 fixed-point iterations — integer micro-rank
     // units so the per-node sums are order-independent and the iterative
@@ -1749,6 +1777,40 @@ object SparkEntry {
                WHERE round($cos, 6) > 0.2)
          SELECT vec_id, cell_id FROM cells
          WHERE vec_id NOT IN (SELECT follower FROM f)"""
+    },
+    "q85_snapshot_diff" ->
+      """WITH newt AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * CAST(1.05 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 = 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                  WHEN n.o_orderkey IS NULL THEN 'D'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_custkey IS DISTINCT FROM n.o_custkey
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                    OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                  THEN 'U' END AS change_type,
+             n.o_totalprice AS new_totalprice
+           FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey, change_type, new_totalprice FROM j
+         WHERE change_type IS NOT NULL""",
+    "q86_checksum" -> {
+      val h = sqlHexLong("concat_ws('|', l_orderkey, l_linenumber, " +
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), " +
+        "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT), " +
+        "l_returnflag, l_linestatus)")
+      s"""SELECT l_orderkey % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor($h) AS BIGINT) AS xor_hash
+         FROM lineitem GROUP BY 1"""
     },
     "q84_pagerank" -> {
       // unrolled fixed-point iterations, every op integer: `//` floor

@@ -38,6 +38,26 @@ object Quality {
           .as("violation_rate"))
   }
 
+  /** Bucketed table checksum for replica/anti-entropy verification:
+    * per-bucket row count + XOR of a row content hash. XOR is
+    * order-independent AND incrementally maintainable (re-XOR a changed
+    * row's old and new hash), so two 100 TB replicas compare by
+    * exchanging ≤ nBuckets tiny rows, and a mismatch narrows to a
+    * bucket without re-reading the table. One codegen'd hash aggregate;
+    * the caller's `rowHash` must render doubles through an exact
+    * integer domain (cents, micros) — engine double-to-string
+    * formatting is NOT portable. */
+  def checksum(df: DataFrame, bucket: Column, rowHash: Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr_bitxor(rowHash).as("xor_hash"))
+
+  private def expr_bitxor(c: Column): Column = {
+    // functions._ has no bit_xor wrapper; route through the SQL name
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("bit_xor", c)
+  }
+
   /** Referential-integrity expectation as a COUNT (orphan fact keys not
     * present in the dim key set) — the one common rule [[expectations]]'
     * single-pass shape can't express. One left-anti join; broadcast when

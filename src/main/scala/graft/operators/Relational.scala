@@ -149,6 +149,42 @@ object Relational {
       .select(dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Snapshot diff — the CDC EXTRACTION side of [[mergeUpsert]]: compare
+    * two keyed snapshots of one table and emit what changed, typed
+    * `I` (inserted: key only in `newDf`), `U` (updated: key in both,
+    * any non-key value differs), `D` (deleted: key only in `oldDf`).
+    * Unchanged keys are dropped. This is how a pipeline without a
+    * transaction log derives a change feed from day-N vs day-N+1 loads.
+    *
+    * Same single-shuffle shape as [[mergeUpsert]]: tagged union + one
+    * hash aggregate picking each side's row per key — no join operator,
+    * neither snapshot broadcast. Comparison is null-safe struct
+    * equality over ALL non-key columns. Assumes keys are unique within
+    * each snapshot (snapshot semantics); duplicate keys collapse to the
+    * struct-max row deterministically.
+    *
+    * Output: key columns + `change_type` + `old`/`new` structs of the
+    * full row (null on the absent side) — project scalar fields out for
+    * engines whose sinks want flat columns. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      "snapshots must share one schema")
+    val dataCols = oldDf.columns
+    def tag(df: DataFrame, side: Int) =
+      df.select(struct(dataCols.map(col): _*).as("__row") +:
+        lit(side).as("__s") +: keys.map(col): _*)
+    tag(oldDf, 0).unionByName(tag(newDf, 1))
+      .groupBy(keys.map(col): _*)
+      .agg(max(when(col("__s") === 0, col("__row"))).as("old"),
+        max(when(col("__s") === 1, col("__row"))).as("new"))
+      .withColumn("change_type",
+        when(col("old").isNull, "I")
+          .when(col("new").isNull, "D")
+          .when(!(col("old") <=> col("new")), "U"))
+      .filter(col("change_type").isNotNull)
+  }
+
   /** Incremental aggregate maintenance: merge pre-aggregated partial
     * results (a persisted base aggregate + a fresh delta aggregate, or
     * any number of partition-wise partials) into the aggregate of the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
@@ -205,6 +205,35 @@ object EventsStream {
         col("ts_b") <= col("ts_a") + expr(s"interval $horizon"))
       .select(col("user_a").as("user_id"), col("event_a"), col("event_b"),
         col("ts_a"), col("ts_b"))
+  }
+
+  /** Streaming data-quality gate — [[graft.operators.Quality.expectations]]
+    * evaluated incrementally per event-time window: one row per
+    * (window, rule) with its violation count and rate, so an ingest
+    * monitor sees WHEN quality degraded, not just that it did. The
+    * conditional sums are decomposable aggregates, so the plan is the
+    * same watermarked windowed hash-agg as [[tumblingCounts]] — bounded
+    * state, late data beyond `lateness` dropped; a NULL rule result
+    * counts as a violation (the batch operator's contract). */
+  def windowedExpectations(events: DataFrame,
+      rules: Seq[(String, Column)], windowLen: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, c), i) =>
+        sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"__v$i")
+    }
+    val pairs = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v$i").as("n_violations"))
+    }
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"), col("__n"),
+        explode(array(pairs: _*)).as("r"))
+      .select(col("window_start"), col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"), col("__n").as("n_rows"),
+        (col("r.n_violations").cast("double") / col("__n"))
+          .as("violation_rate"))
   }
 
   /** Convenience writer: append mode to an in-memory or file sink. */

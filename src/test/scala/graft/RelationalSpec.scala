@@ -156,6 +156,39 @@ class RelationalSpec extends SparkSpec {
       .as[Long].head() == 2L) // 9 and 10; the duplicated key 2 is covered
   }
 
+  test("snapshotDiff types I/U/D, drops unchanged, and is null-safe on values") {
+    val old = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]), (4L, Some("d"))
+    ).toDF("k", "v")
+    val neu = Seq(
+      (1L, Some("a")),  // unchanged -> dropped
+      (2L, Option.empty[String]),  // value -> null: U (null-safe compare)
+      (3L, Some("c")),  // null -> value: U
+      (5L, Some("e"))   // new key: I; key 4 gone: D
+    ).toDF("k", "v")
+    val out = Relational.snapshotDiff(old, neu, Seq("k"))
+      .select(col("k"), col("change_type"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "U", 3L -> "U", 4L -> "D", 5L -> "I"))
+  }
+
+  test("checksum is order-independent and localizes a change to one bucket") {
+    val rows = (1 to 200).map(i => (i.toLong, s"payload-$i"))
+    def digest(data: Seq[(Long, String)]) =
+      Quality.checksum(data.toDF("id", "payload"),
+        pmod(col("id"), lit(8)), graft.functions.Hashing.hexLong(
+          concat_ws("|", col("id"), col("payload"))))
+        .as[(Long, Long, Long)].collect()
+        .map { case (b, n, x) => b -> ((n, x)) }.toMap
+    val a = digest(rows)
+    val b = digest(scala.util.Random.shuffle(rows))
+    assert(a == b, "xor digest must not depend on row order")
+    val mutated = digest(rows.map { case (i, p) =>
+      if (i == 42L) (i, "tampered") else (i, p) })
+    val diff = a.keySet.filter(k => a(k) != mutated(k))
+    assert(diff == Set(42L % 8), "exactly the tampered row's bucket differs")
+  }
+
   test("mergeUpsert plans one exchange and no join") {
     val target = Seq((1L, "a")).toDF("k", "s")
     val source = Seq((1L, "b", 1L)).toDF("k", "s", "ver")

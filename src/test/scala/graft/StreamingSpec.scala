@@ -196,4 +196,44 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty)
     assert(s.subsetOf(b)) // every emitted window agrees with batch
   }
+
+  test("windowedExpectations matches the batch quality gate per window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_q").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rules = Seq(
+      "value_nonneg" -> (col("value") >= 0.0),
+      "no_errors" -> (col("event_type") =!= "error"))
+    val q = EventsStream.windowedExpectations(
+        EventsStream.readEvents(spark, dir), rules, "1 hour", "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ev_quality").option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_q").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val s = spark.table("ev_quality")
+      .select("window_start", "rule", "n_violations", "n_rows")
+      .collect().map(key).toSet
+    // batch twin: same rules per 1h event-time window
+    val ev = graft.Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(!coalesce(col("value") >= 0.0, lit(false)), 1L)
+          .otherwise(0L)).as("v0"),
+        sum(when(!coalesce(col("event_type") =!= "error", lit(false)), 1L)
+          .otherwise(0L)).as("v1"))
+    val b = ev.collect().flatMap { r =>
+      val w = r.getStruct(0).getTimestamp(0)
+      Seq((w, "value_nonneg", r.getLong(2), r.getLong(1)),
+        (w, "no_errors", r.getLong(3), r.getLong(1)))
+    }.toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b), (s -- b).take(3).toString)
+    // the error-rule provably fires on this corpus
+    assert(s.exists(r => r._2 == "no_errors" && r._3 > 0))
+  }
 }

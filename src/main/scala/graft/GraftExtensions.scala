@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SigAgreePairs(children.head)
       }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // off unless spark.graft.guard.cartesian=true — see CartesianGuard
+    ext.injectOptimizerRule(_ => graft.plans.CartesianGuard)
   }
 }
 

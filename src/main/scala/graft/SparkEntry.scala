@@ -1045,6 +1045,13 @@ object SparkEntry {
             col("o_orderdate") < lit(ts("1999-01-01 00:00:00"))),
         "custkey_present" -> col("o_custkey").isNotNull))),
 
+    // BM25 lexical retrieval over the q75 term set: probabilistic
+    // ranking with term-sorted per-doc folds, top-20 through the
+    // bounded two-phase aggregate
+    "q87_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", col("text"),
+        RrfTerms)),
+
     // CDC extraction: diff two deterministic snapshots of orders (price
     // updates, shifted-key inserts, modular deletes) into a typed change
     // feed — the inverse of q77's merge, same union+aggregate shape
@@ -1777,6 +1784,31 @@ object SparkEntry {
                WHERE round($cos, 6) > 0.2)
          SELECT vec_id, cell_id FROM cells
          WHERE vec_id NOT IN (SELECT follower FROM f)"""
+    },
+    "q87_bm25" -> {
+      val terms = RrfTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT doc, w, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl FROM base),
+         tf AS (SELECT doc, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc, dl, unnest(w) AS term FROM base)
+           WHERE term IN ($terms) GROUP BY 1, 2, 3),
+         dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         scored AS (SELECT doc, term,
+           ln((N - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+             (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+           FROM tf JOIN dfreq USING (term), stats),
+         perdoc AS (SELECT doc, round(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               [x.s for x in list_sort(list(struct_pack(term := term, s := s)))]),
+             (acc, y) -> acc + y), 6) AS bm25
+           FROM scored GROUP BY doc),
+         r AS (SELECT doc, bm25, row_number() OVER (
+             ORDER BY bm25 DESC, doc) AS rn FROM perdoc)
+         SELECT doc AS doc_id, bm25, CAST(rn AS BIGINT) AS bm25_rank
+         FROM r WHERE rn <= 20"""
     },
     "q85_snapshot_diff" ->
       """WITH newt AS (

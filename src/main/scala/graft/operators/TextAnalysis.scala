@@ -572,6 +572,63 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** BM25 lexical relevance of each document against a term set —
+    * [[graft.operators.Similarity.rrfFusion]]'s raw-overlap leg upgraded
+    * to the standard probabilistic ranking (Robertson/Lucene form):
+    * `Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl))`. Docs sharing no term are absent.
+    *
+    * Determinism contract for cross-engine parity: corpus stats ride a
+    * broadcast 1-row aggregate (avgdl is exact — doc lengths are
+    * integer-valued doubles, so the sum is associative); the per-doc
+    * sum folds the (term, score) list TERM-SORTED (the q74 pattern —
+    * an unordered SUM would drift in the last bits with shuffle
+    * order); the fold seeds at +0.0 and rounds once at the end.
+    *
+    * Shape: the explode keeps ONLY query terms (the filter lands
+    * before the per-term aggregate, so the shuffle carries matches,
+    * not the corpus vocabulary), df/stats broadcast back, and the
+    * final ranking is the bounded two-phase top-k — no corpus-wide
+    * window anywhere. */
+  def bm25(df: DataFrame, idCol: String, text: Column,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      kOut: Int = 20): DataFrame = {
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), tokens(col("__t")).as("__w"))
+      .select(col("doc"), col("__w"),
+        size(col("__w")).cast(DoubleType).as("__dl"))
+    val stats = base.agg(count(lit(1)).cast(DoubleType).as("__N"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = base
+      .select(col("doc"), col("__dl"), explode(col("__w")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy("doc", "__term", "__dl")
+      .agg(count(lit(1)).cast(DoubleType).as("__tf"))
+    val dfreq = tf.groupBy("__term")
+      .agg(count(lit(1)).cast(DoubleType).as("__df"))
+    // every constant a literal and every operator in source order, so
+    // the oracle SQL reproduces the float chain token for token
+    val idf = log((col("__N") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0))
+    val tfNorm = col("__tf") * (lit(k1) + lit(1.0)) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    val scored = tf.join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc"), col("__term"), (idf * tfNorm).as("__s"))
+    val perDoc = scored.groupBy("doc")
+      .agg(array_sort(collect_list(struct(col("__term"), col("__s"))))
+        .as("__ts"))
+      .select(col("doc"),
+        round(aggregate(col("__ts"), lit(0.0),
+          (acc, x) => acc + x.getField("__s")), 6).as("__score"))
+    Relational.topKPerGroup(perDoc.withColumn("__g", lit(0L)), Seq("__g"),
+        col("__score"), col("doc"), kOut)
+      .select(col("id").as("doc_id"), col("score").as("bm25"),
+        col("rank").cast(LongType).as("bm25_rank"))
+  }
+
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */

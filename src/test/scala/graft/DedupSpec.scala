@@ -186,6 +186,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == Seq("tiny"))
   }
 
+  test("bm25 ranks tf saturation, rare-term boost, and length normalization") {
+    // four docs, terms {x, y}: doc 1 has x once, doc 2 has x thrice
+    // (tf saturates but still wins), doc 3 has only the RARER term y
+    // (higher idf per occurrence), doc 4 shares nothing (absent)
+    val docs = Seq(
+      (1L, "x a b c"),
+      (2L, "x x x c"),
+      (3L, "y a b c"),
+      (4L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", col("text"), Seq("x", "y"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) > out(1L), "higher tf must score higher at equal dl")
+    assert(out(3L) > out(1L), "a rarer term (df=1 vs df=2) outscores a common one")
+    // hand-check doc 1: N=4, df(x)=2, tf=1, dl=4, avgdl=4
+    // idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2); tfn = 1*2.2/(1+1.2*1) = 1
+    val expected = BigDecimal(math.log(2.0) * (1.0 * 2.2 / 2.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == expected, s"got ${out(1L)}, want $expected")
+  }
+
+  test("bm25 length normalization: same tf in a shorter doc scores higher") {
+    val docs = Seq(
+      (1L, "x a"),
+      (2L, "x a b c d e f g")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", col("text"), Seq("x"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) > out(2L))
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",

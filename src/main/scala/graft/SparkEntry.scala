@@ -1073,7 +1073,7 @@ object SparkEntry {
     // digest: 64 buckets, XOR of an md5-derived row hash over an
     // integer-rendered canonical row string
     "q86_checksum" -> ((s, d) =>
-      Quality.checksum(Tables.lineitem(s, d),
+      Quality.checksum(wide(Tables.lineitem(s, d)),
         pmod(col("l_orderkey"), lit(64)).cast(LongType),
         Hashing.hexLong(concat_ws("|",
           col("l_orderkey"), col("l_linenumber"),

@@ -163,6 +163,44 @@ class RobustnessSpec extends SparkSpec {
     assert(SurveyPipelines.returns(export, ts).count() == 0)
   }
 
+  test("round-4 operators on degenerate input: empty tables, absent matches") {
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    // funnel with no step-1 events anywhere: empty, not a crash
+    assert(Temporal.funnel(emptyEvents, "user_id", "ts", "event_type",
+      Seq("view", "click")).count() == 0)
+    // rolling window over empty input
+    val emptyOrders = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("k", "t", "v")
+    assert(Temporal.rollingWindow(emptyOrders, "k", "t", col("v"), 60).count() == 0)
+    // bm25 with terms absent from the corpus: empty ranking
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bm25(docs, "doc_id", col("text"),
+      Seq("zz_not_here")).count() == 0)
+    // snapshotDiff of identical snapshots: no changes
+    val snap = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    assert(Relational.snapshotDiff(snap, snap, Seq("k")).count() == 0)
+    // checksum of an empty table: no buckets
+    assert(Quality.checksum(Seq.empty[(Long, String)].toDF("id", "p"),
+      pmod(col("id"), lit(8)),
+      graft.functions.Hashing.hexLong(col("p"))).count() == 0)
+    // mergePartialAggs with a single partial is the identity re-aggregate
+    val part = Seq(("a", 2L, 5.0)).toDF("k", "cnt", "s")
+    val merged = Relational.mergePartialAggs(Seq(part), Seq("k"),
+      sumCols = Seq("cnt", "s")).as[(String, Long, Double)].collect()
+    assert(merged.toSeq == Seq(("a", 2L, 5.0)))
+  }
+
+  test("pageRank tolerates self-loops and an empty edge list") {
+    // a self-loop contributes its own mass back to itself — well-defined
+    val selfy = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("s", "d")
+    val r = Graph.pageRank(selfy, "s", "d", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(1L, 2L) && r.values.forall(_ > 0L))
+    assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("s", "d"),
+      "s", "d", 2).count() == 0)
+  }
+
   test("typed pipeline outputs round-trip through their case classes") {
     val json = """{ "responses": [
       { "1": { "id": "1", "datestamp": "2018-03-01 10:00:00", "submitdate": "2018-03-01 10:00:00", "startdate": "x", "lastpage": "3", "startlanguage": "pt", "q01": "A4", "q03": "a@x.com", "q06": "BR1", "q12": "mail", "q22": "R1" } }

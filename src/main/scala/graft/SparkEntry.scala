@@ -1045,6 +1045,23 @@ object SparkEntry {
             col("o_orderdate") < lit(ts("1999-01-01 00:00:00"))),
         "custkey_present" -> col("o_custkey").isNotNull))),
 
+    // unpivot: the four lineitem measures to long form — one Expand
+    // pass, no shuffle (the inverse of q47's pivot)
+    "q88_unpivot" -> ((s, d) =>
+      Relational.melt(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("metric"), col("value"))),
+
+    // blocked fuzzy match: part names within edit distance 2, compared
+    // only within a brand (plus the length band) — entity resolution
+    // without an all-pairs join
+    "q89_fuzzy_match" -> ((s, d) =>
+      Relational.fuzzySelfJoin(Tables.part(s, d), "p_partkey", "p_name",
+        Seq("p_brand"), maxDist = 2)),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -1785,6 +1802,22 @@ object SparkEntry {
          SELECT vec_id, cell_id FROM cells
          WHERE vec_id NOT IN (SELECT follower FROM f)"""
     },
+    "q88_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'l_discount', l_discount FROM lineitem
+         UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'l_tax', l_tax FROM lineitem""",
+    "q89_fuzzy_match" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+         FROM part a JOIN part b
+         ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           AND abs(length(a.p_name) - length(b.p_name)) <= 2
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q87_bm25" -> {
       val terms = RrfTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH d AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),

@@ -149,6 +149,45 @@ object Relational {
       .select(dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Unpivot / melt — wide measure columns to (metric, value) rows, the
+    * inverse of q47's pivot. Plans as a single Expand (one pass over the
+    * input, rows×|values| out, no shuffle, no join): the shape that
+    * turns a metrics-wide fact table into the long form aggregation
+    * pipelines and plotting sinks want. */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "metric", valName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      varName, valName)
+
+  /** Blocked fuzzy self-match: pairs of rows whose `textCol` is within
+    * `maxDist` edit distance, compared ONLY inside equal `blockCols`
+    * groups (plus a length-band prefilter — |len(a)−len(b)| > maxDist
+    * can never match, and length reaches the join before the O(n·m)
+    * Levenshtein does). The all-pairs nested loop becomes a
+    * hash-partitioned equi-join on the block key: O(Σ block²)
+    * comparisons, never O(n²) over the corpus — the same blocking
+    * discipline as the MinHash/SimHash candidate generators, for the
+    * entity-resolution case where "duplicate" means typos, not shared
+    * shingles. Choose blocks like a dedup key: too coarse and one block
+    * pins a task (the LSH maxBucket lesson), too fine and true matches
+    * land in different blocks. */
+  def fuzzySelfJoin(df: DataFrame, keyCol: String, textCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && blockCols.nonEmpty)
+    def side(p: String) = df.select(
+      col(keyCol).as(p + "key") +: col(textCol).as(p + "text") +:
+        blockCols.map(c => col(c).as(p + c)): _*)
+    val cond = blockCols.map(c => col("a_" + c) === col("b_" + c))
+      .reduce(_ && _) &&
+      col("a_key") < col("b_key") &&
+      abs(length(col("a_text")) - length(col("b_text"))) <= maxDist
+    side("a_").join(side("b_"), cond)
+      .filter(levenshtein(col("a_text"), col("b_text")) <= maxDist)
+      .select(col("a_key").as("key_a"), col("b_key").as("key_b"),
+        levenshtein(col("a_text"), col("b_text"))
+          .cast(org.apache.spark.sql.types.LongType).as("edit_dist"))
+  }
+
   /** Snapshot diff — the CDC EXTRACTION side of [[mergeUpsert]]: compare
     * two keyed snapshots of one table and emit what changed, typed
     * `I` (inserted: key only in `newDf`), `U` (updated: key in both,

@@ -189,6 +189,40 @@ class RelationalSpec extends SparkSpec {
     assert(diff == Set(42L % 8), "exactly the tampered row's bucket differs")
   }
 
+  test("melt emits one (metric, value) row per measure; pivot recovers the wide form") {
+    val wide = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.7)).toDF("id", "qty", "disc")
+    val long = Relational.melt(wide, Seq("id"), Seq("qty", "disc"))
+    assert(long.columns.toSeq == Seq("id", "metric", "value"))
+    assert(long.count() == 4)
+    val back = long.groupBy("id").pivot("metric", Seq("qty", "disc"))
+      .agg(first(col("value")))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(back == Set((1L, 10.0, 0.5), (2L, 20.0, 0.7)))
+  }
+
+  test("fuzzySelfJoin matches within blocks only, bounded by edit distance") {
+    val df = Seq(
+      (1L, "red widget", "B1"),
+      (2L, "red widgit", "B1"),   // dist 1, same block -> pair
+      (3L, "red widget", "B2"),   // identical text, OTHER block -> no pair
+      (4L, "blue cog", "B1"),     // dist > 2 from the widgets
+      (5L, "red widgets!", "B1")  // len diff 2, dist 2 -> pair with 1
+    ).toDF("k", "name", "brand")
+    val out = Relational.fuzzySelfJoin(df, "k", "name", Seq("brand"), 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // (2,5) is distance 3 (sub i->e, insert s, insert !) -> excluded
+    assert(out == Set((1L, 2L, 1L), (1L, 5L, 2L)), out.toString)
+  }
+
+  test("fuzzySelfJoin plans a hash equi-join on the block key, not a nested loop") {
+    val df = (1 to 100).map(i => (i.toLong, s"name-$i", s"b${i % 5}"))
+      .toDF("k", "name", "brand")
+    val plan = Relational.fuzzySelfJoin(df, "k", "name", Seq("brand"), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1000))
+  }
+
   test("mergeUpsert plans one exchange and no join") {
     val target = Seq((1L, "a")).toDF("k", "s")
     val source = Seq((1L, "b", 1L)).toDF("k", "s", "ver")

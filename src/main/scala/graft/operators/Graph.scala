@@ -44,7 +44,10 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val outEdges = e.join(deg, "src").localCheckpoint()
+    // deg is |V|-sized; broadcast it onto the |E|-sized edge list (the
+    // checkpointed e reports unknown stats, so the planner would
+    // otherwise sort 2×|E| rows for a merge join)
+    val outEdges = e.join(broadcast(deg), "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // corpus-size scalar as a broadcast 1-row aggregate (the tfIdf/PMI

@@ -174,18 +174,42 @@ object Relational {
   def fuzzySelfJoin(df: DataFrame, keyCol: String, textCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0 && blockCols.nonEmpty)
+    // Length joins the equi-key, not just the band filter: bucket width
+    // maxDist+1 guarantees a within-band pair is at most one bucket
+    // apart, so expanding one side 3× (the rangeJoinByValue rewrite)
+    // keeps the pair in exactly one joined bucket. This both splits a
+    // hot block's O(block²) pair space by length AND multiplies the
+    // shuffle key count past the raw block-key cardinality (25 brands
+    // alone cap the join at 25-ish tasks).
+    val w = maxDist + 1
     def side(p: String) = df.select(
       col(keyCol).as(p + "key") +: col(textCol).as(p + "text") +:
         blockCols.map(c => col(c).as(p + c)): _*)
+    val a = side("a_")
+      .withColumn("a_lb", floor(length(col("a_text")) / w))
+    val b = side("b_")
+      .withColumn("b_lb0", floor(length(col("b_text")) / w))
+      .withColumn("b_lb",
+        explode(array(col("b_lb0") - 1, col("b_lb0"), col("b_lb0") + 1)))
+      .drop("b_lb0")
     val cond = blockCols.map(c => col("a_" + c) === col("b_" + c))
       .reduce(_ && _) &&
+      col("a_lb") === col("b_lb") &&
       col("a_key") < col("b_key") &&
       abs(length(col("a_text")) - length(col("b_text"))) <= maxDist
-    side("a_").join(side("b_"), cond)
-      .filter(levenshtein(col("a_text"), col("b_text")) <= maxDist)
+    a.join(b, cond)
+      // distance computed ONCE (filter and projection are separate
+      // operators; codegen does not share the DP between them), and
+      // THRESHOLDED: the k-banded variant runs O(len·k) cells with
+      // early exit instead of the full O(n·m) table, returning -1
+      // above k — the candidate set is pairs, so the verify kernel is
+      // the hot loop
+      .withColumn("edit_dist",
+        levenshtein(col("a_text"), col("b_text"), maxDist)
+          .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("edit_dist") >= 0L)
       .select(col("a_key").as("key_a"), col("b_key").as("key_b"),
-        levenshtein(col("a_text"), col("b_text"))
-          .cast(org.apache.spark.sql.types.LongType).as("edit_dist"))
+        col("edit_dist"))
   }
 
   /** Snapshot diff — the CDC EXTRACTION side of [[mergeUpsert]]: compare

@@ -248,6 +248,25 @@ object Relational {
       .filter(col("change_type").isNotNull)
   }
 
+  /** Apply a typed change feed back onto a snapshot — the closure of
+    * [[snapshotDiff]]: `applyChanges(old, snapshotDiff(old, new), keys)`
+    * reconstructs `new` exactly (property-tested). `I`/`U` rows upsert
+    * via [[mergeUpsert]]'s union+aggregate shape; `D` keys drop via a
+    * left-anti join. The change feed is in [[snapshotDiff]]'s output
+    * shape (keys + `change_type` + `new` struct). This is the replica
+    * CATCH-UP path: ship the (small) diff, not the (huge) snapshot. */
+  def applyChanges(oldDf: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = oldDf.columns
+    val upserts = changes.filter(col("change_type").isin("I", "U"))
+      .select(dataCols.map(c => col(s"new.$c").as(c)): _*)
+    val deletes = changes.filter(col("change_type") === "D")
+      .select(keys.map(c => col(c).as(s"__d_$c")): _*)
+    val kept = oldDf.join(deletes,
+      keys.map(c => col(c) === col(s"__d_$c")).reduce(_ && _), "left_anti")
+    mergeUpsert(kept, upserts.withColumn("__v", lit(1L)), keys, col("__v"))
+  }
+
   /** Incremental aggregate maintenance: merge pre-aggregated partial
     * results (a persisted base aggregate + a fresh delta aggregate, or
     * any number of partition-wise partials) into the aggregate of the

@@ -370,6 +370,31 @@ class PlanAuditSpec extends SparkSpec {
       lines.mkString("\n").take(1500))
   }
 
+  test("q82 reservoir: bounded two-phase top-k, no ranking window") {
+    val plan = planOf("q82_reservoir")
+    assert(!plan.contains("Window"), "per-stratum sample must not rank via a window")
+    assert(plan.contains("partial_top_k_by_score"), plan.take(1200))
+  }
+
+  test("q85 snapshot diff: union + one aggregate, no join operator") {
+    val plan = planOf("q85_snapshot_diff")
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1200))
+  }
+
+  test("q87 bm25: no corpus-wide window; stats and df broadcast") {
+    val plan = planOf("q87_bm25")
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("partial_top_k_by_score"), plan.take(1200))
+    assert(countOf("BroadcastExchange", plan) >= 2, plan.take(1200))
+  }
+
+  test("q88 unpivot: a single Expand, no shuffle at all") {
+    val plan = planOf("q88_unpivot")
+    assert(plan.contains("Expand"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
   test("events loader still allows pushdown on non-converted columns") {
     val df = Tables.events(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("event_id") < 300)

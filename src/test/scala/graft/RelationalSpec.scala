@@ -223,6 +223,26 @@ class RelationalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1000))
   }
 
+  test("applyChanges(old, snapshotDiff(old, new)) reconstructs new exactly") {
+    // pseudo-random but deterministic snapshots exercising all paths:
+    // stable keys, value churn, deletions, insertions
+    def h(i: Long, salt: Long) = (i * 2654435761L + salt) % 97
+    val old = (1L to 300L).map(i => (i, s"v${h(i, 1)}", h(i, 2).toDouble))
+      .toDF("k", "s", "x")
+    val neu = (1L to 360L)
+      .filter(i => h(i, 3) % 5 != 0)                   // ~20% deleted/absent
+      .map(i => (i, s"v${h(i, if (h(i, 4) % 3 == 0) 5 else 1)}", // ~33% churn
+        h(i, 2).toDouble))
+      .toDF("k", "s", "x")
+    val diff = Relational.snapshotDiff(old, neu, Seq("k"))
+    val rebuilt = Relational.applyChanges(old, diff, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(rebuilt == neu.as[(Long, String, Double)].collect().toSet)
+    // and the diff is genuinely mixed
+    val types = diff.select("change_type").as[String].collect().toSet
+    assert(types == Set("I", "U", "D"), types.toString)
+  }
+
   test("mergeUpsert plans one exchange and no join") {
     val target = Seq((1L, "a")).toDF("k", "s")
     val source = Seq((1L, "b", 1L)).toDF("k", "s", "ver")

@@ -1062,6 +1062,18 @@ object SparkEntry {
       Relational.fuzzySelfJoin(Tables.part(s, d), "p_partkey", "p_name",
         Seq("p_brand"), maxDist = 2)),
 
+    // weighted sample without replacement (A-ES exponential race):
+    // top-50 docs by the hash-derandomized race key, win probability
+    // proportional to n_chars — the length-weighted mixing draw
+    "q90_weighted_sample" -> ((s, d) =>
+      Relational.topKPerGroup(
+        Tables.documents(s, d).withColumn("__score",
+          TextAnalysis.weightedSampleScore(col("doc_id"), col("n_chars")))
+          .withColumn("__g", lit(0L)),
+        Seq("__g"), col("__score"), col("doc_id"), 50)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("w_score"),
+          col("rank").cast(LongType).as("sample_rank"))),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -1801,6 +1813,17 @@ object SparkEntry {
                WHERE round($cos, 6) > 0.2)
          SELECT vec_id, cell_id FROM cells
          WHERE vec_id NOT IN (SELECT follower FROM f)"""
+    },
+    "q90_weighted_sample" -> {
+      val h = sqlHexLong("concat('ws:', CAST(doc_id AS VARCHAR))")
+      s"""WITH s AS (SELECT doc_id,
+           ln(CAST($h % 1099511627776 + 1 AS DOUBLE) / CAST(1099511627776 AS DOUBLE))
+             / CAST(n_chars AS DOUBLE) AS sc
+           FROM documents),
+         r AS (SELECT doc_id, round(sc, 6) AS w_score, row_number() OVER (
+             ORDER BY sc DESC, doc_id) AS rn FROM s)
+         SELECT doc_id, w_score, CAST(rn AS BIGINT) AS sample_rank
+         FROM r WHERE rn <= 50"""
     },
     "q88_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -367,6 +367,28 @@ object TextAnalysis {
   def deterministicSample(key: Column, fraction: Double): Column =
     sampleHash(key) < sampleThreshold(fraction)
 
+  /** Weighted-sampling race key (Efraimidis–Spirakis A-ES,
+    * exponential-race form): the global top-k rows by this score are a
+    * weighted sample WITHOUT replacement — each row wins proportionally
+    * to `weight`, with no corpus scan beyond the one that ranks
+    * (compose with [[Relational.topKPerGroup]] for the bounded top-k).
+    * Derandomized like every sampler here: `u = (hexLong(key) mod 2^40
+    * + 1) / 2^40` is an EXACT dyadic rational in (0, 1] (the divisor is
+    * a power of two, so the division is lossless), and the race key is
+    * `ln(u)/weight` — an Exp(weight) variate negated, ranked DESC
+    * (closer to 0 wins). `ln` is the one non-correctly-rounded step; it
+    * already crosses engines bit-stably in the LM/BM25/entropy oracles.
+    * A zero weight yields a NULL score (`try_divide` — ANSI `/` throws
+    * on ANY zero divisor, doubles included) and the bounded top-k skips
+    * NULL scores, so degenerate rows are never drawn. */
+  def weightedSampleScore(key: Column, weight: Column): Column = {
+    val m = 1099511627776L // 2^40
+    try_divide(
+      log((Hashing.hexLong(concat(lit("ws:"), key)) % m + 1L)
+        .cast(DoubleType) / lit(m.toDouble)),
+      weight.cast(DoubleType))
+  }
+
   /** Stratified deterministic sampling for dataset mixing: the keep
     * decision is [[deterministicSample]]'s hash test, but the fraction
     * is looked up per stratum (e.g. per language — upsample rare

@@ -218,6 +218,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("weightedSampleScore: scale-invariant ranking, heavy enrichment, zero sinks") {
+    import graft.operators.Relational
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) 20L else 1L)).toDF("id", "w")
+    def top(df: org.apache.spark.sql.DataFrame, k: Int) = Relational
+      .topKPerGroup(df.withColumn("__s",
+        TextAnalysis.weightedSampleScore(col("id"), col("w")))
+        .withColumn("__g", lit(0L)), Seq("__g"), col("__s"), col("id"), k)
+      .select("id").as[Long].collect().toSeq
+    val a = top(docs, 40)
+    // deterministic: a pure function of (key, weight)
+    assert(a == top(docs, 40))
+    // scaling every weight by a constant cannot change the order
+    assert(a == top(docs.withColumn("w", col("w") * 7L), 40))
+    // 20:1 weights on a 50/50 corpus: heavies must dominate the draw
+    val heavies = a.count(_ % 2 == 0)
+    assert(heavies > 30, s"only $heavies/40 heavy rows sampled")
+    // zero weight -> -inf race key: never drawn while positive rows remain
+    val withZero = docs.withColumn("w", when(col("id") <= 100L, 0L).otherwise(col("w")))
+    assert(top(withZero, 50).forall(_ > 100L))
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",

@@ -1071,7 +1071,11 @@ object SparkEntry {
           TextAnalysis.weightedSampleScore(col("doc_id"), col("n_chars")))
           .withColumn("__g", lit(0L)),
         Seq("__g"), col("__score"), col("doc_id"), 50)
-        .select(col("id").as("doc_id"), round(col("score"), 6).as("w_score"),
+        // + 0.0 folds IEEE -0.0 to +0.0 (exact for every other value):
+        // DuckDB's round keeps the sign of a tiny negative, Spark's
+        // BigDecimal path drops it — normalize on BOTH sides
+        .select(col("id").as("doc_id"),
+          (round(col("score"), 6) + lit(0.0)).as("w_score"),
           col("rank").cast(LongType).as("sample_rank"))),
 
     // BM25 lexical retrieval over the q75 term set: probabilistic
@@ -1820,7 +1824,8 @@ object SparkEntry {
            ln(CAST($h % 1099511627776 + 1 AS DOUBLE) / CAST(1099511627776 AS DOUBLE))
              / CAST(n_chars AS DOUBLE) AS sc
            FROM documents),
-         r AS (SELECT doc_id, round(sc, 6) AS w_score, row_number() OVER (
+         r AS (SELECT doc_id,
+             round(sc, 6) + CAST(0 AS DOUBLE) AS w_score, row_number() OVER (
              ORDER BY sc DESC, doc_id) AS rn FROM s)
          SELECT doc_id, w_score, CAST(rn AS BIGINT) AS sample_rank
          FROM r WHERE rn <= 50"""

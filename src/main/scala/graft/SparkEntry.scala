@@ -1078,6 +1078,29 @@ object SparkEntry {
           (round(col("score"), 6) + lit(0.0)).as("w_score"),
           col("rank").cast(LongType).as("sample_rank"))),
 
+    // linear-counting distinct sketch: per-event-type distinct users
+    // with shuffle state bounded by 4096 registers, not one row per
+    // distinct user — the COUNT(DISTINCT) that survives 100 TB
+    "q91_lc_distinct" -> ((s, d) =>
+      Sketches.linearCountDistinct(Tables.events(s, d), Seq("event_type"),
+        col("user_id"), m = 4096)),
+
+    // count-min sketch point estimates over the bigram stream: a 4×256
+    // counter matrix answers every frequency query; n_true rides along
+    // so the (one-sided) overestimate is auditable
+    "q92_cms_bigrams" -> ((s, d) =>
+      Sketches.countMinEstimates(
+        wide(Tables.documents(s, d).select(col("text")))
+          .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram")),
+        "bigram", d = 4, w = 256)),
+
+    // HyperLogLog distinct sketch (m=64): same question as q91 at 64
+    // registers of state — exact-integer harmonic sum, small-range
+    // linear-counting correction
+    "q93_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(Tables.events(s, d), Seq("event_type"),
+        col("user_id"))),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -1829,6 +1852,59 @@ object SparkEntry {
              ORDER BY sc DESC, doc_id) AS rn FROM s)
          SELECT doc_id, w_score, CAST(rn AS BIGINT) AS sample_rank
          FROM r WHERE rn <= 50"""
+    },
+    "q91_lc_distinct" -> {
+      val h = sqlHexLong("concat('lc:', CAST(user_id AS VARCHAR))")
+      s"""WITH r AS (SELECT event_type, $h % 4096 AS reg FROM events),
+         v AS (SELECT event_type, CAST(count(DISTINCT reg) AS BIGINT)
+               AS registers_hit FROM r GROUP BY 1)
+         SELECT event_type, registers_hit,
+           CASE WHEN registers_hit < 4096 THEN
+             round(CAST(4096 AS DOUBLE)
+               * ln(CAST(4096 AS DOUBLE) / (4096 - registers_hit)), 6)
+           END AS est_distinct
+         FROM v"""
+    },
+    "q92_cms_bigrams" -> {
+      val h = sqlHexLong("concat(CAST(i AS VARCHAR), ':cms:', bigram)")
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                for i in range(1, len(w))]) AS bigram FROM toks),
+         tc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_true
+                FROM bg GROUP BY 1),
+         rw AS (SELECT bigram, n_true, unnest([{'i': i, 'b': $h % 256}
+                for i in range(0, 4)]) AS r FROM tc),
+         rr AS (SELECT bigram, n_true, r.i AS i, r.b AS b FROM rw),
+         sk AS (SELECT i, b, CAST(sum(n_true) AS BIGINT) AS c
+                FROM rr GROUP BY 1, 2)
+         SELECT rr.bigram, rr.n_true, CAST(min(sk.c) AS BIGINT) AS est_cms
+         FROM rr JOIN sk ON rr.i = sk.i AND rr.b = sk.b
+         GROUP BY 1, 2"""
+    },
+    "q93_hll_distinct" -> {
+      val h = sqlHexLong("concat('hll:', CAST(user_id AS VARCHAR))")
+      val alpha = Sketches.HllAlphaM2.toString
+      s"""WITH h AS (SELECT event_type, $h AS hv FROM events),
+         b AS (SELECT event_type, hv % 64 AS reg, hv // 64 AS suf FROM h),
+         r AS (SELECT event_type, reg,
+               max(CASE WHEN suf = 0 THEN 51
+                   ELSE 51 - length(bin(suf)) END) AS mr
+               FROM b GROUP BY 1, 2),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS registers_hit,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mr AS INTEGER))
+                 AS BIGINT) AS s
+               FROM r GROUP BY 1),
+         f AS (SELECT event_type, registers_hit,
+               CAST(s + (64 - registers_hit) * (CAST(1 AS BIGINT) << 51)
+                 AS DOUBLE) / CAST(2251799813685248 AS DOUBLE) AS z
+               FROM a)
+         SELECT event_type, registers_hit,
+           round(CASE WHEN CAST('$alpha' AS DOUBLE) / z <= CAST(160 AS DOUBLE)
+                      AND registers_hit < 64
+             THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+               / (64 - registers_hit))
+             ELSE CAST('$alpha' AS DOUBLE) / z END, 6) AS est_distinct
+         FROM f"""
     },
     "q88_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

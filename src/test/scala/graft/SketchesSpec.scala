@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int, grp: String = "g") =
+    (1 to n).map(i => (grp, s"user_$i")).toDF("g", "k")
+
+  test("linearCountDistinct: accurate, duplicate-invariant, saturates to NULL") {
+    val df = keys(500)
+    val out = Sketches.linearCountDistinct(df, Seq("g"), col("k"))
+      .select("registers_hit", "est_distinct").as[(Long, Double)].head()
+    // 500 keys into 4096 registers: estimate within a few percent
+    assert(math.abs(out._2 - 500) < 25, s"est ${out._2}")
+    // the sketch property: duplicates change nothing
+    val dup = Sketches.linearCountDistinct(df.union(df).union(df), Seq("g"),
+      col("k")).select("est_distinct").as[Double].head()
+    assert(dup == out._2)
+    // m registers all hit -> NULL estimate, not a bogus number
+    val sat = Sketches.linearCountDistinct(df, Seq("g"), col("k"), m = 16)
+      .select("registers_hit", "est_distinct")
+      .as[(Long, Option[Double])].head()
+    assert(sat == ((16L, None)))
+  }
+
+  test("hllDistinct: 64 registers bound state, estimate within HLL error") {
+    val df = keys(1000).union(keys(30, "small"))
+    val out = Sketches.hllDistinct(df, Seq("g"), col("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("g")._1 <= 64)
+    // m=64 -> ~13% std error; 3 sigma on a fixed hash is deterministic
+    assert(math.abs(out("g")._2 - 1000) < 400, s"est ${out("g")._2}")
+    // 30 keys leave empty registers -> small-range linear-counting path
+    assert(out("small")._1 < 64 && math.abs(out("small")._2 - 30) < 10,
+      s"small ${out("small")}")
+    val dup = Sketches.hllDistinct(df.union(df), Seq("g"), col("k"))
+      .filter($"g" === "g").select("est_distinct").as[Double].head()
+    assert(dup == out("g")._2)
+  }
+
+  test("countMinEstimates: one-sided, exact without collisions, linear in counts") {
+    val toks = (1 to 2000).map(i => s"tok_${i % 97}").toDF("t")
+    val est = Sketches.countMinEstimates(toks, "t", d = 4, w = 64)
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 97)
+    // CMS never underestimates
+    assert(est.forall { case (_, truth, cms) => cms >= truth })
+    // 97 tokens into a wide-enough matrix: every estimate exact
+    val wideE = Sketches.countMinEstimates(toks, "t", d = 4, w = 4096)
+      .as[(String, Long, Long)].collect()
+    assert(wideE.forall { case (_, truth, cms) => cms == truth })
+    // doubling the stream exactly doubles every counter
+    val twice = Sketches.countMinEstimates(toks.union(toks), "t", d = 4, w = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(est.forall { case (t, _, cms) => twice(t) == 2 * cms })
+  }
+}

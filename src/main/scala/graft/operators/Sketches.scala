@@ -14,6 +14,13 @@
   *    frequency point-estimates from a d×w counter matrix (never
   *    underestimates; overestimates by bucket collisions only).
   *
+  * NULL keys are dropped before sketching (SQL COUNT(DISTINCT) /
+  * frequency-count semantics: NULL contributes no cardinality and no
+  * occurrences) — without the explicit filter, Spark's groupBy would
+  * keep a NULL register group that DuckDB's COUNT(DISTINCT) ignores,
+  * and Spark's NULL-propagating concat would diverge from DuckDB's
+  * NULL-skipping one inside the hash.
+  *
   * Engine-parity notes (these feed the DuckDB oracle):
   *  - All hashing is [[Hashing.hexLong]] (md5-derived, bit-identical in
   *    both engines); Spark-only hashes are never used in output.
@@ -53,7 +60,8 @@ object Sketches {
   def linearCountDistinct(df: DataFrame, grp: Seq[String], key: Column,
       m: Int = 4096): DataFrame = {
     val reg = Hashing.hexLong(concat(lit("lc:"), key.cast(StringType))) % m
-    df.select(grp.map(col) :+ reg.as("__reg"): _*)
+    df.filter(key.isNotNull)
+      .select(grp.map(col) :+ reg.as("__reg"): _*)
       .groupBy((grp :+ "__reg").map(col): _*).agg(count(lit(1)).as("__n"))
       .groupBy(grp.map(col): _*)
       .agg(count(lit(1)).as("registers_hit"))
@@ -91,7 +99,7 @@ object Sketches {
     val suffix = shiftrightunsigned(h, 6)
     val rho = when(suffix === 0L, lit(HllRhoMax))
       .otherwise(lit(HllRhoMax) - length(bin(suffix)))
-    val regs = df
+    val regs = df.filter(key.isNotNull)
       .select(grp.map(col) :+ (h % m).as("__reg") :+ rho.as("__rho"): _*)
       .groupBy((grp :+ "__reg").map(col): _*).agg(max(col("__rho")).as("__m"))
     // the Scala shiftleft() wrapper takes only a literal shift; the SQL
@@ -129,7 +137,8 @@ object Sketches {
     * Spark reuses the token-count exchange for both subtrees. */
   def countMinEstimates(tokens: DataFrame, tokCol: String,
       d: Int = 4, w: Int = 256): DataFrame = {
-    val tc = tokens.groupBy(col(tokCol)).agg(count(lit(1)).as("n_true"))
+    val tc = tokens.filter(col(tokCol).isNotNull)
+      .groupBy(col(tokCol)).agg(count(lit(1)).as("n_true"))
     val rows = tc.select(col(tokCol), col("n_true"),
       posexplode(array((0 until d).map(i =>
         Hashing.hexLong(concat(lit(s"$i:cms:"), col(tokCol))) % w): _*))

@@ -24,6 +24,15 @@ class SketchesSpec extends SparkSpec {
       .select("registers_hit", "est_distinct")
       .as[(Long, Option[Double])].head()
     assert(sat == ((16L, None)))
+    // NULL keys carry no cardinality (COUNT(DISTINCT) semantics)
+    val withNulls = df.union(Seq(("g", null.asInstanceOf[String]),
+      ("g", null.asInstanceOf[String])).toDF("g", "k"))
+    assert(Sketches.linearCountDistinct(withNulls, Seq("g"), col("k"))
+      .select("registers_hit").as[Long].head() == out._1)
+    assert(Sketches.hllDistinct(withNulls, Seq("g"), col("k"))
+      .select("est_distinct").as[Double].head() ==
+      Sketches.hllDistinct(df, Seq("g"), col("k"))
+        .select("est_distinct").as[Double].head())
   }
 
   test("hllDistinct: 64 registers bound state, estimate within HLL error") {

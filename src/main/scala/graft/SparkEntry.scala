@@ -1101,6 +1101,24 @@ object SparkEntry {
       Sketches.hllDistinct(Tables.events(s, d), Seq("event_type"),
         col("user_id"))),
 
+    // interval merge (islands): per-supplier coverage windows over the
+    // open-order ranges [o_orderdate, l_shipdate] of heavy line items —
+    // ranges union on overlap, unlike q63's gap-split point events
+    "q94_interval_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val iv = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate"))
+        .select(col("l_suppkey"), col("o_orderdate").as("iv_s"),
+          col("l_shipdate").as("iv_e"))
+      Temporal.mergeIntervals(iv, "l_suppkey", "iv_s", "iv_e")
+        .select(col("l_suppkey"), col("island"),
+          date_format(col("window_start"), "yyyy-MM-dd").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+          col("n_intervals"))
+    }),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -1906,6 +1924,27 @@ object SparkEntry {
              ELSE CAST('$alpha' AS DOUBLE) / z END, 6) AS est_distinct
          FROM f"""
     },
+    "q94_interval_merge" ->
+      """WITH iv AS (SELECT l.l_suppkey, o.o_orderdate AS s, l.l_shipdate AS e
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_quantity >= 50 AND l.l_shipdate >= o.o_orderdate),
+         m AS (SELECT l_suppkey, s, e,
+               max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM iv),
+         f AS (SELECT l_suppkey, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+               FROM m),
+         i AS (SELECT l_suppkey, s, e,
+               CAST(sum(nw) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS island
+               FROM f)
+         SELECT l_suppkey, island,
+           strftime(min(s), '%Y-%m-%d') AS window_start,
+           strftime(max(e), '%Y-%m-%d') AS window_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+         FROM i GROUP BY 1, 2""",
     "q88_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -230,6 +230,46 @@ object Temporal {
     * the `orderCol` tie-break behaves identically. Requires the bucket
     * to be wider than the gap (otherwise a session could skip an entire
     * empty bucket and the lag-1 boundary test would be wrong). */
+  /** Merge overlapping-or-touching [start, end] intervals per group
+    * into maximal coverage windows — the islands primitive behind
+    * "when was this supplier shipping at all" / machine-uptime /
+    * validity-range consolidation. Distinct from [[sessionize]]: that
+    * splits POINT events on gaps; this unions RANGES on overlap.
+    *
+    * Classic islands algorithm, fully window-planned: running max of
+    * `end` over the preceding rows (ROWS … 1 PRECEDING), a row starts a
+    * new island iff its start exceeds that max, island id = running sum
+    * of the flag, then one aggregate per (group, island). Shape: ONE
+    * hash exchange on the group key shared by both window passes and
+    * the final aggregate; per-group work is a sort, bounded by
+    * per-group interval count (the sessionize hot-key caveat and its
+    * salting remedy apply unchanged).
+    *
+    * Rows with end < start are dropped as malformed — and that filter
+    * is also what makes the result tie-order-independent (with
+    * end ≥ start, any preceding equal-start row forces the running max
+    * to ≥ start, so the split flag never depends on how the sort broke
+    * the tie) and therefore hash-checkable across engines. Ordering
+    * ties on (start, end) for the same reason. Works on any ordered
+    * type (dates, timestamps, longs). */
+  def mergeIntervals(df: DataFrame, grpCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(col("__s"), col("__e"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(grpCol), col(startCol).as("__s"), col(endCol).as("__e"))
+      .filter(col("__e") >= col("__s"))
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__new")).over(wrun))
+      .groupBy(col(grpCol), col("island"))
+      .agg(min(col("__s")).as("window_start"),
+        max(col("__e")).as("window_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   def sessionizeSalted(df: DataFrame, userCol: String, tsCol: String,
       orderCol: String, gapSeconds: Long, saltDays: Int = 1): DataFrame = {
     val gapUs = gapSeconds * 1000000L

@@ -414,6 +414,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1200))
   }
 
+  test("q94 interval merge: one group-key exchange shared by both windows; dims broadcast") {
+    val plan = planOf("q94_interval_merge")
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,50.0)"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("events loader still allows pushdown on non-converted columns") {
     val df = Tables.events(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("event_id") < 300)

@@ -160,6 +160,28 @@ class TemporalSpec extends SparkSpec {
       "session_start_us", "session_end_us", "duration_secs"))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, malformed dropped") {
+    val iv = Seq(
+      // group a: [1,5] [3,8] overlap; [8,10] touches (s == running max);
+      // [12,12] gapped -> island 2; [20,15] malformed -> dropped
+      ("a", 1L, 5L), ("a", 3L, 8L), ("a", 8L, 10L), ("a", 12L, 12L),
+      ("a", 20L, 15L),
+      // group b: duplicate intervals collapse into one island of 2
+      ("b", 4L, 6L), ("b", 4L, 6L)
+    ).toDF("g", "s", "e")
+    val out = Temporal.mergeIntervals(iv, "g", "s", "e")
+      .select("g", "island", "window_start", "window_end", "n_intervals")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 1L, 1L, 10L, 3L), ("a", 2L, 12L, 12L, 1L),
+      ("b", 1L, 4L, 6L, 2L)))
+    // an interval swallowed by a longer earlier one must not split
+    // (the running max, not lag(e), is the boundary test)
+    val swallow = Seq(("c", 1L, 100L), ("c", 2L, 3L), ("c", 5L, 6L))
+      .toDF("g", "s", "e")
+    assert(Temporal.mergeIntervals(swallow, "g", "s", "e").count() == 1)
+  }
+
   test("rangeJoinByValue finds exactly the in-range pairs, no duplicates") {
     val e = Seq((1L, 1.0), (2L, 1.3), (3L, 1.6), (4L, 5.0))
       .toDF("event_id", "value")

@@ -1119,6 +1119,23 @@ object SparkEntry {
           col("n_intervals"))
     }),
 
+    // fixed-grid resample with forward fill (LOCF): per-user value state
+    // on a 6-hour grid — heavy work is one (user, bucket) hash agg; the
+    // grid/join/fill stages see only bucket summaries
+    "q95_resample_locf" -> ((s, d) =>
+      Temporal.resampleLocf(Tables.events(s, d), "user_id", "ts",
+        col("value"), "event_id", 21600L)),
+
+    // robust outlier profile: median/MAD fence per event type — the
+    // same bits in both engines end-to-end, so even the fence
+    // comparisons hash-match without a rounding tolerance
+    "q96_mad_outliers" -> ((s, d) =>
+      Quantiles.madOutliers(Tables.events(s, d), Seq("event_type"),
+        col("value"), k = 3.0)
+        .select(col("event_type"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_rows"),
+          col("n_outliers"))),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -1945,6 +1962,41 @@ object SparkEntry {
            strftime(max(e), '%Y-%m-%d') AS window_end,
            CAST(count(*) AS BIGINT) AS n_intervals
          FROM i GROUP BY 1, 2""",
+    "q95_resample_locf" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+           FROM events),
+         o AS (SELECT user_id, us // 21600000000 AS b,
+               arg_max(value, printf('%020d%010d', us, event_id)) AS lastv,
+               CAST(count(*) AS BIGINT) AS n_obs
+               FROM e GROUP BY 1, 2),
+         r AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM o GROUP BY 1),
+         g AS (SELECT user_id, unnest([b0 + i
+               for i in range(0, b1 - b0 + 1)]) AS b FROM r),
+         j AS (SELECT g.user_id, g.b, o.lastv, o.n_obs FROM g
+               LEFT JOIN o ON g.user_id = o.user_id AND g.b = o.b)
+         SELECT user_id, b * 21600 AS bucket_s,
+           last_value(lastv IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled,
+           coalesce(n_obs, 0) AS n_obs
+         FROM j""",
+    "q96_mad_outliers" -> {
+      val scale = Quantiles.madScale(3.0)
+      s"""WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+               FROM v GROUP BY 1),
+         d AS (SELECT v.event_type, v.v, m.med, abs(v.v - m.med) AS dd
+               FROM v JOIN m ON v.event_type = m.event_type),
+         md AS (SELECT event_type, quantile_cont(dd, 0.5) AS mad
+               FROM d GROUP BY 1)
+         SELECT d.event_type, round(any_value(d.med), 6) AS med,
+           round(any_value(md.mad), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN d.dd > md.mad * CAST('$scale' AS DOUBLE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN md ON d.event_type = md.event_type GROUP BY 1"""
+    },
     "q88_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -168,6 +168,47 @@ object Quantiles {
     * without the clamp such a value would masquerade as overflow with a
     * mislabeled edge. NULL values are dropped (aggregate semantics),
     * not a null-edged bucket row. */
+  /** Robust outlier profile per group: median, MAD (median absolute
+    * deviation), and the count of rows beyond `k` robust standard
+    * deviations (`|v − med| > k · 1.4826 · mad` — 1.4826 is the
+    * consistency constant that makes MAD estimate σ under normality).
+    * The robust alternative to mean±kσ profiling: a contaminated tail
+    * can drag a mean/stddev fence arbitrarily, but not the median pair.
+    *
+    * Engine parity is exact, not approximate: [[quantileCont]]'s
+    * `(1−f)·lo + f·hi` interpolation is bit-identical to DuckDB's
+    * `quantile_cont` (probed at the ulp level), the deviations and the
+    * `k·1.4826·mad` fence are computed from those identical bits with
+    * identical operations, so even the > comparisons classify
+    * identically — no rounding tolerance needed anywhere.
+    *
+    * Shape: medians intrinsically need two ordered passes (deviations
+    * depend on the first median); both run the [[quantileCont]]
+    * machinery (per-group sort windows, no value buffers), and the
+    * two tiny per-group stats frames broadcast back onto the corpus. */
+  def madOutliers(df: DataFrame, grp: Seq[String], valCol: Column,
+      k: Double = 3.0): DataFrame = {
+    val gcols = grp.map(col)
+    val vals = df.select(gcols :+ valCol.cast(DoubleType).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val med = quantileCont(vals, grp, col("__v"), Seq(("med", 0.5)))
+    val dev = vals.join(broadcast(med), grp)
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val mad = quantileCont(dev, grp, col("__d"), Seq(("mad", 0.5)))
+    val scale = k * 1.4826
+    dev.join(broadcast(mad), grp)
+      .groupBy(gcols: _*)
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__d") > col("mad") * lit(scale), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** The `k·1.4826` fence multiplier as the engine-crossing literal —
+    * rendered with Double.toString into the oracle SQL so both engines
+    * parse the identical double. */
+  def madScale(k: Double): String = (k * 1.4826).toString
+
   def fixedWidthHistogram(df: DataFrame, value: Column,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && hi > lo, "need nBuckets >= 1 and hi > lo")

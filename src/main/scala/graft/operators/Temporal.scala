@@ -270,6 +270,53 @@ object Temporal {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Resample per-key event values onto a fixed time grid with
+    * forward fill (last observation carried forward) — the
+    * gap-free-feature primitive behind "state of the account at every
+    * hour" training matrices. For each key: bucket events by
+    * `stepSeconds`, keep the LAST value per bucket (latest timestamp,
+    * `orderCol` tie-break via a zero-padded composite key — lexical
+    * order == numeric order, so the pick is deterministic and
+    * hash-checkable), generate the dense bucket range between the
+    * key's first and last observation, and carry values forward across
+    * empty buckets. `bucket_s` is epoch seconds (exact long crossing);
+    * `n_obs` = 0 marks filled rows. No leading nulls by construction
+    * (the first bucket always has an observation).
+    *
+    * Shape: the corpus-sized work is ONE hash aggregation (key,
+    * bucket) with map-side combine; everything after — grid explode,
+    * left join, LOCF window — runs on per-bucket summaries, whose
+    * cardinality is keys × span/step, independent of event volume.
+    * That's the property that survives 100 TB: a key with a billion
+    * events still contributes at most one row per bucket downstream.
+    * The LOCF window puts one key's grid in one task — span/step rows,
+    * bounded by the grid, not the data. */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: Column, orderCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "step must be positive")
+    val stepUs = stepSeconds * 1000000L
+    val obs = df
+      .select(col(keyCol), col(orderCol), unix_micros(col(tsCol)).as("__us"),
+        valCol.as("__v"))
+      .withColumn("__b", floor(col("__us") / stepUs)
+        .cast(org.apache.spark.sql.types.LongType))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(max_by(col("__v"),
+        format_string("%020d%010d", col("__us"), col(orderCol))).as("__last"),
+        count(lit(1)).as("n_obs"))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("__b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "__b"), "left")
+      .withColumn("value_filled", last(col("__last"), ignoreNulls = true).over(w))
+      .select(col(keyCol), (col("__b") * stepSeconds).as("bucket_s"),
+        col("value_filled"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+  }
+
   def sessionizeSalted(df: DataFrame, userCol: String, tsCol: String,
       orderCol: String, gapSeconds: Long, saltDays: Int = 1): DataFrame = {
     val gapUs = gapSeconds * 1000000L

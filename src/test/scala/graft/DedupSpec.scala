@@ -631,6 +631,23 @@ class SimilaritySpec extends SparkSpec {
     assert(byId.get(0L).forall(_._3.isEmpty))
   }
 
+  test("madOutliers: hand-checked median/MAD fence, zero-MAD group, nulls ignored") {
+    import graft.operators.Quantiles
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("a", null),
+      ("b", 10.0), ("b", 10.0), ("b", 10.0), ("b", 10.0)
+    ).toDF("g", "v")
+    val out = Quantiles.madOutliers(df, Seq("g"), col("v"), k = 3.0)
+      .select("g", "med", "mad", "n_rows", "n_outliers")
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: med 3, devs (2,1,0,1,97) -> mad 1, fence 4.4478 -> only 97 out
+    assert(out("a") == (("a", 3.0, 1.0, 5L, 1L)))
+    // b: constant group -> mad 0, fence 0, strict > keeps zero outliers
+    assert(out("b") == (("b", 10.0, 0.0, 4L, 0L)))
+  }
+
   test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {
     import graft.operators.Quantiles
     val rnd = new scala.util.Random(7)

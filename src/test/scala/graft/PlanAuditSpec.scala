@@ -423,6 +423,29 @@ class PlanAuditSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("q95 resample: corpus-sized work is one map-side-combined agg; no cartesian") {
+    val plan = planOf("q95_resample_locf")
+    // the (key, bucket) last-value agg must partial-combine before its
+    // shuffle — that's what bounds a billion-event key to one row per
+    // bucket on the wire
+    assert(plan.contains("partial_max_by"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("q96 MAD: per-group stats broadcast; the corpus exchange is reused across passes") {
+    // Under AQE exchange reuse is a runtime decision the plan string
+    // doesn't surface; pin it on the AQE-off plan (the Bench profile),
+    // where the static ReuseExchange rule must fire.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("q96_mad_outliers")
+      assert(countOf("BroadcastHashJoin", plan) >= 2, plan.take(1500))
+      assert(plan.contains("ReusedExchange"), plan.take(1500))
+      assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("events loader still allows pushdown on non-converted columns") {
     val df = Tables.events(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("event_id") < 300)

@@ -182,6 +182,28 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.mergeIntervals(swallow, "g", "s", "e").count() == 1)
   }
 
+  test("resampleLocf: dense grid, forward fill, last-per-bucket with tie-break") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: obs in hour-buckets 0 and 3 (step=3600) -> 1,2 filled
+      (1L, 101L, t("2024-01-01 00:10:00"), 10.0),
+      (1L, 102L, t("2024-01-01 00:50:00"), 20.0),  // later ts wins bucket 0
+      (1L, 103L, t("2024-01-01 03:05:00"), 30.0),
+      // user 2: equal timestamps -> higher event_id wins the tie
+      (2L, 201L, t("2024-01-01 05:00:00"), 1.0),
+      (2L, 202L, t("2024-01-01 05:00:00"), 2.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.resampleLocf(ev, "user_id", "ts", col("value"),
+      "event_id", 3600L)
+      .select("user_id", "bucket_s", "value_filled", "n_obs")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val h0 = t("2024-01-01 00:00:00").getTime / 1000
+    assert(out == Set(
+      (1L, h0, 20.0, 2L), (1L, h0 + 3600, 20.0, 0L),
+      (1L, h0 + 7200, 20.0, 0L), (1L, h0 + 10800, 30.0, 1L),
+      (2L, h0 + 18000, 2.0, 2L)))
+  }
+
   test("rangeJoinByValue finds exactly the in-range pairs, no duplicates") {
     val e = Seq((1L, 1.0), (2L, 1.3), (3L, 1.6), (4L, 5.0))
       .toDF("event_id", "value")

@@ -1136,6 +1136,38 @@ object SparkEntry {
           round(col("mad"), 6).as("mad"), col("n_rows"),
           col("n_outliers"))),
 
+    // chi-square association between document language and source —
+    // corpus crosses one hash agg; margins re-aggregate the tiny cell
+    // table and broadcast back
+    "q97_chi_square" -> ((s, d) =>
+      Quantiles.chiSquare(Tables.documents(s, d), "lang", "source")
+        .select(col("lang"), col("source"), col("n"),
+          round(col("expected"), 6).as("expected"),
+          round(col("chi2_cell"), 6).as("chi2_cell"))),
+
+    // stratified weighted sampling: q90's A-ES race run per language —
+    // rare strata keep their own top-k instead of being outdrawn
+    "q98_weighted_sample_strat" -> ((s, d) =>
+      Relational.topKPerGroup(
+        Tables.documents(s, d).withColumn("__score",
+          TextAnalysis.weightedSampleScore(col("doc_id"), col("n_chars"))),
+        Seq("lang"), col("__score"), col("doc_id"), 10)
+        .select(col("lang"), col("id").as("doc_id"),
+          (round(col("score"), 6) + lit(0.0)).as("w_score"),
+          col("rank").cast(LongType).as("sample_rank"))),
+
+    // skip-gram PMI (forward window 3): collocations beyond adjacency —
+    // per-row pair HOF, one corpus agg, vocab^2-bounded margins
+    "q99_skipgram_pmi" -> ((s, d) =>
+      TextAnalysis.skipgramPmi(Tables.documents(s, d), col("text"),
+        window = 3, minCount = 2)),
+
+    // vocabulary coverage curve: top-k tokens covering 50/90/99% of
+    // occurrences — exact-integer crossing test, vocab-bounded window
+    "q100_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), col("text"),
+        Seq(50, 90, 99))),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -1997,6 +2029,69 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM d JOIN md ON d.event_type = md.event_type GROUP BY 1"""
     },
+    "q97_chi_square" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         ma AS (SELECT lang, CAST(sum(n) AS BIGINT) AS na FROM c GROUP BY 1),
+         mb AS (SELECT source, CAST(sum(n) AS BIGINT) AS nb FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+         e AS (SELECT c.lang, c.source, c.n,
+               CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+                 / CAST(t.nt AS DOUBLE) AS expected
+               FROM c JOIN ma ON c.lang = ma.lang
+                 JOIN mb ON c.source = mb.source CROSS JOIN t)
+         SELECT lang, source, n, round(expected, 6) AS expected,
+           round((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+             / expected, 6) AS chi2_cell
+         FROM e""",
+    "q98_weighted_sample_strat" -> {
+      val h = sqlHexLong("concat('ws:', CAST(doc_id AS VARCHAR))")
+      s"""WITH s AS (SELECT lang, doc_id,
+           ln(CAST($h % 1099511627776 + 1 AS DOUBLE) / CAST(1099511627776 AS DOUBLE))
+             / CAST(n_chars AS DOUBLE) AS sc
+           FROM documents),
+         r AS (SELECT lang, doc_id,
+             round(sc, 6) + CAST(0 AS DOUBLE) AS w_score, row_number() OVER (
+             PARTITION BY lang ORDER BY sc DESC, doc_id) AS rn FROM s)
+         SELECT lang, doc_id, w_score, CAST(rn AS BIGINT) AS sample_rank
+         FROM r WHERE rn <= 10"""
+    },
+    "q99_skipgram_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+         pr AS (SELECT flatten([[{'w1': w[i], 'w2': w[j]}
+                for j in range(i + 1, least(i + 3, len(w)) + 1)]
+                for i in range(1, len(w) + 1)]) AS ps FROM toks),
+         pe AS (SELECT unnest(ps) AS p FROM pr),
+         pc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c_ab
+                FROM pe GROUP BY 1, 2),
+         la AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc GROUP BY 1),
+         rb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM pc GROUP BY 1),
+         n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nn FROM pc)
+         SELECT pc.w1, pc.w2, pc.c_ab,
+           round(ln(CAST(nn AS DOUBLE) * c_ab / (la.c_a * rb.c_b)), 6) AS pmi
+         FROM pc JOIN la ON pc.w1 = la.w1 JOIN rb ON pc.w2 = rb.w2
+           CROSS JOIN n
+         WHERE pc.c_ab >= 2""",
+    "q100_vocab_coverage" ->
+      """WITH uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1),
+         st AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                CAST(count(*) AS BIGINT) AS vocab_size FROM uc),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn,
+               CAST(sum(c) OVER (ORDER BY c DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+               FROM uc),
+         x AS (SELECT t.threshold, r.rn, st.vocab_size, st.total_tokens
+               FROM r CROSS JOIN st
+               CROSS JOIN (SELECT unnest([50, 90, 99]) AS threshold) t
+               WHERE r.cum * 100 >= t.threshold * st.total_tokens)
+         SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(min(rn) AS BIGINT) AS tokens_needed,
+           CAST(any_value(vocab_size) AS BIGINT) AS vocab_size,
+           CAST(any_value(total_tokens) AS BIGINT) AS total_tokens
+         FROM x GROUP BY 1""",
     "q88_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -204,6 +204,36 @@ object Quantiles {
           .as("n_outliers"))
   }
 
+  /** Chi-square contingency profile of two categorical columns — the
+    * association/feature-selection primitive (is `lang` independent of
+    * `source`?). One row per observed (a, b) cell with its count, the
+    * independence expectation row·col/N, and the cell's χ² contribution
+    * (n−e)²/e; Σ chi2_cell over cells is the classic statistic.
+    *
+    * Shape: the corpus crosses ONE hash aggregation into the cell
+    * table; both margins and the grand total are re-aggregations of
+    * those cells (cardinality |A|·|B|, not corpus-sized) broadcast
+    * back onto them — no second corpus pass, no corpus-wide window.
+    * The expectation runs in doubles from the exact long counts with
+    * the same operation order in both engines (the long·long margin
+    * product could overflow at corpus scale, so each margin casts to
+    * double FIRST). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n"))
+    val ma = cells.groupBy(col(aCol)).agg(sum(col("n")).as("__na"))
+    val mb = cells.groupBy(col(bCol)).agg(sum(col("n")).as("__nb"))
+    val tot = cells.agg(sum(col("n")).as("__nt"))
+    val e = col("__na").cast(DoubleType) * col("__nb").cast(DoubleType) /
+      col("__nt").cast(DoubleType)
+    cells.join(broadcast(ma), aCol).join(broadcast(mb), bCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", e)
+      .select(col(aCol), col(bCol), col("n"), col("expected"),
+        ((col("n").cast(DoubleType) - col("expected")) *
+          (col("n").cast(DoubleType) - col("expected")) / col("expected"))
+          .as("chi2_cell"))
+  }
+
   /** The `k·1.4826` fence multiplier as the engine-crossing literal —
     * rendered with Double.toString into the oracle SQL so both engines
     * parse the identical double. */

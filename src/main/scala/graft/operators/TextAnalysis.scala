@@ -324,6 +324,85 @@ object TextAnalysis {
           (col("c_a") * col("c_b"))), 6).as("pmi"))
   }
 
+  /** Skip-gram PMI: collocation statistics over ordered token pairs
+    * within a forward window of `window` positions — the word2vec-era
+    * generalization of adjacent-bigram PMI ([[bigramPmi]] is the
+    * `window = 1` special case with unigram margins). Margins are the
+    * DIRECTIONAL pair margins (left-slot count, right-slot count) over
+    * the unfiltered pair table, so PMI is contingency-consistent;
+    * `minCount` prunes the output only, never the margins.
+    *
+    * Shape: pair generation is a per-row HOF (no self-join, no corpus
+    * window) feeding ONE corpus-sized hash aggregation; margins and the
+    * total re-aggregate the vocab²-bounded pair-count table and
+    * broadcast back. The c_a·c_b long product mirrors [[bigramPmi]]'s
+    * oracle arithmetic exactly (same operation order, same overflow
+    * envelope). */
+  def skipgramPmi(df: DataFrame, text: Column, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = Parallelism.ensure(df.select(text.as("__t")))
+      .select(tokens(col("__t")).as("__w"))
+    val n = size(col("__w"))
+    val pairStructs = flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(sequence(i + 1, least(i + window, n)), j =>
+        struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), j).as("w2")))))
+    // guard: Spark's sequence(a, b) DESCENDS when a > b, so empty and
+    // one-token docs must short-circuit to an empty pair list
+    val pairs = toks.select(explode(when(n >= 2, pairStructs)
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val la = pairs.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val rb = pairs.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val tot = pairs.agg(sum(col("c_ab")).as("__n"))
+    pairs.filter(col("c_ab") >= minCount)
+      .join(broadcast(la), "w1").join(broadcast(rb), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("__n").cast(DoubleType) * col("c_ab") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+  }
+
+  /** Vocabulary coverage curve: for each percentage threshold, how many
+    * of the most frequent tokens are needed to cover that share of all
+    * token occurrences — the statistic behind vocabulary-size /
+    * tokenizer-budget decisions. Thresholds are integer percents and
+    * the crossing test is `cum·100 ≥ t·total` in exact longs — no
+    * doubles anywhere, so engine parity is trivial.
+    *
+    * Shape: one corpus hash-agg to token counts, then a VOCAB-sized
+    * ranking window (count desc, token asc — deterministic total
+    * order). The global window puts the vocabulary in one task: that is
+    * vocab-bounded, not corpus-bounded (Zipf keeps vocabularies in the
+    * millions at terabyte scale), and the right trade for a statistic
+    * whose whole output is `thresholds.length` rows. */
+  def vocabCoverage(df: DataFrame, text: Column,
+      thresholds: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 100))
+    val uc = Parallelism.ensure(df.select(text.as("__t")))
+      .select(explode(tokens(col("__t"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("tok"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = uc.agg(sum(col("__c")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    uc.withColumn("__rn", row_number().over(w))
+      .withColumn("__cum", sum(col("__c")).over(wrun))
+      .crossJoin(broadcast(stats))
+      .select(explode(array(thresholds.map(t => lit(t.toLong)): _*))
+        .as("threshold"), col("__rn"), col("__cum"),
+        col("total_tokens"), col("vocab_size"))
+      .filter(col("__cum") * 100L >= col("threshold") * col("total_tokens"))
+      .groupBy(col("threshold"))
+      .agg(min(col("__rn")).cast(org.apache.spark.sql.types.LongType)
+        .as("tokens_needed"),
+        first(col("vocab_size")).as("vocab_size"),
+        first(col("total_tokens")).as("total_tokens"))
+  }
+
   /** Character-level Shannon entropy per document (nats) — the cheap
     * gibberish/boilerplate detector that complements token-level quality
     * signals (random bytes score high, repeated padding scores low).

@@ -240,6 +240,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(withZero, 50).forall(_ > 100L))
   }
 
+  test("skipgramPmi: window pairs, contingency margins, degenerate docs") {
+    val docs = Seq("a b c d", "x", "").toDF("text")
+    val out = TextAnalysis.skipgramPmi(docs, col("text"), window = 2,
+      minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // forward pairs within distance 2 of "a b c d" only
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d")))
+    // N=5; left margins a:2 b:2 c:1, right margins b:1 c:2 d:2
+    assert(math.abs(out(("a", "b"))._2 - math.log(5.0 / 2)) < 1e-6)
+    assert(math.abs(out(("c", "d"))._2 - math.log(5.0 / 2)) < 1e-6)
+    assert(out(("a", "b"))._1 == 1L)
+  }
+
+  test("vocabCoverage: exact-integer crossing ranks") {
+    val docs = Seq("a a a a", "b b c").toDF("text")
+    val out = TextAnalysis.vocabCoverage(docs, col("text"), Seq(50, 90, 99))
+      .select("threshold", "tokens_needed", "vocab_size", "total_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // counts a:4 b:2 c:1, total 7: 50% at rank 1; 90%/99% need all 3
+    assert(out(50L) == ((50L, 1L, 3L, 7L)))
+    assert(out(90L) == ((90L, 3L, 3L, 7L)))
+    assert(out(99L) == ((99L, 3L, 3L, 7L)))
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",
@@ -629,6 +656,20 @@ class SimilaritySpec extends SparkSpec {
     val byId = out.map(r => r._1 -> r).toMap
     assert(byId(1L)._2.contains(1L))
     assert(byId.get(0L).forall(_._3.isEmpty))
+  }
+
+  test("chiSquare: hand-checked 2x2 contingency; margins and expectation exact") {
+    import graft.operators.Quantiles
+    val df = (Seq.fill(4)(("x", "p")) ++ Seq(("x", "q")) ++
+      Seq(("y", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val out = Quantiles.chiSquare(df, "a", "b")
+      .select("a", "b", "n", "expected", "chi2_cell")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(out.length == 4)
+    // N=10, all margins 5 -> every expectation 2.5; (4-2.5)^2/2.5 = 0.9
+    assert(out.forall(_._4 == 2.5))
+    assert(out.forall(r => math.abs(r._5 - 0.9) < 1e-12))
+    assert(out.map(_._3).sorted.toSeq == Seq(1L, 1L, 4L, 4L))
   }
 
   test("madOutliers: hand-checked median/MAD fence, zero-MAD group, nulls ignored") {

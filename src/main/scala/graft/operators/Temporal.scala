@@ -283,6 +283,14 @@ object Temporal {
     * `n_obs` = 0 marks filled rows. No leading nulls by construction
     * (the first bucket always has an observation).
     *
+    * Precondition: timestamps at or after the epoch and a non-negative
+    * `orderCol` of at most 10 digits — the composite tie-break key is a
+    * zero-padded DECIMAL string, whose lexical order equals numeric
+    * order exactly on that domain (a negative value would sort by its
+    * '-' prefix). Event streams satisfy this trivially; it is what
+    * keeps the pick identical in engines that cannot compare struct
+    * keys in arg_max.
+    *
     * Shape: the corpus-sized work is ONE hash aggregation (key,
     * bucket) with map-side combine; everything after — grid explode,
     * left join, LOCF window — runs on per-bucket summaries, whose

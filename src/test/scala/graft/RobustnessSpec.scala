@@ -191,6 +191,47 @@ class RobustnessSpec extends SparkSpec {
     assert(merged.toSeq == Seq(("a", 2L, 5.0)))
   }
 
+  test("round-4 closers on degenerate input: empty tables, lone rows, single categories") {
+    val emptyKeyed = Seq.empty[(String, String)].toDF("g", "k")
+    assert(Sketches.linearCountDistinct(emptyKeyed, Seq("g"), col("k")).count() == 0)
+    assert(Sketches.hllDistinct(emptyKeyed, Seq("g"), col("k")).count() == 0)
+    assert(Sketches.countMinEstimates(
+      Seq.empty[String].toDF("t"), "t").count() == 0)
+    // one key -> both sketches report exactly 1 (lc exact; HLL's
+    // small-range correction IS linear counting: 64*ln(64/63))
+    val one = Seq(("g", "k1")).toDF("g", "k")
+    val lc1 = Sketches.linearCountDistinct(one, Seq("g"), col("k"))
+      .select("registers_hit").as[Long].head()
+    assert(lc1 == 1L)
+    val hll1 = Sketches.hllDistinct(one, Seq("g"), col("k"))
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(hll1 - 64.0 * math.log(64.0 / 63.0)) < 1e-6)
+    // interval/resample/stat operators: empty in, empty out
+    val emptyIv = Seq.empty[(String, Long, Long)].toDF("g", "s", "e")
+    assert(Temporal.mergeIntervals(emptyIv, "g", "s", "e").count() == 0)
+    val emptyEv = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(Temporal.resampleLocf(emptyEv, "user_id", "ts", col("value"),
+      "event_id", 3600L).count() == 0)
+    assert(Quantiles.madOutliers(emptyEv, Seq("user_id"), col("value")).count() == 0)
+    // single event: one grid row, observed, no fill
+    val lone = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(Temporal.resampleLocf(lone, "user_id", "ts", col("value"),
+      "event_id", 3600L).select("n_obs").as[Long].collect().toSeq == Seq(1L))
+    // chi-square on a single category: expectation == count, chi2 == 0
+    val oneCat = Seq(("x", "p"), ("x", "p"), ("x", "p")).toDF("a", "b")
+    val cs = Quantiles.chiSquare(oneCat, "a", "b")
+      .select("n", "expected", "chi2_cell")
+      .as[(Long, Double, Double)].head()
+    assert(cs == ((3L, 3.0, 0.0)))
+    // text closers: empty corpus and all-empty text yield empty/zeroed
+    val noText = Seq.empty[String].toDF("text")
+    assert(TextAnalysis.skipgramPmi(noText, col("text"), 3, 1).count() == 0)
+    assert(TextAnalysis.vocabCoverage(Seq("").toDF("text"), col("text"),
+      Seq(50)).select("tokens_needed").as[Long].head() == 1L)
+  }
+
   test("pageRank tolerates self-loops and an empty edge list") {
     // a self-loop contributes its own mass back to itself — well-defined
     val selfy = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("s", "d")

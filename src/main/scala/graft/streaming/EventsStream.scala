@@ -167,6 +167,47 @@ object EventsStream {
       .toDF()
   }
 
+  /** Streaming distinct-count sketch: a linear-counting register bitmap
+    * per group, maintained in `mapGroupsWithState` — COUNT(DISTINCT)
+    * over an unbounded stream with state bounded at m/8 bytes per group
+    * (512 B at m=4096), instead of one state row per distinct key.
+    * Emits the running (registers_hit, est_distinct) per group per
+    * micro-batch; the estimate is NULL once the sketch saturates.
+    *
+    * The register function is [[graft.functions.Hashing.hexLongJvm]] —
+    * the documented bit-identical JVM twin of the md5 expression the
+    * batch [[graft.operators.Sketches.linearCountDistinct]] uses — so
+    * the streaming running state agrees EXACTLY (same registers, same
+    * occupancy) with the batch sketch over the same prefix of events:
+    * the lambda-architecture property, spec-asserted. NULL keys carry
+    * no cardinality, mirroring the batch operator. */
+  def distinctSketch(spark: SparkSession, events: DataFrame,
+      groupCol: String = "event_type", keyCol: String = "user_id",
+      m: Int = 4096): DataFrame = {
+    import spark.implicits._
+    require(m % 64 == 0, "m must be a multiple of 64")
+    events.select(col(groupCol).as[String],
+      col(keyCol).cast("string").as[String])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long](m / 64))
+          rows.foreach { case (_, k) =>
+            if (k != null) {
+              val reg = (graft.functions.Hashing.hexLongJvm("lc:" + k) % m).toInt
+              bits(reg >> 6) |= 1L << (reg & 63)
+            }
+          }
+          state.update(bits)
+          val v = bits.map(java.lang.Long.bitCount(_).toLong).sum
+          val est = if (v < m)
+            Some(m.toDouble * math.log(m.toDouble / (m - v))) else None
+          (g, v, est)
+      }
+      .toDF(groupCol, "registers_hit", "est_distinct")
+  }
+
   /** Stream-static enrichment join: the streaming side joins a batch
     * dimension (user profile, source metadata) with a broadcast hash
     * join — STATELESS on the stream side (the static plan is

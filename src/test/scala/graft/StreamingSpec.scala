@@ -236,4 +236,35 @@ class StreamingSpec extends SparkSpec {
     // the error-rule provably fires on this corpus
     assert(s.exists(r => r._2 == "no_errors" && r._3 > 0))
   }
+
+  test("distinctSketch: streaming register state agrees exactly with the batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDF().toDF("event_type", "user_id")
+    val q = EventsStream.distinctSketch(spark, events, m = 256)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("distinct_sketch").start()
+    try {
+      val batch1 = (1L to 120L).map(i => ("click", i))
+      val batch2 = (61L to 180L).map(i => ("click", i)) :+ (("view", 1L))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // 60 repeats must not move the sketch
+      q.processAllAvailable()
+      val last = spark.table("distinct_sketch")
+        .groupBy("event_type").agg(max("registers_hit").as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the batch sketch over the SAME union is the oracle: identical
+      // hash, identical registers, identical occupancy
+      val all = (batch1 ++ batch2).toDF("event_type", "user_id")
+      val batch = Sketches.linearCountDistinct(all, Seq("event_type"),
+        col("user_id"), m = 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last == batch, s"stream $last vs batch $batch")
+      assert(last("click") > 100) // 180 keys into 256 registers
+    } finally q.stop()
+  }
 }

@@ -1922,7 +1922,8 @@ object SparkEntry {
     },
     "q91_lc_distinct" -> {
       val h = sqlHexLong("concat('lc:', CAST(user_id AS VARCHAR))")
-      s"""WITH r AS (SELECT event_type, $h % 4096 AS reg FROM events),
+      s"""WITH r AS (SELECT event_type, $h % 4096 AS reg FROM events
+           WHERE user_id IS NOT NULL),
          v AS (SELECT event_type, CAST(count(DISTINCT reg) AS BIGINT)
                AS registers_hit FROM r GROUP BY 1)
          SELECT event_type, registers_hit,
@@ -1951,7 +1952,8 @@ object SparkEntry {
     "q93_hll_distinct" -> {
       val h = sqlHexLong("concat('hll:', CAST(user_id AS VARCHAR))")
       val alpha = Sketches.HllAlphaM2.toString
-      s"""WITH h AS (SELECT event_type, $h AS hv FROM events),
+      s"""WITH h AS (SELECT event_type, $h AS hv FROM events
+           WHERE user_id IS NOT NULL),
          b AS (SELECT event_type, hv % 64 AS reg, hv // 64 AS suf FROM h),
          r AS (SELECT event_type, reg,
                max(CASE WHEN suf = 0 THEN 51
@@ -2031,7 +2033,8 @@ object SparkEntry {
     },
     "q97_chi_square" ->
       """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
-           FROM documents GROUP BY 1, 2),
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
          ma AS (SELECT lang, CAST(sum(n) AS BIGINT) AS na FROM c GROUP BY 1),
          mb AS (SELECT source, CAST(sum(n) AS BIGINT) AS nb FROM c GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),

@@ -153,21 +153,6 @@ object Quantiles {
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Fixed-width value histogram — the distribution-profiling op a
-    * curation pipeline runs before choosing quality/length cutoffs.
-    * `nBuckets` equal buckets over [lo, hi); underflow collapses to
-    * bucket -1, overflow to bucket `nBuckets`, so the output is always
-    * ≤ nBuckets+2 rows. Fixed edges (not data-derived min/max) keep the
-    * plan a single narrow codegen'd map + one tiny hash aggregate — a
-    * data-derived range would need an eager min/max job first, and at
-    * 100 TB the caller knows the domain anyway. Edge arithmetic is
-    * plain double floor-division, bit-identical across engines; the
-    * in-range bucket is clamped to nBuckets-1 because an inexact width
-    * can make `floor((v-lo)/width)` round UP to nBuckets for a value
-    * strictly below `hi` (e.g. hi=1, n=3, v=0.9999999999999999) —
-    * without the clamp such a value would masquerade as overflow with a
-    * mislabeled edge. NULL values are dropped (aggregate semantics),
-    * not a null-edged bucket row. */
   /** Robust outlier profile per group: median, MAD (median absolute
     * deviation), and the count of rows beyond `k` robust standard
     * deviations (`|v − med| > k · 1.4826 · mad` — 1.4826 is the
@@ -217,9 +202,14 @@ object Quantiles {
     * The expectation runs in doubles from the exact long counts with
     * the same operation order in both engines (the long·long margin
     * product could overflow at corpus scale, so each margin casts to
-    * double FIRST). */
+    * double FIRST). Rows with a NULL in either category are dropped
+    * BEFORE the cell aggregate — otherwise they would inflate the
+    * grand total and the opposite margin while their cells vanish in
+    * the equi-joins, leaving a statistic that belongs to no consistent
+    * contingency table. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n"))
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n"))
     val ma = cells.groupBy(col(aCol)).agg(sum(col("n")).as("__na"))
     val mb = cells.groupBy(col(bCol)).agg(sum(col("n")).as("__nb"))
     val tot = cells.agg(sum(col("n")).as("__nt"))
@@ -239,6 +229,21 @@ object Quantiles {
     * parse the identical double. */
   def madScale(k: Double): String = (k * 1.4826).toString
 
+  /** Fixed-width value histogram — the distribution-profiling op a
+    * curation pipeline runs before choosing quality/length cutoffs.
+    * `nBuckets` equal buckets over [lo, hi); underflow collapses to
+    * bucket -1, overflow to bucket `nBuckets`, so the output is always
+    * ≤ nBuckets+2 rows. Fixed edges (not data-derived min/max) keep the
+    * plan a single narrow codegen'd map + one tiny hash aggregate — a
+    * data-derived range would need an eager min/max job first, and at
+    * 100 TB the caller knows the domain anyway. Edge arithmetic is
+    * plain double floor-division, bit-identical across engines; the
+    * in-range bucket is clamped to nBuckets-1 because an inexact width
+    * can make `floor((v-lo)/width)` round UP to nBuckets for a value
+    * strictly below `hi` (e.g. hi=1, n=3, v=0.9999999999999999) —
+    * without the clamp such a value would masquerade as overflow with a
+    * mislabeled edge. NULL values are dropped (aggregate semantics),
+    * not a null-edged bucket row. */
   def fixedWidthHistogram(df: DataFrame, value: Column,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && hi > lo, "need nBuckets >= 1 and hi > lo")

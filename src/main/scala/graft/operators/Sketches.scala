@@ -62,7 +62,7 @@ object Sketches {
     val reg = Hashing.hexLong(concat(lit("lc:"), key.cast(StringType))) % m
     df.filter(key.isNotNull)
       .select(grp.map(col) :+ reg.as("__reg"): _*)
-      .groupBy((grp :+ "__reg").map(col): _*).agg(count(lit(1)).as("__n"))
+      .distinct() // occupied registers — two-level agg, no Expand rewrite
       .groupBy(grp.map(col): _*)
       .agg(count(lit(1)).as("registers_hit"))
       .select(grp.map(col) :+ col("registers_hit") :+

@@ -53,8 +53,12 @@ object Temporal {
     val rType = prunedRight.select(rStruct).schema.head.dataType
     val l2 = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"), lit(1).as("__s"))
-    val r2 = prunedRight.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__s"))
+    // SQL equality never matches on NULL: a NULL-key right row must not
+    // become anyone's as-of match (the window would otherwise pair it
+    // with NULL-key left rows, which DuckDB's ASOF JOIN leaves unmatched)
+    val r2 = prunedRight.filter(col(rightKey).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__s"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -66,11 +70,11 @@ object Temporal {
   }
 
   /** Bounded range join on a numeric dimension: all pairs with
-    * `|left.valCol - right.valCol| <= maxDiff` (and `left.id < right.id`
-    * when `ordered`, for self-join pair enumeration). Bucketing at width
-    * `maxDiff` means a matching pair is at most one bucket apart, so the
-    * right side is expanded 3× into neighbor buckets and everything meets
-    * in one hash-partitioned equi-join. */
+    * `|left.valCol - right.valCol| <= maxDiff` (self-join callers
+    * de-duplicate pairs by filtering `a_id < b_id` on the result).
+    * Bucketing at width `maxDiff` means a matching pair is at most one
+    * bucket apart, so the right side is expanded 3× into neighbor
+    * buckets and everything meets in one hash-partitioned equi-join. */
   def rangeJoinByValue(left: DataFrame, right: DataFrame,
       leftVal: String, rightVal: String, maxDiff: Double,
       leftPrefix: String = "a_", rightPrefix: String = "b_"): DataFrame = {
@@ -113,7 +117,7 @@ object Temporal {
     val gapUs = gapSeconds * 1000000L
     val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(orderCol))
     val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(userCol), col(orderCol), unix_micros(col(tsCol)).as("__us"))
+    df.select(col(userCol), col(orderCol), unix_micros(col(tsCol).cast("timestamp")).as("__us"))
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
@@ -204,32 +208,6 @@ object Temporal {
     }
   }
 
-  /** Hot-key-safe sessionization — the salting escape hatch
-    * [[sessionize]]'s docstring promises, with IDENTICAL results
-    * (spec-asserted): a synthetic or bot user with years of events would
-    * pin one task in the per-user window sort; here the per-EVENT work
-    * is partitioned by (user, time bucket of `saltDays` days), so no
-    * task ever sorts more than one user-bucket of events.
-    *
-    * Two phases:
-    *  1. mini-sessions WITHIN each (user, bucket) — the same lag/
-    *     running-sum gap logic, but salted: the heavy exchange + sort
-    *     parallelizes across the hot user's days;
-    *  2. boundary merge per user — mini-sessions are gap-disjoint
-    *     within a bucket, so only the bucket-boundary gaps are left to
-    *     test; the same running-sum logic runs over mini-session
-    *     SUMMARIES (start/end/count), whose per-user cardinality is
-    *     O(sessions + buckets touched), orders of magnitude below the
-    *     event count — the one remaining per-user task is bounded by
-    *     session count, not event count.
-    *
-    * Semantics are exactly [[sessionize]]'s: a bucket boundary never
-    * splits a session (phase 2 merges when the inter-mini gap is ≤
-    * `gapSeconds`) and never joins one (phase 1 already split on every
-    * in-bucket gap). Events with equal timestamps share a bucket, so
-    * the `orderCol` tie-break behaves identically. Requires the bucket
-    * to be wider than the gap (otherwise a session could skip an entire
-    * empty bucket and the lag-1 boundary test would be wrong). */
   /** Merge overlapping-or-touching [start, end] intervals per group
     * into maximal coverage windows — the islands primitive behind
     * "when was this supplier shipping at all" / machine-uptime /
@@ -304,7 +282,7 @@ object Temporal {
     require(stepSeconds > 0, "step must be positive")
     val stepUs = stepSeconds * 1000000L
     val obs = df
-      .select(col(keyCol), col(orderCol), unix_micros(col(tsCol)).as("__us"),
+      .select(col(keyCol), col(orderCol), unix_micros(col(tsCol).cast("timestamp")).as("__us"),
         valCol.as("__v"))
       .withColumn("__b", floor(col("__us") / stepUs)
         .cast(org.apache.spark.sql.types.LongType))
@@ -325,6 +303,32 @@ object Temporal {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"))
   }
 
+  /** Hot-key-safe sessionization — the salting escape hatch
+    * [[sessionize]]'s docstring promises, with IDENTICAL results
+    * (spec-asserted): a synthetic or bot user with years of events would
+    * pin one task in the per-user window sort; here the per-EVENT work
+    * is partitioned by (user, time bucket of `saltDays` days), so no
+    * task ever sorts more than one user-bucket of events.
+    *
+    * Two phases:
+    *  1. mini-sessions WITHIN each (user, bucket) — the same lag/
+    *     running-sum gap logic, but salted: the heavy exchange + sort
+    *     parallelizes across the hot user's days;
+    *  2. boundary merge per user — mini-sessions are gap-disjoint
+    *     within a bucket, so only the bucket-boundary gaps are left to
+    *     test; the same running-sum logic runs over mini-session
+    *     SUMMARIES (start/end/count), whose per-user cardinality is
+    *     O(sessions + buckets touched), orders of magnitude below the
+    *     event count — the one remaining per-user task is bounded by
+    *     session count, not event count.
+    *
+    * Semantics are exactly [[sessionize]]'s: a bucket boundary never
+    * splits a session (phase 2 merges when the inter-mini gap is ≤
+    * `gapSeconds`) and never joins one (phase 1 already split on every
+    * in-bucket gap). Events with equal timestamps share a bucket, so
+    * the `orderCol` tie-break behaves identically. Requires the bucket
+    * to be wider than the gap (otherwise a session could skip an entire
+    * empty bucket and the lag-1 boundary test would be wrong). */
   def sessionizeSalted(df: DataFrame, userCol: String, tsCol: String,
       orderCol: String, gapSeconds: Long, saltDays: Int = 1): DataFrame = {
     val gapUs = gapSeconds * 1000000L
@@ -335,7 +339,7 @@ object Temporal {
       .orderBy(col("__us"), col(orderCol))
     val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mini = df
-      .select(col(userCol), col(orderCol), unix_micros(col(tsCol)).as("__us"))
+      .select(col(userCol), col(orderCol), unix_micros(col(tsCol).cast("timestamp")).as("__us"))
       .withColumn("__salt", floor(col("__us") / saltUs))
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new",

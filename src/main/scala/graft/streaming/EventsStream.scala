@@ -36,8 +36,13 @@ object EventsStream {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // money rule (CLAUDE.md / q23's batch twin): sum exact long cents
+      // (floor(v*100+0.5)), shift back via exact decimal division, cast
+      // to double LAST — per-row decimal casts allocate BigDecimals and
+      // round half-up, diverging from the batch aggregate on .xx5 values
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        (sum(floor(col("value") * 100 + lit(0.5))).cast("decimal(38,0)") /
+          lit(100L).cast("decimal(6,0)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -71,7 +76,10 @@ object EventsStream {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events.select(col("user_id").as[Long], col("value").as[Double])
+    // a NULL user_id/value would kill the query at the non-nullable
+    // decode — a malformed row must not take down the stream
+    events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf) {
         (userId: Long, rows: Iterator[(Long, Double)],
@@ -116,6 +124,7 @@ object EventsStream {
       watermarkDelay: String = "10 seconds"): DataFrame = {
     import spark.implicits._
     events.withWatermark("ts", watermarkDelay)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionWindow](
@@ -129,30 +138,28 @@ object EventsStream {
             state.remove()
             out.iterator
           } else {
+            // Time-ordered gap-merge over (batch events + open state):
+            // the open session participates as an interval, so
+            // in-watermark stragglers from BEFORE it merge with EACH
+            // OTHER into proper sessions instead of degrading to
+            // per-event singletons. Everything but the most recent
+            // interval is separated by > gap from all in-order future
+            // events and closes now; late data beyond the watermark is
+            // the batch recomputation path's job, as documented.
             var closed = List.empty[SessionWindow]
-            var cur = state.getOption
-            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+            val items = (rows.map(t => OpenSession(t._2.getTime, t._2.getTime, 1))
+              .toSeq ++ state.getOption.toSeq)
+              .sortBy(s => (s.startMs, s.endMs))
+            var cur: Option[OpenSession] = None
+            items.foreach { it =>
               cur = cur match {
-                case Some(s) if t > s.endMs + gapMs =>
-                  // next session: the open one is closed by the gap
+                case Some(s) if it.startMs > s.endMs + gapMs =>
                   closed ::= close(s)
-                  Some(OpenSession(t, t, 1))
-                case Some(s) if t < s.startMs - gapMs =>
-                  // in-watermark straggler from BEFORE the open session
-                  // (cross-batch out-of-order): it can never join a
-                  // session that starts > gap after it — emit it as its
-                  // own closed singleton (single-pass streaming
-                  // sessionization of late data is approximate by
-                  // nature; batch recomputation is the exact path)
-                  closed ::= SessionWindow(userId,
-                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
-                  Some(s)
+                  Some(it)
                 case Some(s) =>
-                  // within the gap of the session interval — extend
-                  // either end (a late event may precede the start)
-                  Some(OpenSession(math.min(s.startMs, t),
-                    math.max(s.endMs, t), s.n + 1))
-                case None => Some(OpenSession(t, t, 1))
+                  Some(OpenSession(math.min(s.startMs, it.startMs),
+                    math.max(s.endMs, it.endMs), s.n + it.n))
+                case None => Some(it)
               }
             }
             cur.foreach { s =>

@@ -232,6 +232,19 @@ class RobustnessSpec extends SparkSpec {
       Seq(50)).select("tokens_needed").as[Long].head() == 1L)
   }
 
+  test("asofJoin: NULL keys never match (SQL equality), left NULL rows survive unmatched") {
+    val left = Seq[(java.lang.Long, Long)]((null, 10L), (1L, 10L))
+      .toDF("k", "t")
+    val right = Seq[(java.lang.Long, Long, String)]((null, 5L, "ghost"),
+      (1L, 5L, "real")).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "k", "t", "t")
+      .select(col("k"), col("asof_v")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "real")
+    assert(out(null) == null, "NULL-key left row must not match a NULL-key right row")
+  }
+
   test("pageRank tolerates self-loops and an empty edge list") {
     // a self-loop contributes its own mass back to itself — well-defined
     val selfy = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("s", "d")

@@ -96,6 +96,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows merges co-batch stragglers into one session, not singletons") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sessionWindows(spark, input.toDF().toDF("user_id", "ts"),
+      gapMs = 30L * 60 * 1000, watermarkDelay = "6 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("straggler_sessions").start()
+    try {
+      input.addData((1L, t("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // two in-watermark stragglers 10s apart, both > gap before the
+      // open session and delivered TOGETHER: one 2-event session, not
+      // two singletons
+      input.addData((1L, t("2026-01-01 08:00:00")),
+        (1L, t("2026-01-01 08:00:10")))
+      q.processAllAvailable()
+      val rows = spark.table("straggler_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(rows.contains((1L, t("2026-01-01 08:00:00"),
+        t("2026-01-01 08:00:10"), 2L)), rows.toString)
+      assert(!rows.exists(r => r._4 == 1L && r._2 == t("2026-01-01 08:00:00")),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops within-watermark duplicates across batches, bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -184,15 +212,21 @@ class StreamingSpec extends SparkSpec {
     // Append mode emits only windows closed by the watermark; compare
     // those against the same windows computed in batch.
     val streamed = spark.table("ev_counts")
+    // batch truth INCLUDING the money sum, in q23's exact-cents form —
+    // the value totals must agree bit-for-bit, not just the counts
     val batch = graft.Tables.events(spark, sf001)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + lit(0.5))).cast("decimal(38,0)") /
+          lit(100L).cast("decimal(6,0)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"))
-    val s = streamed.select("window_start", "event_type", "n_events")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        col("n_events"), col("total_value"))
+    val s = streamed.select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
     val b = batch.collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
     assert(s.nonEmpty)
     assert(s.subsetOf(b)) // every emitted window agrees with batch
   }

@@ -65,7 +65,10 @@ object Quality {
     * [[Bloom.keyBloom]] first at 100 TB for the prefiltered form. */
   def orphanCount(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String): DataFrame =
-    fact.join(dim.select(col(dimKey).as("__dk")),
+    // SQL referential integrity: a NULL foreign key is not a violation
+    // (it could never equal any dim key) — don't count it as an orphan
+    fact.filter(col(factKey).isNotNull)
+      .join(dim.select(col(dimKey).as("__dk")),
         col(factKey) === col("__dk"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
 }

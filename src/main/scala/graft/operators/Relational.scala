@@ -102,6 +102,12 @@ object Relational {
     * One hash-partition shuffle on `keys`; no global sort. At scale this is
     * the right plan: the window sort is per-partition and spills, and AQE
     * handles key skew.
+    *
+    * Contract: `order` must rank the WINNER first — the row kept is
+    * `row_number() == 1` under the given order, so keep-last of an
+    * ascending column is spelled `col("date").desc` (as every in-repo
+    * caller does); passing the pandas-style ascending sort directly
+    * would keep the earliest row instead.
     */
   def keepLast(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
@@ -262,8 +268,12 @@ object Relational {
       .select(dataCols.map(c => col(s"new.$c").as(c)): _*)
     val deletes = changes.filter(col("change_type") === "D")
       .select(keys.map(c => col(c).as(s"__d_$c")): _*)
+    // <=> not ===: snapshotDiff's groupBy treats NULL as a key value, so
+    // a 'D' change with a NULL key must delete the NULL-key old row —
+    // null-rejecting equality would silently skip it and break the
+    // diff/apply round-trip property
     val kept = oldDf.join(deletes,
-      keys.map(c => col(c) === col(s"__d_$c")).reduce(_ && _), "left_anti")
+      keys.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _), "left_anti")
     mergeUpsert(kept, upserts.withColumn("__v", lit(1L)), keys, col("__v"))
   }
 

@@ -208,9 +208,13 @@ object Similarity {
     * cost-based heuristic (it can decline when stats mis-estimate the
     * benefit), while the probe set here is small by construction and
     * known before the scan — the collect is the documented, bounded
-    * exception to the no-driver-loops rule. IvfSpec asserts result
-    * parity with [[ivfKnnWith]] AND the `cell_id IN (...)`
-    * PartitionFilters in the executed plan. */
+    * exception to the no-driver-loops rule. The probe-assignment
+    * subplan is evaluated twice (once collected for pruning, once
+    * inside the broadcast join) — accepted deliberately: it is
+    * query-batch-sized work, and caching it would trade a bounded
+    * recomputation for persist/unpersist lifecycle inside a library
+    * call. IvfSpec asserts result parity with [[ivfKnnWith]] AND the
+    * `cell_id IN (...)` PartitionFilters in the executed plan. */
   def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, anchors: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
@@ -370,12 +374,15 @@ object Similarity {
         aggregate(col("__q"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"),
         array_min(col("__q")).as("q_min"),
         array_max(col("__q")).as("q_max"),
+        // try_divide: ANSI `/` throws DIVIDE_BY_ZERO on a zero-length
+        // embedding (doubles included) — a degenerate row must yield a
+        // NULL rmse, not kill the query
         round(
-          sqrt(
+          sqrt(try_divide(
             aggregate(
               zip_with(col("__e"), col("__q"), (v, q) =>
                 pow(v - q.cast(DoubleType) * col("__scale"), 2)),
-              lit(0.0), (acc, x) => acc + x) / size(col("__e"))),
+              lit(0.0), (acc, x) => acc + x), size(col("__e")))),
           6).as("rmse"))
   }
 

@@ -22,12 +22,9 @@ object TextAnalysis {
   /** Adjacent-bigram strings ("w1 w2") — the token stream the bigram-PMI
     * and count-min queries share. Empty/1-token docs yield an empty
     * array (mirrors the oracle's `range(1, len(w))` comprehension). */
-  def bigrams(text: Column): Column = {
-    val w = tokens(text)
-    when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def bigrams(text: Column): Column =
+    transform(bigramsOf(tokens(text)),
+      p => concat(p.getField("w1"), lit(" "), p.getField("w2")))
 
   /** BPE-ish subword token-count estimate: words plus an extra token per
     * 4 chars of long words (a cheap, deterministic proxy for byte-pair
@@ -119,7 +116,13 @@ object TextAnalysis {
   /** PII redaction patterns — explicit character classes only, so Java
     * regex (Spark) and RE2 (DuckDB) match identically: no lookaround, no
     * backreferences, no inline flags. */
-  val PiiUrlRe = "https?://[a-zA-Z0-9./_%+-]+"
+  // the class includes @ : ? = & # ~ so userinfo (alice@host), ports,
+  // and query strings are swallowed by the URL pass — without @ a
+  // https://alice@bank.example/x would redact to '<URL>@bank.example/x'
+  // and leak the host (and the email pass can't catch it: '>' precedes
+  // the '@'). All chars are literal inside a class in BOTH Java regex
+  // and RE2, so engine parity holds.
+  val PiiUrlRe = "https?://[a-zA-Z0-9./_%+&?=#:@~-]+"
   val PiiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
   val PiiDigitsRe = "[0-9]{9,}"
 
@@ -304,11 +307,7 @@ object TextAnalysis {
     val toks = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
       .select(col("doc"), tokens(col("__t")).as("__w"))
     val bigrams = toks
-      .select(explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(1), size(col("__w")) - 1),
-          i => struct(element_at(col("__w"), i).as("w1"),
-            element_at(col("__w"), i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(explode(bigramsOf(col("__w"))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
@@ -587,7 +586,11 @@ object TextAnalysis {
           lit(targetFraction) * col("__nt") * w(col("__x.__n")) /
             (col("__sw") * col("__x.__n").cast(DoubleType))) * 10000)
           .cast(LongType).as("__thr"))
-    df.join(broadcast(thresholds), stratum === col("__stratum"))
+    // <=> not ===: a NULL stratum is a real group (it was counted into
+    // the totals above); null-rejecting equality would silently drop
+    // every NULL-stratum row while still deflating the other strata's
+    // rates with the phantom group
+    df.join(broadcast(thresholds), stratum <=> col("__stratum"))
       .filter(sampleHash(key) < col("__thr"))
       .drop("__stratum", "__thr")
   }
@@ -706,6 +709,10 @@ object TextAnalysis {
       kOut: Int = 20): DataFrame = {
     val base = Parallelism.ensure(
       df.select(col(idCol).as("doc"), text.as("__t")))
+      // NULL-text docs carry no length and can never match a term: drop
+      // them BEFORE the stats so __N and __avgdl describe the same
+      // corpus (count(*) would include them while avg skips them)
+      .filter(col("__t").isNotNull)
       .select(col("doc"), tokens(col("__t")).as("__w"))
       .select(col("doc"), col("__w"),
         size(col("__w")).cast(DoubleType).as("__dl"))

@@ -134,6 +134,11 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._1 == "mail <EMAIL> or visit <URL> ref <NUM>")
     assert(out(1L)._2 == 3L)
     assert(out(2L) == ("nothing sensitive here", 0L))
+    // userinfo/port/query URLs are swallowed whole — no host/path leak
+    val tricky = Seq((3L, "see https://alice@bank.example.com:8080/statement?acct=99 ok"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.redactPii(col("text")).as("r")).as[String].head()
+    assert(tricky == "see <URL> ok", tricky)
   }
 
   test("stratifiedSample: per-stratum rates, deterministic, subset of flat sample") {

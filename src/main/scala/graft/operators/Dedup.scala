@@ -92,6 +92,11 @@ object Dedup {
     * estimator pipelines (and their mirrored oracle SQL) must agree
     * with. */
   private def bandStructs(numPerm: Int, bands: Int): Column = {
+    // a non-divisible combination would silently ignore the trailing
+    // signature slots; bands > numPerm would hash md5("") for every
+    // band of every doc — one global bucket, zero candidates, no error
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
     array((0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
@@ -159,7 +164,16 @@ object Dedup {
         .bitwiseAND(laneMask)
       when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    grouped.select(col("doc"), sig.cast(org.apache.spark.sql.types.LongType).as("simhash"))
+    // a doc with more distinct tokens than a 16-bit lane can count
+    // would carry into the neighboring bit's counter and corrupt the
+    // signature SILENTLY — fail loudly instead (pre-chunk such docs
+    // with TextAnalysis.chunks, or dedup on content fingerprints)
+    grouped.select(col("doc"),
+      when(col("n") > laneMask, raise_error(concat(
+        lit(s"simhash lane overflow: doc "), col("doc").cast("string"),
+        lit(s" has > $laneMask distinct tokens — pre-chunk before simhash"))))
+        .otherwise(sig)
+        .cast(org.apache.spark.sql.types.LongType).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on 4 × 14-bit sub-bands (docs
@@ -175,6 +189,11 @@ object Dedup {
     * task. */
   def simHashCandidates(df: DataFrame, idCol: String, text: Column,
       maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame = {
+    // the fixed 4x14-bit pigeonhole banding only guarantees recall up
+    // to Hamming distance 3 (4 bands, d+1 <= 4); a larger radius would
+    // silently miss pairs that differ in all four bands
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming ($maxHamming) beyond the 4-band pigeonhole guarantee (3)")
     val sig = simHashSignatures(df, idCol, text)
       .withColumnRenamed("simhash", "sh")
     val banded = sig.select(
@@ -457,8 +476,10 @@ object Dedup {
     * intersections via an equi-join on the shingle, divide by union. */
   def ngramJaccard(docs: DataFrame, idCol: String, text: Column,
       pairs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-      explode(TextAnalysis.shingles(text, k)).as("shingle"))
+    // same single-partition trap as every shingle-exploding operator
+    // here: small parquet scans as ONE task without the widening
+    val sh = Parallelism.ensure(docs.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(TextAnalysis.shingles(col("__t"), k)).as("shingle"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))

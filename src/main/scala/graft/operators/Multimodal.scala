@@ -62,7 +62,8 @@ object Multimodal {
     * ImageIO reader-probe entirely — at 100 TB the common case must not
     * pay a failed-decode attempt per row. */
   private[graft] def imageMime(bytes: Array[Byte]): Option[String] =
-    if (bytes.length >= 8 &&
+    if (bytes == null) None
+    else if (bytes.length >= 8 &&
       bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
       Some("image/png")
     else if (bytes.length >= 3 &&
@@ -125,7 +126,7 @@ object Multimodal {
   /** Container sniff for RIFF/WAVE — like [[imageMime]], the common
     * non-audio case must not pay a failed parser probe per row. */
   private[graft] def isWav(bytes: Array[Byte]): Boolean =
-    bytes.length >= 12 &&
+    bytes != null && bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
@@ -242,7 +243,9 @@ object Multimodal {
     * demuxer): deterministic features from byte content. Image and WAV
     * audio decode for real above. */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
-    val n = bytes.length
+    // a NULL payload (e.g. encode of a NULL source column) degrades to
+    // the zero-length record — one dirty row must never kill the task
+    val n = if (bytes == null) 0 else bytes.length
     val feats = Array.tabulate(8) { i =>
       // cheap rolling checksum per stripe — NOT a real decoder (???)
       var acc = i + 1
@@ -269,11 +272,12 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast(LongType).as("id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.map { case (id, bytes0) =>
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
         val out = decodeImage(bytes) match {
           case Some(img) => resampleToPng(img, width, height)
           case None =>
-            if (bytes.isEmpty) Array.emptyByteArray // empty payload: no crash
+            if (bytes.isEmpty) Array.emptyByteArray // empty/null payload: no crash
             else {
               val targetLen = math.max(1, width * height / 64)
               Array.tabulate(math.min(targetLen, bytes.length)) {
@@ -316,7 +320,8 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast(LongType).as("id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
+      .mapPartitions(_.flatMap { case (id, bytes0) =>
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
         val nFrames = math.max(1, bytes.length / frameBytes)
         (0 until nFrames by everyNth).map { f =>
           val off = f.toLong * frameBytes

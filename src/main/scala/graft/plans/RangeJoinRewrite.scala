@@ -66,12 +66,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * neighbor arithmetic can never overflow under ANSI mode — huge or
     * infinite values saturate into edge buckets and the residual
     * predicate (false for any such pair: abs diff is inf/NaN) discards
-    * them, exactly as the un-rewritten join would. */
-  private def bucketOf(v: Expression, k: Double): Expression =
-    Least(Seq(
+    * them, exactly as the un-rewritten join would.
+    *
+    * A NULL `v` must propagate to a NULL bucket explicitly:
+    * Greatest/Least SKIP null children (the literal bound would win),
+    * which would funnel every null-valued row on both sides — ×3 via
+    * the neighbor expansion — into one shared bucket: an
+    * O(nulls²) single-task pair set that only the residual predicate
+    * discards. With a NULL bucket the inner equi-join drops the row
+    * outright, matching the un-rewritten join (NULL comparison is never
+    * true). */
+  private def bucketOf(v: Expression, k: Double): Expression = {
+    val clamped = Least(Seq(
       Greatest(Seq(Floor(Divide(v, Literal(k, DoubleType))),
         Literal(Long.MinValue + 1, LongType))),
       Literal(Long.MaxValue - 1, LongType)))
+    If(IsNull(v), Literal(null, LongType), clamped)
+  }
 
   /** Match `abs(x - y) <= k` with x ⊆ left, y ⊆ right (or mirrored),
     * both DoubleType and deterministic, k a positive double literal. */

@@ -50,13 +50,20 @@ object Sinks {
     val backup = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${table}__old")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recover from a prior crash mid-swap: if only the backup survives,
-    // restore it before reading
-    if (!fs.exists(path) && fs.exists(backup)) fs.rename(backup, path)
+    // restore it before reading. The rename result MUST be checked: a
+    // false return with the failure swallowed would leave merged = df
+    // alone, and the later backup delete would destroy the only copy.
+    if (!fs.exists(path) && fs.exists(backup) && !fs.rename(backup, path))
+      throw new RuntimeException(
+        s"crash recovery failed: could not restore $backup to $path")
     fs.delete(staging, true)
     val merged =
       if (fs.exists(path))
         spark.read.parquet(path.toString)
-          .filter(col(dateCol) < lit(cutoff))
+          // NULL-dated rows are NOT in the reloaded range: the modeled
+          // `DELETE WHERE dateCol >= cutoff` keeps them (NULL predicate
+          // deletes nothing), so retention must keep them too
+          .filter(col(dateCol) < lit(cutoff) || col(dateCol).isNull)
           .unionByName(df)
       else df
     // Self-overwrite safety without driver materialization: write the
@@ -70,8 +77,10 @@ object Sinks {
     if (fs.exists(path) && !fs.rename(path, backup))
       throw new RuntimeException(s"could not move current table aside for $path")
     if (!fs.rename(staging, path)) {
-      if (fs.exists(backup)) fs.rename(backup, path) // roll back
-      throw new RuntimeException(s"staging swap failed for $path")
+      val rolledBack = !fs.exists(backup) || fs.rename(backup, path)
+      throw new RuntimeException(s"staging swap failed for $path" +
+        (if (rolledBack) " (previous version rolled back)"
+         else s"; ROLLBACK ALSO FAILED — previous version preserved at $backup"))
     }
     fs.delete(backup, true)
   }
@@ -115,7 +124,12 @@ object Sinks {
     val cols = df.columns
     val minIntervalNanos =
       if (maxRowsPerSecond <= 0) 0L else (1e9 / maxRowsPerSecond).toLong
-    df.foreachPartition { it: Iterator[Row] =>
+    // the rate cap is GLOBAL (one polite API client, like the
+    // reference's single process): throttled runs route through one
+    // partition, otherwise P concurrent partitions would each pace
+    // independently and hit the service at P x the stated rate
+    val routed = if (minIntervalNanos > 0) df.coalesce(1) else df
+    routed.foreachPartition { it: Iterator[Row] =>
       var next = System.nanoTime()
       it.foreach { row =>
         if (minIntervalNanos > 0) {

@@ -50,7 +50,15 @@ object Readers {
     // matches id order for a single file's splits, so the junk line and
     // the header are the two smallest ids; only those 2 rows hit the
     // driver. Data rows stay distributed.
-    val lines = spark.read.text(path)
+    // the two-smallest-id probe assumes ONE underlying file: with
+    // several files packed into partitions, the other files' junk and
+    // header lines would silently pass the `__i > headerId` filter as
+    // data rows, and the detected header could come from the wrong file
+    val raw = spark.read.text(path)
+    val nFiles = raw.select(input_file_name()).distinct().count()
+    require(nFiles == 1,
+      s"tsvWithPreHeader expects exactly one file at $path, found $nFiles")
+    val lines = raw
       .select(monotonically_increasing_id().as("__i"), col("value"))
     val firstTwo = lines.orderBy("__i").limit(2).collect()
     require(firstTwo.length == 2, s"TSV at $path has no header line")

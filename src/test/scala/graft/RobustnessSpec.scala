@@ -245,6 +245,34 @@ class RobustnessSpec extends SparkSpec {
     assert(out(null) == null, "NULL-key left row must not match a NULL-key right row")
   }
 
+  test("LSH parameter misuse fails loudly instead of silently degrading") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // non-divisible bands would drop signature slots; bands > numPerm
+    // would put every doc in one md5(\"\") bucket
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(docs, "doc_id", col("text"), numPerm = 16, bands = 5)
+    }
+    // beyond the 4-band pigeonhole guarantee -> incomplete recall
+    intercept[IllegalArgumentException] {
+      Dedup.simHashCandidates(docs, "doc_id", col("text"), maxHamming = 5)
+    }
+  }
+
+  test("multimodal kernels survive NULL payloads (dirty row must not kill the task)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, "hello world".getBytes("UTF-8"))),
+      schema)
+    val dec = Multimodal.decodePartitions(spark, df, "doc_id").collect()
+    assert(dec.length == 2 && dec.exists(_.n_bytes == 0L))
+    assert(Multimodal.resizePartitions(spark, df, "doc_id", 4, 4).count() == 2)
+    assert(Multimodal.sampleFramesPartitions(spark, df, "doc_id").count() >= 2)
+  }
+
   test("pageRank tolerates self-loops and an empty edge list") {
     // a self-loop contributes its own mass back to itself — well-defined
     val selfy = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("s", "d")

@@ -51,6 +51,20 @@ class SinksSpec extends SparkSpec {
     assert(after2 == after1)
   }
 
+  test("replaceWhere keeps NULL-dated rows across reloads (DELETE-WHERE parity)") {
+    val dir = Files.createTempDirectory("graft_wh_null").toString
+    val old = Seq((null.asInstanceOf[String], "undated"), ("2017-06-01", "keep"))
+      .toDF("date_sent", "v")
+    old.write.parquet(s"$dir/t")
+    val batch = Seq(("2018-03-01", "fresh")).toDF("date_sent", "v")
+    Sinks.replaceWhere(batch, dir, "t", "date_sent", "2018-01-01")
+    val after = spark.read.parquet(s"$dir/t")
+      .as[(Option[String], String)].collect().toSet
+    // the modeled DELETE WHERE date >= cutoff never deletes a NULL date
+    assert(after == Set((None, "undated"), (Some("2017-06-01"), "keep"),
+      (Some("2018-03-01"), "fresh")))
+  }
+
   test("replaceWhere creates the table when absent (O24 DDL-on-write)") {
     val dir = Files.createTempDirectory("graft_wh2").toString
     val batch = Seq(("2018-02-01", "x")).toDF("date_sent", "v")

@@ -113,17 +113,22 @@ case class CosinePairsWithin(child: Expression, threshold: Double)
           // length mismatch or zero norm => NULL cosine (the
           // CosineSimilarity contract, mirroring DuckDB's x/0.0 = NULL
           // division), and NULL > threshold filters the pair in both
-          // engines: skip it. With null excluded the sim is always
-          // finite, so the Round replication cannot see NaN/Infinity.
+          // engines: skip it. A NaN/Infinity element (bad upstream
+          // embedding) passes the norm guard (NaN != 0.0 is true) and
+          // must ALSO skip: the composable round(cosine) > t form
+          // filters it (Spark's Round guards non-finite), and
+          // BigDecimal.valueOf would throw NumberFormatException on it.
           if (ea.length == eb.length && norms(ia) != 0.0 && norms(ib) != 0.0) {
             var dot = 0.0
             var j = 0
             while (j < ea.length) { dot += ea(j) * eb(j); j += 1 }
             val sim = dot / (norms(ia) * norms(ib))
-            val rounded = JBigDecimal.valueOf(sim)
-              .setScale(6, RoundingMode.HALF_UP).doubleValue()
-            if (rounded > threshold)
-              pending = new GenericInternalRow(Array[Any](ids(ia), ids(ib), rounded))
+            if (java.lang.Double.isFinite(sim)) {
+              val rounded = JBigDecimal.valueOf(sim)
+                .setScale(6, RoundingMode.HALF_UP).doubleValue()
+              if (rounded > threshold)
+                pending = new GenericInternalRow(Array[Any](ids(ia), ids(ib), rounded))
+            }
           }
           b += 1
           if (b >= n) { a += 1; b = a + 1 }

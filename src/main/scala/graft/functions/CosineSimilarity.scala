@@ -23,13 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * to it and to the DuckDB oracle's `list_reduce` formulation.
   *
   * Returns null if either array is null, lengths differ (the zip_with
-  * analogue: a length mismatch nullifies the fold), or EITHER VECTOR HAS
+  * analogue: a length mismatch nullifies the fold), EITHER VECTOR HAS
   * ZERO NORM — the degenerate-input contract that keeps engine parity:
   * the result would be 0/0, which DuckDB's division defines as NULL and
   * Spark's ANSI `/` refuses outright, so a silent NaN here would
-  * diverge from every SQL formulation of the same cosine. Null ELEMENTS
-  * are not supported (embedding columns are dense); declared via
-  * inputTypes.
+  * diverge from every SQL formulation of the same cosine — or ANY
+  * ELEMENT IS NULL: the composable zip_with/aggregate form (and the
+  * DuckDB list_reduce oracle) null-poison the whole fold, and reading
+  * the slot raw would silently treat it as 0.0 and return a wrong
+  * finite number. Embedding columns are dense in practice, so the
+  * per-element null branch never fires on real data; it exists so
+  * dirty data degrades to NULL like every SQL formulation.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,6 +65,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -84,15 +89,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xi = $getX;
-         |    final double $yi = $getY;
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      final double $xi = $getX;
+         |      final double $yi = $getY;
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -37,6 +37,10 @@ case class LshBucketSig(child: Expression, table: Int, nBits: Int, dim: Int)
     extends UnaryExpression {
 
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+  // dim <= 0 would either throw NegativeArraySize from the weight table
+  // (no hint which arg is wrong) or, at 0, silently hash every row into
+  // bucket 0 — one degenerate LSH bucket for the whole corpus
+  require(dim >= 1, s"dim must be >= 1, got $dim")
 
   // bit-major weight matrix, fixed at plan construction
   private lazy val weights: Array[Double] = Array.tabulate(nBits * dim) { i =>

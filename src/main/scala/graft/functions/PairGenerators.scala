@@ -44,9 +44,13 @@ case class IdPairs(child: Expression)
     val arr = child.eval(input)
     if (arr == null) return Nil
     val data = arr.asInstanceOf[ArrayData]
-    val n = data.numElements()
+    // skip null elements: toLongArray would silently read each null
+    // slot as id 0, fabricating phantom (0, x) candidate edges that
+    // could merge unrelated docs downstream
+    val ids = (0 until data.numElements())
+      .filter(!data.isNullAt(_)).map(data.getLong).toArray.sorted
+    val n = ids.length
     if (n < 2) return Nil
-    val ids = data.toLongArray().sorted
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1

@@ -41,8 +41,14 @@ object Graph {
       iters: Int, dampingPct: Int = 85,
       unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // a NULL endpoint is not a node: it would survive the dst-side
+    // union into the node set (inflating N and every node's teleport
+    // share) while the null-rejecting rank join ignores its edges —
+    // an asymmetric, meaningless (NULL, rank) row. Drop such edges.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // deg is |V|-sized; broadcast it onto the |E|-sized edge list (the
     // checkpointed e reports unknown stats, so the planner would

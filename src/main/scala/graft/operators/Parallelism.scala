@@ -40,8 +40,9 @@ object Parallelism {
     * listing (a new `spark.read` of a rewritten path builds a fresh
     * index), so this costs a fold over file-name strings, not an
     * re-listing. */
-  private def scanFingerprint(plan: LogicalPlan): Long =
-    plan.collectLeaves().foldLeft(0L) { (acc, leaf) =>
+  private def scanFingerprint(plan: LogicalPlan): Option[Long] = {
+    var known = true
+    val fp = plan.collectLeaves().foldLeft(0L) { (acc, leaf) =>
       val h = leaf match {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
@@ -50,17 +51,35 @@ object Parallelism {
                 (a, p) => a * 31L + p.hashCode)
             case other => other.hashCode.toLong
           }
-        case other => other.hashCode.toLong
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => 0L
+        case other =>
+          // a leaf whose file listing we can't see (DSv2 relation, RDD
+          // scan): its hashCode need not change when the underlying
+          // path is rewritten, so a cached count could go stale — mark
+          // the plan uncacheable and re-probe each time
+          known = false
+          other.hashCode.toLong
       }
       acc * 31L + h
     }
+    if (known) Some(fp) else None
+  }
 
   private def probedPartitions(df: DataFrame): Int = {
-    val hasWideOp = df.queryExecution.optimizedPlan.collectFirst {
+    val plan = df.queryExecution.optimizedPlan
+    val hasWideOp = plan.collectFirst {
       case _: Join | _: Aggregate | _: LWindow | _: Sort | _: Distinct => ()
       case _: RepartitionOperation => ()
     }.isDefined
-    if (hasWideOp) -1 else df.rdd.getNumPartitions
+    // a scalar/IN subquery hides its Aggregate INSIDE an expression, not
+    // the operator tree — and `.rdd` on such a plan runs the subquery's
+    // whole job synchronously (prepare()/waitForSubqueries()), the exact
+    // eager-execution trap the wide-op guard exists to avoid. Treat it
+    // like a wide plan: already-planned subqueries imply a shuffle-wide
+    // stage anyway.
+    val hasSubquery = plan.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+    if (hasWideOp || hasSubquery) -1 else df.rdd.getNumPartitions
   }
 
   /** A predicate Catalyst will NOT move: `cond` OR'd with an
@@ -97,12 +116,17 @@ object Parallelism {
     * `.rdd` only plans; no job is triggered. */
   def ensure(df: DataFrame): DataFrame = {
     val analyzed = df.queryExecution.analyzed
-    val key = (analyzed.canonicalized, scanFingerprint(analyzed))
-    var n = probeCache.get(key)
-    if (n == null) {
-      n = Integer.valueOf(probedPartitions(df))
-      if (probeCache.size >= CacheCap) probeCache.clear()
-      probeCache.put(key, n)
+    val n = scanFingerprint(analyzed) match {
+      case Some(fp) =>
+        val key = (analyzed.canonicalized, fp)
+        var cached = probeCache.get(key)
+        if (cached == null) {
+          cached = Integer.valueOf(probedPartitions(df))
+          if (probeCache.size >= CacheCap) probeCache.clear()
+          probeCache.put(key, cached)
+        }
+        cached.intValue()
+      case None => probedPartitions(df) // uncacheable leaf: probe fresh
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (n >= 0 && n < target) df.repartition(target) else df

@@ -278,6 +278,36 @@ class NativeCosineSpec extends SparkSpec {
     val comp = df.select(graft.operators.Similarity.cosineComposable(col("a"), col("b")))
       .collect().map(r => r.isNullAt(0))
     assert(comp.toSeq == Seq(false, true, true, true))
+    // a NULL ELEMENT null-poisons like the zip_with form (reading the
+    // slot raw would silently treat it as 0.0 — a wrong finite number)
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS a, " +
+        "array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS b")
+    val ne = withNullElem
+      .select(graft.functions.Native.cosineSim(col("a"), col("b")))
+      .head()
+    assert(ne.isNullAt(0), "null element must yield NULL, not a number")
+  }
+
+  test("pair generators skip NULL ids and non-finite embeddings instead of fabricating") {
+    // id_pairs: a null slot must not become phantom id 0
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("id_pairs",
+      exprs => graft.functions.IdPairs(exprs.head), "built-in")
+    val pairs = spark.sql(
+      "SELECT id_pairs(array(5L, CAST(NULL AS BIGINT), 3L)) AS (a, b)")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 5L)), pairs.toString)
+    // cosine_pairs_within: a NaN embedding skips the pair, never throws
+    val nan = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .groupBy(lit(1).as("g"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+    val out = nan.select(graft.functions.Native.cosinePairsWithin(
+      col("members"), 0.5).as(Seq("a", "b", "s")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.map(t => (t._1, t._2)) == Set((1L, 3L)), out.toString)
   }
 
   test("cosine_sim registers for SQL via GraftExtensions") {

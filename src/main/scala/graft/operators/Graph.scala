@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over edge lists — the link-analysis tier (document
@@ -25,59 +25,88 @@ object Graph {
     * union of endpoints; a node with no in-edges keeps the teleport term
     * only (left-join + coalesce).
     *
-    * Shape per iteration: one hash shuffle joining ranks to the
-    * out-edge list (pre-joined with out-degrees, so the join payload is
-    * two longs per edge) + one hash aggregate on the destination — the
-    * standard distributed PageRank step, O(|E|) per iteration with
-    * map-side partial sums, no windows, no driver data. The edge and
-    * node tables are materialized ONCE via `localCheckpoint` (the
-    * [[Dedup.connectedComponents]] pattern — this operator, like every
-    * iterative fit, is eager): without it the lazily-composed plan
-    * re-derives the edge list in EVERY iteration — measured 8.2 s → 2 s
-    * at sf0.1 on the co-purchase graph, and the waste multiplies with
-    * both iteration count and edge-derivation cost. At 100 TB you
-    * persist the edge list as a table and pass it in pre-derived. */
+    * Scale shape — the plan, not a hint: the edge list is hash-
+    * partitioned on `src` ONCE and `localCheckpoint`ed (the checkpoint's
+    * `LogicalRDD` carries the physical HashPartitioning forward), and the
+    * rank table leaves every step hash-partitioned on `node` (the
+    * aggregate's own exchange; projects/aliases preserve it). So each
+    * iteration is one co-partitioned rank⋈edge join with NO exchange on
+    * the |E| side, one |E|→|V| destination aggregate (map-side partial
+    * sums — the iteration's single shuffle), and one co-partitioned
+    * left join back onto the node set. No |V|-sized broadcast anywhere:
+    * at 10⁸–10⁹ nodes a per-iteration rank broadcast is multi-GB —
+    * past the broadcast ceiling and a driver OOM.
+    *
+    * Broadcasting the rank/contribution tables IS still profitable when
+    * the graph is genuinely small (it deletes the per-iteration sorts),
+    * so it survives as a size-gated optimization: iff the measured node
+    * count ≤ `broadcastMaxNodes` (default 2M ≈ tens of MB — inside a
+    * sane driver/executor broadcast budget; set 0 to force the
+    * shuffle-join plan regardless). The gate reads an eager `count()` —
+    * a scalar, and this operator (like every iterative fit) is already
+    * eager through its checkpoints.
+    *
+    * The edge and node tables are materialized ONCE via
+    * `localCheckpoint` (the [[Dedup.connectedComponents]] pattern):
+    * without it the lazily-composed plan re-derives the edge list in
+    * EVERY iteration — measured 8.2 s → 2 s at sf0.1 on the co-purchase
+    * graph, and the waste multiplies with both iteration count and
+    * edge-derivation cost. At 100 TB you persist the edge list as a
+    * table and pass it in pre-derived. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPct: Int = 85,
-      unit: Long = 1000000000000L): DataFrame = {
+      unit: Long = 1000000000000L,
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    require(broadcastMaxNodes >= 0L)
+    // both base tables are checkpointed WITH their hash layout pinned
+    // (GraftShims.checkpointHashPartitioned): under AQE a plain
+    // localCheckpoint forgets its partitioning, and every iteration
+    // would re-exchange the |E| edge table it was just shuffled into
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // a NULL endpoint is not a node: it would survive the dst-side
     // union into the node set (inflating N and every node's teleport
     // share) while the null-rejecting rank join ignores its edges —
     // an asymmetric, meaningless (NULL, rank) row. Drop such edges.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+    val e = GraftShims.checkpointHashPartitioned(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      p, "src")
+    // deg (|V|-sized) comes from grouping the pinned e on src, so it is
+    // born co-partitioned with e — the degree-attach join plans with NO
+    // exchange on either side and, crucially, no |V| broadcast. Its
+    // output is a partition-zip of two src-partitioned inputs, i.e.
+    // still physically HashPartitioning(src, p), so the checkpoint pins
+    // that claim without paying a second |E| shuffle.
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // deg is |V|-sized; broadcast it onto the |E|-sized edge list (the
-    // checkpointed e reports unknown stats, so the planner would
-    // otherwise sort 2×|E| rows for a merge join)
-    val outEdges = e.join(broadcast(deg), "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    // corpus-size scalar as a broadcast 1-row aggregate (the tfIdf/PMI
-    // pattern — no eager count() at plan-construction time)
-    val n1 = nodes.agg(count(lit(1)).as("__n"))
-    val base = expr(s"$unit div __n")
-    var ranks = nodes.crossJoin(broadcast(n1))
-      .select(col("node"), base.as("r"), col("__n"))
-    // ranks and contributions are |V|-sized — broadcast them explicitly
-    // into the |E|-sized joins: a checkpointed edge table reports
-    // unknown (default-huge) stats, so without the hints every
-    // iteration would plan a sort-merge join over the edge list
+    val outEdges = GraftShims.checkpointClaimHashPartitioned(
+      e.join(deg, "src"), p, "src")
+    val nodes = GraftShims.checkpointHashPartitioned(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      p, "node")
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("rank_unit"))
+    // all-positive integer arithmetic: Scala / == SQL div here, so the
+    // driver-side fold of these constants is bit-identical to an
+    // engine-side expression tree
+    val base = unit / n
+    val tele = ((100L - dampingPct) * base) / 100L
+    val gate: DataFrame => DataFrame =
+      if (n <= broadcastMaxNodes) broadcast else identity
+    var ranks = nodes.select(col("node"), lit(base).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = outEdges.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst").as("node"), expr("r div deg").as("__c"),
-          col("__n"))
-        .groupBy("node", "__n").agg(sum(col("__c")).as("__s"))
-      ranks = nodes.crossJoin(broadcast(n1))
-        .join(broadcast(contrib.withColumnRenamed("__n", "__n2")),
-          Seq("node"), "left")
+      val contrib = outEdges.join(gate(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__s"))
+        .withColumnRenamed("dst", "node")
+      ranks = nodes.join(gate(contrib), Seq("node"), "left")
         .select(col("node"),
-          (expr(s"((${100 - dampingPct} * ($unit div __n)) div 100)") +
-            coalesce(expr(s"($dampingPct * __s) div 100"), lit(0L))).as("r"),
-          col("__n"))
+          (lit(tele) +
+            coalesce(expr(s"($dampingPct * __s) div 100"), lit(0L))).as("r"))
     }
     ranks.select(col("node"), col("r").as("rank_unit"))
   }

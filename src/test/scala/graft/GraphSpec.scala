@@ -40,4 +40,17 @@ class GraphSpec extends SparkSpec {
     // a 3-cycle conserves mass up to integer-division dust
     assert(math.abs(r.values.sum - U) < 100L, r.toString)
   }
+
+  test("pageRank shuffle-join path (gate=0) is bit-identical to the broadcast path") {
+    // the size gate must be a pure optimization: forcing the
+    // co-partitioned shuffle plan may never change a single rank bit
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val viaBroadcast = Graph.pageRank(edges.toDF("s", "d"), "s", "d", 4)
+      .as[(Long, Long)].collect().toMap
+    val viaShuffle = Graph.pageRank(edges.toDF("s", "d"), "s", "d", 4,
+        broadcastMaxNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast(1L) > viaBroadcast(4L))
+  }
 }

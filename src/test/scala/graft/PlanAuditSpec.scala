@@ -446,6 +446,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("pageRank shuffle path: no |V| broadcast; one exchange per iteration") {
+    // the 100×-scale plan: with the size gate forced off, every
+    // iteration must be co-partitioned joins (the checkpointed edge
+    // list's HashPartitioning(src) + the aggregate's HashPartitioning
+    // (node) meet without an exchange) — the only shuffle per iteration
+    // is the |E|→|V| destination aggregate, and NOTHING is broadcast
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_partkey")
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val iters = 3
+    val df = graft.operators.Graph.pageRank(e, "src", "dst", iters,
+      broadcastMaxNodes = 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(countOf("Exchange hashpartitioning", plan) == iters, plan.take(1500))
+  }
+
   test("events loader still allows pushdown on non-converted columns") {
     val df = Tables.events(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("event_id") < 300)

@@ -61,11 +61,19 @@ object Bench {
       .map { case (name, fn) =>
         try {
           run(fn) // warm
-          val times = (1 to iters).map { _ =>
+          def timed(): Double = {
             val t0 = System.nanoTime()
             run(fn)
             (System.nanoTime() - t0) / 1e9
-          }.sorted
+          }
+          val first = Vector.fill(iters)(timed()).sorted
+          // queries past ~1 s are the ones where a single host-contention
+          // spike has repeatedly minted fake multi-× regressions in the
+          // round artifacts (r2-q32, r3-q29, r4-q78/q81): escalate those
+          // from median-of-3 to median-of-5 so one outlier sample can
+          // never be the median's tie-breaking neighbor
+          val times = if (iters >= 3 && first(first.size / 2) > 1.0)
+            (first ++ Vector.fill(2)(timed())).sorted else first
           name -> times(times.size / 2)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e"); name -> -1.0
@@ -76,7 +84,17 @@ object Bench {
     // failed queries carry -1.0 markers; they must not DEDUCT from the
     // headline total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tails truncate (the r4 driver artifact lost 36 of 100
+    // queries): persist the complete per-query JSON where the driver —
+    // and any later forensic diff — can read it whole
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

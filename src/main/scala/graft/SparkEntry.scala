@@ -2113,7 +2113,8 @@ object SparkEntry {
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q87_bm25" -> {
       val terms = RrfTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH d AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id AS doc, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
          base AS (SELECT doc, w, CAST(len(w) AS DOUBLE) AS dl FROM d),
          stats AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl FROM base),
          tf AS (SELECT doc, dl, term, CAST(count(*) AS DOUBLE) AS tf

@@ -73,24 +73,38 @@ case class CosinePairsWithin(child: Expression, threshold: Double)
     if (n < 2) return Nil
     val isFloat = embType.asInstanceOf[ArrayType].elementType == FloatType
 
-    // extract once: ids, dense double embeddings, norms
+    // extract once: ids, dense double embeddings, norms. Dirty data
+    // degrades, never lies or kills (the CosineSimilarity contract): a
+    // NULL struct/id/emb or a NULL *element* inside the embedding marks
+    // the vector poisoned (embs slot stays null) — its pairs are
+    // skipped, exactly as a NULL cosine filters them in both engines —
+    // where reading the slots raw would have treated a NULL element as
+    // 0.0 (a wrong finite cosine) or NPE'd on a NULL array.
     val ids = new Array[Long](n)
     val embs = new Array[Array[Double]](n)
     val norms = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val st = data.getStruct(i, 2)
-      ids(i) = st.getLong(0)
-      val e = st.getArray(1)
-      val d = e.numElements()
-      val v = new Array[Double](d)
-      var j = 0
-      var nrm = 0.0
-      while (j < d) {
-        val x = if (isFloat) e.getFloat(j).toDouble else e.getDouble(j)
-        v(j) = x; nrm += x * x; j += 1
+      if (!data.isNullAt(i)) {
+        val st = data.getStruct(i, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          ids(i) = st.getLong(0)
+          val e = st.getArray(1)
+          val d = e.numElements()
+          val v = new Array[Double](d)
+          var j = 0
+          var nrm = 0.0
+          var clean = true
+          while (clean && j < d) {
+            if (e.isNullAt(j)) clean = false
+            else {
+              val x = if (isFloat) e.getFloat(j).toDouble else e.getDouble(j)
+              v(j) = x; nrm += x * x; j += 1
+            }
+          }
+          if (clean) { embs(i) = v; norms(i) = math.sqrt(nrm) }
+        }
       }
-      embs(i) = v; norms(i) = math.sqrt(nrm)
       i += 1
     }
     // id-sorted iteration order => emitted pairs always have vec_a < vec_b
@@ -118,7 +132,8 @@ case class CosinePairsWithin(child: Expression, threshold: Double)
           // must ALSO skip: the composable round(cosine) > t form
           // filters it (Spark's Round guards non-finite), and
           // BigDecimal.valueOf would throw NumberFormatException on it.
-          if (ea.length == eb.length && norms(ia) != 0.0 && norms(ib) != 0.0) {
+          if (ea != null && eb != null &&
+            ea.length == eb.length && norms(ia) != 0.0 && norms(ib) != 0.0) {
             var dot = 0.0
             var j = 0
             while (j < ea.length) { dot += ea(j) * eb(j); j += 1 }

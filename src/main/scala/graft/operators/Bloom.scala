@@ -45,7 +45,14 @@ object Bloom {
       factKey: String, dimKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = keyBloom(dim, dimKey, expectedKeys, fpp)
-    fact.filter(mightContain(bf, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    // qualify both sides through dataset aliases: with a bare
+    // col(factKey) === col(dimKey) an identically-named key (the common
+    // case for a natural join key) is an ambiguous-reference
+    // AnalysisException; the aliases disambiguate while leaving the
+    // output schema exactly that of the plain join
+    val f = fact.alias("__bloom_fact")
+    val d = dim.alias("__bloom_dim")
+    f.filter(mightContain(bf, col(s"__bloom_fact.$factKey")))
+      .join(d, col(s"__bloom_fact.$factKey") === col(s"__bloom_dim.$dimKey"))
   }
 }

@@ -332,7 +332,13 @@ object Similarity {
     * stays bounded (more cells = less work per cell). */
   def semDedup(anchors: DataFrame, corpus: DataFrame, threshold: Double,
       maxCell: Int = 10000): DataFrame = {
+    // the assignment feeds BOTH the follower aggregate and the anti-join
+    // probe side; without materialization nothing guarantees subplan
+    // reuse and the corpus would be scanned and anchor-ranked twice —
+    // localCheckpoint (the connectedComponents/pageRank precedent for
+    // eager operators) computes the expensive narrow stage once
     val cells = assignCells(anchorArray(anchors), corpus, "vec_id", 1)
+      .localCheckpoint()
     val followers = cells
       .groupBy("cell_id")
       .agg(collect_list(struct(col("vec_id").as("id"),

@@ -67,6 +67,13 @@ object Warehouse {
       bits: Int = 16, files: Int = 16): Unit = {
     val b = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    // empty input (or an all-NULL key column) has no bounds to normalize
+    // against — getDouble on the NULL min would NPE opaquely. There is
+    // nothing to cluster: write the frame as-is.
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val z = zValue(col(c1), col(c2),
       b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3), bits)
     df.withColumn("__z", z)

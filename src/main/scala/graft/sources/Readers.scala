@@ -55,7 +55,19 @@ object Readers {
     // header lines would silently pass the `__i > headerId` filter as
     // data rows, and the detected header could come from the wrong file
     val raw = spark.read.text(path)
-    val nFiles = raw.select(input_file_name()).distinct().count()
+    // count files from the filesystem listing — constant cost, where a
+    // distinct() over input_file_name() was an eager full scan of the
+    // text just to validate the invariant
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+    val nFiles = matched.iterator.flatMap { s =>
+      if (s.isDirectory) fs.listStatus(s.getPath).iterator.filter(_.isFile)
+      else Iterator(s)
+    }.count { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") // metadata/hidden, as Spark skips
+    }
     require(nFiles == 1,
       s"tsvWithPreHeader expects exactly one file at $path, found $nFiles")
     val lines = raw

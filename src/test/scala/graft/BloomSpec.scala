@@ -36,6 +36,16 @@ class BloomSpec extends SparkSpec {
     assert(!kept.exists(_.isNullAt(0)))
   }
 
+  test("prefilterJoin works when fact and dim share the key column name") {
+    // the natural-join-key case: both sides call the key "k" — the
+    // internal dataset aliases must disambiguate the join condition
+    val f2 = fact.withColumnRenamed("fk", "k")
+    val d2 = dim.withColumnRenamed("dk", "k")
+    val pre = Bloom.prefilterJoin(f2, d2, "k", "k", expectedKeys = 4)
+    assert(pre.count() == 4)
+    assert(pre.columns.toSeq == Seq("k", "fv", "k", "dv"))
+  }
+
   test("probe survives both codegen and interpreted evaluation") {
     val bf = Bloom.keyBloom(dim, "dk", expectedKeys = 4, fpp = 0.01)
     val e = graft.functions.BloomKeyMightContain(

@@ -446,6 +446,17 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q78 semdedup: cell assignment computed once, not re-ranked per consumer") {
+    val plan = planOf("q78_semdedup")
+    // the checkpointed assignment feeds both consumers as a plain RDD
+    // scan; if cosine_sim (the anchor-ranking expression) reappears in
+    // the final plan, the corpus is being anchor-ranked a second time
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1200))
+    assert(!plan.contains("cosine_sim("), plan.take(1500))
+    // the within-cell pair generator is still the scoring engine
+    assert(plan.contains("cosine_pairs_within"), plan.take(1500))
+  }
+
   test("pageRank shuffle path: no |V| broadcast; one exchange per iteration") {
     // the 100×-scale plan: with the size gate forced off, every
     // iteration must be co-partitioned joins (the checkpointed edge

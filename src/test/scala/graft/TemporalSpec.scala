@@ -308,6 +308,20 @@ class NativeCosineSpec extends SparkSpec {
       col("members"), 0.5).as(Seq("a", "b", "s")))
       .as[(Long, Long, Double)].collect().toSet
     assert(out.map(t => (t._1, t._2)) == Set((1L, 3L)), out.toString)
+    // a NULL embedding, and a NULL *element* inside one, poison that
+    // vector only — its pairs skip (a raw read would score the null
+    // element as 0.0: a wrong finite cosine), clean pairs still emit
+    val nulls = Seq(
+      (1L, Array[java.lang.Float](1.0f, 0.0f)),
+      (2L, Array[java.lang.Float](null, 1.0f)),
+      (3L, null.asInstanceOf[Array[java.lang.Float]]),
+      (4L, Array[java.lang.Float](1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .groupBy(lit(1).as("g"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+    val out2 = nulls.select(graft.functions.Native.cosinePairsWithin(
+      col("members"), 0.5).as(Seq("a", "b", "s")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out2.map(t => (t._1, t._2)) == Set((1L, 4L)), out2.toString)
   }
 
   test("cosine_sim registers for SQL via GraftExtensions") {

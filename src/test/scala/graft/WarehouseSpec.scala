@@ -57,6 +57,19 @@ class WarehouseSpec extends SparkSpec {
     assert(z == Seq(0L, 5L, 10L, 15L, 9L))
   }
 
+  test("writeZOrdered on an empty frame writes an empty table, not an NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_z_empty").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Warehouse.writeZOrdered(empty, dir, "a", "b")
+    assert(spark.read.parquet(dir).count() == 0)
+    // all-NULL key column: no bounds either — same plain-write fallback
+    val nulls = Seq((1L, 2L)).toDF("a", "b")
+      .select(lit(null).cast("long").as("a"), col("b"))
+    Warehouse.writeZOrdered(nulls, dir, "a", "b")
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("z-ordered layout: every file covers a small rectangle of BOTH dimensions") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf001)

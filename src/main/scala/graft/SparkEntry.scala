@@ -361,17 +361,19 @@ object SparkEntry {
     }),
 
     // pivot (wide aggregation): order counts by priority per customer
-    // bucket; absent combinations coalesced to 0 to match FILTER-count
-    // semantics in the oracle
+    // bucket. Spelled as conditional sums, NOT relational .pivot: with
+    // the pivot values known up front the .pivot API's plan (two
+    // agg+exchange pairs around the non-codegen pivotfirst
+    // ImperativeAggregate) collapses to ONE codegen'd hash aggregate
+    // over one exchange — absent combinations sum to 0, matching
+    // FILTER-count semantics in the oracle
     "q47_pivot" -> ((s, d) => {
-      val p = Tables.orders(s, d)
+      def cnt(v: String) =
+        sum(when(col("o_orderpriority") === v, 1L).otherwise(0L))
+      Tables.orders(s, d)
         .groupBy((col("o_custkey") % 10).as("cust_mod"))
-        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
-        .agg(count(lit(1)))
-      p.select(col("cust_mod"),
-        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
-        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
-        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"))
+        .agg(cnt("1-URGENT").as("n_urgent"), cnt("2-HIGH").as("n_high"),
+          cnt("3-MEDIUM").as("n_medium"))
     }),
 
     // array aggregation: deterministic (sorted) collect per group plus

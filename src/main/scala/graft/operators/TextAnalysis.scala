@@ -371,12 +371,19 @@ object TextAnalysis {
     * the crossing test is `cum·100 ≥ t·total` in exact longs — no
     * doubles anywhere, so engine parity is trivial.
     *
-    * Shape: one corpus hash-agg to token counts, then a VOCAB-sized
-    * ranking window (count desc, token asc — deterministic total
-    * order). The global window puts the vocabulary in one task: that is
-    * vocab-bounded, not corpus-bounded (Zipf keeps vocabularies in the
-    * millions at terabyte scale), and the right trade for a statistic
-    * whose whole output is `thresholds.length` rows. */
+    * Shape — histogram selection, NOT a vocabulary-wide ranking window
+    * (the [[quantileByCount]] / [[packOffsets]] family): the token
+    * counts collapse to a histogram of count LEVELS (`__c` → how many
+    * tokens have that count), whose size is the number of DISTINCT
+    * frequencies — O(√corpus) under Zipf, thousands where the
+    * vocabulary is billions (URLs, code identifiers), so the one
+    * unpartitioned window here ranks a provably tiny relation. The
+    * threshold's crossing token is then located inside its level by
+    * exact integer division: ranking ties (same count) break token-asc
+    * and each tie contributes the same count, so
+    * `j = ceil((t·total − 100·cum_before) / (100·c))` tokens of the
+    * crossing level are needed — identical to `min(rn)` over a full
+    * per-token ranking, with no per-token state anywhere. */
   def vocabCoverage(df: DataFrame, text: Column,
       thresholds: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -384,22 +391,32 @@ object TextAnalysis {
     val uc = Parallelism.ensure(df.select(text.as("__t")))
       .select(explode(tokens(col("__t"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__c").desc, col("tok"))
-    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stats = uc.agg(sum(col("__c")).as("total_tokens"),
-      count(lit(1)).as("vocab_size"))
-    uc.withColumn("__rn", row_number().over(w))
-      .withColumn("__cum", sum(col("__c")).over(wrun))
-      .crossJoin(broadcast(stats))
+    // the level histogram: one row per distinct token frequency
+    val levels = uc.groupBy(col("__c")).agg(count(lit(1)).as("__k"))
+    val wLvl = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lv = levels
+      .withColumn("__tok_before", coalesce(sum(col("__k")).over(wLvl), lit(0L)))
+      .withColumn("__cum_before",
+        coalesce(sum(col("__k") * col("__c")).over(wLvl), lit(0L)))
+    val stats = levels.agg(sum(col("__k") * col("__c")).as("total_tokens"),
+      sum(col("__k")).as("vocab_size"))
+    lv.crossJoin(broadcast(stats))
       .select(explode(array(thresholds.map(t => lit(t.toLong)): _*))
-        .as("threshold"), col("__rn"), col("__cum"),
+        .as("threshold"), col("__c"), col("__k"),
+        col("__tok_before"), col("__cum_before"),
         col("total_tokens"), col("vocab_size"))
-      .filter(col("__cum") * 100L >= col("threshold") * col("total_tokens"))
-      .groupBy(col("threshold"))
-      .agg(min(col("__rn")).cast(org.apache.spark.sql.types.LongType)
-        .as("tokens_needed"),
-        first(col("vocab_size")).as("vocab_size"),
-        first(col("total_tokens")).as("total_tokens"))
+      // the unique crossing level: coverage not yet reached before it,
+      // reached by its end
+      .filter(col("__cum_before") * 100L <
+          col("threshold") * col("total_tokens") &&
+        (col("__cum_before") + col("__k") * col("__c")) * 100L >=
+          col("threshold") * col("total_tokens"))
+      .select(col("threshold"),
+        (col("__tok_before") +
+          expr("(threshold * total_tokens - 100 * __cum_before" +
+            " + 100 * __c - 1) div (100 * __c)")).as("tokens_needed"),
+        col("vocab_size"), col("total_tokens"))
   }
 
   /** Character-level Shannon entropy per document (nats) — the cheap

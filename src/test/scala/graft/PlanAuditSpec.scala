@@ -446,6 +446,33 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q47 pivot: one hash-agg pair over one exchange, pivot as projection") {
+    // pinned because q47 is the one query whose driver-artifact number
+    // has swung >3× between rounds with no code change: with the shape
+    // asserted, any future swing is provably host noise, not a plan
+    // regression
+    val plan = planOf("q47_pivot")
+    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1500))
+    assert(countOf("HashAggregate", plan) == 2, plan.take(1500))
+    assert(!plan.contains("Expand"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("q100 vocab coverage: window ranks the level histogram, never the vocabulary") {
+    val plan = planOf("q100_vocab_coverage")
+    // no per-token ranking anywhere — the crossing token is located by
+    // integer division inside its count level
+    assert(!plan.contains("row_number"), plan.take(1500))
+    // the one window's input is the (count → token-count) histogram:
+    // its child aggregate groups by __c, not by tok
+    val lines = plan.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, plan.take(1200))
+    val below = lines.drop(wIdx + 1)
+    assert(below.exists(_.contains("HashAggregate(keys=[__c")), plan.take(2000))
+  }
+
   test("q78 semdedup: cell assignment computed once, not re-ranked per consumer") {
     val plan = planOf("q78_semdedup")
     // the checkpointed assignment feeds both consumers as a plain RDD

@@ -6,10 +6,15 @@
   * `java.awt.Graphics2D` (JDK-built-in codecs, headless-safe). The
   * AUDIO path is real too: RIFF/WAVE PCM payloads are decoded with
   * `javax.sound.sampled` (also JDK-built-in) into mono [-1, 1] samples
-  * and feature-extracted as temporal amplitude stripes. Payloads that
-  * decode as neither fall back to a clearly-marked DETERMINISTIC STUB
-  * kernel (video — the container has no demuxer) —
-  * and everything Spark-side is identical between the paths: the schema
+  * and feature-extracted as temporal amplitude stripes. The VIDEO path
+  * is real for RIFF/AVI containers (the one video container a plain
+  * RIFF walk can demux without an external codec): [[aviFrameSpans]]
+  * splits the `movi` list into per-frame chunks, MJPEG frames then
+  * decode through the SAME JDK image path, both for frame sampling and
+  * for first-frame feature extraction. Payloads that decode as none of
+  * these (e.g. MP4 — its box format needs a real demuxer dependency)
+  * fall back to a clearly-marked DETERMINISTIC STUB kernel — and
+  * everything Spark-side is identical between the paths: the schema
   * (binary payload + struct metadata), the partition-parallel batch shape
   * (`mapPartitions` over iterators, the Scala analogue of `mapInPandas`
   * batches), and the expression-level metadata math that the DuckDB
@@ -116,12 +121,74 @@ object Multimodal {
             case Some(img) => imageDecode(id, bytes, img)
             case None => decodeWavSamples(bytes) match {
               case Some(samples) => audioDecode(id, bytes, samples)
-              case None => fakeDecode(id, bytes)
+              case None => videoKeyFrame(bytes) match {
+                case Some(img) => DecodedMedia(id, bytes.length.toLong,
+                  "video/x-msvideo", lumaStripes(img))
+                case None => fakeDecode(id, bytes)
+              }
             }
           }
         }
       }
   }
+
+  /** Container sniff for RIFF/AVI — same cheap-gate contract as
+    * [[imageMime]]/[[isWav]]. */
+  private[graft] def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** Real AVI demux — a plain RIFF chunk walk, no codec dependency:
+    * chunks are `fourcc | u32-LE size | data` padded to even length,
+    * `LIST` chunks nest (list type in the first 4 data bytes), video
+    * frames are the `##dc`/`##db` chunks inside the `movi` list (and its
+    * `rec ` sub-lists). Returns each frame's (offset, length) span in
+    * stream order. Truncated or lying sizes stop the walk at whatever
+    * parsed cleanly — dirty data degrades, never kills the task. */
+  private[graft] def aviFrameSpans(bytes: Array[Byte]): Array[(Long, Int)] = {
+    if (!isAvi(bytes)) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    def isFrameId(off: Int): Boolean = {
+      val a = bytes(off).toChar; val b = bytes(off + 1).toChar
+      val c = bytes(off + 2).toChar; val d = bytes(off + 3).toChar
+      a.isDigit && b.isDigit && (c == 'd' && (d == 'c' || d == 'b'))
+    }
+    def isList(off: Int): Boolean =
+      bytes(off) == 'L' && bytes(off + 1) == 'I' &&
+        bytes(off + 2) == 'S' && bytes(off + 3) == 'T'
+    def listType(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val size = u32((p + 4).toInt)
+        val dataStart = p + 8
+        val dataEnd = dataStart + size
+        if (dataEnd > end) return // truncated/lying size: keep what parsed
+        if (isList(p.toInt) && size >= 4) {
+          val lt = listType(dataStart.toInt)
+          walk(dataStart + 4, dataEnd,
+            lt == "movi" || (inMovi && lt == "rec "))
+        } else if (inMovi && size > 0 && isFrameId(p.toInt))
+          out += ((dataStart, size.toInt))
+        p = dataEnd + (size & 1) // chunks pad to even offsets
+      }
+    }
+    walk(12L, bytes.length.toLong, inMovi = false)
+    out.toArray
+  }
+
+  /** First decodable video frame (MJPEG frames are plain JPEGs, so the
+    * JDK image path applies). Probes a bounded prefix of the frame list:
+    * a corrupt stream must not pay |frames| failed decodes. */
+  private[graft] def videoKeyFrame(bytes: Array[Byte]): Option[BufferedImage] =
+    aviFrameSpans(bytes).iterator.take(8).flatMap { case (off, len) =>
+      decodeImage(java.util.Arrays.copyOfRange(
+        bytes, off.toInt, off.toInt + len))
+    }.nextOption()
 
   /** Container sniff for RIFF/WAVE — like [[imageMime]], the common
     * non-audio case must not pay a failed parser probe per row. */
@@ -210,9 +277,9 @@ object Multimodal {
 
   /** Real image kernel: 8 features = mean luminance of 8 vertical
     * stripes, in [0, 1) — deterministic, resolution-independent-ish, and
-    * computed from actual decoded pixels. */
-  private[graft] def imageDecode(id: Long, bytes: Array[Byte],
-      img: BufferedImage): DecodedMedia = {
+    * computed from actual decoded pixels. Shared by the image path and
+    * the video first-frame path. */
+  private[graft] def lumaStripes(img: BufferedImage): Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](8)
     val counts = new Array[Long](8)
@@ -234,14 +301,19 @@ object Multimodal {
       }
       y += 1
     }
-    val feats = Array.tabulate(8)(i =>
+    Array.tabulate(8)(i =>
       if (counts(i) == 0) 0f else (sums(i) / counts(i) / 256.0).toFloat)
-    DecodedMedia(id, bytes.length.toLong, imageMime(bytes).get, feats)
   }
 
-  /** STUB for the remaining codec gap (video — the JDK ships no
-    * demuxer): deterministic features from byte content. Image and WAV
-    * audio decode for real above. */
+  private[graft] def imageDecode(id: Long, bytes: Array[Byte],
+      img: BufferedImage): DecodedMedia =
+    DecodedMedia(id, bytes.length.toLong, imageMime(bytes).get,
+      lumaStripes(img))
+
+  /** STUB for the remaining codec gap (non-RIFF video — MP4/MKV box
+    * formats need an external demuxer dependency): deterministic
+    * features from byte content. Images, WAV audio, and AVI/MJPEG video
+    * decode for real above. */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
     // a NULL payload (e.g. encode of a NULL source column) degrades to
     // the zero-length record — one dirty row must never kill the task
@@ -305,15 +377,20 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** One sampled video frame: every `stride`-th block of the payload
-    * stands in for a decoded frame. */
+  /** One sampled video frame: `frame_idx` is the stream-order frame
+    * number, `offset` the frame payload's byte offset in the container,
+    * `frame` the frame bytes (a decodable JPEG for MJPEG sources). */
   case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Long,
       frame: Array[Byte])
 
   /** Frame sampling over partitions — flatMap seam (one payload → many
-    * frames). STUB kernel: fixed-size byte blocks stand in for decoded
-    * frames; a production build swaps in a demuxer, the Spark shape
-    * (schema, partitioning, iterator discipline) is unchanged. */
+    * frames). RIFF/AVI payloads demux for REAL ([[aviFrameSpans]] — an
+    * MJPEG AVI's sampled frames are then JPEGs [[decodeImage]] decodes);
+    * other containers fall back to the STUB kernel (fixed `frameBytes`
+    * blocks stand in for frames) so the batch shape stays testable
+    * without a codec dependency. A production build adds demuxer
+    * branches next to the AVI one; the Spark shape (schema,
+    * partitioning, iterator discipline) is unchanged. */
   def sampleFramesPartitions(spark: SparkSession, df: DataFrame,
       idCol: String, frameBytes: Int = 1024,
       everyNth: Int = 4): Dataset[SampledFrame] = {
@@ -322,11 +399,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes0) =>
         val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-        val nFrames = math.max(1, bytes.length / frameBytes)
-        (0 until nFrames by everyNth).map { f =>
-          val off = f.toLong * frameBytes
-          SampledFrame(id, f, off,
-            bytes.slice(off.toInt, math.min(off.toInt + frameBytes, bytes.length)))
+        val spans = aviFrameSpans(bytes)
+        if (spans.nonEmpty)
+          (0 until spans.length by everyNth).map { f =>
+            val (off, len) = spans(f)
+            SampledFrame(id, f, off, java.util.Arrays.copyOfRange(
+              bytes, off.toInt, off.toInt + len))
+          }
+        else {
+          val nFrames = math.max(1, bytes.length / frameBytes)
+          (0 until nFrames by everyNth).map { f =>
+            val off = f.toLong * frameBytes
+            SampledFrame(id, f, off,
+              bytes.slice(off.toInt, math.min(off.toInt + frameBytes, bytes.length)))
+          }
         }
       })
   }

@@ -37,6 +37,7 @@ object Transports {
   final class FileServerTransport(dir: String) extends Transport with Serializable {
     def post(url: String, body: String): String = {
       FileServerTransport.lastBody.set(body)
+      FileServerTransport.posts.add((System.nanoTime(), body))
       val mapper = new ObjectMapper
       val req = mapper.readTree(body)
       val method = req.get("method").asText()
@@ -88,5 +89,10 @@ object Transports {
     /** Last request body seen by any FileServerTransport in this JVM —
       * spec-only observability (local mode shares the JVM). */
     val lastBody = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+    /** Every (nanoTime, body) posted in this JVM — lets write-path specs
+      * assert RPC counts AND inter-arrival pacing. Test-only state:
+      * clear before the scenario under test. */
+    val posts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
   }
 }

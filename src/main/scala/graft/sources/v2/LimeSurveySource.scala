@@ -7,9 +7,11 @@ import scala.collection.JavaConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -104,6 +106,10 @@ case class SourceConf(options: Map[String, String]) {
   val surveyId: Int = opt("surveyId").map(_.toInt).getOrElse(0)
   val pageSize: Int = opt("pageSize").map(_.toInt).getOrElse(1000)
   val maxPages: Int = opt("maxPages").map(_.toInt).getOrElse(4)
+  // write-path politeness cap, defaulting to the reference's sleep(1)
+  // pace (/root/reference/limesurvey.py:160-164); <= 0 disables
+  val maxRowsPerSecond: Double =
+    opt("maxRowsPerSecond").map(_.toDouble).getOrElse(1.0)
 }
 
 object LimeSurveySource {
@@ -154,18 +160,106 @@ object LimeSurveySource {
       "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
       "iStart" -> start, "iLimit" -> limit,
       "aConditions" -> conditions))
+
+  /** One `add_response` RPC — the write path's per-row insert
+    * (/root/reference/limesurvey.py:160-164). */
+  def insertResponse(conf: SourceConf, row: Map[String, String]): String =
+    rpc(conf, "add_response", Map(
+      "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
+      "aResponseData" -> row))
 }
 
 class LimeSurveyTable(schema: StructType, conf: SourceConf,
     prefetched: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"limesurvey.${conf.table}.${conf.surveyId}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LimeSurveyScanBuilder(schema, conf, prefetched)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new LimeSurveyWrite(info.schema(), conf)
+    }
 }
+
+/** O26 as a first-class DSv2 write: one `add_response` RPC per row,
+  * executor-side, at the configured politeness rate.
+  *
+  * The GLOBAL rate cap is expressed through the engine's own contract —
+  * [[RequiresDistributionAndOrdering.requiredNumPartitions]] = 1 when
+  * throttled — instead of a client-side `coalesce(1)` ([[
+  * graft.sinks.Sinks.throttledRows]]'s form): Spark plans the single
+  * politeness lane, so P concurrent writers can never each pace
+  * independently and hit the service at P× the stated rate. With the
+  * throttle disabled the write stays fully parallel (no requirement).
+  *
+  * Commit semantics are the reference's: `add_response` is a
+  * non-transactional row insert, so the sink is at-least-once under task
+  * retry — `abort` cannot un-insert (documented here, as in the
+  * reference's own row loop, which has no rollback either). */
+class LimeSurveyWrite(schema: StructType, conf: SourceConf)
+    extends Write with RequiresDistributionAndOrdering {
+  // a constant clustering key (every row in one cluster) is how DSv2
+  // spells "gather": with the partition count below it plans the single
+  // lane — Spark rejects a partition count on an UNSPECIFIED
+  // distribution, and treats an EMPTY clustering as unspecified too
+  override def requiredDistribution(): Distribution =
+    if (conf.maxRowsPerSecond > 0)
+      Distributions.clustered(Array(
+        org.apache.spark.sql.connector.expressions.Expressions.literal(1)))
+    else Distributions.unspecified()
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def requiredNumPartitions(): Int =
+    if (conf.maxRowsPerSecond > 0) 1 else 0
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new LimeSurveyWriterFactory(schema, conf)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+class LimeSurveyWriterFactory(schema: StructType, conf: SourceConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LimeSurveyDataWriter(schema, conf)
+}
+
+/** Paced row writer ([[graft.sinks.Sinks.throttledRows]]'s scheduling:
+  * absolute next-send times, so pacing never drifts with RPC latency).
+  * Values cross as strings — NULL renders empty (the O21 empty-for-null
+  * convention) and an `id` column is blanked before insert, exactly as
+  * the reference does (/root/reference/limesurvey.py:160-162). */
+class LimeSurveyDataWriter(schema: StructType, conf: SourceConf)
+    extends DataWriter[InternalRow] {
+  private val transportCheck = Transports.fromSpec(conf.transportSpec) // fail fast
+  private val minIntervalNanos: Long =
+    if (conf.maxRowsPerSecond <= 0) 0L else (1e9 / conf.maxRowsPerSecond).toLong
+  private var next = System.nanoTime()
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (minIntervalNanos > 0) {
+      val wait = next - System.nanoTime()
+      if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+      next = math.max(next, System.nanoTime()) + minIntervalNanos
+    }
+    val m = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (if (row.isNullAt(i)) "" else row.get(i, f.dataType).toString)
+    }.toMap
+    LimeSurveySource.insertResponse(conf,
+      if (m.contains("id")) m.updated("id", "") else m)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = LimeSurveyCommit(rows)
+  override def abort(): Unit = () // non-transactional insert: see LimeSurveyWrite
+  override def close(): Unit = ()
+}
+
+case class LimeSurveyCommit(rows: Long) extends WriterCommitMessage
 
 class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
     prefetched: Option[String])

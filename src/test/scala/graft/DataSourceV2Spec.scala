@@ -112,6 +112,54 @@ class DataSourceV2Spec extends SparkSpec {
     assert(plan.contains(") Filter "), plan.take(600)) // residual, not pushed
   }
 
+  test("DSv2 write: one paced add_response per row on a single politeness lane") {
+    import graft.sources.Transports.FileServerTransport
+    Files.writeString(Paths.get(dir, "add_response.json"),
+      """{"id":9,"result":"14","error":null}""")
+    import spark.implicits._
+    val df = Seq(("14", "A1", "x@x.com"), ("15", "A2", null),
+      ("16", "A3", "z@x.com")).toDF("id", "q01", "q03")
+      .repartition(3) // writer must collapse this to ONE lane when throttled
+    FileServerTransport.posts.clear()
+    val t0 = System.nanoTime()
+    df.write.format("limesurvey")
+      .option("transport", s"file:$dir").option("table", "responses")
+      .option("surveyId", "101").option("maxRowsPerSecond", "10")
+      .mode("append").save()
+    val posts = FileServerTransport.posts.toArray(Array.empty[(Long, String)])
+      .filter(_._2.contains(""""method":"add_response"""")).sortBy(_._1)
+    assert(posts.length == 3, posts.map(_._2).mkString("\n"))
+    // pacing: 10 rows/s => >= 100 ms between consecutive inserts; the
+    // single-partition requirement is what makes this a GLOBAL bound
+    // (three parallel writers would interleave well under the interval)
+    val gaps = posts.map(_._1).sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.forall(_ >= 95000000L), gaps.map(_ / 1e6).toSeq)
+    assert(posts.last._1 - t0 >= 190000000L) // 3 rows @10/s: >= ~200 ms span
+    // the envelope carries the reference's insert shape: survey id,
+    // aResponseData, id blanked, NULL rendered empty
+    val bodies = posts.map(_._2)
+    assert(bodies.forall(_.contains(""""iSurveyID":101""")), bodies.head)
+    val row15 = bodies.find(_.contains(""""q01":"A2"""")).get
+    assert(row15.contains(""""id":""""), row15) // blanked, not "15"
+    assert(row15.contains(""""q03":""""), row15) // NULL -> empty
+  }
+
+  test("DSv2 write without a throttle stays parallel (no single-lane requirement)") {
+    import graft.sources.Transports.FileServerTransport
+    Files.writeString(Paths.get(dir, "add_response.json"),
+      """{"id":9,"result":"ok","error":null}""")
+    import spark.implicits._
+    FileServerTransport.posts.clear()
+    (1 to 8).map(i => (s"$i", s"A$i")).toDF("id", "q01").repartition(4)
+      .write.format("limesurvey")
+      .option("transport", s"file:$dir").option("table", "responses")
+      .option("surveyId", "101").option("maxRowsPerSecond", "0")
+      .mode("append").save()
+    val posts = FileServerTransport.posts.toArray(Array.empty[(Long, String)])
+      .filter(_._2.contains(""""method":"add_response""""))
+    assert(posts.length == 8)
+  }
+
   test("the whole survey pipeline runs off the DSv2 source") {
     // connector rows -> the same transform chain the spool path uses
     val df = read("responses")

@@ -145,6 +145,71 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc(1L).find(_.frame_idx == 1).get.offset == 1024L)
     assert(byDoc(1L).find(_.frame_idx == 1).get.frame.length == 1024)
   }
+
+  /** JPEG of a uniform-color 16×16 frame via the JDK writer. */
+  def jpegBytes(r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF('AVI ') wrapping LIST('movi') of 00dc
+    * frame chunks (+ an idx1 chunk the demuxer must skip). Same byte
+    * layout every AVI muxer writes; headers (hdrl) are omitted — the
+    * frame walk doesn't need them and real-world truncated files often
+    * lack trailers, which the parser must tolerate anyway. */
+  def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray
+    val idx = chunk("idx1", Array.fill(16)(0.toByte))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi) ++ idx
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("AVI/MJPEG demux is real: sampled frames decode as the muxed JPEGs") {
+    // 5 frames with increasing brightness; sample every 2nd -> 0, 2, 4
+    val frames = (0 until 5).map(i => jpegBytes(i * 50, i * 50, i * 50))
+    val avi = aviBytes(frames)
+    val df = Seq((30L, avi)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFramesPartitions(spark, df, "doc_id",
+      everyNth = 2).collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    // offsets are the real container positions: strictly increasing and
+    // frame-sized apart, not frameBytes-stride multiples
+    assert(out.map(_.offset).toSeq == out.map(_.offset).sorted.toSeq)
+    assert(out.head.frame.toSeq == frames(0).toSeq) // exact chunk payload
+    // every sampled frame re-decodes through the JDK image path at the
+    // muxed dimensions and brightness order — only true for real demux
+    val imgs = out.map(f => Multimodal.decodeImage(f.frame).get)
+    assert(imgs.forall(i => i.getWidth == 16 && i.getHeight == 16))
+    val lum = imgs.map(i => Multimodal.lumaStripes(i).sum)
+    assert(lum.sliding(2).forall(p => p(0) < p(1)), lum.toSeq)
+  }
+
+  test("decodePartitions extracts video features from the first AVI frame") {
+    // bright first frame: features must reflect ITS pixels (~200/256),
+    // not any byte checksum
+    val avi = aviBytes(Seq(jpegBytes(200, 200, 200), jpegBytes(0, 0, 0)))
+    val corrupt = aviBytes(Seq("not a jpeg".getBytes("UTF-8")))
+    val df = Seq((40L, avi), (41L, corrupt)).toDF("doc_id", "payload")
+    val out = Multimodal.decodePartitions(spark, df, "doc_id")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(40L).format == "video/x-msvideo")
+    assert(out(40L).features.forall(f => math.abs(f - 200f / 256f) < 0.05f),
+      out(40L).features.toSeq)
+    // an AVI whose frames don't decode degrades to the stub, never throws
+    assert(out(41L).format == "text/plain")
+  }
 }
 
 class IvfSpec extends SparkSpec {

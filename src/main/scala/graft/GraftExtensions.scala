@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, SigAgreePairs, TopKByScore}
+import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, Md5Long, SigAgreePairs, TopKByScore}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the library's native Catalyst expressions so they are
@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "sig_agree_pairs takes exactly 1 argument")
         SigAgreePairs(children.head)
+      }))
+    // md5_long56(str) — fused engine-portable 56-bit content hash
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long56"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long56"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "md5_long56 takes exactly 1 argument")
+        Md5Long(children.head)
       }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // off unless spark.graft.guard.cartesian=true — see CartesianGuard

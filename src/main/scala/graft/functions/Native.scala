@@ -33,6 +33,10 @@ object Native {
   def idPairs(bucket: Column): Column =
     column(IdPairs(expr(bucket)))
 
+  /** Fused 56-bit engine-portable md5 hash (see [[Md5Long]]). */
+  def md5Long(c: Column): Column =
+    column(Md5Long(expr(c)))
+
   /** Fused within-bucket Hamming pair generator (see [[HammingPairsWithin]]). */
   def hammingPairsWithin(bucket: Column, maxHamming: Int): Column =
     column(HammingPairsWithin(expr(bucket), maxHamming))

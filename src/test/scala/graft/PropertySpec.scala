@@ -107,6 +107,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("md5_long56 == the md5/substring/conv chain == the JVM twin, on arbitrary strings") {
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf('√', 'ü', '日', '\n', '|', ' ', 'a')).map(_.mkString))
+    val strs = samples(strGen, 60).distinct
+    val df = strs.toDF("s")
+    val out = df.select(
+        graft.functions.Hashing.hexLong(col("s")).as("fused"),
+        conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("chain"),
+        col("s"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"'${r.getString(2)}'")
+      assert(r.getLong(0) == graft.functions.Hashing.hexLongJvm(r.getString(2)))
+      assert(r.getLong(0) >= 0L) // 56-bit: never sign-flips
+    }
+    // interpreted path agrees with the codegen'd one
+    val e = graft.functions.Md5Long(
+      graft.functions.Native.expr(lit("interpreted-probe")))
+    assert(e.eval(null) == graft.functions.Hashing.hexLongJvm("interpreted-probe"))
+  }
+
   test("cosine similarity is within [-1, 1] and symmetric") {
     val vecGen = Gen.listOfN(6, Gen.choose(-5.0, 5.0).map(_.toFloat))
       .suchThat(_.exists(_ != 0f)).map(_.toArray)

@@ -1170,6 +1170,19 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(Tables.documents(s, d), col("text"),
         Seq(50, 90, 99))),
 
+    // overlapping token chunks (width 40, stride 30 — 10-token overlap):
+    // the RAG/pretraining windowing pass, one row per chunk, pure narrow
+    "q101_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, d), "doc_id",
+        col("text"), width = 40, stride = 30)),
+
+    // per-source quota cap (at most 3 docs per source, hash-chosen):
+    // the per-domain curation cap, bounded two-phase top-k — no window
+    "q102_domain_quota" -> ((s, d) =>
+      Relational.quotaCap(Tables.documents(s, d), Seq("source"),
+        col("doc_id"), quota = 3)
+        .select(col("source"), col("id").as("doc_id"), col("pick_rank"))),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -2097,6 +2110,28 @@ object SparkEntry {
            CAST(any_value(vocab_size) AS BIGINT) AS vocab_size,
            CAST(any_value(total_tokens) AS BIGINT) AS total_tokens
          FROM x GROUP BY 1""",
+    "q101_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         n AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+         e AS (SELECT doc_id, w, n,
+               unnest(range(0, (n + 29) // 30)) AS i FROM n),
+         c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * 30 AS BIGINT) AS start_tok,
+               list_slice(w, i * 30 + 1, least(i * 30 + 40, n)) AS cw
+               FROM e)
+         SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           array_to_string(cw, ' ') AS chunk_text
+         FROM c""",
+    "q102_domain_quota" ->
+      """WITH h AS (SELECT source, doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+               AS BIGINT) % 1099511627776 AS h40
+           FROM documents),
+         r AS (SELECT source, doc_id, row_number() OVER (
+               PARTITION BY source ORDER BY h40, doc_id) AS rn FROM h)
+         SELECT source, doc_id, CAST(rn AS BIGINT) AS pick_rank
+         FROM r WHERE rn <= 3""",
     "q88_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -323,4 +323,31 @@ object Relational {
       .select(grp.map(col) :+ posexplode(col("__tk")).as(Seq("__p", "__s")): _*)
       .select(grp.map(col) :+ col("__s.id").as("id") :+
         col("__s.score").as("score") :+ (col("__p") + 1).as("rank"): _*)
+
+  /** Per-group quota cap — the web-curation staple ("at most N documents
+    * per domain/source"): keep `quota` rows per group, chosen by a
+    * DETERMINISTIC hash of the id rather than arrival order, so the
+    * survivor set is a function of the data alone — stable across runs,
+    * partitionings, engines, and incremental reloads (re-ingesting the
+    * same domain keeps the same N).
+    *
+    * The selection hash is the engine-portable md5-long reduced mod 2⁴⁰
+    * — small enough that its negation is EXACT in the double score
+    * [[topKPerGroup]] ranks on (a full 56-bit hash would lose low bits
+    * past double's 53-bit mantissa and could disagree with an external
+    * re-implementation about the cut), uniform enough that the cap is an
+    * unbiased sample of the group. Scale shape is [[topKPerGroup]]'s: a
+    * quota-slot buffer per group per partition map-side, never a
+    * group-wide sort or window. Output: group columns + (`id`,
+    * `pick_rank` 1-based in hash order). */
+  def quotaCap(df: DataFrame, grp: Seq[String], id: Column,
+      quota: Int): DataFrame = {
+    require(quota >= 1)
+    val h40 = pmod(graft.functions.Hashing.hexLong(
+      id.cast(org.apache.spark.sql.types.StringType)), lit(1099511627776L))
+    topKPerGroup(df, grp, -h40, id, quota)
+      .select(grp.map(col) :+ col("id") :+
+        col("rank").cast(org.apache.spark.sql.types.LongType)
+          .as("pick_rank"): _*)
+  }
 }

@@ -556,6 +556,41 @@ object TextAnalysis {
         (col("chunk_last") - col("chunk_first") + 1).as("n_chunks"))
   }
 
+  /** Overlapping token chunking — the RAG/pretraining windowing step
+    * ([[packOffsets]] covers the disjoint-packing form; this is the
+    * strided form retrieval corpora use): each document's token stream
+    * is cut into windows of `width` tokens every `stride` tokens
+    * (consecutive chunks share `width − stride` tokens when
+    * stride < width), emitting one row per chunk with its index, start
+    * offset, token count, and re-joined text. Every token position is
+    * covered; the last chunk may be short.
+    *
+    * Shape: pure narrow — the window starts are an in-row `sequence`
+    * posexploded against the one tokenization, the slices are in-row
+    * `slice`/`concat_ws`. No shuffle, no per-doc state beyond the row,
+    * arbitrarily parallel; row expansion is the output contract
+    * (≈ n/stride chunks per doc), not an intermediate. Empty/NULL texts
+    * yield no chunks. */
+  def chunkTokens(df: DataFrame, idCol: String, text: Column,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1)
+    val sz = org.apache.spark.sql.functions.size _
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), tokens(text).as("__w")))
+      .select(col("doc"), col("__w"), sz(col("__w")).as("__n"))
+      .filter(col("__n") > 0)
+    val cw = slice(col("__w"), col("start_tok") + 1, lit(width))
+    base
+      .select(col("doc"), col("__w"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc").as(idCol),
+        col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        sz(cw).cast(LongType).as("n_tokens"),
+        concat_ws(" ", cw).as("chunk_text"))
+  }
+
   /** Temperature-based mixture sampling — the dataset-mixing step that
     * rebalances sources before training: stratum `s` is kept at a rate
     * proportional to `count(s)^temperature / count(s)`, so rare strata

@@ -251,4 +251,44 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Join"), "merge must be union+aggregate, not a join")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
   }
+
+  test("quotaCap: at most quota per group, smallest-hash picks, no window") {
+    val df = ((1L to 50L).map(i => ("g0", i)) ++
+      (100L to 102L).map(i => ("g1", i)) :+ (("g2", 200L)))
+      .toDF("g", "k")
+    val out = Relational.quotaCap(df, Seq("g"), col("k"), quota = 3)
+    val byG = out.as[(String, Long, Long)].collect().groupBy(_._1)
+    assert(byG("g0").length == 3 && byG("g1").length == 3 &&
+      byG("g2").length == 1)
+    // survivors are exactly the quota smallest 40-bit hashes, ranked in
+    // hash order — the deterministic, engine-portable pick
+    def h40(k: Long): Long =
+      graft.functions.Hashing.hexLongJvm(k.toString) % 1099511627776L
+    val expect = (1L to 50L).sortBy(k => (h40(k), k)).take(3)
+    assert(byG("g0").sortBy(_._3).map(_._2).toSeq == expect)
+    // re-running yields the identical pick (pure function of the data)
+    val again = Relational.quotaCap(df, Seq("g"), col("k"), quota = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == out.as[(String, Long, Long)].collect().toSet)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("chunkTokens: strided windows cover all tokens; overlap = width - stride") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", col("text"),
+        width = 6, stride = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 6L), (1L, 4L, 6L), (2L, 8L, 2L)))
+    assert(d1(0)._5 == "t0 t1 t2 t3 t4 t5")
+    assert(d1(1)._5 == "t4 t5 t6 t7 t8 t9") // 2-token overlap with chunk 0
+    assert(d1(2)._5 == "t8 t9")             // short tail chunk
+    // empty text is one empty token (string_split semantics both
+    // engines); NULL text chunks to nothing
+    assert(out.count(_._1 == 2L) == 1 && out.find(_._1 == 2L).get._5 == "")
+    assert(!out.exists(_._1 == 3L))
+  }
 }

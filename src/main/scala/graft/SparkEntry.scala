@@ -2127,7 +2127,7 @@ object SparkEntry {
       """WITH h AS (SELECT source, doc_id,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
                AS BIGINT) % 1099511627776 AS h40
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          r AS (SELECT source, doc_id, row_number() OVER (
                PARTITION BY source ORDER BY h40, doc_id) AS rn FROM h)
          SELECT source, doc_id, CAST(rn AS BIGINT) AS pick_rank

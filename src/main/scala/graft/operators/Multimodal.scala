@@ -161,7 +161,13 @@ object Multimodal {
       bytes(off) == 'L' && bytes(off + 1) == 'I' &&
         bytes(off + 2) == 'S' && bytes(off + 3) == 'T'
     def listType(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+    def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+      // real AVIs nest LISTs 2-3 deep (hdrl/strl, movi/rec); a hostile
+      // payload of thousands of nested 12-byte LIST headers would
+      // otherwise recurse into a StackOverflowError — an Error, which no
+      // NonFatal guard catches. Past the bound we stop descending:
+      // degrade, never kill the task.
+      if (depth > 16) return
       var p = start
       while (p + 8 <= end) {
         val size = u32((p + 4).toInt)
@@ -171,13 +177,13 @@ object Multimodal {
         if (isList(p.toInt) && size >= 4) {
           val lt = listType(dataStart.toInt)
           walk(dataStart + 4, dataEnd,
-            lt == "movi" || (inMovi && lt == "rec "))
+            lt == "movi" || (inMovi && lt == "rec "), depth + 1)
         } else if (inMovi && size > 0 && isFrameId(p.toInt))
           out += ((dataStart, size.toInt))
         p = dataEnd + (size & 1) // chunks pad to even offsets
       }
     }
-    walk(12L, bytes.length.toLong, inMovi = false)
+    walk(12L, bytes.length.toLong, inMovi = false, depth = 0)
     out.toArray
   }
 

@@ -339,7 +339,14 @@ object Relational {
     * unbiased sample of the group. Scale shape is [[topKPerGroup]]'s: a
     * quota-slot buffer per group per partition map-side, never a
     * group-wide sort or window. Output: group columns + (`id`,
-    * `pick_rank` 1-based in hash order). */
+    * `pick_rank` 1-based in hash order).
+    *
+    * A NULL id is NEVER picked (its hash — hence its rank — is
+    * undefined; the two-phase aggregate skips null scores): a row
+    * without an identity can't participate in an identity-hash lottery.
+    * Mirror `id IS NOT NULL` in any external re-implementation — a
+    * NULLS-LAST ranking would instead admit them when the group has
+    * spare quota. */
   def quotaCap(df: DataFrame, grp: Seq[String], id: Column,
       quota: Int): DataFrame = {
     require(quota >= 1)

@@ -562,21 +562,26 @@ object TextAnalysis {
     * is cut into windows of `width` tokens every `stride` tokens
     * (consecutive chunks share `width − stride` tokens when
     * stride < width), emitting one row per chunk with its index, start
-    * offset, token count, and re-joined text. Every token position is
-    * covered; the last chunk may be short.
+    * offset, token count, and re-joined text. With stride ≤ width every
+    * token position is covered and the last chunk may be short; a
+    * stride > width is the SAMPLING variant — windows with deliberate
+    * gaps — not full coverage.
     *
     * Shape: pure narrow — the window starts are an in-row `sequence`
     * posexploded against the one tokenization, the slices are in-row
     * `slice`/`concat_ws`. No shuffle, no per-doc state beyond the row,
     * arbitrarily parallel; row expansion is the output contract
     * (≈ n/stride chunks per doc), not an intermediate. Empty/NULL texts
-    * yield no chunks. */
+    * yield no chunks. Tokenization happens ABOVE the widening exchange
+    * ([[Parallelism.ensure]] takes the raw text) so a single-row-group
+    * parquet source can't pin the tokenize+slice work to one task. */
   def chunkTokens(df: DataFrame, idCol: String, text: Column,
       width: Int, stride: Int): DataFrame = {
     require(width >= 1 && stride >= 1)
     val sz = org.apache.spark.sql.functions.size _
     val base = Parallelism.ensure(
-      df.select(col(idCol).as("doc"), tokens(text).as("__w")))
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), tokens(col("__t")).as("__w"))
       .select(col("doc"), col("__w"), sz(col("__w")).as("__n"))
       .filter(col("__n") > 0)
     val cw = slice(col("__w"), col("start_tok") + 1, lit(width))

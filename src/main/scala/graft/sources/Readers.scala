@@ -57,7 +57,10 @@ object Readers {
     val raw = spark.read.text(path)
     // count files from the filesystem listing — constant cost, where a
     // distinct() over input_file_name() was an eager full scan of the
-    // text just to validate the invariant
+    // text just to validate the invariant. "File" here matches what the
+    // scan would actually draw rows from: non-hidden, non-metadata,
+    // NON-EMPTY regular files (a zero-byte leftover yields no rows and
+    // must not fail a previously-valid single-file input).
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
@@ -66,10 +69,11 @@ object Readers {
       else Iterator(s)
     }.count { s =>
       val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".") // metadata/hidden, as Spark skips
+      s.getLen > 0 &&
+        !n.startsWith("_") && !n.startsWith(".") // metadata/hidden, as Spark skips
     }
     require(nFiles == 1,
-      s"tsvWithPreHeader expects exactly one file at $path, found $nFiles")
+      s"tsvWithPreHeader expects exactly one non-empty file at $path, found $nFiles")
     val lines = raw
       .select(monotonically_increasing_id().as("__i"), col("value"))
     val firstTwo = lines.orderBy("__i").limit(2).collect()

@@ -37,7 +37,7 @@ object Transports {
   final class FileServerTransport(dir: String) extends Transport with Serializable {
     def post(url: String, body: String): String = {
       FileServerTransport.lastBody.set(body)
-      FileServerTransport.posts.add((System.nanoTime(), body))
+      FileServerTransport.record(body)
       val mapper = new ObjectMapper
       val req = mapper.readTree(body)
       val method = req.get("method").asText()
@@ -90,9 +90,18 @@ object Transports {
       * spec-only observability (local mode shares the JVM). */
     val lastBody = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-    /** Every (nanoTime, body) posted in this JVM — lets write-path specs
+    /** Recent (nanoTime, body) posts in this JVM — lets write-path specs
       * assert RPC counts AND inter-arrival pacing. Test-only state:
-      * clear before the scenario under test. */
+      * clear before the scenario under test. BOUNDED (drops oldest past
+      * the cap) so a long-lived file-transport process — a Verify run, a
+      * paged pipeline — can't leak heap into an observability buffer it
+      * never reads. */
     val posts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    private val MaxPosts = 4096
+
+    private[Transports] def record(body: String): Unit = {
+      posts.add((System.nanoTime(), body))
+      while (posts.size() > MaxPosts) posts.poll()
+    }
   }
 }

@@ -118,7 +118,11 @@ object LimeSurveySource {
     StructField("lastname", StringType), StructField("email", StringType)))
 
   private def rpc(conf: SourceConf, method: String,
-      params: Map[String, Any]): String = {
+      params: Map[String, Any]): String =
+    rpcWith(Transports.fromSpec(conf.transportSpec), conf, method, params)
+
+  private def rpcWith(transport: graft.sources.LimeSurveyClient.Transport,
+      conf: SourceConf, method: String, params: Map[String, Any]): String = {
     val mapper = new ObjectMapper
     val node = mapper.createObjectNode()
     node.put("method", method)
@@ -135,8 +139,7 @@ object LimeSurveySource {
       case (k, v) => p.put(k, v.toString)
     }
     node.put("id", 1)
-    Transports.fromSpec(conf.transportSpec)
-      .post(conf.url, mapper.writeValueAsString(node))
+    transport.post(conf.url, mapper.writeValueAsString(node))
   }
 
   /** Driver-side export fetch; `fields` non-empty = column-pruning
@@ -162,9 +165,16 @@ object LimeSurveySource {
       "aConditions" -> conditions))
 
   /** One `add_response` RPC — the write path's per-row insert
-    * (/root/reference/limesurvey.py:160-164). */
+    * (/root/reference/limesurvey.py:160-164). The `With` form takes the
+    * caller's long-lived transport (one per writer task, not per row —
+    * for HTTP that is the difference between a keep-alive connection and
+    * a fresh client per insert). */
   def insertResponse(conf: SourceConf, row: Map[String, String]): String =
-    rpc(conf, "add_response", Map(
+    insertResponseWith(Transports.fromSpec(conf.transportSpec), conf, row)
+
+  def insertResponseWith(transport: graft.sources.LimeSurveyClient.Transport,
+      conf: SourceConf, row: Map[String, String]): String =
+    rpcWith(transport, conf, "add_response", Map(
       "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
       "aResponseData" -> row))
 }
@@ -229,12 +239,20 @@ class LimeSurveyWriterFactory(schema: StructType, conf: SourceConf)
 
 /** Paced row writer ([[graft.sinks.Sinks.throttledRows]]'s scheduling:
   * absolute next-send times, so pacing never drifts with RPC latency).
-  * Values cross as strings — NULL renders empty (the O21 empty-for-null
-  * convention) and an `id` column is blanked before insert, exactly as
-  * the reference does (/root/reference/limesurvey.py:160-162). */
+  * Values cross as strings RENDERED IN THE EXTERNAL TYPES (the
+  * Catalyst→Scala converters, so a timestamp crosses as
+  * "2024-06-13 00:00:00.0" and never as its internal micros long —
+  * identical payloads to throttledRows' external-Row path); NULL
+  * renders empty (the O21 empty-for-null convention) and an `id`
+  * column is blanked before insert, exactly as the reference does
+  * (/root/reference/limesurvey.py:160-162). The transport and the
+  * per-field converters are built once per writer, not per row. */
 class LimeSurveyDataWriter(schema: StructType, conf: SourceConf)
     extends DataWriter[InternalRow] {
-  private val transportCheck = Transports.fromSpec(conf.transportSpec) // fail fast
+  private val transport = Transports.fromSpec(conf.transportSpec)
+  private val toScala = schema.fields.map(f =>
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(f.dataType))
   private val minIntervalNanos: Long =
     if (conf.maxRowsPerSecond <= 0) 0L else (1e9 / conf.maxRowsPerSecond).toLong
   private var next = System.nanoTime()
@@ -247,9 +265,10 @@ class LimeSurveyDataWriter(schema: StructType, conf: SourceConf)
       next = math.max(next, System.nanoTime()) + minIntervalNanos
     }
     val m = schema.fields.zipWithIndex.map { case (f, i) =>
-      f.name -> (if (row.isNullAt(i)) "" else row.get(i, f.dataType).toString)
+      f.name -> (if (row.isNullAt(i)) ""
+        else toScala(i)(row.get(i, f.dataType)).toString)
     }.toMap
-    LimeSurveySource.insertResponse(conf,
+    LimeSurveySource.insertResponseWith(transport, conf,
       if (m.contains("id")) m.updated("id", "") else m)
     rows += 1
   }

@@ -79,6 +79,11 @@ object Bench {
           System.err.println(s"[bench] $name: $e"); name -> -1.0
         }
       }.toMap
+    // a misspelled SPARK_GRAFT_ONLY must fail loudly — a zero-query run
+    // printing total=0 reads like a valid (and spectacular) headline
+    // number and would overwrite the bench artifact with it
+    require(results.nonEmpty, "no queries matched" +
+      sys.env.get("SPARK_GRAFT_ONLY").fold("")(o => s" SPARK_GRAFT_ONLY=$o"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries carry -1.0 markers; they must not DEDUCT from the

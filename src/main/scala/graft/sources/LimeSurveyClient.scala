@@ -59,12 +59,20 @@ object LimeSurveyClient {
     "tokenlength", "bounceaccountencryption", "format", "autoredirect",
     "sendconfirmation", "showxquestions", "bounceaccountuser")
 
-  /** Production transport: HTTP/1.1 keep-alive POST. */
-  final class HttpTransport extends Transport {
-    private val client = HttpClient.newHttpClient()
+  /** Production transport: HTTP/1.1 keep-alive POST. Both timeouts are
+    * finite — the auth handshake runs in the client CONSTRUCTOR, so a
+    * black-holed endpoint without them would hang the driver thread
+    * forever with no recovery path. */
+  final class HttpTransport(connectTimeout: java.time.Duration =
+        java.time.Duration.ofSeconds(30),
+      requestTimeout: java.time.Duration = java.time.Duration.ofMinutes(2))
+      extends Transport {
+    private val client =
+      HttpClient.newBuilder().connectTimeout(connectTimeout).build()
     def post(url: String, body: String): String = {
       val req = HttpRequest.newBuilder(URI.create(url))
         .header("content-type", "application/json")
+        .timeout(requestTimeout)
         .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -76,7 +84,10 @@ object LimeSurveyClient {
 
   // -- minimal JSON encode/decode (no extra deps allowed) ---------------
 
-  private def jstr(s: String): String = "\"" + s.flatMap {
+  /** JSON string quote+escape — shared with [[graft.Verify]]'s
+    * oracle_sql.json writer (one escaper to fix, not two drifting
+    * copies). */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case '\r' => "\\r"; case '\t' => "\\t"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -98,11 +109,42 @@ object LimeSurveyClient {
 
   /** Extract the JSON value of a top-level key from an RPC reply without a
     * JSON library: delegates to Spark's own parser at the call sites that
-    * build DataFrames; driver-side string results use this narrow path. */
+    * build DataFrames; driver-side string results use this narrow path.
+    * The raw match is UNESCAPED before returning — PHP's json_encode
+    * (what the LimeSurvey endpoint runs) escapes '/' as '\\/' by
+    * default, and base64 payloads almost always contain '/', so the
+    * verbatim match would feed backslashes into the base64 decoder. */
   private[graft] def topLevelString(json: String, key: String): String = {
     val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+    m.findFirstMatchIn(json).map(mm => unescapeJson(mm.group(1))).getOrElse(
       throw new RuntimeException(s"RPC reply missing string key '$key': ${json.take(200)}"))
+  }
+
+  /** Decode the JSON string escapes of [[topLevelString]]'s raw match. */
+  private[graft] def unescapeJson(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '/' => sb += '/'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2 // lenient on unknown escapes
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 }
 
@@ -170,6 +212,19 @@ class LimeSurveyClient(url: String, user: String, password: String,
   private def resultArrayDF(spark: SparkSession, reply: String,
       schema: StructType): DataFrame = {
     import spark.implicits._
+    // fail fast on error replies (class contract): the API signals auth/
+    // permission failures by making `result` an object or null — letting
+    // from_json null that out and explode drop every row would render an
+    // expired session key indistinguishable from "no surveys exist",
+    // exactly the reference's swallow-to-None behavior this client
+    // exists to not have
+    val m = """"result"\s*:\s*([\[{"a-zA-Z0-9-])""".r
+    m.findFirstMatchIn(reply).map(_.group(1)) match {
+      case Some("[") => ()
+      case other => throw new RuntimeException(
+        s"RPC error reply (result is ${other.getOrElse("missing")}, " +
+          s"not an array): ${reply.take(200)}")
+    }
     spark.createDataset(Seq(reply)).toDF("j")
       .select(from_json(col("j"),
         StructType(Seq(StructField("result", ArrayType(schema))))).as("r"))

@@ -81,19 +81,33 @@ object EventsStream {
     events.filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(col("user_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)
-      .mapGroupsWithState(timeoutConf) {
-        (userId: Long, rows: Iterator[(Long, Double)],
-         state: GroupState[UserSession]) =>
-          val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0))
-          var n = prev.nEvents; var tot = prev.totalValue
-          rows.foreach { case (_, v) => n += 1; tot += v }
-          val next = UserSession(userId, n, tot)
-          state.update(next)
-          idleTimeout.foreach(state.setTimeoutDuration)
-          next
-      }
+      .mapGroupsWithState(timeoutConf)(sessionizeUpdate(_, _, _, idleTimeout))
       .toDF()
   }
+
+  /** The [[sessionize]] state transition, exposed for direct spec driving
+    * (TestGroupState). The timed-out branch is the EVICTION the timeout
+    * exists for: emit the final session once and drop the state —
+    * without it a fired timer would re-arm itself and re-emit the
+    * unchanged session every trigger, and idle keys would never leave
+    * the store (unbounded state, the opposite of the documented
+    * contract). */
+  private[graft] def sessionizeUpdate(userId: Long,
+      rows: Iterator[(Long, Double)], state: GroupState[UserSession],
+      idleTimeout: Option[String]): UserSession =
+    if (state.hasTimedOut) {
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0))
+      var n = prev.nEvents; var tot = prev.totalValue
+      rows.foreach { case (_, v) => n += 1; tot += v }
+      val next = UserSession(userId, n, tot)
+      state.update(next)
+      idleTimeout.foreach(state.setTimeoutDuration)
+      next
+    }
 
   /** A closed user session: bounded by `gap` of inactivity. */
   case class SessionWindow(userId: Long, sessionStart: java.sql.Timestamp,
@@ -105,10 +119,21 @@ object EventsStream {
   /** Gap-based session windows via `flatMapGroupsWithState` with
     * EVENT-time timeouts — the custom-state shape for emit-on-close
     * semantics (mapGroupsWithState must emit exactly one row per group
-    * per batch; closed sessions need zero-or-many). A session closes
-    * either in-batch (an event arrives more than `gapMs` after the
-    * session end — emitted immediately) or by timeout (the watermark
-    * passes sessionEnd + gap — emitted from the timeout branch).
+    * per batch; closed sessions need zero-or-many).
+    *
+    * A session is emitted ONLY once the watermark passes
+    * `sessionEnd + gap` — the point after which no admissible event can
+    * extend or bridge it. Closing earlier (the tempting
+    * "an in-batch event arrived > gap later" rule) is WRONG under the
+    * watermark contract: an in-watermark straggler landing between two
+    * already-seen events can bridge them into one true session, and an
+    * eagerly-emitted fragment can never be retracted in Append mode —
+    * the stream would show two overlapping sessions for data the
+    * watermark promised to handle. So state holds the LIST of pending
+    * merged intervals (everything the watermark hasn't released), each
+    * batch gap-merges (batch events + pending) in time order, emits the
+    * released prefix, and re-arms the event-time timer at the earliest
+    * pending release point.
     *
     * Event-time timeouts, not processing-time: they are driven by the
     * watermark, so a Trigger.AvailableNow run completes (pending
@@ -116,8 +141,9 @@ object EventsStream {
     * and results are deterministic functions of the data, not of
     * wall-clock scheduling.
     *
-    * Scale shape: state is one small fixed-size record per ACTIVE user
-    * (closed sessions leave state immediately), hash-partitioned by
+    * Scale shape: state per user is the pending-interval list — bounded
+    * by the number of >gap-separated bursts inside one watermark delay
+    * (one interval in the common delay ≤ gap case), hash-partitioned by
     * user — the same plan at 32 or 1000 executors. */
   def sessionWindows(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30L * 60 * 1000,
@@ -127,49 +153,39 @@ object EventsStream {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionWindow](
+      .flatMapGroupsWithState[List[OpenSession], SessionWindow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[OpenSession]) =>
+         state: GroupState[List[OpenSession]]) =>
           def close(s: OpenSession) = SessionWindow(userId,
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close).toList
-            state.remove()
-            out.iterator
-          } else {
-            // Time-ordered gap-merge over (batch events + open state):
-            // the open session participates as an interval, so
-            // in-watermark stragglers from BEFORE it merge with EACH
-            // OTHER into proper sessions instead of degrading to
-            // per-event singletons. Everything but the most recent
-            // interval is separated by > gap from all in-order future
-            // events and closes now; late data beyond the watermark is
-            // the batch recomputation path's job, as documented.
-            var closed = List.empty[SessionWindow]
-            val items = (rows.map(t => OpenSession(t._2.getTime, t._2.getTime, 1))
-              .toSeq ++ state.getOption.toSeq)
-              .sortBy(s => (s.startMs, s.endMs))
-            var cur: Option[OpenSession] = None
-            items.foreach { it =>
-              cur = cur match {
-                case Some(s) if it.startMs > s.endMs + gapMs =>
-                  closed ::= close(s)
-                  Some(it)
-                case Some(s) =>
-                  Some(OpenSession(math.min(s.startMs, it.startMs),
-                    math.max(s.endMs, it.endMs), s.n + it.n))
-                case None => Some(it)
-              }
+          val wm = state.getCurrentWatermarkMs
+          // time-ordered gap-merge over (batch events + pending
+          // intervals); a timeout invocation is the same fold with an
+          // empty batch
+          val items = (rows.map(t => OpenSession(t._2.getTime, t._2.getTime, 1))
+            .toSeq ++ state.getOption.getOrElse(Nil))
+            .sortBy(s => (s.startMs, s.endMs))
+          var merged = List.empty[OpenSession] // reverse time order
+          items.foreach { it =>
+            merged = merged match {
+              case h :: t if it.startMs <= h.endMs + gapMs =>
+                OpenSession(math.min(h.startMs, it.startMs),
+                  math.max(h.endMs, it.endMs), h.n + it.n) :: t
+              case l => it :: l
             }
-            cur.foreach { s =>
-              state.update(s)
-              // the engine requires a timeout strictly beyond the watermark
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs + 1, s.endMs + gapMs))
-            }
-            closed.reverseIterator
           }
+          val (done, open) = merged.reverse
+            .partition(s => s.endMs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest pending release, clamped strictly past the
+            // watermark (the engine rejects timers at/behind it)
+            state.setTimeoutTimestamp(
+              math.max(wm + 1, open.map(_.endMs + gapMs).min))
+          }
+          done.map(close).iterator
       }
       .toDF()
   }
@@ -284,8 +300,12 @@ object EventsStream {
           .as("violation_rate"))
   }
 
-  /** Convenience writer: append mode to an in-memory or file sink. */
-  def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
-    df.writeStream.outputMode(OutputMode.Append).format("memory")
+  /** Convenience writer to an in-memory sink. Mode defaults to Append —
+    * pass `OutputMode.Update()` for the `mapGroupsWithState` shapes
+    * ([[sessionize]], [[distinctSketch]]), which the engine rejects in
+    * Append mode. */
+  def toMemorySink(df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] =
+    df.writeStream.outputMode(mode).format("memory")
       .queryName(queryName)
 }

@@ -72,6 +72,34 @@ class SourcesSpec extends SparkSpec {
       .select("participant_info.email").head.getString(0) == "a@b.c")
   }
 
+  test("topLevelString decodes JSON escapes: PHP-style \\/ base64 survives (O2)") {
+    // PHP's json_encode (the real endpoint) escapes '/' as '\/' — a
+    // base64 payload nearly always contains '/', and the undecoded
+    // match would feed backslashes straight into Base64.decode
+    val payload = "ab/cd+ef/gh==" // base64-alphabet string with slashes
+    val phpStyle = payload.replace("/", "\\/")
+    val reply = s"""{"id":2,"result":"$phpStyle","error":null}"""
+    assert(LimeSurveyClient.topLevelString(reply, "result") == payload)
+    // the full escape family round-trips
+    assert(LimeSurveyClient.unescapeJson("""a\/b\\c\"d\neé""") ==
+      "a/b\\c\"d\neé")
+    assert(LimeSurveyClient.unescapeJson("plain") == "plain")
+  }
+
+  test("catalog listing fails fast on an error reply instead of reading empty (O6)") {
+    val t = new FakeTransport {
+      override def post(url: String, body: String): String = {
+        val method = LimeSurveyClient.topLevelString(body, "method")
+        if (method == "get_session_key") super.post(url, body)
+        // the API signals auth failure as an OBJECT result
+        else """{"id":3,"result":{"status":"Invalid session key"},"error":null}"""
+      }
+    }
+    val c = new LimeSurveyClient("http://fake/rpc", "admin", "pw", t)
+    val e = intercept[RuntimeException](c.listSurveys(spark))
+    assert(e.getMessage.contains("not an array"), e.getMessage)
+  }
+
   test("getSurveyProperties requests the reference's 58-field default projection") {
     val t = new FakeTransport
     val c = new LimeSurveyClient("http://fake/rpc", "admin", "pw", t)

@@ -111,9 +111,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // two in-watermark stragglers 10s apart, both > gap before the
       // open session and delivered TOGETHER: one 2-event session, not
-      // two singletons
+      // two singletons. NOT emitted yet: the watermark (06:00) hasn't
+      // passed 08:30, so a further straggler could still legally extend
+      // it — premature emission was the split-session bug
       input.addData((1L, t("2026-01-01 08:00:00")),
         (1L, t("2026-01-01 08:00:10")))
+      q.processAllAvailable()
+      val early = spark.table("straggler_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(!early.exists(_._2 == t("2026-01-01 08:00:00")), early.toString)
+      // advance the watermark past 08:30 -> the merged pair is released
+      input.addData((2L, t("2026-01-02 00:00:00")))
       q.processAllAvailable()
       val rows = spark.table("straggler_sessions")
         .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
@@ -122,6 +130,63 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.exists(r => r._4 == 1L && r._2 == t("2026-01-01 08:00:00")),
         rows.toString)
     } finally q.stop()
+  }
+
+  test("sessionWindows: an in-watermark straggler bridges two bursts into ONE session") {
+    // the review-found split-session scenario: events at 10:00:00 and
+    // 10:30:05 (just past the 30-min gap) arrive together; a straggler
+    // at 10:29:58 — INSIDE the 6h watermark — then bridges them. The
+    // eager close-all-but-last rule would already have emitted
+    // [10:00,10:00] and the output would show two overlapping sessions;
+    // watermark-gated closing emits exactly one merged session.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sessionWindows(spark, input.toDF().toDF("user_id", "ts"),
+      gapMs = 30L * 60 * 1000, watermarkDelay = "6 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bridge_sessions").start()
+    try {
+      input.addData((1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:30:05")))
+      q.processAllAvailable()
+      input.addData((1L, t("2026-01-01 10:29:58"))) // the bridge
+      q.processAllAvailable()
+      input.addData((2L, t("2026-01-02 00:00:00"))) // release the watermark
+      q.processAllAvailable()
+      val rows = spark.table("bridge_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .filter(_._1 == 1L).toSet
+      assert(rows == Set((1L, t("2026-01-01 10:00:00"),
+        t("2026-01-01 10:30:05"), 3L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("sessionize timeout evicts state and emits the final session once") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[EventsStream.UserSession](
+      Optional.of(EventsStream.UserSession(7L, 5L, 9.5)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Object].asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    val out = EventsStream.sessionizeUpdate(7L, Iterator.empty, st,
+      Some("10 minutes"))
+    // the fired timer emits the last session and REMOVES the state —
+    // re-arming + re-emitting every trigger was the leak
+    assert(out == EventsStream.UserSession(7L, 5L, 9.5))
+    assert(st.isRemoved)
+    // and the normal path still accumulates + arms the timer
+    val st2 = TestGroupState.create[EventsStream.UserSession](
+      Optional.empty[EventsStream.UserSession](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Object].asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out2 = EventsStream.sessionizeUpdate(7L, Iterator((7L, 2.0), (7L, 3.0)),
+      st2, Some("10 minutes"))
+    assert(out2 == EventsStream.UserSession(7L, 2L, 5.0))
+    assert(st2.exists) // state updated (duration timer armed, not removed)
   }
 
   test("dedupedEvents drops within-watermark duplicates across batches, bounded state") {

@@ -459,6 +459,31 @@ object SparkEntry {
           round(col("__p25p"), 6).as("p25_price"),
           round(col("__p75p"), 6).as("p75_price"))),
 
+    // correlated-scalar-subquery shape (TPC-H Q17): lineitems below 20%
+    // of their part's average quantity, revenue loss per brand. The
+    // subquery decorrelates into one per-part aggregate re-joined on the
+    // SAME key — the partial-agg exchange is reusable against the probe
+    // side's shuffle. The threshold test runs in exact integers
+    // (qty_cents · cnt · 5 < sum_cents ⟺ qty < 0.2·avg): a double
+    // avg(quantity) would be partial-sum-order-dependent and could flip
+    // rows at the boundary between engines.
+    "q104_qty_threshold" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val a = l.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(cents(col("l_quantity"))).as("__sq"),
+          count(lit(1)).as("__cnt"))
+      l.join(a, col("l_partkey") === col("__pk"))
+        .filter(cents(col("l_quantity")) * col("__cnt") * lit(5L) <
+          col("__sq"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          fromCents(sum(cents(col("l_extendedprice"))), 2).as("__rev"))
+        .select(col("p_brand"), col("n_lines"),
+          (col("__rev") / lit(7.0)).as("yearly_loss"))
+    }),
+
     // time-bucketed aggregation — the batch equivalent of the streaming
     // tumbling-window count (streaming.EventsStream runs the readStream
     // version of exactly this plan)
@@ -602,7 +627,21 @@ object SparkEntry {
          SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
            a.value AS a_value, b.value AS b_value
          FROM e a, e b
-         WHERE abs(a.value - b.value) <= 0.5"""
+         WHERE abs(a.value - b.value) <= 0.5""",
+    // integer threshold test mirrors the Spark side exactly; yearly loss
+    // divides the exact decimal sum as a double, once
+    "q104_qty_threshold" ->
+      """WITH a AS (SELECT l_partkey,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+           CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS yearly_loss
+         FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * cnt * 5 < sq
+         GROUP BY 1"""
   )
 
   // ---------------------------------------------------------------------
@@ -1182,6 +1221,26 @@ object SparkEntry {
       Relational.quotaCap(Tables.documents(s, d), Seq("source"),
         col("doc_id"), quota = 3)
         .select(col("source"), col("id").as("doc_id"), col("pick_rank"))),
+
+    // Gopher repetition rules (Rae et al. 2021 Table A1): duplicate /
+    // top n-gram character fractions per doc for n = 2, 3 — the
+    // repetition quality gate beyond q38's unigram stats. The corpus'
+    // 31-token vocabulary makes duplicate bigrams (and some trigrams)
+    // provably present, so both fractions fire.
+    "q103_gopher_rep" -> ((s, d) =>
+      TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id",
+        col("text"), Seq(2, 3))
+        .select(col("doc").as("doc_id"), col("n_chars"),
+          col("top2gram_frac"), col("dup2gram_frac"),
+          col("top3gram_frac"), col("dup3gram_frac"))),
+
+    // Jensen–Shannon divergence between per-source token distributions
+    // (the corpus-drift statistic behind mixture re-weighting).
+    // vocabTop = 20 BINDS on the 31-token corpus vocabulary, so the
+    // bounded-support path is what the gate checks, not a no-op cap.
+    "q105_source_jsd" -> ((s, d) =>
+      TextAnalysis.sourceJsd(Tables.documents(s, d), "source", col("text"),
+        vocabTop = 20)),
 
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
@@ -2141,6 +2200,75 @@ object SparkEntry {
            'l_discount', l_discount FROM lineitem
          UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
            'l_tax', l_tax FROM lineitem""",
+    // max over (count, len) structs is the same lexicographic order in
+    // both engines — the deterministic "most frequent, longest on ties"
+    // top pick without a second aggregation
+    "q103_gopher_rep" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         g2 AS (SELECT doc_id, unnest([array_to_string(w[i+1:i+2], ' ')
+                for i in range(0, len(w) - 1)]) AS g
+                FROM d WHERE len(w) >= 2),
+         c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+                CAST(length(g) AS BIGINT) AS l FROM g2 GROUP BY 1, 2),
+         s2 AS (SELECT doc_id, max(struct_pack(c := c, l := l)) AS top,
+                CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS BIGINT)
+                  AS dup FROM c2 GROUP BY 1),
+         g3 AS (SELECT doc_id, unnest([array_to_string(w[i+1:i+3], ' ')
+                for i in range(0, len(w) - 2)]) AS g
+                FROM d WHERE len(w) >= 3),
+         c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+                CAST(length(g) AS BIGINT) AS l FROM g3 GROUP BY 1, 2),
+         s3 AS (SELECT doc_id, max(struct_pack(c := c, l := l)) AS top,
+                CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS BIGINT)
+                  AS dup FROM c3 GROUP BY 1)
+         SELECT d.doc_id, d.n_chars,
+           round(CAST(coalesce((s2.top).c * (s2.top).l, 0) AS DOUBLE)
+             / d.n_chars, 6) AS top2gram_frac,
+           round(CAST(coalesce(s2.dup, 0) AS DOUBLE) / d.n_chars, 6)
+             AS dup2gram_frac,
+           round(CAST(coalesce((s3.top).c * (s3.top).l, 0) AS DOUBLE)
+             / d.n_chars, 6) AS top3gram_frac,
+           round(CAST(coalesce(s3.dup, 0) AS DOUBLE) / d.n_chars, 6)
+             AS dup3gram_frac
+         FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+    // sum-merge of the two pair sides is exact (0.0 + x); the final
+    // double fold runs over the token-sorted list in both engines
+    "q105_source_jsd" ->
+      """WITH st AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1, 2),
+         v AS (SELECT tok FROM (SELECT tok, sum(c) AS tc FROM st
+               GROUP BY 1 ORDER BY tc DESC, tok LIMIT 20)),
+         iv AS (SELECT st.* FROM st JOIN v USING (tok)),
+         tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM iv GROUP BY 1),
+         p AS (SELECT src, tok, CAST(c AS DOUBLE) / t AS p
+               FROM iv JOIN tot USING (src)),
+         srcs AS (SELECT DISTINCT src FROM p),
+         pairs AS (SELECT a.src AS sa, b.src AS sb FROM srcs a, srcs b
+                   WHERE a.src < b.src),
+         side AS (SELECT sa AS source_a, sb AS source_b, tok,
+                  p AS pa, CAST(0 AS DOUBLE) AS pb
+                  FROM p JOIN pairs ON p.src = pairs.sa
+                  UNION ALL
+                  SELECT sa, sb, tok, CAST(0 AS DOUBLE), p
+                  FROM p JOIN pairs ON p.src = pairs.sb),
+         m AS (SELECT source_a, source_b, tok, sum(pa) AS pa, sum(pb) AS pb
+               FROM side GROUP BY 1, 2, 3),
+         t AS (SELECT source_a, source_b, tok,
+               (CASE WHEN pa > 0 THEN pa * ln(pa * CAST(2.0 AS DOUBLE) / (pa + pb))
+                     ELSE CAST(0 AS DOUBLE) END) * CAST(0.5 AS DOUBLE) +
+               (CASE WHEN pb > 0 THEN pb * ln(pb * CAST(2.0 AS DOUBLE) / (pa + pb))
+                     ELSE CAST(0 AS DOUBLE) END) * CAST(0.5 AS DOUBLE) AS term
+               FROM m),
+         agg AS (SELECT source_a, source_b,
+                 list_sort(list(struct_pack(tok := tok, term := term))) AS ts
+                 FROM t GROUP BY 1, 2)
+         SELECT source_a, source_b,
+           CAST(len(ts) AS BIGINT) AS n_tokens_support,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [x.term for x in ts]), (acc, y) -> acc + y), 6) AS jsd
+         FROM agg""",
     "q89_fuzzy_match" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist

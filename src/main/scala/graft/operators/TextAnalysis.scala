@@ -815,4 +815,131 @@ object TextAnalysis {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** Overlapping word n-gram strings ("w1 … wn") of the given order —
+    * the Gopher-repetition unit. Docs shorter than n tokens yield an
+    * empty array (no n-gram exists; sequence() would run backwards). */
+  private def ngramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1): per document and
+    * n-gram order, the fraction of characters covered by (a) the most
+    * frequent n-gram and (b) all n-grams occurring more than once.
+    * Coverage uses the standard occurrences×len(gram) approximation
+    * (overlaps double-counted, as in the public reproductions), over
+    * the doc's total char count.
+    *
+    * Ties for "most frequent" break by LONGEST gram (max chars at the
+    * top count) — a by-value rule both engines can state exactly, where
+    * arg-max-by-count would be nondeterministic under ties.
+    *
+    * Shape: one explode per order through a (doc, gram) hash aggregate
+    * with map-side combine — the [[repetitionStats]] shape, one shuffle
+    * keyed by doc+gram per order, no windows, no driver state. Docs
+    * with no n-gram of an order (fewer than n tokens) report 0.0. */
+  def gopherRepetition(df: DataFrame, idCol: String, text: Column,
+      orders: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(orders.nonEmpty && orders.forall(_ >= 2), "orders must be >= 2")
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), col("__t"),
+        length(col("__t")).cast(LongType).as("n_chars"))
+    val docs = base.select(col("doc"), col("n_chars"))
+    orders.foldLeft(docs) { (acc, n) =>
+      val gc = base
+        .select(col("doc"), explode(ngramsOf(tokens(col("__t")), n)).as("g"))
+        .groupBy(col("doc"), col("g"))
+        .agg(count(lit(1)).as("__c"))
+        .select(col("doc"), col("__c"),
+          length(col("g")).cast(LongType).as("__len"))
+      // single-pass top pick: max over (count, len) structs is the
+      // lexicographic order BOTH engines define, so the tie rule costs
+      // no second aggregation
+      val stats = gc.groupBy("doc").agg(
+        max(struct(col("__c"), col("__len"))).as("__top"),
+        sum(when(col("__c") > 1, col("__c") * col("__len")).otherwise(0L))
+          .as("__dup_chars"))
+      acc.join(stats, Seq("doc"), "left")
+        .select(acc.columns.map(col) ++ Seq(
+          round(coalesce(col("__top.__c") * col("__top.__len"), lit(0L))
+            .cast(DoubleType) / col("n_chars"), 6).as(s"top${n}gram_frac"),
+          round(coalesce(col("__dup_chars"), lit(0L))
+            .cast(DoubleType) / col("n_chars"), 6).as(s"dup${n}gram_frac")): _*)
+    }
+  }
+
+  /** Jensen–Shannon divergence between the token distributions of every
+    * pair of corpus slices (sources) — the drift/contamination statistic
+    * behind mixture re-weighting decisions. Distributions are restricted
+    * to the global top-`vocabTop` tokens (count desc, token asc — fully
+    * deterministic) and renormalized within that support, which bounds
+    * every downstream relation by vocabTop regardless of corpus size.
+    *
+    * JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q), natural log; a token
+    * absent from one side contributes only through the present side
+    * (p·ln(p/m) with q=0). Per-pair terms fold over the token-sorted
+    * array — the [[bigramLmScore]] determinism pattern — so the double
+    * sum has one order in any engine at any parallelism.
+    *
+    * Shape: one (source, token) hash aggregate over the corpus; the
+    * top-K vocabulary broadcasts back; pairs form on a vocabTop-bounded
+    * self-join of the per-source slices (source_a < source_b). With S
+    * sources the pair table is S²/2 × vocabTop rows — statistics-sized,
+    * never corpus-sized. */
+  def sourceJsd(df: DataFrame, sliceCol: String, text: Column,
+      vocabTop: Int): DataFrame = {
+    require(vocabTop > 0, "vocabTop must be positive")
+    val st = Parallelism.ensure(
+      df.select(col(sliceCol).as("src"), text.as("__t")))
+      .select(col("src"), explode(tokens(col("__t"))).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("__c"))
+    val vocab = st.groupBy("tok").agg(sum(col("__c")).as("__tc"))
+      .orderBy(col("__tc").desc, col("tok")).limit(vocabTop)
+      .select(col("tok"))
+    val inVocab = st.join(broadcast(vocab), "tok")
+    val totals = inVocab.groupBy("src").agg(sum(col("__c")).as("__tot"))
+    // the per-source distribution is referenced once per pair side —
+    // checkpoint the (S × vocabTop)-bounded result so the corpus
+    // aggregate behind it is planned and executed ONCE (the q78/SemDeDup
+    // double-planning lesson); no partitioning contract needed, the
+    // relation is statistics-sized
+    val p = inVocab.join(broadcast(totals), "src")
+      .select(col("src"), col("tok"),
+        (col("__c").cast(DoubleType) / col("__tot")).as("__p"))
+      .localCheckpoint()
+    val srcs = p.select(col("src")).distinct()
+    val pairs = srcs.select(col("src").as("source_a"))
+      .crossJoin(srcs.select(col("src").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // expand each side's distribution across its pairs, merge on
+    // (pair, token): a token absent from one side arrives with that
+    // side's p summing to 0 — no anti-join bookkeeping
+    val sideA = p.join(pairs, col("src") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("tok"),
+        col("__p").as("__pa"), lit(0.0).as("__pb"))
+    val sideB = p.join(pairs, col("src") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("tok"),
+        lit(0.0).as("__pa"), col("__p").as("__pb"))
+    val terms = sideA.unionByName(sideB)
+      .groupBy(col("source_a"), col("source_b"), col("tok"))
+      .agg(sum(col("__pa")).as("__pa"), sum(col("__pb")).as("__pb"))
+      .select(col("source_a"), col("source_b"), col("tok"),
+        (when(col("__pa") > 0.0,
+          col("__pa") * log(col("__pa") * 2.0 / (col("__pa") + col("__pb"))))
+          .otherwise(0.0) * 0.5 +
+          when(col("__pb") > 0.0,
+            col("__pb") * log(col("__pb") * 2.0 / (col("__pa") + col("__pb"))))
+            .otherwise(0.0) * 0.5).as("__term"))
+    terms.groupBy("source_a", "source_b")
+      .agg(array_sort(collect_list(struct(col("tok"), col("__term"))))
+        .as("__ts"))
+      .select(col("source_a"), col("source_b"),
+        size(col("__ts")).cast(LongType).as("n_tokens_support"),
+        round(aggregate(col("__ts"), lit(0.0),
+          (acc, x) => acc + x.getField("__term")), 6).as("jsd"))
+  }
 }

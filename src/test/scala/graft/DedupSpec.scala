@@ -494,6 +494,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getDouble(1) > 0 && out.getDouble(1) <= 1)
     assert(out.getDouble(2) >= 0 && out.getDouble(2) <= 1)
   }
+
+  test("gopherRepetition: hand-checked fractions, tie rule, short docs") {
+    // doc 1: "ab cd ab cd ab" (14 chars) — bigrams: "ab cd"×2,
+    // "cd ab"×2 → every bigram duplicated: dup2 = (2·5 + 2·5)/14;
+    // top2: counts tie at 2, lengths tie at 5 → 2·5/14.
+    // trigrams: "ab cd ab"×2, "cd ab cd"×1 → top3 = dup3 = 2·8/14.
+    // doc 2: all-distinct tokens → dup = 0, top2 count 1.
+    // doc 3: one token → no bigram/trigram exists → all 0.0.
+    val docs = Seq(
+      (1L, "ab cd ab cd ab"),
+      (2L, "one two three"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == 14L)
+    assert(out(1L)._3 == r6(10.0 / 14))
+    assert(out(1L)._4 == r6(20.0 / 14))
+    assert(out(1L)._5 == r6(16.0 / 14))
+    assert(out(1L)._6 == r6(16.0 / 14))
+    assert(out(2L)._4 == 0.0 && out(2L)._6 == 0.0)
+    // counts tie at 1 → the LONGER bigram "two three" (9 chars) wins
+    assert(out(2L)._3 == r6(9.0 / 13), "top bigram ties break by length")
+    assert(out(3L)._3 == 0.0 && out(3L)._4 == 0.0 &&
+      out(3L)._5 == 0.0 && out(3L)._6 == 0.0)
+  }
+
+  test("sourceJsd: zero for identical slices, ln 2 for disjoint, cap binds") {
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "a a b"), // identical distributions
+      ("s3", "c c c") // disjoint support from s1/s2
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceJsd(docs, "source", col("text"), 100)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("s1", "s2"))._4 == 0.0)
+    // disjoint supports: JSD = ln 2 exactly (every term is p·ln 2 / 2
+    // twice over) — the theoretical maximum
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("s1", "s3"))._4 == ln2)
+    assert(out(("s2", "s3"))._4 == ln2)
+    // vocabTop = 1 keeps only the globally most frequent token ("a",
+    // 4 occurrences vs c's 3): s3 has NO in-vocab token, so it leaves
+    // the pair table entirely (no distribution to compare)
+    val capped = TextAnalysis.sourceJsd(docs, "source", col("text"), 1)
+      .as[(String, String, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet == Set(("s1", "s2")))
+    assert(capped.forall(_._3 == 1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -837,10 +837,14 @@ object TextAnalysis {
     * top count) — a by-value rule both engines can state exactly, where
     * arg-max-by-count would be nondeterministic under ties.
     *
-    * Shape: one explode per order through a (doc, gram) hash aggregate
-    * with map-side combine — the [[repetitionStats]] shape, one shuffle
-    * keyed by doc+gram per order, no windows, no driver state. Docs
-    * with no n-gram of an order (fewer than n tokens) report 0.0. */
+    * Shape: ALL orders ride ONE explode into one (doc, order, gram)
+    * hash aggregate with map-side combine — the [[repetitionStats]]
+    * shape, a single shuffle for the whole statistic family (per-order
+    * passes would pay the corpus scan + shuffle once per n). The
+    * per-doc rollup picks each order's top by conditional struct max
+    * and its dup mass by conditional sum — one more tiny aggregate, no
+    * windows, no driver state. Docs with no n-gram of an order (fewer
+    * than n tokens) report 0.0. */
   def gopherRepetition(df: DataFrame, idCol: String, text: Column,
       orders: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(orders.nonEmpty && orders.forall(_ >= 2), "orders must be >= 2")
@@ -849,27 +853,30 @@ object TextAnalysis {
       .select(col("doc"), col("__t"),
         length(col("__t")).cast(LongType).as("n_chars"))
     val docs = base.select(col("doc"), col("n_chars"))
-    orders.foldLeft(docs) { (acc, n) =>
-      val gc = base
-        .select(col("doc"), explode(ngramsOf(tokens(col("__t")), n)).as("g"))
-        .groupBy(col("doc"), col("g"))
-        .agg(count(lit(1)).as("__c"))
-        .select(col("doc"), col("__c"),
-          length(col("g")).cast(LongType).as("__len"))
-      // single-pass top pick: max over (count, len) structs is the
-      // lexicographic order BOTH engines define, so the tie rule costs
-      // no second aggregation
-      val stats = gc.groupBy("doc").agg(
-        max(struct(col("__c"), col("__len"))).as("__top"),
-        sum(when(col("__c") > 1, col("__c") * col("__len")).otherwise(0L))
-          .as("__dup_chars"))
-      acc.join(stats, Seq("doc"), "left")
-        .select(acc.columns.map(col) ++ Seq(
-          round(coalesce(col("__top.__c") * col("__top.__len"), lit(0L))
-            .cast(DoubleType) / col("n_chars"), 6).as(s"top${n}gram_frac"),
-          round(coalesce(col("__dup_chars"), lit(0L))
-            .cast(DoubleType) / col("n_chars"), 6).as(s"dup${n}gram_frac")): _*)
-    }
+    val tagged = concat(orders.map(n =>
+      transform(ngramsOf(tokens(col("__t")), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    val gc = base
+      .select(col("doc"), explode(tagged).as("__ng"))
+      .groupBy(col("doc"), col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("doc"), col("__n"), col("__c"),
+        length(col("__g")).cast(LongType).as("__len"))
+    // single-pass top pick per order: max over (count, len) structs is
+    // the lexicographic order BOTH engines define (the tie rule costs no
+    // second aggregation); max/sum ignore the other orders' NULLs
+    val aggs = orders.flatMap(n => Seq(
+      max(when(col("__n") === n, struct(col("__c"), col("__len"))))
+        .as(s"__top$n"),
+      sum(when(col("__n") === n && col("__c") > 1,
+        col("__c") * col("__len")).otherwise(0L)).as(s"__dup$n")))
+    val stats = gc.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    docs.join(stats, Seq("doc"), "left")
+      .select(Seq(col("doc"), col("n_chars")) ++ orders.flatMap(n => Seq(
+        round(coalesce(col(s"__top$n.__c") * col(s"__top$n.__len"), lit(0L))
+          .cast(DoubleType) / col("n_chars"), 6).as(s"top${n}gram_frac"),
+        round(coalesce(col(s"__dup$n"), lit(0L))
+          .cast(DoubleType) / col("n_chars"), 6).as(s"dup${n}gram_frac"))): _*)
   }
 
   /** Jensen–Shannon divergence between the token distributions of every

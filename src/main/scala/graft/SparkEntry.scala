@@ -1242,6 +1242,25 @@ object SparkEntry {
       TextAnalysis.sourceJsd(Tables.documents(s, d), "source", col("text"),
         vocabTop = 20)),
 
+    // exact duplicate-substring spans (Lee et al. 2022 ExactSubstr):
+    // overlapping 5-token windows occurring >= 2 times in the corpus,
+    // merged into per-doc cut spans. A shared 11-token boilerplate
+    // footer is injected on every 4th doc (the q37/q59 spike pattern)
+    // so cross-doc runs provably fire; windows straddling the
+    // boilerplate boundary differ per doc and are provably excluded.
+    // The random corpus also contributes organic birthday-collision
+    // 5-grams, so the operator is not only seeing the injected case.
+    "q106_dup_spans" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(
+          " all rights reserved unauthorized reproduction of this" +
+            " document is strictly prohibited"))
+          .otherwise(lit("")))
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", spiked, k = 5)
+        .select(col("doc").as("doc_id"), col("span_id"), col("start_tok"),
+          col("end_tok"), col("n_windows"))
+    }),
+
     // BM25 lexical retrieval over the q75 term set: probabilistic
     // ranking with term-sorted per-doc folds, top-20 through the
     // bounded two-phase aggregate
@@ -2232,6 +2251,36 @@ object SparkEntry {
            round(CAST(coalesce(s3.dup, 0) AS DOUBLE) / d.n_chars, 6)
              AS dup3gram_frac
          FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+    // windows cross as the shared 56-bit md5 hash; interval merge is
+    // the q94 running-max window over integer token positions
+    "q106_dup_spans" -> {
+      val boiler = " all rights reserved unauthorized reproduction of" +
+        " this document is strictly prohibited"
+      s"""WITH d AS (SELECT doc_id, string_split(text ||
+           CASE WHEN doc_id % 4 = 0 THEN '$boiler' ELSE '' END, ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest([{'pos': CAST(i AS BIGINT),
+               'h': ${sqlHexLong("array_to_string(w[i+1:i+5], ' ')")}}
+               for i in range(0, len(w) - 4)]) AS s
+             FROM d WHERE len(w) >= 5),
+         e AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sh),
+         dup AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, pos AS s, pos + 4 AS en
+                  FROM e JOIN dup USING (h)),
+         m AS (SELECT doc_id, s, en, max(en) OVER (PARTITION BY doc_id
+               ORDER BY s, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax FROM hits),
+         f AS (SELECT doc_id, s, en,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+               FROM m),
+         i AS (SELECT doc_id, s, en, CAST(sum(nw) OVER (PARTITION BY doc_id
+               ORDER BY s, en ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+               FROM f)
+         SELECT doc_id, span_id, min(s) AS start_tok, max(en) AS end_tok,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM i GROUP BY 1, 2"""
+    },
+
     // sum-merge of the two pair sides is exact (0.0 + x); the final
     // double fold runs over the token-sorted list in both engines
     "q105_source_jsd" ->

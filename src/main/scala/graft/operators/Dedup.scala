@@ -471,6 +471,61 @@ object Dedup {
         (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Exact duplicate-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", §3 ExactSubstr): every
+    * OVERLAPPING k-token window whose content occurs at least `minCount`
+    * times in the corpus marks its token range as duplicated; a doc's
+    * overlapping marked ranges merge into maximal spans — the cut list
+    * an exact-substring dedup pass would remove. Unlike [[segmentDedup]]
+    * (non-overlapping segments, strike-everywhere) this is
+    * position-aware: it reports WHERE the duplicated run sits, with
+    * windows straddling a boilerplate boundary naturally excluded
+    * (their context differs per doc).
+    *
+    * Windows travel as 56-bit md5-derived hashes, not strings — the
+    * frequency shuffle carries 8 bytes/window instead of the window
+    * text (the paper's suffix array serves the same role: dedup at
+    * corpus scale without moving the text twice).
+    *
+    * Shape: one windowed-hash explode → frequency hash aggregate
+    * (map-side combined, hash-keyed) → equi-join of positions against
+    * the duplicated set → per-doc interval merge on the (doc)-keyed
+    * exchange ([[Temporal.mergeIntervals]]). No driver state; the only
+    * per-group ordering is a doc's own duplicated windows.
+    *
+    * Output: doc, span_id (1-based per doc, position order), start_tok /
+    * end_tok (inclusive 0-based token indices), n_windows (duplicated
+    * windows merged into the span). Adjacent-but-disjoint spans (gap of
+    * exactly k tokens' worth of unique content) stay separate. */
+  def duplicateSpans(df: DataFrame, idCol: String, text: Column,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    require(minCount >= 2, "minCount < 2 would mark every window")
+    val toks = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__w"))
+    val sh = toks.filter(size(col("__w")) >= k)
+      .select(col("doc"), explode(
+        transform(sequence(lit(0), size(col("__w")) - k), i =>
+          struct(i.cast(org.apache.spark.sql.types.LongType).as("pos"),
+            Hashing.hexLong(concat_ws(" ", slice(col("__w"), i + 1, lit(k))))
+              .as("h")))).as("__s"))
+      .select(col("doc"), col("__s.pos").as("pos"), col("__s.h").as("h"))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("h")
+    // no broadcast hint: the duplicated set is corpus-dependent (can be
+    // huge on a boilerplate-heavy crawl) — let the planner/AQE decide
+    val hits = sh.join(dup, "h")
+      .select(col("doc"), col("pos").as("__iv_s"),
+        (col("pos") + lit((k - 1).toLong)).as("__iv_e"))
+    Temporal.mergeIntervals(hits, "doc", "__iv_s", "__iv_e")
+      .select(col("doc"), col("island").as("span_id"),
+        col("window_start").as("start_tok"),
+        col("window_end").as("end_tok"),
+        col("n_intervals").as("n_windows"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (the
     * verify step after LSH banding): explode shingles, count
     * intersections via an equi-join on the shingle, divide by union. */

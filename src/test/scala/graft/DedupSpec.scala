@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(loose.forall(_._4 == 0L))
   }
 
+  test("duplicateSpans: cross-doc window, within-doc merge, two islands, clean docs absent") {
+    val docs = Seq(
+      // docs 1/2 share exactly one 5-gram "z a b c d" → one span [2,6]
+      (1L, "x y z a b c d e"),
+      (2L, "q r z a b c d w"),
+      // periodic doc: every window repeats (period 5) → ONE merged
+      // full-doc span covering all 11 windows
+      (3L, "m n o p q m n o p q m n o p q"),
+      // two separated duplicated runs → two distinct islands
+      (4L, "z a b c d u1 u2 u3 u4 u5 u6 z a b c d"),
+      // all-unique doc and a too-short doc → no output rows
+      (5L, "aa bb cc dd ee ff gg"),
+      (6L, "hh ii")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", col("text"), k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((1L, 1L)) == ((2L, 6L, 1L)))
+    assert(out((2L, 1L)) == ((2L, 6L, 1L)))
+    assert(out((3L, 1L)) == ((0L, 14L, 11L)))
+    assert(out((4L, 1L)) == ((0L, 4L, 1L)))
+    assert(out((4L, 2L)) == ((11L, 15L, 1L)))
+    assert(!out.keySet.exists { case (d, _) => d == 5L || d == 6L })
+    assert(out.size == 5)
+  }
+
   test("connectedComponents labels every doc with its cluster's min id") {
     // two chains (1-2-3 via shared middle, 4-5) and an isolated edge pair;
     // chain 1-2, 2-3 means 3 reaches 1 only transitively

@@ -1242,6 +1242,22 @@ object SparkEntry {
       TextAnalysis.sourceJsd(Tables.documents(s, d), "source", col("text"),
         vocabTop = 20)),
 
+    // predicate-filtered kNN: hard negatives for contrastive training —
+    // top-10 most-similar vectors whose SOURCE differs from the
+    // query's. The source attribute rides a co-keyed join (vec_id =
+    // doc_id); the mismatch predicate runs in the join condition, ahead
+    // of the fused cosine.
+    "q107_hard_negatives" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val corpus = Tables.embeddings(s, d)
+        .join(src, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      Similarity.filteredKnn(corpus, corpus.filter(col("vec_id") < 5), 10,
+        col("q.source") =!= col("c.source"))
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast(LongType).as("neg_rank"))
+    }),
+
     // exact duplicate-substring spans (Lee et al. 2022 ExactSubstr):
     // overlapping 5-token windows occurring >= 2 times in the corpus,
     // merged into per-doc cut spans. A shared 11-token boilerplate
@@ -2251,6 +2267,27 @@ object SparkEntry {
            round(CAST(coalesce(s3.dup, 0) AS DOUBLE) / d.n_chars, 6)
              AS dup3gram_frac
          FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+    // same cosine + null-skip contract as q31; the source-mismatch
+    // predicate filters candidates before ranking
+    "q107_hard_negatives" -> {
+      val cos = cosineSql("qe", "s.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         s AS (SELECT e.vec_id, e.emb, d.source FROM e
+               JOIN documents d ON e.vec_id = d.doc_id),
+         q AS (SELECT vec_id AS query_id, emb AS qe, source AS qsrc
+               FROM s WHERE vec_id < 5),
+         sim AS (SELECT query_id, s.vec_id AS neighbor_id,
+                 round($cos, 6) AS cos_sim
+                 FROM q, s WHERE query_id <> s.vec_id AND s.source <> qsrc),
+         r AS (SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+               FROM sim WHERE cos_sim IS NOT NULL)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS neg_rank
+         FROM r WHERE rn <= 10"""
+    },
+
     // windows cross as the shared 56-bit md5 hash; interval merge is
     // the q94 running-max window over integer token positions
     "q106_dup_spans" -> {

@@ -85,6 +85,26 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Predicate-filtered kNN — the metadata-constrained search behind
+    * hard-negative mining (top-k similar vectors from a DIFFERENT
+    * source/label) and any filtered-retrieval need. `keep` is a join
+    * predicate over the aliased sides (`q.*` = query row, `c.*` =
+    * corpus row) and runs IN the join condition: cheap attribute
+    * comparisons reject a candidate before the fused cosine in the
+    * projection ever runs (the q89 conjunct-order lesson), and the
+    * scored relation entering the bounded top-k is already
+    * filter-shrunk. Same zero-norm contract as [[bruteForceKnn]]:
+    * null cosines are out of the ranking. */
+  def filteredKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      keep: Column): DataFrame = {
+    val scored = Parallelism.ensure(corpus).as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id") && keep)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Sign-bit signature under `nBits` pseudo-random hyperplanes, via the
     * native fused-loop expression (graft.functions.LshBucketSig). The
     * hyperplanes are derived deterministically from md5 of

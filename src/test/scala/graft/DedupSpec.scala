@@ -594,6 +594,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filteredKnn: predicate excludes same-label candidates; true keeps brute-force") {
+    val labeled = corpus.withColumn("source",
+      concat(lit("s"), (col("vec_id") % 2).cast("string")))
+    val q = labeled.filter(col("vec_id") < 2)
+    val out = Similarity.filteredKnn(labeled, q, 5,
+      col("q.source") =!= col("c.source"))
+      .as[(Long, Long, Double, Int)].collect()
+    // every returned neighbor is cross-label (query parity != neighbor)
+    assert(out.nonEmpty && out.forall(r => r._1 % 2 != r._2 % 2))
+    // a tautological predicate reproduces bruteForceKnn exactly
+    val all = Similarity.filteredKnn(labeled, q, 5, lit(true))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceKnn(corpus,
+      corpus.filter(col("vec_id") < 2), 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(all == brute)
+  }
+
   test("lshNearDupPairs: identical vectors share every bucket and are always found") {
     // ids i and i+20 carry identical embeddings -> same bucket in every
     // table -> the pair must survive blocking, with cosine 1.0

@@ -175,4 +175,90 @@ class PropertySpec extends SparkSpec {
         assert(got == ref, s"k=$k rows=$rows")
       }
   }
+
+  test("duplicateSpans: spans disjoint, inside the doc, only over true dups") {
+    import graft.operators.TextAnalysis
+    val docGen = Gen.listOfN(12,
+      Gen.choose(0, 3).map(i => s"t$i")).map(_.mkString(" "))
+    samples(Gen.listOfN(6, docGen), 8).foreach { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val k = 3
+      val out = Dedup.duplicateSpans(df, "doc_id", col("text"), k)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // exact reference: window strings with a global count >= 2
+      val wins = rows.flatMap { case (id, t) =>
+        val w = t.split(" ")
+        (0 to w.length - k).map(i => (id, i, w.slice(i, i + k).mkString(" ")))
+      }
+      val dupSet = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val dupPos = wins.filter(w => dupSet(w._3))
+        .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).sorted }
+      out.groupBy(_._1).foreach { case (id, spans) =>
+        val n = rows.find(_._1 == id).get._2.split(" ").length
+        val sorted = spans.sortBy(_._3)
+        // inside the doc, ordered span ids, pairwise disjoint
+        assert(sorted.forall(s => s._3 >= 0 && s._4 <= n - 1 && s._3 <= s._4))
+        assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 < b._3)
+          case _ =>
+        }
+        // every duplicated window position is covered by some span and
+        // the span set covers nothing else
+        val covered = sorted.flatMap(s => s._3 to s._4).toSet
+        val expected = dupPos.getOrElse(id, Seq())
+          .flatMap(p => p.toLong to (p + k - 1).toLong).toSet
+        assert(covered == expected, s"doc $id texts=$texts")
+      }
+      assert(out.map(_._1).toSet == dupPos.keySet)
+    }
+  }
+
+  test("gopherRepetition: fractions bounded, zero iff no duplicate gram") {
+    import graft.operators.TextAnalysis
+    val docGen = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 4).map(i => s"w$i")).map(_.mkString(" ")))
+    samples(Gen.listOfN(5, docGen), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.gopherRepetition(df, "doc_id", col("text"))
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+      assert(out.length == texts.length)
+      out.foreach { r =>
+        val (id, top2, dup2) = (r._1, r._3, r._4)
+        assert(top2 >= 0 && dup2 >= 0 && r._5 >= 0 && r._6 >= 0)
+        // dup mass only when some bigram repeats; top covers at most all
+        // occurrences of one gram
+        val w = texts(id.toInt).split(" ")
+        val hasDup2 = w.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq
+          .groupBy(identity).exists(_._2.size > 1)
+        assert((dup2 > 0) == (w.length >= 2 && hasDup2),
+          s"doc $id '${texts(id.toInt)}'")
+        if (w.length >= 2) assert(top2 > 0)
+      }
+    }
+  }
+
+  test("sourceJsd: bounded in [0, ln 2], ordered pairs, complete pair set") {
+    import graft.operators.TextAnalysis
+    val srcGen = for {
+      src <- Gen.oneOf("sa", "sb", "sc")
+      toks <- Gen.nonEmptyListOf(Gen.choose(0, 5).map(i => s"v$i"))
+    } yield (src, toks.mkString(" "))
+    samples(Gen.listOfN(9, srcGen), 8).foreach { rows =>
+      val df = rows.toDF("source", "text")
+      val out = TextAnalysis.sourceJsd(df, "source", col("text"), 100)
+        .as[(String, String, Long, Double)].collect()
+      val ln2 = math.log(2.0) + 1e-9
+      out.foreach { r =>
+        assert(r._1 < r._2, "pairs are ordered once")
+        assert(r._4 >= 0.0 && r._4 <= ln2, s"jsd out of range: $r")
+      }
+      // pair count = C(#sources with >= 1 token, 2)
+      val s = rows.map(_._1).distinct.size
+      assert(out.length == s * (s - 1) / 2)
+    }
+  }
 }

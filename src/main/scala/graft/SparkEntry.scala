@@ -1242,6 +1242,22 @@ object SparkEntry {
       TextAnalysis.sourceJsd(Tables.documents(s, d), "source", col("text"),
         vocabTop = 20)),
 
+    // word2vec negative-sampling table: unigram^0.75 draw weights in
+    // exact integer milli-units (order-independent normalizer), shares
+    // against the integer total
+    "q108_neg_sampling" -> ((s, d) =>
+      TextAnalysis.negativeSamplingWeights(Tables.documents(s, d),
+        col("text"), topK = 50)),
+
+    // percentile winsorization of event values per type: p05/p95 fences
+    // from the histogram-selection quantile pass, broadcast back, clamp
+    // in one narrow map — outlier clipping before feature scaling
+    "q109_winsorize" -> ((s, d) =>
+      Quantiles.winsorize(Tables.events(s, d), Seq("event_type"),
+        col("value"), "event_id", 0.05, 0.95, width = 1.0)
+        .select(col("id").as("event_id"), col("event_type"), col("value"),
+          col("value_clipped"), col("is_clipped"))),
+
     // predicate-filtered kNN: hard negatives for contrastive training —
     // top-10 most-similar vectors whose SOURCE differs from the
     // query's. The source attribute rides a co-keyed join (vec_id =
@@ -2267,6 +2283,35 @@ object SparkEntry {
            round(CAST(coalesce(s3.dup, 0) AS DOUBLE) / d.n_chars, 6)
              AS dup3gram_frac
          FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+    // sqrt-composed c^0.75 (no pow), integer weight units, integer total
+    "q108_neg_sampling" ->
+      """WITH uc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents) GROUP BY 1),
+         w AS (SELECT token, n_occurrences,
+               CAST(floor(sqrt(CAST(n_occurrences AS DOUBLE)
+                 * sqrt(CAST(n_occurrences AS DOUBLE))) * 1000.0) AS BIGINT)
+                 AS weight_units FROM uc),
+         t AS (SELECT CAST(sum(weight_units) AS BIGINT) AS tw FROM w)
+         SELECT token, n_occurrences, weight_units,
+           round(CAST(weight_units AS DOUBLE) / tw, 6) AS sample_share
+         FROM w CROSS JOIN t
+         ORDER BY n_occurrences DESC, token LIMIT 50""",
+    // quantile_cont fences bit-match the histogram-selection pass (the
+    // q96 parity result), so clipping crosses without any tolerance
+    "q109_winsorize" ->
+      """WITH f AS (SELECT event_type,
+           quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+           quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT event_id, e.event_type, CAST(value AS DOUBLE) AS value,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(greatest(CAST(value AS DOUBLE), lo), hi)
+           END AS value_clipped,
+           coalesce(CAST(value AS DOUBLE) < lo
+             OR CAST(value AS DOUBLE) > hi, false) AS is_clipped
+         FROM events e JOIN f USING (event_type)""",
+
     // same cosine + null-skip contract as q31; the source-mismatch
     // predicate filters candidates before ranking
     "q107_hard_negatives" -> {

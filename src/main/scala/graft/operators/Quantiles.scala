@@ -262,4 +262,37 @@ object Quantiles {
         (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
         col("n"))
   }
+
+  /** Percentile winsorization (outlier clipping before normalization /
+    * feature scaling): clamp `value` into its group's
+    * [pLo, pHi] quantile fences. Fences come from the histogram-selection
+    * quantile pass ([[quantileContBucketed]] — no per-group value
+    * buffers, no corpus window) and broadcast back onto the corpus, so
+    * the data crosses once plus the candidate scan: the [[madOutliers]]
+    * shape, whose spec established that the interpolated fences are
+    * bit-identical to `quantile_cont` in DuckDB — clipping needs no
+    * rounding tolerance. NULL values pass through unclipped (clipped
+    * value NULL, is_clipped false); groups whose fences don't exist
+    * (all-NULL values) drop with the inner fence join in both engines.
+    *
+    * Output: the group columns + `value`, `value_clipped`, `is_clipped`
+    * plus `id` (the caller's row identity column). */
+  def winsorize(df: DataFrame, grp: Seq[String], value: Column,
+      idCol: String, pLo: Double, pHi: Double, width: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, "need 0 <= pLo < pHi <= 1")
+    val base = df.select(
+      (col(idCol).as("id") +: grp.map(col)) :+ value.cast(DoubleType).as("value"): _*)
+    val fences = quantileContBucketed(base, grp,
+      Seq(("w", col("value"), width, Seq(("__lo", pLo), ("__hi", pHi)))))
+    // least/greatest IGNORE nulls (both engines), which would clamp a
+    // NULL value to the low fence — guard so NULL rides through as NULL
+    val clipped = when(col("value").isNull, lit(null).cast(DoubleType))
+      .otherwise(least(greatest(col("value"), col("__lo")), col("__hi")))
+    base.join(broadcast(fences), grp)
+      .select((col("id") +: grp.map(col)) ++ Seq(
+        col("value"),
+        clipped.as("value_clipped"),
+        coalesce(col("value") < col("__lo") || col("value") > col("__hi"),
+          lit(false)).as("is_clipped")): _*)
+  }
 }

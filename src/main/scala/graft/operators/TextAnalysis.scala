@@ -879,6 +879,35 @@ object TextAnalysis {
           .cast(DoubleType) / col("n_chars"), 6).as(s"dup${n}gram_frac"))): _*)
   }
 
+  /** Word2vec-style negative-sampling weight table: every token's
+    * unigram-count^0.75 draw weight (Mikolov et al. 2013 §2.2 — the
+    * smoothing that keeps frequent tokens from dominating the negative
+    * draw), scaled to exact integer milli-units so the corpus-wide
+    * normalizer is an order-independent integer sum — a double weight
+    * sum would depend on partial-aggregation order and break the hash
+    * gate. c^0.75 is computed as sqrt(c·sqrt(c)): IEEE sqrt is
+    * correctly-rounded in every engine, `pow` is not (the q73 lesson).
+    *
+    * Shape: one token hash aggregate, a 1-row broadcast total, a
+    * bounded TakeOrdered for the top slice — no windows, no driver
+    * state. */
+  def negativeSamplingWeights(df: DataFrame, text: Column,
+      topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val uc = Parallelism.ensure(df.select(text.as("__t")))
+      .select(explode(tokens(col("__t"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+    val c = col("n_occurrences").cast(DoubleType)
+    val weighted = uc.withColumn("weight_units",
+      floor(sqrt(c * sqrt(c)) * 1000.0).cast(LongType))
+    val tot = weighted.agg(sum(col("weight_units")).as("__tw"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("token"), col("n_occurrences"), col("weight_units"),
+        round(col("weight_units").cast(DoubleType) / col("__tw"), 6)
+          .as("sample_share"))
+      .orderBy(col("n_occurrences").desc, col("token")).limit(topK)
+  }
+
   /** Jensen–Shannon divergence between the token distributions of every
     * pair of corpus slices (sources) — the drift/contamination statistic
     * behind mixture re-weighting decisions. Distributions are restricted

@@ -298,6 +298,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(99L) == ((99L, 3L, 3L, 7L)))
   }
 
+  test("negativeSamplingWeights: c^0.75 milli-units, exact shares, topK order") {
+    val docs = Seq("a a a a a a a a a a a a a a a a", "b c").toDF("text")
+    val out = TextAnalysis.negativeSamplingWeights(docs, col("text"), topK = 2)
+      .select("token", "n_occurrences", "weight_units", "sample_share")
+      .as[(String, Long, Long, Double)].collect()
+    // a:16 -> 16^0.75 = 8 -> 8000 units; b,c:1 -> 1000 units each;
+    // total 10000. topK=2 keeps a plus the lexicographic tie-winner b.
+    assert(out.toSeq == Seq(
+      ("a", 16L, 8000L, 0.8), ("b", 1L, 1000L, 0.1)))
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",
@@ -789,6 +800,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out("a") == (("a", 3.0, 1.0, 5L, 1L)))
     // b: constant group -> mad 0, fence 0, strict > keeps zero outliers
     assert(out("b") == (("b", 10.0, 0.0, 4L, 0L)))
+  }
+
+  test("winsorize: clamps to quantile fences, nulls pass through unclipped") {
+    import graft.operators.Quantiles
+    val df = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 0.0), (2L, "a", 10.0), (3L, "a", 20.0), (4L, "a", 30.0),
+      (5L, "a", 40.0), (6L, "a", 50.0), (7L, "a", 60.0), (8L, "a", 70.0),
+      (9L, "a", 80.0), (10L, "a", 90.0), (11L, "a", 1000.0),
+      (12L, "a", null)
+    ).toDF("id", "g", "v")
+    val out = Quantiles.winsorize(df, Seq("g"), col("v"), "id",
+        pLo = 0.10, pHi = 0.90, width = 10.0)
+      .select("id", "value", "value_clipped", "is_clipped")
+      .as[(Long, Option[Double], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // 11 non-null values: p10 = 10.0, p90 = 90.0 (exact rank positions)
+    assert(out(1L) == ((1L, Some(0.0), Some(10.0), true)))     // below lo
+    assert(out(2L) == ((2L, Some(10.0), Some(10.0), false)))   // at fence
+    assert(out(6L) == ((6L, Some(50.0), Some(50.0), false)))   // interior
+    assert(out(10L) == ((10L, Some(90.0), Some(90.0), false))) // at fence
+    assert(out(11L) == ((11L, Some(1000.0), Some(90.0), true)))// above hi
+    assert(out(12L) == ((12L, None, None, false)))             // null rides
+    assert(out.size == 12)
   }
 
   test("quantileCont matches percentile() exactly, incl. ties; nulls ignored") {

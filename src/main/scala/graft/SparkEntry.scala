@@ -1258,6 +1258,27 @@ object SparkEntry {
         .select(col("id").as("event_id"), col("event_type"), col("value"),
           col("value_clipped"), col("is_clipped"))),
 
+    // cohort retention matrix: users cohorted by first-activity day,
+    // cells count actives at each day offset — the corpus collapses to
+    // the distinct (user, day) table before anything else touches it
+    "q110_cohort_retention" -> ((s, d) =>
+      Temporal.cohortRetention(Tables.events(s, d), "user_id", "ts",
+        bucketDays = 1)),
+
+    // per-node triangle counts on the (undirected) co-purchase graph —
+    // compact-forward degree ordering caps wedge fan-out at sqrt(m);
+    // the oracle's naive id-ordering must count identically
+    "q111_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      Graph.triangleCounts(e, "src", "dst")
+        .select(col("node").as("l_partkey"), col("degree"),
+          col("n_triangles"))
+    }),
+
     // predicate-filtered kNN: hard negatives for contrastive training —
     // top-10 most-similar vectors whose SOURCE differs from the
     // query's. The source attribute rides a co-keyed join (vec_id =
@@ -2311,6 +2332,43 @@ object SparkEntry {
            coalesce(CAST(value AS DOUBLE) < lo
              OR CAST(value AS DOUBLE) > hi, false) AS is_clipped
          FROM events e JOIN f USING (event_type)""",
+
+    // date-diff day index in exact integers; both sides floor-divide
+    // non-negative day counts (Spark div == DuckDB //)
+    "q110_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 1 AS b
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT u, min(b) AS fb FROM a GROUP BY 1),
+         cs AS (SELECT fb AS cohort_bucket,
+           CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+         r AS (SELECT fb AS cohort_bucket, b - fb AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+           FROM a JOIN f USING (u) GROUP BY 1, 2)
+         SELECT cohort_bucket, bucket_offset, n_active, cohort_size,
+           round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+         FROM r JOIN cs USING (cohort_bucket)""",
+
+    // naive a<b<c enumeration — ordering-invariant exact counts are
+    // the cross-check on the engine's degree-ordered direction
+    "q111_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT
+           least(a.l_partkey, b.l_partkey) AS a,
+           greatest(a.l_partkey, b.l_partkey) AS b
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+           (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+           GROUP BY 1),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+           JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+           (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t) GROUP BY 1)
+         SELECT deg.node AS l_partkey, degree,
+           coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+         FROM deg LEFT JOIN pn USING (node)""",
 
     // same cosine + null-skip contract as q31; the source-mismatch
     // predicate filters candidates before ranking

@@ -110,4 +110,93 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_unit"))
   }
+
+  /** Per-node triangle counts on an undirected graph (edge list in
+    * either/both directions; duplicates and self-loops collapse). The
+    * local clustering signal behind community/cohesion analysis — the
+    * counting tier next to [[pageRank]]'s ranking and
+    * [[Dedup.connectedComponents]]' clustering.
+    *
+    * Algorithm: compact-forward edge iterator (Latapy 2008). Each
+    * undirected edge is DIRECTED from its lower to its higher endpoint
+    * under the total order (degree, id), then each node's FORWARD
+    * neighbor set is collected as one sorted array and every directed
+    * edge (u,v) emits `N⁺(u) ∩ N⁺(v)` — each triangle surfaces exactly
+    * once, at its minimum corner's edge, WITH its third corner, so all
+    * three credits come from one intersection. The scale property is
+    * the degree ordering: a node with forward-degree k has k forward
+    * neighbors of degree ≥ k each, so k ≤ √(2m) for ANY graph — forward
+    * adjacency rows are √(2m)-bounded even at a 10⁸-degree hub (where
+    * an id-ordering would build a deg-sized row and a deg²-sized
+    * fan-out), and total intersection work is O(m^1.5). Count equality
+    * against the naive id-ordering is what the oracle checks (its SQL
+    * enumerates a<b<c).
+    *
+    * Plan: canonical-edge distinct and the directed edge table are each
+    * materialized ONCE via pinned `localCheckpoint` (the [[pageRank]]
+    * pattern — both are consumed by multiple downstream subplans, and
+    * lazily composed the whole derivation would re-run for each).
+    * Forward adjacency is an exchange-free aggregate on the directed
+    * table's pinned `u` layout; the |V|-sized degree and adjacency
+    * attaches broadcast only below `broadcastMaxEdges` measured edges
+    * (else plain co-hashed shuffle joins, correct at any scale). The
+    * intersection itself is a narrow per-row merge — no wedge table
+    * ever materializes (Σd⁺² rows ≫ m; the earlier wedge-join form
+    * measured 41M wedge rows against 1.2M edges at sf0.1). Isolated
+    * and triangle-free nodes report 0 via the left join back onto the
+    * node set. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastMaxEdges: Long = 5000000L): DataFrame = {
+    require(broadcastMaxEdges >= 0L)
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // canonical undirected edge (a < b), NULLs and self-loops dropped
+    val e0 = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    val canon = GraftShims.checkpointHashPartitioned(
+      e0.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct(),
+      p, "a")
+    // the broadcast gate reads an eager count — a scalar, and this
+    // operator is already eager through its checkpoints
+    val gate: DataFrame => DataFrame =
+      if (canon.count() <= broadcastMaxEdges) broadcast else identity
+    // undirected degree: |V|-sized from here on
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // direct each edge low->high under (degree, id)
+    val attached = canon
+      .join(gate(deg.select(col("node").as("a"), col("d").as("da"))), "a")
+      .join(gate(deg.select(col("node").as("b"), col("d").as("db"))), "b")
+    val low = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val fwd = GraftShims.checkpointHashPartitioned(
+      attached.select(
+        when(low, col("a")).otherwise(col("b")).as("u"),
+        when(low, col("b")).otherwise(col("a")).as("v")),
+      p, "u")
+    // forward adjacency: one array per node, sorted by id so the
+    // per-edge intersection is a merge of two sorted runs; every row
+    // bounded at sqrt(2m) elements by the degree ordering
+    val adjF = fwd.groupBy("u")
+      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    // each directed edge meets both endpoints' forward sets; the
+    // intersection members are the triangles' third corners
+    val tris = fwd
+      .join(gate(adjF.select(col("u"), col("nbrs").as("__nu"))), Seq("u"))
+      .join(gate(adjF.select(col("u").as("v"), col("nbrs").as("__nv"))),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("w"))
+    // each triangle credits all three corners; left join keeps 0-nodes
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__t"))
+    deg.select(col("node"), col("d").as("degree"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -368,4 +368,48 @@ object Temporal {
         floor((col("session_end_us") - col("session_start_us")) / 1000000L)
           .cast(org.apache.spark.sql.types.LongType))
   }
+
+  /** Cohort retention matrix — the product-analytics staple: users are
+    * cohorted by the bucket of their FIRST activity (bucket = calendar
+    * day index since epoch, integer-divided by `bucketDays`), and each
+    * cell counts how many of a cohort's users were active `offset`
+    * buckets later. `retention` is the cell count over the cohort size,
+    * a single exact decimal division (offset 0 is 1.0 by construction).
+    *
+    * Scale shape: the corpus collapses immediately to the DISTINCT
+    * (user, bucket) activity table — everything after is user-count-
+    * sized. First-bucket extraction is a second groupBy on the SAME
+    * user-hashed exchange (no window), the activity⋈first join is
+    * co-partitioned on user, and cohort sizes re-aggregate the first
+    * table (cohort-count-sized, broadcast back). A billion-event user
+    * contributes one row per bucket; no per-user state anywhere.
+    *
+    * NULL user or timestamp rows are not attributable activity and are
+    * dropped up front. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      bucketDays: Int = 7): DataFrame = {
+    require(bucketDays >= 1, "bucketDays must be >= 1")
+    // day index is non-negative for any post-1970 corpus, so Spark's
+    // `div` and the oracle's `//` agree (both floor; both exact longs)
+    val activity = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        (datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+          .cast(org.apache.spark.sql.types.LongType)).as("__day"))
+      .select(col("__u"), expr(s"__day div $bucketDays").as("__b"))
+      .distinct()
+    val first = activity.groupBy("__u").agg(min(col("__b")).as("__fb"))
+    val cohortSize = first.groupBy("__fb")
+      .agg(count(lit(1)).as("cohort_size"))
+      .withColumnRenamed("__fb", "cohort_bucket")
+    activity.join(first, "__u")
+      .groupBy(col("__fb").as("cohort_bucket"),
+        (col("__b") - col("__fb")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), "cohort_bucket")
+      .select(col("cohort_bucket"), col("bucket_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast(org.apache.spark.sql.types.DoubleType) /
+          col("cohort_size"), 6).as("retention"))
+  }
 }

@@ -41,6 +41,65 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - U) < 100L, r.toString)
   }
 
+  test("triangleCounts: hand-checked K4 plus pendant; dup/reversed edges collapse") {
+    // K4 on {1,2,3,4} = 4 triangles, each node in 3; node 5 pendant off
+    // 4 (degree 1, zero triangles). Edges arrive duplicated + reversed.
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 5L), (5L, 4L))).toDF("s", "d")
+    val out = Graph.triangleCounts(edges, "s", "d")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)),
+      4L -> ((4L, 3L)), 5L -> ((1L, 0L))))
+  }
+
+  test("triangleCounts: triangle-free graph reports zeros; self-loops/nulls dropped") {
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (3L, 4L),     // path: no triangles
+      (2L, 2L),                          // self-loop ignored
+      (null, 1L), (3L, null)             // null endpoints ignored
+    ).toDF("s", "d")
+    val out = Graph.triangleCounts(edges, "s", "d")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L)),
+      3L -> ((2L, 0L)), 4L -> ((1L, 0L))))
+  }
+
+  test("triangleCounts: hub graph matches brute-force enumeration") {
+    // hub 0 connected to 1..8, plus ring edges among spokes — exercises
+    // the degree-ordering (hub has max degree, must not explode wedges)
+    val spokes = (1L to 8L).map(i => (0L, i))
+    val ring = (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1L))
+    val all = spokes ++ ring
+    val out = Graph.triangleCounts(all.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // brute force over the undirected edge set
+    val es = all.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val ns = es.map(_._1).toSeq.sorted
+    val tris = for {
+      a <- ns; b <- ns if a < b && es((a, b))
+      c <- ns if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    val expect = ns.map(n =>
+      n -> tris.count(t => t._1 == n || t._2 == n || t._3 == n).toLong).toMap
+    assert(out == expect)
+  }
+
+  test("triangleCounts shuffle-join path (gate=0) matches the broadcast path") {
+    val edges = ((1L to 4L).flatMap(a => (1L to 4L).collect {
+      case b if a != b => (a, b)
+    }) ++ Seq((4L, 5L), (5L, 6L), (6L, 4L))).toDF("s", "d")
+    val viaBroadcast = Graph.triangleCounts(edges, "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaShuffle = Graph.triangleCounts(edges, "s", "d",
+        broadcastMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("pageRank shuffle-join path (gate=0) is bit-identical to the broadcast path") {
     // the size gate must be a pure optimization: forcing the
     // co-partitioned shuffle plan may never change a single rank bit

@@ -10,6 +10,47 @@ class TemporalSpec extends SparkSpec {
 
   def ts(s: String) = Timestamp.valueOf(s)
 
+  test("cohortRetention: daily cohorts, offsets, exact rates; nulls dropped") {
+    val ev = Seq[(java.lang.Long, Timestamp)](
+      // cohort day 0 (2024-01-01): users 1,2 — both return day 1,
+      // only user 1 returns day 2; duplicate same-day events collapse
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 17:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      // cohort day 1: user 3 never returns
+      (3L, ts("2024-01-02 12:00:00")),
+      // unattributable rows
+      (null, ts("2024-01-01 00:00:00")), (4L, null)
+    ).toDF("user_id", "ts")
+    val out = Temporal.cohortRetention(ev, "user_id", "ts", bucketDays = 1)
+      .select("cohort_bucket", "bucket_offset", "n_active", "cohort_size",
+        "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val d0 = 19723L // days from 1970-01-01 to 2024-01-01
+    assert(out == Map(
+      (d0, 0L) -> ((2L, 2L, 1.0)),
+      (d0, 1L) -> ((2L, 2L, 1.0)),
+      (d0, 2L) -> ((1L, 2L, 0.5)),
+      (d0 + 1, 0L) -> ((1L, 1L, 1.0))))
+  }
+
+  test("cohortRetention: weekly buckets fold days; offset 0 is always 1.0") {
+    // epoch-anchored buckets: day 19719 (2023-12-28) starts bucket 2817,
+    // so Jan 1 and Jan 3 share a bucket and Jan 6 opens the next one
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")),  // bucket 2817
+      (1L, ts("2024-01-03 09:00:00")),  // same bucket
+      (1L, ts("2024-01-06 09:00:00")),  // bucket 2818
+      (2L, ts("2024-01-02 09:00:00"))   // bucket 2817, never returns
+    ).toDF("user_id", "ts")
+    val out = Temporal.cohortRetention(ev, "user_id", "ts", bucketDays = 7)
+      .select("bucket_offset", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)))
+  }
+
   test("asofJoin attaches latest right row at-or-before, per key") {
     val trades = Seq(
       (1L, "A", ts("2024-01-01 10:00:05")),

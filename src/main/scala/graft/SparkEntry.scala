@@ -1279,6 +1279,14 @@ object SparkEntry {
           col("n_triangles"))
     }),
 
+    // sparse 3-gram cosine top-pairs through the inverted-index join —
+    // the lexical near-dup scorer next to the embedding tier; df band
+    // [2, 50] caps per-term pair fan-out (and is part of the score's
+    // definition, mirrored in the oracle)
+    "q112_sparse_cosine" -> ((s, d) =>
+      TextAnalysis.sparseCosinePairs(Tables.documents(s, d), "doc_id",
+        col("text"), ngram = 3, maxDf = 50, topK = 50)),
+
     // predicate-filtered kNN: hard negatives for contrastive training —
     // top-10 most-similar vectors whose SOURCE differs from the
     // query's. The source attribute rides a co-keyed join (vec_id =
@@ -2369,6 +2377,36 @@ object SparkEntry {
          SELECT deg.node AS l_partkey, degree,
            coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
          FROM deg LEFT JOIN pn USING (node)""",
+
+    // integer tf dot products and norms; round before ORDER BY so both
+    // engines rank the same ties, (doc_a, doc_b) breaks the rest
+    "q112_sparse_cosine" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc, CASE WHEN len(w) >= 3
+           THEN [array_to_string(w[i+1:i+3], ' ')
+                 for i in range(0, len(w) - 2)]
+           ELSE [] END AS terms FROM toks),
+         tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc, unnest(terms) AS term FROM sh) GROUP BY 1, 2),
+         dfc AS (SELECT term FROM
+           (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           WHERE df BETWEEN 2 AND 50),
+         kept AS (SELECT tf.doc, tf.term, tf.tf FROM tf JOIN dfc USING (term)),
+         norms AS (SELECT doc, CAST(sum(tf * tf) AS BIGINT) AS n2
+           FROM kept GROUP BY 1),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+           FROM kept a JOIN kept b ON a.term = b.term AND a.doc < b.doc
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, dot,
+           round(CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+             AS cosine
+         FROM pairs
+         JOIN norms na ON pairs.doc_a = na.doc
+         JOIN norms nb ON pairs.doc_b = nb.doc
+         ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""",
 
     // same cosine + null-skip contract as q31; the source-mismatch
     // predicate filters candidates before ranking

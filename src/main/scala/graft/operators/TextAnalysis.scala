@@ -290,6 +290,69 @@ object TextAnalysis {
       .limit(topTokens)
   }
 
+  /** Top-k most-similar document pairs by sparse n-gram cosine over an
+    * inverted-index join — the lexical twin of the dense-embedding
+    * near-dup tier ([[Similarity]]), for corpora whose vectors are term
+    * counts (vocab-dimensional, so dense kernels don't apply). Terms
+    * are overlapping word `ngram`s counted WITH multiplicity (unigrams
+    * are legal but degenerate on a small-vocabulary corpus — every
+    * token is a stopword; n-grams carry the specificity, the same
+    * reason MinHash shingles at k≥3).
+    *
+    * Determinism: term frequencies are exact longs, so the pair dot
+    * product and the norm sums are order-independent integer sums; the
+    * only doubles are one sqrt/division per output row (IEEE-exact on
+    * integer inputs) rounded BEFORE the final ordering — no tolerance
+    * anywhere, same contract as [[bm25]].
+    *
+    * Scale shape: the index keeps only terms with document frequency in
+    * [2, maxDf] — df=1 terms cannot pair (dropping them is pure
+    * pruning) and hotter terms have C(df,2) pair fan-out (the [[Dedup]]
+    * `maxBucket` lesson: an uncapped hot term is a quadratic blowup;
+    * the cap is part of the operator's DEFINITION — cosine in the
+    * banded term space, identical docs still score 1.0 — and mirrors
+    * in the oracle). The tf table is checkpointed hash-partitioned on
+    * term ONCE, so the df aggregate, the band join, and BOTH sides of
+    * the pair self-join are exchange-free on the pinned layout (the
+    * banded index is checkpointed again with the layout claimed — it
+    * feeds three consumers); the per-doc norm aggregate and the two
+    * norm attaches move only index- and pair-sized data. Final top-k
+    * is a bounded TakeOrdered, never a corpus sort. */
+  def sparseCosinePairs(df: DataFrame, idCol: String, text: Column,
+      ngram: Int = 3, maxDf: Int = 50, topK: Int = 50): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    require(maxDf >= 2, "maxDf must be >= 2")
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.GraftShims
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"),
+        explode(ngramsOf(tokens(col("__t")), ngram)).as("term"))
+    val tf = GraftShims.checkpointHashPartitioned(
+      ex.groupBy("term", "doc").agg(count(lit(1)).as("tf")), p, "term")
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("term")
+    val kept = GraftShims.checkpointClaimHashPartitioned(
+      tf.join(dfc, "term"), p, "term")
+    val norms = kept.groupBy("doc").agg(sum(col("tf") * col("tf")).as("__n2"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    pairs
+      .join(norms.select(col("doc").as("doc_a"), col("__n2").as("__na")),
+        "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("__n2").as("__nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot").cast(DoubleType) /
+          (sqrt(col("__na").cast(DoubleType)) *
+            sqrt(col("__nb").cast(DoubleType))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
   /** Adjacent-token bigram statistics with pointwise mutual information —
     * the collocation/phrase-mining step of tokenizer and data-mixing
     * prep: `pmi(a,b) = ln(N · c_ab / (c_a · c_b))` over corpus counts,

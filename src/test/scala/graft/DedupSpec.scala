@@ -309,6 +309,23 @@ class TextAnalysisSpec extends SparkSpec {
       ("a", 16L, 8000L, 0.8), ("b", 1L, 1000L, 0.1)))
   }
 
+  test("sparseCosinePairs: hand-checked 3-gram cosines, df=1 terms prune, topK cuts") {
+    val docs = Seq(
+      (1L, "a b c d"),     // grams: "a b c", "b c d"
+      (2L, "a b c d"),     // identical -> cosine 1.0 with doc 1
+      (3L, "a b c x"),     // shares "a b c"; "b c x" is df=1 (pruned)
+      (4L, "z z z z z"),   // "z z z" x3
+      (5L, "z z z z")      // "z z z" x2 -> colinear with doc 4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(docs, "doc_id", col("text"),
+        ngram = 3, maxDf = 50, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // norms: d1=d2=2, d3=1, d4=9, d5=4; dots: (1,2)=2, (1,3)=(2,3)=1,
+    // (4,5)=6. Ties order by (doc_a, doc_b); topK=3 cuts one 0.707107.
+    assert(out == Seq(
+      (1L, 2L, 2L, 1.0), (4L, 5L, 6L, 1.0), (1L, 3L, 1L, 0.707107)))
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",

@@ -1279,6 +1279,23 @@ object SparkEntry {
           col("n_triangles"))
     }),
 
+    // hierarchical rollup: revenue at (region, nation) / (region) /
+    // grand-total levels in ONE aggregation pass (Expand, not three
+    // jobs); grouping_id disambiguates rolled NULLs from data NULLs
+    // and shares the bitmask convention with the oracle's GROUPING()
+    "q113_rollup_revenue" -> ((s, d) => {
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast(LongType).as("level"),
+          count(lit(1)).as("n_orders"),
+          fromCents(sum(cents(col("o_totalprice"))), 2).as("revenue"))
+        .select("r_name", "n_name", "level", "n_orders", "revenue")
+    }),
+
     // sparse 3-gram cosine top-pairs through the inverted-index join —
     // the lexical near-dup scorer next to the embedding tier; df band
     // [2, 50] caps per-term pair fan-out (and is part of the score's
@@ -2377,6 +2394,19 @@ object SparkEntry {
          SELECT deg.node AS l_partkey, degree,
            coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
          FROM deg LEFT JOIN pn USING (node)""",
+
+    // exact decimal money at every grouping level (the q13 contract);
+    // GROUPING() bitmask matches grouping_id (first arg = MSB)
+    "q113_rollup_revenue" ->
+      """SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
 
     // integer tf dot products and norms; round before ORDER BY so both
     // engines rank the same ties, (doc_a, doc_b) breaks the rest

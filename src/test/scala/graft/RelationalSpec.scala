@@ -273,6 +273,24 @@ class RelationalSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("rollup levels: children sum to parents, grouping_id separates rolled NULLs") {
+    // the q113 shape on a fixture with a DATA NULL region name — the
+    // grouping_id bit is what keeps it distinct from the rolled-up rows
+    val df = Seq(
+      (Some("EU"), "DE", 10L), (Some("EU"), "FR", 20L),
+      (Some("AS"), "JP", 5L), (None, "??", 2L)
+    ).toDF("r", "n", "v")
+    val out = df.rollup(col("r"), col("n"))
+      .agg(grouping_id().as("level"), sum(col("v")).as("s"))
+      .as[(Option[String], Option[String], Long, Long)].collect()
+    val byKey = out.map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(byKey((Some("EU"), None, 1L)) == 30L)      // region subtotal
+    assert(byKey((None, None, 3L)) == 37L)            // grand total
+    assert(byKey((None, Some("??"), 0L)) == 2L)       // data NULL, level 0
+    assert(byKey((None, None, 1L)) == 2L)             // data-NULL subtotal
+    assert(out.length == 4 + 3 + 1)
+  }
+
   test("chunkTokens: strided windows cover all tokens; overlap = width - stride") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet corpus (TESTDATA.md).
   *
@@ -27,16 +27,35 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * natively; sessions set `spark.sql.legacy.parquet.nanosAsLong` and this
-    * loader floors nanos to microsecond timestamps — the same truncation
-    * DuckDB applies reading the file. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** `events.ts` has shipped in two parquet shapes across corpus
+    * re-materializations, and both normalize to session-UTC TIMESTAMP here
+    * so every downstream consumer (epoch arithmetic, `date_format`
+    * oracle crossings, streaming `withWatermark`) sees ONE type:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 refuses natively; sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong` and this loader floors
+    *     nanos to microsecond timestamps — the same truncation DuckDB
+    *     applies reading the file.
+    *   - timestamp[us] with no zone: Spark reads TIMESTAMP_NTZ, which
+    *     `withWatermark` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    *     Sessions run with `spark.sql.session.timeZone=UTC`, so the
+    *     NTZ→TIMESTAMP cast reinterprets the same wall-clock instant in
+    *     UTC — bit-identical micros, identical formatted strings.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTime(load(s, d, "events"))
+
+  /** Normalize either historical `ts` shape (nanos-as-long, NTZ micros)
+    * to TIMESTAMP. Shared by the batch loader and the streaming source so
+    * the two paths cannot drift. */
+  def normalizeEventTime(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

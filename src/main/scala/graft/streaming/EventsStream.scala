@@ -19,13 +19,14 @@ import org.apache.spark.sql.Row
 object EventsStream {
 
   /** File-source stream of events rows (schema fixed from a sample batch
-    * read — streaming sources require explicit schemas). */
+    * read — streaming sources require explicit schemas). Event time is
+    * normalized via [[graft.Tables.normalizeEventTime]]: both historical
+    * corpus shapes (nanos-as-long, NTZ micros) become session-UTC
+    * TIMESTAMP, which `withWatermark` requires — an NTZ event-time column
+    * throws EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE at analysis. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    val raw = spark.readStream.schema(schema).parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeEventTime(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Tumbling-window counts with a watermark: the streaming twin of the

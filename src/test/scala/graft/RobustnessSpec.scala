@@ -283,6 +283,37 @@ class RobustnessSpec extends SparkSpec {
       "s", "d", 2).count() == 0)
   }
 
+  test("event-time contract: every corpus shape loads ts as TIMESTAMP with identical micros") {
+    import org.apache.spark.sql.types._
+    // (a) both historical parquet shapes normalize to the same instants:
+    // nanos-as-long (legacy corpus) and NTZ micros (2026-08 corpus)
+    val micros = Seq(1700000000000000L, 1700000123456789L)
+    val asLong = micros.map(_ * 1000L).toDF("ts") // nanos as long
+    val asNtz = spark.createDataFrame(
+      java.util.Arrays.asList(micros.map(us =>
+        org.apache.spark.sql.Row(java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC))): _*),
+      StructType(Seq(StructField("ts", TimestampNTZType))))
+    val fromLong = Tables.normalizeEventTime(asLong)
+    val fromNtz = Tables.normalizeEventTime(asNtz)
+    assert(fromLong.schema("ts").dataType == TimestampType)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    val toMicros = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(unix_micros(col("ts"))).as[Long].collect().toSeq.sorted
+    assert(toMicros(fromLong) == micros)
+    assert(toMicros(fromNtz) == micros, "NTZ cast under a UTC session must be bit-identical")
+    // (b) pin the live corpus: every scale dir must load as TIMESTAMP so a
+    // re-materialization cannot silently shift event-time semantics again
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val t = Tables.events(spark, dir).schema("ts").dataType
+      assert(t == TimestampType, s"$dir events.ts loaded as $t, want TIMESTAMP")
+    }
+    // (c) the streaming source sees the SAME normalized type (watermarkable)
+    val stream = graft.streaming.EventsStream.readEvents(spark, s"$sf001/events.parquet")
+    assert(stream.schema("ts").dataType == TimestampType)
+    assert(stream.withWatermark("ts", "1 hour").isStreaming)
+  }
+
   test("typed pipeline outputs round-trip through their case classes") {
     val json = """{ "responses": [
       { "1": { "id": "1", "datestamp": "2018-03-01 10:00:00", "submitdate": "2018-03-01 10:00:00", "startdate": "x", "lastpage": "3", "startlanguage": "pt", "q01": "A4", "q03": "a@x.com", "q06": "BR1", "q12": "mail", "q22": "R1" } }

@@ -7,12 +7,15 @@
   * AUDIO path is real too: RIFF/WAVE PCM payloads are decoded with
   * `javax.sound.sampled` (also JDK-built-in) into mono [-1, 1] samples
   * and feature-extracted as temporal amplitude stripes. The VIDEO path
-  * is real for RIFF/AVI containers (the one video container a plain
-  * RIFF walk can demux without an external codec): [[aviFrameSpans]]
-  * splits the `movi` list into per-frame chunks, MJPEG frames then
-  * decode through the SAME JDK image path, both for frame sampling and
-  * for first-frame feature extraction. Payloads that decode as none of
-  * these (e.g. MP4 — its box format needs a real demuxer dependency)
+  * is real for RIFF/AVI containers ([[aviFrameSpans]] splits the `movi`
+  * list into per-frame chunks) AND ISO-BMFF/MP4 containers
+  * ([[mp4VideoTrack]] walks ftyp/moov/stbl and reconstructs per-sample
+  * spans from the stsz×stsc×stco sample table); MJPEG frames from
+  * either container decode through the SAME JDK image path, both for
+  * frame sampling and for first-frame feature extraction, and
+  * compressed MP4 codecs (H.264 …) degrade to metadata-only demux
+  * output ([[mp4MetaDecode]] — codec id, sample count, duration).
+  * Payloads that decode as none of these (e.g. MKV)
   * fall back to a clearly-marked DETERMINISTIC STUB kernel — and
   * everything Spark-side is identical between the paths: the schema
   * (binary payload + struct metadata), the partition-parallel batch shape
@@ -107,7 +110,7 @@ object Multimodal {
     * emit 8 luminance-stripe features from actual pixels; RIFF/WAVE
     * payloads decode for real too (`javax.sound.sampled`, JDK-native
     * PCM) and emit 8 temporal-stripe amplitude features; anything else
-    * (video — no demuxer in this container) falls back to the
+    * (containers with no demux walk, e.g. MKV) falls back to the
     * deterministic STUB kernel [[fakeDecode]]. A production build adds
     * codec branches next to these; the Spark shape never changes. */
   def decodePartitions(spark: SparkSession, df: DataFrame,
@@ -123,8 +126,13 @@ object Multimodal {
               case Some(samples) => audioDecode(id, bytes, samples)
               case None => videoKeyFrame(bytes) match {
                 case Some(img) => DecodedMedia(id, bytes.length.toLong,
-                  "video/x-msvideo", lumaStripes(img))
-                case None => fakeDecode(id, bytes)
+                  if (isAvi(bytes)) "video/x-msvideo" else "video/mp4",
+                  lumaStripes(img))
+                case None => mp4VideoTrack(bytes) match {
+                  // compressed MP4 codec: real demux metadata, no pixels
+                  case Some(t) if t.spans.nonEmpty => mp4MetaDecode(id, bytes, t)
+                  case _ => fakeDecode(id, bytes)
+                }
               }
             }
           }
@@ -187,14 +195,177 @@ object Multimodal {
     out.toArray
   }
 
-  /** First decodable video frame (MJPEG frames are plain JPEGs, so the
-    * JDK image path applies). Probes a bounded prefix of the frame list:
-    * a corrupt stream must not pay |frames| failed decodes. */
+  /** First decodable video frame from any demuxable container — MJPEG
+    * frames (in AVI or MP4) are plain JPEGs, so the JDK image path
+    * applies. Probes a bounded prefix of the frame list: a corrupt
+    * stream must not pay |frames| failed decodes. */
   private[graft] def videoKeyFrame(bytes: Array[Byte]): Option[BufferedImage] =
-    aviFrameSpans(bytes).iterator.take(8).flatMap { case (off, len) =>
+    containerFrameSpans(bytes).iterator.take(8).flatMap { case (off, len) =>
       decodeImage(java.util.Arrays.copyOfRange(
         bytes, off.toInt, off.toInt + len))
     }.nextOption()
+
+  /** Container sniff for ISO BMFF (MP4/MOV/3GP): the first box is
+    * `ftyp` in every spec-conformant file — same cheap-gate contract as
+    * [[imageMime]]/[[isAvi]]. */
+  private[graft] def isMp4(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
+
+  /** One demuxed MP4 video track: sample-entry codec fourcc (`jpeg`,
+    * `avc1`, `mp4v`, …), the media timescale + duration from `mdhd`, and
+    * each sample's (offset, length) span in the file — the exact analogue
+    * of [[aviFrameSpans]] for the box container. */
+  private[graft] case class Mp4Track(codec: String, timescale: Long,
+      duration: Long, spans: Array[(Long, Int)])
+
+  /** Real MP4 demux — a plain ISO BMFF box walk (public ISO/IEC 14496-12
+    * layout), no codec dependency: boxes are `u32-BE size | fourcc |
+    * data` (size 1 → 64-bit largesize follows; size 0 → to EOF), `moov`
+    * nests `trak`→`mdia`→`minf`→`stbl`, and the sample table reconstructs
+    * per-sample spans from `stsz` (sizes) × `stsc` (samples per chunk) ×
+    * `stco`/`co64` (chunk offsets). Picks the first `vide`-handler track
+    * (first track with samples when `hdlr` is absent). Truncated or
+    * lying sizes stop the walk at whatever parsed cleanly — dirty data
+    * degrades, never kills the task.
+    *
+    * MJPEG-in-MP4 samples (`jpeg` sample entries) are plain JPEGs, so
+    * the JDK image path decodes them; compressed codecs (`avc1`, …)
+    * degrade to metadata-only ([[mp4MetaDecode]]) — still real demux
+    * output (codec id, sample count, duration), never the byte-checksum
+    * stub. */
+  private[graft] def mp4VideoTrack(bytes: Array[Byte]): Option[Mp4Track] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val n = bytes.length.toLong
+      def u32(off: Long): Long =
+        (bytes(off.toInt) & 0xffL) << 24 | (bytes(off.toInt + 1) & 0xffL) << 16 |
+          (bytes(off.toInt + 2) & 0xffL) << 8 | (bytes(off.toInt + 3) & 0xffL)
+      def u64(off: Long): Long = (u32(off) << 32) | u32(off + 4)
+      def fourcc(off: Long): String = new String(bytes, off.toInt, 4, "US-ASCII")
+      /** Child boxes of [start, end) as (type, dataStart, dataEnd). */
+      def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        var p = start
+        while (p + 8 <= end) {
+          val size0 = u32(p)
+          val (dataStart, boxEnd) =
+            if (size0 == 1L && p + 16 <= end) (p + 16, p + u64(p + 8))
+            else if (size0 == 0L) (p + 8, end) // last box: extends to end
+            else (p + 8, p + size0)
+          if (boxEnd <= p || boxEnd > end) return out.toSeq // lying size
+          out += ((fourcc(p + 4), dataStart, boxEnd))
+          p = boxEnd
+        }
+        out.toSeq
+      }
+      def find(bs: Seq[(String, Long, Long)], t: String) =
+        bs.find(_._1 == t).map(b => (b._2, b._3))
+      val top = boxes(0L, n)
+      val (moovS, moovE) = find(top, "moov").getOrElse(return None)
+      val traks = boxes(moovS, moovE).filter(_._1 == "trak")
+      val candidates = traks.flatMap { case (_, tS, tE) =>
+        find(boxes(tS, tE), "mdia").toSeq.flatMap { case (mdiaS, mdiaE) =>
+        val mdiaBoxes = boxes(mdiaS, mdiaE)
+        val handler = find(mdiaBoxes, "hdlr")
+          .filter { case (s, e) => s + 12 <= e }
+          .map { case (s, _) => fourcc(s + 8) } // ver/flags(4) pre_defined(4) handler(4)
+        val (timescale, duration) = find(mdiaBoxes, "mdhd").map { case (s, _) =>
+          val version = bytes(s.toInt) & 0xff
+          if (version == 1) (u32(s + 20), u64(s + 24))
+          else (u32(s + 12), u32(s + 16))
+        }.getOrElse((0L, 0L))
+        for {
+          (minfS, minfE) <- find(mdiaBoxes, "minf")
+          (stblS, stblE) <- find(boxes(minfS, minfE), "stbl")
+        } yield {
+          val stbl = boxes(stblS, stblE)
+          // stsd: ver/flags(4) entry_count(4), then entry: size(4) format(4)
+          val codec = find(stbl, "stsd").filter { case (s, e) => s + 16 <= e }
+            .map { case (s, _) => fourcc(s + 12) }.getOrElse("????")
+          val sizes: Array[Int] = find(stbl, "stsz").map { case (s, e) =>
+            val fixed = u32(s + 4)
+            val count = math.min(u32(s + 8), Int.MaxValue.toLong).toInt
+            if (fixed != 0L) Array.fill(count)(fixed.toInt)
+            else Array.tabulate(
+              math.min(count.toLong, (e - s - 12) / 4).toInt)(i => u32(s + 12 + 4L * i).toInt)
+          }.getOrElse(Array.empty)
+          // stco (u32) or co64 (u64) chunk offsets
+          val chunkOffsets: Array[Long] = find(stbl, "stco").map { case (s, e) =>
+            Array.tabulate(math.min(u32(s + 4), (e - s - 8) / 4).toInt)(i => u32(s + 8 + 4L * i))
+          }.orElse(find(stbl, "co64").map { case (s, e) =>
+            Array.tabulate(math.min(u32(s + 4), (e - s - 8) / 8).toInt)(i => u64(s + 8 + 8L * i))
+          }).getOrElse(Array.empty)
+          // stsc runs: (first_chunk, samples_per_chunk), 1-based chunks
+          val stscRuns: Array[(Long, Long)] = find(stbl, "stsc").map { case (s, e) =>
+            Array.tabulate(math.min(u32(s + 4), (e - s - 8) / 12).toInt)(i =>
+              (u32(s + 8 + 12L * i), u32(s + 12 + 12L * i)))
+          }.getOrElse(Array.empty)
+          val spans = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+          var sample = 0
+          var run = 0
+          var chunk = 0
+          while (chunk < chunkOffsets.length && sample < sizes.length) {
+            while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk + 1)
+              run += 1
+            val perChunk =
+              if (stscRuns.isEmpty) sizes.length.toLong else stscRuns(run)._2
+            var off = chunkOffsets(chunk)
+            var i = 0L
+            while (i < perChunk && sample < sizes.length) {
+              val len = sizes(sample)
+              if (len > 0 && off >= 0 && off + len <= n) spans += ((off, len))
+              off += len
+              sample += 1
+              i += 1
+            }
+            chunk += 1
+          }
+          (handler, Mp4Track(codec, timescale, duration, spans.toArray))
+        }
+        }
+      }
+      candidates.find(_._1.contains("vide")).map(_._2)
+        .orElse(candidates.collectFirst {
+          case (h, t) if h.isEmpty && t.spans.nonEmpty => t
+        })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Frame spans for any demuxable video container (AVI or MP4) —
+    * the shared seam [[videoKeyFrame]] and [[sampleFramesPartitions]]
+    * draw from. */
+  private[graft] def containerFrameSpans(bytes: Array[Byte]): Array[(Long, Int)] =
+    if (isAvi(bytes)) aviFrameSpans(bytes)
+    else if (isMp4(bytes)) mp4VideoTrack(bytes).map(_.spans).getOrElse(Array.empty)
+    else Array.empty
+
+  /** Metadata-only decode for compressed MP4 codecs (H.264 etc. — pixel
+    * decode needs an external codec this container lacks): the features
+    * are REAL demux metadata, normalized to [0, 1) for schema parity
+    * with the pixel kernels — sample count, duration, fps, and byte-size
+    * statistics of the actual sample table. NOT pixels, and says so in
+    * the format string. */
+  private[graft] def mp4MetaDecode(id: Long, bytes: Array[Byte],
+      t: Mp4Track): DecodedMedia = {
+    val nSamples = t.spans.length
+    val durationSec =
+      if (t.timescale > 0) t.duration.toDouble / t.timescale else 0.0
+    val fps = if (durationSec > 0) nSamples / durationSec else 0.0
+    val sizes = t.spans.map(_._2.toLong)
+    val total = sizes.sum
+    def clamp(v: Double) = math.min(math.max(v, 0.0), 0.999999).toFloat
+    DecodedMedia(id, bytes.length.toLong, s"video/mp4;codec=${t.codec}",
+      Array(
+        clamp(nSamples / 1e6),                       // sample count, M
+        clamp(durationSec / 3600.0),                 // duration, hours
+        clamp(fps / 1000.0),                         // frame rate, kfps
+        clamp(if (nSamples > 0) total.toDouble / nSamples / 1e8 else 0.0),
+        clamp(if (sizes.nonEmpty) sizes.max / 1e9 else 0.0),
+        clamp(if (sizes.nonEmpty) sizes.min / 1e9 else 0.0),
+        clamp(total / 1e12),                         // track bytes, TB
+        clamp(t.timescale / 1e6)))
+  }
 
   /** Container sniff for RIFF/WAVE — like [[imageMime]], the common
     * non-audio case must not pay a failed parser probe per row. */
@@ -316,10 +487,11 @@ object Multimodal {
     DecodedMedia(id, bytes.length.toLong, imageMime(bytes).get,
       lumaStripes(img))
 
-  /** STUB for the remaining codec gap (non-RIFF video — MP4/MKV box
-    * formats need an external demuxer dependency): deterministic
-    * features from byte content. Images, WAV audio, and AVI/MJPEG video
-    * decode for real above. */
+  /** STUB for the remaining codec gap (containers with neither a JDK
+    * codec nor a dependency-free demux walk — e.g. MKV/EBML):
+    * deterministic features from byte content. Images, WAV audio,
+    * AVI/MJPEG video, and MP4 (real frames for MJPEG samples,
+    * metadata-only for compressed codecs) decode for real above. */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMedia = {
     // a NULL payload (e.g. encode of a NULL source column) degrades to
     // the zero-length record — one dirty row must never kill the task
@@ -390,13 +562,13 @@ object Multimodal {
       frame: Array[Byte])
 
   /** Frame sampling over partitions — flatMap seam (one payload → many
-    * frames). RIFF/AVI payloads demux for REAL ([[aviFrameSpans]] — an
-    * MJPEG AVI's sampled frames are then JPEGs [[decodeImage]] decodes);
-    * other containers fall back to the STUB kernel (fixed `frameBytes`
-    * blocks stand in for frames) so the batch shape stays testable
-    * without a codec dependency. A production build adds demuxer
-    * branches next to the AVI one; the Spark shape (schema,
-    * partitioning, iterator discipline) is unchanged. */
+    * frames). RIFF/AVI and ISO-BMFF/MP4 payloads demux for REAL
+    * ([[aviFrameSpans]] / [[mp4VideoTrack]] — MJPEG sample frames are
+    * then JPEGs [[decodeImage]] decodes); other containers fall back to
+    * the STUB kernel (fixed `frameBytes` blocks stand in for frames) so
+    * the batch shape stays testable without a codec dependency. A
+    * production build adds demuxer branches next to these; the Spark
+    * shape (schema, partitioning, iterator discipline) is unchanged. */
   def sampleFramesPartitions(spark: SparkSession, df: DataFrame,
       idCol: String, frameBytes: Int = 1024,
       everyNth: Int = 4): Dataset[SampledFrame] = {
@@ -405,7 +577,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes0) =>
         val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-        val spans = aviFrameSpans(bytes)
+        val spans = containerFrameSpans(bytes)
         if (spans.nonEmpty)
           (0 until spans.length by everyNth).map { f =>
             val (off, len) = spans(f)

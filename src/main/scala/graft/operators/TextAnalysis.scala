@@ -311,7 +311,13 @@ object TextAnalysis {
     * `maxBucket` lesson: an uncapped hot term is a quadratic blowup;
     * the cap is part of the operator's DEFINITION — cosine in the
     * banded term space, identical docs still score 1.0 — and mirrors
-    * in the oracle). The tf table is checkpointed hash-partitioned on
+    * in the oracle). Pair-table bound: the pre-aggregation self-join
+    * emits Σ_banded-terms C(df_t, 2) ≤ |banded terms| · C(maxDf, 2)
+    * rows, independent of corpus shape — a near-clique of D > maxDf
+    * documents sharing a full term set contributes ZERO pair rows
+    * (each shared term has df = D > maxDf and is pruned), so the
+    * adversarial worst case for an inverted-index join cannot occur
+    * (DedupSpec pins this with a 300-doc clique). The tf table is checkpointed hash-partitioned on
     * term ONCE, so the df aggregate, the band join, and BOTH sides of
     * the pair self-join are exchange-free on the pinned layout (the
     * banded index is checkpointed again with the layout claimed — it

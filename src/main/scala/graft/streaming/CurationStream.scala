@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.TextAnalysis
+
+/** Streaming twin of [[graft.pipelines.CurationPipeline]]: the funnel's
+  * incremental prefix — per-row quality gate, watermark-bounded exact
+  * dedup, PII redaction — runnable on a document EVENT stream with the
+  * same dispositions and stage labels as the batch pass.
+  *
+  * What streams and what doesn't (the standard lambda split): the
+  * quality gate and PII redaction are narrow per-row expressions
+  * (identical Columns as batch); exact dedup is per-key state bounded
+  * by the duplicate horizon. MinHash NEAR-dedup and benchmark
+  * decontamination are corpus-global joins — a streaming engine cannot
+  * label "near-duplicate of a document it hasn't seen yet" without
+  * unbounded state, so those stages belong to the periodic batch
+  * compaction over the accumulated corpus ([[graft.pipelines.CurationPipeline]]),
+  * and this stream's `kept` is batch's `kept ∪ near_dup ∪ contaminated`.
+  *
+  * The dedup stage is `flatMapGroupsWithState` keyed by content
+  * fingerprint rather than `dropDuplicatesWithinWatermark`, for one
+  * reason: the funnel needs DISPOSITIONS, and drop-duplicates silently
+  * swallows the dropped rows. Semantics match it exactly — first
+  * arrival (event-time order, doc_id ties) inside the horizon is
+  * `kept`, later arrivals are `exact_dup`, and the fingerprint state
+  * expires on an event-time timer once the watermark passes
+  * last-seen + horizon, so state is bounded by the duplicate horizon,
+  * not the stream length.
+  *
+  * Scale shape: one hash shuffle on the fingerprint (the same shuffle
+  * batch exact dedup pays), per-key state of one long; quality/redact
+  * are stateless maps. Identical plan at 32 or 1000 executors. */
+object CurationStream {
+
+  /** One per-document funnel outcome; `clean_text` is redacted text for
+    * kept docs, null otherwise — the batch dispositions contract. */
+  case class Disposition(doc_id: Long, stage: String, clean_text: String)
+
+  /** Dedup state per fingerprint (public: Spark's state encoder codegen
+    * needs constructor access from generated code). */
+  case class FpState(lastSeenMs: Long)
+
+  /** Label every streamed document with its funnel stage. `docs` needs
+    * (doc_id, text, ts); duplicates beyond `horizonMs` of the last
+    * sighting re-qualify as kept (the bounded-state contract — mirror
+    * the horizon in any batch comparison). */
+  def dispositions(spark: SparkSession, docs: DataFrame,
+      qualityMin: Double = 0.5,
+      horizonMs: Long = 2L * 3600 * 1000,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis
+      .qualityFeatures(docs.select(col("doc_id"), col("text"), col("ts")),
+        col("text"))
+      .select(col("doc_id"), col("text"), col("ts"),
+        (col("quality_score").isNotNull &&
+          col("quality_score") >= qualityMin).as("__pass"))
+    val failed = scored.filter(!col("__pass"))
+      .select(col("doc_id"), lit("quality").as("stage"),
+        lit(null).cast("string").as("clean_text"))
+    val deduped = scored.filter(col("__pass"))
+      .withWatermark("ts", watermarkDelay)
+      .select(md5(lower(trim(col("text")))).as[String],
+        col("doc_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("text").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FpState, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp, String)],
+         state: GroupState[FpState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // first arrival wins: event-time order, doc_id ties — the
+            // same canonical the batch funnel picks when ingest order
+            // follows ids
+            val batch = rows.toSeq.sortBy(t => (t._3.getTime, t._2))
+            val seenBefore = state.exists
+            val lastSeen = math.max(
+              state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue),
+              batch.map(_._3.getTime).max)
+            state.update(FpState(lastSeen))
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs + 1, lastSeen + horizonMs))
+            batch.iterator.zipWithIndex.map { case ((_, id, _, text), i) =>
+              if (seenBefore || i > 0) (id, "exact_dup", null: String)
+              else (id, "kept", text)
+            }
+          }
+      }
+      .toDF("doc_id", "stage", "__text")
+      // redaction stays a narrow Column op on the kept branch — the
+      // SAME expression the batch funnel applies
+      .select(col("doc_id"), col("stage"),
+        when(col("stage") === "kept",
+          TextAnalysis.redactPii(col("__text"))).as("clean_text"))
+    failed.unionByName(deduped)
+  }
+
+  /** Incremental funnel report: docs per stage per event-time window —
+    * the monitoring view ([[EventsStream.windowedExpectations]]'s shape
+    * applied to the funnel itself). Counts are decomposable, so this is
+    * a plain watermarked windowed hash-agg with bounded state. */
+  def windowedReport(spark: SparkSession, docs: DataFrame,
+      qualityMin: Double = 0.5, windowLen: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame = {
+    val scored = TextAnalysis
+      .qualityFeatures(docs.select(col("doc_id"), col("text"), col("ts")),
+        col("text"))
+      .select(col("ts"),
+        when(col("quality_score").isNotNull &&
+          col("quality_score") >= qualityMin, "pass")
+          .otherwise("quality").as("stage"))
+    scored.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("stage"),
+        col("n_docs"))
+  }
+}

@@ -326,6 +326,33 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0), (4L, 5L, 6L, 1.0), (1L, 3L, 1L, 0.707107)))
   }
 
+  test("sparseCosinePairs: a near-clique larger than maxDf cannot blow the pair join") {
+    // 300 docs sharing the ENTIRE banded term set — the adversarial case
+    // for any inverted-index pair join: uncapped, the shared terms alone
+    // fan out 300*299/2 ≈ 45k pairs PER TERM. The [2, maxDf] band makes
+    // those terms df=300 > maxDf -> pruned, so the clique contributes
+    // ZERO pair rows; only the df-banded decoy terms pair.
+    val clique = (1L to 300L).map(i => (i, "q w e r t y u i"))
+    val decoys = Seq((1001L, "m n o p"), (1002L, "m n o p"), (1003L, "m n o z"))
+    val docs = (clique ++ decoys).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(docs, "doc_id", col("text"),
+        ngram = 3, maxDf = 50, topK = 1000)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // correctness: only decoy pairs survive — (1001,1002) identical in
+    // banded space (cosine 1.0 via "m n o" df=3 + "n o p" df=2), and
+    // (1001,1003)/(1002,1003) share "m n o" only
+    assert(out.map(p => (p._1, p._2)).toSet ==
+      Set((1001L, 1002L), (1001L, 1003L), (1002L, 1003L)))
+    assert(out.head == ((1001L, 1002L, 2L, 1.0)))
+    assert(out.count(_._4 == 1.0) == 1, "clique pairs must not appear at all")
+    // a clique exactly AT maxDf still pairs completely (cap is inclusive)
+    val atCap = (1L to 5L).map(i => (i, "h j k l")).toDF("doc_id", "text")
+    val capOut = TextAnalysis.sparseCosinePairs(atCap, "doc_id", col("text"),
+        ngram = 3, maxDf = 5, topK = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(capOut.length == 10 && capOut.forall(_._4 == 1.0)) // C(5,2)
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",

@@ -366,4 +366,105 @@ class StreamingSpec extends SparkSpec {
       assert(last("click") > 100) // 180 keys into 256 registers
     } finally q.stop()
   }
+
+  /** Four distinct long texts (quality-passing: 64+ tokens, stopword-
+    * heavy), so only the INTENDED pairs collide in any dedup stage. */
+  private def curationCorpus = {
+    val p1 = "the quick brown fox jumps over the lazy dog " * 8
+    val p2 = "pack my box with five dozen liquor jugs and the vexed wizards frown " * 6
+    val p3 = "a wizard of odd magic is keen to vex the daft jump in fog " * 6
+    val p4 = "sphinx of black quartz judge my vow and keep the faith in time " * 6
+    val evalRun = "zebra quagga okapi tapir manatee dugong narwhal"
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val rows = Seq(
+      (1L, p1 + "alpha", t(1)),   // kept (canonical of the exact group)
+      (2L, p1 + "alpha", t(2)),   // exact_dup of 1
+      (3L, p2 + "delta", t(3)),   // near-dup pair with 4 (batch-only stage)
+      (4L, p2 + "echo", t(4)),
+      (5L, p3 + "bravo", t(5)),   // kept, unrelated
+      (6L, p4 + evalRun, t(6)),   // contaminated (batch-only stage)
+      (7L, "x", t(7)),            // quality fail
+      (8L, "spam", t(8)))         // quality fail
+    (rows, Seq(Tuple1("benchmark question " + evalRun)))
+  }
+
+  test("streaming curation funnel agrees with the batch funnel on the same corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.pipelines.CurationPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val (rows, evalRows) = curationCorpus
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CurationStream.dispositions(spark,
+        input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_stream").start()
+    val stream = try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.table("curation_stream").as[(Long, String, String)]
+        .collect().toSeq
+    } finally q.stop()
+    val batch = CurationPipeline.dispositions(
+        rows.toDF("doc_id", "text", "ts").drop("ts"),
+        evalRows.toDF("text"))
+      .as[(Long, String, String)].collect().toSeq
+    def stages(d: Seq[(Long, String, String)]) =
+      d.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val s = stages(stream); val b = stages(batch)
+    // every doc gets exactly one disposition on both sides
+    assert(stream.map(_._1).sorted == rows.map(_._1).sorted)
+    // stage-for-stage parity on the streamable stages
+    assert(s("quality") == b("quality"), s"$s vs $b")
+    assert(s("exact_dup") == b("exact_dup"), s"$s vs $b")
+    assert(s("exact_dup") == Set(2L)) // canonical = earliest arrival = min id
+    // the stream's kept is batch kept + the corpus-global stages (near
+    // dedup + decontamination run in the batch compaction — lambda split)
+    assert(s("kept") ==
+      b.getOrElse("kept", Set.empty) ++ b.getOrElse("near_dup", Set.empty)
+        ++ b.getOrElse("contaminated", Set.empty), s"$s vs $b")
+    // the batch-only stages actually fired on this corpus (the parity
+    // assertion above must not pass vacuously)
+    assert(b.getOrElse("near_dup", Set.empty).nonEmpty, b.toString)
+    assert(b.getOrElse("contaminated", Set.empty) == Set(6L), b.toString)
+    // redaction parity on the common kept docs
+    val sText = stream.collect { case (id, "kept", txt) => id -> txt }.toMap
+    val bText = batch.collect { case (id, "kept", txt) => id -> txt }.toMap
+    bText.keys.foreach(id => assert(sText(id) == bText(id)))
+  }
+
+  test("streaming exact-dedup state expires with the horizon: later re-arrival re-qualifies") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CurationStream.dispositions(spark,
+        input.toDF().toDF("doc_id", "text", "ts"),
+        horizonMs = 2L * 3600 * 1000, watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_horizon").start()
+    try {
+      // batch 1: doc + in-horizon duplicate
+      input.addData((1L, text, t("2026-01-01 10:00:00")),
+        (2L, text, t("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 2: unrelated filler 4h later advances the watermark past
+      // lastSeen(10:30) + horizon(2h) -> fingerprint state expires
+      input.addData((3L, "a wizard of odd magic is keen to vex the daft jump in fog " * 6,
+        t("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      // batch 3: the same content re-arrives beyond the horizon
+      input.addData((4L, text, t("2026-01-01 14:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("curation_horizon").as[(Long, String, String)]
+        .collect().map(r => r._1 -> r._2).toMap
+      assert(out(1L) == "kept" && out(2L) == "exact_dup")
+      assert(out(4L) == "kept", // horizon passed: NOT a duplicate anymore
+        s"re-arrival beyond the horizon must re-qualify: $out")
+    } finally q.stop()
+  }
 }

@@ -751,11 +751,14 @@ object SparkEntry {
     "q38_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", col("text"))),
 
-    // context-window chunking (token windows with overlap)
+    // context-window chunking (token windows with overlap); tokens are
+    // projected into a column BEFORE the window HOF — inlined, the split
+    // re-runs per chunk (no loop-invariant hoisting in lambdas)
     "q39_chunking" -> ((s, d) =>
       wide(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), 32, 8)))
+          posexplode(TextAnalysis.chunksOfTokens(col("__toks"), 32, 8)))
         .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
           col("col").as("chunk"))),
 

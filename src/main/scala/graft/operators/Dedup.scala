@@ -424,51 +424,53 @@ object Dedup {
     * operator's).
     *
     * Scale shape: segmentation is a narrow per-row expression (no
-    * shuffle); the document-frequency aggregate is ONE hash shuffle on
-    * the segment with map-side partial aggregation; the frequent-segment
-    * set is then SMALL BY CONSTRUCTION (segments repeated across ≥
-    * `maxDocFreq` documents — boilerplate, headers, license blobs) and
-    * crosses as a broadcast left-anti join, so the corpus is never
-    * shuffled to discover what to remove; re-assembly is one shuffle on
-    * the doc id. At a corpus where the frequent set could outgrow a
-    * broadcast (pathologically low `maxDocFreq` over 100 TB), drop the
-    * `broadcast` hint and let AQE pick the join — the plan stays an
-    * anti-join either way. */
+    * shuffle) over a PRE-SPLIT token column ([[TextAnalysis.chunksOfTokens]]
+    * — inlining the split into the window lambda re-ran it per chunk,
+    * ~10× the explode cost); the document-frequency aggregate is ONE
+    * hash shuffle on the segment with map-side partial aggregation; the
+    * frequent-segment set is then SMALL BY CONSTRUCTION (segments
+    * repeated across ≥ `maxDocFreq` documents — boilerplate, headers,
+    * license blobs) and crosses as a broadcast LEFT join whose match
+    * flag feeds the re-assembly aggregate directly, so the corpus is
+    * never shuffled to discover what to remove, and per-doc totals come
+    * out of the SAME aggregate (counting all segments, collecting only
+    * unflagged ones) instead of a second corpus scan + join; re-assembly
+    * is one shuffle on the doc id. Every doc has ≥ 1 segment
+    * ([[TextAnalysis.chunks]] yields at least one chunk, null text
+    * included), so the per-doc group loses nothing the old
+    * totals-left-join preserved. At a corpus where the frequent set
+    * could outgrow a broadcast (pathologically low `maxDocFreq` over
+    * 100 TB), drop the `broadcast` hint and let AQE pick the join — the
+    * plan stays a flag join either way. */
   def segmentDedup(df: DataFrame, idCol: String, text: Column,
       segWords: Int = 5, maxDocFreq: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val segs = Parallelism.ensure(
       df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__toks"))
       .select(col("doc"),
-        posexplode(TextAnalysis.chunks(col("__t"), segWords, 0))
+        posexplode(TextAnalysis.chunksOfTokens(col("__toks"), segWords, 0))
           .as(Seq("seg_idx", "seg")))
     val frequent = segs.groupBy("seg")
       .agg(count_distinct(col("doc")).as("__df"))
       .filter(col("__df") >= maxDocFreq)
-      .select("seg")
-    val kept = segs.join(broadcast(frequent), Seq("seg"), "left_anti")
-    // re-assemble in segment order; count removed segments from the
-    // original per-doc segment count so fully-boilerplate docs emerge
-    // as empty strings with n_kept = 0, not as dropped rows
-    val rebuilt = kept.groupBy("doc")
-      .agg(array_sort(collect_list(struct(col("seg_idx"), col("seg"))))
-        .as("__ordered"))
-      .select(col("doc"),
+      .select(col("seg"), lit(true).as("__boiler"))
+    // one pass: flag boilerplate, then a single per-doc aggregate both
+    // counts every segment (the totals the old plan re-derived from a
+    // second size(chunks) scan) and re-assembles the unflagged ones in
+    // order (collect_list skips the nulled-out flagged entries)
+    segs.join(broadcast(frequent), Seq("seg"), "left")
+      .groupBy("doc")
+      .agg(
+        array_sort(collect_list(when(col("__boiler").isNull,
+          struct(col("seg_idx"), col("seg"))))).as("__ordered"),
+        count(lit(1)).as("__n_total"))
+      .select(col("doc").as(idCol),
         array_join(transform(col("__ordered"), s => s.getField("seg")), " ")
           .as("clean_text"),
-        size(col("__ordered")).cast(org.apache.spark.sql.types.LongType)
-          .as("n_kept"))
-    // per-doc segment totals come from a NARROW size(chunks) projection
-    // over the corpus, not a third structural instance of the exploded
-    // segs subplan (the explode already runs twice: the frequency
-    // aggregate and the anti-join probe)
-    val totals = df.select(col(idCol).as("doc"),
-      size(TextAnalysis.chunks(text, segWords, 0))
-        .cast(org.apache.spark.sql.types.LongType).as("__n_total"))
-    totals.join(rebuilt, Seq("doc"), "left")
-      .select(col("doc").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        size(col("__ordered")).cast(LongType).as("n_kept"),
+        (col("__n_total") - size(col("__ordered"))).cast(LongType)
+          .as("n_removed"))
   }
 
   /** Exact duplicate-substring spans (Lee et al. 2022, "Deduplicating

@@ -173,18 +173,29 @@ object TextAnalysis {
     * shorter; texts shorter than one chunk yield themselves. Pure
     * per-row expression — chunking 100 TB is a narrow map followed by
     * whatever explode the caller does. */
-  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column =
+    chunksOfTokens(tokens(text), chunkTokens, overlap)
+
+  /** [[chunks]] over a PRE-SPLIT token array. Operators on a hot path
+    * must project `tokens(text)` into a real column and pass it here:
+    * the window builder is a `transform` lambda, and Spark does NOT
+    * hoist loop-invariant subexpressions out of HOF lambdas — inlining
+    * `tokens(text)` re-runs the split ONCE PER CHUNK (measured ~1 ms/doc
+    * at 400 chunks on sf0.1 docs, the whole cost of q69's explode
+    * stages). A column reference makes it one split per row.
+    *
+    * Null contract (engine parity — concat_ws would yield "" in Spark
+    * but NULL in SQL engines' array_to_string): a null token array
+    * (null text) yields one null chunk. */
+  def chunksOfTokens(toks: Column, chunkTokens: Int, overlap: Int): Column = {
     require(chunkTokens > overlap && overlap >= 0,
       "need chunkTokens > overlap >= 0")
-    val toks = tokens(text)
     val step = chunkTokens - overlap
     val nChunks = greatest(lit(1L),
       ceil((size(toks) - lit(overlap)).cast(DoubleType) / step).cast(LongType))
     val windows = transform(sequence(lit(0L), nChunks - 1),
       i => concat_ws(" ", slice(toks, (i * step + 1).cast("int"), lit(chunkTokens))))
-    // null text → one null chunk (engine parity: concat_ws would yield
-    // "" in Spark but NULL in SQL engines' array_to_string)
-    when(text.isNull,
+    when(toks.isNull,
       array(lit(null).cast(org.apache.spark.sql.types.StringType)))
       .otherwise(windows)
   }

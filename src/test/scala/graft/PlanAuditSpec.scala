@@ -259,14 +259,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"), plan.take(1000))
   }
 
-  test("q69 segment dedup: frequent-segment set crosses as broadcast anti-join, never a shuffle join") {
+  test("q69 segment dedup: frequent-segment set crosses as a broadcast flag join, never a shuffle join") {
     val plan = planOf("q69_segment_dedup")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+    // round 6: the anti-join became a broadcast LEFT join whose match
+    // flag feeds the re-assembly aggregate (totals now come from the
+    // same aggregate — no second corpus scan), so the shape to pin is
+    // broadcast LeftOuter + exactly ONE doc-keyed aggregate pass
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
       plan.take(1200))
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
     // segmentation is narrow: no exchange between the scan and the
     // first aggregate's partial side
     assert(plan.contains("partial_count"), plan.take(1200))
+    // the old totals branch is gone: only ONE FileScan of documents
+    // should remain... per structural instance of segs (explode feeds
+    // the frequency agg and the probe side) — but no THIRD scan for a
+    // size(chunks) projection
+    assert(plan.sliding("FileScan".length).count(_ == "FileScan") <= 2,
+      plan.take(1200))
   }
 
   test("q70 packing: the per-doc window is SHARD-partitioned; only shard summaries see a global window") {

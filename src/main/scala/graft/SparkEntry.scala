@@ -1282,6 +1282,50 @@ object SparkEntry {
           col("n_triangles"))
     }),
 
+    // truncated EWMA (decay 1/2, 16-observation horizon) of event value
+    // per user — exact integer numerator/denominator, one division
+    "q115_ewma" -> ((s, d) =>
+      Temporal.ewmaSmooth(Tables.events(s, d), "user_id", "ts",
+        "event_id", col("value"), horizon = 16)),
+
+    // label-propagation communities (4 synchronous rounds, min-label
+    // ties) over the simhash near-dup candidate graph — community
+    // detection next to q51's reachability components: dense
+    // neighborhoods outvote thin bridges
+    "q114_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(
+        Dedup.simHashCandidates(Tables.documents(s, d), "doc_id",
+          col("text"), maxBucket = SimhashMaxBucket),
+        "doc_a", "doc_b", iters = 4)
+        .select(col("node").as("doc_id"), col("community"))),
+
+    // first BPE merge round: weighted adjacent char-pair counts over
+    // the corpus vocabulary (pair table bounded by vocab, not corpus)
+    "q116_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, d), col("text"),
+        topK = 50)),
+
+    // SCD type-2 history: per-customer order-status runs with
+    // [valid_from, next-start) validity spans from the orders log
+    "q117_scd2" -> ((s, d) =>
+      Relational.scd2History(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_orderkey", col("o_orderstatus"))
+        .select(col("o_custkey"), col("version"),
+          col("attr_value").as("o_orderstatus"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("n_rows").as("n_orders"))),
+
+    // n-gram novelty vs a held-out reference slice (doc_id % 50 == 0):
+    // the soft inverse of q58's contamination count
+    "q118_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.noveltyScore(docs.filter(col("doc_id") % 50 =!= 0), "doc_id",
+        col("text"), docs.filter(col("doc_id") % 50 === 0), col("text"))
+        .select(col("doc").as("doc_id"), col("n_shingles"),
+          col("n_novel"), col("novelty"))
+    }),
+
     // hierarchical rollup: revenue at (region, nation) / (region) /
     // grand-total levels in ONE aggregation pass (Expand, not three
     // jobs); grouping_id disambiguates rolled NULLs from data NULLs
@@ -2397,6 +2441,93 @@ object SparkEntry {
          SELECT deg.node AS l_partkey, degree,
            coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
          FROM deg LEFT JOIN pn USING (node)""",
+
+    // exact-integer truncated EWMA: lag chain with power-of-two weights,
+    // one final double division — the recursive-smoother determinism
+    // trap (alpha*x + (1-alpha)*prev drifts) never arises
+    "q115_ewma" -> {
+      val h = 16
+      val terms = (0 until h).map { j =>
+        val w = 1L << (h - 1 - j)
+        val x = if (j == 0) "c" else s"lag(c, $j) OVER w"
+        (s"coalesce($x * $w, 0)",
+          s"CASE WHEN $x IS NOT NULL THEN $w ELSE 0 END")
+      }
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+         t AS (SELECT user_id, event_id,
+           ${terms.map(_._1).mkString(" + ")} AS n,
+           ${terms.map(_._2).mkString(" + ")} AS d
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           CAST(floor(CAST(n AS DOUBLE) / d / 100.0 * 1000000.0 + 0.5)
+             AS DOUBLE) / 1000000.0 AS ewma
+         FROM t"""
+    },
+
+    // four synchronous LPA rounds unrolled (the q84 pattern: an
+    // iterative fixed point as a CTE chain); argmax-count with min-label
+    // ties = filter to the per-node max count, take min(lbl)
+    "q114_label_prop" -> {
+      def round(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""v$i AS (SELECT e.u AS u, l.lbl AS lbl, count(*) AS c
+           FROM e JOIN $prev l ON e.v = l.node GROUP BY 1, 2),
+         m$i AS (SELECT u, min(lbl) AS lbl FROM
+           (SELECT u, lbl, c, max(c) OVER (PARTITION BY u) AS mc FROM v$i)
+           WHERE c = mc GROUP BY u),
+         l$i AS (SELECT n.node, coalesce(m.lbl, n.node) AS lbl
+           FROM nodes n LEFT JOIN m$i m ON n.node = m.u)"""
+      }
+      s"""WITH cand AS ($simhashCandidatesOracle),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM cand
+               UNION SELECT doc_b, doc_a FROM cand),
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         l0 AS (SELECT node, node AS lbl FROM nodes),
+         ${(1 to 4).map(round).mkString(",\n         ")}
+         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM l4"""
+    },
+
+    "q116_bpe_pairs" ->
+      """WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM
+           (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE length(word) >= 2 GROUP BY 1),
+         p AS (SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair, wc FROM v)
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences FROM p
+         GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 50""",
+
+    "q117_scd2" ->
+      """WITH s AS (SELECT o_custkey AS k, o_orderdate AS t,
+           o_orderkey AS id, o_orderstatus AS a FROM orders),
+         f AS (SELECT k, t, id, a, CASE WHEN row_number() OVER w = 1
+             OR lag(a) OVER w IS DISTINCT FROM a THEN 1 ELSE 0 END AS chg
+           FROM s WINDOW w AS (PARTITION BY k ORDER BY t, id)),
+         v AS (SELECT k, t, id, a, sum(chg) OVER
+           (PARTITION BY k ORDER BY t, id ROWS UNBOUNDED PRECEDING) AS ver
+           FROM f),
+         r AS (SELECT k, ver, min(t) AS vf,
+           CAST(count(*) AS BIGINT) AS n_orders, min(a) AS a
+           FROM v GROUP BY 1, 2)
+         SELECT k AS o_custkey, CAST(ver AS BIGINT) AS version,
+           a AS o_orderstatus, strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY k ORDER BY ver),
+             '%Y-%m-%d') AS valid_to, n_orders
+         FROM r""",
+
+    "q118_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= $MinhashK
+           THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
+           ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         ref AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0)
+         SELECT e.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(floor(CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS novelty
+         FROM ex e LEFT JOIN ref r ON e.s = r.s
+         WHERE e.doc_id % 50 <> 0 GROUP BY 1""",
 
     // exact decimal money at every grouping level (the q13 contract);
     // GROUPING() bitmask matches grouping_id (first arg = MSB)

@@ -61,7 +61,9 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: String, text: Column,
       k: Int, numPerm: Int): DataFrame = {
     val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
-      .select(col("doc"), explode(TextAnalysis.shingles(col("__t"), k)).as("s"))
+      .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__toks"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__toks"), k)).as("s"))
       .select(col("doc"), pmod(Hashing.hexLong(col("s")), lit(MinHashP)).as("h"))
     val mins = (0 until numPerm).map(p => min(minHashFamily(col("h"), p)).as(s"mh$p"))
     ex.groupBy("doc").agg(mins.head, mins.tail: _*)
@@ -407,11 +409,49 @@ object Dedup {
   def decontaminate(docs: DataFrame, idCol: String, text: Column,
       bench: DataFrame, benchText: Column, k: Int = 5): DataFrame = {
     val docSh = Parallelism.ensure(docs.select(col(idCol).as("doc"), text.as("__t")))
-      .select(col("doc"), explode(TextAnalysis.shingles(col("__t"), k)).as("shingle"))
+      .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__toks"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__toks"), k)).as("shingle"))
     val benchSh = bench.select(explode(TextAnalysis.shingles(benchText, k)).as("shingle"))
       .distinct()
     docSh.join(broadcast(benchSh), "shingle")
       .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Per-document n-gram novelty against a reference corpus — the
+    * inverse of [[decontaminate]]'s contamination count: the fraction
+    * of a document's DISTINCT `k`-shingles absent from the reference's
+    * shingle set. The data-mixing signal for "how much does this shard
+    * add": dedup-adjacent scoring (a near-copy of reference material
+    * scores ~0, fresh text ~1) without hard-dropping anything.
+    *
+    * Shape (decontaminate's, plus a per-doc ratio): corpus shingles
+    * explode over pre-split tokens, the reference set crosses as a
+    * broadcast distinct (swap in fingerprints to shrink it at scale —
+    * same note as decontaminate), one LEFT join marks membership, one
+    * doc-keyed aggregate counts (total, novel). Every doc emits exactly
+    * one row — short docs carry their whole-text shingle
+    * ([[TextAnalysis.shingles]]' <k contract), so the group is never
+    * empty. The ratio is quantized via floor(x·1e6 + 0.5) (round()
+    * tie-breaking differs across engines). */
+  def noveltyScore(docs: DataFrame, idCol: String, text: Column,
+      reference: DataFrame, refText: Column, k: Int = 5): DataFrame = {
+    val docSh = Parallelism.ensure(
+      docs.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__toks"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__toks"), k)).as("shingle"))
+    val refSh = reference
+      .select(explode(TextAnalysis.shingles(refText, k)).as("shingle"))
+      .distinct()
+      .select(col("shingle"), lit(true).as("__seen"))
+    docSh.join(broadcast(refSh), Seq("shingle"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc"), col("n_shingles"), col("n_novel"),
+        (floor(col("n_novel").cast(DoubleType) / col("n_shingles")
+          * 1000000.0 + 0.5).cast(DoubleType) / 1000000.0).as("novelty"))
   }
 
   /** Segment-level frequency dedup — the RefinedWeb/Gopher "repeated
@@ -536,7 +576,9 @@ object Dedup {
     // same single-partition trap as every shingle-exploding operator
     // here: small parquet scans as ONE task without the widening
     val sh = Parallelism.ensure(docs.select(col(idCol).as("doc"), text.as("__t")))
-      .select(col("doc"), explode(TextAnalysis.shingles(col("__t"), k)).as("shingle"))
+      .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__toks"))
+      .select(col("doc"),
+        explode(TextAnalysis.shinglesOfTokens(col("__toks"), k)).as("shingle"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))

@@ -199,4 +199,63 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("__t"), lit(0L)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan 2007) over an undirected
+    * edge list, fixed `iters` rounds — the community-detection tier next
+    * to [[Dedup.connectedComponents]]' reachability clustering: where CC
+    * merges anything connected, LPA lets DENSE neighborhoods outvote
+    * thin bridges, so two cliques joined by one edge keep separate
+    * communities.
+    *
+    * Determinism contract (what lets an external oracle hash-match an
+    * iterative vote): labels are integer node ids; each round every
+    * node adopts the label with the HIGHEST COUNT among its neighbors'
+    * current labels, ties broken by MINIMUM label — an integer argmax
+    * with a total tie order, so the fixed-iteration result is
+    * bit-identical across partitionings and engines (synchronous LPA
+    * can oscillate on bipartite-ish structures; fixed iterations make
+    * that a defined outcome, not a nondeterminism). The argmax is
+    * `max(struct(count, -label))` — lexicographic struct max = max
+    * count, then max(-label) = min label — one aggregate, no window.
+    *
+    * Scale shape (the [[pageRank]] pattern): the symmetrized edge list
+    * is hash-partitioned on the NEIGHBOR end and checkpointed once, the
+    * node set on `node` — each round's label attach is then a
+    * co-partitioned join with no exchange on the |E| side (labels leave
+    * every round partitioned on `node` from the node-set join), and the
+    * vote is one (u,label)-keyed aggregate with map-side partials
+    * (input |E|, output ≤ Σdeg distinct pairs) followed by a |V|-sized
+    * argmax. |V|-sized broadcasts only under the measured
+    * `broadcastMaxNodes` gate, same as pageRank. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(iters >= 1)
+    require(broadcastMaxNodes >= 0L)
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = GraftShims.checkpointHashPartitioned(
+      raw.union(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      p, "v")
+    // symmetric edge list: the u side alone covers every non-isolated
+    // node, and isolated nodes have no business in a vote
+    val nodes = GraftShims.checkpointHashPartitioned(
+      e.select(col("u").as("node")).distinct(), p, "node")
+    val n = nodes.count()
+    if (n == 0L) return nodes.select(col("node"), col("node").as("community"))
+    val gate: DataFrame => DataFrame =
+      if (n <= broadcastMaxNodes) broadcast else identity
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    (1 to iters).foreach { _ =>
+      val votes = e.join(gate(labels), col("v") === col("node"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m").getField("nl")).as("newl"))
+      labels = nodes.join(gate(votes), Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("node")).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -363,4 +363,51 @@ object Relational {
         col("rank").cast(org.apache.spark.sql.types.LongType)
           .as("pick_rank"): _*)
   }
+
+  /** Type-2 slowly-changing-dimension history from an ordered change
+    * log: collapse CONSECUTIVE equal attribute observations per key
+    * into versioned validity spans — the standard warehouse history
+    * build (Kimball SCD type 2) a CDC consumer runs after
+    * [[snapshotDiff]]/[[mergeUpsert]].
+    *
+    * Semantics: per key, observations ordered by (tsCol, idCol); a run
+    * starts where the attribute differs from its predecessor under
+    * NULL-SAFE comparison (a run of NULLs is ONE span, not one per
+    * row; the first observation always opens version 1). Each span
+    * reports its attribute, `valid_from` = first observation time,
+    * `valid_to` = the NEXT span's valid_from (NULL for the open span —
+    * the [start, next-start) convention, so spans tile the timeline
+    * with no gaps), and the observation count.
+    *
+    * Shape: one window pass per key (lag + running sum share the same
+    * frame sort), one (key, version) aggregate, then a key-windowed
+    * lead over the SPAN table (|spans| ≤ |rows|, usually ≪). All
+    * integer/ordering logic — deterministic under the (ts, id) total
+    * order; timestamps cross engines as formatted strings downstream. */
+  def scd2History(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, attr: Column): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__id"))
+    val runs = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(idCol).as("__id"), attr.as("__a"))
+      // the explicit first-row test matters when a key's FIRST attr is
+      // NULL: lag-null <=> null is true, and the span would be v0
+      .withColumn("__chg",
+        when(row_number().over(w) === 1 ||
+          !(lag(col("__a"), 1).over(w) <=> col("__a")), 1L)
+          .otherwise(0L))
+      .withColumn("__ver", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = runs.groupBy(col("__k"), col("__ver"))
+      .agg(min(col("__t")).as("valid_from"),
+        count(lit(1)).as("n_rows"),
+        min(col("__a")).as("__attr")) // constant within a run
+    val wv = Window.partitionBy(col("__k")).orderBy(col("__ver"))
+    spans.select(col("__k").as(keyCol),
+      col("__ver").cast(LongType).as("version"),
+      col("__attr").as("attr_value"),
+      col("valid_from"),
+      lead(col("valid_from"), 1).over(wv).as("valid_to"),
+      col("n_rows"))
+  }
 }

@@ -412,4 +412,48 @@ object Temporal {
         round(col("n_active").cast(org.apache.spark.sql.types.DoubleType) /
           col("cohort_size"), 6).as("retention"))
   }
+
+  /** Truncated exponentially-weighted moving average per key: the
+    * smoothing primitive behind rate dashboards and per-entity drift
+    * monitors, over the last `horizon` observations in event order with
+    * decay 1/2 per step — newest observation weighted 2^(horizon-1),
+    * oldest surviving one weighted 1.
+    *
+    * Determinism contract (what lets a recursive smoother hash-match an
+    * external oracle): the decay is a POWER OF TWO and the horizon is
+    * finite, so numerator and denominator are exact integer sums of
+    * cents·2^k (no drifting double recursion — the textbook
+    * `ewma = α·x + (1-α)·prev` accumulates rounding that can never
+    * cross engines), and the single final division of two exact longs
+    * is IEEE-identical everywhere. Ordering is total per key:
+    * (event time, id) — ties are defined, not partition luck.
+    *
+    * Shape: ONE window pass per key (the `horizon` lag expressions all
+    * share one WindowExec frame sort — Spark evaluates n lags over one
+    * sorted partition scan, not n sorts), hash-partitioned by key: the
+    * same plan at 32 or 1000 executors. Keep `horizon` modest (≤ 32) —
+    * it is a per-row expression-count multiplier, not a data multiplier. */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: Column, horizon: Int = 16): DataFrame = {
+    require(horizon >= 1 && horizon <= 62, "horizon must be in [1, 62]")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val cents = floor(valCol * 100 + lit(0.5)).cast(LongType)
+    val terms = (0 until horizon).map { j =>
+      val weight = 1L << (horizon - 1 - j)
+      val x = if (j == 0) cents else lag(cents, j).over(w)
+      (when(x.isNotNull, x * weight), when(x.isNotNull, lit(weight)))
+    }
+    val num = terms.map(_._1).reduce((a, b) => a + coalesce(b, lit(0L)))
+    val den = terms.map(_._2).reduce((a, b) => a + coalesce(b, lit(0L)))
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        valCol.isNotNull)
+      .select(col(keyCol), col(idCol), num.as("__n"), den.as("__d"))
+      // quantize via floor(x·1e6 + 0.5) — round() tie-breaking differs
+      // across engines; this formula is deterministic in both
+      .select(col(keyCol), col(idCol),
+        (floor(col("__n").cast(DoubleType) / col("__d") / 100.0
+          * 1000000.0 + 0.5).cast(DoubleType) / 1000000.0).as("ewma"))
+  }
 }

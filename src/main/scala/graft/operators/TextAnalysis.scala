@@ -887,14 +887,20 @@ object TextAnalysis {
   /** Word k-shingles (distinct), the MinHash input unit. Texts shorter
     * than k tokens contribute one whole-text shingle (sequence() would
     * otherwise run backwards on a negative length). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), k)
+
+  /** [[shingles]] over a PRE-SPLIT token array — same contract as
+    * [[chunksOfTokens]]: hot paths must project `tokens(text)` into a
+    * real column first, because the window lambda re-evaluates an
+    * inlined split once per shingle (no loop-invariant hoisting in HOF
+    * lambdas). */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       array_distinct(
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
 
   /** Overlapping word n-gram strings ("w1 … wn") of the given order —
     * the Gopher-repetition unit. Docs shorter than n tokens yield an
@@ -1057,5 +1063,40 @@ object TextAnalysis {
         size(col("__ts")).cast(LongType).as("n_tokens_support"),
         round(aggregate(col("__ts"), lit(0.0),
           (acc, x) => acc + x.getField("__term")), 6).as("jsd"))
+  }
+
+  /** First-round BPE merge statistics: corpus counts of adjacent
+    * CHARACTER pairs inside words — exactly the quantity byte-pair-
+    * encoding training maximizes per merge round (Sennrich 2016 §3:
+    * count symbol pairs over the word-frequency vocabulary, merge the
+    * most frequent). One round, run on plain characters, is the honest
+    * dependency-free slice of tokenizer training: the engine-shaped
+    * part (vocabulary aggregate, pair expansion, weighted count) is the
+    * part that matters at corpus scale — iterating merges re-runs the
+    * same plan over a rewritten vocabulary.
+    *
+    * Shape: token explode → vocabulary hash-aggregate (corpus-sized
+    * input, vocab-sized output, map-side combined) → per-word pair
+    * expansion via `substring(word, i, 2)` (vocab × word-length rows —
+    * bounded by the VOCABULARY, not the corpus: a word's pairs are
+    * counted once and weighted by its frequency) → pair hash-aggregate
+    * → bounded top-k. Pair counts credit every occurrence WITH
+    * multiplicity inside the word ("aaa" contributes "aa" twice per
+    * occurrence), the BPE contract. Words shorter than 2 chars have no
+    * pair — filtered BEFORE the expansion: Spark's `sequence(1, 0)`
+    * runs BACKWARDS (step -1), which would mint phantom pairs. */
+  def bpePairStats(df: DataFrame, text: Column, topK: Int = 50): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val vocab = Parallelism.ensure(df.select(text.as("__t")))
+      .select(explode(tokens(col("__t"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
   }
 }

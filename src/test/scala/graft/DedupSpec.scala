@@ -353,6 +353,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capOut.length == 10 && capOut.forall(_._4 == 1.0)) // C(5,2)
   }
 
+  test("bpePairStats: multiplicity inside words, vocab weighting, no phantom pairs") {
+    val docs = Seq("aaa bb x", "aaa").toDF("text")
+    // vocab: aaa:2 (pairs aa,aa), bb:1 (pair bb); "x" has no pair and
+    // must NOT mint one via a backwards sequence(1, 0)
+    val out = TextAnalysis.bpePairStats(docs, col("text"), topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("aa", 4L), ("bb", 1L)))
+  }
+
+  test("noveltyScore: fraction of distinct shingles absent from the reference") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
+    val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"
+    val out = Dedup.noveltyScore(corpus, "doc_id", col("text"), ref, col("text"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: shingles {"a b c d e" (seen), "b c d e f" (novel)} -> 0.5
+    assert(out(1L) == ((1L, 2L, 1L, 0.5)))
+    // short doc: one whole-text shingle, not in the reference -> 1.0
+    assert(out(2L) == ((2L, 1L, 1L, 1.0)))
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Graph
+import graft.operators.{Dedup, Graph}
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -111,5 +111,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(viaShuffle == viaBroadcast)
     assert(viaBroadcast(1L) > viaBroadcast(4L))
+  }
+
+  test("labelPropagation: dense neighborhoods outvote the bridge (hand-traced 4 rounds)") {
+    // two triangles {1,2,3} and {4,5,6} joined by bridge 3-4: LPA keeps
+    // two communities where connected components would merge everything.
+    // Hand trace (min-label ties): l4 = {1,2,3}->1, {4,5,6}->3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), out.toString)
+    // the components baseline merges the same graph into ONE cluster
+    val cc = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(cc == Seq(1L))
+    // shuffle path (gate=0) must be bit-identical to the broadcast path
+    val viaShuffle = Graph.labelPropagation(edges, "s", "d", iters = 4,
+        broadcastMaxNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle == out)
+    // degenerate inputs: empty edge list, self-loops-only
+    assert(Graph.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d", 2).count() == 0)
+    assert(Graph.labelPropagation(
+      Seq((7L, 7L)).toDF("s", "d"), "s", "d", 2).count() == 0)
   }
 }

@@ -309,4 +309,27 @@ class RelationalSpec extends SparkSpec {
     assert(out.count(_._1 == 2L) == 1 && out.find(_._1 == 2L).get._5 == "")
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("scd2History: run collapse, null-safe compare, [start, next-start) tiling") {
+    import graft.operators.Relational
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val log = Seq(
+      (1L, t(1), 101L, "O"), (1L, t(2), 102L, "O"), // run of 2
+      (1L, t(3), 103L, "F"),                        // change
+      (1L, t(4), 104L, "O"),                        // back: NEW version
+      (2L, t(1), 201L, null.asInstanceOf[String]),  // null-first key
+      (2L, t(2), 202L, null.asInstanceOf[String]),  // null run continues
+      (2L, t(3), 203L, "X"))
+      .toDF("k", "ts", "id", "status")
+    val out = Relational.scd2History(log, "k", "ts", "id", col("status"))
+      .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out((1L, 1L)) == (("O", t(1), t(3), 2L)))
+    assert(out((1L, 2L)) == (("F", t(3), t(4), 1L)))
+    assert(out((1L, 3L)) == (("O", t(4), null, 1L))) // open span
+    // a run of NULLs is ONE span opening version 1, not one per row
+    assert(out((2L, 1L)) == ((null, t(1), t(3), 2L)))
+    assert(out((2L, 2L)) == (("X", t(3), null, 1L)))
+    assert(out.size == 5)
+  }
 }

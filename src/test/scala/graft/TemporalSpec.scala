@@ -443,4 +443,29 @@ class NativeCosineSpec extends SparkSpec {
     // 7 xor 5 = 2 (1 bit) kept; pairs with 56 are 4-5 bits apart, dropped
     assert(hp == Seq((1L, 2L, 1)))
   }
+
+  test("ewmaSmooth: exact binary weights, truncated horizon, total tie order") {
+    import graft.operators.Temporal
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, t(1), 1.0),   // n=100*2, d=2 -> 1.0
+      (1L, 11L, t(2), 3.0),   // n=300*2+100, d=3 -> 700/3/100 -> 2.333333
+      (1L, 12L, t(3), 3.0),   // horizon=2 drops x1: n=300*2+300, d=3 -> 3.0
+      (2L, 20L, t(1), 5.0),   // lone observation -> itself
+      (2L, 21L, t(1), 7.0))   // same ts: event_id breaks the tie
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.ewmaSmooth(ev, "user_id", "ts", "event_id",
+        col("value"), horizon = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(out(10L) == 1.0)
+    assert(out(11L) == 2.333333)
+    assert(out(12L) == 3.0)
+    assert(out(20L) == 5.0)
+    assert(out(21L) == 6.333333) // (7·2+5)/3 cents, quantized at 1e-6
+    // null key/ts/value rows are dropped, not smoothed over
+    val dirty = Seq((null.asInstanceOf[java.lang.Long], 1L, t(1), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(Temporal.ewmaSmooth(dirty, "user_id", "ts", "event_id",
+      col("value"), 4).count() == 0)
+  }
 }

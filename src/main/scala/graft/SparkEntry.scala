@@ -1326,6 +1326,81 @@ object SparkEntry {
           col("n_novel"), col("novelty"))
     }),
 
+    // product-quantization codes: 4 subspaces of 16 dims, 8 stride-
+    // anchor codewords — the vector-compression stage next to q50's
+    // coarse quantizer
+    "q119_pq_codes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = emb
+        .filter(pmod(col("vec_id"), lit(30)) === 0 && col("vec_id") < 240)
+        .select(expr("vec_id div 30").as("code_id"),
+          col("embedding").as("codeword"))
+      Similarity.pqCodes(emb, codebook, subspaces = 4)
+    }),
+
+    // train/val/test split assignment + leakage audit: content
+    // fingerprints spanning more than one hash-assigned split
+    "q120_split_leakage" -> ((s, d) => {
+      val split = when(pmod(Hashing.hexLong(col("doc_id")
+          .cast(org.apache.spark.sql.types.StringType)), lit(100)) < 80, "train")
+        .when(pmod(Hashing.hexLong(col("doc_id")
+          .cast(org.apache.spark.sql.types.StringType)), lit(100)) < 90, "val")
+        .otherwise("test")
+      Tables.documents(s, d)
+        // the leakage key is the 8-token opening prefix: exact-dup
+        // bodies are rare in a curated corpus, shared boilerplate
+        // openings are the thing that actually straddles splits
+        .select(md5(concat_ws(" ",
+            slice(TextAnalysis.tokens(col("text")), 1, 8))).as("fp"),
+          split.as("split"), col("doc_id"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("split")).as("n_splits"),
+          array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+        .filter(col("n_splits") >= 2)
+    }),
+
+    // percent-rank normalization of the quality score — rank transform
+    // via the distinct-value table, NOT a corpus-wide one-task window
+    "q121_quantile_norm" -> ((s, d) =>
+      Quantiles.percentRank(
+        TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
+          .select(col("doc_id"), col("quality_score")),
+        col("quality_score"))),
+
+    // collocation graph export: top-3 PMI partners per left token over
+    // the q99 skip-gram statistics (vocab-partitioned window)
+    "q122_colloc_graph" -> ((s, d) => {
+      val pmi = TextAnalysis.skipgramPmi(Tables.documents(s, d), col("text"),
+        window = 3, minCount = 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1")).orderBy(col("pmi").desc, col("w2"))
+      pmi.withColumn("partner_rank", row_number().over(w).cast(LongType))
+        .filter(col("partner_rank") <= 3)
+    }),
+
+    // padding-waste audit of length-bucketed batching: tokens lost to
+    // padding per power-of-two sequence bucket
+    "q123_padding_waste" -> ((s, d) => {
+      val n = size(TextAnalysis.tokens(col("text"))).cast(LongType)
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).when(n <= 128, 128L).otherwise(-1L)
+      Tables.documents(s, d)
+        .select(n.as("__n"), bucket.as("seq_bucket"))
+        .groupBy("seq_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("total_tokens"),
+          sum(when(col("seq_bucket") > 0, col("seq_bucket") - col("__n"))
+            .otherwise(0L)).as("total_padding"))
+        .select(col("seq_bucket"), col("n_docs"), col("total_tokens"),
+          col("total_padding"),
+          when(col("seq_bucket") > 0,
+            floor(col("total_padding").cast("double") /
+              (col("n_docs") * col("seq_bucket")) * 1000000.0 + 0.5)
+              .cast("double") / 1000000.0)
+            .otherwise(lit(0.0)).as("padding_ratio"))
+    }),
+
     // hierarchical rollup: revenue at (region, nation) / (region) /
     // grand-total levels in ONE aggregation pass (Expand, not three
     // jobs); grouping_id disambiguates rolled NULLs from data NULLs
@@ -2528,6 +2603,105 @@ object SparkEntry {
              / count(*) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS novelty
          FROM ex e LEFT JOIN ref r ON e.s = r.s
          WHERE e.doc_id % 50 <> 0 GROUP BY 1""",
+
+    "q119_pq_codes" -> {
+      def dist(s: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           [(c.e[i+1] - cb.cw[i+1]) * (c.e[i+1] - cb.cw[i+1])
+            for i in range(${16 * s}, ${16 * (s + 1)})]),
+           (acc, x) -> acc + x)"""
+      def arg(s: Int): String =
+        s"""a$s AS (SELECT vec_id, code_id FROM
+           (SELECT vec_id, code_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d$s, code_id) AS rk
+            FROM d) WHERE rk = 1)"""
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cb AS (SELECT vec_id // 30 AS code_id, e AS cw FROM c
+                WHERE vec_id % 30 = 0 AND vec_id < 240),
+         d AS (SELECT c.vec_id AS vec_id, cb.code_id AS code_id,
+           ${(0 until 4).map(s => s"${dist(s)} AS d$s").mkString(", ")}
+           FROM c, cb),
+         ${(0 until 4).map(arg).mkString(",\n         ")}
+         SELECT a0.vec_id AS vec_id,
+           CAST(a0.code_id AS BIGINT) AS code_0,
+           CAST(a1.code_id AS BIGINT) AS code_1,
+           CAST(a2.code_id AS BIGINT) AS code_2,
+           CAST(a3.code_id AS BIGINT) AS code_3
+         FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+           JOIN a3 USING (vec_id)"""
+    },
+
+    "q120_split_leakage" -> {
+      val hex = sqlHexLong("CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (SELECT doc_id,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+           CASE WHEN $hex % 100 < 80 THEN 'train'
+                WHEN $hex % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+         SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+         FROM s GROUP BY fp HAVING count(DISTINCT split) >= 2"""
+    },
+
+    "q121_quantile_norm" ->
+      """WITH q AS (SELECT doc_id,
+           round(least(CAST(1 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 64) * 0.5
+             + least(CAST(1 AS DOUBLE), CAST(list_sum([CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END for x in string_split(text, ' ')]) AS DOUBLE) / len(string_split(text, ' ')) * 5) * 0.5, 4) AS quality_score
+         FROM documents),
+         f AS (SELECT * FROM q WHERE quality_score IS NOT NULL),
+         dv AS (SELECT quality_score, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY 1),
+         cv AS (SELECT quality_score, sum(c) OVER (ORDER BY quality_score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS less
+           FROM dv),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM f)
+         SELECT doc_id, quality_score,
+           CASE WHEN nn > 1 THEN
+             CAST(floor(CAST(less AS DOUBLE) / (nn - 1) * 1000000.0 + 0.5)
+               AS DOUBLE) / 1000000.0
+           ELSE CAST(0.0 AS DOUBLE) END AS pct_rank
+         FROM f JOIN cv USING (quality_score) CROSS JOIN n""",
+
+    "q122_colloc_graph" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+         pr AS (SELECT flatten([[{'w1': w[i], 'w2': w[j]}
+                for j in range(i + 1, least(i + 3, len(w)) + 1)]
+                for i in range(1, len(w) + 1)]) AS ps FROM toks),
+         pe AS (SELECT unnest(ps) AS p FROM pr),
+         pc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c_ab
+                FROM pe GROUP BY 1, 2),
+         la AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc GROUP BY 1),
+         rb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM pc GROUP BY 1),
+         n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nn FROM pc),
+         pm AS (SELECT pc.w1 AS w1, pc.w2 AS w2, pc.c_ab AS c_ab,
+           round(ln(CAST(nn AS DOUBLE) * c_ab / (la.c_a * rb.c_b)), 6) AS pmi
+           FROM pc JOIN la ON pc.w1 = la.w1 JOIN rb ON pc.w2 = rb.w2
+             CROSS JOIN n
+           WHERE pc.c_ab >= 2)
+         SELECT w1, w2, c_ab, pmi, CAST(rn AS BIGINT) AS partner_rank FROM
+           (SELECT *, row_number() OVER (PARTITION BY w1
+              ORDER BY pmi DESC, w2) AS rn FROM pm)
+         WHERE rn <= 3""",
+
+    "q123_padding_waste" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT n, CAST(CASE WHEN n <= 16 THEN 16
+             WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+             WHEN n <= 128 THEN 128
+             ELSE -1 END AS BIGINT) AS seq_bucket FROM t)
+         SELECT seq_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN seq_bucket > 0 THEN seq_bucket - n ELSE 0 END)
+             AS BIGINT) AS total_padding,
+           CASE WHEN seq_bucket > 0 THEN
+             CAST(floor(CAST(sum(CASE WHEN seq_bucket > 0 THEN seq_bucket - n
+               ELSE 0 END) AS DOUBLE) / (count(*) * seq_bucket)
+               * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+           ELSE CAST(0.0 AS DOUBLE) END AS padding_ratio
+         FROM b GROUP BY seq_bucket""",
 
     // exact decimal money at every grouping level (the q13 contract);
     // GROUPING() bitmask matches grouping_id (first arg = MSB)

@@ -295,4 +295,37 @@ object Quantiles {
         coalesce(col("value") < col("__lo") || col("value") > col("__hi"),
           lit(false)).as("is_clipped")): _*)
   }
+
+  /** Percent-rank (quantile) normalization: map each row's value to
+    * `|{rows with smaller value}| / (n - 1)` ∈ [0, 1] — the
+    * distribution-free feature rescaling (rank transform) a training
+    * pipeline applies before mixing heterogeneous quality signals.
+    * SQL `percent_rank()` semantics, WITHOUT its plan: a global
+    * unpartitioned window sorts the entire corpus through ONE task —
+    * the documented scale-killer. Here ranks come from the DISTINCT
+    * VALUE table (bounded by the value domain, e.g. 4-decimal quality
+    * scores, not the corpus): per-value counts, one cumulative window
+    * over that small table, and a broadcast join back. NULL values are
+    * excluded from ranking and from `n` (SQL window semantics would
+    * rank them; a feature scaler must not invent a rank for a missing
+    * feature). Quantized via floor(x·1e6 + 0.5); a single-row corpus
+    * pins to 0 (the n=1 division guard). */
+  def percentRank(df: DataFrame, value: Column,
+      out: String = "pct_rank"): DataFrame = {
+    val base = df.withColumn("__v", value).filter(col("__v").isNotNull)
+    val dv = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dv.select(col("__v"),
+      (sum(col("__c")).over(w) - col("__c")).as("__less"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    base.join(broadcast(cum), "__v")
+      .crossJoin(broadcast(n))
+      .withColumn(out,
+        when(col("__n") > 1,
+          floor(col("__less").cast(DoubleType) / (col("__n") - 1)
+            * 1000000.0 + 0.5).cast(DoubleType) / 1000000.0)
+          .otherwise(lit(0.0)))
+      .drop("__v", "__less", "__n")
+  }
 }

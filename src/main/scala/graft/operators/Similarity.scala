@@ -481,4 +481,52 @@ object Similarity {
       round(cosine(col("emb_query_id"), col("emb_neighbor_id")), 6).as("cos_sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Product-quantization codes (Jégou 2011): split each embedding into
+    * `subspaces` contiguous sub-vectors and assign each to its nearest
+    * codeword — the compressed representation ANN indexes store at
+    * 100 TB scale (dim·4 bytes → `subspaces` bytes per vector; distances
+    * then come from small lookup tables instead of full vectors). The
+    * compression stage that pairs with [[ivfKnn]]'s coarse quantizer.
+    *
+    * `codebook` rows are (code_id, codeword) with codeword the FULL
+    * dimension — subspace c's codeword is the same slice of it the
+    * vector contributes (a per-subspace trained codebook drops in by
+    * passing different vectors per code_id; the slicing contract is
+    * identical).
+    *
+    * Determinism: squared-L2 per subspace is a LEFT FOLD over the slice
+    * (`aggregate` over `zip_with` — array order, bit-identical to the
+    * oracle's `list_reduce` fold), and the argmin is
+    * `min(struct(dist, code_id))` — lexicographic struct min = min
+    * distance, ties to the smallest code id.
+    *
+    * Shape: |codebook| is broadcast (codebooks are KB-sized by
+    * construction); the cross join fans each vector out `|codebook|`
+    * ways and ONE hash aggregate folds it back to a row per vector —
+    * narrow + one shuffle on the id, arbitrarily parallel. */
+  def pqCodes(df: DataFrame, codebook: DataFrame, subspaces: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(subspaces >= 1, "need at least one subspace")
+    val joined = df
+      .select(col(idCol), col("embedding").cast("array<double>").as("__e"))
+      .crossJoin(broadcast(codebook.select(col("code_id"),
+        col("codeword").cast("array<double>").as("__c"))))
+    val subLen = size(col("__e")).cast("int") / subspaces
+    val dists = (0 until subspaces).map { s =>
+      val start = (subLen * s + 1).cast("int")
+      aggregate(
+        zip_with(slice(col("__e"), start, subLen),
+          slice(col("__c"), start, subLen),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val aggs = dists.zipWithIndex.map { case (d, s) =>
+      min(struct(d.as("d"), col("code_id").as("c"))).as(s"__m$s")
+    }
+    joined.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: (0 until subspaces).map(s =>
+        col(s"__m$s").getField("c").as(s"code_$s")): _*)
+  }
 }

@@ -653,6 +653,49 @@ class TextAnalysisSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("pqCodes: per-subspace argmin, code tie to smallest id, codebook slicing") {
+    // dim 4, 2 subspaces of 2; codewords chosen so assignments differ
+    // per subspace: vec (1,0, 0,9) -> sub0 matches cw0 (1,0), sub1
+    // matches cw1 (.,., 0,9)
+    val cb = Seq(
+      (0L, Array(1f, 0f, 5f, 5f)),
+      (1L, Array(0f, 1f, 0f, 9f))).toDF("code_id", "codeword")
+    val vecs = Seq(
+      (10L, Array(1f, 0f, 0f, 9f)),   // codes (0, 1)
+      (11L, Array(0f, 1f, 5f, 5f)),   // codes (1, 0)
+      (12L, Array(0.5f, 0.5f, 5f, 5f))) // sub0 EQUIDISTANT -> tie -> code 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(vecs, cb, subspaces = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == ((0L, 1L)))
+    assert(out(11L) == ((1L, 0L)))
+    assert(out(12L) == ((0L, 0L)), "equidistant subspace must tie to min code_id")
+  }
+
+  test("percentRank: distinct-value ranking, ties share a rank, nulls excluded") {
+    import graft.operators.Quantiles
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 40.0), (5L, 50.0))
+      .toDF("id", "v")
+    val out = Quantiles.percentRank(df, col("v"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.25 && out(3L) == 0.25) // both above exactly 1 of 4
+    assert(out(4L) == 0.75)
+    assert(out(5L) == 1.0)
+    // nulls: excluded from ranks AND from n
+    val withNull = Seq((1L, java.lang.Double.valueOf(1.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(3.0))).toDF("id", "v")
+    val o2 = Quantiles.percentRank(withNull, col("v"))
+      .as[(Long, Double, Double)].collect()
+    assert(o2.map(_._1).toSet == Set(1L, 3L))
+    assert(o2.find(_._1 == 3L).get._3 == 1.0)
+    // single row: guard pins 0.0 instead of 0/0
+    val one = Quantiles.percentRank(Seq((1L, 9.9)).toDF("id", "v"), col("v"))
+      .as[(Long, Double, Double)].collect()
+    assert(one.head._3 == 0.0)
+  }
+
   val corpus = (0 until 50).map { i =>
     (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
   }.toDF("vec_id", "embedding")

@@ -497,36 +497,43 @@ object Similarity {
     *
     * Determinism: squared-L2 per subspace is a LEFT FOLD over the slice
     * (`aggregate` over `zip_with` — array order, bit-identical to the
-    * oracle's `list_reduce` fold), and the argmin is
-    * `min(struct(dist, code_id))` — lexicographic struct min = min
-    * distance, ties to the smallest code id.
+    * oracle's `list_reduce` fold), and the argmin fold keeps the FIRST
+    * minimum in code-id order (strict `<` over the code-sorted array) —
+    * the same tie semantics as `min(struct(dist, code_id))`.
     *
-    * Shape: |codebook| is broadcast (codebooks are KB-sized by
-    * construction); the cross join fans each vector out `|codebook|`
-    * ways and ONE hash aggregate folds it back to a row per vector —
-    * narrow + one shuffle on the id, arbitrarily parallel. */
+    * Shape — the 100 TB shape, not a join: the codebook (KB-sized by
+    * construction) collapses to ONE array row crossed in by broadcast,
+    * and every assignment is a per-row HOF argmin over that array —
+    * NO per-codeword fan-out, NO aggregate (a `min(struct)` groupBy
+    * plans as SortAggregate: struct buffers aren't hash-aggregable, so
+    * the |codebook|×corpus fan-out would be SORTED), NO shuffle. The
+    * whole operator is scan → broadcast cross (1 row) → project,
+    * arbitrarily parallel. */
   def pqCodes(df: DataFrame, codebook: DataFrame, subspaces: Int,
       idCol: String = "vec_id"): DataFrame = {
     require(subspaces >= 1, "need at least one subspace")
+    val cbArr = codebook.agg(
+      sort_array(collect_list(struct(col("code_id"),
+        col("codeword").cast("array<double>").as("codeword")))).as("__cb"))
     val joined = df
       .select(col(idCol), col("embedding").cast("array<double>").as("__e"))
-      .crossJoin(broadcast(codebook.select(col("code_id"),
-        col("codeword").cast("array<double>").as("__c"))))
-    val subLen = size(col("__e")).cast("int") / subspaces
-    val dists = (0 until subspaces).map { s =>
-      val start = (subLen * s + 1).cast("int")
-      aggregate(
-        zip_with(slice(col("__e"), start, subLen),
-          slice(col("__c"), start, subLen),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      .crossJoin(broadcast(cbArr))
+      .withColumn("__len", expr(s"size(__e) div $subspaces").cast("int"))
+    val codes = (0 until subspaces).map { s =>
+      val start = (col("__len") * s + 1).cast("int")
+      aggregate(col("__cb"),
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("c")),
+        (acc, e) => {
+          val dist = aggregate(
+            zip_with(slice(col("__e"), start, col("__len")),
+              slice(e.getField("codeword"), start, col("__len")),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (a2, x) => a2 + x)
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), e.getField("code_id").as("c")))
+            .otherwise(acc)
+        }).getField("c").as(s"code_$s")
     }
-    val aggs = dists.zipWithIndex.map { case (d, s) =>
-      min(struct(d.as("d"), col("code_id").as("c"))).as(s"__m$s")
-    }
-    joined.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol) +: (0 until subspaces).map(s =>
-        col(s"__m$s").getField("c").as(s"code_$s")): _*)
+    joined.select(col(idCol) +: codes: _*)
   }
 }

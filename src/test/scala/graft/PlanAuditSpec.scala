@@ -521,4 +521,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,300)]"),
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
+
+  test("q115 EWMA / q117 SCD2: every window is KEY-partitioned, never corpus-global") {
+    for (q <- Seq("q115_ewma", "q117_scd2")) {
+      val plan = planOf(q)
+      val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$q: ${plan.take(600)}")
+      // an unpartitioned window pulls the corpus through ONE task — the
+      // documented scale-killer; every window spec must carry a key
+      assert(windows.forall(w => !w.contains("Window [") ||
+        w.contains("partitionBy") || !w.contains(", []")), windows.mkString("\n"))
+      assert(plan.contains("hashpartitioning"), s"$q: no keyed exchange")
+    }
+  }
+
+  test("q119 PQ codes: one-row broadcast codebook, per-row argmin, zero shuffles") {
+    val plan = planOf("q119_pq_codes")
+    // the codebook collapses to ONE broadcast array row; assignment is
+    // a narrow projection - no CartesianProduct, no SortAggregate over
+    // a per-codeword fan-out, no exchange on the corpus side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("SortAggregate"), plan.take(1200))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+  }
+
+  test("q121 percent-rank: the global window runs over the DISTINCT-VALUE table, not the corpus") {
+    val plan = planOf("q121_quantile_norm")
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, plan.take(800))
+    // below the window (its input) there must be an aggregate (the
+    // per-value counts) BEFORE any file scan: the window input is the
+    // value table, not raw documents
+    val below = lines.drop(winIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val scanIdx = below.indexWhere(_.contains("FileScan"))
+    assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
+      below.take(8).mkString("\n"))
+    // the rank table and the total attach back via broadcast, so the
+    // corpus is never re-shuffled for the join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("q114 label propagation: co-partitioned vote rounds, no cartesian anywhere") {
+    val plan = planOf("q114_label_prop")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the pinned edge checkpoint: each round's label attach reads the
+    // materialized scan, not a re-derived candidate subplan
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1200))
+  }
 }

@@ -1379,6 +1379,17 @@ object SparkEntry {
         .filter(col("partner_rank") <= 3)
     }),
 
+    // the WHOLE curation funnel oracle-gated end-to-end: quality gate ->
+    // exact dedup -> MinHash near-dedup (connected components) ->
+    // decontamination, one disposition per doc (q58's %7 eval split)
+    "q124_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.pipelines.CurationPipeline.dispositions(
+        docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 7 === 0).select("text"))
+        .select(col("doc_id"), col("stage"))
+    }),
+
     // padding-waste audit of length-bucketed batching: tokens lost to
     // padding per power-of-two sequence bucket
     "q123_padding_waste" -> ((s, d) => {
@@ -1561,7 +1572,12 @@ object SparkEntry {
   /** Shared CTE prefix of the MinHash oracles: shingles → per-shingle
     * md5 → affine-family minima (mirrors Dedup.minHashFamily exactly) →
     * LSH bands → capped buckets. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  /** The same CTE chain over any (doc_id, text) relation name visible
+    * in the enclosing scope — the curation-funnel oracle runs it over
+    * the quality SURVIVORS, not the corpus. */
+  private def minhashCtesFrom(src: String): String = {
     val P = Dedup.MinHashP
     val rows = MinhashPerms / MinhashBands
     val mins = (0 until MinhashPerms).map { p =>
@@ -1574,7 +1590,7 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM mh"
     }.mkString(" UNION ALL ")
     // `ok` mirrors the operator's maxBucket degenerate-band cap exactly
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        sh AS (SELECT doc_id, CASE WHEN len(w) >= $MinhashK
          THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
          ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
@@ -1588,8 +1604,10 @@ object SparkEntry {
 
   /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL
     * (one md5 per shingle, affine family `(a_p*h + b_p) mod P`). */
-  private def minhashOracle: String =
-    s"""$minhashCtes
+  private def minhashOracle: String = minhashOracleFrom("documents")
+
+  private def minhashOracleFrom(src: String): String =
+    s"""${minhashCtesFrom(src)}
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM banded a JOIN banded b
          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -2684,6 +2702,52 @@ object SparkEntry {
            (SELECT *, row_number() OVER (PARTITION BY w1
               ORDER BY pmi DESC, w2) AS rn FROM pm)
          WHERE rn <= 3""",
+
+    // the funnel's stages composed from the proven oracle fragments:
+    // q65's quality formula, exact-dup groups, q51's recursive closure
+    // over candidates-on-QUALIFIED, q58's shingle intersection
+    "q124_curation_funnel" -> {
+      val k = MinhashK
+      val shingleCase = s"""CASE WHEN len(w) >= $k
+        THEN list_distinct([array_to_string(w[i+1:i+$k], ' ') for i in range(0, len(w) - ${k - 1})])
+        ELSE [array_to_string(w, ' ')] END"""
+      s"""WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         evald AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+         q0 AS (SELECT doc_id,
+           round(least(CAST(1 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 64) * 0.5
+             + least(CAST(1 AS DOUBLE), CAST(list_sum([CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END for x in string_split(text, ' ')]) AS DOUBLE) / len(string_split(text, ' ')) * 5) * 0.5, 4) AS qs
+           FROM corpus),
+         quality AS (SELECT doc_id, (qs IS NOT NULL AND qs >= 0.5) AS q_pass FROM q0),
+         qualified AS (SELECT c.doc_id, c.text FROM corpus c
+           JOIN quality USING (doc_id) WHERE q_pass),
+         fps AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM qualified),
+         grp AS (SELECT f, min(doc_id) AS keep_id, count(*) AS cnt
+           FROM fps GROUP BY 1),
+         exact_drop AS (SELECT fps.doc_id AS doc_id FROM fps
+           JOIN grp ON fps.f = grp.f
+           WHERE grp.cnt > 1 AND fps.doc_id <> grp.keep_id),
+         cand AS (${minhashOracleFrom("qualified")}),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         near_drop AS (SELECT src AS doc_id FROM reach GROUP BY src
+                       HAVING src <> least(src, min(dst))),
+         qsh AS (SELECT doc_id, unnest($shingleCase) AS s2 FROM
+           (SELECT doc_id, string_split(text, ' ') AS w FROM qualified)),
+         esh AS (SELECT DISTINCT unnest($shingleCase) AS s2 FROM
+           (SELECT string_split(text, ' ') AS w FROM evald)),
+         contam AS (SELECT DISTINCT q.doc_id FROM qsh q JOIN esh USING (s2))
+         SELECT c.doc_id AS doc_id,
+           CASE WHEN NOT q.q_pass THEN 'quality'
+                WHEN c.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
+                WHEN c.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+                WHEN c.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                ELSE 'kept' END AS stage
+         FROM corpus c JOIN quality q USING (doc_id)"""
+    },
 
     "q123_padding_waste" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n

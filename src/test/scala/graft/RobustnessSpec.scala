@@ -314,6 +314,51 @@ class RobustnessSpec extends SparkSpec {
     assert(stream.withWatermark("ts", "1 hour").isStreaming)
   }
 
+  test("round-6 operators on degenerate input: empty corpora, lone rows, empty codebooks") {
+    import org.apache.spark.sql.functions.expr
+    // EWMA: empty in, empty out; all-null values dropped entirely
+    val emptyEv = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(Temporal.ewmaSmooth(emptyEv, "user_id", "ts", "event_id",
+      col("value"), 4).count() == 0)
+    // BPE pairs: empty corpus and pairless (all 1-char words) corpora
+    assert(TextAnalysis.bpePairStats(
+      Seq.empty[String].toDF("text"), col("text")).count() == 0)
+    assert(TextAnalysis.bpePairStats(
+      Seq("a b c").toDF("text"), col("text")).count() == 0)
+    // novelty: empty reference -> everything fully novel
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val nov = Dedup.noveltyScore(docs, "doc_id", col("text"),
+      Seq.empty[String].toDF("text"), col("text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(nov == ((1L, 1L, 1L, 1.0)))
+    // SCD2: empty log empty; single row -> one open version-1 span
+    val emptyLog = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("k", "ts", "id", "a")
+    assert(Relational.scd2History(emptyLog, "k", "ts", "id", col("a"))
+      .count() == 0)
+    val lone = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      9L, "X")).toDF("k", "ts", "id", "a")
+    val span = Relational.scd2History(lone, "k", "ts", "id", col("a"))
+      .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .head()
+    assert(span._2 == 1L && span._3 == "X" && span._5 == null && span._6 == 1L)
+    // percentRank: empty and all-null inputs yield empty, not a crash
+    assert(Quantiles.percentRank(
+      Seq.empty[(Long, java.lang.Double)].toDF("id", "v"), col("v"))
+      .count() == 0)
+    // PQ codes: empty codebook -> sentinel -1 codes, never a crash;
+    // empty corpus -> empty
+    val vecs = Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val emptyCb = Seq.empty[(Long, Array[Float])].toDF("code_id", "codeword")
+    val pq = Similarity.pqCodes(vecs, emptyCb, 2)
+      .as[(Long, Long, Long)].head()
+    assert(pq == ((1L, -1L, -1L)))
+    assert(Similarity.pqCodes(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      emptyCb, 2).count() == 0)
+  }
+
   test("typed pipeline outputs round-trip through their case classes") {
     val json = """{ "responses": [
       { "1": { "id": "1", "datestamp": "2018-03-01 10:00:00", "submitdate": "2018-03-01 10:00:00", "startdate": "x", "lastpage": "3", "startlanguage": "pt", "q01": "A4", "q03": "a@x.com", "q06": "BR1", "q12": "mail", "q22": "R1" } }

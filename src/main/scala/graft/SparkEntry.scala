@@ -1135,7 +1135,9 @@ object SparkEntry {
     "q92_cms_bigrams" -> ((s, d) =>
       Sketches.countMinEstimates(
         wide(Tables.documents(s, d).select(col("text")))
-          .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram")),
+          .select(TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(explode(
+            TextAnalysis.bigramsFromTokens(col("__toks"))).as("bigram")),
         "bigram", d = 4, w = 256)),
 
     // HyperLogLog distinct sketch (m=64): same question as q91 at 64

@@ -22,8 +22,13 @@ object TextAnalysis {
   /** Adjacent-bigram strings ("w1 w2") — the token stream the bigram-PMI
     * and count-min queries share. Empty/1-token docs yield an empty
     * array (mirrors the oracle's `range(1, len(w))` comprehension). */
-  def bigrams(text: Column): Column =
-    transform(bigramsOf(tokens(text)),
+  def bigrams(text: Column): Column = bigramsFromTokens(tokens(text))
+
+  /** [[bigrams]] over a PRE-SPLIT token array — the hot-path form (the
+    * [[chunksOfTokens]] contract: an inlined split re-runs per bigram
+    * inside the window lambda). */
+  def bigramsFromTokens(toks: Column): Column =
+    transform(bigramsOf(toks),
       p => concat(p.getField("w1"), lit(" "), p.getField("w2")))
 
   /** BPE-ish subword token-count estimate: words plus an extra token per
@@ -343,8 +348,9 @@ object TextAnalysis {
     import org.apache.spark.sql.GraftShims
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), tokens(col("__t")).as("__toks"))
       .select(col("doc"),
-        explode(ngramsOf(tokens(col("__t")), ngram)).as("term"))
+        explode(ngramsOf(col("__toks"), ngram)).as("term"))
     val tf = GraftShims.checkpointHashPartitioned(
       ex.groupBy("term", "doc").agg(count(lit(1)).as("tf")), p, "term")
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("__df"))
@@ -753,7 +759,8 @@ object TextAnalysis {
   def bigramLmScore(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val grams = Parallelism.ensure(
       df.select(col(idCol).as("doc"), text.as("__t")))
-      .select(col("doc"), explode(bigramsOf(tokens(col("__t")))).as("bg"))
+      .select(col("doc"), tokens(col("__t")).as("__toks"))
+      .select(col("doc"), explode(bigramsOf(col("__toks"))).as("bg"))
       .select(col("doc"), col("bg.w1"), col("bg.w2"))
     val bgCounts = grams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
     val prefCounts = bgCounts.groupBy("w1").agg(sum("__c12").as("__c1"))
@@ -936,11 +943,11 @@ object TextAnalysis {
     require(orders.nonEmpty && orders.forall(_ >= 2), "orders must be >= 2")
     val base = Parallelism.ensure(
       df.select(col(idCol).as("doc"), text.as("__t")))
-      .select(col("doc"), col("__t"),
+      .select(col("doc"), tokens(col("__t")).as("__toks"),
         length(col("__t")).cast(LongType).as("n_chars"))
     val docs = base.select(col("doc"), col("n_chars"))
     val tagged = concat(orders.map(n =>
-      transform(ngramsOf(tokens(col("__t")), n),
+      transform(ngramsOf(col("__toks"), n),
         g => struct(lit(n).as("n"), g.as("g")))): _*)
     val gc = base
       .select(col("doc"), explode(tagged).as("__ng"))

@@ -434,6 +434,36 @@ class StreamingSpec extends SparkSpec {
     bText.keys.foreach(id => assert(sText(id) == bText(id)))
   }
 
+  test("windowedReport: per-window funnel stage counts with bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog " * 8
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CurationStream.windowedReport(spark,
+        input.toDF().toDF("doc_id", "text", "ts"), windowLen = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_report").start()
+    try {
+      // window 10:00: 2 pass + 1 fail; window 11:00: 1 fail
+      input.addData((1L, good, t("2026-01-01 10:05:00")),
+        (2L, good + "x", t("2026-01-01 10:20:00")),
+        (3L, "junk", t("2026-01-01 10:40:00")),
+        (4L, "x", t("2026-01-01 11:10:00")))
+      q.processAllAvailable()
+      // advance the watermark past both windows so they emit
+      input.addData((5L, good, t("2026-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_report")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((t("2026-01-01 10:00:00"), "pass", 2L)), rows.toString)
+      assert(rows.contains((t("2026-01-01 10:00:00"), "quality", 1L)), rows.toString)
+      assert(rows.contains((t("2026-01-01 11:00:00"), "quality", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup state expires with the horizon: later re-arrival re-qualifies") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -261,4 +261,76 @@ class PropertySpec extends SparkSpec {
       assert(out.length == s * (s - 1) / 2)
     }
   }
+
+  test("scd2History invariants: spans tile per key, versions consecutive, counts conserve") {
+    import graft.operators.Relational
+    val logGen: Gen[List[(Long, Int, String)]] = Gen.listOf(for {
+      k <- Gen.oneOf(1L, 2L, 3L)
+      day <- Gen.choose(1, 28)
+      a <- Gen.oneOf("O", "F", "P", null: String)
+    } yield (k, day, a))
+    samples(logGen, 10).filter(_.nonEmpty).foreach { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((k, day, a), i) =>
+        (k, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), i.toLong, a)
+      }
+      val out = Relational.scd2History(rows.toDF("k", "ts", "id", "a"),
+          "k", "ts", "id", col("a"))
+        .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect()
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val spans = out.filter(_._1 == k).sortBy(_._2)
+        // versions are 1..n with no gaps; counts conserve the log
+        assert(spans.map(_._2).toSeq == (1L to spans.length).toSeq, s"input: $rows")
+        assert(spans.map(_._6).sum == g.length, s"input: $rows")
+        // spans tile: valid_to(v) == valid_from(v+1); only the last is open
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(a._5 == b._4, s"gap in $k: $rows")
+          case _ =>
+        }
+        assert(spans.last._5 == null && spans.init.forall(_._5 != null))
+        // consecutive spans change attribute (null-safe)
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 != b._3, s"uncollapsed run: $rows")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("percentRank invariants: [0,1], value-monotone, equal values share a rank") {
+    import graft.operators.Quantiles
+    val vGen = Gen.nonEmptyListOf(Gen.choose(0, 20).map(_ / 4.0))
+    samples(vGen, 10).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = Quantiles.percentRank(df, col("v"))
+        .as[(Long, Double, Double)].collect()
+      assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0), s"input: $vs")
+      val byV = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+      assert(byV.values.forall(_.length == 1), s"tied values split ranks: $vs")
+      val sorted = byV.toSeq.sortBy(_._1)
+      assert(sorted.map(_._2.head) == sorted.map(_._2.head).sorted, s"input: $vs")
+      if (vs.length > 1) {
+        assert(out.find(_._2 == vs.min).get._3 == 0.0)
+      }
+    }
+  }
+
+  test("ewmaSmooth invariants: bounded by window extremes, singleton identity") {
+    import graft.operators.Temporal
+    val vGen = Gen.nonEmptyListOf(Gen.choose(0, 1000).map(_ / 100.0))
+    samples(vGen, 8).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (1L, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), v) }
+      val out = Temporal.ewmaSmooth(rows.toDF("u", "id", "ts", "v"),
+          "u", "ts", "id", col("v"), horizon = 4)
+        .as[(Long, Long, Double)].collect().sortBy(_._2)
+      out.zipWithIndex.foreach { case ((_, _, e), i) =>
+        val window = vs.slice(math.max(0, i - 3), i + 1)
+        // cents quantization allows 0.005 + 1e-6 slack on the bounds
+        assert(e >= window.min - 0.006 && e <= window.max + 0.006,
+          s"row $i ewma $e outside [${window.min}, ${window.max}]: $vs")
+      }
+      assert(math.abs(out.head._3 - math.floor(vs.head * 100 + 0.5) / 100) < 1e-9)
+    }
+  }
 }

@@ -1381,6 +1381,12 @@ object SparkEntry {
         .filter(col("partner_rank") <= 3)
     }),
 
+    // incremental-ingest near-dedup: new shard (odd ids) vs the
+    // existing lake — only boundary-crossing candidate pairs matter
+    "q125_incremental_dedup" -> ((s, d) =>
+      Dedup.incrementalNearDups(Tables.documents(s, d), "doc_id",
+        col("text"), col("doc_id") % 2 === 1)),
+
     // the WHOLE curation funnel oracle-gated end-to-end: quality gate ->
     // exact dedup -> MinHash near-dedup (connected components) ->
     // decontamination, one disposition per doc (q58's %7 eval split)
@@ -2704,6 +2710,15 @@ object SparkEntry {
            (SELECT *, row_number() OVER (PARTITION BY w1
               ORDER BY pmi DESC, w2) AS rn FROM pm)
          WHERE rn <= 3""",
+
+    "q125_incremental_dedup" ->
+      s"""WITH RECURSIVE cand AS ($minhashOracle),
+         x AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc,
+                      CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS existing_doc
+               FROM cand WHERE (doc_a % 2 = 1) <> (doc_b % 2 = 1))
+         SELECT new_doc, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(existing_doc) AS BIGINT) AS closest_existing
+         FROM x GROUP BY 1""",
 
     // the funnel's stages composed from the proven oracle fragments:
     // q65's quality formula, exact-dup groups, q51's recursive closure

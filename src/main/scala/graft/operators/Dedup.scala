@@ -418,6 +418,41 @@ object Dedup {
       .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Incremental-ingest near-dedup: which NEW documents (rows where
+    * `isNew`) near-duplicate the EXISTING corpus — the nightly-shard
+    * question ("what of today's crawl is already in the lake") asked
+    * WITHOUT re-clustering the lake: candidate pairs come from the
+    * usual banded MinHash pass over the union, and only pairs CROSSING
+    * the shard boundary survive; same-side pairs (old∼old, new∼new)
+    * are the full-compaction's business, not ingest's. One row per
+    * matched new doc with its match count and the smallest existing
+    * match id (the canonical it would collapse into).
+    *
+    * Scale shape: [[minHashCandidates]]' two shuffles + two key-sized
+    * flag joins (unhinted — broadcast when the id table fits, co-hash
+    * otherwise) + one aggregate on the pair table. At a real lake the
+    * existing side's signatures/bands are precomputed and persisted;
+    * the semantics here are the contract that path must preserve. */
+  def incrementalNearDups(df: DataFrame, idCol: String, text: Column,
+      isNew: Column, k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val cand = minHashCandidates(df, idCol, text, k, numPerm, bands, maxBucket)
+    val flags = df.select(col(idCol).as("__id"), isNew.as("__new"))
+    cand
+      .join(flags.select(col("__id").as("doc_a"), col("__new").as("__na")),
+        "doc_a")
+      .join(flags.select(col("__id").as("doc_b"), col("__new").as("__nb")),
+        "doc_b")
+      .filter(col("__na") =!= col("__nb"))
+      .select(
+        when(col("__na"), col("doc_a")).otherwise(col("doc_b")).as("new_doc"),
+        when(col("__na"), col("doc_b")).otherwise(col("doc_a"))
+          .as("existing_doc"))
+      .groupBy("new_doc")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("existing_doc")).as("closest_existing"))
+  }
+
   /** Per-document n-gram novelty against a reference corpus — the
     * inverse of [[decontaminate]]'s contamination count: the fraction
     * of a document's DISTINCT `k`-shingles absent from the reference's

@@ -373,6 +373,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 1L, 1.0)))
   }
 
+  test("incrementalNearDups: only boundary-crossing pairs; same-side dups stay out") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, false),          // existing
+      (2L, base, true),           // new, dup of 1 (and of 3)
+      (3L, base, true),           // new, dup of 1 (and of 2)
+      (4L, "completely different content with no overlap at all", false))
+      .toDF("doc_id", "text", "is_new")
+    val out = Dedup.incrementalNearDups(docs, "doc_id", col("text"),
+        col("is_new"))
+      .as[(Long, Long, Long)].collect().toSet
+    // 2 and 3 each match existing doc 1; their mutual (new, new) pair
+    // and any (old, old) pair must NOT be reported
+    assert(out == Set((2L, 1L, 1L), (3L, 1L, 1L)), out.toString)
+  }
+
   test("langId picks marker-majority language, und when none") {
     val df = Seq(
       "the cat is of the house and the dog",

@@ -359,6 +359,33 @@ class RobustnessSpec extends SparkSpec {
       emptyCb, 2).count() == 0)
   }
 
+  test("corpus contract: every table loads the same schema at every scale, key types pinned") {
+    import org.apache.spark.sql.types._
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // cross-scale identity: a re-materialization that shifts any column
+    // type at one SF (the events NTZ break, round 5) must fail HERE,
+    // not three operators downstream
+    for (t <- Tables.names) {
+      val schemas = dirs.map(d => Tables.load(spark, d, t).schema.map(f =>
+        (f.name, f.dataType.simpleString)))
+      assert(schemas.distinct.length == 1,
+        s"$t schema differs across scales: $schemas")
+    }
+    // pinned critical types (post-loader where a loader normalizes)
+    val ev = Tables.events(spark, dirs.head).schema
+    assert(ev("ts").dataType == TimestampType)
+    assert(ev("value").dataType == DoubleType)
+    val emb = Tables.embeddings(spark, dirs.head).schema
+    assert(emb("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+      emb("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      emb("embedding").dataType.toString)
+    val doc = Tables.documents(spark, dirs.head).schema
+    assert(doc("text").dataType == StringType && doc("doc_id").dataType == LongType)
+    val li = Tables.lineitem(spark, dirs.head).schema
+    assert(li("l_extendedprice").dataType == DoubleType &&
+      li("l_quantity").dataType == DoubleType)
+  }
+
   test("typed pipeline outputs round-trip through their case classes") {
     val json = """{ "responses": [
       { "1": { "id": "1", "datestamp": "2018-03-01 10:00:00", "submitdate": "2018-03-01 10:00:00", "startdate": "x", "lastpage": "3", "startlanguage": "pt", "q01": "A4", "q03": "a@x.com", "q06": "BR1", "q12": "mail", "q22": "R1" } }

@@ -102,10 +102,13 @@ object Bench {
     // Second isolated pass for contention suspects: a query is suspect
     // when its median exceeds 3× its previous-round value by more than
     // half a second (sub-second scheduling jitter is not a regression).
-    // Official value = min of the two pass medians — the reproducible
-    // cost of a deterministic plan is its best median; a contended
-    // window can only inflate it. Both numbers land in the artifact so
-    // a judge re-run can audit the call.
+    // Official value = the ISOLATED second-pass median, not
+    // min(first, second): the second pass is the uncontended
+    // measurement by construction (temporally separated, run alone), so
+    // it is the honest number whichever way it moves — a take-the-best
+    // min could only ever shrink the headline, which biases the
+    // comparison against a baseline that gets no retry. Both numbers
+    // land in the artifact so a judge re-run can audit the call.
     val suspects = firstPass.collect {
       case (name, v) if v >= 0 && ref.get(name).exists(r =>
         v > 3 * r && v - r > 0.5) => name
@@ -119,7 +122,7 @@ object Bench {
       name -> second
     }.toMap
     val results = firstPass.map { case (name, v) =>
-      name -> retried.get(name).fold(v)(math.min(v, _))
+      name -> retried.getOrElse(name, v)
     }
     // a misspelled SPARK_GRAFT_ONLY must fail loudly — a zero-query run
     // printing total=0 reads like a valid (and spectacular) headline

@@ -1351,9 +1351,14 @@ object SparkEntry {
       Tables.documents(s, d)
         // the leakage key is the 8-token opening prefix: exact-dup
         // bodies are rare in a curated corpus, shared boilerplate
-        // openings are the thing that actually straddles splits
-        .select(md5(concat_ws(" ",
-            slice(TextAnalysis.tokens(col("text")), 1, 8))).as("fp"),
+        // openings are the thing that actually straddles splits.
+        // NULL text must stay NULL: concat_ws over a null array yields
+        // "" (so fp = md5("")), while the oracle's array_to_string over
+        // a NULL split yields NULL — today's corpus has no null docs,
+        // but the fingerprint must not silently diverge if a
+        // re-materialization introduces them
+        .select(when(col("text").isNotNull, md5(concat_ws(" ",
+            slice(TextAnalysis.tokens(col("text")), 1, 8)))).as("fp"),
           split.as("split"), col("doc_id"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"),

@@ -124,16 +124,26 @@ object Multimodal {
             case Some(img) => imageDecode(id, bytes, img)
             case None => decodeWavSamples(bytes) match {
               case Some(samples) => audioDecode(id, bytes, samples)
-              case None => videoKeyFrame(bytes) match {
-                case Some(img) => DecodedMedia(id, bytes.length.toLong,
-                  if (isAvi(bytes)) "video/x-msvideo" else "video/mp4",
-                  lumaStripes(img))
-                case None => mp4VideoTrack(bytes) match {
-                  // compressed MP4 codec: real demux metadata, no pixels
-                  case Some(t) if t.spans.nonEmpty => mp4MetaDecode(id, bytes, t)
-                  case _ => fakeDecode(id, bytes)
+              case None =>
+                // demux ONCE per payload (AVI chunk walk or MP4 box
+                // walk), probe key frames from the returned spans, and
+                // fall through to metadata with the already-parsed
+                // track — the sample-table walk is O(file) and must not
+                // run twice per row
+                val track = if (isMp4(bytes)) mp4VideoTrack(bytes) else None
+                val spans =
+                  if (isAvi(bytes)) aviFrameSpans(bytes)
+                  else track.map(_.spans).getOrElse(Array.empty[(Long, Int)])
+                frameFromSpans(bytes, spans) match {
+                  case Some(img) => DecodedMedia(id, bytes.length.toLong,
+                    if (isAvi(bytes)) "video/x-msvideo" else "video/mp4",
+                    lumaStripes(img))
+                  case None => track match {
+                    // compressed MP4 codec: real demux metadata, no pixels
+                    case Some(t) if t.spans.nonEmpty => mp4MetaDecode(id, bytes, t)
+                    case _ => fakeDecode(id, bytes)
+                  }
                 }
-              }
             }
           }
         }
@@ -200,7 +210,14 @@ object Multimodal {
     * applies. Probes a bounded prefix of the frame list: a corrupt
     * stream must not pay |frames| failed decodes. */
   private[graft] def videoKeyFrame(bytes: Array[Byte]): Option[BufferedImage] =
-    containerFrameSpans(bytes).iterator.take(8).flatMap { case (off, len) =>
+    frameFromSpans(bytes, containerFrameSpans(bytes))
+
+  /** Bounded key-frame probe over already-demuxed spans — callers that
+    * hold a parsed track pass its spans directly so the demux walk runs
+    * once per payload. */
+  private[graft] def frameFromSpans(bytes: Array[Byte],
+      spans: Array[(Long, Int)]): Option[BufferedImage] =
+    spans.iterator.take(8).flatMap { case (off, len) =>
       decodeImage(java.util.Arrays.copyOfRange(
         bytes, off.toInt, off.toInt + len))
     }.nextOption()
@@ -286,7 +303,14 @@ object Multimodal {
           val sizes: Array[Int] = find(stbl, "stsz").map { case (s, e) =>
             val fixed = u32(s + 4)
             val count = math.min(u32(s + 8), Int.MaxValue.toLong).toInt
-            if (fixed != 0L) Array.fill(count)(fixed.toInt)
+            // bound the declared count by what the payload can physically
+            // hold: a valid file cannot contain more fixed-size samples
+            // than it has bytes, and the variable path cannot have more
+            // entries than the stsz box carries — an untrusted u32 must
+            // not size a multi-GB allocation (OOM is an Error, which the
+            // NonFatal guard below would NOT catch)
+            if (fixed != 0L) Array.fill(
+              math.min(count.toLong, n / math.max(fixed, 1L)).toInt)(fixed.toInt)
             else Array.tabulate(
               math.min(count.toLong, (e - s - 12) / 4).toInt)(i => u32(s + 12 + 4L * i).toInt)
           }.getOrElse(Array.empty)

@@ -287,6 +287,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(62L).format == "text/plain")
   }
 
+  test("hostile fixed-size stsz count cannot size a multi-GB allocation") {
+    // a crafted ~250-byte MP4 declaring fixed sample_size=1000 and
+    // sample_count=Int.MaxValue would, unbounded, allocate an 8 GB int
+    // array — an OutOfMemoryError no NonFatal handler catches. The
+    // demux must bound the count by what the payload can physically
+    // hold (bytes.length / fixed) and degrade, never kill the task.
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, data: Array[Byte]): Array[Byte] =
+      be32(8 + data.length) ++ t.getBytes("US-ASCII") ++ data
+    def full(t: String, data: Array[Byte]): Array[Byte] =
+      box(t, be32(0) ++ data)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200))
+    val stsd = full("stsd", be32(1) ++
+      box("jpeg", Array.fill(6)(0.toByte) ++ Array(0.toByte, 1.toByte)))
+    val stsz = full("stsz", be32(1000) ++ be32(Int.MaxValue)) // hostile
+    val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+    val stco = full("stco", be32(1) ++ be32(0))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val mdhd = full("mdhd", be32(0) ++ be32(0) ++ be32(600) ++ be32(600) ++
+      Array(0x55.toByte, 0xc4.toByte, 0.toByte, 0.toByte))
+    val hdlr = full("hdlr", be32(0) ++ "vide".getBytes("US-ASCII") ++
+      Array.fill(13)(0.toByte))
+    val hostile = ftyp ++ box("moov", box("trak",
+      box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+    // completes instantly with a bounded (here empty-ish) sample table
+    val t = Multimodal.mp4VideoTrack(hostile)
+    assert(t.forall(_.spans.length <= hostile.length / 1000))
+    // and the full decode path degrades without throwing
+    val out = Multimodal.decodePartitions(spark,
+      Seq((70L, hostile)).toDF("doc_id", "payload"), "doc_id").collect()
+    assert(out.length == 1)
+  }
+
   test("mp4VideoTrack surfaces mdhd timing and exact sample spans") {
     val frames = Seq(Array.fill(10)(1.toByte), Array.fill(20)(2.toByte),
       Array.fill(30)(3.toByte))

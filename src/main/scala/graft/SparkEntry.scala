@@ -728,6 +728,17 @@ object SparkEntry {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.3,
         nTables = LshTables, nBits = LshBits, dim = EmbDim)),
 
+    // LSH-bucketed ANN: q31's top-k through q32's sign-bit buckets —
+    // candidates share a bucket in >=1 table, exact cosine re-rank,
+    // bounded two-phase top-k (sublinear candidate sets at scale)
+    "q126_lsh_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 5), 10,
+        nTables = LshTables, nBits = LshBits, dim = EmbDim)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          col("rank").cast(LongType).as("knn_rank"))
+    }),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -1854,6 +1865,27 @@ object SparkEntry {
            ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
          JOIN ok ON x.tbl = ok.tbl AND x.bucket = ok.bucket
          WHERE round($cos, 6) > 0.3"""
+    },
+    // q126: q31's ranking shape over q32's bucket-blocked candidate set
+    // (dedup'd pair candidates, no maxBucket cap — lshKnn has none)
+    "q126_lsh_knn" -> {
+      val cos = cosineSql("qe.emb", "ce.emb")
+      val branches = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${lshBucketSql("emb", t, LshBits, EmbDim)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS ($branches),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         sim AS (SELECT query_id, neighbor_id, round($cos, 6) AS cos_sim
+                 FROM cand JOIN e qe ON cand.query_id = qe.vec_id
+                           JOIN e ce ON cand.neighbor_id = ce.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+               FROM sim WHERE cos_sim IS NOT NULL)
+         SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank
+         FROM r WHERE rn <= 10"""
     },
     "q49_simhash_candidates" -> simhashCandidatesOracle,
     "q50_ivf_knn" -> ivfOracle,

@@ -24,7 +24,14 @@ object Verify {
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset (mirrors Bench): SPARK_GRAFT_ONLY=q105_source_jsd
+    // dumps + declares just those queries so tools/compare.py gates a
+    // single query without paying for the whole suite. The driver never
+    // sets it, so the official gate always covers everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,6 +45,7 @@ object Verify {
     // would drift on the next escaping fix.
     def q(s: String): String = graft.sources.LimeSurveyClient.jstr(s)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

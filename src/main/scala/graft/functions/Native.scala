@@ -45,4 +45,9 @@ object Native {
     * [[SigAgreePairs]]). */
   def sigAgreePairs(bucket: Column): Column =
     column(SigAgreePairs(expr(bucket)))
+
+  /** All-pairs source JSD over a one-row vocabulary array (see
+    * [[SourceJsdPairs]]). */
+  def sourceJsdPairs(vocab: Column): Column =
+    column(SourceJsdPairs(expr(vocab)))
 }

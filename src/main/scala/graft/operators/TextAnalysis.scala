@@ -381,28 +381,45 @@ object TextAnalysis {
     * prep: `pmi(a,b) = ln(N · c_ab / (c_a · c_b))` over corpus counts,
     * keeping bigrams with `c_ab >= minCount`.
     *
-    * Shape: one explode → hash-agg per bigram (map-side combined), one
-    * per-unigram agg, and the corpus token total as a broadcast 1-ROW
-    * agg (never an eager count). Unigram counts join back per side —
-    * broadcast when the vocabulary is bounded, shuffle otherwise
-    * (unhinted: Catalyst/AQE decides, the tfIdf lesson). The ln is one
+    * Shape: ONE corpus explode → hash-agg on (token, successor-or-NULL)
+    * (map-side combined), materialized once; unigram margins and the
+    * corpus token total then re-aggregate that vocab²-bounded table
+    * (c_a(w) = Σ_w2 T(w,·) — the NULL-successor unit makes the margin
+    * exact for doc-final tokens) and join back per side — broadcast
+    * when the vocabulary is bounded, shuffle otherwise (unhinted:
+    * Catalyst/AQE decides, the tfIdf lesson). The ln is one
     * deterministic per-row evaluation — no cross-row double
     * accumulation, so oracle parity needs no fold-order care. */
   def bigramPmi(df: DataFrame, idCol: String, text: Column,
       minCount: Long = 2): DataFrame = {
     val toks = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
       .select(col("doc"), tokens(col("__t")).as("__w"))
-    val bigrams = toks
-      .select(explode(bigramsOf(col("__w"))).as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    val uni = toks.select(explode(col("__w")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = size(col("__w"))
+    // ONE corpus pass feeds bigram counts AND both unigram margins: each
+    // token occurrence emits (w1 = token, w2 = successor-or-NULL — the
+    // doc-final token carries a NULL successor), so after the (w1, w2)
+    // aggregate the unigram count of w is exactly Σ_w2 T(w, ·) and the
+    // corpus token total is Σ T. The round-6 first cut aggregated
+    // unigrams in a SECOND corpus pass referenced by three broadcast
+    // subtrees — ReuseExchange does not fire across broadcast
+    // boundaries, so the corpus explode replanned up to 4×.
+    val units = transform(sequence(lit(1), n), i =>
+      struct(element_at(col("__w"), i).as("w1"),
+        when(i < n, element_at(col("__w"), i + 1))
+          .otherwise(lit(null).cast("string")).as("w2")))
+    // guard: sequence(1, 0) DESCENDS, so empty token arrays must
+    // short-circuit (split never yields one, but the contract is free)
+    val t = toks.select(explode(when(n >= 1, units)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val uni = t.groupBy("w1").agg(sum(col("__c")).as("c"))
     val total = uni.select(sum(col("c")).as("__n"))
-    bigrams
-      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
-      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+    t.filter(col("w2").isNotNull && col("__c") >= minCount)
+      .select(col("w1"), col("w2"), col("__c").as("c_ab"))
+      .join(uni.select(col("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("c").as("c_b")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c_ab"),
         round(log(col("__n").cast(DoubleType) * col("c_ab") /
@@ -435,10 +452,19 @@ object TextAnalysis {
           element_at(col("__w"), j).as("w2")))))
     // guard: Spark's sequence(a, b) DESCENDS when a > b, so empty and
     // one-token docs must short-circuit to an empty pair list
+    // the pair-count table feeds FOUR consumers (both margins, the
+    // total, and the output rows); materialize it once — without the
+    // checkpoint each broadcast subtree replans the corpus explode +
+    // aggregate from scratch (ReuseExchange does not fire across the
+    // broadcast boundaries; measured 3 redundant corpus stages at
+    // sf0.1). The checkpointed relation is vocab²-bounded, never
+    // corpus-sized, and no layout contract is needed: every consumer
+    // re-aggregates on a different key.
     val pairs = toks.select(explode(when(n >= 2, pairStructs)
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val la = pairs.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val rb = pairs.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val tot = pairs.agg(sum(col("c_ab")).as("__n"))
@@ -1011,14 +1037,25 @@ object TextAnalysis {
     * JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q), natural log; a token
     * absent from one side contributes only through the present side
     * (p·ln(p/m) with q=0). Per-pair terms fold over the token-sorted
-    * array — the [[bigramLmScore]] determinism pattern — so the double
-    * sum has one order in any engine at any parallelism.
+    * vocabulary array — the [[bigramLmScore]] determinism pattern — so
+    * the double sum has one order in any engine at any parallelism.
+    * (A token absent from BOTH sides of a pair folds in an exact +0.0,
+    * which leaves every finite double accumulator bit-identical — so
+    * folding the full vocabulary equals folding each pair's support
+    * set, and the pre-round-6 union-expand oracle still matches.)
     *
-    * Shape: one (source, token) hash aggregate over the corpus; the
-    * top-K vocabulary broadcasts back; pairs form on a vocabTop-bounded
-    * self-join of the per-source slices (source_a < source_b). With S
-    * sources the pair table is S²/2 × vocabTop rows — statistics-sized,
-    * never corpus-sized. */
+    * Shape — ONE linear job, no self-join, no checkpoint (the round-7
+    * rewrite; the previous expand-and-merge plan spent ~1 s of stage
+    * scheduling on statistics-sized relations): the corpus collapses to
+    * per-token rows carrying their (source, count) entry lists, a
+    * bounded TakeOrdered keeps the top-`vocabTop` of them, those K rows
+    * collapse to a SINGLE array row, and the native
+    * [[graft.functions.SourceJsdPairs]] generator folds all S²/2
+    * pairwise divergences from it in one primitive loop (a column-HOF
+    * pair fold here re-paid ~270 ms of codegen on every execution —
+    * fresh lambda ids defeat the codegen cache). The only corpus-sized
+    * stages are the token explode and its (src, tok) aggregate;
+    * everything after the top-K limit is a few KB on one task. */
   def sourceJsd(df: DataFrame, sliceCol: String, text: Column,
       vocabTop: Int): DataFrame = {
     require(vocabTop > 0, "vocabTop must be positive")
@@ -1026,50 +1063,18 @@ object TextAnalysis {
       df.select(col(sliceCol).as("src"), text.as("__t")))
       .select(col("src"), explode(tokens(col("__t"))).as("tok"))
       .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("__c"))
-    val vocab = st.groupBy("tok").agg(sum(col("__c")).as("__tc"))
+    // per-token entry lists; top-K by global count (count desc, token
+    // asc) via TakeOrdered — never a vocabulary-wide window
+    val byTok = st.groupBy("tok").agg(sum(col("__c")).as("__tc"),
+        sort_array(collect_list(struct(col("src"), col("__c").as("c"))))
+          .as("__es"))
       .orderBy(col("__tc").desc, col("tok")).limit(vocabTop)
-      .select(col("tok"))
-    val inVocab = st.join(broadcast(vocab), "tok")
-    val totals = inVocab.groupBy("src").agg(sum(col("__c")).as("__tot"))
-    // the per-source distribution is referenced once per pair side —
-    // checkpoint the (S × vocabTop)-bounded result so the corpus
-    // aggregate behind it is planned and executed ONCE (the q78/SemDeDup
-    // double-planning lesson); no partitioning contract needed, the
-    // relation is statistics-sized
-    val p = inVocab.join(broadcast(totals), "src")
-      .select(col("src"), col("tok"),
-        (col("__c").cast(DoubleType) / col("__tot")).as("__p"))
-      .localCheckpoint()
-    val srcs = p.select(col("src")).distinct()
-    val pairs = srcs.select(col("src").as("source_a"))
-      .crossJoin(srcs.select(col("src").as("source_b")))
-      .filter(col("source_a") < col("source_b"))
-    // expand each side's distribution across its pairs, merge on
-    // (pair, token): a token absent from one side arrives with that
-    // side's p summing to 0 — no anti-join bookkeeping
-    val sideA = p.join(pairs, col("src") === col("source_a"))
-      .select(col("source_a"), col("source_b"), col("tok"),
-        col("__p").as("__pa"), lit(0.0).as("__pb"))
-    val sideB = p.join(pairs, col("src") === col("source_b"))
-      .select(col("source_a"), col("source_b"), col("tok"),
-        lit(0.0).as("__pa"), col("__p").as("__pb"))
-    val terms = sideA.unionByName(sideB)
-      .groupBy(col("source_a"), col("source_b"), col("tok"))
-      .agg(sum(col("__pa")).as("__pa"), sum(col("__pb")).as("__pb"))
-      .select(col("source_a"), col("source_b"), col("tok"),
-        (when(col("__pa") > 0.0,
-          col("__pa") * log(col("__pa") * 2.0 / (col("__pa") + col("__pb"))))
-          .otherwise(0.0) * 0.5 +
-          when(col("__pb") > 0.0,
-            col("__pb") * log(col("__pb") * 2.0 / (col("__pa") + col("__pb"))))
-            .otherwise(0.0) * 0.5).as("__term"))
-    terms.groupBy("source_a", "source_b")
-      .agg(array_sort(collect_list(struct(col("tok"), col("__term"))))
-        .as("__ts"))
-      .select(col("source_a"), col("source_b"),
-        size(col("__ts")).cast(LongType).as("n_tokens_support"),
-        round(aggregate(col("__ts"), lit(0.0),
-          (acc, x) => acc + x.getField("__term")), 6).as("jsd"))
+    // ONE row: the whole top-K vocabulary, token-ascending (the fold
+    // order the oracle reproduces)
+    byTok.agg(
+        sort_array(collect_list(struct(col("tok"), col("__es")))).as("__v"))
+      .select(graft.functions.Native.sourceJsdPairs(col("__v"))
+        .as(Seq("source_a", "source_b", "n_tokens_support", "jsd")))
   }
 
   /** First-round BPE merge statistics: corpus counts of adjacent

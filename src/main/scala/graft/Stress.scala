@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, TextAnalysis}
+import graft.pipelines.CurationPipeline
+
+/** Adversarial scale/skew stress harness for the heavy tier.
+  *
+  * Measures the seven operators whose 100×-scale claims otherwise rest
+  * on plan reading (every sf0.1 bench stage is sub-second — a
+  * driver-side or skew bottleneck would be invisible there) over the
+  * [[StressData]] adversaries at increasing scales, and grades
+  * input→time scaling against a per-op near-linearity bound.
+  *
+  * Protocol: inputs are materialized to parquet ONCE per scale (so op
+  * timings measure the operator, not the generator), every op runs once
+  * untimed at the smallest scale (codegen + parquet-footer warm-up,
+  * the Bench protocol), then each (op, scale) runs timed, ascending.
+  * Iteration counts are FIXED across scales (PageRank 5, LPA 3, CC
+  * maxIter 12 with a constant 200-chain) so the scaling ratio measures
+  * data volume, not round count. Graph ops run with their broadcast
+  * gates CLOSED (`broadcastMaxNodes = 0`) — the shuffle-join plan is
+  * the one that exists at 10⁹ nodes, so it is the one under stress.
+  *
+  * Near-linearity grade: for each op,
+  * `t(sHi) / max(t(sLo), 0.8) ≤ (sHi/sLo)^expo` with expo 1.25 for the
+  * linear-shuffle tier, 1.5 for triangles (O(m^1.5) worst case) and
+  * 1.35 for df-bounded cosine (block count scales linearly but each
+  * block's pair fan-out is quadratic-in-clique, capped by maxDf). The
+  * 0.8 s floor keeps sub-second fixed costs (job scheduling, checkpoint
+  * round-trips) from minting fake super-linear ratios.
+  *
+  * Output: one JSON line on stdout + the full artifact at
+  * `target/stress_full.json` (stdout tails truncate; same contract as
+  * Bench). Scales via SPARK_GRAFT_STRESS_SCALES (default "1,3,10" —
+  * scale 10 ≈ 10× sf0.1 rows: 50k docs, 5.6M edges, 1M pair rows,
+  * a 10⁵-degree hub), op filter via SPARK_GRAFT_STRESS_OPS.
+  */
+object Stress {
+
+  final case class Sizes(docs: Long, nodes: Long, randomEdges: Long,
+      hubDegree: Long, pairRows: Long)
+
+  def sizes(scale: Int): Sizes = Sizes(
+    docs = 5000L * scale,
+    nodes = 20000L * scale,
+    randomEdges = 550000L * scale,
+    hubDegree = 10000L * scale,
+    pairRows = 100000L * scale)
+
+  def dataDir(scale: Int): String = s"target/stress_data/s$scale"
+
+  /** Generate + persist the three adversarial inputs for one scale. */
+  def writeInputs(spark: SparkSession, scale: Int): Unit = {
+    val s = sizes(scale)
+    val dir = dataDir(scale)
+    val docs = StressData.corpus(spark, s.docs)
+    docs.write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+    StressData.evalDocs(spark.read.parquet(s"$dir/corpus.parquet"))
+      .write.mode("overwrite").parquet(s"$dir/eval.parquet")
+    StressData.hubGraph(spark, s.nodes, s.randomEdges, s.hubDegree)
+      .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+    StressData.componentPairs(spark, s.pairRows)
+      .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+  }
+
+  /** The graded ops: name → (build result from the scale's parquet
+    * inputs). Each is the library entry point, not a reimplementation. */
+  def ops(spark: SparkSession, scale: Int): Seq[(String, () => DataFrame)] = {
+    val dir = dataDir(scale)
+    def corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    def eval = spark.read.parquet(s"$dir/eval.parquet")
+    def edges = spark.read.parquet(s"$dir/edges.parquet")
+    def pairs = spark.read.parquet(s"$dir/pairs.parquet")
+    Seq(
+      "connected_components" -> (() =>
+        Dedup.connectedComponents(pairs, maxIter = 12)),
+      "pagerank" -> (() =>
+        Graph.pageRank(edges, "src", "dst", iters = 5, broadcastMaxNodes = 0L)),
+      "label_prop" -> (() =>
+        Graph.labelPropagation(edges, "src", "dst", iters = 3,
+          broadcastMaxNodes = 0L)),
+      "triangles" -> (() =>
+        Graph.triangleCounts(edges, "src", "dst", broadcastMaxEdges = 0L)),
+      "duplicate_spans" -> (() =>
+        Dedup.duplicateSpans(corpus, "doc_id", col("text"), k = 8)),
+      "sparse_cosine" -> (() =>
+        TextAnalysis.sparseCosinePairs(corpus, "doc_id", col("text"),
+          ngram = 3, maxDf = 64, topK = 50)),
+      // 32 perms / 8 bands: at the corpus's within-block Jaccard (~0.6)
+      // the default 16/4 signature has ~50% pair recall — correct LSH
+      // behavior, but the stress wants (a) the 2× signature width under
+      // load and (b) near-fully-connected blocks so the CC stage carries
+      // real cluster mass
+      "curation_funnel" -> (() =>
+        CurationPipeline.dispositions(corpus, eval,
+          CurationPipeline.Config(minhashPerms = 32, minhashBands = 8))))
+  }
+
+  /** Per-op scaling exponent (see scaladoc above). */
+  val scalingExpo: Map[String, Double] = Map(
+    "triangles" -> 1.5,
+    "sparse_cosine" -> 1.35).withDefaultValue(1.25)
+
+  final case class Measure(op: String, scale: Int, sec: Double)
+
+  /** Run the graded ops at each scale (ascending), one timed pass each
+    * after a warm pass at the smallest scale. Returns all measurements. */
+  def runAll(spark: SparkSession, scales: Seq[Int],
+      opFilter: Option[Set[String]] = None): Seq[Measure] = {
+    val sorted = scales.distinct.sorted
+    require(sorted.nonEmpty)
+    sorted.foreach(writeInputs(spark, _))
+    def selected(scale: Int) =
+      ops(spark, scale).filter { case (n, _) => opFilter.forall(_.contains(n)) }
+    require(selected(sorted.head).nonEmpty, "no ops matched" +
+      opFilter.fold("")(f => s" filter=${f.mkString(",")}"))
+    // warm pass: codegen, parquet reader, shuffle paths
+    selected(sorted.head).foreach { case (_, build) =>
+      build().write.mode("overwrite").format("noop").save()
+    }
+    sorted.flatMap { scale =>
+      selected(scale).map { case (name, build) =>
+        val t0 = System.nanoTime()
+        build().write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[stress] $name s$scale: $sec%.2f s")
+        Measure(name, scale, sec)
+      }
+    }
+  }
+
+  /** Grade lowest-vs-highest-scale ratios against the per-op bound. */
+  def grade(ms: Seq[Measure]): Seq[(String, Double, Double, Boolean)] = {
+    val byOp = ms.groupBy(_.op)
+    byOp.toSeq.sortBy(_._1).flatMap { case (op, runs) =>
+      val lo = runs.minBy(_.scale)
+      val hi = runs.maxBy(_.scale)
+      if (lo.scale == hi.scale) None
+      else {
+        val ratio = hi.sec / math.max(lo.sec, 0.8)
+        val bound = math.pow(hi.scale.toDouble / lo.scale, scalingExpo(op))
+        Some((op, ratio, bound, ratio <= bound))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val aqe = sys.env.get("SPARK_GRAFT_STRESS_AQE").contains("1")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+    val spark = (if (aqe) builder.config("spark.sql.extensions",
+        "graft.GraftExtensions")
+      else builder)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_STRESS_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val opFilter = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").toSet)
+    val ms = runAll(spark, scales, opFilter)
+    val graded = grade(ms)
+    val opsJson = ms.groupBy(_.op).toSeq.sortBy(_._1).map { case (op, runs) =>
+      "\"" + op + "\":{" + runs.sortBy(_.scale)
+        .map(m => "\"s" + m.scale + "\":" + f"${m.sec}%.3f")
+        .mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    val gradeJson = graded.map { case (op, ratio, bound, ok) =>
+      "\"" + op + "\":{\"ratio\":" + f"$ratio%.2f" +
+        ",\"bound\":" + f"$bound%.2f" + ",\"pass\":" + ok + "}"
+    }.mkString("{", ",", "}")
+    val allPass = graded.forall(_._4)
+    val total = ms.filter(_.scale == scales.max).map(_.sec).sum
+    val json = s"""{"metric":"stress","value":$total,"unit":"sec",""" +
+      s""""scales":[${scales.mkString(",")}],"ops":$opsJson,""" +
+      s""""scaling":$gradeJson,"all_linear":$allPass}"""
+    println(json)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "target/stress_full.json"))
+    if (out.getParent != null)
+      java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic adversarial-scale input generators for the stress
+  * harness ([[Stress]], StressSpec). Every sf0.1 bench stage is
+  * sub-second, so the 100×-scale claims about the heavy tier (graph
+  * iteration, banded dedup, df-bounded cosine, the curation funnel)
+  * otherwise rest on plan reading alone — these generators produce the
+  * failure shapes plan reading can miss, at ~10× bench volume:
+  *
+  *   - Zipf-skewed keys everywhere (token frequencies, edge sources,
+  *     component sizes follow pmf ∝ 1/rank): a uniform generator never
+  *     exercises the skew handling.
+  *   - one ~10⁵-degree hub (the star component / star edges): a single
+  *     reduce-side key that would OOM a naive per-key buffer.
+  *   - a boilerplate-heavy near-clique corpus (blocks of `cliqueSize`
+  *     docs sharing a long template): the quadratic-candidate trap for
+  *     MinHash banding, inverted-index cosine, and duplicate-window
+  *     frequency tables.
+  *
+  * Determinism: all randomness derives from `xxhash64` over (id, salt)
+  * — pure Column expressions, distributed generation, bit-identical
+  * across runs/partitionings, no driver-side RNG (`Math.random` is
+  * banned repo-wide for exactly this reason).
+  */
+object StressData {
+
+  /** Stopword head of the vocabulary: the top Zipf ranks map to real
+    * function words so [[graft.operators.TextAnalysis.qualityFeatures]]
+    * sees realistic stopword ratios (the funnel's quality gate must
+    * PASS the long docs — an all-junk corpus would short-circuit the
+    * whole funnel at stage 1 and stress nothing). */
+  private val stopWords = Seq("the", "of", "and", "to", "in", "is", "a", "that")
+  private val stopArr = array(stopWords.map(lit): _*)
+
+  /** Uniform [0,1) from a 64-bit avalanche of the given columns. */
+  private def u01(cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(1000003L)).cast("double") / 1000003.0
+
+  /** Zipf(s≈1) rank in [0, k): `floor(k^u) - 1` has
+    * P(rank = r) = ln((r+2)/(r+1))/ln(k) ≈ 1/((r+1)·ln k) — the
+    * classic inverse-CDF trick, exact enough for skew stress and far
+    * cheaper than a harmonic-number search. */
+  def zipfRank(k: Long, cols: Column*): Column =
+    (floor(pow(lit(k.toDouble), u01(cols: _*))) - 1).cast("long")
+
+  private def word(rank: Column): Column =
+    when(rank < stopWords.size, element_at(stopArr, (rank + 1).cast("int")))
+      .otherwise(concat(lit("w"), rank))
+
+  private def tokenArray(seed: Column, len: Int, vocab: Int, salt: Int): Column =
+    transform(sequence(lit(0), lit(len - 1)),
+      i => word(zipfRank(vocab, seed, i, lit(salt))))
+
+  /** Junk tokens that can never be stopwords — short docs built from
+    * these score `0.5·(len/64)` on the quality gate and are DROPPED
+    * below 64 tokens, giving the funnel a real quality-reject stream. */
+  private def junkArray(seed: Column, len: Int, vocab: Int, salt: Int): Column =
+    transform(sequence(lit(0), lit(len - 1)),
+      i => concat(lit("w"), zipfRank(vocab, seed, i, lit(salt)) + stopWords.size))
+
+  /** Boilerplate-heavy corpus of `nDocs` docs (doc_id, text):
+    *
+    *   - docs arrive in blocks of `cliqueSize`; every doc in a block
+    *     shares the block's `tmplLen`-token template verbatim and adds a
+    *     `tailLen`-token unique tail → each block is a NEAR-CLIQUE for
+    *     any similarity operator (pairwise Jaccard ≈ tmpl/(tmpl+2·tail))
+    *     and a duplicated-window factory for [[graft.operators.Dedup.duplicateSpans]]
+    *     (every in-template window repeats ~cliqueSize times);
+    *   - docs with id ≡ 1 (mod 50) copy their predecessor's tail →
+    *     EXACT duplicate pairs (~2%);
+    *   - docs with id ≡ 9 (mod 10) are 12-token junk → quality rejects
+    *     (~10%);
+    *   - token ranks are Zipf over `vocab` with real stopwords at the
+    *     head, so quality/langid features behave as on real text.
+    */
+  def corpus(spark: SparkSession, nDocs: Long, cliqueSize: Int = 40,
+      tmplLen: Int = 90, tailLen: Int = 30, vocab: Int = 2000): DataFrame = {
+    require(nDocs > 0 && cliqueSize >= 2 && tmplLen >= 1 && tailLen >= 1)
+    spark.range(nDocs)
+      .select(col("id"),
+        expr(s"id div $cliqueSize").as("__blk"),
+        (col("id") % 10 === 9).as("__short"),
+        when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id"))
+          .as("__tail"))
+      .select(
+        col("id").as("doc_id"),
+        when(col("__short"),
+          concat_ws(" ", junkArray(col("__tail"), 12, vocab, 5)))
+          .otherwise(concat_ws(" ",
+            concat(tokenArray(col("__blk"), tmplLen, vocab, 7),
+              tokenArray(col("__tail"), tailLen, vocab, 5)))).as("text"))
+  }
+
+  /** Benchmark-contamination probe set: the first five blocks'
+    * canonical docs — their templates shingle-overlap every doc in
+    * those blocks, so decontamination genuinely fires. */
+  def evalDocs(corpus: DataFrame, cliqueSize: Int = 40): DataFrame =
+    corpus.filter(col("doc_id").isin(
+      (0 until 5).map(b => b.toLong * cliqueSize): _*))
+      .select(col("text"))
+
+  /** Directed graph with Zipf-skewed out-degrees (src drawn Zipf over
+    * the node space — node 0 sources ~10% of all random edges) plus a
+    * `hubDegree`-spoke star INTO node 0 (spoke i → hub), so one
+    * reduce-side key receives ~hubDegree PageRank contributions and
+    * ~hubDegree label votes per iteration — the aggregation-skew shape
+    * a per-key buffer would die on and a map-side-partial sum absorbs. */
+  def hubGraph(spark: SparkSession, nNodes: Long, nRandomEdges: Long,
+      hubDegree: Long): DataFrame = {
+    require(hubDegree < nNodes && nNodes >= 2)
+    val rnd = spark.range(nRandomEdges).select(
+      zipfRank(nNodes, col("id"), lit(1)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("dst"))
+    val star = spark.range(hubDegree).select(
+      (col("id") + 1).as("src"), lit(0L).as("dst"))
+    rnd.union(star).filter(col("src") =!= col("dst"))
+  }
+
+  /** Candidate-pair table for [[graft.operators.Dedup.connectedComponents]]
+    * stress: each of `n` member docs attaches to one of `nComp` star
+    * centers drawn Zipf — component SIZES are Zipf-distributed, and the
+    * top component holds ~n·ln2/ln(nComp) members (≈10⁵ at the full
+    * stress scale): one label receives a 10⁵-row neighborhood-min every
+    * round. A fixed `chainLen`-node path is appended as the DIAMETER
+    * adversary — it converges only through the pointer-jumping rounds
+    * (plain min-propagation would need chainLen iterations). */
+  def componentPairs(spark: SparkSession, n: Long, nComp: Int = 1000,
+      chainLen: Int = 200): DataFrame = {
+    require(n > 0 && nComp >= 1 && chainLen >= 2)
+    val stars = spark.range(n).select(col("id").as("doc_a"),
+      (lit(n) + zipfRank(nComp, col("id"), lit(11))).as("doc_b"))
+    val base = n + nComp + 10
+    val chain = spark.range(chainLen - 1).select(
+      (col("id") + base).as("doc_a"), (col("id") + base + 1).as("doc_b"))
+    stars.union(chain)
+  }
+}

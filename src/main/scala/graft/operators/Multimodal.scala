@@ -234,7 +234,98 @@ object Multimodal {
     * each sample's (offset, length) span in the file — the exact analogue
     * of [[aviFrameSpans]] for the box container. */
   private[graft] case class Mp4Track(codec: String, timescale: Long,
-      duration: Long, spans: Array[(Long, Int)])
+      duration: Long, spans: Array[(Long, Int)],
+      width: Int = 0, height: Int = 0, profile: Int = 0, level: Int = 0)
+
+  /** Frame width/height from an H.264 sequence parameter set (ITU-T
+    * H.264 / ISO 14496-10 §7.3.2.1.1 — public spec): Exp-Golomb parse of
+    * the picture size in macroblocks plus the frame-cropping rectangle.
+    * `nal` is the raw SPS NAL unit (header byte + RBSP with
+    * emulation-prevention bytes). Returns None on anything that does not
+    * parse as a conformant SPS — the caller falls back to the sample
+    * entry's declared dimensions; dirty data degrades, never kills. */
+  private[graft] def spsDimensions(nal: Array[Byte]): Option[(Int, Int)] = {
+    try {
+      if (nal == null || nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+      // de-escape the RBSP: 00 00 03 -> 00 00 (§7.4.1.1)
+      val rbsp = scala.collection.mutable.ArrayBuffer[Byte]()
+      var i = 1
+      while (i < nal.length) {
+        if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+            nal(i + 2) == 3) { rbsp += 0; rbsp += 0; i += 3 }
+        else { rbsp += nal(i); i += 1 }
+      }
+      var bit = 0
+      def u(nBits: Int): Int = {
+        var v = 0; var k = 0
+        while (k < nBits) {
+          val b = bit >> 3
+          if (b >= rbsp.length) throw new IndexOutOfBoundsException("sps")
+          v = (v << 1) | ((rbsp(b) >> (7 - (bit & 7))) & 1)
+          bit += 1; k += 1
+        }
+        v
+      }
+      def ue(): Int = {
+        var zeros = 0
+        while (u(1) == 0) {
+          zeros += 1
+          if (zeros > 31) throw new IllegalArgumentException("ue overflow")
+        }
+        if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
+      }
+      def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+      val profileIdc = u(8); u(8); u(8) // profile, constraint flags, level
+      ue() // seq_parameter_set_id
+      var chromaFormat = 1 // 4:2:0 unless the high-profile branch says else
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profileIdc)) {
+        chromaFormat = ue()
+        if (chromaFormat == 3) u(1) // separate_colour_plane_flag
+        ue(); ue(); u(1) // bit depths, transform bypass
+        if (u(1) == 1) { // seq_scaling_matrix_present: skip the lists
+          val lists = if (chromaFormat == 3) 12 else 8
+          var l = 0
+          while (l < lists) {
+            if (u(1) == 1) {
+              val size = if (l < 6) 16 else 64
+              var last = 8; var next = 8; var j = 0
+              while (j < size) {
+                if (next != 0) next = (last + se() + 256) % 256
+                if (next != 0) last = next
+                j += 1
+              }
+            }
+            l += 1
+          }
+        }
+      }
+      ue() // log2_max_frame_num_minus4
+      val pocType = ue()
+      if (pocType == 0) ue()
+      else if (pocType == 1) {
+        u(1); se(); se()
+        val c = ue(); var j = 0; while (j < c) { se(); j += 1 }
+      }
+      ue(); u(1) // max_num_ref_frames, gaps_allowed
+      val widthMbs = ue() + 1
+      val heightMapUnits = ue() + 1
+      val frameMbsOnly = u(1)
+      if (frameMbsOnly == 0) u(1) // mb_adaptive_frame_field_flag
+      u(1) // direct_8x8_inference_flag
+      var cl = 0; var cr = 0; var ct = 0; var cb = 0
+      if (u(1) == 1) { cl = ue(); cr = ue(); ct = ue(); cb = ue() }
+      // crop units (Table 6-1): mono 1×1, 4:2:0 2×2, 4:2:2 2×1, 4:4:4 1×1;
+      // vertical unit additionally doubles for field-coded streams
+      val (subW, subH) = chromaFormat match {
+        case 0 => (1, 1); case 2 => (2, 1); case 3 => (1, 1); case _ => (2, 2)
+      }
+      val w = widthMbs * 16 - (cl + cr) * subW
+      val h = (2 - frameMbsOnly) * heightMapUnits * 16 -
+        (ct + cb) * subH * (2 - frameMbsOnly)
+      if (w > 0 && h > 0 && w <= 65536 && h <= 65536) Some((w, h)) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Real MP4 demux — a plain ISO BMFF box walk (public ISO/IEC 14496-12
     * layout), no codec dependency: boxes are `u32-BE size | fourcc |
@@ -259,6 +350,8 @@ object Multimodal {
         (bytes(off.toInt) & 0xffL) << 24 | (bytes(off.toInt + 1) & 0xffL) << 16 |
           (bytes(off.toInt + 2) & 0xffL) << 8 | (bytes(off.toInt + 3) & 0xffL)
       def u64(off: Long): Long = (u32(off) << 32) | u32(off + 4)
+      def u16(off: Long): Int =
+        (bytes(off.toInt) & 0xff) << 8 | (bytes(off.toInt + 1) & 0xff)
       def fourcc(off: Long): String = new String(bytes, off.toInt, 4, "US-ASCII")
       /** Child boxes of [start, end) as (type, dataStart, dataEnd). */
       def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
@@ -297,9 +390,41 @@ object Multimodal {
           (stblS, stblE) <- find(boxes(minfS, minfE), "stbl")
         } yield {
           val stbl = boxes(stblS, stblE)
-          // stsd: ver/flags(4) entry_count(4), then entry: size(4) format(4)
-          val codec = find(stbl, "stsd").filter { case (s, e) => s + 16 <= e }
-            .map { case (s, _) => fourcc(s + 12) }.getOrElse("????")
+          // stsd: ver/flags(4) entry_count(4), then the first sample
+          // entry: size(4) format(4) + SampleEntry(8). A full
+          // VisualSampleEntry (ISO 14496-12 §12.1.3) carries declared
+          // width/height at entry+32/+34 and its child boxes (avcC …)
+          // from entry+86; a compressed H.264 entry's avcC child is the
+          // AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3):
+          // profile/level direct, and the embedded SPS is the
+          // authoritative source for coded dimensions when it parses.
+          val (codec, vW, vH, vProfile, vLevel) =
+            find(stbl, "stsd").filter { case (s, e) => s + 16 <= e }
+              .map { case (s, e) =>
+                val entry = s + 8
+                val entryEnd = math.min(entry + u32(entry), e)
+                val fmt = fourcc(entry + 4)
+                val (dw, dh) = if (entry + 36 <= entryEnd)
+                  (u16(entry + 32), u16(entry + 34)) else (0, 0)
+                val avcc = if (entry + 86 <= entryEnd)
+                  find(boxes(entry + 86, entryEnd), "avcC") else None
+                avcc.filter { case (as, ae) => as + 6 <= ae }
+                  .map { case (as, ae) =>
+                    val prof = bytes(as.toInt + 1) & 0xff
+                    val lvl = bytes(as.toInt + 3) & 0xff
+                    val nSps = bytes(as.toInt + 5) & 0x1f
+                    val spsDims =
+                      if (nSps >= 1 && as + 8 <= ae) {
+                        val spsLen = u16(as + 6)
+                        if (spsLen > 0 && as + 8 + spsLen <= ae)
+                          spsDimensions(java.util.Arrays.copyOfRange(
+                            bytes, (as + 8).toInt, (as + 8 + spsLen).toInt))
+                        else None
+                      } else None
+                    val (w, h) = spsDims.getOrElse((dw, dh))
+                    (fmt, w, h, prof, lvl)
+                  }.getOrElse((fmt, dw, dh, 0, 0))
+              }.getOrElse(("????", 0, 0, 0, 0))
           val sizes: Array[Int] = find(stbl, "stsz").map { case (s, e) =>
             val fixed = u32(s + 4)
             val count = math.min(u32(s + 8), Int.MaxValue.toLong).toInt
@@ -345,7 +470,8 @@ object Multimodal {
             }
             chunk += 1
           }
-          (handler, Mp4Track(codec, timescale, duration, spans.toArray))
+          (handler, Mp4Track(codec, timescale, duration, spans.toArray,
+            width = vW, height = vH, profile = vProfile, level = vLevel))
         }
         }
       }
@@ -379,7 +505,15 @@ object Multimodal {
     val sizes = t.spans.map(_._2.toLong)
     val total = sizes.sum
     def clamp(v: Double) = math.min(math.max(v, 0.0), 0.999999).toFloat
-    DecodedMedia(id, bytes.length.toLong, s"video/mp4;codec=${t.codec}",
+    // dimensions/profile surface only when the demux actually found them
+    // (VisualSampleEntry + avcC/SPS) — so the H.264 metadata matches
+    // what the MJPEG pixel path reports, and a bare minimal entry keeps
+    // the old format string
+    val dims = if (t.width > 0 && t.height > 0) s";w=${t.width};h=${t.height}"
+      else ""
+    val avc = if (t.profile > 0) s";profile=${t.profile};level=${t.level}"
+      else ""
+    DecodedMedia(id, bytes.length.toLong, s"video/mp4;codec=${t.codec}$dims$avc",
       Array(
         clamp(nSamples / 1e6),                       // sample count, M
         clamp(durationSec / 3600.0),                 // duration, hours

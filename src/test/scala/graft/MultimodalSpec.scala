@@ -201,15 +201,91 @@ class MultimodalSpec extends SparkSpec {
     * stsd+stsz+stsc+stco) — the same box layout every MP4 muxer writes
     * (ISO/IEC 14496-12). Two chunks so the stsc run decoding is actually
     * exercised, not just the one-chunk degenerate case. */
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(t: String, data: Array[Byte]): Array[Byte] =
+    be32(8 + data.length) ++ t.getBytes("US-ASCII") ++ data
+  private def full(t: String, data: Array[Byte]): Array[Byte] =
+    box(t, be32(0) ++ data) // version 0, flags 0
+
+  /** MSB-first bit writer for hand-crafting SPS bitstreams. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0; private var nb = 0
+    def u(v: Int, n: Int): this.type = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+        k -= 1
+      }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val vv = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(vv)
+      u(0, len - 1); u(vv, len)
+    }
+    def toBytes: Array[Byte] = {
+      val b = buf.clone()
+      if (nb > 0) b += (cur << (8 - nb)).toByte
+      b.toArray
+    }
+  }
+
+  /** Minimal conformant SPS NAL (ITU-T H.264 §7.3.2.1.1): profile 66 or
+    * 100 (the high-profile chroma branch), poc type 0, optional crop. */
+  def spsNal(profile: Int, level: Int, widthMbs: Int, heightMapUnits: Int,
+      frameMbsOnly: Int = 1,
+      crop: (Int, Int, Int, Int) = (0, 0, 0, 0)): Array[Byte] = {
+    val w = new BitWriter
+    w.u(profile, 8).u(0, 8).u(level, 8)
+    w.ue(0) // seq_parameter_set_id
+    if (profile == 100) { // high-profile chroma branch
+      w.ue(1) // chroma_format_idc 4:2:0
+      w.ue(0).ue(0) // bit depths
+      w.u(0, 1) // transform bypass
+      w.u(0, 1) // no scaling matrix
+    }
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0).ue(0) // poc type 0 + log2_max_poc_lsb
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num_value_allowed
+    w.ue(widthMbs - 1).ue(heightMapUnits - 1)
+    w.u(frameMbsOnly, 1)
+    if (frameMbsOnly == 0) w.u(0, 1)
+    w.u(1, 1) // direct_8x8_inference
+    val (cl, cr, ct, cb) = crop
+    if (cl + cr + ct + cb > 0) { w.u(1, 1); w.ue(cl).ue(cr).ue(ct).ue(cb) }
+    else w.u(0, 1)
+    w.u(0, 1) // vui absent
+    w.u(1, 1) // rbsp stop bit
+    Array(0x67.toByte) ++ w.toBytes
+  }
+
+  /** avcC box (ISO 14496-15 §5.3.3): configuration record wrapping one
+    * SPS, zero PPS. */
+  def avcCBox(profile: Int, level: Int, sps: Array[Byte]): Array[Byte] =
+    box("avcC", Array(1.toByte, profile.toByte, 0.toByte, level.toByte,
+      0xff.toByte, 0xe1.toByte) ++ be16(sps.length) ++ sps ++
+      Array(0.toByte))
+
+  /** The 70 fixed VisualSampleEntry bytes after data_reference_index
+    * (ISO 14496-12 §12.1.3): declared width/height, resolutions,
+    * frame_count, compressorname, depth — child boxes follow. */
+  def visualEntryFields(width: Int, height: Int): Array[Byte] =
+    be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++ // pre_defined/reserved
+      be16(width) ++ be16(height) ++
+      be32(0x00480000) ++ be32(0x00480000) ++ be32(0) ++ // resolutions
+      be16(1) ++ Array.fill(32)(0.toByte) ++ // frame_count, compressorname
+      be16(24) ++ be16(0xffff) // depth, pre_defined
+
   def mp4Bytes(frames: Seq[Array[Byte]], codec: String = "jpeg",
-      timescale: Int = 600, duration: Int = 3000): Array[Byte] = {
-    def be32(v: Int): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def box(t: String, data: Array[Byte]): Array[Byte] =
-      be32(8 + data.length) ++ t.getBytes("US-ASCII") ++ data
-    def full(t: String, data: Array[Byte]): Array[Byte] =
-      box(t, be32(0) ++ data) // version 0, flags 0
+      timescale: Int = 600, duration: Int = 3000,
+      entryExtra: Array[Byte] = Array.empty): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
       "isom".getBytes("US-ASCII") ++ "iso2".getBytes("US-ASCII"))
     val mdatData = frames.flatten.toArray
@@ -220,7 +296,8 @@ class MultimodalSpec extends SparkSpec {
     val chunk2Off = chunk1Off + frames.take(split).map(_.length).sum
     val nChunks = if (frames.length > split) 2 else 1
     val stsd = full("stsd", be32(1) ++
-      box(codec, Array.fill(6)(0.toByte) ++ Array(0.toByte, 1.toByte)))
+      box(codec, Array.fill(6)(0.toByte) ++ Array(0.toByte, 1.toByte) ++
+        entryExtra))
     val stsz = full("stsz", be32(0) ++ be32(frames.length) ++
       frames.flatMap(f => be32(f.length)).toArray)
     val stsc = full("stsc",
@@ -285,6 +362,62 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f61(2) - 1e-3f) < 1e-6f)                  // 1 fps
     // truncated container degrades to the stub kernel, never throws
     assert(out(62L).format == "text/plain")
+  }
+
+  test("avc1 metadata: avcC profile/level surface; SPS dims override the entry") {
+    // sample entry DECLARES 640x360, but the embedded SPS codes 320x240
+    // (20×15 macroblocks) — the SPS is authoritative when it parses
+    val sps = spsNal(profile = 66, level = 30, widthMbs = 20,
+      heightMapUnits = 15)
+    val entry = visualEntryFields(640, 360) ++ avcCBox(66, 30, sps)
+    val h264 = mp4Bytes(Seq(Array.fill(100)(7.toByte), Array.fill(80)(8.toByte)),
+      codec = "avc1", timescale = 600, duration = 1200, entryExtra = entry)
+    val t = Multimodal.mp4VideoTrack(h264).get
+    assert(t.codec == "avc1" && t.profile == 66 && t.level == 30, t)
+    assert(t.width == 320 && t.height == 240, t)
+    // end-to-end: the metadata decode reports them next to the codec id
+    val out = Multimodal.decodePartitions(spark,
+      Seq((63L, h264)).toDF("doc_id", "payload"), "doc_id").collect().head
+    assert(out.format == "video/mp4;codec=avc1;w=320;h=240;profile=66;level=30",
+      out.format)
+  }
+
+  test("avc1 metadata: truncated avcC degrades to the declared entry dims") {
+    // avcC claims a 200-byte SPS the box doesn't hold: profile/level
+    // still parse (fixed header), dims fall back to the sample entry
+    val bogusAvcc = box("avcC", Array(1.toByte, 77.toByte, 0.toByte,
+      41.toByte, 0xff.toByte, 0xe1.toByte) ++ be16(200) ++
+      Array.fill(4)(0x99.toByte))
+    val entry = visualEntryFields(1280, 720) ++ bogusAvcc
+    val h264 = mp4Bytes(Seq(Array.fill(64)(1.toByte)), codec = "avc1",
+      entryExtra = entry)
+    val t = Multimodal.mp4VideoTrack(h264).get
+    assert(t.profile == 77 && t.level == 41, t)
+    assert(t.width == 1280 && t.height == 720, t)
+    // minimal 8-byte entry (the older fixtures): nothing to report, and
+    // the format string stays exactly as before
+    val bare = mp4Bytes(Seq(Array.fill(64)(1.toByte)), codec = "avc1")
+    val bt = Multimodal.mp4VideoTrack(bare).get
+    assert(bt.width == 0 && bt.profile == 0, bt)
+  }
+
+  test("spsDimensions: cropped 1080p, high-profile branch, interlaced, junk") {
+    // 1920x1088 coded, bottom-cropped to 1080: 120×68 MBs, crop_bottom=4
+    // (4:2:0 frame crop unit is 2 vertically)
+    val sps1080 = spsNal(profile = 100, level = 40, widthMbs = 120,
+      heightMapUnits = 68, crop = (0, 0, 0, 4))
+    assert(Multimodal.spsDimensions(sps1080).contains((1920, 1080)))
+    // baseline uncropped 320x240
+    assert(Multimodal.spsDimensions(
+      spsNal(66, 30, 20, 15)).contains((320, 240)))
+    // interlaced (frame_mbs_only=0): map units are field pairs — 480i is
+    // 30 map units tall, and the vertical crop unit doubles
+    assert(Multimodal.spsDimensions(
+      spsNal(77, 30, 45, 15, frameMbsOnly = 0)).contains((720, 480)))
+    // junk and non-SPS NALs: None, never a throw
+    assert(Multimodal.spsDimensions(Array[Byte](0x67, 0x00)).isEmpty)
+    assert(Multimodal.spsDimensions("not a nal".getBytes).isEmpty)
+    assert(Multimodal.spsDimensions(Array.fill(20)(0xff.toByte)).isEmpty)
   }
 
   test("hostile fixed-size stsz count cannot size a multi-GB allocation") {

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, TextAnalysis}
+import graft.pipelines.CurationPipeline
+
+/** Adversarial scale/skew stress tests for the heavy tier, over the
+  * [[StressData]] generators: Zipf-skewed keys, a hub graph, a
+  * boilerplate near-clique corpus. CI runs shape-and-correctness
+  * assertions at reduced volume (the adversarial STRUCTURE is identical
+  * at every scale — only row counts change); the measured near-linear
+  * scaling runs live in the [[Stress]] main (see BASELINE.md's scaling
+  * table) plus an env-gated test here (`SPARK_GRAFT_STRESS=1`).
+  */
+class StressSpec extends SparkSpec {
+
+  test("corpus generator: blocks share templates, dup pairs exact, short docs junk") {
+    val docs = StressData.corpus(spark, 200).cache()
+    try {
+      assert(docs.count() == 200)
+      val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // block 0 members share the 90-token template prefix verbatim
+      val t0 = byId(0L).split(" ").take(90).toSeq
+      assert(byId(2L).split(" ").take(90).toSeq == t0)
+      assert(byId(37L).split(" ").take(90).toSeq == t0)
+      // block 1 has a different template
+      assert(byId(40L).split(" ").take(90).toSeq != t0)
+      // id ≡ 1 (mod 50): exact duplicate of predecessor
+      assert(byId(51L) == byId(50L))
+      assert(byId(101L) == byId(100L))
+      assert(byId(1L) == byId(0L))
+      // id ≡ 9 (mod 10): 12 junk tokens, no stopwords → quality reject
+      val short = byId(9L).split(" ")
+      assert(short.length == 12 && short.forall(_.startsWith("w")))
+      // long docs pass the quality gate, short docs fail it
+      val q = TextAnalysis.qualityFeatures(docs, col("text"))
+        .select(col("doc_id"), col("quality_score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(q(0L) >= 0.5, q(0L))
+      assert(q(9L) < 0.5, q(9L))
+    } finally docs.unpersist()
+  }
+
+  test("connectedComponents: Zipf star components + a 200-chain converge exactly") {
+    val n = 20000L
+    val pairs = StressData.componentPairs(spark, n, nComp = 50, chainLen = 200)
+      .cache()
+    try {
+      val comps = Dedup.connectedComponents(pairs, maxIter = 12).cache()
+      // every endpoint is labeled
+      val endpoints = pairs.select(col("doc_a").as("d"))
+        .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+      assert(comps.count() == endpoints)
+      // one component per populated star center, plus the chain
+      val centers = pairs.filter(col("doc_b") < n + 50)
+        .select("doc_b").distinct().count()
+      assert(comps.select("component").distinct().count() == centers + 1)
+      // the chain collapsed to ONE label despite diameter 200 — only the
+      // pointer-jumping rounds can do that inside 12 iterations
+      val chainBase = n + 50 + 10
+      val chainComps = comps.filter(col("doc") >= chainBase)
+        .select("component").distinct().count()
+      assert(chainComps == 1L)
+      // the hub component (Zipf rank 0) holds ~ln2/ln50 ≈ 17.7% of members
+      val hubSize = comps.groupBy("component").count()
+        .agg(max("count")).head().getLong(0)
+      assert(hubSize > n / 10, s"hub component only $hubSize members")
+      comps.unpersist()
+    } finally pairs.unpersist()
+  }
+
+  test("pageRank: broadcast gate closed → shuffle-join plan; hub rank is max") {
+    val edges = StressData.hubGraph(spark, nNodes = 5000,
+      nRandomEdges = 30000, hubDegree = 2000)
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 3,
+      broadcastMaxNodes = 0L).cache()
+    try {
+      val plan = ranks.queryExecution.executedPlan.toString
+      // the at-scale plan: NO |V|-sized broadcast anywhere
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+      val top = ranks.orderBy(col("rank_unit").desc).head()
+      assert(top.getLong(0) == 0L,
+        s"hub (2000 in-spokes) must out-rank everything, got node ${top.getLong(0)}")
+      assert(ranks.filter(col("rank_unit") <= 0).count() == 0)
+    } finally ranks.unpersist()
+  }
+
+  test("labelPropagation: broadcast gate closed; hub community absorbs the spokes") {
+    val edges = StressData.hubGraph(spark, nNodes = 5000,
+      nRandomEdges = 30000, hubDegree = 2000)
+    val lp = Graph.labelPropagation(edges, "src", "dst", iters = 3,
+      broadcastMaxNodes = 0L).cache()
+    try {
+      val plan = lp.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+      // all pure spokes see identical neighborhoods each synchronous
+      // round, so the modal community must cover at least half the hub's
+      // spoke count whatever the (deterministic) oscillation lands on
+      val modal = lp.groupBy("community").count().agg(max("count"))
+        .head().getLong(0)
+      assert(modal >= 1000L, s"modal community only $modal nodes")
+    } finally lp.unpersist()
+  }
+
+  test("triangleCounts: 2000-spoke hub + planted K8 counted exactly") {
+    // star into the hub contributes NO triangles; the K8 clique's nodes
+    // each close 21 internal triangles + 7 through the hub (every clique
+    // node is also a spoke), and the hub closes the 28 clique pairs
+    val star = spark.range(2000).select((col("id") + 1).as("src"),
+      lit(0L).as("dst"))
+    val k8 = spark.range(64).select(
+      (expr("id div 8") + 100).as("src"), (col("id") % 8 + 100).as("dst"))
+      .filter(col("src") < col("dst"))
+    val tri = Graph.triangleCounts(star.union(k8), "src", "dst",
+      broadcastMaxEdges = 0L).cache()
+    try {
+      val byNode = tri.collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(byNode(0L) == 28L, s"hub: ${byNode(0L)}")
+      assert(byNode(103L) == 28L, s"clique node: ${byNode(103L)}")
+      assert(byNode(55L) == 0L, s"pure spoke: ${byNode(55L)}")
+    } finally tri.unpersist()
+  }
+
+  test("duplicateSpans: per-block template surfaces as one exact span per doc") {
+    val docs = StressData.corpus(spark, 400)
+    val spans = Dedup.duplicateSpans(docs, "doc_id", col("text"), k = 8)
+      .cache()
+    try {
+      // doc 2: plain doc (not short, not an exact-dup pair) — its template
+      // windows (positions 0..82 of the 90-token template, k=8) repeat
+      // across the block's 36 long docs; the unique tail contributes none
+      val d2 = spans.filter(col("doc") === 2L).collect()
+      assert(d2.length == 1, d2.mkString(";"))
+      assert(d2.head.getLong(2) == 0L && d2.head.getLong(3) == 89L,
+        d2.head.toString)
+      assert(d2.head.getLong(4) == 83L, d2.head.toString)
+      // docs 50/51 are exact duplicates: the WHOLE doc is one span
+      val d51 = spans.filter(col("doc") === 51L).collect()
+      assert(d51.length == 1 && d51.head.getLong(3) == 119L,
+        d51.mkString(";"))
+      // short junk docs (5 windows each, unique) produce no spans
+      assert(spans.filter(col("doc") === 9L).count() == 0)
+    } finally spans.unpersist()
+  }
+
+  test("sparseCosinePairs: near-clique blocks stay inside the df band") {
+    val docs = StressData.corpus(spark, 400)
+    val pairs = TextAnalysis.sparseCosinePairs(docs, "doc_id", col("text"),
+      ngram = 3, maxDf = 64, topK = 50).cache()
+    try {
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      val rows = pairs.collect()
+      assert(rows.length == 50)
+      // high-similarity pairs must be within-block (shared template);
+      // block templates have df=36 ≤ maxDf so the band KEEPS them
+      def blk(id: Long) = id / 40
+      rows.filter(_.getDouble(3) >= 0.3).foreach { r =>
+        assert(blk(r.getLong(0)) == blk(r.getLong(1)), r.toString)
+      }
+      assert(rows.count(_.getDouble(3) >= 0.3) >= 40, rows.take(5).mkString(";"))
+    } finally pairs.unpersist()
+  }
+
+  test("curation funnel: every adversarial doc dispositioned exactly once") {
+    val docs = StressData.corpus(spark, 800)
+    val eval = StressData.evalDocs(docs)
+    // 32 perms / 8 bands: see the Stress harness note — at within-block
+    // Jaccard ≈ 0.6 the default 16/4 signature legitimately recalls only
+    // ~half the pairs (measured: 466 near-dups of the ~684 reachable);
+    // the wider signature connects the blocks so the assertions below
+    // can pin the funnel's structure tightly
+    val disp = CurationPipeline.dispositions(docs, eval,
+      CurationPipeline.Config(minhashPerms = 32, minhashBands = 8)).cache()
+    try {
+      assert(disp.count() == 800)
+      assert(disp.select("doc_id").distinct().count() == 800)
+      val stages = disp.groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 10% junk docs die at the quality gate — nowhere else
+      assert(stages("quality") == 80L, stages.toString)
+      // id ≡ 1 (mod 50): 16 exact-dup followers (d1..d751)
+      assert(stages("exact_dup") == 16L, stages.toString)
+      // each 40-block keeps one canonical; the rest are near-dups (the
+      // 16 exact-dups were already taken by the earlier stage)
+      // deterministic at 800 docs: 638 near-dups (the ~46 docs whose
+      // band mins all fall on tail shingles stay isolated — expected LSH
+      // recall behavior), 18 contaminated, 48 kept; bounds allow drift if
+      // hash or parameter plumbing changes legitimately
+      assert(stages.getOrElse("near_dup", 0L) >= 600L &&
+        stages.getOrElse("near_dup", 0L) <= 690L, stages.toString)
+      // eval docs are blocks 0-4's templates → those blocks' survivors
+      // fall to decontamination
+      assert(stages.getOrElse("contaminated", 0L) >= 1L &&
+        stages.getOrElse("contaminated", 0L) <= 30L, stages.toString)
+      assert(stages.getOrElse("kept", 0L) >= 10L &&
+        stages.getOrElse("kept", 0L) <= 80L, stages.toString)
+      // kept docs carry redacted text; dropped docs carry none
+      assert(disp.filter(col("stage") === "kept" &&
+        col("clean_text").isNull).count() == 0)
+      assert(disp.filter(col("stage") =!= "kept" &&
+        col("clean_text").isNotNull).count() == 0)
+    } finally disp.unpersist()
+  }
+
+  test("measured near-linear scaling (env-gated: SPARK_GRAFT_STRESS=1)") {
+    assume(sys.env.get("SPARK_GRAFT_STRESS").contains("1"),
+      "manual: set SPARK_GRAFT_STRESS=1 (full run: sbt 'runMain graft.Stress')")
+    val ms = Stress.runAll(spark, Seq(1, 3))
+    val graded = Stress.grade(ms)
+    graded.foreach { case (op, ratio, bound, ok) =>
+      info(f"$op: t(3x)/t(1x) = $ratio%.2f (bound $bound%.2f)")
+      assert(ok, f"$op scaled super-linearly: $ratio%.2f > $bound%.2f")
+    }
+  }
+}

@@ -107,6 +107,65 @@ object Dedup {
     }: _*)
   }
 
+  /** Per-row banded MinHash signature — bit-identical `(band_idx,
+    * band_hash)` structs to [[minHashSignatures]] + the banding
+    * expression, computed as narrow ARRAY expressions (no explode, no
+    * groupBy): the form a STREAMING row evaluates statelessly against a
+    * precomputed static index ([[bandIndex]],
+    * [[graft.streaming.CurationStream.incrementalNearDups]]).
+    *
+    * Each shingle is still md5-hashed exactly ONCE: the whole band
+    * array is built inside a single `transform` over a one-element
+    * wrapper so the hashed-shingle array binds to a lambda variable —
+    * referenced `numPerm` times, EVALUATED once (Spark does not hoist
+    * loop-invariant subtrees out of HOF lambdas; inlining the hash
+    * array into each family's `array_min` would re-md5 every shingle
+    * per permutation). Only the affine family minima re-derive per
+    * permutation — integer arithmetic, not hashing. Batch corpus work
+    * should keep using the aggregate form (codegen'd, map-side
+    * combined — the measured cost note above); this one exists for
+    * per-row/streaming evaluation. */
+  def rowBands(text: Column, k: Int, numPerm: Int, bands: Int): Column = {
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rows = numPerm / bands
+    val hs = transform(TextAnalysis.shingles(text, k),
+      s => pmod(Hashing.hexLong(s), lit(MinHashP)))
+    element_at(
+      transform(array(hs), hsv => {
+        def mh(p: Int): Column =
+          array_min(transform(hsv, h => minHashFamily(h, p)))
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band_idx"),
+            md5(concat_ws(",", (0 until rows).map(r =>
+              mh(b * rows + r).cast("string")): _*)).as("band_hash"))
+        }: _*)
+      }),
+      1)
+  }
+
+  /** Banded signature index of a STATIC corpus — `(band_idx, band_hash,
+    * lake_doc)`, the persisted artifact an incremental/streaming ingest
+    * joins its [[rowBands]] against (the "precomputed lake signatures"
+    * [[incrementalNearDups]]' scaladoc promises). Buckets larger than
+    * `maxBucket` are dropped at BUILD time — the side whose population
+    * is knowable ahead of the stream — mirroring [[minHashCandidates]]'
+    * degenerate-band cap: a boilerplate bucket carries no dedup signal
+    * and would fan every matching stream row out `bucket`-fold. */
+  def bandIndex(df: DataFrame, idCol: String, text: Column,
+      k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val banded = minHashSignatures(df, idCol, text, k, numPerm)
+      .select(col("doc").as("lake_doc"),
+        explode(bandStructs(numPerm, bands)).as("band"))
+      .select(col("lake_doc"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val kept = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band_idx", "band_hash")
+    banded.join(kept, Seq("band_idx", "band_hash"))
+  }
+
   def minHashCandidates(df: DataFrame, idCol: String, text: Column,
       k: Int = 5, numPerm: Int = 16, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {

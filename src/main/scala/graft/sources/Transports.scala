@@ -18,6 +18,34 @@ import graft.sources.LimeSurveyClient.{HttpTransport, Transport}
   *    from the request envelope by slicing the canned result array, so
   *    pushdown behavior is observable end-to-end without a network.
   */
+/** Wire codec for `aConditions` values — the server-side predicate seam
+  * extended beyond the reference's equality-only conditions
+  * (/root/reference/limesurvey.py:214 passes a flat attr→value map).
+  * Equality ships as the RAW value, so the reference-shaped clients
+  * (the paged catalog scan's user-supplied condition maps) keep working
+  * unchanged. Extended operators ship with an `op:` prefix on the
+  * value: `gt:`/`ge:`/`lt:`/`le:` compare lexicographically (every
+  * participant column is a string — matching Spark's UTF8String order
+  * for the ASCII data these fields hold), `in:` carries
+  * unit-separator-joined () operands. A literal equality value
+  * that happens to LOOK like an operator prefix is never pushed by the
+  * connector (it stays a residual Spark filter), so the server may
+  * parse prefixes unconditionally. One condition per attribute — the
+  * map key is the attribute, as in the reference API. */
+object ConditionCodec {
+  val InSep = ""
+  private val Ops = Seq("gt:", "ge:", "lt:", "le:", "in:")
+  def looksEncoded(v: String): Boolean = Ops.exists(v.startsWith)
+  def matches(cond: String, actual: String): Boolean =
+    if (cond.startsWith("gt:")) actual > cond.substring(3)
+    else if (cond.startsWith("ge:")) actual >= cond.substring(3)
+    else if (cond.startsWith("lt:")) actual < cond.substring(3)
+    else if (cond.startsWith("le:")) actual <= cond.substring(3)
+    else if (cond.startsWith("in:"))
+      cond.substring(3).split(InSep, -1).contains(actual)
+    else actual == cond
+}
+
 object Transports {
 
   def fromSpec(spec: String): Transport = spec match {
@@ -58,12 +86,14 @@ object Transports {
       val reply = mapper.readTree(raw)
       reply.get("result") match {
         case arr: ArrayNode =>
-          // equality conditions match top-level fields or participant_info
+          // conditions ([[ConditionCodec]]: raw equality or op-prefixed
+          // range/in) match top-level fields or participant_info
           def matches(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
             conds.forall { case (k, v) =>
               val direct = Option(n.get(k))
               val nested = Option(n.get("participant_info")).flatMap(i => Option(i.get(k)))
-              direct.orElse(nested).exists(_.asText() == v)
+              direct.orElse(nested)
+                .exists(node => ConditionCodec.matches(v, node.asText()))
             }
           val filtered = mapper.createArrayNode()
           arr.elements().forEachRemaining(e => if (matches(e)) { filtered.add(e); () })

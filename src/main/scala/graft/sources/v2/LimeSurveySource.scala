@@ -288,6 +288,7 @@ class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var pushedConds: Array[sources.Filter] = Array.empty
+  private var condMap: Map[String, String] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve connector column order; empty prune (count(*)) keeps none
@@ -297,34 +298,66 @@ class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = conf.table == "participants"
 
-  /** Equality filters on participants columns map to the API's
-    * server-side `aConditions` hook (SURVEY §4 lists this as the
-    * predicate-pushdown seam; /root/reference/limesurvey.py:214) — the
-    * RPC envelope carries the condition and Spark drops the post-scan
-    * Filter. Anything else stays a residual Spark filter. */
+  /** Equality, range and IN-list filters on participants columns map to
+    * the API's server-side `aConditions` hook (SURVEY §4 lists this as
+    * the predicate-pushdown seam; /root/reference/limesurvey.py:214) —
+    * the RPC envelope carries the condition
+    * ([[graft.sources.ConditionCodec]]: raw value for equality,
+    * `gt:`/`ge:`/`lt:`/`le:`/`in:` prefixes for the extensions) and
+    * Spark drops the post-scan Filter. aConditions is a flat
+    * attr→condition map, so at most ONE condition pushes per attribute
+    * — a second bound on the same column stays a residual Spark filter
+    * (correct either way: pushdown narrows, the residual re-checks).
+    * Anything else stays residual too. */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     if (conf.table != "participants") filters
     else {
-      val eqAttrs = filters.collect {
-        case sources.EqualTo(a, v: String) if fullSchema.fieldNames.contains(a) && v != null => a
-      }.toSet
-      val (supported, residual) = filters.partition {
-        case sources.EqualTo(attr, v: String) =>
-          fullSchema.fieldNames.contains(attr) && v != null
-        // Catalyst pairs every pushed equality with an IsNotNull on the
-        // same column; the server's equality condition subsumes it
-        case sources.IsNotNull(attr) => eqAttrs.contains(attr)
-        case _ => false
+      import graft.sources.ConditionCodec
+      val enc = scala.collection.mutable.LinkedHashMap[String, String]()
+      val accepted = scala.collection.mutable.LinkedHashSet[sources.Filter]()
+      def offer(attr: String, f: sources.Filter, v: String): Unit =
+        if (fullSchema.fieldNames.contains(attr) && !enc.contains(attr)) {
+          enc += attr -> v
+          accepted += f
+        }
+      filters.foreach {
+        // a value that parses as an operator prefix must NOT ship as a
+        // raw equality (the server would misread it) — leave it residual
+        case f @ sources.EqualTo(a, v: String)
+            if v != null && !ConditionCodec.looksEncoded(v) => offer(a, f, v)
+        case f @ sources.GreaterThan(a, v: String) if v != null =>
+          offer(a, f, "gt:" + v)
+        case f @ sources.GreaterThanOrEqual(a, v: String) if v != null =>
+          offer(a, f, "ge:" + v)
+        case f @ sources.LessThan(a, v: String) if v != null =>
+          offer(a, f, "lt:" + v)
+        case f @ sources.LessThanOrEqual(a, v: String) if v != null =>
+          offer(a, f, "le:" + v)
+        case f @ sources.In(a, vs)
+            if vs.nonEmpty && vs.forall {
+              case s: String => s != null && !s.contains(ConditionCodec.InSep)
+              case _ => false
+            } =>
+          offer(a, f, "in:" +
+            vs.map(_.asInstanceOf[String]).mkString(ConditionCodec.InSep))
+        case _ => ()
       }
-      pushedConds = supported
+      // every pushed condition matches only non-null values server-side,
+      // so Catalyst's paired IsNotNull on the same column is subsumed
+      val (subsumedNn, residual) =
+        filters.filterNot(accepted.contains).partition {
+          case sources.IsNotNull(a) => enc.contains(a)
+          case _ => false
+        }
+      pushedConds = (accepted ++ subsumedNn).toArray
+      condMap = enc.toMap
       residual
     }
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushedConds
 
-  private def conditions: Map[String, String] =
-    pushedConds.collect { case sources.EqualTo(a, v: String) => a -> v }.toMap
+  private def conditions: Map[String, String] = condMap
 
   override def build(): Scan =
     new LimeSurveyScan(required, conf, limit,

@@ -100,6 +100,56 @@ object CurationStream {
     failed.unionByName(deduped)
   }
 
+  /** Streaming incremental near-dedup — the q125 shard-vs-lake question
+    * ("does this just-crawled document near-duplicate the lake") asked
+    * per TRIGGER instead of per nightly shard: one row per streamed doc
+    * that LSH-matches the static lake, with its distinct-match count and
+    * smallest matching lake id — [[graft.operators.Dedup.incrementalNearDups]]'
+    * exact output contract (`new_doc`, `n_matches`, `closest_existing`).
+    *
+    * Shape, all bounded: exact re-sends inside the watermark are
+    * suppressed first (`dropDuplicatesWithinWatermark` on the content
+    * fingerprint — state: one fingerprint per doc per horizon); each
+    * surviving row then evaluates its banded MinHash signature as a
+    * narrow per-row expression ([[graft.operators.Dedup.rowBands]] —
+    * each shingle md5-hashed once, no aggregate) and joins the
+    * PRECOMPUTED lake index ([[graft.operators.Dedup.bandIndex]]:
+    * build once per compaction, broadcast-or-shuffle — a stream-static
+    * join is STATELESS); the per-doc match fold groups on
+    * (doc_id, watermarked ts), so append mode finalizes each doc when
+    * the watermark passes it. Same-side pairs (new∼new) are the batch
+    * compaction's business, exactly as in the batch operator — the
+    * static join structurally cannot produce them.
+    *
+    * Parity caveat (documented divergence, asserted in StreamingSpec):
+    * the batch operator's `maxBucket` cap counts old+new docs per
+    * bucket; a stream cannot know a bucket's future population, so the
+    * cap applies at index-build time to the lake side only. */
+  def incrementalNearDups(spark: SparkSession, docs: DataFrame,
+      lakeIndex: DataFrame, k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val banded = docs
+      .withColumn("__fp", md5(lower(trim(col("text")))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Dedup.rowBands(col("text"), k, numPerm,
+          bands)).as("__band"))
+      .select(col("doc_id"), col("ts"),
+        col("__band").getField("band_idx").as("band_idx"),
+        col("__band").getField("band_hash").as("band_hash"))
+    banded
+      .join(lakeIndex, Seq("band_idx", "band_hash"))
+      .groupBy(col("doc_id"), col("ts"))
+      // distinct matches via collect_set (streaming aggregation cannot
+      // express count(distinct)); state per doc is bounded by its lake
+      // match count, itself bounded by bands × maxBucket
+      .agg(collect_set(col("lake_doc")).as("__m"))
+      .select(col("doc_id").as("new_doc"),
+        size(col("__m")).cast("long").as("n_matches"),
+        array_min(col("__m")).as("closest_existing"))
+  }
+
   /** Incremental funnel report: docs per stage per event-time window —
     * the monitoring view ([[EventsStream.windowedExpectations]]'s shape
     * applied to the funnel itself). Counts are decomposable, so this is

@@ -105,6 +105,44 @@ class DataSourceV2Spec extends SparkSpec {
     assert(!plan.contains(") Filter "), plan.take(600))
   }
 
+  test("range filter pushes to the RPC (aConditions gt:) and drops from the plan") {
+    val df = read("participants").filter(col("tid") > "5")
+    assert(df.collect().map(_.getAs[String]("tid")).sorted.toSeq ==
+      Seq("6", "7", "8", "9"))
+    // the encoded range condition reached the wire...
+    val body = graft.sources.Transports.FileServerTransport.lastBody.get()
+    assert(body.contains(""""tid":"gt:5""""), body)
+    // ...and both the range AND its paired IsNotNull are fully pushed —
+    // no post-scan Filter survives
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains(") Filter "), plan.take(600))
+  }
+
+  test("IN-list filter pushes to the RPC (aConditions in:) and drops from the plan") {
+    val df = read("participants")
+      .filter(col("email").isin("p2@x.com", "p7@x.com"))
+    assert(df.collect().map(_.getAs[String]("tid")).sorted.toSeq ==
+      Seq("2", "7"))
+    val body = graft.sources.Transports.FileServerTransport.lastBody.get()
+    assert(body.contains("in:p2@x.com"), body)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains(") Filter "), plan.take(600))
+  }
+
+  test("two bounds on one attribute: one pushes, the second stays residual") {
+    // aConditions is a flat attr -> condition map: the second bound on
+    // the same column cannot ship, so it must survive as a Spark filter
+    // — and the visible result must be identical to all-residual
+    val df = read("participants").filter(col("tid") >= "3" && col("tid") < "7")
+    assert(df.collect().map(_.getAs[String]("tid")).sorted.toSeq ==
+      Seq("3", "4", "5", "6"))
+    val body = graft.sources.Transports.FileServerTransport.lastBody.get()
+    assert(body.contains(""""tid":"ge:3"""") || body.contains(""""tid":"lt:7""""),
+      body)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(") Filter "), plan.take(600))
+  }
+
   test("non-equality filters stay residual and still evaluate correctly") {
     val df = read("participants").filter(col("email") =!= "p3@x.com")
     assert(df.collect().length == 9)

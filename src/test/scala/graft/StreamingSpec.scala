@@ -434,6 +434,65 @@ class StreamingSpec extends SparkSpec {
     bText.keys.foreach(id => assert(sText(id) == bText(id)))
   }
 
+  test("streaming incremental near-dedup agrees with the batch shard-vs-lake operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val tB = "pack my box with five dozen liquor jugs and the vexed wizards frown"
+    val tC = "a wizard of odd magic is keen to vex the daft jump in fog"
+    val novel = "sphinx of black quartz judge my vow and keep the faith in time"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the LAKE: static, indexed once (the persisted-compaction artifact)
+    val lake = Seq((1L, tA), (2L, tB), (3L, tA + " coda"), (5L, tC))
+      .toDF("doc_id", "text")
+    val lakeIndex = Dedup.bandIndex(lake, "doc_id", col("text"),
+      k = 5, numPerm = 16, bands = 4).cache()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CurationStream.incrementalNearDups(spark,
+        input.toDF().toDF("doc_id", "text", "ts"), lakeIndex)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("inc_near_dups").start()
+    val stream = try {
+      input.addData(
+        (101L, tA, t("2026-01-01 10:00:00")),    // identical to lake 1
+        (102L, novel, t("2026-01-01 10:01:00")), // matches nothing
+        (103L, tC, t("2026-01-01 10:02:00")),    // identical to lake 5
+        (104L, tB, t("2026-01-01 10:03:00")))    // identical to lake 2
+      q.processAllAvailable()
+      // an exact RE-SEND inside the watermark is suppressed by the
+      // fingerprint dedup — no second evaluation, no second output row
+      input.addData((103L, tC, t("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      // advance the watermark past the docs so append finalizes them
+      input.addData((999L, "flush marker", t("2026-01-01 13:30:00")))
+      q.processAllAvailable()
+      spark.table("inc_near_dups").as[(Long, Long, Long)].collect().toSeq
+    } finally q.stop()
+    // batch twin over the same union (shard pre-deduped, as the stream's
+    // fingerprint stage guarantees): identical banded-MinHash hashes on
+    // both paths → identical matches, counts, and canonical ids
+    val union = lake.withColumn("is_new", lit(false))
+      .unionByName(Seq((101L, tA), (102L, novel), (103L, tC), (104L, tB),
+        (999L, "flush marker"))
+        .toDF("doc_id", "text").withColumn("is_new", lit(true)))
+    val batch = Dedup.incrementalNearDups(union, "doc_id", col("text"),
+      col("is_new"), k = 5, numPerm = 16, bands = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stream.toSet == batch.toSet, s"stream=$stream batch=$batch")
+    // non-vacuous: the identical-text probes matched their lake twins
+    val byDoc = stream.map(r => r._1 -> r).toMap
+    assert(byDoc(101L)._3 == 1L, byDoc.toString) // closest_existing
+    assert(byDoc(103L)._3 == 5L, byDoc.toString)
+    assert(byDoc(104L)._3 == 2L, byDoc.toString)
+    assert(!byDoc.contains(102L) && !byDoc.contains(999L), byDoc.toString)
+    // exactly one row per matched doc despite the 103 re-send
+    assert(stream.size == stream.map(_._1).distinct.size, stream.toString)
+    lakeIndex.unpersist()
+  }
+
   test("windowedReport: per-window funnel stage counts with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

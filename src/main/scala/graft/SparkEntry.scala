@@ -739,6 +739,29 @@ object SparkEntry {
           col("rank").cast(LongType).as("knn_rank"))
     }),
 
+    // winnowing fingerprints (MOSS): window-min k-gram hashes — the
+    // shared-passage detector; any w+k-1-token overlap shares one
+    "q127_winnow_fingerprints" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d), "doc_id",
+        col("text"))
+        .select(col("doc").as("doc_id"), col("fingerprint"))),
+
+    // DSIR importance weights: hashed-bigram target/raw log-likelihood
+    // ratio per doc (target = the q58/q124 %7 eval split)
+    "q128_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", col("text"),
+        docs.filter(col("doc_id") % 7 === 0), col("text"))
+        .select(col("doc").as("doc_id"), col("n_feats"), col("dsir_micro"))
+    }),
+
+    // dataset-level overlap matrix: MinHash signature agreement between
+    // SOURCES (group-level union-shingle Jaccard estimate)
+    "q129_source_overlap" -> ((s, d) =>
+      Dedup.signatureOverlap(Tables.documents(s, d), "source",
+        col("text"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -1624,6 +1647,33 @@ object SparkEntry {
        banded AS ($bands),
        ok AS (SELECT band_idx, band_hash FROM banded
               GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)"""
+  }
+
+  /** Generated oracle: dataset-level MinHash signature agreement keyed
+    * by SOURCE (mirrors Dedup.signatureOverlap — the group min over a
+    * source's shingle multiset is the min over the union of its docs'
+    * shingle sets, so no per-doc stage appears on either side). */
+  private def sourceOverlapOracle: String = {
+    val P = Dedup.MinHashP
+    val mins = (0 until MinhashPerms).map { p =>
+      val a = (p * 1000003L + 17L) % P
+      val b = (p * 999983L + 9176L) % P
+      s"min((h * $a + $b) % $P) AS mh$p"
+    }.mkString(", ")
+    val agree = (0 until MinhashPerms)
+      .map(p => s"(CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT source, CASE WHEN len(w) >= $MinhashK
+         THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
+         ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
+       ex AS (SELECT source, unnest(shingles) AS s FROM sh),
+       hh AS (SELECT source, ${sqlHexLong("s")} % $P AS h FROM ex),
+       mh AS (SELECT source, $mins FROM hh GROUP BY source)
+       SELECT a.source AS source_a, b.source AS source_b,
+         CAST($agree AS BIGINT) AS n_agree,
+         round(CAST($agree AS DOUBLE) / $MinhashPerms, 6) AS jaccard_est
+       FROM mh a JOIN mh b ON a.source < b.source"""
   }
 
   /** Generated oracle: MinHash+LSH candidates, same algorithm in SQL
@@ -2747,6 +2797,46 @@ object SparkEntry {
            (SELECT *, row_number() OVER (PARTITION BY w1
               ORDER BY pmi DESC, w2) AS rn FROM pm)
          WHERE rn <= 3""",
+
+    // winnowing: positional 4-gram hashes, window-4 minima, distinct
+    // per doc; <4 tokens -> none, <4 grams -> the single global min
+    "q127_winnow_fingerprints" -> {
+      val h = sqlHexLong("array_to_string(w[i+1:i+4], ' ')")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         hs AS (SELECT doc_id, CASE WHEN len(w) >= 4
+             THEN [$h for i in range(0, len(w) - 3)]
+             ELSE [] END AS h FROM toks),
+         fp AS (SELECT doc_id, CASE
+             WHEN len(h) >= 4 THEN list_distinct([list_min(h[j+1:j+4]) for j in range(0, len(h) - 3)])
+             WHEN len(h) >= 1 THEN [list_min(h)]
+             ELSE [] END AS fps FROM hs)
+         SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM fp"""
+    },
+
+    "q128_dsir_weights" -> {
+      val h = sqlHexLong("bg")
+      s"""WITH rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         tgtd AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+         rb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rawd)),
+         rperdoc AS (SELECT doc_id, $h % 256 AS bucket, CAST(count(*) AS BIGINT) AS n
+                     FROM rb GROUP BY 1, 2),
+         rbk AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS r FROM rperdoc GROUP BY 1),
+         tb AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+                FROM (SELECT string_split(text, ' ') AS w FROM tgtd)),
+         tbk AS (SELECT $h % 256 AS bucket, CAST(count(*) AS BIGINT) AS t FROM tb GROUP BY 1),
+         tot AS (SELECT (SELECT sum(r) FROM rbk) AS rTot, (SELECT sum(t) FROM tbk) AS tTot),
+         wt AS (SELECT rbk.bucket,
+             CAST(floor(ln(
+               (CAST(coalesce(t, 0) + 1 AS DOUBLE) / CAST(tTot + 256 AS DOUBLE)) *
+               (CAST(rTot + 256 AS DOUBLE) / CAST(r + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS qlr
+           FROM rbk LEFT JOIN tbk USING (bucket) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+           CAST(sum(n * qlr) AS BIGINT) AS dsir_micro
+         FROM rperdoc JOIN wt USING (bucket) GROUP BY 1"""
+    },
+
+    "q129_source_overlap" -> sourceOverlapOracle,
 
     "q125_incremental_dedup" ->
       s"""WITH RECURSIVE cand AS ($minhashOracle),

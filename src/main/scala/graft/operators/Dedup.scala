@@ -477,6 +477,33 @@ object Dedup {
       .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Dataset-level overlap matrix via MinHash signature agreement: the
+    * Jaccard similarity between the UNION shingle sets of every pair of
+    * document GROUPS (sources, crawls, snapshots), estimated as the
+    * fraction of agreeing signature slots — the O(|groups|²·numPerm)
+    * "how much does crawl B re-scrape crawl A" diagnostic that would
+    * otherwise need a full cross-corpus shingle join. One row per
+    * unordered group pair with the agreement count and the estimate.
+    *
+    * Shape: [[minHashSignatures]] keyed by the GROUP column (the min
+    * over a group's shingles IS the min over the union of its docs'
+    * shingle sets — no per-doc stage needed), producing a
+    * |groups|-sized table; the pair comparison is a deliberate small
+    * non-equi self-join of that statistics-sized table (|groups|² rows
+    * total — groups are sources/crawls, thousands at most, never
+    * corpus-scale). */
+  def signatureOverlap(docs: DataFrame, groupCol: String, text: Column,
+      k: Int = 5, numPerm: Int = 16): DataFrame = {
+    val sig = minHashSignatures(docs, groupCol, text, k, numPerm)
+    val agree = (0 until numPerm)
+      .map(p => when(col(s"a.mh$p") === col(s"b.mh$p"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sig.as("a").join(sig.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("source_a"), col("b.doc").as("source_b"),
+        agree.as("n_agree"),
+        round(agree.cast(DoubleType) / numPerm, 6).as("jaccard_est"))
+  }
+
   /** Incremental-ingest near-dedup: which NEW documents (rows where
     * `isNew`) near-duplicate the EXISTING corpus — the nightly-shard
     * question ("what of today's crawl is already in the lake") asked

@@ -1111,4 +1111,101 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme, public): hash every positional word `k`-gram, slide a
+    * window of `w` consecutive hashes, keep each window's MINIMUM — the
+    * guarantee is LOCAL: any shared run of `w + k - 1` tokens between
+    * two documents shares at least one selected fingerprint, while only
+    * ~`2/(w+1)` of all k-gram hashes are kept. The partial-overlap
+    * detector that document-level MinHash cannot be (MinHash answers
+    * "how similar are these documents", winnowing answers "do they
+    * share ANY sufficiently long passage") and [[graft.operators.Dedup.duplicateSpans]]'
+    * cheap cousin (spans needs a corpus-wide frequency pass; winnowing
+    * is per-row). Join fingerprints to find cross-doc shared passages.
+    *
+    * Short-doc contract (mirrored in the oracle): fewer than `k` tokens
+    * → no k-gram → no fingerprints; fewer than `w` k-grams → one
+    * fingerprint, the global minimum.
+    *
+    * Shape: narrow per-row expression tree (hash array projected ONCE
+    * into the window fold — the HOF-hoisting contract) + one distinct
+    * explode: embarrassingly parallel, no corpus state. */
+  def winnowFingerprints(df: DataFrame, idCol: String, text: Column,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k-gram size and window must be positive")
+    val toks = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), tokens(col("__t")).as("__w"))
+    val grams = when(size(col("__w")) >= k,
+      transform(sequence(lit(0), size(col("__w")) - k),
+        i => Hashing.hexLong(concat_ws(" ", slice(col("__w"), i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val withHashes = toks.select(col("doc"), grams.as("__h"))
+    val fps = when(size(col("__h")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("__h")) - w),
+        j => array_min(slice(col("__h"), j + 1, lit(w))))))
+      .when(size(col("__h")) >= 1, array(array_min(col("__h"))))
+      .otherwise(array().cast("array<bigint>"))
+    withHashes.select(col("doc"), explode(fps).as("fingerprint"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public): hashed
+    * bigram features score each raw document by how target-like its
+    * feature distribution is,
+    * `w(d) = Σ_b n_d(b) · qlr(b)` with
+    * `qlr(b) = floor(ln((t_b+1)/(T+B) · (R+B)/(r_b+1)) · 1e6 + 0.5)` —
+    * the add-one-smoothed target/raw log-likelihood ratio per hash
+    * bucket, quantized to integer micro-nats so the per-doc fold is an
+    * exact long sum. Positive weights = bigram profile leans toward
+    * the target corpus; the resampling step keeps the top mass.
+    *
+    * Shape: raw and target each explode ONCE into `buckets`-bounded
+    * count tables; the B-row weight table (two tiny aggregates + two
+    * broadcast one-row totals) broadcasts back onto the per-doc bucket
+    * counts — one corpus-sized shuffle on (doc, bucket), everything
+    * else bucket-bounded. Buckets absent from the target still score
+    * (smoothing), exactly as in the paper. */
+  def dsirWeights(df: DataFrame, idCol: String, text: Column,
+      target: DataFrame, targetText: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    // token array projected into a REAL column before the bigram HOF —
+    // an inlined split would re-run once per bigram (no hoisting in
+    // lambda subtrees)
+    def buckify(shaped: DataFrame, keys: Seq[String]): DataFrame =
+      Parallelism.ensure(shaped)
+        .withColumn("__w", tokens(col("__t")))
+        .select(keys.map(col) :+
+          explode(bigramsFromTokens(col("__w"))).as("__bg"): _*)
+        .withColumn("bucket",
+          pmod(Hashing.hexLong(col("__bg")), lit(buckets.toLong)))
+        .groupBy((keys :+ "bucket").map(col): _*)
+        .agg(count(lit(1)).as("n"))
+    val perDoc = buckify(
+      df.select(col(idCol).as("doc"), text.as("__t")), Seq("doc"))
+    val rawB = perDoc.groupBy("bucket").agg(sum(col("n")).as("r"))
+    val tgtB = buckify(target.select(targetText.as("__t")), Nil)
+      .withColumnRenamed("n", "t")
+    val totals = broadcast(
+      rawB.agg(sum(col("r")).as("rTot")).crossJoin(
+        tgtB.agg(sum(col("t")).as("tTot"))))
+    val weights = broadcast(
+      rawB.join(tgtB, Seq("bucket"), "left")
+        .na.fill(0L, Seq("t"))
+        .crossJoin(totals)
+        .select(col("bucket"),
+          floor(log(
+            ((col("t") + lit(1L)).cast(DoubleType) /
+              (col("tTot") + lit(buckets.toLong)).cast(DoubleType)) *
+              ((col("rTot") + lit(buckets.toLong)).cast(DoubleType) /
+                (col("r") + lit(1L)).cast(DoubleType))) * 1e6 + 0.5)
+            .cast(LongType).as("qlr")))
+    perDoc.join(weights, Seq("bucket"))
+      .groupBy("doc")
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("qlr")).as("dsir_micro"))
+  }
 }

@@ -1224,6 +1224,76 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints: local guarantee, short-doc contract, sparsity") {
+    import spark.implicits._
+    // k=4, w=4: any shared run of w+k-1 = 7 tokens must share >= 1
+    // fingerprint (the winnowing guarantee) even when the surroundings
+    // differ completely
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red blue green $shared yellow purple"),
+      (3L, "completely different words with no overlap at all here"),
+      (4L, "tiny doc"),               // < k tokens: no fingerprints
+      (5L, "exactly four tokens here"), // 4 tokens = 1 gram: single min
+      (6L, s"one two three $shared four five six")) // duplicate of 1
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", col("text"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty, s"${fps(1L)} vs ${fps(2L)}")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert(!fps.contains(4L))
+    assert(fps(5L).size == 1)
+    assert(fps(6L) == fps(1L)) // fingerprints are a pure content function
+    // sparsity: far fewer fingerprints than k-grams (density ~ 2/(w+1))
+    val grams1 = docs.filter(col("doc_id") === 1).select(
+      size(split(col("text"), " "))).head().getInt(0) - 3
+    assert(fps(1L).size < grams1, s"${fps(1L).size} of $grams1 grams kept")
+  }
+
+  test("dsirWeights: target-like docs score above off-target docs") {
+    import spark.implicits._
+    val targetish = "the model learns from curated data with careful review"
+    val junk = "zzz qqq xxx www vvv uuu ttt sss rrr ppp"
+    val raw = Seq((1L, targetish), (2L, junk), (3L, targetish + " indeed"))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1(targetish), Tuple1(targetish + " always"))
+      .toDF("text")
+    val w = TextAnalysis.dsirWeights(raw, "doc_id", col("text"),
+      target, col("text"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // n_feats = bigram instance count
+    assert(w(1L)._2 == targetish.split(" ").length - 1, w.toString)
+    // per-feature average log-ratio: target-like docs positive-leaning,
+    // junk (absent from target) strictly below them
+    val avg1 = w(1L)._3.toDouble / w(1L)._2
+    val avg2 = w(2L)._3.toDouble / w(2L)._2
+    assert(avg1 > avg2, s"target-like $avg1 !> junk $avg2")
+    assert(avg1 > 0 && avg2 < 0, s"$avg1 / $avg2")
+  }
+
+  test("signatureOverlap: identical groups agree on every slot, disjoint on few") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "pack my box with five dozen liquor jugs right now"
+    val c = "sphinx of black quartz judge my vow in time"
+    val docs = Seq(
+      ("s1", a), ("s1", b),
+      ("s2", a), ("s2", b),         // s2 == s1 content: J = 1
+      ("s3", c))                     // disjoint content
+      .toDF("source", "text")
+    val out = Dedup.signatureOverlap(docs, "source", col("text"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 3) // C(3,2) unordered pairs
+    assert(out(("s1", "s2"))._3 == 16L, out.toString) // all slots agree
+    assert(out(("s1", "s2"))._4 == 1.0)
+    // disjoint shingle sets: agreement only by affine-min coincidence
+    assert(out(("s1", "s3"))._3 < 16L, out.toString)
+    assert(out(("s2", "s3"))._3 == out(("s1", "s3"))._3) // same content
+  }
+
   test("tfIdf: unhinted vocab join path returns identical rows to the broadcast path") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),

@@ -762,6 +762,21 @@ object SparkEntry {
       Dedup.signatureOverlap(Tables.documents(s, d), "source",
         col("text"))),
 
+    // shared-passage clusters: CC over the winnowing fingerprint graph.
+    // The corpus has no natural shared passages, so two boilerplate
+    // families are injected deterministically (>= w+k-1 = 7 tokens, the
+    // winnowing guarantee) — the oracle match exercises real clustering
+    "q130_passage_clusters" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("doc_id") % 17 === 0,
+          lit(" shared boilerplate footer alpha beta gamma delta epsilon"))
+          .when(col("doc_id") % 19 === 0,
+            lit(" common navigation header one two three four five six"))
+          .otherwise(lit("")))
+      Dedup.passageClusters(Tables.documents(s, d), "doc_id", spiked,
+        minShared = 1L)
+    }),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -2837,6 +2852,35 @@ object SparkEntry {
     },
 
     "q129_source_overlap" -> sourceOverlapOracle,
+
+    "q130_passage_clusters" -> {
+      val spiked = """CASE WHEN doc_id % 17 = 0
+        THEN text || ' shared boilerplate footer alpha beta gamma delta epsilon'
+        WHEN doc_id % 19 = 0
+        THEN text || ' common navigation header one two three four five six'
+        ELSE text END"""
+      val h = sqlHexLong("array_to_string(w[i+1:i+4], ' ')")
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split($spiked, ' ') AS w FROM documents),
+         hs AS (SELECT doc_id, CASE WHEN len(w) >= 4
+             THEN [$h for i in range(0, len(w) - 3)]
+             ELSE [] END AS h FROM toks),
+         fp AS (SELECT doc_id, CASE
+             WHEN len(h) >= 4 THEN list_distinct([list_min(h[j+1:j+4]) for j in range(0, len(h) - 3)])
+             WHEN len(h) >= 1 THEN [list_min(h)]
+             ELSE [] END AS fps FROM hs),
+         ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         ok AS (SELECT f FROM ex GROUP BY f HAVING count(*) BETWEEN 2 AND 10000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+                  JOIN ok ON a.f = ok.f),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS component
+         FROM reach GROUP BY src"""
+    },
 
     "q125_incremental_dedup" ->
       s"""WITH RECURSIVE cand AS ($minhashOracle),

@@ -477,6 +477,37 @@ object Dedup {
       .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Shared-passage clustering: [[connectedComponents]] over the
+    * winnowing fingerprint graph — two docs edge when they share at
+    * least `minShared` selected fingerprints
+    * ([[TextAnalysis.winnowFingerprints]]' local guarantee: any common
+    * `w+k-1`-token run shares one), and CC merges transitively. The
+    * template/boilerplate family detector: where MinHash clusters
+    * whole-document near-dups, this clusters documents stitched from
+    * the SAME PASSAGES even when each document is globally dissimilar.
+    *
+    * Shape: per-row fingerprinting → one fingerprint-keyed posting
+    * aggregate with the [[minHashCandidates]] degenerate-bucket cap
+    * (`maxPostings` — a fingerprint shared by half the corpus is
+    * boilerplate, not evidence, and would fan out O(bucket²)) → lazy
+    * native pair generator → pair-count filter → the pinned-checkpoint
+    * CC loop. */
+  def passageClusters(docs: DataFrame, idCol: String, text: Column,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L,
+      maxPostings: Int = 10000, maxIter: Int = 10): DataFrame = {
+    require(minShared >= 1L, "minShared must be at least 1")
+    val fps = TextAnalysis.winnowFingerprints(docs, idCol, text, k, w)
+    val pairs = fps.groupBy("fingerprint")
+      .agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxPostings))
+      .select(graft.functions.Native.idPairs(col("docs"))
+        .as(Seq("doc_a", "doc_b")))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared)
+      .select("doc_a", "doc_b")
+    connectedComponents(pairs, maxIter)
+  }
+
   /** Dataset-level overlap matrix via MinHash signature agreement: the
     * Jaccard similarity between the UNION shingle sets of every pair of
     * document GROUPS (sources, crawls, snapshots), estimated as the

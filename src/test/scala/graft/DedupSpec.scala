@@ -204,6 +204,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(sim((1L, 2L)) - 1.0) < 1e-9)
     assert(math.abs(sim((1L, 3L))) < 1e-9)
   }
+
+  test("passageClusters: docs stitched from one passage cluster; minShared gates") {
+    import spark.implicits._
+    // a 10-token shared passage (>= w+k-1 = 7 guarantees >= 1 shared
+    // fingerprint) embedded in otherwise-unrelated documents
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three four $passage five six seven eight"),
+      (2L, s"red blue green yellow $passage purple orange pink teal"),
+      (3L, s"north south east west $passage up down left right"),
+      (4L, "totally unrelated content with absolutely no shared runs"),
+      (5L, "another independent document about something else entirely"))
+      .toDF("doc_id", "text")
+    val cc = Dedup.passageClusters(docs, "doc_id", col("text"),
+        minShared = 1L)
+      .as[(Long, Long)].collect().toMap
+    // the passage family collapses to one component labeled by its min
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, cc.toString)
+    // unrelated docs have no candidate edge: absent by CC contract
+    assert(!cc.contains(4L) && !cc.contains(5L), cc.toString)
+    // minShared above the evidence level drops the single-passage family
+    val strict = Dedup.passageClusters(docs, "doc_id", col("text"),
+        minShared = 50L)
+      .as[(Long, Long)].collect()
+    assert(strict.isEmpty, strict.mkString(";"))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -525,7 +525,13 @@ object Dedup {
     * corpus-scale). */
   def signatureOverlap(docs: DataFrame, groupCol: String, text: Column,
       k: Int = 5, numPerm: Int = 16): DataFrame = {
+    // the |groups|-sized signature table is consumed by BOTH sides of
+    // the pair self-join — checkpoint it so the corpus-sized shingle
+    // explode behind it runs ONCE, not once per side (tiny table,
+    // eager materialization is free; without it a 100 TB corpus would
+    // scan twice)
     val sig = minHashSignatures(docs, groupCol, text, k, numPerm)
+      .localCheckpoint(true)
     val agree = (0 until numPerm)
       .map(p => when(col(s"a.mh$p") === col(s"b.mh$p"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -564,6 +564,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("q127 winnowing: pure map + generate — no key shuffle, zero joins") {
+    // the whole fingerprint pipeline is per-row (hashes, window minima,
+    // per-doc distinct): the ONLY allowed exchange is Parallelism
+    // .ensure's RoundRobin widening of the single-row-group scan
+    val plan = planOf("q127_winnow_fingerprints")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("q128 DSIR: the bucket-weight attach broadcasts onto the per-doc counts") {
+    // per-doc bucket counts join the B-row weight table via the
+    // explicit broadcast hint — the corpus side is never re-shuffled
+    // for the attach (the tiny raw⋈target bucket join inside the
+    // weight table is statistics-sized either way)
+    val plan = finalPlanOf("q128_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the only nested-loop joins are the two statistics-sized total
+    // crosses (1-row×1-row totals pair; B-row×1-row attach — the
+    // broadcast-stat-table pattern), never a corpus-sized one
+    assert(countOf("BroadcastNestedLoopJoin", plan) <= 2, plan.take(1500))
+  }
+
+  test("q129 source overlap: the corpus-sized signature derivation runs ONCE") {
+    // the pair self-join consumes the checkpointed |groups|-sized
+    // signature table on both sides — the parquet scan + shingle
+    // explode behind it must NOT appear in the final plan at all
+    val plan = planOf("q129_source_overlap")
+    assert(!plan.contains("FileScan"), plan.take(1500))
+    assert(countOf("Scan ExistingRDD", plan) >= 2, plan.take(1500))
+  }
+
   test("q114 label propagation: co-partitioned vote rounds, no cartesian anywhere") {
     val plan = planOf("q114_label_prop")
     assert(!plan.contains("CartesianProduct"), plan.take(1200))

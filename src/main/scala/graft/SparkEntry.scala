@@ -777,6 +777,47 @@ object SparkEntry {
         minShared = 1L)
     }),
 
+    // fastText-style quality classifier: closed-form Naive Bayes over
+    // hashed unigrams, trained in the same pass it scores (weak label =
+    // "is this one of the two reference sources") — the GPT-3/LLaMA
+    // "looks like the reference corpus" filter. The synthetic sources
+    // share one vocabulary (NB would correctly put every doc in the
+    // majority class — the decision never fires), so reference-style
+    // vocabulary is injected deterministically: the labeled sources get
+    // the full marker, unlabeled src2 a partial one — src2 docs leaning
+    // positive is the classifier GENERALIZING off its weak labels,
+    // which is what the oracle match exercises
+    "q131_nb_classifier" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("source").isin("src0", "src1"),
+          lit(" curated encyclopedia reference citation archive"))
+          .when(col("source") === "src2",
+            lit(" encyclopedia reference citation"))
+          .otherwise(lit("")))
+      TextAnalysis.nbClassifier(Tables.documents(s, d), "doc_id",
+        spiked, col("source").isin("src0", "src1"))
+        .select(col("doc").as("doc_id"), col("n_toks"), col("nb_micro"),
+          col("nb_pos"))
+    }),
+
+    // CCNet perplexity terciles: hashed-bigram add-one LM trained on
+    // the src0/src1 reference slice scores every doc; head = cleanest
+    "q132_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmPerplexityBuckets(docs, "doc_id", col("text"),
+        docs.filter(col("source").isin("src0", "src1")), col("text"))
+        .select(col("doc").as("doc_id"), col("n_pairs"),
+          col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
+    }),
+
+    // T5 span corruption: hash-derandomized block spans → (masked
+    // input with sentinels, span target) pairs — denoising prep
+    "q133_span_corruption" -> ((s, d) =>
+      TextAnalysis.spanCorruption(Tables.documents(s, d), "doc_id",
+        col("text"))
+        .select(col("doc").as("doc_id"), col("masked_input"),
+          col("target"), col("n_spans"), col("n_masked"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -2880,6 +2921,110 @@ object SparkEntry {
                    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS component
          FROM reach GROUP BY src"""
+    },
+
+    "q131_nb_classifier" -> {
+      val h = sqlHexLong("tok")
+      val spiked = """CASE WHEN source IN ('src0','src1')
+        THEN text || ' curated encyclopedia reference citation archive'
+        WHEN source = 'src2' THEN text || ' encyclopedia reference citation'
+        ELSE text END"""
+      s"""WITH docs AS (SELECT doc_id, source IN ('src0','src1') AS pos,
+                          $spiked AS text
+                        FROM documents WHERE text IS NOT NULL),
+         tk AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok FROM docs),
+         perdoc AS (SELECT doc_id, pos, $h % 256 AS bucket,
+                      CAST(count(*) AS BIGINT) AS n
+                    FROM tk GROUP BY 1, 2, 3),
+         cb AS (SELECT bucket,
+                  CAST(sum(CASE WHEN pos THEN n ELSE 0 END) AS BIGINT) AS p,
+                  CAST(sum(CASE WHEN pos THEN 0 ELSE n END) AS BIGINT) AS q
+                FROM perdoc GROUP BY 1),
+         dc AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dPos,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dNeg
+                FROM (SELECT DISTINCT doc_id, pos FROM perdoc)),
+         tot AS (SELECT (SELECT sum(p) FROM cb) AS pTot,
+                   (SELECT sum(q) FROM cb) AS qTot),
+         wt AS (SELECT bucket,
+             CAST(floor(ln(
+               (CAST(p + 1 AS DOUBLE) / CAST(pTot + 256 AS DOUBLE)) *
+               (CAST(qTot + 256 AS DOUBLE) / CAST(q + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS llr,
+             CAST(floor(ln(CAST(dPos + 1 AS DOUBLE) / CAST(dNeg + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior
+           FROM cb CROSS JOIN tot CROSS JOIN dc)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+           CAST(max(prior) + sum(n * llr) AS BIGINT) AS nb_micro,
+           (max(prior) + sum(n * llr)) > 0 AS nb_pos
+         FROM perdoc JOIN wt USING (bucket) GROUP BY 1"""
+    },
+
+    "q133_span_corruption" -> {
+      val h = sqlHexLong("(doc_id::VARCHAR || '#' || bb::VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                     WHERE text IS NOT NULL),
+         nb AS (SELECT doc_id, w,
+                  CAST(ceil(CAST(len(w) AS DOUBLE) / 8) AS BIGINT) AS nblk
+                FROM t),
+         bs AS (SELECT doc_id, w, nblk,
+             [(($h % 5 = 0) AND (bb * 8 + (($h >> 8) % 5) < len(w)))
+               for bb in range(0, nblk)] AS ms,
+             [(($h >> 8) % 5) for bb in range(0, nblk)] AS ss,
+             [((($h >> 16) % 3) + 1) for bb in range(0, nblk)] AS ls
+           FROM nb),
+         built AS (SELECT doc_id, w, nblk, ms, ss, ls,
+             [x for x in
+               [CASE WHEN NOT (ms[(i // 8) + 1] AND (i % 8) >= ss[(i // 8) + 1]
+                               AND (i % 8) < ss[(i // 8) + 1] + ls[(i // 8) + 1])
+                  THEN w[i + 1]
+                  WHEN (i % 8) = ss[(i // 8) + 1]
+                  THEN '<extra_id_' || (i // 8)::VARCHAR || '>'
+                  ELSE NULL END for i in range(0, len(w))]
+              if x IS NOT NULL] AS inp,
+             flatten([CASE WHEN ms[bb + 1]
+                 THEN ['<extra_id_' || bb::VARCHAR || '>'] ||
+                   w[(bb * 8 + ss[bb + 1] + 1) :
+                     (bb * 8 + ss[bb + 1] +
+                      least(ls[bb + 1], len(w) - (bb * 8 + ss[bb + 1])))]
+                 ELSE [] END for bb in range(0, nblk)]) AS tgt,
+             len([x for x in ms if x]) AS nsp
+           FROM bs)
+         SELECT doc_id, array_to_string(inp, ' ') AS masked_input,
+           coalesce(array_to_string(tgt, ' '), '') AS target,
+           CAST(nsp AS BIGINT) AS n_spans,
+           CAST(len(w) - len(inp) + nsp AS BIGINT) AS n_masked
+         FROM built"""
+    },
+
+    "q132_ppl_buckets" -> {
+      val h = sqlHexLong("w[i]")
+      s"""WITH refz AS (
+           SELECT unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+         refp AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS c12
+                  FROM refz GROUP BY 1, 2),
+         marg AS (SELECT b1, CAST(sum(c12) AS BIGINT) AS c1 FROM refp GROUP BY 1),
+         dz AS (
+           SELECT doc_id, unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT doc_id, [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE text IS NOT NULL))),
+         dp AS (SELECT doc_id, b1, b2, CAST(count(*) AS BIGINT) AS m
+                FROM dz GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(coalesce(c1, 0) + 256 AS DOUBLE) /
+               CAST(coalesce(c12, 0) + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_micro
+           FROM dp LEFT JOIN marg USING (b1) LEFT JOIN refp USING (b1, b2)
+           GROUP BY 1),
+         mm AS (SELECT doc_id, n_pairs, nll_micro,
+                  nll_micro // n_pairs AS mean_micro,
+                  ntile(3) OVER (ORDER BY nll_micro // n_pairs, nll_micro, doc_id) AS t3
+                FROM scored)
+         SELECT doc_id, n_pairs, nll_micro, CAST(mean_micro AS BIGINT) AS mean_micro,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         FROM mm"""
     },
 
     "q125_incremental_dedup" ->

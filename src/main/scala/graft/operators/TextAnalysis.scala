@@ -1208,4 +1208,238 @@ object TextAnalysis {
       .agg(sum(col("n")).as("n_feats"),
         sum(col("n") * col("qlr")).as("dsir_micro"))
   }
+
+  /** fastText-style quality/domain classifier (the GPT-3 / LLaMA
+    * "looks like the reference corpus" filter — Brown et al. 2020 §A,
+    * Touvron et al. 2023 §2, both public): a closed-form Naive Bayes
+    * over hashed unigram features. Training and scoring are ONE pass:
+    * every doc carries its weak label (`isPositive`), the per-bucket
+    * class counts come from the same exploded token table that scores
+    * the docs, and
+    * `llr(b) = floor(ln((p_b+1)/(P+B) · (N+B)/(n_b+1)) · 1e6 + 0.5)`
+    * (add-one smoothing, quantized to integer micro-nats — the same
+    * determinism contract as [[dsirWeights]]) plus the class prior
+    * `floor(ln((docsPos+1)/(docsNeg+1)) · 1e6 + 0.5)` give
+    * `score(d) = prior + Σ_b n_d(b)·llr(b)`; `nb_pos = score > 0`.
+    *
+    * Not [[dsirWeights]]: DSIR ranks raw docs by importance for
+    * RESAMPLING (bigram features, no prior, no decision); this is a
+    * per-doc CLASSIFICATION — prior-adjusted log-posterior odds and a
+    * keep/drop verdict — the decision the fastText filter actually
+    * makes.
+    *
+    * Shape: one corpus-sized shuffle on (doc, label, bucket); the
+    * B-row weight table (re-aggregated from that table, never a second
+    * corpus pass) and the 1-row totals/prior broadcast back. The doc
+    * counts for the prior also re-aggregate the (doc,label) pairs —
+    * `split` yields ≥1 token for every non-null doc, so no doc is
+    * lost. Null-text docs are dropped (no features, no score). */
+  def nbClassifier(df: DataFrame, idCol: String, text: Column,
+      isPositive: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val perDoc = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), isPositive.as("__pos"),
+        text.as("__t")).filter(col("__t").isNotNull))
+      .withColumn("__w", tokens(col("__t")))
+      .select(col("doc"), col("__pos"), explode(col("__w")).as("__tok"))
+      .withColumn("bucket",
+        pmod(Hashing.hexLong(col("__tok")), lit(buckets.toLong)))
+      .groupBy("doc", "__pos", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val classB = perDoc.groupBy("bucket").agg(
+      sum(when(col("__pos"), col("n")).otherwise(0L)).as("p"),
+      sum(when(!col("__pos"), col("n")).otherwise(0L)).as("q"))
+    val docCounts = perDoc.select(col("doc"), col("__pos")).distinct()
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("dPos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("dNeg"))
+    val totals = broadcast(
+      classB.agg(sum(col("p")).as("pTot"), sum(col("q")).as("qTot"))
+        .crossJoin(docCounts))
+    val weights = broadcast(classB.crossJoin(totals)
+      .select(col("bucket"),
+        floor(log(
+          ((col("p") + lit(1L)).cast(DoubleType) /
+            (col("pTot") + lit(buckets.toLong)).cast(DoubleType)) *
+            ((col("qTot") + lit(buckets.toLong)).cast(DoubleType) /
+              (col("q") + lit(1L)).cast(DoubleType))) * 1e6 + 0.5)
+          .cast(LongType).as("llr"),
+        floor(log((col("dPos") + lit(1L)).cast(DoubleType) /
+          (col("dNeg") + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as("prior")))
+    perDoc.join(weights, Seq("bucket"))
+      .groupBy("doc")
+      .agg(sum(col("n")).as("n_toks"),
+        (max(col("prior")) + sum(col("n") * col("llr"))).as("nb_micro"))
+      .withColumn("nb_pos", col("nb_micro") > 0L)
+  }
+
+  /** CCNet-style LM perplexity bucketing (Wenzek et al. 2020 §3.3,
+    * public): a hashed-bigram add-one language model trained on a
+    * reference corpus scores every document by mean negative log
+    * probability, and documents land in head/middle/tail terciles —
+    * CCNet keeps "head" as the cleanest crawl slice. KenLM's 5-gram is
+    * replaced by the bucket-bounded bigram
+    * `p(w2|w1) ≈ (c12+1)/(c1+B)` over B² hash cells, so the whole
+    * model is two broadcastable count tables and the per-doc score
+    * `nll(d) = Σ_pairs floor(ln((c1+B)/(c12+1)) · 1e6 + 0.5)` is an
+    * exact long sum of non-negative micro-nats (every per-pair term is
+    * ≥ 0 because c1 ≥ c12). The tercile cut orders docs by the exact
+    * integer mean `nll div n` with (nll, doc) tie-breaks — fully
+    * deterministic, hash-matchable.
+    *
+    * Not [[bigramLmScore]]: q74's LM is self-trained on the scored
+    * corpus over EXACT token bigrams (every scored transition exists —
+    * no smoothing, no unseen-bigram path, no selection decision); here
+    * a held-out reference model scores text the reference never saw —
+    * the smoothed unseen-pair penalty IS the signal — and the tercile
+    * cut is CCNet's keep/drop decision.
+    *
+    * Shape: reference and corpus each explode once into bigram-bucket
+    * pairs; the ≤B²-row pair model (+ B-row prefix margins, derived
+    * from it) broadcasts onto the per-doc pair counts — one
+    * corpus-sized shuffle on (doc, b1, b2). The final `ntile` window
+    * runs over the doc-level score table (one row per doc — the
+    * statistics-sized class, same bound as the q121 percent-rank).
+    * Docs with <2 tokens have no bigrams and are dropped (mirrored in
+    * the oracle). */
+  def lmPerplexityBuckets(df: DataFrame, idCol: String, text: Column,
+      reference: DataFrame, refText: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    // token hashes land in a REAL column before the pair HOF (the
+    // hoisting contract: each token is md5'd once, not once per pair)
+    def pairTable(shaped: DataFrame, keys: Seq[String]): DataFrame =
+      Parallelism.ensure(shaped)
+        .withColumn("__h",
+          transform(tokens(col("__t")),
+            t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
+        .select(keys.map(col) :+ explode(when(size(col("__h")) >= 2,
+          transform(sequence(lit(0), size(col("__h")) - 2),
+            i => struct(element_at(col("__h"), i + 1).as("b1"),
+              element_at(col("__h"), i + 2).as("b2"))))
+          .otherwise(array().cast("array<struct<b1:bigint,b2:bigint>>")))
+          .as("__p"): _*)
+        .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2"): _*)
+        .groupBy((keys ++ Seq("b1", "b2")).map(col): _*)
+        .agg(count(lit(1)).as("m"))
+    val model = pairTable(
+      reference.select(refText.as("__t")).filter(col("__t").isNotNull),
+      Nil).withColumnRenamed("m", "c12")
+    val margins = model.groupBy("b1").agg(sum(col("c12")).as("c1"))
+    val perDoc = pairTable(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(col("__t").isNotNull), Seq("doc"))
+    val scored = perDoc
+      .join(broadcast(margins), Seq("b1"), "left")
+      .join(broadcast(model), Seq("b1", "b2"), "left")
+      .na.fill(0L, Seq("c1", "c12"))
+      .withColumn("nll", floor(log(
+        (col("c1") + lit(buckets.toLong)).cast(DoubleType) /
+          (col("c12") + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
+        .cast(LongType))
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_pairs"),
+        sum(col("m") * col("nll")).as("nll_micro"))
+      .withColumn("mean_micro",
+        expr("nll_micro div n_pairs"))
+    val tercile = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_micro"), col("nll_micro"), col("doc")))
+    scored.withColumn("ppl_bucket",
+      when(tercile === 1, lit("head"))
+        .when(tercile === 2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4, public): the
+    * denoising-pretraining prep that turns each document into a
+    * (masked input, span target) pair. Tokens partition into fixed
+    * blocks of `blockLen`; a block is masked when
+    * `hash(doc # block) % maskMod == 0` (hash-derandomized — same doc
+    * always corrupts the same way, the q40/q90 determinism contract),
+    * and within a masked block the span start/length also derive from
+    * the hash, so span boundaries vary like T5's sampled spans. The
+    * input keeps unmasked tokens and one `<extra_id_B>` sentinel per
+    * masked block; the target lists each sentinel followed by the
+    * tokens it swallowed. Sentinels are numbered by BLOCK ORDINAL
+    * rather than T5's sequential counter: the numbering is then a pure
+    * per-token function — a sequential counter needs a prefix count
+    * over all earlier blocks, which is either O(blocks²) per doc or a
+    * corpus-wide window; block ordinals keep the whole operator narrow
+    * (input/target pairing is unaffected — ids match between the two
+    * sides, which is all the denoising objective needs).
+    *
+    * Shape: pure per-row map — the block table is projected into a
+    * REAL column once per doc (the HOF-hoisting contract) and every
+    * token does one O(1) `element_at` lookup; no shuffle, no state,
+    * no window. */
+  def spanCorruption(df: DataFrame, idCol: String, text: Column,
+      blockLen: Int = 8, maskMod: Int = 5): DataFrame = {
+    require(blockLen >= 2 && maskMod >= 2, "degenerate corruption params")
+    val toks = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(text.isNotNull))
+      .withColumn("__w", tokens(col("__t")))
+    // per-block mask decisions, bound ONCE: (masked, start, len) per
+    // block — start/len carve a 1..3-token span inside the block
+    val nBlocks = ceil(size(col("__w")).cast(DoubleType) / blockLen)
+      .cast(LongType)
+    val blocks = toks
+      .withColumn("__nb", nBlocks)
+      .withColumn("__bs", transform(sequence(lit(0L), col("__nb") - 1L,
+        lit(1L)),
+        b => {
+          val h = Hashing.hexLong(concat(col("doc").cast("string"),
+            lit("#"), b.cast("string")))
+          // mask decision, span start and span length draw on DISJOINT
+          // bit ranges of the 56-bit hash (shifts, not divisions — a
+          // 56-bit value doesn't survive a double division) so they
+          // vary independently; a mask only counts when its span start
+          // lands on an existing token (short final block), keeping
+          // input sentinels and target spans in 1:1 correspondence
+          val s = pmod(shiftright(h, 8), lit((blockLen - 3).toLong))
+          struct(
+            (pmod(h, lit(maskMod.toLong)) === 0L &&
+              b * blockLen + s < size(col("__w"))).as("m"),
+            s.as("s"),
+            (pmod(shiftright(h, 16), lit(3L)) + 1L).as("l"))
+        }))
+    // token i is swallowed when its block is masked and its offset
+    // falls in [s, s+l); the FIRST swallowed offset emits the sentinel
+    def blk(i: Column) = element_at(col("__bs"), ((i.cast(LongType) /
+      blockLen).cast(LongType) + 1L).cast("int"))
+    def sentinel(b: Column) = concat(lit("<extra_id_"),
+      b.cast(LongType).cast("string"), lit(">"))
+    val inputToks = filter(
+      transform(sequence(lit(0), size(col("__w")) - 1), i => {
+        val o = i.cast(LongType) % blockLen
+        val bs = blk(i)
+        val inSpan = bs.getField("m") && o >= bs.getField("s") &&
+          o < bs.getField("s") + bs.getField("l")
+        when(!inSpan, element_at(col("__w"), i + 1))
+          .when(o === bs.getField("s"),
+            sentinel((i.cast(LongType) / blockLen).cast(LongType)))
+          .otherwise(lit(null))
+      }), x => x.isNotNull)
+    val targetToks = flatten(filter(
+      transform(sequence(lit(0L), col("__nb") - 1L, lit(1L)), b => {
+        val bs = element_at(col("__bs"), (b + 1L).cast("int"))
+        when(bs.getField("m"),
+          concat(array(sentinel(b)),
+            slice(col("__w"), (b * blockLen + bs.getField("s") + 1L)
+              .cast("int"),
+              least(bs.getField("l"),
+                size(col("__w")) - (b * blockLen + bs.getField("s")))
+                .cast("int"))))
+      }), x => x.isNotNull))
+    blocks.select(col("doc"),
+      concat_ws(" ", inputToks).as("masked_input"),
+      concat_ws(" ", targetToks).as("target"),
+      aggregate(col("__bs"), lit(0L),
+        (acc, b) => acc + when(b.getField("m"), 1L).otherwise(0L))
+        .as("n_spans"),
+      (size(col("__w")).cast(LongType) - size(inputToks) +
+        aggregate(col("__bs"), lit(0L), (acc, b) =>
+          acc + when(b.getField("m"), 1L).otherwise(0L)))
+        .as("n_masked"))
+  }
 }

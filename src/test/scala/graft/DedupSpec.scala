@@ -1299,6 +1299,90 @@ class SimilaritySpec extends SparkSpec {
     assert(avg1 > 0 && avg2 < 0, s"$avg1 / $avg2")
   }
 
+  test("nbClassifier: generalizes off weak labels; decision is the score sign") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good clean prose words", true),
+      (3L, "spam junk garbage links", false),
+      (4L, "spam junk garbage noise", false),
+      (5L, "good clean prose again", false), // pos vocab, neg label
+      (6L, null.asInstanceOf[String], false))
+      .toDF("doc_id", "text", "lbl")
+    val out = TextAnalysis.nbClassifier(docs, "doc_id", col("text"),
+      col("lbl"))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5, "null-text doc must be dropped")
+    assert(out(1L)._2 == 4L) // n_toks
+    assert(out(1L)._3 > 0L && out(1L)._4, out.toString) // clearly positive
+    assert(out(3L)._3 < 0L && !out(3L)._4, out.toString) // clearly negative
+    // the whole point: doc 5 is LABELED negative but carries the
+    // positive class's vocabulary — NB generalizes past its weak label
+    assert(out(5L)._3 > out(3L)._3, out.toString)
+    assert(out(5L)._4, s"pos-vocab doc should classify positive: $out")
+    // decision == sign of the score, everywhere
+    out.values.foreach(r => assert(r._4 == (r._3 > 0L)))
+  }
+
+  test("lmPerplexityBuckets: reference-like docs land in head, unseen text in tail") {
+    import spark.implicits._
+    val ref = Seq.fill(3)("the cat sat on the mat").zipWithIndex
+      .map(_.swap).toDF("i", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // every transition seen
+      (2L, "mat the on sat cat the"), // seen tokens, unseen transitions
+      (3L, "zz yy xx ww vv qq"),      // nothing seen
+      (4L, "solo"))                    // <2 tokens: dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexityBuckets(docs, "doc_id",
+      col("text"), ref, col("text"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 3, "1-token doc must be dropped")
+    assert(out(1L)._2 == 5L) // n_pairs = tokens - 1
+    // reference-like text scores strictly lower mean nll than unseen
+    assert(out(1L)._4 < out(2L)._4 && out(1L)._4 < out(3L)._4, out.toString)
+    // ntile(3) over 3 docs: exactly one per bucket, ordered by mean nll
+    assert(out(1L)._5 == "head", out.toString)
+    assert(Set(out(2L)._5, out(3L)._5) == Set("middle", "tail"))
+    // nll is a sum of non-negative micro-nat terms
+    out.values.foreach(r => assert(r._3 >= 0L && r._4 >= 0L))
+  }
+
+  test("spanCorruption: sentinels pair 1:1, token conservation, deterministic") {
+    import spark.implicits._
+    val long = (1 to 400).map("w" + _).mkString(" ") // 50 blocks
+    val docs = Seq((1L, long), (2L, "tiny doc"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.spanCorruption(docs, "doc_id", col("text"))
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    val out = run()
+    assert(out.length == 2, "null-text doc must be dropped")
+    val byId = out.map(r => r._1 -> r).toMap
+    // 50 blocks at 1/5 mask rate: some span must fire (hash-determined)
+    assert(byId(1L)._4 > 0, byId(1L).toString)
+    out.foreach { case (_, inp, tgt, nSpans, nMasked) =>
+      val sent = "<extra_id_\\d+>".r
+      val inpSent = sent.findAllIn(inp).toList
+      val tgtSent = sent.findAllIn(tgt).toList
+      // every input sentinel reappears in the target, in order, 1:1
+      assert(inpSent == tgtSent, s"$inpSent vs $tgtSent")
+      assert(inpSent.length == nSpans)
+      // conservation: real input tokens + swallowed tokens = original
+      val inpReal = inp.split(" ").count(t => !t.startsWith("<extra_id_"))
+      val tgtReal = if (tgt.isEmpty) 0
+        else tgt.split(" ").count(t => !t.startsWith("<extra_id_"))
+      assert(tgtReal == nMasked, s"$tgtReal != $nMasked")
+      val total = byId.values.find(_._2 == inp).get
+      assert(inpReal + nMasked ==
+        (if (total._1 == 1L) 400 else 2), (inp, tgt).toString)
+      // swallowed spans are 1-3 tokens each
+      assert(nMasked >= nSpans && nMasked <= 3 * nSpans)
+    }
+    // hash-derandomized: identical on re-run
+    assert(run().toSeq == out.toSeq)
+  }
+
   test("signatureOverlap: identical groups agree on every slot, disjoint on few") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog tonight"

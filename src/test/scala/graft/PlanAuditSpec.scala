@@ -597,6 +597,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf("Scan ExistingRDD", plan) >= 2, plan.take(1500))
   }
 
+  test("q133 span corruption: pure map — no key shuffle, zero joins, no window") {
+    // the whole denoising-pair builder is per-row (block table bound
+    // once, O(1) lookups): the ONLY allowed exchange is Parallelism
+    // .ensure's RoundRobin widening of the single-row-group scan
+    val plan = planOf("q133_span_corruption")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"), plan.take(1200))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1200))
+  }
+
+  test("q131 NB classifier: one corpus exchange, weights broadcast back") {
+    // the (doc, label, bucket) token aggregate feeds THREE consumers
+    // (class counts, doc counts, the scoring join) — Spark must reuse
+    // that one exchange, and the B-row weight table must broadcast.
+    // Exchange reuse is a runtime decision under AQE the plan string
+    // doesn't surface; pin it on the AQE-off plan (the q96 pattern).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("q131_nb_classifier")
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      assert(plan.contains("ReusedExchange"), plan.take(1500))
+      // nested-loop joins only as the statistics-sized stat-table
+      // crosses (totals×docCounts, weights×totals), never corpus-sized
+      assert(countOf("BroadcastNestedLoopJoin", plan) <= 2, plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q132 ppl buckets: LM model and margins broadcast onto the doc pairs") {
+    val plan = finalPlanOf("q132_ppl_buckets")
+    assert(countOf("BroadcastHashJoin", plan) >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the only sort feeding a window is the doc-level tercile cut —
+    // never a corpus-sized global sort before the score aggregate
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
   test("q114 label propagation: co-partitioned vote rounds, no cartesian anywhere") {
     val plan = planOf("q114_label_prop")
     assert(!plan.contains("CartesianProduct"), plan.take(1200))

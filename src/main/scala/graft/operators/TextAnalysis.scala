@@ -1230,10 +1230,13 @@ object TextAnalysis {
     *
     * Shape: one corpus-sized shuffle on (doc, label, bucket); the
     * B-row weight table (re-aggregated from that table, never a second
-    * corpus pass) and the 1-row totals/prior broadcast back. The doc
-    * counts for the prior also re-aggregate the (doc,label) pairs —
-    * `split` yields ≥1 token for every non-null doc, so no doc is
-    * lost. Null-text docs are dropped (no features, no score). */
+    * corpus pass) and the 1-row totals broadcast back. The doc counts
+    * for the prior aggregate the DOC-LEVEL scored table (one row per
+    * doc — statistics-sized), not the (doc,bucket) table: a distinct
+    * over doc×B rows would be a second corpus-scale shuffle for a
+    * 2-number answer. `split` yields ≥1 token for every non-null doc,
+    * so no doc is lost; null-text docs are dropped (no features, no
+    * score). */
   def nbClassifier(df: DataFrame, idCol: String, text: Column,
       isPositive: Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, "need at least 2 hash buckets")
@@ -1249,12 +1252,8 @@ object TextAnalysis {
     val classB = perDoc.groupBy("bucket").agg(
       sum(when(col("__pos"), col("n")).otherwise(0L)).as("p"),
       sum(when(!col("__pos"), col("n")).otherwise(0L)).as("q"))
-    val docCounts = perDoc.select(col("doc"), col("__pos")).distinct()
-      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("dPos"),
-        sum(when(!col("__pos"), 1L).otherwise(0L)).as("dNeg"))
     val totals = broadcast(
-      classB.agg(sum(col("p")).as("pTot"), sum(col("q")).as("qTot"))
-        .crossJoin(docCounts))
+      classB.agg(sum(col("p")).as("pTot"), sum(col("q")).as("qTot")))
     val weights = broadcast(classB.crossJoin(totals)
       .select(col("bucket"),
         floor(log(
@@ -1262,14 +1261,20 @@ object TextAnalysis {
             (col("pTot") + lit(buckets.toLong)).cast(DoubleType)) *
             ((col("qTot") + lit(buckets.toLong)).cast(DoubleType) /
               (col("q") + lit(1L)).cast(DoubleType))) * 1e6 + 0.5)
-          .cast(LongType).as("llr"),
-        floor(log((col("dPos") + lit(1L)).cast(DoubleType) /
-          (col("dNeg") + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
-          .cast(LongType).as("prior")))
-    perDoc.join(weights, Seq("bucket"))
+          .cast(LongType).as("llr")))
+    val scored = perDoc.join(weights, Seq("bucket"))
       .groupBy("doc")
-      .agg(sum(col("n")).as("n_toks"),
-        (max(col("prior")) + sum(col("n") * col("llr"))).as("nb_micro"))
+      .agg(max(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
+        sum(col("n")).as("n_toks"),
+        sum(col("n") * col("llr")).as("__s"))
+    val prior = broadcast(scored
+      .agg(floor(log(
+        (sum(col("__p")) + lit(1L)).cast(DoubleType) /
+          (count(lit(1)) - sum(col("__p")) + lit(1L)).cast(DoubleType))
+        * 1e6 + 0.5).cast(LongType).as("__prior")))
+    scored.crossJoin(prior)
+      .select(col("doc"), col("n_toks"),
+        (col("__prior") + col("__s")).as("nb_micro"))
       .withColumn("nb_pos", col("nb_micro") > 0L)
   }
 

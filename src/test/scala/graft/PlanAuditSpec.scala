@@ -620,8 +620,10 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan.take(1500))
       assert(plan.contains("ReusedExchange"), plan.take(1500))
       // nested-loop joins only as the statistics-sized stat-table
-      // crosses (totals×docCounts, weights×totals), never corpus-sized
-      assert(countOf("BroadcastNestedLoopJoin", plan) <= 2, plan.take(1500))
+      // crosses: weights×totals (B×1 — printed twice, the scored
+      // subtree appears under both its consumers until runtime reuse)
+      // and the doc-level prior attach (docs×1), never corpus-sized
+      assert(countOf("BroadcastNestedLoopJoin", plan) <= 3, plan.take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -818,6 +818,15 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("masked_input"),
           col("target"), col("n_spans"), col("n_masked"))),
 
+    // margin-based bitext mining (CCMatrix criterion): labels 0-4 play
+    // the source language, 5-9 the target; LSH-bucketed candidates,
+    // ratio margin over both k-neighborhoods, best pair per src above
+    // a 1.05 margin
+    "q134_bitext_margin" -> ((s, d) =>
+      Similarity.bitextMarginMine(Tables.embeddings(s, d),
+        col("label") < 5, k = 4, minMarginMicro = 1050000L,
+        nTables = LshTables, nBits = LshBits, dim = EmbDim)),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -1993,6 +2002,45 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS knn_rank
          FROM r WHERE rn <= 10"""
     },
+    "q134_bitext_margin" -> {
+      val cos = cosineSql("se.emb", "te.emb")
+      val branches = (0 until LshTables).map(t =>
+        s"SELECT vec_id, label, $t AS tbl, ${lshBucketSql("emb", t, LshBits, EmbDim)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+         b AS ($branches),
+         cand AS (SELECT DISTINCT s.vec_id AS src_id, t.vec_id AS tgt_id
+                  FROM b s JOIN b t ON s.tbl = t.tbl AND s.bucket = t.bucket
+                  WHERE s.label < 5 AND t.label >= 5),
+         cm AS (SELECT src_id, tgt_id,
+                  CAST(floor($cos * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS cos_micro
+                FROM cand JOIN e se ON cand.src_id = se.vec_id
+                          JOIN e te ON cand.tgt_id = te.vec_id),
+         cp AS (SELECT * FROM cm WHERE cos_micro > 0),
+         st AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                  ORDER BY cos_micro DESC, tgt_id) AS rn FROM cp),
+         ss AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sumX,
+                  CAST(count(*) AS BIGINT) AS cntX
+                FROM st WHERE rn <= 4 GROUP BY 1),
+         tt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY cos_micro DESC, src_id) AS rn FROM cp),
+         ts AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sumY,
+                  CAST(count(*) AS BIGINT) AS cntY
+                FROM tt WHERE rn <= 4 GROUP BY 1),
+         mg AS (SELECT st.src_id, st.tgt_id, st.cos_micro,
+                  CAST(floor(
+                    (CAST(2 AS DOUBLE) * cntX * cntY * st.cos_micro) /
+                    CAST(sumX * cntY + sumY * cntX AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS margin_micro
+                FROM st JOIN ss USING (src_id) JOIN ts USING (tgt_id)
+                WHERE st.rn <= 4),
+         best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin_micro DESC, tgt_id) AS brn
+                  FROM mg WHERE margin_micro > 1050000)
+         SELECT src_id, tgt_id, cos_micro, margin_micro
+         FROM best WHERE brn = 1"""
+    },
+
     "q49_simhash_candidates" -> simhashCandidatesOracle,
     "q50_ivf_knn" -> ivfOracle,
     // connected components = transitive closure (recursive CTE) over the

@@ -22,7 +22,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.Native
 
@@ -535,5 +535,90 @@ object Similarity {
         }).getField("c").as(s"code_$s")
     }
     joined.select(col(idCol) +: codes: _*)
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * public; the CCMatrix/NLLB criterion): candidate translation pairs
+    * (x ∈ src side, y ∈ tgt side) score by the RATIO margin
+    * `cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2)` — how much closer y is to
+    * x than x's and y's average k-neighborhoods — and each src keeps
+    * its best-margin tgt above a threshold ("max" strategy). The
+    * margin denominator is what kills hub vectors that are merely
+    * close to everything.
+    *
+    * Candidates come from the [[lshKnn]] sign-bit bucket tables, NOT
+    * an all-pairs cross: at CCMatrix scale mining runs against an ANN
+    * index, and the margin statistics are computed over the SAME
+    * candidate set both directions (one bucket join feeds x→y and
+    * y→x neighborhoods). Only positive-cosine candidates mine (the
+    * paper's similarity regime; it also keeps the exact-integer
+    * margin's denominator positive).
+    *
+    * Determinism: cosines quantize to micro-units via
+    * `floor(cos·1e6 + 0.5)` (the engine-portable quantizer — `round`
+    * ties differ across engines); neighborhood sums/counts are exact
+    * longs; the margin is ONE IEEE division of exact integers,
+    * `floor(2·cntX·cntY·cos / (sumX·cntY + sumY·cntX) · 1e6 + 0.5)`,
+    * so ranking and threshold compare identically everywhere.
+    *
+    * Shape: one bucket self-join (band-grouped, distinct pairs), the
+    * bounded [[Relational.topKPerGroup]] two-phase top-k per side,
+    * statistics-sized per-vector sum tables joined back onto the
+    * src-side top-k, and a final bounded top-1 — no corpus window, no
+    * all-pairs, no driver state. */
+  def bitextMarginMine(emb: DataFrame, isSrc: Column, k: Int,
+      minMarginMicro: Long, nTables: Int = 4, nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, "need at least one neighbor")
+    val tagged = Parallelism.ensure(
+      emb.select(col("vec_id"), col("embedding"), isSrc.as("__src")))
+    def bucketed(src: Boolean, idAs: String): DataFrame =
+      tagged.filter(if (src) col("__src") else !col("__src"))
+        .select(col("vec_id").as(idAs),
+          col("embedding").as(s"emb_$idAs"),
+          explode(array((0 until nTables).map { t =>
+            struct(lit(t).as("tbl"),
+              lshBucket(col("embedding"), t, nBits, dim).as("bucket"))
+          }: _*)).as("b"))
+        .select(col(idAs), col(s"emb_$idAs"), col("b.tbl"), col("b.bucket"))
+    val cand = bucketed(src = true, "src_id")
+      .join(bucketed(src = false, "tgt_id"), Seq("tbl", "bucket"))
+      .select(col("src_id"), col("tgt_id"),
+        col("emb_src_id"), col("emb_tgt_id"))
+      .distinct()
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosine(col("emb_src_id"), col("emb_tgt_id")) * 1e6 + 0.5)
+          .cast(LongType).as("cos_micro"))
+      .filter(col("cos_micro") > 0L)
+      .localCheckpoint(true) // both directions + the pair join consume it
+    def kSums(keyCol: String, otherCol: String): DataFrame =
+      Relational.topKPerGroup(cand, Seq(keyCol), col("cos_micro"),
+        col(otherCol), k)
+        .groupBy(keyCol)
+        .agg(sum(col("score").cast(LongType)).as(s"sum_$keyCol"),
+          count(lit(1)).as(s"cnt_$keyCol"))
+    val srcTopK = Relational.topKPerGroup(cand, Seq("src_id"),
+      col("cos_micro"), col("tgt_id"), k)
+      .select(col("src_id"), col("id").as("tgt_id"),
+        col("score").cast(LongType).as("cos_micro"))
+    val margins = srcTopK
+      .join(kSums("src_id", "tgt_id"), Seq("src_id"))
+      .join(kSums("tgt_id", "src_id"), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_micro"),
+        floor(
+          (lit(2.0) * col("cnt_src_id") * col("cnt_tgt_id") *
+            col("cos_micro")).cast(DoubleType) /
+            (col("sum_src_id") * col("cnt_tgt_id") +
+              col("sum_tgt_id") * col("cnt_src_id")).cast(DoubleType)
+            * 1e6 + 0.5).cast(LongType).as("margin_micro"))
+    val best = Relational.topKPerGroup(margins.filter(
+        col("margin_micro") > minMarginMicro),
+      Seq("src_id"), col("margin_micro"), col("tgt_id"), 1)
+      .select(col("src_id").as("__bsrc"), col("id").as("__btgt"))
+    best.join(margins, col("__bsrc") === col("src_id") &&
+        col("__btgt") === col("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_micro"),
+        col("margin_micro"))
   }
 }

@@ -1383,6 +1383,42 @@ class SimilaritySpec extends SparkSpec {
     assert(run().toSeq == out.toSeq)
   }
 
+  test("bitextMarginMine: true twin mines, hub pairs suppressed by the margin") {
+    import spark.implicits._
+    // src 1 has a genuine translation twin (tgt 10) plus weak 0.3-cos
+    // noise neighbors on both sides -> ratio margin well above 1.05.
+    // src 2 is a "hub": equally close to three tgt vectors -> its best
+    // cos matches its average neighborhood, margin ~1.0, mined AWAY.
+    val emb: Seq[(Long, Array[Float], Long)] = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0L),          // src twin
+      (2L, Array(0f, 1f, 0f, 0f), 0L),          // src hub
+      (3L, Array(0.02f, 1f, 0.01f, 0f), 0L),    // second src hub: keeps
+                                                // tgt neighborhoods
+                                                // strong on BOTH sides
+      (10L, Array(0.99f, 0.1f, 0f, 0f), 5L),    // tgt twin of 1
+      (11L, Array(0.3f, 0f, 0.95f, 0f), 5L),    // weak noise near 1
+      (12L, Array(0.3f, 0f, 0f, 0.95f), 5L),    // weak noise near 1
+      (20L, Array(0.01f, 1f, 0.05f, 0f), 5L),   // hub partners of 2/3,
+      (21L, Array(0f, 1f, 0.05f, 0.01f), 5L),   // all ~equally close
+      (22L, Array(0.01f, 1f, 0f, 0.05f), 5L))
+    val df = emb.toDF("vec_id", "embedding", "label")
+    val out = Similarity.bitextMarginMine(df, col("label") < 5, k = 2,
+      minMarginMicro = 1050000L, nTables = 8, nBits = 2, dim = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the twin pair survives with a decisive margin
+    assert(out.contains(1L), out.toString)
+    assert(out(1L)._2 == 10L, out.toString)
+    assert(out(1L)._4 > 1050000L, out.toString)
+    // cos_micro is the quantized exact cosine of the mined pair
+    val a = emb(0)._2.map(_.toDouble); val b = emb(3)._2.map(_.toDouble)
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(out(1L)._3 == math.floor(cos * 1e6 + 0.5).toLong, out.toString)
+    // the hubs' margins cannot clear the threshold: best ~= average
+    assert(!out.contains(2L) && !out.contains(3L), out.toString)
+    assert(out.keySet == Set(1L), out.toString)
+  }
+
   test("signatureOverlap: identical groups agree on every slot, disjoint on few") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog tonight"

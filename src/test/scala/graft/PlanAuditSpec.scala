@@ -607,6 +607,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1200))
   }
 
+  test("q134 bitext mining: checkpointed candidates, no all-pairs join") {
+    // the bucket self-join and cosine scoring run ONCE into the eager
+    // candidate checkpoint; every downstream consumer (both k-sum
+    // directions, the margin join, the top-1) reads the RDD — the
+    // final plan may not touch the parquet scan, and nothing plans as
+    // a cartesian/nested-loop (the mining join is bucket-equi)
+    val plan = planOf("q134_bitext_margin")
+    assert(!plan.contains("FileScan"), plan.take(1500))
+    assert(countOf("Scan ExistingRDD", plan) >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q131 NB classifier: one corpus exchange, weights broadcast back") {
     // the (doc, label, bucket) token aggregate feeds THREE consumers
     // (class counts, doc counts, the scoring join) — Spark must reuse

@@ -825,7 +825,8 @@ object SparkEntry {
     "q134_bitext_margin" -> ((s, d) =>
       Similarity.bitextMarginMine(Tables.embeddings(s, d),
         col("label") < 5, k = 4, minMarginMicro = 1050000L,
-        nTables = LshTables, nBits = LshBits, dim = EmbDim)),
+        nTables = LshTables, nBits = LshBits, dim = EmbDim,
+        maxBucket = DefaultMaxBucket)),
 
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
@@ -2009,8 +2010,11 @@ object SparkEntry {
         .mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
          b AS ($branches),
+         ok AS (SELECT tbl, bucket FROM b
+                GROUP BY 1, 2 HAVING count(*) <= $DefaultMaxBucket),
          cand AS (SELECT DISTINCT s.vec_id AS src_id, t.vec_id AS tgt_id
                   FROM b s JOIN b t ON s.tbl = t.tbl AND s.bucket = t.bucket
+                  JOIN ok ON s.tbl = ok.tbl AND s.bucket = ok.bucket
                   WHERE s.label < 5 AND t.label >= 5),
          cm AS (SELECT src_id, tgt_id,
                   CAST(floor($cos * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS cos_micro

@@ -566,10 +566,16 @@ object Similarity {
     * bounded [[Relational.topKPerGroup]] two-phase top-k per side,
     * statistics-sized per-vector sum tables joined back onto the
     * src-side top-k, and a final bounded top-1 — no corpus window, no
-    * all-pairs, no driver state. */
+    * all-pairs, no driver state. Buckets with more than `maxBucket`
+    * members (both sides counted) are skipped — the q32/SemDeDup
+    * degenerate-bucket contract: a low-variance embedding region must
+    * not turn the candidate join quadratic or pin one task. The cap
+    * table is corpus-dependent, so it joins WITHOUT a broadcast hint
+    * (the `Dedup.bandIndex` lesson); mirror the cap in any external
+    * re-implementation. */
   def bitextMarginMine(emb: DataFrame, isSrc: Column, k: Int,
       minMarginMicro: Long, nTables: Int = 4, nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     require(k >= 1, "need at least one neighbor")
     val tagged = Parallelism.ensure(
       emb.select(col("vec_id"), col("embedding"), isSrc.as("__src")))
@@ -582,8 +588,15 @@ object Similarity {
               lshBucket(col("embedding"), t, nBits, dim).as("bucket"))
           }: _*)).as("b"))
         .select(col(idAs), col(s"emb_$idAs"), col("b.tbl"), col("b.bucket"))
-    val cand = bucketed(src = true, "src_id")
-      .join(bucketed(src = false, "tgt_id"), Seq("tbl", "bucket"))
+    val srcB = bucketed(src = true, "src_id")
+    val tgtB = bucketed(src = false, "tgt_id")
+    val ok = srcB.select(col("tbl"), col("bucket"))
+      .union(tgtB.select(col("tbl"), col("bucket")))
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("tbl"), col("bucket"))
+    val cand = srcB.join(ok, Seq("tbl", "bucket"))
+      .join(tgtB, Seq("tbl", "bucket"))
       .select(col("src_id"), col("tgt_id"),
         col("emb_src_id"), col("emb_tgt_id"))
       .distinct()

@@ -1419,6 +1419,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.keySet == Set(1L), out.toString)
   }
 
+  test("bitextMarginMine: degenerate buckets skip under maxBucket, never mine") {
+    import spark.implicits._
+    // six near-identical vectors share every LSH bucket in every table:
+    // with the cap below the membership the bucket is degenerate and
+    // contributes NO candidates; with a loose cap the twins mine
+    val vecs: Seq[(Long, Array[Float], Long)] =
+      (0 until 3).map(i => (i.toLong, Array(1f, i * 1e-4f, 0f, 0f), 0L)) ++
+      (0 until 3).map(i => (10L + i, Array(1f, 0f, i * 1e-4f, 0f), 5L))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    def mine(cap: Int) = Similarity.bitextMarginMine(df, col("label") < 5,
+      k = 2, minMarginMicro = 0L, nTables = 8, nBits = 2, dim = 4,
+      maxBucket = cap).count()
+    assert(mine(5) == 0L, "6-member buckets must be skipped at cap 5")
+    assert(mine(100) > 0L, "loose cap must mine the twins")
+  }
+
   test("signatureOverlap: identical groups agree on every slot, disjoint on few") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog tonight"

@@ -1278,6 +1278,55 @@ object TextAnalysis {
       .withColumn("nb_pos", col("nb_micro") > 0L)
   }
 
+  /** The deployable half of [[nbClassifier]]: train the weight table
+    * once on a labeled lake and export it as data — (bucket, llr,
+    * prior, default_llr) — so a stream (or another engine) can score
+    * without touching the training corpus. `llr`/`prior` are exactly
+    * [[nbClassifier]]'s micro-nat quantities (same smoothing, same
+    * quantizer, so a batch-scored doc and a stream-scored doc agree
+    * bit-for-bit); `default_llr` is the zero-observation bucket's
+    * value `floor(ln(1/(P+B) · (Q+B)/1) · 1e6 + 0.5)` — the score a
+    * NEVER-seen feature bucket earns, which the one-pass batch
+    * operator cannot encounter but live traffic will.
+    *
+    * Shape: the training half of [[nbClassifier]] (one corpus shuffle,
+    * B-bounded re-aggregates); the doc counts for the prior aggregate
+    * the distinct (doc,label) pairs of the SAME exchange. */
+  def nbTrain(df: DataFrame, idCol: String, text: Column,
+      isPositive: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val perDoc = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), isPositive.as("__pos"),
+        text.as("__t")).filter(col("__t").isNotNull))
+      .withColumn("__w", tokens(col("__t")))
+      .select(col("doc"), col("__pos"), explode(col("__w")).as("__tok"))
+      .withColumn("bucket",
+        pmod(Hashing.hexLong(col("__tok")), lit(buckets.toLong)))
+      .groupBy("doc", "__pos", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val classB = perDoc.groupBy("bucket").agg(
+      sum(when(col("__pos"), col("n")).otherwise(0L)).as("p"),
+      sum(when(!col("__pos"), col("n")).otherwise(0L)).as("q"))
+    val docCounts = perDoc.select(col("doc"), col("__pos")).distinct()
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("dPos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("dNeg"))
+    val totals = broadcast(
+      classB.agg(sum(col("p")).as("pTot"), sum(col("q")).as("qTot"))
+        .crossJoin(docCounts))
+    def llrOf(p: Column, q: Column) = floor(log(
+      ((p + lit(1L)).cast(DoubleType) /
+        (col("pTot") + lit(buckets.toLong)).cast(DoubleType)) *
+        ((col("qTot") + lit(buckets.toLong)).cast(DoubleType) /
+          (q + lit(1L)).cast(DoubleType))) * 1e6 + 0.5).cast(LongType)
+    classB.crossJoin(totals)
+      .select(col("bucket"),
+        llrOf(col("p"), col("q")).as("llr"),
+        floor(log((col("dPos") + lit(1L)).cast(DoubleType) /
+          (col("dNeg") + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as("prior"),
+        llrOf(lit(0L), lit(0L)).as("default_llr"))
+  }
+
   /** CCNet-style LM perplexity bucketing (Wenzek et al. 2020 §3.3,
     * public): a hashed-bigram add-one language model trained on a
     * reference corpus scores every document by mean negative log

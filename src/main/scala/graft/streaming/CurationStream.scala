@@ -150,6 +150,46 @@ object CurationStream {
         array_min(col("__m")).as("closest_existing"))
   }
 
+  /** Stateless streaming NB quality gate — the deployment half of the
+    * fastText-filter lifecycle: [[graft.operators.TextAnalysis.nbTrain]]
+    * fits the model on the lake in batch; this gate scores the live
+    * firehose against it. The B-row model collapses to ONE map row
+    * crossed in by broadcast (the pqCodes broadcast-stat pattern) and
+    * every doc scores in a pure per-row token fold —
+    * `prior + Σ_tokens coalesce(llr[bucket(tok)], default_llr)` — so
+    * there is NO explode, NO streaming aggregate and NO state: the
+    * per-bucket `n·llr` sum of the batch operator IS the per-token
+    * llr sum, and a batch-scored doc agrees with its stream score
+    * bit-for-bit (StreamingSpec parity). Buckets live traffic hits
+    * that training never observed earn the model's `default_llr`
+    * (the zero-observation smoothing value) instead of silently
+    * dropping the token like a join would.
+    *
+    * Input columns pass through; `n_toks`, `nb_micro`, `nb_pos` are
+    * appended. Null-text rows score NULL and gate to false. */
+  def nbQualityGate(docs: DataFrame, model: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    val packed = broadcast(model.groupBy()
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        col("llr")))).as("__llr"),
+        max(col("prior")).as("__prior"),
+        max(col("default_llr")).as("__dflt")))
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.crossJoin(packed)
+      .withColumn("n_toks",
+        when(col("text").isNotNull, size(toks).cast("long")))
+      .withColumn("nb_micro",
+        when(col("text").isNotNull,
+          col("__prior") + aggregate(toks, lit(0L), (acc, t) =>
+            acc + coalesce(
+              element_at(col("__llr"),
+                pmod(graft.functions.Hashing.hexLong(t),
+                  lit(buckets.toLong))),
+              col("__dflt")))))
+      .withColumn("nb_pos", coalesce(col("nb_micro") > 0L, lit(false)))
+      .drop("__llr", "__prior", "__dflt")
+  }
+
   /** Incremental funnel report: docs per stage per event-time window —
     * the monitoring view ([[EventsStream.windowedExpectations]]'s shape
     * applied to the funnel itself). Counts are decomposable, so this is

@@ -556,4 +556,62 @@ class StreamingSpec extends SparkSpec {
         s"re-arrival beyond the horizon must re-qualify: $out")
     } finally q.stop()
   }
+
+  test("streaming NB quality gate scores bit-identically to the batch classifier") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val lake = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good clean prose words", true),
+      (3L, "spam junk garbage links", false),
+      (4L, "spam junk garbage noise", false),
+      (5L, "good clean prose again", false))
+      .toDF("doc_id", "text", "lbl")
+    val model = TextAnalysis.nbTrain(lake, "doc_id", col("text"),
+      col("lbl")).cache()
+    // batch truth from the one-pass classifier over the SAME corpus
+    val batch = TextAnalysis.nbClassifier(lake, "doc_id", col("text"),
+      col("lbl")).as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // a doc of tokens whose hash buckets training never observed —
+    // verified against the model itself so the assert can't rot if the
+    // corpus or bucket hash changes
+    val trained = model.select("bucket").as[Long].collect().toSet
+    val novelToks = Seq("qqq", "vvv", "www", "xyzzy", "plugh", "zzz9")
+      .filter(t => !trained(
+        java.lang.Math.floorMod(graft.functions.Hashing.hexLongJvm(t), 256L)))
+      .take(3)
+    assert(novelToks.size == 3, s"need 3 novel-bucket tokens, got $novelToks")
+    val novelDoc = novelToks.mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.nbQualityGate(
+        input.toDF().toDF("doc_id", "text"), model)
+      .select(col("doc_id"), col("n_toks"), col("nb_micro"), col("nb_pos"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nb_gate").start()
+    val out = try {
+      input.addData(lake.as[(Long, String, Boolean)].collect()
+        .map(r => (r._1, r._2)).toSeq: _*)
+      input.addData((100L, novelDoc), (101L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      spark.table("nb_gate").as[(Long, Option[Long], Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    // every lake doc: stream score == batch score, bit for bit
+    lake.as[(Long, String, Boolean)].collect().foreach { case (id, _, _) =>
+      assert(out(id)._2.contains(batch(id)._2) &&
+        out(id)._3.contains(batch(id)._3) && out(id)._4 == batch(id)._4,
+        s"doc $id: stream ${out(id)} vs batch ${batch(id)}")
+    }
+    // the novel doc earns exactly prior + 3 * default_llr — unseen
+    // buckets score through the smoothing default, not a dropped join
+    val (prior, dflt) = model.select("prior", "default_llr")
+      .as[(Long, Long)].head()
+    assert(out(100L)._3.contains(prior + 3 * dflt), out(100L).toString)
+    // null text: no score, gated false, row not swallowed
+    assert(out(101L)._3.isEmpty && !out(101L)._4, out(101L).toString)
+  }
 }

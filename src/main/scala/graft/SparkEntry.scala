@@ -828,6 +828,22 @@ object SparkEntry {
         nTables = LshTables, nBits = LshBits, dim = EmbDim,
         maxBucket = DefaultMaxBucket)),
 
+    // boilerplate density: fraction of each doc's winnowing
+    // fingerprints shared corpus-wide (the q130 spike supplies real
+    // template families; unspiked docs sit at zero)
+    "q135_boilerplate_density" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("doc_id") % 17 === 0,
+          lit(" shared boilerplate footer alpha beta gamma delta epsilon"))
+          .when(col("doc_id") % 19 === 0,
+            lit(" common navigation header one two three four five six"))
+          .otherwise(lit("")))
+      TextAnalysis.boilerplateDensity(Tables.documents(s, d), "doc_id",
+        spiked)
+        .select(col("doc").as("doc_id"), col("n_fp"), col("n_common"),
+          col("boiler_micro"))
+    }),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -2973,6 +2989,29 @@ object SparkEntry {
                    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS component
          FROM reach GROUP BY src"""
+    },
+
+    "q135_boilerplate_density" -> {
+      val spiked = """CASE WHEN doc_id % 17 = 0
+        THEN text || ' shared boilerplate footer alpha beta gamma delta epsilon'
+        WHEN doc_id % 19 = 0
+        THEN text || ' common navigation header one two three four five six'
+        ELSE text END"""
+      val h = sqlHexLong("array_to_string(w[i+1:i+4], ' ')")
+      s"""WITH toks AS (SELECT doc_id, string_split($spiked, ' ') AS w FROM documents),
+         hs AS (SELECT doc_id, CASE WHEN len(w) >= 4
+             THEN [$h for i in range(0, len(w) - 3)]
+             ELSE [] END AS h FROM toks),
+         fp AS (SELECT doc_id, CASE
+             WHEN len(h) >= 4 THEN list_distinct([list_min(h[j+1:j+4]) for j in range(0, len(h) - 3)])
+             WHEN len(h) >= 1 THEN [list_min(h)]
+             ELSE [] END AS fps FROM hs),
+         ex AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS f FROM fp),
+         freq AS (SELECT f, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS boiler_micro
+         FROM ex JOIN freq USING (f) GROUP BY 1"""
     },
 
     "q131_nb_classifier" -> {

@@ -1278,6 +1278,33 @@ object TextAnalysis {
       .withColumn("nb_pos", col("nb_micro") > 0L)
   }
 
+  /** Boilerplate density: the fraction of a document's winnowing
+    * fingerprints ([[winnowFingerprints]] — the local shared-passage
+    * detector) that are CORPUS-COMMON (appear in ≥ `minDocs` distinct
+    * documents). High density marks template-stamped pages — nav
+    * chrome, footers, licence blocks — the passage-level signal the
+    * RefinedWeb/Dolma line removes before training, and the scalar
+    * summary of the q130 passage graph (density says "how templated",
+    * the clusters say "templated WITH whom"). Ratio crosses engines as
+    * the exact integer `n_common·1e6 div n_fp`.
+    *
+    * Shape: the narrow fingerprint map, one fingerprint-keyed count
+    * aggregate (bounded by distinct fingerprints), a co-partitioned
+    * join back on the same key, one per-doc aggregate. Docs too short
+    * to fingerprint are dropped (mirrored in the oracle). */
+  def boilerplateDensity(df: DataFrame, idCol: String, text: Column,
+      k: Int = 4, w: Int = 4, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2, "a fingerprint is 'common' from 2 docs up")
+    val fps = winnowFingerprints(df, idCol, text, k, w)
+    val freq = fps.groupBy("fingerprint")
+      .agg(count_distinct(col("doc")).as("__df"))
+    fps.join(freq, Seq("fingerprint"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boiler_micro", expr("n_common * 1000000 div n_fp"))
+  }
+
   /** The deployable half of [[nbClassifier]]: train the weight table
     * once on a labeled lake and export it as data — (bucket, llr,
     * prior, default_llr) — so a stream (or another engine) can score

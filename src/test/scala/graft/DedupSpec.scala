@@ -1349,6 +1349,30 @@ class SimilaritySpec extends SparkSpec {
     out.values.foreach(r => assert(r._3 >= 0L && r._4 >= 0L))
   }
 
+  test("boilerplateDensity: template docs score, unique docs at zero, exact ratio") {
+    import spark.implicits._
+    val footer = "copyright acme corp all rights reserved worldwide" // 7 toks
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot " + footer),
+      (2L, "golf hotel india juliet kilo lima mike " + footer),
+      (3L, "november oscar papa quebec romeo sierra tango uniform victor"),
+      (4L, "xx"))                                    // <k tokens: dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateDensity(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 3, "sub-k-gram doc must be dropped")
+    // the winnowing guarantee: a shared >= w+k-1-token passage shares
+    // at least one fingerprint — both template docs score
+    assert(out(1L)._3 > 0 && out(2L)._3 > 0, out.toString)
+    // a doc with no shared passage sits at exactly zero
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0L, out.toString)
+    // ratio is the exact integer division, and common <= total
+    out.values.foreach { case (_, nFp, nCommon, micro) =>
+      assert(nCommon <= nFp)
+      assert(micro == nCommon * 1000000L / nFp)
+    }
+  }
+
   test("spanCorruption: sentinels pair 1:1, token conservation, deterministic") {
     import spark.implicits._
     val long = (1 to 400).map("w" + _).mkString(" ") // 50 blocks

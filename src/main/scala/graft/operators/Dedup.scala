@@ -129,8 +129,15 @@ object Dedup {
     require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
-    val hs = transform(TextAnalysis.shingles(text, k),
-      s => pmod(Hashing.hexLong(s), lit(MinHashP)))
+    // the token array binds to a lambda variable the same way the hash
+    // array does one level up: shingles(text, k) would inline the split
+    // into the shingle HOF, re-splitting once per shingle
+    // (shinglesOfTokens's own contract) — wrap it so split runs once
+    val hs = element_at(
+      transform(array(TextAnalysis.tokens(text)), toksV =>
+        transform(TextAnalysis.shinglesOfTokens(toksV, k),
+          s => pmod(Hashing.hexLong(s), lit(MinHashP)))),
+      1)
     element_at(
       transform(array(hs), hsv => {
         def mh(p: Int): Column =

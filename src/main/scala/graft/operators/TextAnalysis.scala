@@ -1455,7 +1455,10 @@ object TextAnalysis {
     * no window. */
   def spanCorruption(df: DataFrame, idCol: String, text: Column,
       blockLen: Int = 8, maskMod: Int = 5): DataFrame = {
-    require(blockLen >= 2 && maskMod >= 2, "degenerate corruption params")
+    // blockLen >= 4 so the span-start modulus (blockLen - 3) is >= 1:
+    // smaller blocks would divide by zero (ANSI) or by a negative, and
+    // a 3-token span could overrun the block
+    require(blockLen >= 4 && maskMod >= 2, "degenerate corruption params")
     val toks = Parallelism.ensure(
       df.select(col(idCol).as("doc"), text.as("__t"))
         .filter(text.isNotNull))

@@ -25,8 +25,11 @@ import graft.sources.LimeSurveyClient.{HttpTransport, Transport}
   * (the paged catalog scan's user-supplied condition maps) keep working
   * unchanged. Extended operators ship with an `op:` prefix on the
   * value: `gt:`/`ge:`/`lt:`/`le:` compare lexicographically (every
-  * participant column is a string — matching Spark's UTF8String order
-  * for the ASCII data these fields hold), `in:` carries
+  * participant column is a string). Java String order only matches
+  * Spark's UTF8String order when the first differing position involves
+  * an ASCII unit, so the connector ENFORCES pure-ASCII bounds: a
+  * non-ASCII range value never pushes and stays a residual Spark
+  * filter (see LimeSurveyScanBuilder.pushFilters). `in:` carries
   * unit-separator-joined () operands. A literal equality value
   * that happens to LOOK like an operator prefix is never pushed by the
   * connector (it stays a residual Spark filter), so the server may

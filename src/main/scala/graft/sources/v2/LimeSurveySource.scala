@@ -320,19 +320,29 @@ class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
           enc += attr -> v
           accepted += f
         }
+      // Range bounds push ONLY when the bound value is pure ASCII: the
+      // server compares with Java String (UTF-16 code unit) order while
+      // the dropped Spark filter used UTF8String (UTF-8 byte) order, and
+      // the two diverge when both sides of the first differing position
+      // are non-BMP (surrogate code units sort below some BMP chars that
+      // their UTF-8 bytes sort above). With an ASCII bound the first
+      // differing position pits an ASCII unit (< 0x80) against anything
+      // — both encodings agree there — so the orders coincide for ANY
+      // row data. Non-ASCII bounds stay residual (Spark re-checks).
+      def ascii(v: String): Boolean = v.forall(_ < 0x80)
       filters.foreach {
         // a value that parses as an operator prefix must NOT ship as a
         // raw equality (the server would misread it) — leave it residual
         case f @ sources.EqualTo(a, v: String)
             if v != null && !ConditionCodec.looksEncoded(v) => offer(a, f, v)
-        case f @ sources.GreaterThan(a, v: String) if v != null =>
-          offer(a, f, "gt:" + v)
-        case f @ sources.GreaterThanOrEqual(a, v: String) if v != null =>
-          offer(a, f, "ge:" + v)
-        case f @ sources.LessThan(a, v: String) if v != null =>
-          offer(a, f, "lt:" + v)
-        case f @ sources.LessThanOrEqual(a, v: String) if v != null =>
-          offer(a, f, "le:" + v)
+        case f @ sources.GreaterThan(a, v: String)
+            if v != null && ascii(v) => offer(a, f, "gt:" + v)
+        case f @ sources.GreaterThanOrEqual(a, v: String)
+            if v != null && ascii(v) => offer(a, f, "ge:" + v)
+        case f @ sources.LessThan(a, v: String)
+            if v != null && ascii(v) => offer(a, f, "lt:" + v)
+        case f @ sources.LessThanOrEqual(a, v: String)
+            if v != null && ascii(v) => offer(a, f, "le:" + v)
         case f @ sources.In(a, vs)
             if vs.nonEmpty && vs.forall {
               case s: String => s != null && !s.contains(ConditionCodec.InSep)

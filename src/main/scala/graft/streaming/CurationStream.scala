@@ -108,8 +108,14 @@ object CurationStream {
     * exact output contract (`new_doc`, `n_matches`, `closest_existing`).
     *
     * Shape, all bounded: exact re-sends inside the watermark are
-    * suppressed first (`dropDuplicatesWithinWatermark` on the content
-    * fingerprint — state: one fingerprint per doc per horizon); each
+    * suppressed first (`dropDuplicatesWithinWatermark` on
+    * (doc_id, content fingerprint) — state: one pair per doc per
+    * horizon). Keying on the PAIR, not the fingerprint alone, is what
+    * keeps per-doc output the contract: a DIFFERENT doc_id arriving
+    * with byte-identical text inside the watermark still gets its own
+    * near-dup verdict, exactly as the batch operator reports both
+    * docs (StreamingSpec asserts this with twin-text distinct ids);
+    * only true re-sends of the SAME doc are absorbed. Each
     * surviving row then evaluates its banded MinHash signature as a
     * narrow per-row expression ([[graft.operators.Dedup.rowBands]] —
     * each shingle md5-hashed once, no aggregate) and joins the
@@ -131,7 +137,7 @@ object CurationStream {
     val banded = docs
       .withColumn("__fp", md5(lower(trim(col("text")))))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("__fp")
+      .dropDuplicatesWithinWatermark("doc_id", "__fp")
       .select(col("doc_id"), col("ts"),
         explode(graft.operators.Dedup.rowBands(col("text"), k, numPerm,
           bands)).as("__band"))

@@ -143,6 +143,18 @@ class DataSourceV2Spec extends SparkSpec {
     assert(plan.contains(") Filter "), plan.take(600))
   }
 
+  test("non-ASCII range bound stays residual (UTF-16 vs UTF-8 order divergence)") {
+    // server-side range compare uses Java String (UTF-16) order; the
+    // dropped Spark filter used UTF8String (byte) order — only pure-ASCII
+    // bounds make the two provably agree, so anything else must NOT push
+    val df = read("participants").filter(col("email") > "pé") // é
+    df.collect()
+    val body = graft.sources.Transports.FileServerTransport.lastBody.get()
+    assert(!body.contains("gt:"), body)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(") Filter "), plan.take(600)) // residual re-check
+  }
+
   test("non-equality filters stay residual and still evaluate correctly") {
     val df = read("participants").filter(col("email") =!= "p3@x.com")
     assert(df.collect().length == 9)

@@ -1382,6 +1382,11 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
     val out = run()
     assert(out.length == 2, "null-text doc must be dropped")
+    // blockLen < 4 would make the span-start modulus (blockLen - 3)
+    // zero or negative — rejected up front, not at runtime
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spanCorruption(docs, "doc_id", col("text"), blockLen = 3)
+    }
     val byId = out.map(r => r._1 -> r).toMap
     // 50 blocks at 1/5 mask rate: some span must fire (hash-determined)
     assert(byId(1L)._4 > 0, byId(1L).toString)

@@ -460,10 +460,16 @@ class StreamingSpec extends SparkSpec {
         (101L, tA, t("2026-01-01 10:00:00")),    // identical to lake 1
         (102L, novel, t("2026-01-01 10:01:00")), // matches nothing
         (103L, tC, t("2026-01-01 10:02:00")),    // identical to lake 5
-        (104L, tB, t("2026-01-01 10:03:00")))    // identical to lake 2
+        (104L, tB, t("2026-01-01 10:03:00")),
+        // a DIFFERENT doc with text identical to 101's, inside the same
+        // watermark window: the dedup keys on (doc_id, fingerprint), so
+        // this doc is NOT swallowed — it gets its own verdict, exactly
+        // as the batch operator reports both docs
+        (105L, tA, t("2026-01-01 10:04:00")))
       q.processAllAvailable()
-      // an exact RE-SEND inside the watermark is suppressed by the
-      // fingerprint dedup — no second evaluation, no second output row
+      // an exact RE-SEND of the SAME doc inside the watermark is
+      // suppressed by the (doc_id, fingerprint) dedup — no second
+      // evaluation, no second output row
       input.addData((103L, tC, t("2026-01-01 10:30:00")))
       q.processAllAvailable()
       // advance the watermark past the docs so append finalizes them
@@ -476,7 +482,7 @@ class StreamingSpec extends SparkSpec {
     // both paths → identical matches, counts, and canonical ids
     val union = lake.withColumn("is_new", lit(false))
       .unionByName(Seq((101L, tA), (102L, novel), (103L, tC), (104L, tB),
-        (999L, "flush marker"))
+        (105L, tA), (999L, "flush marker"))
         .toDF("doc_id", "text").withColumn("is_new", lit(true)))
     val batch = Dedup.incrementalNearDups(union, "doc_id", col("text"),
       col("is_new"), k = 5, numPerm = 16, bands = 4)
@@ -487,6 +493,9 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(101L)._3 == 1L, byDoc.toString) // closest_existing
     assert(byDoc(103L)._3 == 5L, byDoc.toString)
     assert(byDoc(104L)._3 == 2L, byDoc.toString)
+    // the twin-text distinct doc got its own verdict (not swallowed by
+    // 101's identical fingerprint)
+    assert(byDoc(105L)._3 == 1L, byDoc.toString)
     assert(!byDoc.contains(102L) && !byDoc.contains(999L), byDoc.toString)
     // exactly one row per matched doc despite the 103 re-send
     assert(stream.size == stream.map(_._1).distinct.size, stream.toString)

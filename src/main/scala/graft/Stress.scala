@@ -8,7 +8,7 @@ import graft.pipelines.CurationPipeline
 
 /** Adversarial scale/skew stress harness for the heavy tier.
   *
-  * Measures the seven operators whose 100×-scale claims otherwise rest
+  * Measures the nine operators whose 100×-scale claims otherwise rest
   * on plan reading (every sf0.1 bench stage is sub-second — a
   * driver-side or skew bottleneck would be invisible there) over the
   * [[StressData]] adversaries at increasing scales, and grades
@@ -41,14 +41,15 @@ import graft.pipelines.CurationPipeline
 object Stress {
 
   final case class Sizes(docs: Long, nodes: Long, randomEdges: Long,
-      hubDegree: Long, pairRows: Long)
+      hubDegree: Long, pairRows: Long, bitextRows: Long)
 
   def sizes(scale: Int): Sizes = Sizes(
     docs = 5000L * scale,
     nodes = 20000L * scale,
     randomEdges = 550000L * scale,
     hubDegree = 10000L * scale,
-    pairRows = 100000L * scale)
+    pairRows = 100000L * scale,
+    bitextRows = 2000L * scale)
 
   def dataDir(scale: Int): String = s"target/stress_data/s$scale"
 
@@ -64,6 +65,8 @@ object Stress {
       .write.mode("overwrite").parquet(s"$dir/edges.parquet")
     StressData.componentPairs(spark, s.pairRows)
       .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+    StressData.bitext(spark, s.bitextRows)
+      .write.mode("overwrite").parquet(s"$dir/bitext.parquet")
   }
 
   /** The graded ops: name → (build result from the scale's parquet
@@ -74,6 +77,7 @@ object Stress {
     def eval = spark.read.parquet(s"$dir/eval.parquet")
     def edges = spark.read.parquet(s"$dir/edges.parquet")
     def pairs = spark.read.parquet(s"$dir/pairs.parquet")
+    def bitext = spark.read.parquet(s"$dir/bitext.parquet")
     Seq(
       "connected_components" -> (() =>
         Dedup.connectedComponents(pairs, maxIter = 12)),
@@ -96,7 +100,24 @@ object Stress {
       // real cluster mass
       "curation_funnel" -> (() =>
         CurationPipeline.dispositions(corpus, eval,
-          CurationPipeline.Config(minhashPerms = 32, minhashBands = 8))))
+          CurationPipeline.Config(minhashPerms = 32, minhashBands = 8))),
+      // maxPostings 500: the footer spike puts n/3 docs on the same
+      // footer fingerprints (1,667 postings at scale 1, 16,667 at 10),
+      // so the boilerplate cap BINDS at every scale — un-capped, those
+      // lists alone are O((n/3)²) pairs and one corpus-third component
+      "passage_clusters" -> (() =>
+        Dedup.passageClusters(
+          corpus.withColumn("text",
+            StressData.footerSpike(col("text"), col("doc_id"))),
+          "doc_id", col("text"), maxPostings = 500)),
+      // maxBucket 500: the 30% anchor cluster (600 members at scale 1,
+      // 6,000 at 10) shares every table's bucket, so the degenerate-
+      // bucket cap BINDS at every scale; background buckets stay at
+      // ~n/2^8 members and carry the real mining load
+      "bitext_margin" -> (() =>
+        graft.operators.Similarity.bitextMarginMine(bitext,
+          col("label") < 5, k = 4, minMarginMicro = 1050000L,
+          nTables = 4, nBits = 8, dim = 64, maxBucket = 500)))
   }
 
   /** Per-op scaling exponent (see scaladoc above). */

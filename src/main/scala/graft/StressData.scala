@@ -102,6 +102,52 @@ object StressData {
       (0 until 5).map(b => b.toLong * cliqueSize): _*))
       .select(col("text"))
 
+  /** Corpus-wide boilerplate spike for [[graft.operators.Dedup.passageClusters]]
+    * stress: every `every`-th doc gains the SAME 12-token footer — far
+    * past the winnowing guarantee run (w+k-1 = 7), so all spiked docs
+    * share footer fingerprints whose posting lists hold n/every docs.
+    * Un-capped, those lists alone would mint O((n/every)²) candidate
+    * pairs and glue a third of the corpus into one component; the
+    * operator's `maxPostings` cap must classify them as boilerplate and
+    * drop them, leaving only the within-block template edges. */
+  def footerSpike(text: Column, idCol: Column, every: Int = 3): Column =
+    concat(text, when(idCol % every === 0,
+      lit(" corpus common footer nav alpha beta gamma delta epsilon " +
+        "zeta eta theta")).otherwise(lit("")))
+
+  /** Bitext-mining embedding table (vec_id, embedding float[dim],
+    * label) — label < 5 is the "source language" (even ids), >= 5 the
+    * target (odd ids). Three deterministic populations:
+    *
+    *   - ~10% TRUE TWINS: id ≡ 6 (mod 20) is a source vector whose
+    *     target twin id+1 is the same vector + 1% noise — cosine ≈ 1,
+    *     co-bucketed in (nearly) every LSH table, margin far above any
+    *     random pair: the mining ground truth;
+    *   - 30% DEGENERATE CLUSTER (id ≡ 0,1,2 mod 10): one anchor vector
+    *     + 1% noise, split evenly across both sides — every member
+    *     shares every table's bucket, so membership is 0.3·n in each of
+    *     the nTables buckets and the un-capped candidate join would be
+    *     O(n²): the maxBucket adversary (the SimilaritySpec hub trick,
+    *     at scale);
+    *   - the rest: independent uniform vectors — background buckets
+    *     whose population stays ~n/2^nBits.
+    */
+  def bitext(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    require(n >= 20 && dim >= 2)
+    def noise(salt: Int, j: Column): Column =
+      (u01(col("id"), j, lit(salt)) * 2 - 1) * 0.01
+    def base(idc: Column, j: Column): Column =
+      u01(idc, j, lit(17)) * 2 - 1
+    def anchor(j: Column): Column = u01(j, lit(23)) * 2 - 1
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(col("id") % 10 < 3, anchor(j) + noise(29, j))
+          .when(col("id") % 20 === 7, base(col("id") - 1, j) + noise(31, j))
+          .otherwise(base(col("id"), j))).cast("float")).as("embedding"),
+      (col("id") % 2 * 5).cast("int").as("label"))
+  }
+
   /** Directed graph with Zipf-skewed out-degrees (src drawn Zipf over
     * the node space — node 0 sources ~10% of all random edges) plus a
     * `hubDegree`-spoke star INTO node 0 (spoke i → hub), so one

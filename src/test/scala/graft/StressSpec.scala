@@ -206,6 +206,76 @@ class StressSpec extends SparkSpec {
     } finally disp.unpersist()
   }
 
+  test("passageClusters: footer boilerplate capped, blocks never split") {
+    val docs = StressData.corpus(spark, 400)
+      .withColumn("text", StressData.footerSpike(col("text"), col("doc_id")))
+    // cap 100 < the 134 footer-spiked docs: footer fingerprints are
+    // boilerplate and must not edge
+    val capped = Dedup.passageClusters(docs, "doc_id", col("text"),
+      maxPostings = 100).cache()
+    try {
+      // every long doc clusters via its block template (400 - 40 junk);
+      // footer-only (junk+footer) docs contribute nothing
+      assert(capped.count() == 360L)
+      // a block is never SPLIT: each 40-block's long docs share exactly
+      // one component...
+      val perBlock = capped.groupBy(expr("doc div 40").as("blk"))
+        .agg(countDistinct(col("component")).as("nc"))
+      assert(perBlock.filter(col("nc") =!= 1).count() == 0)
+      // ...and stopword-4-gram coincidence merges blocks only modestly
+      // (deterministic at this volume: 6 components — 4 singleton blocks
+      // + a 2-merge + a 4-merge; bounds allow legitimate hash drift)
+      val comps = capped.select("component").distinct().count()
+      assert(comps >= 4 && comps <= 10, s"comps=$comps")
+      // the cap is what prevents the footer glue: un-capped, the footer
+      // fingerprints join EVERY spiked block into one giant component
+      val loose = Dedup.passageClusters(docs, "doc_id", col("text"),
+        maxPostings = 100000)
+      assert(loose.select("component").distinct().count() == 1L)
+      assert(loose.count() > 360L) // junk+footer docs now edge in too
+    } finally capped.unpersist()
+  }
+
+  test("bitextMarginMine: anchor-cluster bucket capped, twin recall exact") {
+    val emb = StressData.bitext(spark, 2000).cache()
+    try {
+      // both sides populated evenly
+      assert(emb.groupBy("label").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 1000L, 5 -> 1000L))
+      def mine(cap: Int, minMargin: Long) =
+        graft.operators.Similarity.bitextMarginMine(emb, col("label") < 5,
+          k = 4, minMarginMicro = minMargin, nTables = 4, nBits = 8,
+          dim = 64, maxBucket = cap)
+      val out = mine(400, 1050000L).cache()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      // ALL 100 planted twins mined with the correct partner, near-unit
+      // cosine and a margin far above the threshold
+      val twins = out.filter(col("src_id") % 20 === 6).cache()
+      assert(twins.count() == 100L)
+      assert(twins.filter(col("tgt_id") =!= col("src_id") + 1).count() == 0)
+      val mins = twins.agg(min("cos_micro"), min("margin_micro")).head()
+      assert(mins.getLong(0) > 990000L, mins.toString)
+      assert(mins.getLong(1) > 1500000L, mins.toString)
+      twins.unpersist()
+      // the 600-member anchor cluster exceeds the 400 cap in every
+      // table: its buckets contribute no candidates — only the few
+      // members whose 1% noise leaks them into a NEIGHBORING bucket can
+      // appear at all (deterministic here: 10 src + 10 tgt rows)
+      val clusterRows = out.filter(col("src_id") % 10 < 3 ||
+        col("tgt_id") % 10 < 3).count()
+      assert(clusterRows <= 40L, s"clusterRows=$clusterRows")
+      // non-vacuity: with the cap loose (and the margin gate open, since
+      // intra-cluster margins hover at ~1), the cluster's srcs DO mine —
+      // the cap, not geometry, is what suppresses them above
+      val looseCluster = mine(100000, 0L)
+        .filter(col("src_id") % 10 < 3).count()
+      assert(looseCluster > 200L, s"looseCluster=$looseCluster")
+      out.unpersist()
+    } finally emb.unpersist()
+  }
+
   test("measured near-linear scaling (env-gated: SPARK_GRAFT_STRESS=1)") {
     assume(sys.env.get("SPARK_GRAFT_STRESS").contains("1"),
       "manual: set SPARK_GRAFT_STRESS=1 (full run: sbt 'runMain graft.Stress')")

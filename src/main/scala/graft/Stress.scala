@@ -90,9 +90,12 @@ object Stress {
         Graph.triangleCounts(edges, "src", "dst", broadcastMaxEdges = 0L)),
       "duplicate_spans" -> (() =>
         Dedup.duplicateSpans(corpus, "doc_id", col("text"), k = 8)),
+      // broadcastNorms=false: the |docs|-sized norm table must take the
+      // shuffle path here — the plan that exists when docs outgrow the
+      // driver is the one under stress (the graph-gate convention)
       "sparse_cosine" -> (() =>
         TextAnalysis.sparseCosinePairs(corpus, "doc_id", col("text"),
-          ngram = 3, maxDf = 64, topK = 50)),
+          ngram = 3, maxDf = 64, topK = 50, broadcastNorms = false)),
       // 32 perms / 8 bands: at the corpus's within-block Jaccard (~0.6)
       // the default 16/4 signature has ~50% pair recall — correct LSH
       // behavior, but the stress wants (a) the 2× signature width under

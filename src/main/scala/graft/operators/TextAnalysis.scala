@@ -341,32 +341,47 @@ object TextAnalysis {
     * norm attaches move only index- and pair-sized data. Final top-k
     * is a bounded TakeOrdered, never a corpus sort. */
   def sparseCosinePairs(df: DataFrame, idCol: String, text: Column,
-      ngram: Int = 3, maxDf: Int = 50, topK: Int = 50): DataFrame = {
+      ngram: Int = 3, maxDf: Int = 50, topK: Int = 50,
+      broadcastNorms: Boolean = true): DataFrame = {
     require(ngram >= 1, "ngram must be >= 1")
     require(maxDf >= 2, "maxDf must be >= 2")
     require(topK > 0, "topK must be positive")
     import org.apache.spark.sql.GraftShims
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the exploded n-grams hash-repartition on term directly, so the tf
+    // aggregate is exchange-free on that layout and the checkpoint
+    // CLAIMS it — one wide shuffle instead of the former
+    // groupBy-exchange + checkpoint-repartition pair
     val ex = Parallelism.ensure(df.select(col(idCol).as("doc"), text.as("__t")))
       .select(col("doc"), tokens(col("__t")).as("__toks"))
       .select(col("doc"),
         explode(ngramsOf(col("__toks"), ngram)).as("term"))
-    val tf = GraftShims.checkpointHashPartitioned(
+      .repartition(p, col("term"))
+    val tf = GraftShims.checkpointClaimHashPartitioned(
       ex.groupBy("term", "doc").agg(count(lit(1)).as("tf")), p, "term")
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("term")
     val kept = GraftShims.checkpointClaimHashPartitioned(
       tf.join(dfc, "term"), p, "term")
+    // the norm table is one row per doc: broadcast-attach it by default
+    // (un-hinted, Spark reads the checkpoint-derived aggregate as
+    // unsized and plans two SortMergeJoins — measured at sf0.1, the two
+    // pair-table exchanges+sorts were ~40% of the query's save job).
+    // At a corpus scale where |docs| outgrows the driver, pass
+    // broadcastNorms=false for the shuffle path — identical rows
+    // (spec'd, the tfIdf broadcastVocab contract).
+    val hint: DataFrame => DataFrame =
+      if (broadcastNorms) broadcast(_) else identity
     val norms = kept.groupBy("doc").agg(sum(col("tf") * col("tf")).as("__n2"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
     pairs
-      .join(norms.select(col("doc").as("doc_a"), col("__n2").as("__na")),
+      .join(hint(norms.select(col("doc").as("doc_a"), col("__n2").as("__na"))),
         "doc_a")
-      .join(norms.select(col("doc").as("doc_b"), col("__n2").as("__nb")),
+      .join(hint(norms.select(col("doc").as("doc_b"), col("__n2").as("__nb"))),
         "doc_b")
       .select(col("doc_a"), col("doc_b"), col("dot"),
         round(col("dot").cast(DoubleType) /
@@ -1162,21 +1177,24 @@ object TextAnalysis {
     * exact long sum. Positive weights = bigram profile leans toward
     * the target corpus; the resampling step keeps the top mass.
     *
-    * Shape: raw and target each explode ONCE into `buckets`-bounded
-    * count tables; the B-row weight table (two tiny aggregates + two
-    * broadcast one-row totals) broadcasts back onto the per-doc bucket
-    * counts — one corpus-sized shuffle on (doc, bucket), everything
-    * else bucket-bounded. Buckets absent from the target still score
+    * Shape: raw and target each explode ONCE (the raw side into a
+    * doc-pinned checkpoint, the target inside the single
+    * model-broadcast job); the whole B-entry weight table packs into
+    * ONE broadcast row with the totals folded in-row, and scoring is a
+    * per-row map lookup + an exchange-free groupBy(doc) on the pinned
+    * layout — one corpus-sized shuffle total, everything else
+    * bucket-bounded. Buckets absent from the target still score
     * (smoothing), exactly as in the paper. */
   def dsirWeights(df: DataFrame, idCol: String, text: Column,
       target: DataFrame, targetText: Column,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 2, "need at least 2 hash buckets")
+    import org.apache.spark.sql.GraftShims
     // token array projected into a REAL column before the bigram HOF —
     // an inlined split would re-run once per bigram (no hoisting in
     // lambda subtrees)
     def buckify(shaped: DataFrame, keys: Seq[String]): DataFrame =
-      Parallelism.ensure(shaped)
+      shaped
         .withColumn("__w", tokens(col("__t")))
         .select(keys.map(col) :+
           explode(bigramsFromTokens(col("__w"))).as("__bg"): _*)
@@ -1184,29 +1202,48 @@ object TextAnalysis {
           pmod(Hashing.hexLong(col("__bg")), lit(buckets.toLong)))
         .groupBy((keys :+ "bucket").map(col): _*)
         .agg(count(lit(1)).as("n"))
-    val perDoc = buckify(
-      df.select(col(idCol).as("doc"), text.as("__t")), Seq("doc"))
+    // ONE raw-corpus shuffle, made once: hash-repartition on doc up
+    // front (widens single-row-group scans too), aggregate exchange-free
+    // on that layout, checkpoint CLAIMING it — the table feeds both the
+    // weight-table build and the scoring pass, and runtime broadcast
+    // jobs do not reuse a plan-level exchange (the q131 measurement).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = GraftShims.checkpointClaimHashPartitioned(
+      buckify(df.select(col(idCol).as("doc"), text.as("__t"))
+        .repartition(par, col("doc")), Seq("doc")), par, "doc")
     val rawB = perDoc.groupBy("bucket").agg(sum(col("n")).as("r"))
-    val tgtB = buckify(target.select(targetText.as("__t")), Nil)
+    val tgtB = buckify(Parallelism.ensure(
+      target.select(targetText.as("__t"))), Nil)
       .withColumnRenamed("n", "t")
-    val totals = broadcast(
-      rawB.agg(sum(col("r")).as("rTot")).crossJoin(
-        tgtB.agg(sum(col("t")).as("tTot"))))
-    val weights = broadcast(
-      rawB.join(tgtB, Seq("bucket"), "left")
-        .na.fill(0L, Seq("t"))
-        .crossJoin(totals)
-        .select(col("bucket"),
+    // the whole weight table packs into ONE broadcast row (the q131
+    // shape): raw and target bucket arrays collect, totals fold in-row,
+    // and the qlr map derives per-entry — one broadcast-build job, ONE
+    // target-corpus pass, instead of the former totals→weights chain
+    // that re-ran the target explode per broadcast job. Same smoothing,
+    // same quantizer — the oracle is unchanged.
+    def fold(arr: Column, f: String): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + x.getField(f))
+    val packed = broadcast(rawB
+      .groupBy().agg(collect_list(struct(col("bucket"), col("r"))).as("__rb"))
+      .crossJoin(tgtB.groupBy()
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("t"))))
+          .as("__tm"),
+          sum(col("t")).as("tTot")))
+      .select(map_from_entries(transform(col("__rb"), e =>
+        struct(e.getField("bucket"),
           floor(log(
-            ((col("t") + lit(1L)).cast(DoubleType) /
+            ((coalesce(element_at(col("__tm"), e.getField("bucket")),
+              lit(0L)) + lit(1L)).cast(DoubleType) /
               (col("tTot") + lit(buckets.toLong)).cast(DoubleType)) *
-              ((col("rTot") + lit(buckets.toLong)).cast(DoubleType) /
-                (col("r") + lit(1L)).cast(DoubleType))) * 1e6 + 0.5)
-            .cast(LongType).as("qlr")))
-    perDoc.join(weights, Seq("bucket"))
+              ((fold(col("__rb"), "r") + lit(buckets.toLong))
+                .cast(DoubleType) /
+                (e.getField("r") + lit(1L)).cast(DoubleType))) * 1e6 + 0.5)
+            .cast(LongType)))).as("__qlr")))
+    perDoc.crossJoin(packed)
       .groupBy("doc")
       .agg(sum(col("n")).as("n_feats"),
-        sum(col("n") * col("qlr")).as("dsir_micro"))
+        sum(col("n") * element_at(col("__qlr"), col("bucket")))
+          .as("dsir_micro"))
   }
 
   /** fastText-style quality/domain classifier (the GPT-3 / LLaMA
@@ -1240,41 +1277,76 @@ object TextAnalysis {
   def nbClassifier(df: DataFrame, idCol: String, text: Column,
       isPositive: Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, "need at least 2 hash buckets")
-    val perDoc = Parallelism.ensure(
+    import org.apache.spark.sql.GraftShims
+    // ONE corpus shuffle total: the raw docs hash-repartition on doc up
+    // front (this also widens a single-row-group scan, so no
+    // Parallelism.ensure round-robin is needed), the (doc,label,bucket)
+    // aggregate is then exchange-free (HashPartitioning(doc) satisfies
+    // the grouping's ClusteredDistribution), and the checkpoint CLAIMS
+    // that layout instead of re-shuffling. Checkpointing at all is what
+    // matters: the table feeds THREE jobs (model broadcast, doc counts,
+    // the scoring pass), and plan-level ReusedExchange does NOT survive
+    // the broadcast-subquery job boundary at runtime — measured at
+    // sf0.1, the corpus tokenize+explode stage ran 4× un-checkpointed
+    // (DevProfile). The pinned doc layout also makes the scoring
+    // groupBy(doc) exchange-free (the model attaches by broadcast,
+    // which preserves partitioning).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = GraftShims.checkpointClaimHashPartitioned(
       df.select(col(idCol).as("doc"), isPositive.as("__pos"),
-        text.as("__t")).filter(col("__t").isNotNull))
-      .withColumn("__w", tokens(col("__t")))
-      .select(col("doc"), col("__pos"), explode(col("__w")).as("__tok"))
-      .withColumn("bucket",
-        pmod(Hashing.hexLong(col("__tok")), lit(buckets.toLong)))
-      .groupBy("doc", "__pos", "bucket")
-      .agg(count(lit(1)).as("n"))
+          text.as("__t")).filter(col("__t").isNotNull)
+        .repartition(par, col("doc"))
+        .withColumn("__w", tokens(col("__t")))
+        .select(col("doc"), col("__pos"), explode(col("__w")).as("__tok"))
+        .withColumn("bucket",
+          pmod(Hashing.hexLong(col("__tok")), lit(buckets.toLong)))
+        .groupBy("doc", "__pos", "bucket")
+        .agg(count(lit(1)).as("n")), par, "doc")
+    // The WHOLE model packs into ONE broadcast row (the nbQualityGate
+    // deployment shape): the B-row class counts collapse to an array,
+    // totals fold over that array in the same row, the llr map derives
+    // per-entry, and the doc-count prior crosses in from a second tiny
+    // aggregate — one broadcast-build job instead of the former
+    // totals→weights→prior chain of three sequential barrier jobs
+    // (measured at sf0.1: 17 short stages → 11, ~0.95 s → ~0.6 s; the
+    // llr/prior math is bit-identical, so the oracle is unchanged).
     val classB = perDoc.groupBy("bucket").agg(
       sum(when(col("__pos"), col("n")).otherwise(0L)).as("p"),
       sum(when(!col("__pos"), col("n")).otherwise(0L)).as("q"))
-    val totals = broadcast(
-      classB.agg(sum(col("p")).as("pTot"), sum(col("q")).as("qTot")))
-    val weights = broadcast(classB.crossJoin(totals)
-      .select(col("bucket"),
-        floor(log(
-          ((col("p") + lit(1L)).cast(DoubleType) /
-            (col("pTot") + lit(buckets.toLong)).cast(DoubleType)) *
-            ((col("qTot") + lit(buckets.toLong)).cast(DoubleType) /
-              (col("q") + lit(1L)).cast(DoubleType))) * 1e6 + 0.5)
-          .cast(LongType).as("llr")))
-    val scored = perDoc.join(weights, Seq("bucket"))
+    // doc-level class membership: groupBy(doc) is exchange-free on the
+    // pinned layout, so the doc counts cost one pass over the checkpoint
+    val docCounts = perDoc.groupBy("doc")
+      .agg(max(when(col("__pos"), 1L).otherwise(0L)).as("__p"))
+      .agg(sum(col("__p")).as("dPos"),
+        (count(lit(1)) - sum(col("__p"))).as("dNeg"))
+    def llrOf(p: Column, q: Column, pTot: Column, qTot: Column): Column =
+      floor(log(
+        ((p + lit(1L)).cast(DoubleType) /
+          (pTot + lit(buckets.toLong)).cast(DoubleType)) *
+          ((qTot + lit(buckets.toLong)).cast(DoubleType) /
+            (q + lit(1L)).cast(DoubleType))) * 1e6 + 0.5).cast(LongType)
+    val packed = broadcast(classB
+      .groupBy()
+      .agg(collect_list(struct(col("bucket"), col("p"), col("q")))
+        .as("__cb"))
+      .crossJoin(docCounts)
+      .select(
+        map_from_entries(transform(col("__cb"), e =>
+          struct(e.getField("bucket"),
+            llrOf(e.getField("p"), e.getField("q"),
+              aggregate(col("__cb"), lit(0L),
+                (acc, x) => acc + x.getField("p")),
+              aggregate(col("__cb"), lit(0L),
+                (acc, x) => acc + x.getField("q")))))).as("__llr"),
+        floor(log((col("dPos") + lit(1L)).cast(DoubleType) /
+          (col("dNeg") + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as("__prior")))
+    perDoc.crossJoin(packed)
       .groupBy("doc")
-      .agg(max(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
-        sum(col("n")).as("n_toks"),
-        sum(col("n") * col("llr")).as("__s"))
-    val prior = broadcast(scored
-      .agg(floor(log(
-        (sum(col("__p")) + lit(1L)).cast(DoubleType) /
-          (count(lit(1)) - sum(col("__p")) + lit(1L)).cast(DoubleType))
-        * 1e6 + 0.5).cast(LongType).as("__prior")))
-    scored.crossJoin(prior)
-      .select(col("doc"), col("n_toks"),
-        (col("__prior") + col("__s")).as("nb_micro"))
+      .agg(sum(col("n")).as("n_toks"),
+        (max(col("__prior")) +
+          sum(col("n") * element_at(col("__llr"), col("bucket"))))
+          .as("nb_micro"))
       .withColumn("nb_pos", col("nb_micro") > 0L)
   }
 
@@ -1390,7 +1462,7 @@ object TextAnalysis {
     // token hashes land in a REAL column before the pair HOF (the
     // hoisting contract: each token is md5'd once, not once per pair)
     def pairTable(shaped: DataFrame, keys: Seq[String]): DataFrame =
-      Parallelism.ensure(shaped)
+      shaped
         .withColumn("__h",
           transform(tokens(col("__t")),
             t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
@@ -1403,20 +1475,39 @@ object TextAnalysis {
         .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2"): _*)
         .groupBy((keys ++ Seq("b1", "b2")).map(col): _*)
         .agg(count(lit(1)).as("m"))
-    val model = pairTable(
-      reference.select(refText.as("__t")).filter(col("__t").isNotNull),
+    // the reference pass runs ONCE into a checkpointed ≤B²-row pair
+    // table (tiny — eager local checkpoint; partitioning irrelevant,
+    // both consumers are full aggregates), and the model — pair counts
+    // AND the b1 margins derived from them — packs into ONE broadcast
+    // row as maps keyed b1·B+b2 / b1. The former separate
+    // margin/model broadcasts each re-ran the reference explode at
+    // runtime (the q131 broadcast-job reuse measurement). The per-pair
+    // nll is then a pure lookup, and the doc aggregate is
+    // exchange-free on the up-front doc hash layout. Same smoothing,
+    // same quantizer — oracle unchanged.
+    val model = pairTable(Parallelism.ensure(
+      reference.select(refText.as("__t")).filter(col("__t").isNotNull)),
       Nil).withColumnRenamed("m", "c12")
-    val margins = model.groupBy("b1").agg(sum(col("c12")).as("c1"))
+      .localCheckpoint(true)
+    val packed = broadcast(model
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        col("b1") * buckets + col("b2"), col("c12")))).as("__pm"))
+      .crossJoin(model.groupBy("b1").agg(sum(col("c12")).as("c1"))
+        .groupBy().agg(map_from_entries(collect_list(struct(
+          col("b1"), col("c1")))).as("__c1"))))
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = pairTable(
       df.select(col(idCol).as("doc"), text.as("__t"))
-        .filter(col("__t").isNotNull), Seq("doc"))
+        .filter(col("__t").isNotNull)
+        .repartition(par, col("doc")), Seq("doc"))
     val scored = perDoc
-      .join(broadcast(margins), Seq("b1"), "left")
-      .join(broadcast(model), Seq("b1", "b2"), "left")
-      .na.fill(0L, Seq("c1", "c12"))
+      .crossJoin(packed)
       .withColumn("nll", floor(log(
-        (col("c1") + lit(buckets.toLong)).cast(DoubleType) /
-          (col("c12") + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
+        (coalesce(element_at(col("__c1"), col("b1")), lit(0L)) +
+          lit(buckets.toLong)).cast(DoubleType) /
+          (coalesce(element_at(col("__pm"),
+            col("b1") * buckets + col("b2")), lit(0L)) + lit(1L))
+            .cast(DoubleType)) * 1e6 + 0.5)
         .cast(LongType))
       .groupBy("doc")
       .agg(sum(col("m")).as("n_pairs"),

@@ -350,6 +350,13 @@ class TextAnalysisSpec extends SparkSpec {
     // (4,5)=6. Ties order by (doc_a, doc_b); topK=3 cuts one 0.707107.
     assert(out == Seq(
       (1L, 2L, 2L, 1.0), (4L, 5L, 6L, 1.0), (1L, 3L, 1L, 0.707107)))
+    // the un-hinted norm-attach path (for |docs| past driver scale)
+    // returns identical rows — the tfIdf broadcastVocab contract
+    val shuffled = TextAnalysis.sparseCosinePairs(docs, "doc_id",
+        col("text"), ngram = 3, maxDf = 50, topK = 3,
+        broadcastNorms = false)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(shuffled == out)
   }
 
   test("sparseCosinePairs: a near-clique larger than maxDf cannot blow the pair join") {

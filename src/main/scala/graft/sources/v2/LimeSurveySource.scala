@@ -10,11 +10,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -155,6 +156,25 @@ object LimeSurveySource {
     new String(Base64.getDecoder.decode(result), "UTF-8")
   }
 
+  /** Server-side row count via `get_summary`
+    * (/root/reference/limesurvey.py:79-86 — the one reference hook that
+    * delegates COUNT to the server): participants count from the
+    * `token_count` statistic, responses from `full_responses`. Values
+    * arrive as JSON strings (the API's convention) or numbers. */
+  def fetchSummaryCount(conf: SourceConf): Long = {
+    val reply = rpc(conf, "get_summary", Map(
+      "sSessionKey" -> "v2", "iSurveyID" -> conf.surveyId,
+      "sStatname" -> "all"))
+    val key = if (conf.table == "participants") "token_count"
+      else "full_responses"
+    val mapper = new ObjectMapper
+    val result = mapper.readTree(reply).get("result")
+    val node = if (result == null) null else result.get(key)
+    require(node != null && !node.isNull,
+      s"get_summary reply lacks '$key': $reply")
+    node.asText().toLong
+  }
+
   /** `conditions` non-empty = equality-filter pushdown via the API's own
     * server-side `aConditions` hook (/root/reference/limesurvey.py:214). */
   def fetchParticipantsPage(conf: SourceConf, start: Int, limit: Int,
@@ -283,10 +303,12 @@ case class LimeSurveyCommit(rows: Long) extends WriterCommitMessage
 class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
     prefetched: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var pushedCount = false
   private var pushedConds: Array[sources.Filter] = Array.empty
   private var condMap: Map[String, String] = Map.empty
 
@@ -369,12 +391,60 @@ class LimeSurveyScanBuilder(fullSchema: StructType, conf: SourceConf,
 
   private def conditions: Map[String, String] = condMap
 
+  /** COUNT(*) → `get_summary` (the reference's own server-side count,
+    * /root/reference/limesurvey.py:79-86): an ungrouped single
+    * `COUNT(*)` transfers ONE number instead of every row. Complete
+    * pushdown — no Spark-side re-aggregation — so it is offered ONLY
+    * when nothing else narrows the scan: any pushed `aConditions`
+    * filter or limit changes which rows exist, and `get_summary`
+    * counts the whole survey (residual filters never reach this point
+    * — Spark only pushes aggregates over a bare relation). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarOnly(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!countStarOnly(agg)) false
+    else { pushedCount = true; true }
+  }
+  private def countStarOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      condMap.isEmpty && limit.isEmpty
+
   override def build(): Scan =
-    new LimeSurveyScan(required, conf, limit,
+    if (pushedCount) new LimeSurveyCountScan(conf)
+    else new LimeSurveyScan(required, conf, limit,
       // reuse the inference payload only for an unpruned scan — a pruned
       // scan refetches with aFields (the projection pushdown itself)
       prefetched.filter(_ => required.fieldNames.sameElements(fullSchema.fieldNames)),
       conditions)
+}
+
+/** The pushed-COUNT(*) scan: one `get_summary` RPC, one row, one long —
+  * the row set never crosses the wire. The RPC runs executor-side in
+  * the single planned partition. */
+class LimeSurveyCountScan(conf: SourceConf) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SummaryCountPartition())
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LimeSurveyCountReaderFactory(conf)
+}
+
+case class SummaryCountPartition() extends InputPartition
+
+class LimeSurveyCountReaderFactory(conf: SourceConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        InternalRow(LimeSurveySource.fetchSummaryCount(conf))
+      override def close(): Unit = ()
+    }
 }
 
 class LimeSurveyScan(required: StructType, conf: SourceConf,

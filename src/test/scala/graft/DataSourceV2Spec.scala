@@ -26,6 +26,13 @@ class DataSourceV2Spec extends SparkSpec {
     }.mkString("[", ",", "]")
     Files.writeString(Paths.get(dir, "list_participants.json"),
       s"""{"id":2,"result":$participants,"error":null}""")
+    // survey statistics, consistent with the row fixtures above: 10
+    // participants, 3 full responses (values as strings — the API's
+    // convention)
+    Files.writeString(Paths.get(dir, "get_summary.json"),
+      """{"id":3,"result":{"token_count":"10","token_completed":"6",
+        |"completed_responses":"3","incomplete_responses":"0",
+        |"full_responses":"3"},"error":null}""".stripMargin)
   }
 
   lazy val dir: String = {
@@ -45,7 +52,9 @@ class DataSourceV2Spec extends SparkSpec {
   test("responses table infers the dynamic per-survey schema") {
     val df = read("responses")
     assert(df.columns.toSeq == Seq("index", "id", "datestamp", "q01", "q03", "q06"))
-    assert(df.count() == 3)
+    // collect, not count: count() would take the pushed get_summary
+    // path and skip the row parse this test exists to exercise
+    assert(df.collect().length == 3)
     val r = df.filter(col("index") === "12").head
     assert(r.getAs[String]("q06") == "BR12")
     assert(r.getAs[String]("q03") == null) // JSON null -> SQL null
@@ -82,7 +91,9 @@ class DataSourceV2Spec extends SparkSpec {
       .option("surveyId", "101").option("pageSize", "4").option("maxPages", "2")
       .load()
     assert(df.rdd.getNumPartitions == 2)
-    assert(df.count() == 10) // 4 + (4 then drain 2)
+    // collect, not count: count() would take the pushed get_summary
+    // path and never exercise the drain
+    assert(df.collect().length == 10) // 4 + (4 then drain 2)
     // a pushed filter sees the same complete row set (pushdown can never
     // change visible results vs residual filtering)
     val pushed = df.filter(col("email") === "p9@x.com").collect()
@@ -141,6 +152,31 @@ class DataSourceV2Spec extends SparkSpec {
       body)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains(") Filter "), plan.take(600))
+  }
+
+  test("COUNT(*) pushes to get_summary: one number, zero row transfer") {
+    import graft.sources.Transports.FileServerTransport
+    // participants: the count comes from the token_count statistic and
+    // NO list_participants RPC ever fires — the reference's own
+    // server-delegated count (limesurvey.py get_summary), §2.7's last
+    // unmapped hook
+    FileServerTransport.posts.clear()
+    assert(read("participants").count() == 10L)
+    def bodies = FileServerTransport.posts.toArray.toSeq
+      .map(_.asInstanceOf[(Long, String)]._2)
+    assert(bodies.exists(_.contains("get_summary")), bodies.mkString(";"))
+    assert(!bodies.exists(_.contains("list_participants")), bodies.mkString(";"))
+    // responses: full_responses, no export fetch beyond the planning-
+    // time schema inference
+    assert(read("responses").count() == 3L)
+    assert(bodies.count(_.contains("get_summary")) >= 2, bodies.mkString(";"))
+    // a filtered count must NOT push the aggregate: get_summary counts
+    // the whole survey, so the rows scan (with the pushed condition)
+    // and Spark counts them
+    FileServerTransport.posts.clear()
+    assert(read("participants").filter(col("tid") > "5").count() == 4L)
+    assert(bodies.exists(_.contains("list_participants")), bodies.mkString(";"))
+    assert(!bodies.exists(_.contains("get_summary")), bodies.mkString(";"))
   }
 
   test("non-ASCII range bound stays residual (UTF-16 vs UTF-8 order divergence)") {

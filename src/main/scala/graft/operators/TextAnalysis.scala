@@ -1455,26 +1455,51 @@ object TextAnalysis {
     * statistics-sized class, same bound as the q121 percent-rank).
     * Docs with <2 tokens have no bigrams and are dropped (mirrored in
     * the oracle). */
+  /** Bucketed adjacent-bigram count table over a `__t`-text frame —
+    * the shared sufficient statistic of [[lmPerplexityBuckets]] and
+    * [[lmTrain]]. Token hashes land in a REAL column before the pair
+    * HOF (the hoisting contract: each token is md5'd once, not once
+    * per pair). */
+  private def bigramBucketPairs(shaped: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame =
+    shaped
+      .withColumn("__h",
+        transform(tokens(col("__t")),
+          t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
+      .select(keys.map(col) :+ explode(when(size(col("__h")) >= 2,
+        transform(sequence(lit(0), size(col("__h")) - 2),
+          i => struct(element_at(col("__h"), i + 1).as("b1"),
+            element_at(col("__h"), i + 2).as("b2"))))
+        .otherwise(array().cast("array<struct<b1:bigint,b2:bigint>>")))
+        .as("__p"): _*)
+      .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2"): _*)
+      .groupBy((keys ++ Seq("b1", "b2")).map(col): _*)
+      .agg(count(lit(1)).as("m"))
+
+  /** The deployable half of [[lmPerplexityBuckets]] (the nbTrain
+    * pattern): train the hashed-bigram LM on a reference corpus once
+    * and export it AS DATA — `(b1, b2, c12)` observed-pair counts, the
+    * model's complete sufficient statistic (margins and smoothing
+    * derive from it) — so a stream
+    * ([[graft.streaming.CurationStream.lmQualityGate]]) or another
+    * engine can score without touching the training corpus. Same
+    * bucketing, same counts: a batch-scored doc and a stream-scored
+    * doc agree bit-for-bit (StreamingSpec parity). */
+  def lmTrain(reference: DataFrame, refText: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    bigramBucketPairs(Parallelism.ensure(
+      reference.select(refText.as("__t")).filter(col("__t").isNotNull)),
+      Nil, buckets)
+      .withColumnRenamed("m", "c12")
+  }
+
   def lmPerplexityBuckets(df: DataFrame, idCol: String, text: Column,
       reference: DataFrame, refText: Column,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 2, "need at least 2 hash buckets")
-    // token hashes land in a REAL column before the pair HOF (the
-    // hoisting contract: each token is md5'd once, not once per pair)
     def pairTable(shaped: DataFrame, keys: Seq[String]): DataFrame =
-      shaped
-        .withColumn("__h",
-          transform(tokens(col("__t")),
-            t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
-        .select(keys.map(col) :+ explode(when(size(col("__h")) >= 2,
-          transform(sequence(lit(0), size(col("__h")) - 2),
-            i => struct(element_at(col("__h"), i + 1).as("b1"),
-              element_at(col("__h"), i + 2).as("b2"))))
-          .otherwise(array().cast("array<struct<b1:bigint,b2:bigint>>")))
-          .as("__p"): _*)
-        .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2"): _*)
-        .groupBy((keys ++ Seq("b1", "b2")).map(col): _*)
-        .agg(count(lit(1)).as("m"))
+      bigramBucketPairs(shaped, keys, buckets)
     // the reference pass runs ONCE into a checkpointed ≤B²-row pair
     // table (tiny — eager local checkpoint; partitioning irrelevant,
     // both consumers are full aggregates), and the model — pair counts
@@ -1485,9 +1510,7 @@ object TextAnalysis {
     // nll is then a pure lookup, and the doc aggregate is
     // exchange-free on the up-front doc hash layout. Same smoothing,
     // same quantizer — oracle unchanged.
-    val model = pairTable(Parallelism.ensure(
-      reference.select(refText.as("__t")).filter(col("__t").isNotNull)),
-      Nil).withColumnRenamed("m", "c12")
+    val model = lmTrain(reference, refText, buckets)
       .localCheckpoint(true)
     val packed = broadcast(model
       .groupBy().agg(map_from_entries(collect_list(struct(

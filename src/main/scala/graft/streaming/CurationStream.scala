@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -194,6 +194,64 @@ object CurationStream {
               col("__dflt")))))
       .withColumn("nb_pos", coalesce(col("nb_micro") > 0L, lit(false)))
       .drop("__llr", "__prior", "__dflt")
+  }
+
+  /** Stateless streaming CCNet perplexity gate — the deployment half
+    * of the [[graft.operators.TextAnalysis.lmPerplexityBuckets]]
+    * lifecycle ([[nbQualityGate]]'s pattern): train the hashed-bigram
+    * LM on the reference lake in batch
+    * ([[graft.operators.TextAnalysis.lmTrain]] — the `(b1,b2,c12)`
+    * pair counts ARE the model), broadcast it packed into ONE row as
+    * two maps (pair counts keyed `b1·B+b2`, margins keyed `b1`), and
+    * score the live firehose per row: the token-hash array binds to a
+    * REAL column once, and `nll_micro` is an exact long fold over
+    * adjacent pairs with the batch operator's own smoothing and
+    * quantizer — a batch-scored and a stream-scored doc agree
+    * bit-for-bit (StreamingSpec parity). No explode, no streaming
+    * aggregate, no state.
+    *
+    * The tercile CUT is corpus-relative and cannot stream; the gate
+    * takes the fixed `maxMeanMicro` threshold instead (export the
+    * batch run's head/middle boundary — CCNet itself deploys the
+    * trained cut as a constant). Null-text docs score NULL and gate
+    * false; docs with <2 tokens have no bigram evidence (`n_pairs`
+    * 0, NULL mean) and gate false — the batch operator DROPS those
+    * docs, the stream keeps the row so the caller sees a verdict per
+    * doc. */
+  def lmQualityGate(docs: DataFrame, model: DataFrame,
+      maxMeanMicro: Long, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val packed = broadcast(model
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        col("b1") * buckets + col("b2"), col("c12")))).as("__pm"))
+      .crossJoin(model.groupBy("b1").agg(sum(col("c12")).as("c1"))
+        .groupBy().agg(map_from_entries(collect_list(struct(
+          col("b1"), col("c1")))).as("__c1"))))
+    def nllOf(b1: Column, b2: Column): Column =
+      floor(log(
+        (coalesce(element_at(col("__c1"), b1), lit(0L)) +
+          lit(buckets.toLong)).cast("double") /
+          (coalesce(element_at(col("__pm"), b1 * buckets + b2), lit(0L)) +
+            lit(1L)).cast("double")) * 1e6 + 0.5).cast("long")
+    docs.crossJoin(packed)
+      .withColumn("__h",
+        transform(TextAnalysis.tokens(col("text")),
+          t => pmod(graft.functions.Hashing.hexLong(t),
+            lit(buckets.toLong))))
+      .withColumn("n_pairs",
+        when(col("text").isNotNull,
+          greatest(size(col("__h")) - 1, lit(0)).cast("long")))
+      .withColumn("nll_micro",
+        when(col("text").isNotNull && size(col("__h")) >= 2,
+          aggregate(sequence(lit(0), size(col("__h")) - 2), lit(0L),
+            (acc, i) => acc + nllOf(
+              element_at(col("__h"), (i + 1).cast("int")),
+              element_at(col("__h"), (i + 2).cast("int"))))))
+      .withColumn("mean_micro",
+        when(col("n_pairs") > 0L, expr("nll_micro div n_pairs")))
+      .withColumn("lm_pass",
+        coalesce(col("mean_micro") <= maxMeanMicro, lit(false)))
+      .drop("__h", "__pm", "__c1")
   }
 
   /** Incremental funnel report: docs per stage per event-time window —

@@ -623,4 +623,64 @@ class StreamingSpec extends SparkSpec {
     // null text: no score, gated false, row not swallowed
     assert(out(101L)._3.isEmpty && !out(101L)._4, out(101L).toString)
   }
+
+  test("streaming LM perplexity gate scores bit-identically to the batch buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun",
+      "a quick brown fox and a lazy dog meet again")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps again"),   // reference-like → low nll
+      (2L, "zzz qqq vvv www unseen gibberish"),  // unseen pairs → high nll
+      (3L, "the quick brown cat naps"),
+      (4L, "solo"),                               // <2 tokens: no evidence
+      (5L, null.asInstanceOf[String]))            // null text
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.lmTrain(reference, col("text")).cache()
+    val batch = TextAnalysis.lmPerplexityBuckets(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("n_pairs"), col("nll_micro"),
+        col("mean_micro"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // threshold between the clean and gibberish means: the gate decision
+    // must fire BOTH ways (the q131 non-vacuity lesson)
+    val cut = (batch(1L)._4 + batch(2L)._4) / 2
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.lmQualityGate(
+        input.toDF().toDF("doc_id", "text"), model, maxMeanMicro = cut)
+      .select(col("doc_id"), col("n_pairs"), col("nll_micro"),
+        col("mean_micro"), col("lm_pass"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_gate").start()
+    val out = try {
+      input.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      spark.table("lm_gate")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    // scored docs: stream == batch, bit for bit
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2.contains(batch(id)._2) &&
+        out(id)._3.contains(batch(id)._3) &&
+        out(id)._4.contains(batch(id)._4),
+        s"doc $id: stream ${out(id)} vs batch ${batch(id)}")
+    }
+    // the decision fires both ways around the cut
+    assert(out(1L)._5 && out(3L)._5 && !out(2L)._5, out.toString)
+    // batch DROPS the <2-token and null docs; the stream keeps the rows
+    // with no evidence and gates them false (per-doc verdict contract)
+    assert(!batch.contains(4L) && !batch.contains(5L))
+    assert(out(4L)._2.contains(0L) && out(4L)._4.isEmpty && !out(4L)._5,
+      out(4L).toString)
+    assert(out(5L)._2.isEmpty && out(5L)._4.isEmpty && !out(5L)._5,
+      out(5L).toString)
+    model.unpersist()
+  }
 }

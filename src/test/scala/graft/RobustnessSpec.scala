@@ -386,6 +386,77 @@ class RobustnessSpec extends SparkSpec {
       li("l_quantity").dataType == DoubleType)
   }
 
+  test("text tier over a real corpus slice with injected NULL/empty docs") {
+    // the q120 lesson generalized: an oracle hash-match can pass while a
+    // null/empty doc silently crashes (ANSI) or silently vanishes where
+    // the contract says "scored null". Run the tier over sf0.001
+    // documents UNIONED with adversarial rows and pin each operator's
+    // null-doc contract.
+    val clean = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).limit(200).cache()
+    val nClean = clean.count()
+    val spiked = clean.unionByName(Seq(
+      (900001L, null.asInstanceOf[String]), // null text
+      (900002L, ""),                        // empty string
+      (900003L, "   "),                     // whitespace only
+      (900004L, "solo"))                    // one token, no bigrams
+      .toDF("doc_id", "text")).cache()
+    try {
+      val adversarial = Set(900001L, 900002L, 900003L, 900004L)
+      // quality features: every row keeps a verdict (null text scores 0
+      // via the length gate, never throws)
+      val q = TextAnalysis.qualityFeatures(spiked, col("text"))
+      assert(q.count() == nClean + 4)
+      // exact dedup survives (a null/empty fingerprint must not seed a
+      // false multi-doc dup family)
+      val exact = Dedup.exact(spiked, "doc_id", col("text"))
+      assert(exact.filter(col("keep_id").isin(adversarial.toSeq: _*) &&
+        col("n_dups") > 1).count() == 0)
+      // MinHash banding: adversarial docs may only pair with each other
+      // (empty/whitespace shingle to the same empty-string shingle),
+      // never drag a real doc into a cluster
+      val cand = Dedup.minHashCandidates(spiked, "doc_id", col("text"))
+      assert(cand.filter(
+        (col("doc_a").isin(adversarial.toSeq: _*) &&
+          !col("doc_b").isin(adversarial.toSeq: _*)) ||
+        (col("doc_b").isin(adversarial.toSeq: _*) &&
+          !col("doc_a").isin(adversarial.toSeq: _*))).count() == 0)
+      // winnowing fingerprints: too-short docs contribute nothing
+      val fps = TextAnalysis.winnowFingerprints(spiked, "doc_id",
+        col("text"))
+      assert(fps.filter(col("doc") === 900001L).count() == 0)
+      // NB classifier: null text dropped (no features), the rest scored
+      val nb = TextAnalysis.nbClassifier(spiked, "doc_id", col("text"),
+        col("doc_id") % 2 === 0)
+      assert(nb.count() == nClean + 3)
+      assert(nb.filter(col("doc") === 900001L).count() == 0)
+      // DSIR weights: null dropped, single-token doc has ZERO bigram
+      // features and must not surface with a phantom weight
+      val dsir = TextAnalysis.dsirWeights(spiked, "doc_id", col("text"),
+        clean.limit(50), col("text"))
+      assert(dsir.filter(col("doc").isin(900001L, 900004L)).count() == 0)
+      // perplexity buckets: evidence-free docs drop, everything else
+      // scores (null reference rows are filtered by the trainer too)
+      val ppl = TextAnalysis.lmPerplexityBuckets(spiked, "doc_id",
+        col("text"), spiked, col("text"))
+      assert(ppl.filter(col("doc").isin(900001L, 900004L)).count() == 0)
+      assert(ppl.count() >= nClean)
+      // span corruption: null dropped, the rest emit valid pairs
+      val span = TextAnalysis.spanCorruption(spiked, "doc_id", col("text"))
+      assert(span.filter(col("doc") === 900001L).count() == 0)
+      assert(span.count() == nClean + 3)
+      // boilerplate density: whitespace/empty docs are too short to
+      // fingerprint — absent, not NaN
+      val boiler = TextAnalysis.boilerplateDensity(spiked, "doc_id",
+        col("text"))
+      assert(boiler.filter(col("doc") === 900002L).count() == 0)
+      assert(boiler.filter(col("boiler_micro").isNull).count() == 0)
+      // non-vacuity: the clean slice actually exercised the operators
+      assert(q.filter(col("quality_score") > 0).count() > 0)
+      assert(fps.count() > 0 && nb.count() > 0)
+    } finally { clean.unpersist(); spiked.unpersist() }
+  }
+
   test("typed pipeline outputs round-trip through their case classes") {
     val json = """{ "responses": [
       { "1": { "id": "1", "datestamp": "2018-03-01 10:00:00", "submitdate": "2018-03-01 10:00:00", "startdate": "x", "lastpage": "3", "startlanguage": "pt", "q01": "A4", "q03": "a@x.com", "q06": "BR1", "q12": "mail", "q22": "R1" } }

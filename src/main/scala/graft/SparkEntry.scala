@@ -844,6 +844,14 @@ object SparkEntry {
           col("boiler_micro"))
     }),
 
+    // multi-round BPE merge training (Sennrich 2016): eight greedy
+    // rounds over the word-frequency vocabulary — pair counts, argmax
+    // merge, left-to-right rewrite — the learned merge table a BPE
+    // tokenizer ships; completes q116's single round
+    "q136_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), col("text"),
+        nMerges = 8)),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3012,6 +3020,37 @@ object SparkEntry {
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS boiler_micro
          FROM ex JOIN freq USING (f) GROUP BY 1"""
+    },
+
+    "q136_bpe_train" -> {
+      // unrolled per-round CTEs (the q114 pattern): pair counts over
+      // the symbolized vocabulary, deterministic argmax (count desc,
+      // then pair), greedy left-to-right rewrite via a list_reduce
+      // whose fold order matches the Spark aggregate() exactly
+      // (non-overlapping: [a,a,a] + (a,a) -> [aa,a])
+      def round(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""p$i AS (SELECT s.a AS a, s.b AS b, CAST(sum(wc) AS BIGINT) AS n FROM
+             (SELECT wc, unnest(list_transform(range(1, len(syms)),
+                j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS s
+              FROM $prev WHERE len(syms) >= 2) GROUP BY 1, 2),
+           b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           v$i AS (SELECT list_reduce(list_transform(syms, x -> [x]),
+                (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
+                  THEN acc[1:len(acc) - 1] || [b$i.a || b$i.b]
+                  ELSE acc || x END) AS syms, wc
+              FROM $prev, b$i)"""
+      }
+      s"""WITH v0 AS (SELECT list_transform(range(1, length(word) + 1),
+             i -> substr(word, i, 1)) AS syms,
+             CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE length(word) >= 1 GROUP BY word),
+         ${(1 to 8).map(round).mkString(",\n         ")}
+         ${(1 to 8).map(i =>
+           s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
+             s"n AS n_occurrences FROM b$i")
+           .mkString("\n         UNION ALL ")}"""
     },
 
     "q131_nb_classifier" -> {

@@ -1127,6 +1127,75 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Multi-round BPE merge training (Sennrich 2016 §3, public): the
+    * iterative completion of [[bpePairStats]] — run `nMerges` greedy
+    * rounds, each counting adjacent symbol pairs over the
+    * word-frequency vocabulary (weighted by word count, with
+    * multiplicity), merging the most frequent pair corpus-wide
+    * (tie-break: count desc, then (sym_a, sym_b) ascending — fully
+    * deterministic), and rewriting every word's symbol sequence with a
+    * greedy LEFT-TO-RIGHT non-overlapping fold ("aaa" + merge (a,a) →
+    * ["aa","a"], the reference implementation's scan order). Returns
+    * the learned merge table `(round, sym_a, sym_b, n_occurrences)` —
+    * the artifact a BPE tokenizer ships.
+    *
+    * Shape (the CC/PageRank iterative contract): the corpus is
+    * touched ONCE — the word-frequency vocabulary aggregate — and
+    * every round runs over the VOCAB-bounded symbol table: pair
+    * explode (vocab × word length), pair hash-aggregate, a bounded
+    * `orderBy.limit(1)` argmax, then a narrow per-row rewrite fold
+    * into a fresh eager checkpoint (lineage would otherwise stack one
+    * fold per round). The one `.collect()` moves exactly ONE row per
+    * round to the driver (the chosen pair — the merge decision every
+    * executor must agree on next round; same bounded-driver-state
+    * class as the IVF probe list). Rounds stop early when no pair
+    * remains (every word fully merged). */
+  def bpeTrain(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    val spark = df.sparkSession
+    var vocab = Parallelism.ensure(df.select(text.as("__t")))
+      .select(explode(tokens(col("__t"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"), col("wc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] as a, syms[i + 1] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((round, a, b, n))
+        val merged = a + b
+        vocab = vocab.select(
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("wc"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "n_occurrences")
+      .select(col("round").cast(LongType), col("sym_a"), col("sym_b"),
+        col("n_occurrences"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS scheme, public): hash every positional word `k`-gram, slide a

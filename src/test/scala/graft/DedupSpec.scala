@@ -395,6 +395,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(("aa", 4L), ("bb", 1L)))
   }
 
+  test("bpeTrain: agrees with a JVM reference BPE; best count monotone; greedy fold order") {
+    // tiny in-test reference implementation (Sennrich 2016's algorithm
+    // verbatim: count weighted adjacent pairs, merge the argmax
+    // left-to-right, repeat) — the distributed trainer must agree
+    // exactly, tie-breaks included
+    def jvmBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.nonEmpty) {
+          val ((a, b), cnt) = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head
+          out += ((r, a, b, cnt))
+          vocab = vocab.map { case (syms, c) =>
+            val acc = scala.collection.mutable.ListBuffer.empty[String]
+            syms.foreach { s =>
+              if (acc.nonEmpty && acc.last == a && s == b)
+                acc(acc.size - 1) = a + b
+              else acc += s
+            }
+            (acc.toList, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    // "ababab" exercises the greedy non-overlap fold; "aaa" the
+    // self-pair multiplicity; low/lower/lowest the classic example
+    val docs = Seq("low low low lower lowest", "ababab ababab aaa aaa aaa")
+      .toDF("text")
+    val words = Map("low" -> 3L, "lower" -> 1L, "lowest" -> 1L,
+      "ababab" -> 2L, "aaa" -> 3L)
+    val expected = jvmBpe(words, 6)
+    val got = TextAnalysis.bpeTrain(docs, col("text"), nMerges = 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+      .map(r => (r._1.toInt, r._2, r._3, r._4))
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // the winning count is monotonically non-increasing: merges only
+    // remove occurrences of existing pairs, and a freshly created pair
+    // (x, ab) can never occur more often than the merge that minted ab
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse, got.toString)
+    // early exhaustion: single-char words offer no pair — no rounds run
+    val none = TextAnalysis.bpeTrain(Seq("a b c").toDF("text"),
+      col("text"), nMerges = 3)
+    assert(none.count() == 0)
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"

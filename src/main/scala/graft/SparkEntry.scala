@@ -852,6 +852,30 @@ object SparkEntry {
       TextAnalysis.bpeTrain(Tables.documents(s, d), col("text"),
         nMerges = 8)),
 
+    // BPE application: encode every word with the learned merges and
+    // report per-doc subword counts + fertility (tokens per word) —
+    // the standard tokenizer-quality metric
+    "q137_bpe_fertility" -> ((s, d) =>
+      TextAnalysis.bpeSubwordStats(Tables.documents(s, d), "doc_id",
+        col("text"), nMerges = 8)
+        .select(col("doc").as("doc_id"), col("n_words"),
+          col("n_subwords"), col("fertility_micro"))),
+
+    // denoised hard negatives (RocketQA): different-label top-k
+    // calibrated against the labeled positive — candidates within the
+    // margin of pos_micro are likely unlabeled positives and excluded
+    "q138_denoised_negatives" -> ((s, d) =>
+      Similarity.denoisedHardNegatives(Tables.embeddings(s, d),
+        col("vec_id") < 40, k = 5, marginMicro = 20000L)),
+
+    // contrastive span pairs (Contriever independent cropping):
+    // hash-derandomized positive pairs for dense-retriever pretraining
+    "q139_span_pairs" -> ((s, d) =>
+      TextAnalysis.contrastiveSpanPairs(Tables.documents(s, d), "doc_id",
+        col("text"))
+        .select(col("doc").as("doc_id"), col("a_start"), col("a_len"),
+          col("span_a"), col("b_start"), col("b_len"), col("span_b"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3051,6 +3075,79 @@ object SparkEntry {
            s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
              s"n AS n_occurrences FROM b$i")
            .mkString("\n         UNION ALL ")}"""
+    },
+
+    "q137_bpe_fertility" -> {
+      // the q136 merge chain with `word` carried through the rewrites,
+      // then each doc's word occurrences join the encoded vocabulary
+      def round(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""p$i AS (SELECT s.a AS a, s.b AS b, CAST(sum(wc) AS BIGINT) AS n FROM
+             (SELECT wc, unnest(list_transform(range(1, len(syms)),
+                j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS s
+              FROM $prev WHERE len(syms) >= 2) GROUP BY 1, 2),
+           b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           v$i AS (SELECT word, list_reduce(list_transform(syms, x -> [x]),
+                (acc, x) -> CASE WHEN acc[-1] = b$i.a AND x[1] = b$i.b
+                  THEN acc[1:len(acc) - 1] || [b$i.a || b$i.b]
+                  ELSE acc || x END) AS syms, wc
+              FROM $prev, b$i)"""
+      }
+      s"""WITH dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE length(word) >= 1 GROUP BY 1, 2),
+         v0 AS (SELECT word, list_transform(range(1, length(word) + 1),
+             i -> substr(word, i, 1)) AS syms,
+             CAST(sum(n) AS BIGINT) AS wc
+           FROM dw GROUP BY word),
+         ${(1 to 8).map(round).mkString(",\n         ")},
+         enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS ns FROM v8)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(sum(n * ns) AS BIGINT) AS n_subwords,
+           CAST(sum(n * ns) * 1000000 // sum(n) AS BIGINT) AS fertility_micro
+         FROM dw JOIN enc USING (word) GROUP BY 1"""
+    },
+
+    "q138_denoised_negatives" -> {
+      val cos = cosineSql("qe", "e.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             label FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe, label AS ql
+               FROM e WHERE vec_id < 40),
+         sim AS (SELECT query_id, ql, e.vec_id AS neighbor_id,
+                 e.label AS cl,
+                 CAST(floor($cos * 1e6 + 0.5) AS BIGINT) AS cos_micro
+                 FROM q, e WHERE query_id <> e.vec_id),
+         pos AS (SELECT query_id, max(cos_micro) AS pos_micro FROM sim
+                 WHERE ql = cl GROUP BY 1),
+         negs AS (SELECT s.query_id, neighbor_id, cos_micro, pos_micro
+                  FROM sim s JOIN pos USING (query_id)
+                  WHERE ql <> cl AND cos_micro < pos_micro - 20000),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_micro DESC, neighbor_id) AS rn FROM negs)
+         SELECT query_id, neighbor_id, cos_micro, pos_micro,
+           CAST(rn AS BIGINT) AS neg_rank FROM r WHERE rn <= 5"""
+    },
+
+    "q139_span_pairs" -> {
+      val h = sqlHexLong("doc_id || '#crop'")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, $h AS h
+           FROM documents WHERE text IS NOT NULL),
+         p AS (SELECT doc_id, w,
+             3 + ((h >> 8) % 4) AS a_len, 3 + ((h >> 24) % 4) AS b_len, h
+           FROM d WHERE len(w) >= 8),
+         s AS (SELECT doc_id, w, a_len, b_len,
+             (h >> 16) % (len(w) - a_len + 1) AS a_start,
+             (h >> 32) % (len(w) - b_len + 1) AS b_start
+           FROM p)
+         SELECT doc_id, CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_len AS BIGINT) AS a_len,
+           array_to_string(w[a_start + 1 : a_start + a_len], ' ') AS span_a,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(b_len AS BIGINT) AS b_len,
+           array_to_string(w[b_start + 1 : b_start + b_len], ' ') AS span_b
+         FROM s"""
     },
 
     "q131_nb_classifier" -> {

@@ -105,6 +105,55 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Denoised hard negatives (RocketQA, Qu et al. 2021 §4.1 — public):
+    * [[filteredKnn]]'s hard negatives minus the FALSE negatives. A
+    * plain "most similar with a different label" mine surfaces
+    * unlabeled positives — candidates nearly as similar as the true
+    * positive — and training on them as negatives is what RocketQA's
+    * denoising removes. Here: per query, `pos_micro` is the best
+    * same-label similarity (the labeled positive's score), and only
+    * different-label candidates STRICTLY BELOW `pos_micro -
+    * marginMicro` survive into the bounded top-k — hard, but provably
+    * not positive-grade. Similarities are exact integer micro-cosines
+    * (`floor(cos·1e6 + 0.5)`, the q134 determinism contract); ties
+    * break by neighbor id.
+    *
+    * Queries with NO same-label partner have no positive to calibrate
+    * against and are dropped (emitting uncalibrated negatives would be
+    * exactly the noise this operator exists to remove).
+    *
+    * Shape: one scored query×corpus pass (queries are the
+    * statistics-sized side, broadcast), the |queries|-row positive
+    * table re-aggregated from it and broadcast back, then
+    * [[Relational.topKPerGroup]]'s bounded per-group buffer — no
+    * window, no corpus sort. */
+  def denoisedHardNegatives(emb: DataFrame, isQuery: Column, k: Int,
+      marginMicro: Long): DataFrame = {
+    require(k >= 1, "need at least one negative")
+    require(marginMicro >= 0L, "margin must be non-negative")
+    val scored = Parallelism.ensure(
+        emb.select(col("vec_id"), col("embedding"), col("label"))).as("c")
+      .join(broadcast(emb.filter(isQuery)
+        .select(col("vec_id"), col("embedding"), col("label")).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        (col("q.label") === col("c.label")).as("__same"),
+        col("c.vec_id").as("neighbor_id"),
+        floor(cosine(col("q.embedding"), col("c.embedding")) * 1e6 + 0.5)
+          .cast(LongType).as("cos_micro"))
+      .localCheckpoint(true) // feeds the positive table AND the mine
+    val pos = scored.filter(col("__same"))
+      .groupBy("query_id").agg(max(col("cos_micro")).as("pos_micro"))
+    val negs = scored.filter(!col("__same"))
+      .join(broadcast(pos), Seq("query_id"))
+      .filter(col("cos_micro") < col("pos_micro") - marginMicro)
+    Relational.topKPerGroup(negs, Seq("query_id", "pos_micro"),
+        col("cos_micro"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("score").cast(LongType).as("cos_micro"), col("pos_micro"),
+        col("rank").cast(LongType).as("neg_rank"))
+  }
+
   /** Sign-bit signature under `nBits` pseudo-random hyperplanes, via the
     * native fused-loop expression (graft.functions.LshBucketSig). The
     * hyperplanes are derived deterministically from md5 of

@@ -1153,11 +1153,25 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
     require(nMerges >= 1, "need at least one merge round")
     val spark = df.sparkSession
-    var vocab = Parallelism.ensure(df.select(text.as("__t")))
+    val vocab0 = Parallelism.ensure(df.select(text.as("__t")))
       .select(explode(tokens(col("__t"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
-      .select(expr(
+    val (merges, _) = bpeMergeLoop(vocab0, nMerges)
+    import spark.implicits._
+    merges.toDF("round", "sym_a", "sym_b", "n_occurrences")
+      .select(col("round").cast(LongType), col("sym_a"), col("sym_b"),
+        col("n_occurrences"))
+  }
+
+  /** The shared merge loop: takes a `(word, wc)` vocabulary, runs the
+    * greedy rounds, returns the learned merges AND the final
+    * `(word, syms, wc)` symbolized vocabulary (what [[bpeSubwordStats]]
+    * encodes against). */
+  private def bpeMergeLoop(vocab0: DataFrame, nMerges: Int):
+      (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = vocab0
+      .select(col("word"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"), col("wc"))
       .localCheckpoint(true)
@@ -1179,7 +1193,7 @@ object TextAnalysis {
           best(0).getLong(2))
         merges += ((round, a, b, n))
         val merged = a + b
-        vocab = vocab.select(
+        vocab = vocab.select(col("word"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, s) => when(size(acc) > 0 &&
                 element_at(acc, -1) === lit(a) && s === lit(b),
@@ -1190,10 +1204,84 @@ object TextAnalysis {
         round += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "n_occurrences")
-      .select(col("round").cast(LongType), col("sym_a"), col("sym_b"),
-        col("n_occurrences"))
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE tokenization statistics — the APPLICATION half of [[bpeTrain]]
+    * and the standard tokenizer-quality metric (fertility = subword
+    * tokens per word, Rust et al. 2021, public): train `nMerges`
+    * merges on the corpus's own vocabulary, encode every word with
+    * them, and report per-document word/subword counts and the exact
+    * integer fertility ratio.
+    *
+    * Shape: ONE corpus pass into a checkpointed `(doc, word, n)`
+    * occurrence table; the vocabulary (and the whole merge loop) runs
+    * over its word-level projection, so each distinct word is encoded
+    * ONCE no matter how often it occurs; the per-doc roll-up is an
+    * unhinted join of the occurrence table against the vocab-bounded
+    * `(word, n_subwords)` encoding and one aggregate. */
+  def bpeSubwordStats(df: DataFrame, idCol: String, text: Column,
+      nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    val docWord = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(tokens(col("__t"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc", "word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocab0 = docWord.groupBy("word").agg(sum(col("n")).as("wc"))
+    val (_, encoded) = bpeMergeLoop(vocab0, nMerges)
+    docWord
+      .join(encoded.select(col("word"),
+        size(col("syms")).cast(LongType).as("__ns")), "word")
+      .groupBy("doc")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("__ns")).as("n_subwords"))
+      .withColumn("fertility_micro",
+        expr("n_subwords * 1000000 div n_words"))
+  }
+
+  /** Contrastive span-pair sampling (Contriever's independent cropping
+    * — Izacard et al. 2021 §4.1, public): every sufficiently long
+    * document yields TWO independently cropped token spans, the
+    * positive pair for unsupervised dense-retriever pretraining.
+    * Sampling is hash-derandomized (the q40/q90/q133 determinism
+    * contract): span lengths and starts draw on DISJOINT bit ranges of
+    * one md5 per doc (shifts, not divisions), so the same doc always
+    * crops the same way, on any engine. Spans may overlap — Contriever
+    * explicitly permits it. Docs with fewer than `minTokens` tokens
+    * (≥ `minLen + lenSpread - 1`, so every start modulus is positive)
+    * are dropped.
+    *
+    * Shape: pure per-row map — token array projected ONCE (the
+    * HOF-hoisting contract), no shuffle, no state. */
+  def contrastiveSpanPairs(df: DataFrame, idCol: String, text: Column,
+      minTokens: Int = 8, minLen: Int = 3, lenSpread: Int = 4): DataFrame = {
+    require(minLen >= 1 && lenSpread >= 1, "degenerate crop params")
+    require(minTokens >= minLen + lenSpread - 1,
+      "minTokens must cover the longest crop")
+    val toks = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(text.isNotNull))
+      .withColumn("__w", tokens(col("__t")))
+      .filter(size(col("__w")) >= minTokens)
+    val h = Hashing.hexLong(concat(col("doc").cast("string"), lit("#crop")))
+    def len(shift: Int): Column =
+      lit(minLen.toLong) + pmod(shiftright(h, shift), lit(lenSpread.toLong))
+    def start(shift: Int, lenCol: Column): Column =
+      pmod(shiftright(h, shift),
+        size(col("__w")).cast(LongType) - lenCol + 1L)
+    def span(startCol: Column, lenCol: Column): Column =
+      concat_ws(" ", slice(col("__w"), (startCol + 1L).cast("int"),
+        lenCol.cast("int")))
+    toks
+      .withColumn("a_len", len(8))
+      .withColumn("a_start", start(16, col("a_len")))
+      .withColumn("b_len", len(24))
+      .withColumn("b_start", start(32, col("b_len")))
+      .select(col("doc"),
+        col("a_start"), col("a_len"), span(col("a_start"), col("a_len")).as("span_a"),
+        col("b_start"), col("b_len"), span(col("b_start"), col("b_len")).as("span_b"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,

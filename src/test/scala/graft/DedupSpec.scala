@@ -447,6 +447,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("bpeSubwordStats: fertility over the learned merges, hand-checked") {
+    // corpus "aa aa ab": vocab aa:2 ab:1. Round 1 merges (a,a) n=2 →
+    // aa=[aa] (1 sym), ab stays [a,b]. Round 2 merges (a,b) n=1 →
+    // ab=[ab]. Doc 1 = "aa aa ab": 3 words, 1+1+1 subwords after 2
+    // merges → fertility 1.0; with nMerges=1 it is (1+1+2)/3
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val two = TextAnalysis.bpeSubwordStats(docs, "doc_id", col("text"),
+      nMerges = 2).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(two == Seq((1L, 3L, 3L, 1000000L)), two.toString)
+    val one = TextAnalysis.bpeSubwordStats(docs, "doc_id", col("text"),
+      nMerges = 1).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 3L, 4L, 1333333L)), one.toString)
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"
@@ -1432,6 +1446,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastiveSpanPairs: crops in bounds, deterministic, short docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map("w" + _).mkString(" ")),
+      (2L, "a b c d e f g h"),                 // exactly minTokens
+      (3L, "too short"),                        // dropped
+      (4L, null.asInstanceOf[String]))          // dropped
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.contrastiveSpanPairs(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long, String, Long, Long, String)].collect()
+      .sortBy(_._1)
+    val out = run()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(run().toSeq == out.toSeq) // hash-derandomized: identical reruns
+    out.foreach { case (id, as, al, sa, bs, bl, sb) =>
+      val toks = (if (id == 1L) (1 to 40).map("w" + _) else "abcdefgh".map(_.toString)).toSeq
+      // lengths in [3, 6], spans inside the doc, text matches position
+      assert(al >= 3 && al <= 6 && bl >= 3 && bl <= 6, out.mkString(";"))
+      assert(as >= 0 && as + al <= toks.size && bs >= 0 && bs + bl <= toks.size)
+      assert(sa == toks.slice(as.toInt, (as + al).toInt).mkString(" "))
+      assert(sb == toks.slice(bs.toInt, (bs + bl).toInt).mkString(" "))
+    }
+    // the two crops are independent draws: not forced identical
+    assert(out.exists(r => (r._2, r._3) != (r._5, r._6)), out.mkString(";"))
+  }
+
   test("spanCorruption: sentinels pair 1:1, token conservation, deterministic") {
     import spark.implicits._
     val long = (1 to 400).map("w" + _).mkString(" ") // 50 blocks
@@ -1469,6 +1509,42 @@ class SimilaritySpec extends SparkSpec {
     }
     // hash-derandomized: identical on re-run
     assert(run().toSeq == out.toSeq)
+  }
+
+  test("denoisedHardNegatives: false negatives inside the margin excluded, no-positive queries dropped") {
+    import spark.implicits._
+    // query 1 (label 0): positive 2 at cos≈1; vec 10 (label 5) is an
+    // UNLABELED POSITIVE (cos≈1, within the margin of pos) — must be
+    // denoised away; vecs 11,12 (label 5) are genuinely dissimilar —
+    // the surviving hard negatives. Query 3 (label 9) has no same-label
+    // partner → no calibration → dropped entirely.
+    val vecs: Seq[(Long, Array[Float], Int)] = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.1f, 0f, 0f), 0),      // labeled positive
+      (10L, Array(0.995f, 0.05f, 0f, 0f), 5),   // false negative
+      (11L, Array(0.5f, 0.8f, 0f, 0f), 5),      // hard negative
+      (12L, Array(0f, 1f, 0f, 0f), 5),          // easy negative
+      (3L, Array(0f, 0f, 1f, 0f), 9))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.denoisedHardNegatives(emb,
+        col("vec_id").isin(1L, 3L), k = 5, marginMicro = 50000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.forall(_._1 == 1L), out.toString) // query 3 dropped
+    val negIds = out.sortBy(_._5).map(_._2)
+    // 10 denoised away; 3 and 12 tie at cos 0 → id-ascending order
+    assert(negIds == Seq(11L, 3L, 12L), out.toString)
+    // the excluded candidate really was the MOST similar — plain kNN
+    // would have ranked it first (non-vacuity of the denoising)
+    val plain = Similarity.filteredKnn(
+        emb, emb.filter(col("vec_id") === 1L), 1,
+        col("q.label") =!= col("c.label"))
+      .as[(Long, Long, Double, Long)].collect()
+    assert(plain.head._2 == 10L, plain.toSeq.toString)
+    // pos_micro is the labeled positive's exact micro-cosine
+    val a = vecs(0)._2.map(_.toDouble); val b = vecs(1)._2.map(_.toDouble)
+    val cosAB = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(out.head._4 == math.floor(cosAB * 1e6 + 0.5).toLong, out.toString)
   }
 
   test("bitextMarginMine: true twin mines, hub pairs suppressed by the margin") {

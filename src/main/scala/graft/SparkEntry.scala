@@ -876,6 +876,21 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("a_start"), col("a_len"),
           col("span_a"), col("b_start"), col("b_len"), col("span_b"))),
 
+    // Zipf-law fit: integer-quantized OLS over (ln rank, ln freq) of
+    // the top-1000 vocabulary — the corpus-health probe (natural text
+    // sits near slope -1; template floods drift it)
+    "q140_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), col("text"),
+        topV = 1000)),
+
+    // exact phrase occurrence search: per-row positional matching of a
+    // token sequence ("table hash" occurs organically in the corpus)
+    "q141_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id",
+        col("text"), Seq("table", "hash"))
+        .select(col("doc").as("doc_id"), col("n_matches"),
+          col("first_pos"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3149,6 +3164,60 @@ object SparkEntry {
            array_to_string(w[b_start + 1 : b_start + b_len], ' ') AS span_b
          FROM s"""
     },
+
+    "q140_zipf_fit" -> {
+      // regressors quantize to micro-nat longs; OLS sums are exact
+      // integers; only the final divisions run in double — the same
+      // expression over the same integers on both engines
+      s"""WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE length(word) >= 1 GROUP BY 1
+           ORDER BY freq DESC, word LIMIT 1000),
+         r AS (SELECT freq, row_number() OVER
+             (ORDER BY freq DESC, word) AS rank FROM v),
+         m AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+           FROM r),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy FROM m)
+         SELECT n AS n_terms,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) * 1e6 + 0.5)
+             AS BIGINT) AS slope_micro,
+           CAST(floor((CAST(sy AS DOUBLE) -
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) *
+              CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5)
+             AS BIGINT) AS intercept_micro,
+           CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) * 1e6 + 0.5)
+             AS BIGINT) AS r2_micro
+         FROM s"""
+    },
+
+    "q141_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+         m AS (SELECT doc_id,
+             [i for i in range(0, len(w) - 1)
+              if w[i+1] = 'table' AND w[i+2] = 'hash'] AS hits
+           FROM d WHERE len(w) >= 2)
+         SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] AS BIGINT) AS first_pos
+         FROM m WHERE len(hits) > 0""",
 
     "q131_nb_classifier" -> {
       val h = sqlHexLong("tok")

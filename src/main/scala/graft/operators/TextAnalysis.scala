@@ -1284,6 +1284,101 @@ object TextAnalysis {
         col("b_start"), col("b_len"), span(col("b_start"), col("b_len")).as("span_b"))
   }
 
+  /** Zipf-law fit of the corpus frequency distribution (Zipf 1949,
+    * public; the standard sanity probe on a training corpus — natural
+    * text sits near slope −1, and a drifted slope flags boilerplate
+    * floods or template spam): ordinary least squares over
+    * (ln rank, ln frequency) of the top-`topV` vocabulary.
+    *
+    * Determinism contract (the repo's exact-math discipline): the
+    * per-rank regressors quantize to micro-nat LONGS first
+    * (`floor(ln(·)·1e6 + 0.5)`), the five OLS sums are EXACT integer
+    * aggregates over ≤ topV terms, and only the final slope/intercept/
+    * r² divisions run in double — an identical expression over
+    * identical integers on any engine. Output is ONE row: `n_terms`,
+    * `slope_micro`, `intercept_micro`, `r2_micro`.
+    *
+    * Shape: corpus explode → vocab hash-aggregate (map-side combined)
+    * → bounded top-V (`orderBy.limit`, never a vocab-wide window) →
+    * rank window + OLS over the V-row statistics table. */
+  def zipfFit(df: DataFrame, text: Column, topV: Int = 1000): DataFrame = {
+    require(topV >= 3, "need at least 3 ranks to fit")
+    val vocab = Parallelism.ensure(df.select(text.as("__t")))
+      .select(explode(tokens(col("__t"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(topV)
+    val ranked = vocab.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("word"))))
+    val micro = ranked.select(
+      floor(log(col("rank").cast(DoubleType)) * 1e6 + 0.5)
+        .cast(LongType).as("x"),
+      floor(log(col("freq").cast(DoubleType)) * 1e6 + 0.5)
+        .cast(LongType).as("y"))
+    val sums = micro.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // identical double formula over exact integer sums on every engine
+    val n = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    // degenerate variances null out (nullif — ANSI double division by
+    // zero THROWS): zero x-variance has no fit at all; a zero-variance
+    // y (perfectly flat corpus) still has slope/intercept but r² is 0/0
+    def nz(c: Column): Column = nullif(c, lit(0.0))
+    val slope = (n * d("sxy") - d("sx") * d("sy")) /
+      nz(n * d("sxx") - d("sx") * d("sx"))
+    val intercept = (d("sy") - slope * d("sx")) / n
+    val r2 = ((n * d("sxy") - d("sx") * d("sy")) *
+      (n * d("sxy") - d("sx") * d("sy"))) /
+      nz((n * d("sxx") - d("sx") * d("sx")) *
+        (n * d("syy") - d("sy") * d("sy")))
+    // slope and r² are unitless → scale to micro; the intercept is in
+    // the regressors' own micro-nat units already — no second scaling
+    sums.select(col("n").as("n_terms"),
+      floor(slope * 1e6 + 0.5).cast(LongType).as("slope_micro"),
+      floor(intercept + 0.5).cast(LongType).as("intercept_micro"),
+      floor(r2 * 1e6 + 0.5).cast(LongType).as("r2_micro"))
+  }
+
+  /** Exact phrase occurrence search — the positional-match primitive
+    * behind blocklist filtering and quote detection: how often does
+    * the exact token sequence `phrase` occur in each document, and
+    * where does it first occur. Matching is LOCAL to a document, so
+    * the whole operator is a pure per-row fold over the token array
+    * (the Spark-first answer: no positional inverted index, no join —
+    * an index only pays when the corpus is read many times per query,
+    * and then it is [[postingLists]]' job). Docs with zero matches are
+    * dropped.
+    *
+    * Shape: token array projected ONCE (the HOF-hoisting contract),
+    * one aggregate fold per row counting aligned windows, no shuffle. */
+  def phraseSearch(df: DataFrame, idCol: String, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase must be non-empty tokens")
+    val m = phrase.length
+    val toks = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(text.isNotNull))
+      .withColumn("__w", tokens(col("__t")))
+      .filter(size(col("__w")) >= m)
+    val target = array(phrase.map(lit): _*)
+    val hit = (i: Column) => slice(col("__w"), i + 1, lit(m)) === target
+    toks
+      .withColumn("n_matches",
+        aggregate(sequence(lit(0), size(col("__w")) - m), lit(0L),
+          (acc, i) => acc + when(hit(i), 1L).otherwise(0L)))
+      .filter(col("n_matches") > 0L)
+      .withColumn("first_pos",
+        aggregate(sequence(lit(0), size(col("__w")) - m), lit(-1L),
+          (acc, i) => when(acc >= 0L, acc)
+            .otherwise(when(hit(i), i.cast(LongType)).otherwise(lit(-1L)))))
+      .select(col("doc"), col("n_matches"), col("first_pos"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS scheme, public): hash every positional word `k`-gram, slide a

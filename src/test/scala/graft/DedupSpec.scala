@@ -461,6 +461,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 3L, 4L, 1333333L)), one.toString)
   }
 
+  test("zipfFit: recovers slope -1 on a true Zipf sample; flat corpus fits flat") {
+    import spark.implicits._
+    // freq(rank) = round(3000 / rank) for 60 ranks: ln-ln is a straight
+    // line of slope -1; the fit must recover it with high r²
+    val zipf = (1 to 60).flatMap(r =>
+      Seq.fill(math.round(3000.0 / r).toInt)(s"w$r"))
+    val docs = zipf.grouped(200).map(_.mkString(" ")).toSeq.toDF("text")
+    val fit = TextAnalysis.zipfFit(docs, col("text"), topV = 60)
+      .as[(Long, Long, Long, Long)].head()
+    assert(fit._1 == 60L, fit.toString)
+    assert(fit._2 > -1050000L && fit._2 < -950000L, fit.toString) // ~ -1
+    assert(fit._4 > 990000L, fit.toString)                        // r² ~ 1
+    // a uniform corpus is NOT Zipf: slope exactly 0 (zero y-variance
+    // zeroes the covariance) and r² is a degenerate 0/0 → NULL — the
+    // template-spam signal the probe exists to raise
+    val flat = (1 to 60).flatMap(r => Seq.fill(50)(s"u$r"))
+    val flatFit = TextAnalysis.zipfFit(
+        flat.grouped(200).map(_.mkString(" ")).toSeq.toDF("text"),
+        col("text"), topV = 60)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(flatFit._2.contains(0L) && flatFit._4.isEmpty, flatFit.toString)
+  }
+
+  test("phraseSearch: overlapping matches counted, first position exact, misses dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x table hash y table hash z"),  // 2 matches at 1 and 4
+      (2L, "a a a"),                        // for the overlap probe below
+      (3L, "table x hash"),                 // no adjacent match
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs, "doc_id", col("text"),
+        Seq("table", "hash"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L)), out.toString)
+    // overlapping occurrences each count ("a a a" has "a a" at 0 and 1)
+    val ov = TextAnalysis.phraseSearch(docs, "doc_id", col("text"),
+        Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov == Seq((2L, 2L, 0L)), ov.toString)
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"

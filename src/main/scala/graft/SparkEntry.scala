@@ -891,6 +891,25 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_matches"),
           col("first_pos"))),
 
+    // exact directional containment over the LSH candidate pairs:
+    // the subsumption detector symmetric Jaccard cannot be
+    "q142_containment" -> ((s, d) =>
+      Dedup.containmentVerify(Tables.documents(s, d), "doc_id",
+        col("text"), k = MinhashK, numPerm = MinhashPerms,
+        bands = MinhashBands, maxBucket = DefaultMaxBucket)),
+
+    // token-budget subset selection: highest-quality docs under an
+    // 8000-token training budget via histogram threshold — whole
+    // buckets above the cut, a hash-ordered partial admit at the
+    // boundary, no global sort
+    "q143_budget_select" -> ((s, d) => {
+      val q = TextAnalysis.qualityFeatures(Tables.documents(s, d),
+        col("text"))
+      Relational.budgetedSelection(q, "doc_id", col("n_tokens"),
+          col("quality_score"), budgetTokens = 8000L)
+        .select(col("doc").as("doc_id"), col("n_toks"), col("q_bucket"))
+    }),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3218,6 +3237,59 @@ object SparkEntry {
          SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
            CAST(hits[1] AS BIGINT) AS first_pos
          FROM m WHERE len(hits) > 0""",
+
+    "q142_containment" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+           JOIN ok ON a.band_idx = ok.band_idx
+             AND a.band_hash = ok.band_hash),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
+                GROUP BY 1),
+         inter AS (SELECT c.doc_a, c.doc_b,
+             CAST(count(*) AS BIGINT) AS ni
+           FROM cand c JOIN ex x ON x.doc_id = c.doc_a
+             JOIN ex y ON y.doc_id = c.doc_b AND y.s = x.s
+           GROUP BY 1, 2)
+         SELECT c.doc_a, c.doc_b,
+           CAST(coalesce(i.ni, 0) AS BIGINT) AS n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(coalesce(i.ni, 0) * 1000000 // sa.n AS BIGINT) AS cont_a_micro,
+           CAST(coalesce(i.ni, 0) * 1000000 // sb.n AS BIGINT) AS cont_b_micro
+         FROM cand c
+         LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         JOIN sz sa ON sa.doc_id = c.doc_a
+         JOIN sz sb ON sb.doc_id = c.doc_b""",
+
+    "q143_budget_select" -> {
+      val h = sqlHexLong("CAST(doc_id AS VARCHAR)")
+      val stop = "CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END"
+      s"""WITH d0 AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+           round(least(CAST(1 AS DOUBLE),
+               CAST(len(string_split(text, ' ')) AS DOUBLE) / 64) * 0.5
+             + least(CAST(1 AS DOUBLE),
+               CAST(list_sum([$stop for x in string_split(text, ' ')]) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 5) * 0.5, 4) AS q
+           FROM documents),
+         d AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+           CAST(least(floor(q * 1024), 1023) AS BIGINT) AS qb FROM d0),
+         h AS (SELECT qb, CAST(sum(nt) AS BIGINT) AS bt FROM d GROUP BY 1),
+         c AS (SELECT qb, bt, CAST(coalesce(sum(bt) OVER (ORDER BY qb DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS abv FROM h),
+         dec AS (SELECT qb, (abv + bt <= 8000) AS fullb, 8000 - abv AS rem
+                 FROM c WHERE abv < 8000),
+         j AS (SELECT d.doc_id, d.nt, d.qb, fullb, rem
+               FROM d JOIN dec USING (qb)),
+         bnd AS (SELECT doc_id, nt, qb, rem, sum(nt) OVER (PARTITION BY qb
+             ORDER BY $h, doc_id ROWS UNBOUNDED PRECEDING) AS run
+           FROM j WHERE NOT fullb)
+         SELECT doc_id, nt AS n_toks, qb AS q_bucket FROM j WHERE fullb
+         UNION ALL
+         SELECT doc_id, nt, qb FROM bnd WHERE run <= rem"""
+    },
 
     "q131_nb_classifier" -> {
       val h = sqlHexLong("tok")

@@ -515,6 +515,53 @@ object Dedup {
     connectedComponents(pairs, maxIter)
   }
 
+  /** Exact directional containment verification (Broder 1997, "On the
+    * resemblance and containment of documents" — public): for every
+    * banded-MinHash candidate pair, the exact one-way containments
+    * `C(A,B) = |S_A ∩ S_B| / |S_A|` and `C(B,A)` over the true shingle
+    * sets. The SUBSUMPTION detector symmetric Jaccard cannot be: a
+    * short document quoted whole inside a long one scores Jaccard
+    * ≈ |A|/|B| (small) but containment C(A,B) ≈ 1 — the verification
+    * stage that separates "near-identical twins" from
+    * "one-swallowed-the-other" before choosing a dedup survivor.
+    * Ratios cross engines as exact integers (`n·1e6 div |S|`).
+    *
+    * Shape: the capped candidate set bounds everything — shingles
+    * re-explode ONLY for docs appearing in a candidate pair (semi
+    * join), land in an eager checkpoint consumed by the two
+    * intersection sides and the size table, and the intersection join
+    * moves Σ_pairs |S_A ∩ S_B| rows, never a corpus cross. Candidate
+    * pairs with NO true shared shingle (a band-hash collision) keep a
+    * row with zero containment — the false-positive evidence, not a
+    * silent drop. */
+  def containmentVerify(df: DataFrame, idCol: String, text: Column,
+      k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val cand = minHashCandidates(df, idCol, text, k, numPerm, bands,
+      maxBucket).localCheckpoint(true)
+    val ids = cand.select(col("doc_a").as("doc"))
+      .union(cand.select(col("doc_b").as("doc"))).distinct()
+    val ex = df.select(col(idCol).as("doc"),
+        TextAnalysis.shingles(text, k).as("__sh"))
+      .join(ids, Seq("doc"), "left_semi")
+      .select(col("doc"), explode(col("__sh")).as("s"))
+      .localCheckpoint(true) // sizes + both intersection sides
+    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ex.select(col("doc").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ex.select(col("doc").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ni"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("__ni"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("__ni").as("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("__ni * 1000000 div n_a").as("cont_a_micro"),
+        expr("__ni * 1000000 div n_b").as("cont_b_micro"))
+  }
+
   /** Dataset-level overlap matrix via MinHash signature agreement: the
     * Jaccard similarity between the UNION shingle sets of every pair of
     * document GROUPS (sources, crawls, snapshots), estimated as the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** The reference's relational transform surface (SURVEY.md §2.3–§2.4),
   * re-expressed as composable lazy DataFrame stages. Every stage is
@@ -409,5 +409,58 @@ object Relational {
       col("valid_from"),
       lead(col("valid_from"), 1).over(wv).as("valid_to"),
       col("n_rows"))
+  }
+
+  /** Token-budget subset selection — "keep the highest-quality docs
+    * whose token counts fit a training budget" without EVER globally
+    * sorting the corpus (the histogram-selection trick the exact
+    * quantiles already use): quality quantizes into `nBuckets` cells,
+    * one bucket-level token histogram decides which buckets are taken
+    * WHOLE, and only the single BOUNDARY bucket pays a within-bucket
+    * running-sum window, ordered by the deterministic md5 hash of the
+    * doc id (the quota-cap contract: the partial admit is a stable
+    * unbiased sample of the boundary quality cell, identical across
+    * runs, partitionings and engines — admission must not depend on a
+    * meaningless arrival order).
+    *
+    * Scale note: the boundary window runs over ONE bucket's rows on
+    * one task — size it with `nBuckets` (a finer histogram shrinks the
+    * boundary cell). Saturated scores (many docs at exactly 1.0) pool
+    * in the top bucket; a corpus whose budget cuts inside that pool
+    * pays the window over the whole pool.
+    *
+    * Output: one row per SELECTED doc (`doc`, `n_toks`, `q_bucket`). */
+  def budgetedSelection(df: DataFrame, idCol: String, nToks: Column,
+      quality: Column, budgetTokens: Long, nBuckets: Int = 1024): DataFrame = {
+    require(budgetTokens > 0L, "budget must be positive")
+    require(nBuckets >= 2, "need at least two quality cells")
+    // narrow (doc, tokens, bucket) projection, consumed by the
+    // histogram and both selection branches
+    val base = df.select(col(idCol).as("doc"),
+        nToks.cast(LongType).as("n_toks"),
+        least(floor(quality * nBuckets), lit((nBuckets - 1).toDouble))
+          .cast(LongType).as("q_bucket"))
+      .localCheckpoint(true)
+    val hist = base.groupBy("q_bucket").agg(sum(col("n_toks")).as("__bt"))
+    // tokens in strictly HIGHER buckets — a ≤nBuckets-row window
+    val above = hist.withColumn("__above",
+      coalesce(sum(col("__bt")).over(Window.orderBy(col("q_bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val dec = broadcast(above.filter(col("__above") < budgetTokens)
+      .select(col("q_bucket"),
+        (col("__above") + col("__bt") <= budgetTokens).as("__full"),
+        (lit(budgetTokens) - col("__above")).as("__rem")))
+    val joined = base.join(dec, Seq("q_bucket"))
+    val full = joined.filter(col("__full"))
+      .select(col("doc"), col("n_toks"), col("q_bucket"))
+    val wb = Window.partitionBy(col("q_bucket"))
+      .orderBy(graft.functions.Hashing.hexLong(col("doc").cast("string")),
+        col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(!col("__full"))
+      .withColumn("__run", sum(col("n_toks")).over(wb))
+      .filter(col("__run") <= col("__rem"))
+      .select(col("doc"), col("n_toks"), col("q_bucket"))
+    full.unionByName(boundary)
   }
 }

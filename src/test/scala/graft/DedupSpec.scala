@@ -503,6 +503,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ov == Seq((2L, 2L, 0L)), ov.toString)
   }
 
+  test("containmentVerify: subsumption scores 1.0 one way, Jaccard-small the other") {
+    import spark.implicits._
+    val quoted = "the quick brown fox jumps over the lazy dog"       // 9 toks → 5 shingles
+    val host = quoted + " while the busy crow watches from a fence " +
+      "and the wind turns the mill in the gray morning light"
+    val docs = Seq((1L, quoted), (2L, host), (3L, "entirely unrelated text"))
+      .toDF("doc_id", "text")
+    // single-row bands (bands = numPerm): a containment pair has small
+    // JACCARD, so multi-row bands rarely recall it — the resemblance-LSH
+    // limitation this verifier exists to score past once a candidate
+    // source (single-row bands, shared fingerprints) surfaces the pair
+    val out = Dedup.containmentVerify(docs, "doc_id", col("text"),
+        numPerm = 16, bands = 16)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // the quoted doc LSH-pairs with its host; the unrelated doc pairs
+    // with nothing
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)), out.toString)
+    val (_, _, shared, nA, nB, contA, contB) = out.head
+    // every shingle of the quoted doc appears in the host → C(A,B)=1.0
+    assert(shared == nA && contA == 1000000L, out.toString)
+    // ...but the host is much bigger: C(B,A) is the Jaccard-small side
+    assert(nB > nA && contB < 400000L, out.toString)
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"

@@ -332,4 +332,32 @@ class RelationalSpec extends SparkSpec {
     assert(out((2L, 2L)) == (("X", t(3), null, 1L)))
     assert(out.size == 5)
   }
+
+  test("budgetedSelection: whole buckets above the cut, hash-ordered boundary admit") {
+    import spark.implicits._
+    // quality tiers: two docs at 0.9 (30 toks each), three at 0.5
+    // (40 each), two at 0.1. Budget 100: the 0.9 bucket fits whole
+    // (60), the 0.5 bucket is the boundary (rem 40 → exactly one of
+    // its three docs admits, chosen by md5-hash order), 0.1 never
+    val docs = Seq(
+      (1L, 30L, 0.9), (2L, 30L, 0.9),
+      (3L, 40L, 0.5), (4L, 40L, 0.5), (5L, 40L, 0.5),
+      (6L, 10L, 0.1), (7L, 10L, 0.1)).toDF("doc_id", "nt", "q")
+    def run() = Relational.budgetedSelection(docs, "doc_id", col("nt"),
+      col("q"), budgetTokens = 100L).as[(Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val out = run()
+    assert(out == run()) // deterministic
+    val ids = out.map(_._1).toSet
+    assert(ids.contains(1L) && ids.contains(2L), out.toString)
+    assert(!ids.contains(6L) && !ids.contains(7L), out.toString)
+    // exactly one boundary doc, and it is the md5-hash minimum
+    val boundary = out.filter(r => Set(3L, 4L, 5L).contains(r._1))
+    assert(boundary.size == 1, out.toString)
+    val hashMin = Seq(3L, 4L, 5L).minBy(id =>
+      graft.functions.Hashing.hexLongJvm(id.toString))
+    assert(boundary.head._1 == hashMin, s"$out expected doc $hashMin")
+    // budget respected
+    assert(out.map(_._2).sum <= 100L, out.toString)
+  }
 }

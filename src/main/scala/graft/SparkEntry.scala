@@ -910,6 +910,14 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_toks"), col("q_bucket"))
     }),
 
+    // content-defined chunking: shift-resistant rolling-hash cuts —
+    // the chunk-level dedup unit fixed-size chunking cannot provide
+    "q144_cdc_chunks" -> ((s, d) =>
+      TextAnalysis.contentDefinedChunks(Tables.documents(s, d), "doc_id",
+        col("text"), k = 4, divisor = 8L)
+        .select(col("doc").as("doc_id"), col("chunk_idx"), col("start"),
+          col("len"), col("chunk_fp"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3289,6 +3297,27 @@ object SparkEntry {
          SELECT doc_id, nt AS n_toks, qb AS q_bucket FROM j WHERE fullb
          UNION ALL
          SELECT doc_id, nt, qb FROM bnd WHERE run <= rem"""
+    },
+
+    "q144_cdc_chunks" -> {
+      val wh = sqlHexLong("array_to_string(w[c - 3 : c], ' ')")
+      val cf = sqlHexLong("array_to_string(w[s + 1 : e], ' ')")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+         cu AS (SELECT doc_id, w, CASE WHEN len(w) >= 4
+             THEN [c for c in [j + 4 for j in range(0, len(w) - 3)]
+                   if $wh % 8 = 0]
+             ELSE [] END AS cuts FROM d),
+         sp AS (SELECT doc_id, w,
+             [0] || cuts AS ss, cuts || [len(w)] AS es FROM cu),
+         z AS (SELECT doc_id, w, unnest(ss) AS s, unnest(es) AS e FROM sp),
+         f AS (SELECT doc_id, w, s, e,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS ci
+           FROM z WHERE e > s)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start, CAST(e - s AS BIGINT) AS len,
+           $cf AS chunk_fp
+         FROM f"""
     },
 
     "q131_nb_classifier" -> {

@@ -1379,6 +1379,62 @@ object TextAnalysis {
       .select(col("doc"), col("n_matches"), col("first_pos"))
   }
 
+  /** Content-defined chunking (Muthitacharoen et al. 2001, the LBFS
+    * rolling-hash cut rule — public; the shift-resistant segmentation
+    * storage dedup and chunk-level corpus dedup both build on): a cut
+    * falls AFTER token `i` exactly when the hash of the `k`-token
+    * window ending at `i` is ≡ 0 (mod `divisor`) — a boundary decided
+    * only by LOCAL content, so inserting text before a chunk moves the
+    * chunk's OFFSET but not its boundaries or fingerprint, which is
+    * precisely what fixed-size chunking ([[chunks]]) cannot give:
+    * there a one-token insertion re-aligns every downstream chunk and
+    * defeats chunk-hash dedup. Expected chunk length ≈ `divisor`
+    * tokens. Docs shorter than `k` tokens have no window and yield one
+    * whole-doc chunk.
+    *
+    * Output: one row per chunk — `(doc, chunk_idx, start, len,
+    * chunk_fp)`, the fingerprint being the md5-long of the
+    * space-joined chunk tokens (group by `chunk_fp` for corpus-wide
+    * chunk dedup).
+    *
+    * Shape: pure per-row — window hashes, cut list and span table are
+    * all HOF folds over the ONCE-projected token array; one explode to
+    * chunk rows, no shuffle, no state. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, text: Column,
+      k: Int = 4, divisor: Long = 8L): DataFrame = {
+    require(k >= 1, "window must be at least 1 token")
+    require(divisor >= 2L, "divisor < 2 cuts after every token")
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(text.isNotNull))
+      .withColumn("__w", tokens(col("__t")))
+    val n = size(col("__w"))
+    // cut positions (exclusive end of a chunk): window start j spans
+    // tokens j..j+k-1, so the cut falls at j+k
+    val cuts = filter(
+      transform(sequence(lit(0), n - k),
+        j => (j + k).cast(LongType)),
+      c => pmod(Hashing.hexLong(
+        concat_ws(" ", slice(col("__w"), (c - k + 1).cast("int"), lit(k)))),
+        lit(divisor)) === 0L)
+    val starts = concat(array(lit(0L)), col("__cuts"))
+    val ends = concat(col("__cuts"), array(n.cast(LongType)))
+    base
+      .withColumn("__cuts", when(n >= k, cuts)
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("__spans", filter(
+        zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+        sp => sp.getField("e") > sp.getField("s")))
+      .select(col("doc"), col("__w"),
+        posexplode(col("__spans")).as(Seq("chunk_idx", "sp")))
+      .select(col("doc"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("sp.s").as("start"),
+        (col("sp.e") - col("sp.s")).as("len"),
+        Hashing.hexLong(concat_ws(" ",
+          slice(col("__w"), (col("sp.s") + 1L).cast("int"),
+            (col("sp.e") - col("sp.s")).cast("int")))).as("chunk_fp"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS scheme, public): hash every positional word `k`-gram, slide a

@@ -527,6 +527,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nB > nA && contB < 400000L, out.toString)
   }
 
+  test("contentDefinedChunks: shift-resistant boundaries, coverage exact, short docs whole") {
+    import spark.implicits._
+    val body = (1 to 120).map(i => s"tok${i % 37}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "shifted prefix inserted here " + body), // 4-token shift
+      (3L, "tiny doc"))                             // < k: one chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contentDefinedChunks(docs, "doc_id",
+        col("text"), k = 4, divisor = 8L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // chunks tile the doc exactly: starts chain, lengths sum to n
+    Seq(1L, 2L).foreach { id =>
+      val cs = out(id)
+      cs.sliding(2).foreach { case Seq(a, b) =>
+        assert(a._3 + a._4 == b._3, cs.toString) }
+      assert(cs.map(_._4).sum == (if (id == 1L) 120 else 124), cs.toString)
+    }
+    // SHIFT RESISTANCE: once past the insertion, doc 2 re-synchronizes —
+    // the tail chunk fingerprints of doc 1 reappear verbatim in doc 2
+    // (fixed-size chunking would re-align every chunk and share none)
+    val fp1 = out(1L).map(_._5).toSet
+    val shared = out(2L).map(_._5).count(fp1.contains)
+    assert(shared >= out(1L).size - 2, s"shared=$shared of ${out(1L).size}")
+    // the short doc is one whole-doc chunk
+    assert(out(3L) == Seq((3L, 0L, 0L, 2L, out(3L).head._5)), out(3L).toString)
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"

@@ -918,6 +918,17 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("chunk_idx"), col("start"),
           col("len"), col("chunk_fp"))),
 
+    // temperature-flattened mixture allocation (mT5 α=0.5) with
+    // water-filling: √-capacity weights, saturated languages taken
+    // whole, their excess re-levelled onto the rest
+    "q145_mixture_waterfill" -> ((s, d) =>
+      TextAnalysis.mixtureWaterfill(
+        Tables.documents(s, d)
+          .withColumn("__nt", size(TextAnalysis.tokens(col("text")))),
+        "lang", col("__nt"), budgetTokens = 24000L)
+        .select(col("source").as("lang"), col("cap_tokens"),
+          col("alloc_tokens"), col("capped"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3319,6 +3330,34 @@ object SparkEntry {
            $cf AS chunk_fp
          FROM f"""
     },
+
+    "q145_mixture_waterfill" ->
+      """WITH caps AS (SELECT lang AS source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+           FROM documents GROUP BY 1),
+         x AS (SELECT source, cap, sqrt(CAST(cap AS DOUBLE)) AS w,
+             CAST(cap AS DOUBLE) / sqrt(CAST(cap AS DOUBLE)) AS r
+           FROM caps),
+         s AS (SELECT *,
+             CAST(coalesce(sum(cap) OVER (ORDER BY r, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefc,
+             sum(w) OVER (ORDER BY r, source
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sufw,
+             lag(r) OVER (ORDER BY r, source) AS prevr
+           FROM x),
+         lamr AS (SELECT *,
+             (CAST(24000 AS DOUBLE) - CAST(prefc AS DOUBLE)) / sufw AS lam
+           FROM s),
+         lvl AS (SELECT max(CASE WHEN lam <= r
+               AND coalesce(lam >= prevr, TRUE) THEN lam END) AS lamstar,
+             CAST(sum(cap) AS BIGINT) AS total FROM lamr)
+         SELECT source AS lang, cap AS cap_tokens,
+           CAST(CASE WHEN total <= 24000 THEN cap
+             WHEN r <= lamstar THEN cap
+             ELSE floor(lamstar * w) END AS BIGINT) AS alloc_tokens,
+           (total <= 24000 OR r <= lamstar) AS capped
+         FROM lamr, lvl""",
 
     "q131_nb_classifier" -> {
       val h = sqlHexLong("tok")

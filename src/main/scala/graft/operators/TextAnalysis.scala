@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -1282,6 +1283,60 @@ object TextAnalysis {
       .select(col("doc"),
         col("a_start"), col("a_len"), span(col("a_start"), col("a_len")).as("span_a"),
         col("b_start"), col("b_len"), span(col("b_start"), col("b_len")).as("span_b"))
+  }
+
+  /** Temperature-flattened mixture allocation with water-filling
+    * (the multilingual/multi-source sampling budgeter — mT5's
+    * α = 0.5 temperature, Xue et al. 2021 §3.3, public): split a
+    * token budget across sources in proportion to √capacity, but a
+    * source cannot contribute more tokens than it HAS — its excess
+    * re-distributes among the others (water-filling), recursively,
+    * in closed form: sources sort by the saturation ratio
+    * `r_s = cap_s / √cap_s`, and the unique water level λ solves
+    * `Σ min(cap_s, λ·w_s) = B` on the one sorted interval where it is
+    * consistent. √ (not a general power) because IEEE `sqrt` is
+    * correctly rounded on every engine — `pow(x, 0.5)` is not, and
+    * the oracle match depends on it.
+    *
+    * Output: one row per source — `(source, cap_tokens, alloc_tokens,
+    * capped)`; allocations floor to exact longs, so Σ alloc ≤ B with
+    * at most |sources| tokens of rounding slack. When total capacity
+    * fits the budget every source is simply taken whole.
+    *
+    * Shape: one corpus aggregate to the |sources|-row capacity table;
+    * everything after is windows over that statistics-sized table and
+    * a one-row broadcast back. */
+  def mixtureWaterfill(df: DataFrame, groupCol: String, nToks: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0L, "budget must be positive")
+    val caps = df.groupBy(col(groupCol).as("source"))
+      .agg(sum(nToks.cast(LongType)).as("cap_tokens"))
+      .withColumn("__w", sqrt(col("cap_tokens").cast(DoubleType)))
+      .withColumn("__r", col("cap_tokens").cast(DoubleType) / col("__w"))
+    val ord = Window.orderBy(col("__r"), col("source"))
+    val rows = caps
+      .withColumn("__prefC", coalesce(sum(col("cap_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__sufW", sum(col("__w")).over(
+        ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__prevR", lag(col("__r"), 1).over(ord))
+      .withColumn("__lam",
+        (lit(budgetTokens.toDouble) - col("__prefC").cast(DoubleType)) /
+          col("__sufW"))
+      .withColumn("__valid",
+        col("__lam") <= col("__r") &&
+          coalesce(col("__lam") >= col("__prevR"), lit(true)))
+    val level = broadcast(rows.agg(
+      max(when(col("__valid"), col("__lam"))).as("__lamStar"),
+      sum(col("cap_tokens")).as("__total")))
+    rows.crossJoin(level)
+      .select(col("source"), col("cap_tokens"),
+        when(col("__total") <= budgetTokens, col("cap_tokens"))
+          .when(col("__r") <= col("__lamStar"), col("cap_tokens"))
+          .otherwise(floor(col("__lamStar") * col("__w")).cast(LongType))
+          .as("alloc_tokens"),
+        (col("__total") <= budgetTokens || col("__r") <= col("__lamStar"))
+          .as("capped"))
   }
 
   /** Zipf-law fit of the corpus frequency distribution (Zipf 1949,

@@ -556,6 +556,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == Seq((3L, 0L, 0L, 2L, out(3L).head._5)), out(3L).toString)
   }
 
+  test("mixtureWaterfill: saturated sources taken whole, excess re-levelled, budget met") {
+    import spark.implicits._
+    // caps: a=100, b=400, c=10000; weights √cap = 10, 20, 100.
+    // B=3000: uncapped λ₀ = 3000/130 ≈ 23 → a wants 230 > 100 (cap),
+    // b wants 461 > 400 (cap); remaining 2500 levels onto c alone:
+    // λ = 25 → c gets 2500 < 10000. Exact closed form, by hand.
+    val rows = Seq.tabulate(100)(i => ("a", 1L)) ++
+      Seq.tabulate(100)(i => ("b", 4L)) ++
+      Seq.tabulate(100)(i => ("c", 100L))
+    val df = rows.toDF("src", "nt")
+    val out = TextAnalysis.mixtureWaterfill(df, "src", col("nt"), 3000L)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", 100L, 100L, true), ("b", 400L, 400L, true),
+      ("c", 10000L, 2500L, false)), out.toString)
+    // a budget covering everything takes every source whole
+    val all = TextAnalysis.mixtureWaterfill(df, "src", col("nt"), 99999L)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(all == Seq(("a", 100L, 100L, true), ("b", 400L, 400L, true),
+      ("c", 10000L, 10000L, true)), all.toString)
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"

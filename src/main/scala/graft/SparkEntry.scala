@@ -929,6 +929,13 @@ object SparkEntry {
         .select(col("source").as("lang"), col("cap_tokens"),
           col("alloc_tokens"), col("capped"))),
 
+    // leakage-safe split: whole near-dup components share one side of
+    // the train/val/test boundary, keyed on the cluster canonical
+    "q146_leakage_split" -> ((s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d), "doc_id",
+        col("text"), MinhashK, MinhashPerms, MinhashBands)
+        .select(col("doc").as("doc_id"), col("split_key"), col("split"))),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3358,6 +3365,26 @@ object SparkEntry {
              ELSE floor(lamstar * w) END AS BIGINT) AS alloc_tokens,
            (total <= 24000 OR r <= lamstar) AS capped
          FROM lamr, lvl""",
+
+    "q146_leakage_split" -> {
+      val h = sqlHexLong("CAST(split_key AS VARCHAR)")
+      s"""WITH RECURSIVE cand AS ($minhashOracle),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT)
+                  AS component FROM reach GROUP BY src),
+         keyed AS (SELECT d.doc_id AS doc,
+             coalesce(c.component, d.doc_id) AS split_key
+           FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id)
+         SELECT doc AS doc_id, CAST(split_key AS BIGINT) AS split_key,
+           CASE WHEN $h % 10 < 8 THEN 'train'
+                WHEN $h % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+         FROM keyed"""
+    },
 
     "q131_nb_classifier" -> {
       val h = sqlHexLong("tok")

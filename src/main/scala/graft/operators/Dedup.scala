@@ -562,6 +562,37 @@ object Dedup {
         expr("__ni * 1000000 div n_b").as("cont_b_micro"))
   }
 
+  /** Leakage-safe train/val/test assignment — split by NEAR-DUP
+    * COMPONENT, not by document (Lee et al. 2022 §6's warning, public:
+    * near-duplicates straddling a train/test boundary inflate eval
+    * scores; the fix every careful corpus split ships is to assign
+    * whole dup clusters to one side). Every document keys on its
+    * near-dup component's canonical id (its own id when it duplicates
+    * nothing), and the split is the md5-hash of that key mod 10 —
+    * 8/1/1 train/val/test, deterministic, engine-portable, stable
+    * under re-ingestion.
+    *
+    * Shape: the banded-candidate + pinned-checkpoint CC machinery
+    * ([[minHashCandidates]] → [[connectedComponents]]), one left join
+    * back onto the corpus id set, and a narrow hash map — no new
+    * corpus-scale stage beyond what clustering already costs. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, text: Column,
+      k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Int = 10000, maxIter: Int = 10): DataFrame = {
+    val comps = connectedComponents(
+      minHashCandidates(df, idCol, text, k, numPerm, bands, maxBucket),
+      maxIter)
+    val keyed = df.select(col(idCol).as("doc"))
+      .join(comps, Seq("doc"), "left")
+      .withColumn("split_key", coalesce(col("component"), col("doc")))
+    val bucket = pmod(Hashing.hexLong(col("split_key").cast("string")),
+      lit(10L))
+    keyed.select(col("doc"), col("split_key"),
+      when(bucket < 8L, lit("train"))
+        .when(bucket === 8L, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Dataset-level overlap matrix via MinHash signature agreement: the
     * Jaccard similarity between the UNION shingle sets of every pair of
     * document GROUPS (sources, crawls, snapshots), estimated as the

@@ -577,6 +577,31 @@ class TextAnalysisSpec extends SparkSpec {
       ("c", 10000L, 10000L, true)), all.toString)
   }
 
+  test("leakageSafeSplit: near-dup components never straddle a split boundary") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again tonight"
+    // docs 1,2,3 are a near-dup family (identical text); 4,5 another;
+    // 6..25 singletons — plenty of split_keys so all sides populate
+    val docs = (Seq((1L, t), (2L, t), (3L, t + " coda"),
+      (4L, "pack my box with five dozen liquor jugs now"),
+      (5L, "pack my box with five dozen liquor jugs now")) ++
+      (6L to 25L).map(i => (i, s"unique doc number $i with words w${i}a w${i}b w${i}c w${i}d")))
+      .toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", col("text"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.size == 25)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // family members share the canonical key AND the split — the
+    // leakage guarantee
+    assert(Set(1L, 2L, 3L).map(byDoc(_)._2).size == 1, out.toString)
+    assert(Set(1L, 2L, 3L).map(byDoc(_)._3).size == 1, out.toString)
+    assert(byDoc(4L)._2 == byDoc(5L)._2 && byDoc(4L)._3 == byDoc(5L)._3)
+    // singletons key on themselves
+    assert(byDoc(7L)._2 == 7L, out.toString)
+    // global invariant: one split per split_key, always
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+  }
+
   test("noveltyScore: fraction of distinct shingles absent from the reference") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "hi there")).toDF("doc_id", "text")
     val ref = Seq("z a b c d e").toDF("text") // shingles: "z a b c d", "a b c d e"

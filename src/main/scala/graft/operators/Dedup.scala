@@ -541,10 +541,16 @@ object Dedup {
       maxBucket).localCheckpoint(true)
     val ids = cand.select(col("doc_a").as("doc"))
       .union(cand.select(col("doc_b").as("doc"))).distinct()
-    val ex = df.select(col(idCol).as("doc"),
-        TextAnalysis.shingles(text, k).as("__sh"))
+    // widen BEFORE computing shingles: the raw projection repartitions
+    // (a single-row-group scan is one task), the broadcast semi-join
+    // preserves the width, and the shingle build + explode run wide —
+    // un-widened, the whole re-explode pinned to one 2.4 s task
+    // (measured at sf0.1, DevProfile)
+    val ex = Parallelism.ensure(
+        df.select(col(idCol).as("doc"), text.as("__t")))
       .join(ids, Seq("doc"), "left_semi")
-      .select(col("doc"), explode(col("__sh")).as("s"))
+      .select(col("doc"),
+        explode(TextAnalysis.shingles(col("__t"), k)).as("s"))
       .localCheckpoint(true) // sizes + both intersection sides
     val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = cand

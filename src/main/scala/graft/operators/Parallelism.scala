@@ -104,6 +104,22 @@ object Parallelism {
     cond || (org.apache.spark.sql.functions.spark_partition_id() <
       org.apache.spark.sql.functions.lit(0))
 
+  /** [[unpushable]] for VALUES: pins an expensive projected expression
+    * where it is written. The hazard is INFERRED filters — e.g.
+    * `InferFiltersFromGenerate` derives `size(arr) > 0` above an
+    * explode, and predicate pushdown then SUBSTITUTES the whole array
+    * expression into the predicate and drags it below the widening
+    * exchange onto the single scan task (with any inlined token split
+    * re-evaluated per element — measured 2.5 s of q144's 2.9 s). A
+    * nondeterministic term makes the projection non-substitutable, so
+    * inferred predicates stay put and reference the COMPUTED column.
+    * Runtime semantics identical: partition ids are non-negative, the
+    * branch is constant-false, codegen short-circuits it. */
+  def opaque(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(spark_partition_id() < lit(0), lit(null)).otherwise(value)
+  }
+
   /** Repartition up to the session default parallelism iff the plan is a
     * narrow (scan-rooted) lineage with fewer partitions than the target.
     *

@@ -1420,18 +1420,31 @@ object TextAnalysis {
         .filter(text.isNotNull))
       .withColumn("__w", tokens(col("__t")))
       .filter(size(col("__w")) >= m)
-    val target = array(phrase.map(lit): _*)
-    val hit = (i: Column) => slice(col("__w"), i + 1, lit(m)) === target
+    // per-position test = m scalar element_at comparisons, short-
+    // circuited on the first mismatch — NOT a slice + array-equality,
+    // which allocates an m-element array per position (measured ~2× the
+    // whole query); count and first position fold in ONE pass over a
+    // struct accumulator
+    val hit = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
+      element_at(col("__w"), (i + j + 1).cast("int")) === lit(t)
+    }.reduce(_ && _)
     toks
-      .withColumn("n_matches",
-        aggregate(sequence(lit(0), size(col("__w")) - m), lit(0L),
-          (acc, i) => acc + when(hit(i), 1L).otherwise(0L)))
-      .filter(col("n_matches") > 0L)
-      .withColumn("first_pos",
-        aggregate(sequence(lit(0), size(col("__w")) - m), lit(-1L),
-          (acc, i) => when(acc >= 0L, acc)
-            .otherwise(when(hit(i), i.cast(LongType)).otherwise(lit(-1L)))))
-      .select(col("doc"), col("n_matches"), col("first_pos"))
+      .withColumn("__m",
+        aggregate(sequence(lit(0), size(col("__w")) - m),
+          struct(lit(0L).as("n"), lit(-1L).as("p")),
+          (acc, i) => when(hit(i),
+            struct((acc.getField("n") + 1L).as("n"),
+              when(acc.getField("p") >= 0L, acc.getField("p"))
+                .otherwise(i.cast(LongType)).as("p")))
+            .otherwise(acc)))
+      // unpushable: a plain n>0 filter substitutes the WHOLE match fold
+      // (token split inlined, re-run per element) into the predicate
+      // and pushes it below the widening exchange onto the single scan
+      // task — measured 1.06 s of a 1.3 s query (the Parallelism.ensure
+      // sharp edge)
+      .filter(Parallelism.unpushable(col("__m.n") > 0L))
+      .select(col("doc"), col("__m.n").as("n_matches"),
+        col("__m.p").as("first_pos"))
   }
 
   /** Content-defined chunking (Muthitacharoen et al. 2001, the LBFS
@@ -1477,9 +1490,13 @@ object TextAnalysis {
     base
       .withColumn("__cuts", when(n >= k, cuts)
         .otherwise(array().cast("array<bigint>")))
-      .withColumn("__spans", filter(
+      // opaque: the Generate-inferred size(__spans)>0 predicate would
+      // otherwise substitute this whole chain below the widening
+      // exchange onto the single scan task (Parallelism.opaque scaladoc;
+      // measured 2.5 s of the 2.9 s query)
+      .withColumn("__spans", Parallelism.opaque(filter(
         zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
-        sp => sp.getField("e") > sp.getField("s")))
+        sp => sp.getField("e") > sp.getField("s"))))
       .select(col("doc"), col("__w"),
         posexplode(col("__spans")).as(Seq("chunk_idx", "sp")))
       .select(col("doc"), col("chunk_idx").cast(LongType).as("chunk_idx"),

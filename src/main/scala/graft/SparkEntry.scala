@@ -936,6 +936,30 @@ object SparkEntry {
         col("text"), MinhashK, MinhashPerms, MinhashBands)
         .select(col("doc").as("doc_id"), col("split_key"), col("split"))),
 
+    // Matryoshka truncation eval: how much of the full-dim top-10
+    // survives at a 16-dim prefix — exact recall per query
+    "q147_trunc_recall" -> ((s, d) =>
+      Similarity.truncationRecall(Tables.embeddings(s, d),
+        col("vec_id") < 30, k = 10, truncDim = 16)),
+
+    // calibration curve of the q131 NB quality filter: decile bins of
+    // the score vs actual label rate — "does the score mean anything"
+    "q148_calibration" -> ((s, d) => {
+      val spiked = concat(col("text"),
+        when(col("source").isin("src0", "src1"),
+          lit(" curated encyclopedia reference citation archive"))
+          .when(col("source") === "src2",
+            lit(" encyclopedia reference citation"))
+          .otherwise(lit("")))
+      val docs = Tables.documents(s, d)
+      val nb = TextAnalysis.nbClassifier(docs, "doc_id", spiked,
+        col("source").isin("src0", "src1"))
+      TextAnalysis.calibrationCurve(
+        nb.join(docs.select(col("doc_id").as("doc"),
+          col("source").isin("src0", "src1").as("__lbl")), Seq("doc")),
+        "doc", col("nb_micro"), col("__lbl"))
+    }),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -1787,6 +1811,43 @@ object SparkEntry {
   )
 
   /** DuckDB equivalent of Hashing.hexLong. */
+  /** Generated oracle for the q131 NB classifier — also the `nb` CTE of
+    * the q148 calibration curve (nested WITH inside a subquery is
+    * valid DuckDB). */
+  private def nbClassifierOracle: String = {
+    val h = sqlHexLong("tok")
+    val spiked = """CASE WHEN source IN ('src0','src1')
+      THEN text || ' curated encyclopedia reference citation archive'
+      WHEN source = 'src2' THEN text || ' encyclopedia reference citation'
+      ELSE text END"""
+    s"""WITH docs AS (SELECT doc_id, source IN ('src0','src1') AS pos,
+                        $spiked AS text
+                      FROM documents WHERE text IS NOT NULL),
+       tk AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok FROM docs),
+       perdoc AS (SELECT doc_id, pos, $h % 256 AS bucket,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM tk GROUP BY 1, 2, 3),
+       cb AS (SELECT bucket,
+                CAST(sum(CASE WHEN pos THEN n ELSE 0 END) AS BIGINT) AS p,
+                CAST(sum(CASE WHEN pos THEN 0 ELSE n END) AS BIGINT) AS q
+              FROM perdoc GROUP BY 1),
+       dc AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dPos,
+                sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dNeg
+              FROM (SELECT DISTINCT doc_id, pos FROM perdoc)),
+       tot AS (SELECT (SELECT sum(p) FROM cb) AS pTot,
+                 (SELECT sum(q) FROM cb) AS qTot),
+       wt AS (SELECT bucket,
+           CAST(floor(ln(
+             (CAST(p + 1 AS DOUBLE) / CAST(pTot + 256 AS DOUBLE)) *
+             (CAST(qTot + 256 AS DOUBLE) / CAST(q + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS llr,
+           CAST(floor(ln(CAST(dPos + 1 AS DOUBLE) / CAST(dNeg + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior
+         FROM cb CROSS JOIN tot CROSS JOIN dc)
+       SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+         CAST(max(prior) + sum(n * llr) AS BIGINT) AS nb_micro,
+         (max(prior) + sum(n * llr)) > 0 AS nb_pos
+       FROM perdoc JOIN wt USING (bucket) GROUP BY 1"""
+  }
+
   private def sqlHexLong(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 14)) AS BIGINT)"
 
@@ -3386,39 +3447,55 @@ object SparkEntry {
          FROM keyed"""
     },
 
-    "q131_nb_classifier" -> {
-      val h = sqlHexLong("tok")
-      val spiked = """CASE WHEN source IN ('src0','src1')
-        THEN text || ' curated encyclopedia reference citation archive'
-        WHEN source = 'src2' THEN text || ' encyclopedia reference citation'
-        ELSE text END"""
-      s"""WITH docs AS (SELECT doc_id, source IN ('src0','src1') AS pos,
-                          $spiked AS text
-                        FROM documents WHERE text IS NOT NULL),
-         tk AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok FROM docs),
-         perdoc AS (SELECT doc_id, pos, $h % 256 AS bucket,
-                      CAST(count(*) AS BIGINT) AS n
-                    FROM tk GROUP BY 1, 2, 3),
-         cb AS (SELECT bucket,
-                  CAST(sum(CASE WHEN pos THEN n ELSE 0 END) AS BIGINT) AS p,
-                  CAST(sum(CASE WHEN pos THEN 0 ELSE n END) AS BIGINT) AS q
-                FROM perdoc GROUP BY 1),
-         dc AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dPos,
-                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dNeg
-                FROM (SELECT DISTINCT doc_id, pos FROM perdoc)),
-         tot AS (SELECT (SELECT sum(p) FROM cb) AS pTot,
-                   (SELECT sum(q) FROM cb) AS qTot),
-         wt AS (SELECT bucket,
-             CAST(floor(ln(
-               (CAST(p + 1 AS DOUBLE) / CAST(pTot + 256 AS DOUBLE)) *
-               (CAST(qTot + 256 AS DOUBLE) / CAST(q + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS llr,
-             CAST(floor(ln(CAST(dPos + 1 AS DOUBLE) / CAST(dNeg + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior
-           FROM cb CROSS JOIN tot CROSS JOIN dc)
-         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
-           CAST(max(prior) + sum(n * llr) AS BIGINT) AS nb_micro,
-           (max(prior) + sum(n * llr)) > 0 AS nb_pos
-         FROM perdoc JOIN wt USING (bucket) GROUP BY 1"""
+    "q147_trunc_recall" -> {
+      def dotp(u: String, v: String, d: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$u[i+1] * $v[i+1] for i in range(0, $d)]), (acc, x) -> acc + x)"
+      def cosD(d: Int) =
+        s"${dotp("qe", "e.emb", d)} / (sqrt(${dotp("qe", "qe", d)}) * sqrt(${dotp("e.emb", "e.emb", d)}))"
+      def topk(scoreCol: String) =
+        s"""SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY $scoreCol DESC, neighbor_id)
+               AS rn FROM sim WHERE $scoreCol IS NOT NULL)
+           WHERE rn <= 10"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+               WHERE vec_id < 30),
+         sim AS (SELECT query_id, e.vec_id AS neighbor_id,
+             CAST(floor(${cosD(64)} * 1e6 + 0.5) AS BIGINT) AS cos_full,
+             CAST(floor(${cosD(16)} * 1e6 + 0.5) AS BIGINT) AS cos_trunc
+           FROM q, e WHERE query_id <> e.vec_id),
+         f AS (${topk("cos_full")}),
+         t AS (${topk("cos_trunc")})
+         SELECT f.query_id,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000 // 10 AS BIGINT) AS recall_micro
+         FROM f LEFT JOIN t ON f.query_id = t.query_id
+           AND f.neighbor_id = t.neighbor_id
+         GROUP BY 1"""
     },
+
+    "q131_nb_classifier" -> nbClassifierOracle,
+
+    "q148_calibration" ->
+      s"""WITH nb AS ($nbClassifierOracle),
+         lab AS (SELECT doc_id, source IN ('src0','src1') AS pos
+                 FROM documents WHERE text IS NOT NULL),
+         j AS (SELECT nb.doc_id, nb.nb_micro AS s, lab.pos
+               FROM nb JOIN lab USING (doc_id)),
+         b AS (SELECT s, pos,
+             ntile(10) OVER (ORDER BY s, doc_id) AS bin FROM j)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(min(s) AS BIGINT) AS min_score,
+           CAST(max(s) AS BIGINT) AS max_score,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 // count(*)
+             AS BIGINT) AS pos_rate_micro
+         FROM b GROUP BY 1""",
 
     "q133_span_corruption" -> {
       val h = sqlHexLong("(doc_id::VARCHAR || '#' || bb::VARCHAR)")

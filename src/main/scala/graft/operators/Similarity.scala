@@ -154,6 +154,50 @@ object Similarity {
         col("rank").cast(LongType).as("neg_rank"))
   }
 
+  /** Embedding-truncation retrieval eval (the Matryoshka question,
+    * Kusupati et al. 2022, public: how much of the full-dimension
+    * neighborhood survives when vectors truncate to a prefix —
+    * the measurement behind "can we store/search at d≪D"). For each
+    * query: the exact top-`k` under the FULL cosine, the exact top-`k`
+    * under the `truncDim`-prefix cosine, and the overlap —
+    * `recall_micro = |overlap|·1e6 div k`. Exact integer
+    * micro-cosines with id tie-breaks on BOTH rankings, so the
+    * boundary of each top-k is deterministic cross-engine.
+    *
+    * Shape: ONE scored query×corpus pass computes both cosines
+    * (queries are the statistics-sized broadcast side), two bounded
+    * [[Relational.topKPerGroup]] buffers, and an overlap join of two
+    * |queries|·k tables. */
+  def truncationRecall(emb: DataFrame, isQuery: Column, k: Int,
+      truncDim: Int): DataFrame = {
+    require(k >= 1 && truncDim >= 1, "degenerate eval params")
+    val scored = Parallelism.ensure(
+        emb.select(col("vec_id"), col("embedding"))).as("c")
+      .join(broadcast(emb.filter(isQuery)
+        .select(col("vec_id"), col("embedding")).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        floor(cosine(col("q.embedding"), col("c.embedding")) * 1e6 + 0.5)
+          .cast(LongType).as("cos_full"),
+        floor(cosine(slice(col("q.embedding"), 1, truncDim),
+          slice(col("c.embedding"), 1, truncDim)) * 1e6 + 0.5)
+          .cast(LongType).as("cos_trunc"))
+      .localCheckpoint(true) // both rankings read it
+    def top(scoreCol: String) =
+      Relational.topKPerGroup(scored.filter(col(scoreCol).isNotNull),
+        Seq("query_id"), col(scoreCol), col("neighbor_id"), k)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+    top("cos_full").as("f")
+      .join(top("cos_trunc").as("t"),
+        col("f.query_id") === col("t.query_id") &&
+          col("f.neighbor_id") === col("t.neighbor_id"), "left")
+      .groupBy(col("f.query_id").as("query_id"))
+      .agg(sum(when(col("t.neighbor_id").isNotNull, 1L).otherwise(0L))
+        .as("n_overlap"))
+      .withColumn("recall_micro", expr(s"n_overlap * 1000000 div $k"))
+  }
+
   /** Sign-bit signature under `nBits` pseudo-random hyperplanes, via the
     * native fused-loop expression (graft.functions.LshBucketSig). The
     * hyperplanes are derived deterministically from md5 of

@@ -1339,6 +1339,37 @@ object TextAnalysis {
           .as("capped"))
   }
 
+  /** Classifier calibration curve (the reliability diagram as data —
+    * Niculescu-Mizil & Caruana 2005, public): bucket scored documents
+    * into `nBins` equal-population score bins and report each bin's
+    * positive rate — the table that says whether a quality filter's
+    * score MEANS anything (monotone pos_rate ⇒ usable threshold;
+    * flat ⇒ the filter is noise). Bins cut by `ntile` over
+    * (score, id) — the id tie-break makes equal scores split
+    * deterministically, cross-engine.
+    *
+    * Shape: the ntile window runs over DOC-LEVEL rows (one per scored
+    * doc — the statistics-sized class, q121/q132's bound), then one
+    * `nBins`-row aggregate. Rates cross as exact integers. */
+  def calibrationCurve(df: DataFrame, idCol: String, score: Column,
+      isPositive: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val binned = df.select(col(idCol).as("__id"), score.as("__s"),
+        isPositive.as("__p"))
+      .filter(col("__s").isNotNull)
+      .withColumn("bin", ntile(nBins).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__s"), col("__id"))))
+    binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("__s")).as("min_score"),
+        max(col("__s")).as("max_score"))
+      .select(col("bin").cast(LongType).as("bin"), col("n"), col("n_pos"),
+        col("min_score"), col("max_score"),
+        expr("n_pos * 1000000 div n").as("pos_rate_micro"))
+  }
+
   /** Zipf-law fit of the corpus frequency distribution (Zipf 1949,
     * public; the standard sanity probe on a training corpus — natural
     * text sits near slope −1, and a drifted slope flags boilerplate

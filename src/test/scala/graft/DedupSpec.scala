@@ -1688,6 +1688,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._4 == math.floor(cosAB * 1e6 + 0.5).toLong, out.toString)
   }
 
+  test("truncationRecall: prefix ranking overlap counted exactly") {
+    import spark.implicits._
+    // query 0 = (1, 0). Full cosines: 1 → 1.0, 2 → 0.316, 3 → 0.6 so
+    // full top-2 = {1, 3}. The 1-dim prefix sees only x: all three
+    // score cos 1 (a 1-dim cosine is a sign), the tie breaks by id,
+    // trunc top-2 = {1, 2} → overlap {1} → recall 0.5
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(2f, 0f)),
+      (2L, Array(1f, -3f)),
+      (3L, Array(3f, 4f)))
+    val out = Similarity.truncationRecall(
+        vecs.toDF("vec_id", "embedding"), col("vec_id") === 0L,
+        k = 2, truncDim = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 500000L)), out.toString)
+  }
+
+  test("calibrationCurve: equal-population bins, deterministic tie split, exact rates") {
+    import spark.implicits._
+    // 10 docs, scores 1..10, positives = scores 7..10 plus a noisy 2
+    val rows = (1 to 10).map(i =>
+      (i.toLong, i.toLong * 10, i >= 7 || i == 2))
+    val out = TextAnalysis.calibrationCurve(
+        rows.toDF("doc_id", "s", "lbl"), "doc_id", col("s"), col("lbl"),
+        nBins = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the noisy positive (score 20) lands in bin 1: rate 0.5 there,
+    // clean zeros in 2-3, saturated 4-5 — the miscalibration visible
+    assert(out == Seq(
+      (1L, 2L, 1L, 10L, 20L, 500000L),
+      (2L, 2L, 0L, 30L, 40L, 0L),
+      (3L, 2L, 0L, 50L, 60L, 0L),
+      (4L, 2L, 2L, 70L, 80L, 1000000L),
+      (5L, 2L, 2L, 90L, 100L, 1000000L)), out.toString)
+  }
+
   test("bitextMarginMine: true twin mines, hub pairs suppressed by the margin") {
     import spark.implicits._
     // src 1 has a genuine translation twin (tgt 10) plus weak 0.3-cos

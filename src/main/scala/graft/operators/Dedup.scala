@@ -762,6 +762,56 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Sentence-level exact-duplicate strike — the C4 cleaning rule
+    * (Raffel et al. 2020 §2.2, public: "we discarded any ... duplicate
+    * lines/sentences across the dataset") in the [[segmentDedup]] shape
+    * but keyed on REAL sentence boundaries: text splits on terminal
+    * punctuation runs (`[.!?]+` plus trailing whitespace), each trimmed
+    * non-empty sentence is the dedup unit, and a sentence appearing in
+    * at least `maxDocFreq` DISTINCT documents (boilerplate, footers,
+    * nav text) is struck from every document; documents re-assemble
+    * from surviving sentences in order, re-joined with ". ". A document
+    * that loses everything survives as the empty string; a document
+    * with NO sentences (null/empty text) has nothing to dedup and is
+    * not emitted.
+    *
+    * Scale shape (identical to [[segmentDedup]], argued there): the
+    * sentence split is a narrow per-row expression — the array
+    * projection is pinned with [[Parallelism.opaque]] because the
+    * Generate-inferred `size(arr) > 0` predicate would otherwise push
+    * the whole split below the widening exchange onto the single scan
+    * task (the round-8 q144 trap, now CI-gated by StageAudit); the
+    * document-frequency aggregate is ONE hash shuffle on the sentence
+    * with map-side combine; the frequent set is small by construction
+    * and crosses as a broadcast flag join; re-assembly is one shuffle
+    * on the doc id. */
+  def sentenceDedup(df: DataFrame, idCol: String, text: Column,
+      maxDocFreq: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sents = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), Parallelism.opaque(
+        filter(transform(split(col("__t"), "[.!?]+\\s*"), s => trim(s)),
+          s => s =!= lit(""))).as("__ss"))
+      .select(col("doc"), posexplode(col("__ss")).as(Seq("sent_idx", "sent")))
+    val frequent = sents.groupBy("sent")
+      .agg(count_distinct(col("doc")).as("__df"))
+      .filter(col("__df") >= maxDocFreq)
+      .select(col("sent"), lit(true).as("__boiler"))
+    sents.join(broadcast(frequent), Seq("sent"), "left")
+      .groupBy("doc")
+      .agg(
+        array_sort(collect_list(when(col("__boiler").isNull,
+          struct(col("sent_idx"), col("sent"))))).as("__ordered"),
+        count(lit(1)).as("__n_total"))
+      .select(col("doc").as(idCol),
+        array_join(transform(col("__ordered"), s => s.getField("sent")), ". ")
+          .as("clean_text"),
+        size(col("__ordered")).cast(LongType).as("n_kept"),
+        (col("__n_total") - size(col("__ordered"))).cast(LongType)
+          .as("n_removed"))
+  }
+
   /** Exact duplicate-substring spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", §3 ExactSubstr): every
     * OVERLAPPING k-token window whose content occurs at least `minCount`

@@ -1956,6 +1956,109 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Pack an [[lmTrain]] pair-count model for INTERPOLATED
+    * absolute-discount scoring ([[interpNll]]): one broadcast row
+    * holding five derived statistics — pair counts (`__pm`, keyed
+    * b1·B+b2), prefix totals (`__c1`), distinct-successor counts
+    * (`__n1`, the λ(b1) numerator), distinct-predecessor counts
+    * (`__ct`, the Kneser-Ney continuation evidence), and the distinct
+    * pair total (`__np`). Everything derives from the exported
+    * `(b1,b2,c12)` table, so a stream scores with the SAME artifact the
+    * add-one gate uses. ≤ B² + 3B + 1 values — statistics-sized. */
+  def lmPackInterp(model: DataFrame, buckets: Int): DataFrame =
+    broadcast(model
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        col("b1") * buckets + col("b2"), col("c12")))).as("__pm"))
+      .crossJoin(model.groupBy("b1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(col("b1"), col("c1"))))
+            .as("__c1"),
+          map_from_entries(collect_list(struct(col("b1"), col("n1"))))
+            .as("__n1")))
+      .crossJoin(model.groupBy("b2").agg(count(lit(1)).as("ct"))
+        .groupBy().agg(map_from_entries(collect_list(struct(
+          col("b2"), col("ct")))).as("__ct")))
+      .crossJoin(model.groupBy().agg(count(lit(1)).as("__np"))))
+
+  /** Per-pair negative log probability (integer micro-nats) of the
+    * interpolated absolute-discount bigram over an [[lmPackInterp]]
+    * row. Ney-style absolute discounting with the Kneser-Ney
+    * continuation lower order (Ney, Essen & Kneser 1994; Kneser & Ney
+    * 1995 — public; CCNet's KenLM applies modified KN at order 5):
+    *
+    *   p(b2|b1) = max(c12 − D, 0)/c1 + D·N1+(b1·)/c1 · p_cont(b2)
+    *   p_cont(b2) = (N1+(·b2) + 1) / (N_pairs + B)      (add-one so
+    *     unseen successors keep non-zero mass and Σ p_cont = 1)
+    *
+    * with D = 3/4 (the standard discount; kept RATIONAL so the whole
+    * probability is one integer-over-integer ratio). A b1 the
+    * reference never produced (c1 = 0) backs off to p_cont alone.
+    * Multiplying through by 4·c1·(Np+B):
+    *
+    *   p = [max(4·c12−3, 0)·(Np+B) + 3·N1+(b1·)·(N1+(·b2)+1)]
+    *        / (4·c1·(Np+B))
+    *
+    * — numerator and denominator are exact integer expressions, so
+    * `nll = floor(ln(den/num)·1e6 + 0.5)` is the same micro-nat
+    * quantization contract as [[lmPerplexityBuckets]] (ln of one
+    * double ratio of exactly-represented integers; den ≥ num because
+    * the discounted mass telescopes to exactly 1 over b2, so every
+    * term is ≥ 0). */
+  def interpNll(b1: Column, b2: Column, buckets: Int): Column = {
+    val c1 = coalesce(element_at(col("__c1"), b1), lit(0L))
+    val n1 = coalesce(element_at(col("__n1"), b1), lit(0L))
+    val ct = coalesce(element_at(col("__ct"), b2), lit(0L))
+    val c12 = coalesce(element_at(col("__pm"), b1 * buckets + b2), lit(0L))
+    val npb = col("__np") + lit(buckets.toLong)
+    val num = when(c1 > 0L,
+      greatest(lit(4L) * c12 - lit(3L), lit(0L)) * npb +
+        lit(3L) * n1 * (ct + lit(1L)))
+      .otherwise(ct + lit(1L))
+    val den = when(c1 > 0L, lit(4L) * c1 * npb).otherwise(npb)
+    floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+      .cast(LongType)
+  }
+
+  /** [[lmPerplexityBuckets]] with interpolated Kneser-Ney-style
+    * smoothing in place of add-one — the fidelity upgrade toward
+    * CCNet's actual KenLM filter (Wenzek et al. 2020 §3.3): add-one
+    * flattens the head of the distribution (every unseen pair costs
+    * ln(c1+B), however predictive the prefix), while absolute
+    * discounting preserves observed mass and the continuation term
+    * scores unseen pairs by how promiscuous their successor is —
+    * the KN insight. Same shape, same quantizer, same tercile cut;
+    * only the per-pair probability changes. */
+  def lmPerplexityBucketsInterp(df: DataFrame, idCol: String, text: Column,
+      reference: DataFrame, refText: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    // same lifecycle as lmPerplexityBuckets: ONE checkpointed reference
+    // pass; the four margin tables all derive from the ≤B²-row model,
+    // so deriving them costs B²-bounded work, never a corpus re-read;
+    // the packed model crosses as ONE broadcast row
+    val model = lmTrain(reference, refText, buckets).localCheckpoint(true)
+    val packed = lmPackInterp(model, buckets)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = bigramBucketPairs(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(col("__t").isNotNull)
+        .repartition(par, col("doc")), Seq("doc"), buckets)
+    val scored = perDoc
+      .crossJoin(packed)
+      .withColumn("nll", interpNll(col("b1"), col("b2"), buckets))
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_pairs"),
+        sum(col("m") * col("nll")).as("nll_micro"))
+      .withColumn("mean_micro", expr("nll_micro div n_pairs"))
+    val tercile = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_micro"), col("nll_micro"), col("doc")))
+    scored.withColumn("ppl_bucket",
+      when(tercile === 1, lit("head"))
+        .when(tercile === 2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, public): the
     * denoising-pretraining prep that turns each document into a
     * (masked input, span target) pair. Tokens partition into fixed

@@ -254,6 +254,40 @@ object CurationStream {
       .drop("__h", "__pm", "__c1")
   }
 
+  /** [[lmQualityGate]] with the interpolated absolute-discount /
+    * Kneser-Ney-continuation smoothing
+    * ([[graft.operators.TextAnalysis.interpNll]]) in place of add-one —
+    * the SAME exported `(b1,b2,c12)` artifact scores both ways (margins,
+    * discounts and continuation counts all derive from it inside
+    * [[graft.operators.TextAnalysis.lmPackInterp]]'s one broadcast
+    * row), so upgrading a deployed stream's smoothing is a config
+    * change, not a retrain. Per-row long fold, no explode, no state;
+    * batch ([[graft.operators.TextAnalysis.lmPerplexityBucketsInterp]])
+    * and stream agree bit-for-bit (StreamingSpec parity). */
+  def lmQualityGateInterp(docs: DataFrame, model: DataFrame,
+      maxMeanMicro: Long, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    docs.crossJoin(TextAnalysis.lmPackInterp(model, buckets))
+      .withColumn("__h",
+        transform(TextAnalysis.tokens(col("text")),
+          t => pmod(graft.functions.Hashing.hexLong(t),
+            lit(buckets.toLong))))
+      .withColumn("n_pairs",
+        when(col("text").isNotNull,
+          greatest(size(col("__h")) - 1, lit(0)).cast("long")))
+      .withColumn("nll_micro",
+        when(col("text").isNotNull && size(col("__h")) >= 2,
+          aggregate(sequence(lit(0), size(col("__h")) - 2), lit(0L),
+            (acc, i) => acc + TextAnalysis.interpNll(
+              element_at(col("__h"), (i + 1).cast("int")),
+              element_at(col("__h"), (i + 2).cast("int")), buckets))))
+      .withColumn("mean_micro",
+        when(col("n_pairs") > 0L, expr("nll_micro div n_pairs")))
+      .withColumn("lm_pass",
+        coalesce(col("mean_micro") <= maxMeanMicro, lit(false)))
+      .drop("__h", "__pm", "__c1", "__n1", "__ct", "__np")
+  }
+
   /** Incremental funnel report: docs per stage per event-time window —
     * the monitoring view ([[EventsStream.windowedExpectations]]'s shape
     * applied to the funnel itself). Counts are decomposable, so this is

@@ -81,6 +81,29 @@ class DedupSpec extends SparkSpec {
     assert(loose.forall(_._4 == 0L))
   }
 
+  test("sentenceDedup strikes cross-doc repeated sentences, rebuilds in order, drops sentence-free docs") {
+    val docs = Seq(
+      (1L, "unique opening thought. all rights reserved. closing remark one"),
+      (2L, "another different start! all rights reserved. second tail"),
+      (3L, "all rights reserved."), // nothing but boilerplate → empty survivor
+      (4L, "totally clean document? with two sentences"),
+      (5L, ""), (6L, null.asInstanceOf[String]) // no sentences → no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(docs, "doc_id", col("text"), maxDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // 5/6 have nothing to dedup
+    assert(out(1L)._2 == "unique opening thought. closing remark one" &&
+      out(1L)._3 == 2L && out(1L)._4 == 1L)
+    assert(out(2L)._2 == "another different start. second tail")
+    assert(out(3L)._2 == "" && out(3L)._3 == 0L && out(3L)._4 == 1L)
+    assert(out(4L)._2 == "totally clean document. with two sentences" &&
+      out(4L)._4 == 0L)
+    // below the threshold nothing is removed (df=3 < maxDocFreq=4)
+    val loose = Dedup.sentenceDedup(docs, "doc_id", col("text"), maxDocFreq = 4)
+      .as[(Long, String, Long, Long)].collect()
+    assert(loose.forall(_._4 == 0L))
+  }
+
   test("duplicateSpans: cross-doc window, within-doc merge, two islands, clean docs absent") {
     val docs = Seq(
       // docs 1/2 share exactly one 5-gram "z a b c d" → one span [2,6]

@@ -683,4 +683,66 @@ class StreamingSpec extends SparkSpec {
       out(5L).toString)
     model.unpersist()
   }
+
+  test("streaming interpolated-KN LM gate scores bit-identically to the batch buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun",
+      "a quick brown fox and a lazy dog meet again")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps again"),
+      (2L, "zzz qqq vvv www unseen gibberish"), // unseen prefixes → backoff
+      (3L, "the quick brown cat naps"),
+      (4L, "solo"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the SAME exported artifact the add-one gate uses — smoothing is a
+    // scoring-side choice, not a different model
+    val model = TextAnalysis.lmTrain(reference, col("text")).cache()
+    val batch = TextAnalysis.lmPerplexityBucketsInterp(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("n_pairs"), col("nll_micro"),
+        col("mean_micro"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val cut = (batch(1L)._4 + batch(2L)._4) / 2
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.lmQualityGateInterp(
+        input.toDF().toDF("doc_id", "text"), model, maxMeanMicro = cut)
+      .select(col("doc_id"), col("n_pairs"), col("nll_micro"),
+        col("mean_micro"), col("lm_pass"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_gate_interp").start()
+    val out = try {
+      input.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      spark.table("lm_gate_interp")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2.contains(batch(id)._2) &&
+        out(id)._3.contains(batch(id)._3) &&
+        out(id)._4.contains(batch(id)._4),
+        s"doc $id: stream ${out(id)} vs batch ${batch(id)}")
+    }
+    assert(out(1L)._5 && out(3L)._5 && !out(2L)._5, out.toString)
+    assert(out(4L)._2.contains(0L) && !out(4L)._5)
+    assert(out(5L)._2.isEmpty && !out(5L)._5)
+    // the smoothing upgrade is non-vacuous: interpolated scores differ
+    // from add-one on scored docs, and the reference-like doc is CHEAPER
+    // under discounting than the gibberish one by a wider margin
+    val addOne = TextAnalysis.lmPerplexityBuckets(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("nll_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).exists(id => addOne(id) != batch(id)._3),
+      "interpolated smoothing collapsed to add-one")
+    model.unpersist()
+  }
 }

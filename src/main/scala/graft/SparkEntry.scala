@@ -810,6 +810,21 @@ object SparkEntry {
           col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
     }),
 
+    // compressed-video metadata round-trip: a REAL avc1 MP4 is muxed
+    // per doc (Mp4Mux — profile/level/mb-grid/crop/frames from doc_id
+    // arithmetic, entry dims a constant decoy), then parsed back
+    // through the real box walk + avcC + SPS Exp-Golomb reader; the
+    // oracle states the same arithmetic directly, so a single flipped
+    // bit in either the writer or the parser hash-mismatches
+    "q151_avc_meta" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d).select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, operators.Mp4Mux.avc1Fixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoTrackMeta(s, payloads, "doc_id").toDF()
+    }),
+
     // T5 span corruption: hash-derandomized block spans → (masked
     // input with sentinels, span target) pairs — denoising prep
     "q133_span_corruption" -> ((s, d) =>
@@ -3675,6 +3690,23 @@ object SparkEntry {
            CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          FROM mm"""
     },
+
+    // the muxed fixture's parameters restated as arithmetic: width/
+    // height are SPS mb-grid minus the 4:2:0 crop units (×2 per crop
+    // sample), the declared 640×360 entry decoy must NOT surface
+    "q151_avc_meta" ->
+      """SELECT doc_id, 'avc1' AS codec,
+         CAST((10 + doc_id % 30) * 16
+           - CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END AS BIGINT) AS width,
+         CAST((8 + doc_id % 20) * 16
+           - CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+           AS BIGINT) AS avc_profile,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+           ELSE 41 END AS BIGINT) AS avc_level,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+         CAST((1 + doc_id % 3) * 1000 AS BIGINT) AS duration_ms
+         FROM documents""",
 
     "q125_incremental_dedup" ->
       s"""WITH RECURSIVE cand AS ($minhashOracle),

@@ -1,0 +1,162 @@
+package graft.operators
+
+/** Minimal conformant ISO-BMFF / H.264-SPS writer — the mux twin of
+  * [[Multimodal]]'s demux path (box walk `mp4VideoTrack`, Exp-Golomb
+  * `spsDimensions`). Public-spec formats only: ISO/IEC 14496-12 (box
+  * structure, sample tables), ISO/IEC 14496-15 §5.3.3 (avcC
+  * configuration record), ITU-T H.264 §7.3.2.1.1 (sequence parameter
+  * set). Two consumers: MultimodalSpec's container fixtures, and the
+  * declared query `q151_avc_meta`, which muxes a real avc1 MP4 per
+  * document (parameters derived from the doc id), parses it back
+  * through the REAL demux + SPS bit-reader, and hash-matches the
+  * recovered profile/level/dimensions against pure doc-id arithmetic in
+  * the oracle — a bit-level round-trip gate on both the writer and the
+  * parser. */
+private[graft] object Mp4Mux {
+
+  def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  def box(t: String, data: Array[Byte]): Array[Byte] =
+    be32(8 + data.length) ++ t.getBytes("US-ASCII") ++ data
+  def full(t: String, data: Array[Byte]): Array[Byte] =
+    box(t, be32(0) ++ data) // version 0, flags 0
+
+  /** MSB-first bit writer for hand-crafting SPS bitstreams. */
+  final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0; private var nb = 0
+    def u(v: Int, n: Int): this.type = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+        k -= 1
+      }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val vv = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(vv)
+      u(0, len - 1); u(vv, len)
+    }
+    def toBytes: Array[Byte] = {
+      val b = buf.clone()
+      if (nb > 0) b += (cur << (8 - nb)).toByte
+      b.toArray
+    }
+  }
+
+  /** Minimal conformant SPS NAL (ITU-T H.264 §7.3.2.1.1): profile 66 /
+    * 77, or 100 (the high-profile chroma branch), poc type 0, optional
+    * frame-cropping rectangle. */
+  def spsNal(profile: Int, level: Int, widthMbs: Int, heightMapUnits: Int,
+      frameMbsOnly: Int = 1,
+      crop: (Int, Int, Int, Int) = (0, 0, 0, 0)): Array[Byte] = {
+    val w = new BitWriter
+    w.u(profile, 8).u(0, 8).u(level, 8)
+    w.ue(0) // seq_parameter_set_id
+    if (profile == 100) { // high-profile chroma branch
+      w.ue(1) // chroma_format_idc 4:2:0
+      w.ue(0).ue(0) // bit depths
+      w.u(0, 1) // transform bypass
+      w.u(0, 1) // no scaling matrix
+    }
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0).ue(0) // poc type 0 + log2_max_poc_lsb
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num_value_allowed
+    w.ue(widthMbs - 1).ue(heightMapUnits - 1)
+    w.u(frameMbsOnly, 1)
+    if (frameMbsOnly == 0) w.u(0, 1)
+    w.u(1, 1) // direct_8x8_inference
+    val (cl, cr, ct, cb) = crop
+    if (cl + cr + ct + cb > 0) { w.u(1, 1); w.ue(cl).ue(cr).ue(ct).ue(cb) }
+    else w.u(0, 1)
+    w.u(0, 1) // vui absent
+    w.u(1, 1) // rbsp stop bit
+    Array(0x67.toByte) ++ w.toBytes
+  }
+
+  /** avcC box (ISO 14496-15 §5.3.3): configuration record wrapping one
+    * SPS, zero PPS. */
+  def avcCBox(profile: Int, level: Int, sps: Array[Byte]): Array[Byte] =
+    box("avcC", Array(1.toByte, profile.toByte, 0.toByte, level.toByte,
+      0xff.toByte, 0xe1.toByte) ++ be16(sps.length) ++ sps ++
+      Array(0.toByte))
+
+  /** The 70 fixed VisualSampleEntry bytes after data_reference_index
+    * (ISO 14496-12 §12.1.3): declared width/height, resolutions,
+    * frame_count, compressorname, depth — child boxes follow. */
+  def visualEntryFields(width: Int, height: Int): Array[Byte] =
+    be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++ // pre_defined/reserved
+      be16(width) ++ be16(height) ++
+      be32(0x00480000) ++ be32(0x00480000) ++ be32(0) ++ // resolutions
+      be16(1) ++ Array.fill(32)(0.toByte) ++ // frame_count, compressorname
+      be16(24) ++ be16(0xffff) // depth, pre_defined
+
+  /** Self-contained single-track MP4: ftyp + mdat + moov with the full
+    * sample-table chain (trak/mdia/mdhd/hdlr/minf/stbl/stsd+stsz+stsc+
+    * stco) — the same box layout every MP4 muxer writes (ISO/IEC
+    * 14496-12). Two chunks when more than two frames, so stsc run
+    * decoding is exercised beyond the one-chunk degenerate case. */
+  def mp4Bytes(frames: Seq[Array[Byte]], codec: String = "jpeg",
+      timescale: Int = 600, duration: Int = 3000,
+      entryExtra: Array[Byte] = Array.empty): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+      "isom".getBytes("US-ASCII") ++ "iso2".getBytes("US-ASCII"))
+    val mdatData = frames.flatten.toArray
+    val mdat = box("mdat", mdatData)
+    // chunk 1 = first 2 samples, chunk 2 = rest (1 chunk if <=2 frames)
+    val split = math.min(2, frames.length)
+    val chunk1Off = ftyp.length + 8
+    val chunk2Off = chunk1Off + frames.take(split).map(_.length).sum
+    val nChunks = if (frames.length > split) 2 else 1
+    val stsd = full("stsd", be32(1) ++
+      box(codec, Array.fill(6)(0.toByte) ++ Array(0.toByte, 1.toByte) ++
+        entryExtra))
+    val stsz = full("stsz", be32(0) ++ be32(frames.length) ++
+      frames.flatMap(f => be32(f.length)).toArray)
+    val stsc = full("stsc",
+      if (nChunks == 2)
+        be32(2) ++ be32(1) ++ be32(split) ++ be32(1) ++
+          be32(2) ++ be32(frames.length - split) ++ be32(1)
+      else be32(1) ++ be32(1) ++ be32(frames.length) ++ be32(1))
+    val stco = full("stco",
+      if (nChunks == 2) be32(2) ++ be32(chunk1Off) ++ be32(chunk2Off)
+      else be32(1) ++ be32(chunk1Off))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val mdhd = full("mdhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ Array(0x55.toByte, 0xc4.toByte, 0.toByte, 0.toByte))
+    val hdlr = full("hdlr", be32(0) ++ "vide".getBytes("US-ASCII") ++
+      Array.fill(13)(0.toByte))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Deterministic avc1 fixture for `id`: profile/level/mb-grid/crop/
+    * frame count all derive from the id by the SAME arithmetic the
+    * q151 oracle states in SQL, the declared entry dims are a constant
+    * decoy (640×360) so recovered dimensions can only come from the
+    * SPS Exp-Golomb parse, and frame payloads are opaque NAL stand-ins
+    * (pixel decode is not under test — the demux span walk is). */
+  def avc1Fixture(id: Long): Array[Byte] = {
+    val profile = Array(66, 77, 100)((id % 3).toInt)
+    val level = Array(30, 31, 40, 41)((id % 4).toInt)
+    val wMbs = 10 + (id % 30).toInt
+    val hMus = 8 + (id % 20).toInt
+    val crop = if (id % 5 == 0) (1, 1, 1, 0) else (0, 0, 0, 0)
+    val nFrames = 1 + (id % 3).toInt
+    val frames = (0 until nFrames).map(f =>
+      Array.fill(10 + ((id + f) % 7).toInt)(5.toByte))
+    val sps = spsNal(profile, level, wMbs, hMus, frameMbsOnly = 1, crop)
+    mp4Bytes(frames, codec = "avc1", timescale = 600,
+      duration = 600 * nFrames,
+      entryExtra = visualEntryFields(640, 360) ++ avcCBox(profile, level, sps))
+  }
+}

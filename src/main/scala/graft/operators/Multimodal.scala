@@ -66,6 +66,35 @@ object Multimodal {
   case class DecodedMedia(doc_id: Long, n_bytes: Long, format: String,
       features: Array[Float])
 
+  /** One parsed video-track record ([[videoTrackMeta]]). */
+  case class VideoTrackMeta(doc_id: Long, codec: String, width: Long,
+      height: Long, avc_profile: Long, avc_level: Long, n_frames: Long,
+      duration_ms: Long)
+
+  /** Compressed-video metadata extraction over a binary payload column:
+    * ONE ISO-BMFF box walk per row ([[mp4VideoTrack]] — stsz/stsc/stco
+    * span reconstruction, avcC profile/level, SPS Exp-Golomb
+    * dimensions) emitting the metadata a 100 TB video-curation pass
+    * filters on (codec allow-lists, resolution floors, duration caps)
+    * WITHOUT any pixel decode. Narrow mapPartitions at the codec seam
+    * (the [[decodePartitions]] contract): iterator in, iterator out,
+    * constant memory per task. Non-MP4 payloads and MP4s with no
+    * video track emit nothing — a corpus sweep counts survivors, it
+    * does not carry nulls. */
+  def videoTrackMeta(spark: SparkSession, df: DataFrame,
+      idCol: String): Dataset[VideoTrackMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (if (isMp4(bytes)) mp4VideoTrack(bytes) else None).map { t =>
+          VideoTrackMeta(id, t.codec, t.width.toLong, t.height.toLong,
+            t.profile.toLong, t.level.toLong, t.spans.length.toLong,
+            if (t.timescale > 0) t.duration * 1000L / t.timescale else 0L)
+        }
+      })
+  }
+
   /** Cheap container sniff (magic bytes) so non-image payloads skip the
     * ImageIO reader-probe entirely — at 100 TB the common case must not
     * pay a failed-decode attempt per row. */

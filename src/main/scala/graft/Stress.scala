@@ -67,6 +67,11 @@ object Stress {
       .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
     StressData.bitext(spark, s.bitextRows)
       .write.mode("overwrite").parquet(s"$dir/bitext.parquet")
+    // vocab scales WITH the corpus: the trainer's per-round tables are
+    // vocab-bounded, so a fixed vocabulary would leave the rounds
+    // constant-size at 10× and stress only the one corpus aggregate
+    StressData.bpeCorpus(spark, s.docs, vocab = 2000 * scale)
+      .write.mode("overwrite").parquet(s"$dir/bpe.parquet")
   }
 
   /** The graded ops: name → (build result from the scale's parquet
@@ -120,7 +125,14 @@ object Stress {
       "bitext_margin" -> (() =>
         graft.operators.Similarity.bitextMarginMine(bitext,
           col("label") < 5, k = 4, minMarginMicro = 1050000L,
-          nTables = 4, nBits = 8, dim = 64, maxBucket = 500)))
+          nTables = 4, nBits = 8, dim = 64, maxBucket = 500)),
+      // fixed 8 rounds at every scale (the iteration-count contract);
+      // the adversary's long-tail long words grow the vocab-bounded
+      // pair table linearly with scale while the Zipf head drives the
+      // merge decisions — the two axes of the trainer's cost model
+      "bpe_train" -> (() =>
+        TextAnalysis.bpeTrain(spark.read.parquet(s"$dir/bpe.parquet"),
+          col("text"), nMerges = 8)))
   }
 
   /** Per-op scaling exponent (see scaladoc above). */

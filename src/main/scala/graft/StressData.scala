@@ -115,6 +115,32 @@ object StressData {
       lit(" corpus common footer nav alpha beta gamma delta epsilon " +
         "zeta eta theta")).otherwise(lit("")))
 
+  /** BPE-trainer adversary (doc_id, text): Zipf word ranks with LONG
+    * long-tail words. The trainer's per-round pair table is bounded by
+    * the VOCABULARY's total symbol mass — Σ over distinct words of
+    * (word length − 1) — so the stress must grow exactly that: rank-r
+    * words spell `w<r>` plus a rank-keyed letter repeated 6 + r mod 32
+    * times, putting the LENGTH in the rare tail (the Zipf head stays
+    * short and frequent and drives the merge decisions, as in real
+    * text where frequent words are short — Zipf's law of abbreviation).
+    * Callers scale `vocab` WITH the corpus so the vocab-bounded round
+    * tables genuinely grow at 10×; the corpus-sized work (one
+    * word-frequency aggregate) grows with `nDocs` independently. */
+  def bpeCorpus(spark: SparkSession, nDocs: Long, docLen: Int = 30,
+      vocab: Int = 2000): DataFrame = {
+    require(nDocs > 0 && docLen >= 1 && vocab >= 1)
+    val letters = lit("abcdefghijklmnopqrstuvwxyz")
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(docLen - 1)), i => {
+        val r = zipfRank(vocab, col("id"), i, lit(11))
+        concat(lit("w"), r, array_join(
+          transform(sequence(lit(1L), lit(6L) + pmod(r, lit(32L))),
+            _ => element_at(split(letters, ""),
+              (pmod(r, lit(26L)) + 1L).cast("int"))), ""))
+      })).as("text"))
+  }
+
   /** Bitext-mining embedding table (vec_id, embedding float[dim],
     * label) — label < 5 is the "source language" (even ids), >= 5 the
     * target (odd ids). Three deterministic populations:

@@ -276,6 +276,40 @@ class StressSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("bpeTrain: merge sequence is corpus-scale invariant; long-tail adversary shapes the vocab") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val corpus = StressData.bpeCorpus(spark, nDocs = 120, vocab = 300)
+      .cache()
+    // the adversary's contract: Zipf head short+frequent, tail long —
+    // the pair-table mass (Σ len−1) must live in the rare tail
+    val words = corpus.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"), length(col("w")).as("len"))
+      .as[(String, Long, Int)].collect()
+    val frequent = words.sortBy(-_._2).take(10)
+    val rare = words.sortBy(_._2).take(50)
+    assert(frequent.map(_._3).max < rare.map(_._3).max,
+      s"head ${frequent.map(_._3).toSeq} vs tail max ${rare.map(_._3).max}")
+    assert(rare.map(_._3).max >= 30, "long-tail words not long")
+    // merge DECISIONS are a property of the word distribution, not the
+    // corpus size: doubling every document must reproduce the exact
+    // merge sequence with exactly doubled counts — the invariant that
+    // makes the 10x stress ratio measure data volume, not drift
+    val m1 = TextAnalysis.bpeTrain(corpus, col("text"), nMerges = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val m2 = TextAnalysis.bpeTrain(corpus.union(corpus), col("text"),
+        nMerges = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(m1.length == 6 && m2.length == 6)
+    assert(m1.map(m => (m._1, m._2, m._3)).toSeq ==
+      m2.map(m => (m._1, m._2, m._3)).toSeq,
+      s"merge sequence drifted:\n${m1.toSeq}\n${m2.toSeq}")
+    assert(m1.zip(m2).forall { case (a, b) => b._4 == 2 * a._4 },
+      "counts did not double")
+    corpus.unpersist()
+  }
+
   test("measured near-linear scaling (env-gated: SPARK_GRAFT_STRESS=1)") {
     assume(sys.env.get("SPARK_GRAFT_STRESS").contains("1"),
       "manual: set SPARK_GRAFT_STRESS=1 (full run: sbt 'runMain graft.Stress')")

@@ -37,7 +37,11 @@ class StageAuditSpec extends SparkSpec {
         aggregate(transform(sequence(lit(1), lit(600)),
             i => xxhash64(col("text"), i)),
           lit(0L), (acc, x) => acc.bitwiseXOR(x)))
-      heavy.filter(col("h") =!= 0L).select("doc_id", "h")
+      // project only doc_id: the computed column must appear ONLY in
+      // the (pushed) predicate, as in the real q141 instance — carrying
+      // `h` into the output would recompute the fold wide above the
+      // exchange and dilute the single-task concentration under audit
+      heavy.filter(col("h") =!= 0L).select("doc_id")
     }
     // sanity: the substitution really happened (the trap is live, not
     // hypothetical) — the filter sits below the exchange in the plan
@@ -47,8 +51,16 @@ class StageAuditSpec extends SparkSpec {
     assert(exIdx >= 0, plan.take(800))
     assert(lines.drop(exIdx + 1).exists(_.contains("xxhash64")),
       "trap did not arm (pushdown rules changed?):\n" + plan.take(1500))
+    // The control pins the trap's SIGNATURE — all compute concentrated
+    // into one task — which is host-speed-invariant; the 400 ms
+    // production floor is a noise margin (every real instance, q141/
+    // q142/q144, sat far above it at sf0.01), and tying the control to
+    // it makes the test flake on a warm JIT (this trap measured 109 ms
+    // single-task on a hot suite run vs ~500 ms cold).
     val audit = StageAudit.auditOne(spark, "planted_trap", trap)
-    assert(audit.violates, s"audit missed the planted trap: $audit")
+    assert(audit.fraction >= StageAudit.MaxFraction,
+      s"audit missed the planted trap's task-time concentration: $audit")
+    assert(audit.violatesAt(60L), s"planted trap too light to register: $audit")
   }
 
   test("...and the same compute with unpushable() passes the audit") {
@@ -61,9 +73,10 @@ class StageAuditSpec extends SparkSpec {
             i => xxhash64(col("text"), i)),
           lit(0L), (acc, x) => acc.bitwiseXOR(x)))
       heavy.filter(operators.Parallelism.unpushable(col("h") =!= 0L))
-        .select("doc_id", "h")
+        .select("doc_id")
     }
     val audit = StageAudit.auditOne(spark, "pinned_trap", fixed)
-    assert(!audit.violates, s"pinned version still single-task: $audit")
+    assert(audit.fraction < StageAudit.MaxFraction,
+      s"pinned version still single-task: $audit")
   }
 }

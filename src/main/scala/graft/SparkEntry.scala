@@ -669,6 +669,12 @@ object SparkEntry {
   private val IvfCells = 16
   private val IvfProbe = 4
 
+  /** q152's static badword list (stand-in for C4's public blocklist,
+    * chosen so it fires on a meaningful fraction of the synthetic
+    * corpus: 'dup' hits ~5% of docs, each phrase ~6%). */
+  private val BlocklistWords = Seq("dup")
+  private val BlocklistPhrases = Seq("slow merge", "big batch")
+
   /** q75 lexical query terms (drawn from the corpus vocabulary so the
     * overlap ranking provably fires). */
   private val RrfTerms = Seq("table", "scan", "fast")
@@ -975,6 +981,23 @@ object SparkEntry {
         "doc", col("nb_micro"), col("__lbl"))
     }),
 
+    // C4-style badword blocklist disposition (drop any page containing a
+    // listed word or phrase), aggregated per source. The list mixes a
+    // whole-token word ('dup', ~5% df on the corpus) with two adjacency
+    // phrases so BOTH match kinds provably fire — and every source keeps
+    // a nonzero blocked AND kept count (probed; distribution recorded in
+    // COVERAGE.md). Zero-shuffle scan expression + one tiny aggregation.
+    "q152_blocklist" -> ((s, d) => {
+      val blocked = TextAnalysis.blocklistHit(col("text"),
+        BlocklistWords, BlocklistPhrases)
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), blocked.as("__b"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(!col("__b"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+    }),
+
     // C4-style sentence-level dedup: the corpus has no punctuation, so
     // sentence boundaries are spiked in (a period every 8 words) plus
     // two shared boilerplate sentences on doc_id strata — the strike
@@ -1158,6 +1181,64 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 5), 10, nProbe = IvfProbe)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
           col("rank").cast(LongType).as("knn_rank"))
+    }),
+
+    // distributed PCA, part 1 — the fused-moment covariance pass: ONE
+    // corpus scan expands each embedding into d first + d(d+1)/2 pair
+    // moments, hash-aggregated as exact fixed-point longs (map-side
+    // partials keep the shuffle O(d²) per task at any corpus size).
+    // Fully SQL-checkable with no injection: this gate covers the
+    // numeric input the eigensolve consumes.
+    "q153_pca_cov" -> ((s, d) =>
+      Pca.covarianceUT(Pca.moments(Tables.embeddings(s, d), "embedding", 64))),
+
+    // distributed PCA, part 2 — end-to-end: driver fit from the bounded
+    // moment table (Jacobi eigensolve; the k-means-fit precedent), then
+    // a distributed projection onto the top 4 components as a pure map
+    // (model as literal arrays), aggregated per label via exact
+    // nano-fixed-point sums. The captured model is injected into the
+    // oracle (q60's centroid mechanism), so projection + aggregation
+    // are fully hash-checked.
+    "q154_pca_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pca.fit(
+        Pca.moments(emb, "embedding", 64).collect().toSeq, 64)
+      q154Model = Some(model)
+      val proj = Pca.project(emb, "embedding", model.mean,
+        model.eigenvectors.take(4))
+      val fps = proj.select(col("label") +: (1 to 4).map(k =>
+        floor(col(s"pc$k") * lit(1e9) + lit(0.5)).cast(LongType)
+          .as(s"__fp$k")): _*)
+      val agg = fps.groupBy("label").agg(count(lit(1)).as("n_vecs"),
+        (1 to 4).map(k => sum(col(s"__fp$k")).as(s"__s$k")): _*)
+      agg.select(col("label") +: col("n_vecs") +: (1 to 4).map(k =>
+        ((col(s"__s$k").cast("double") / lit(1e9)) /
+          col("n_vecs").cast("double")).as(s"mean_pc$k")): _*)
+    }),
+
+    // distributed PCA, part 3 — embedding-space outlier mining: the
+    // approximate Mahalanobis distance Σ_k pc_k²/λ_k over the top-8
+    // components (the curation step that drops noise/contamination
+    // vectors before semantic dedup). Same fit, then a pure-map score
+    // and the bounded two-phase global top-k — no window, no global
+    // sort; exact micro fixed-point crosses the engine boundary.
+    "q155_mahalanobis" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pca.fit(
+        Pca.moments(emb, "embedding", 64).collect().toSeq, 64)
+      q155Model = Some(model)
+      val proj = Pca.project(emb, "embedding", model.mean,
+        model.eigenvectors.take(8))
+      val md = (1 to 8).map(k =>
+        (col(s"pc$k") * col(s"pc$k")) / lit(model.eigenvalues(k - 1)))
+        .reduce(_ + _)
+      val scored = proj.select(col("vec_id"),
+        floor(md * lit(1e6) + lit(0.5)).cast(LongType).as("md_micro"))
+      Relational.topKPerGroup(scored, Seq.empty, col("md_micro"),
+        col("vec_id"), 20)
+        .select(col("id").as("vec_id"),
+          col("score").cast(LongType).as("md_micro"),
+          col("rank").cast(LongType).as("out_rank"))
     }),
 
     // per-language top-quality docs: the grouped bounded top-k through
@@ -2087,6 +2168,66 @@ object SparkEntry {
     * query BEFORE dumping oracle_sql.json, so the capture is always
     * populated for the same data the dump was produced from. */
   @volatile private var q60Centroids: Option[Seq[(Long, Array[Double])]] = None
+
+  /** Captured by the q154 builder when the PCA fits (driver-coordinated,
+    * bounded: 64 means + 4×64 eigenvector components); read back when
+    * the oracle SQL is dumped — the q60-centroid mechanism. */
+  @volatile private var q154Model: Option[Pca.PcaModel] = None
+
+  /** Captured by the q155 builder (same deterministic fit as q154's —
+    * independent capture so each query's oracle stands alone). */
+  @volatile private var q155Model: Option[Pca.PcaModel] = None
+
+  /** Shared injected-literal projection CTE: `p AS (SELECT <keep>,
+    * p1..pk FROM e)` with the captured mean and top-k eigenvectors as
+    * inline DOUBLE-list literals and the per-row centered dot product
+    * as the same left-to-right fold [[cosineSql]] uses. */
+  private def pcaProjCte(m: Pca.PcaModel, k: Int, keep: String): String = {
+    def lst(a: Array[Double]): String =
+      "[" + a.map(sqlDouble).mkString(", ") + "]"
+    val mu = lst(m.mean)
+    val pcs = m.eigenvectors.take(k).zipWithIndex.map { case (v, k0) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         [(emb[i+1] - $mu[i+1]) * ${lst(v)}[i+1] for i in range(0, 64)]),
+         (acc, x) -> acc + x) AS p${k0 + 1}"""
+    }.mkString(", ")
+    s"""e AS (SELECT $keep, CAST(embedding AS DOUBLE[]) AS emb
+         FROM embeddings WHERE len(embedding) = 64),
+       p AS (SELECT $keep, $pcs FROM e)"""
+  }
+
+  /** Generated oracle: Mahalanobis outliers — the captured model's
+    * top-8 projection, Σ pc²/λ left-to-right, micro quantize,
+    * row_number top-20 (mirrors the bounded two-phase top-k). */
+  private def mahalanobisOracle: Map[String, String] =
+    q155Model.map { m =>
+      val md = (1 to 8).map(k =>
+        s"(p$k * p$k) / ${sqlDouble(m.eigenvalues(k - 1))}").mkString(" + ")
+      "q155_mahalanobis" ->
+        s"""WITH ${pcaProjCte(m, 8, "vec_id")},
+           md AS (SELECT vec_id,
+             CAST(floor(($md) * 1e6 + 0.5) AS BIGINT) AS md_micro FROM p),
+           r AS (SELECT *, row_number() OVER
+             (ORDER BY md_micro DESC, vec_id) AS rn FROM md)
+           SELECT vec_id, md_micro, CAST(rn AS BIGINT) AS out_rank
+           FROM r WHERE rn <= 20"""
+    }.toMap
+
+  /** Generated oracle: PCA projection — the captured mean and top-4
+    * eigenvectors as inline DOUBLE-list literals, the per-row centered
+    * dot product as the same left-to-right fold [[cosineSql]] uses, and
+    * the per-label means as exact nano-fixed-point integer sums. */
+  private def pcaOracle: Map[String, String] =
+    q154Model.map { m =>
+      val means = (1 to 4).map(k =>
+        s"""(CAST(CAST(sum(CAST(floor(p$k * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+           AS DOUBLE) / 1e9) / CAST(count(*) AS DOUBLE) AS mean_pc$k""")
+        .mkString(", ")
+      "q154_pca_project" ->
+        s"""WITH ${pcaProjCte(m, 4, "label")}
+           SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, $means
+           FROM p GROUP BY 1"""
+    }.toMap
 
   /** Generated oracle: trained-quantizer IVF — the captured centroids as
     * a VALUES CTE through the shared post-quantizer oracle. Empty (no
@@ -3547,6 +3688,40 @@ object SparkEntry {
              AS BIGINT) AS pos_rate_micro
          FROM b GROUP BY 1""",
 
+    // same list, same whole-token / padded-adjacency match semantics
+    "q152_blocklist" ->
+      s"""WITH f AS (SELECT source, n_chars,
+           (${(BlocklistWords.map(w =>
+             s"list_contains(string_split(text, ' '), '$w')") ++
+             BlocklistPhrases.map(p =>
+               s"contains(' ' || text || ' ', ' $p ')")).mkString(" OR ")}) AS b
+         FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN NOT b THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         FROM f GROUP BY 1""",
+
+    // same fused moments (first moments tagged j = -1), same exact
+    // fixed-point 1e12 quantization, same end-stage double arithmetic
+    "q153_pca_cov" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE len(embedding) = 64),
+         ue AS (SELECT vec_id, unnest(range(0, 64)) AS i, unnest(emb) AS x FROM e),
+         p2 AS (SELECT a.i AS i, b.i AS j,
+             CAST(floor((a.x * b.x) * 1e12 + 0.5) AS BIGINT) AS xy
+           FROM ue a JOIN ue b ON a.vec_id = b.vec_id AND a.i <= b.i),
+         p1 AS (SELECT i, -1 AS j, CAST(floor(x * 1e12 + 0.5) AS BIGINT) AS xy
+           FROM ue),
+         m AS (SELECT i, j, count(*) AS n_vecs, CAST(sum(xy) AS BIGINT) AS s
+           FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) GROUP BY 1, 2)
+         SELECT s2.i, s2.j, CAST(s2.n_vecs AS BIGINT) AS n_vecs,
+           (CAST(s2.s AS DOUBLE) / 1e12) / CAST(s2.n_vecs AS DOUBLE)
+             - ((CAST(a.s AS DOUBLE) / 1e12) / CAST(s2.n_vecs AS DOUBLE))
+               * ((CAST(b.s AS DOUBLE) / 1e12) / CAST(s2.n_vecs AS DOUBLE)) AS cov
+         FROM m s2 JOIN m a ON a.j = -1 AND s2.i = a.i
+           JOIN m b ON b.j = -1 AND s2.j = b.i
+         WHERE s2.j >= 0""",
+
     // same spike, same splitter ([.!?]+ runs + trailing whitespace,
     // trimmed non-empty), same df >= 3 strike, same '. ' re-join
     "q149_sentence_dedup" ->
@@ -4078,5 +4253,6 @@ object SparkEntry {
     referenceQueries ++ generalQueries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
-    referenceOracle ++ generalOracle ++ pipelineOracle ++ trainedIvfOracle
+    referenceOracle ++ generalOracle ++ pipelineOracle ++ trainedIvfOracle ++
+      pcaOracle ++ mahalanobisOracle
 }

@@ -37,6 +37,10 @@ object Native {
   def md5Long(c: Column): Column =
     column(Md5Long(expr(c)))
 
+  /** One-pass exact fixed-point moment aggregate (see [[MomentSketch]]). */
+  def momentSketch(emb: Column, dim: Int, scale: Double): Column =
+    column(MomentSketch(expr(emb), dim, scale).toAggregateExpression())
+
   /** Fused within-bucket Hamming pair generator (see [[HammingPairsWithin]]). */
   def hammingPairsWithin(bucket: Column, maxHamming: Int): Column =
     column(HammingPairsWithin(expr(bucket), maxHamming))

@@ -119,6 +119,31 @@ object TextAnalysis {
       "has_long_digits" -> lower_.rlike("[0-9]{8}")) // ids/phones/cards
   }
 
+  /** C4-style blocklist hit (Raffel et al. 2020 §2.2: drop any page
+    * containing a word from a fixed badword list; entries may be single
+    * words or multi-word phrases). Whole-token semantics: a word entry
+    * matches only a complete whitespace token, a phrase entry only an
+    * adjacent token run — substring matches inside longer words do NOT
+    * fire (the classic "classic" problem with naive contains).
+    *
+    * The list is a tiny static asset, so the test compiles to a literal
+    * array-membership + padded-substring check inside the scan
+    * projection: zero shuffle, zero state, no broadcast needed — the
+    * 100 TB plan is a pure map over the scan, and a consuming query's
+    * only exchange is its own aggregation. */
+  def blocklistHit(text: Column, words: Seq[String],
+      phrases: Seq[String]): Column = {
+    require(words.nonEmpty || phrases.nonEmpty, "empty blocklist")
+    val wordHit = words.headOption.map(_ =>
+      arrays_overlap(tokens(text), typedLit(words)))
+    // single-space-joined corpus: padding both sides turns token-run
+    // adjacency into an exact substring test (mirrors the oracle's
+    // contains(' ' || text || ' ', ' phrase '))
+    val padded = concat(lit(" "), text, lit(" "))
+    val phraseHits = phrases.map(p => padded.contains(lit(s" $p ")))
+    (wordHit.toSeq ++ phraseHits).reduce(_ || _)
+  }
+
   /** PII redaction patterns — explicit character classes only, so Java
     * regex (Spark) and RE2 (DuckDB) match identically: no lookaround, no
     * backreferences, no inline flags. */

@@ -308,4 +308,43 @@ object CurationStream {
       .select(col("window.start").as("window_start"), col("stage"),
         col("n_docs"))
   }
+
+  /** Stateless streaming embedding-outlier gate — the deployment half
+    * of the PCA lifecycle (q153–q155, the [[nbQualityGate]] pattern for
+    * the vector modality): fit [[graft.operators.Pca]] on the reference
+    * lake in batch, then score each live vector with the approximate
+    * Mahalanobis distance Σ_k pc_k²/λ_k over the model's top
+    * `components.length` components. The model rides in the PLAN as
+    * literal arrays (no broadcast variable, no state, no shuffle — a
+    * pure map), so batch and stream agree bit for bit and swapping in a
+    * refit model is a query restart, not a topology change.
+    *
+    * Appends `md_micro` (exact micro fixed-point, the q155 quantizer)
+    * and `md_ok` (distance ≤ `maxMdMicro`). Rows whose embedding is
+    * null or not the model's arity score NULL and gate FALSE — the
+    * batch operator drops them, the stream keeps the row so the caller
+    * sees a verdict per vector. */
+  def mahalanobisGate(vecs: DataFrame, embCol: String,
+      model: graft.operators.Pca.PcaModel, k: Int,
+      maxMdMicro: Long): DataFrame = {
+    val dim = model.mean.length
+    val embD = col(embCol).cast("array<double>")
+    val muLit = typedLit(model.mean.toSeq)
+    val wellFormed = size(col(embCol)) === dim
+    val withPc = (1 to k).foldLeft(vecs) { (acc, kk) =>
+      val vLit = typedLit(model.eigenvectors(kk - 1).toSeq)
+      acc.withColumn(s"__pc$kk", when(wellFormed,
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (a, i) =>
+          a + (element_at(embD, i + 1) - element_at(muLit, i + 1)) *
+            element_at(vLit, i + 1))))
+    }
+    val md = (1 to k).map(kk =>
+      (col(s"__pc$kk") * col(s"__pc$kk")) / lit(model.eigenvalues(kk - 1)))
+      .reduce(_ + _)
+    withPc
+      .withColumn("md_micro",
+        when(wellFormed, floor(md * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("md_ok", coalesce(col("md_micro") <= maxMdMicro, lit(false)))
+      .drop((1 to k).map(kk => s"__pc$kk"): _*)
+  }
 }

@@ -745,4 +745,49 @@ class StreamingSpec extends SparkSpec {
       "interpolated smoothing collapsed to add-one")
     model.unpersist()
   }
+
+  test("streaming Mahalanobis embedding gate scores bit-identically to the batch scorer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.Pca
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Pca.fit(Pca.moments(emb, "embedding", 64).collect().toSeq, 64)
+    // batch truth: q155's exact chain (project → Σ pc²/λ → micro)
+    val proj = Pca.project(emb, "embedding", model.mean,
+      model.eigenvectors.take(4))
+    val md = (1 to 4).map(k =>
+      (col(s"pc$k") * col(s"pc$k")) / lit(model.eigenvalues(k - 1)))
+      .reduce(_ + _)
+    val batch = proj.select(col("vec_id"),
+      floor(md * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .as[(Long, Long)].collect().toMap
+    // pick a threshold that splits the corpus so the gate fires both ways
+    val cut = batch.values.toSeq.sorted.apply(batch.size / 2)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = CurationStream.mahalanobisGate(
+        input.toDF().toDF("vec_id", "embedding"), "embedding", model, 4, cut)
+      .select(col("vec_id"), col("md_micro"), col("md_ok"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("md_gate").start()
+    val out = try {
+      input.addData(rows: _*)
+      input.addData((9001L, Seq(1.0f)), (9002L, null.asInstanceOf[Seq[Float]]))
+      q.processAllAvailable()
+      spark.table("md_gate").as[(Long, Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    rows.foreach { case (id, _) =>
+      assert(out(id)._2.contains(batch(id)), s"vec $id: ${out(id)} vs ${batch(id)}")
+      assert(out(id)._3 == (batch(id) <= cut), s"vec $id gate")
+    }
+    assert(out.values.count(_._3) > 0 && out.values.count(!_._3) > 0,
+      "threshold never fired both ways")
+    // malformed arity / null embedding: NULL score, gated false, row kept
+    assert(out(9001L)._2.isEmpty && !out(9001L)._3, out(9001L).toString)
+    assert(out(9002L)._2.isEmpty && !out(9002L)._3, out(9002L).toString)
+  }
 }

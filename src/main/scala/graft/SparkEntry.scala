@@ -1703,6 +1703,27 @@ object SparkEntry {
       Similarity.pqCodes(emb, codebook, subspaces = 4)
     }),
 
+    // PQ asymmetric-distance search (ADC): approximate top-10 per query
+    // computed ENTIRELY from the stored codes — per-subspace k-means
+    // codebooks (the real PQ trainer, 8 subspaces × 16 codes; captured
+    // and injected into the oracle, q60's mechanism), per-query LUT of
+    // micro-quantized subspace distances (order-free long sums)
+    // broadcast into the codes scan, bounded two-phase top-k. The
+    // query-time plan never touches a corpus vector.
+    "q156_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.trainPqCodebook(emb, PqSubspaces, PqCodes)
+      q156Codebook = Some(cb)
+      val sess = s
+      import sess.implicits._
+      val codebook = cb.toDF("code_id", "codeword")
+      // wide(): the per-subspace argmin folds are the heavy narrow
+      // compute, and the embeddings parquet scans as ONE partition
+      val codes = Similarity.pqCodes(wide(emb), codebook, PqSubspaces)
+      Similarity.pqAdcKnn(codes, codebook,
+        emb.filter(col("vec_id") < 5), PqSubspaces, k = 10)
+    }),
+
     // train/val/test split assignment + leakage audit: content
     // fingerprints spanning more than one hash-assigned split
     "q120_split_leakage" -> ((s, d) => {
@@ -2177,6 +2198,66 @@ object SparkEntry {
   /** Captured by the q155 builder (same deterministic fit as q154's —
     * independent capture so each query's oracle stands alone). */
   @volatile private var q155Model: Option[Pca.PcaModel] = None
+
+  private val PqSubspaces = 8
+  private val PqCodes = 16
+
+  /** Captured by the q156 builder when the per-subspace PQ codebooks
+    * train (driver-coordinated, bounded: PqCodes full-dim codewords). */
+  @volatile private var q156Codebook: Option[Seq[(Long, Array[Double])]] = None
+
+  /** Generated oracle: PQ ADC — the trained codewords as a VALUES CTE,
+    * then the full code-assignment + LUT + top-k chain mirrored
+    * (per-subspace slice folds identical to q119's; per-cell micro
+    * quantization makes the total an order-free BIGINT sum). */
+  private def pqAdcOracle: Map[String, String] =
+    q156Codebook.map { cbRows =>
+      val m = PqSubspaces
+      val len = 64 / m
+      def dist(s: Int, a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           [($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])
+            for i in range(${len * s}, ${len * (s + 1)})]),
+           (acc, x) -> acc + x)"""
+      def arg(s: Int): String =
+        s"""a$s AS (SELECT vec_id, code_id FROM
+           (SELECT vec_id, code_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d$s, code_id) AS rk
+            FROM d) WHERE rk = 1)"""
+      val values = cbRows.map { case (id, cw) =>
+        s"(CAST($id AS BIGINT), [${cw.map(sqlDouble).mkString(", ")}])"
+      }.mkString(", ")
+      val codeCols = (0 until m).map(s => s"a$s.code_id AS c$s").mkString(", ")
+      val codeJoins = (1 until m).map(s => s"JOIN a$s USING (vec_id)").mkString(" ")
+      val cellJoins = (1 until m).map(s =>
+        s"JOIN cells c$s ON c$s.query_id = c0.query_id AND c$s.code_id = cd.c$s")
+        .mkString("\n             ")
+      "q156_pq_adc" ->
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           cb AS (SELECT code_id, cw FROM (VALUES $values) AS t(code_id, cw)),
+           d AS (SELECT c.vec_id AS vec_id, cb.code_id AS code_id,
+             ${(0 until m).map(s => s"${dist(s, "c.e", "cb.cw")} AS d$s").mkString(", ")}
+             FROM c, cb),
+           ${(0 until m).map(arg).mkString(",\n           ")},
+           codes AS MATERIALIZED (SELECT a0.vec_id AS vec_id, $codeCols
+             FROM a0 $codeJoins),
+           q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+           cells AS MATERIALIZED (SELECT q.query_id AS query_id, cb.code_id AS code_id,
+             ${(0 until m).map(s =>
+               s"CAST(floor(${dist(s, "q.qe", "cb.cw")} * 1e6 + 0.5) AS BIGINT) AS m$s")
+               .mkString(", ")}
+             FROM q, cb),
+           ad AS (SELECT c0.query_id AS query_id, cd.vec_id AS neighbor_id,
+               ${(0 until m).map(s => s"c$s.m$s").mkString(" + ")} AS adc_micro
+             FROM codes cd
+               JOIN cells c0 ON c0.code_id = cd.c0
+               $cellJoins
+             WHERE c0.query_id <> cd.vec_id),
+           r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_micro, neighbor_id) AS rn FROM ad)
+           SELECT query_id, neighbor_id, adc_micro, CAST(rn AS BIGINT) AS pq_rank
+           FROM r WHERE rn <= 10"""
+    }.toMap
 
   /** Shared injected-literal projection CTE: `p AS (SELECT <keep>,
     * p1..pk FROM e)` with the captured mean and top-k eigenvectors as
@@ -4254,5 +4335,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     referenceOracle ++ generalOracle ++ pipelineOracle ++ trainedIvfOracle ++
-      pcaOracle ++ mahalanobisOracle
+      pcaOracle ++ mahalanobisOracle ++ pqAdcOracle
 }

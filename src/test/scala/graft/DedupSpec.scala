@@ -951,6 +951,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out(12L) == ((0L, 0L)), "equidistant subspace must tie to min code_id")
   }
 
+  test("pqAdcKnn: code-only distances match a driver recomputation; recall vs exact") {
+    import graft.operators.Pca
+    val emb = Tables.embeddings(spark, sf001)
+    val trained = Similarity.trainPqCodebook(emb, subspaces = 8, nCodes = 16)
+    val codebook = trained.map { case (id, cw) => (id, cw) }
+      .toDF("code_id", "codeword")
+    val codes = Similarity.pqCodes(emb, codebook, subspaces = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.pqAdcKnn(codes, codebook, queries, 8, 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 30 && out.forall(_._3 >= 0))
+    // driver recomputation: adc(q, x) = Σ_s floor(‖q_s − cw(code_s)_s‖²·1e6 + .5)
+    val cw = trained.toMap
+    val cds = codes.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toArray).toMap
+    val qv = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def adc(q: Array[Double], x: Long): Long =
+      (0 until 8).map { s =>
+        val c = cw(cds(x)(s))
+        var d = 0.0
+        var i = 8 * s
+        while (i < 8 * (s + 1)) {
+          val t = q(i) - c(i); d += t * t; i += 1
+        }
+        math.floor(d * 1e6 + 0.5).toLong
+      }.sum
+    out.foreach { case (qid, nid, m, _) =>
+      assert(m == adc(qv(qid), nid), s"adc($qid,$nid)")
+    }
+    // sanity recall: ADC top-10 finds a nontrivial share of the exact
+    // top-10 (8 codewords × 4 subspaces is a coarse quantizer — the
+    // property is overlap, not equality)
+    val exact = Similarity.bruteForceKnn(emb, queries, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, a) =>
+        q -> a.map(_._2).toSet }
+    val hits = out.groupBy(_._1).map { case (q, a) =>
+      a.map(_._2).count(exact(q)) }.sum
+    assert(hits >= 6, s"ADC recall collapsed: $hits/30 exact-top-10 hits")
+  }
+
   test("percentRank: distinct-value ranking, ties share a rank, nulls excluded") {
     import graft.operators.Quantiles
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 40.0), (5L, 50.0))

@@ -1724,6 +1724,24 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), PqSubspaces, k = 10)
     }),
 
+    // fixed-round k-core peel (k=3, 6 synchronous rounds) over the
+    // high-quantity co-purchase graph — the density pre-filter before
+    // community/embedding passes. Probed at sf0.01: the cascade
+    // genuinely fires round over round (1274 -> 294 -> 94 -> 53 -> 47
+    // -> 45 -> 45 survivors; converged by round 6), so the oracle's
+    // unrolled peels each do real work, not a vacuous fixed point
+    "q157_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      Graph.kCore(e, "src", "dst", k = 3, rounds = 6)
+        .select(col("node").as("l_partkey"), col("core_degree"))
+    }),
+
     // train/val/test split assignment + leakage audit: content
     // fingerprints spanning more than one hash-assigned split
     "q120_split_leakage" -> ((s, d) => {
@@ -3178,6 +3196,26 @@ object SparkEntry {
          SELECT deg.node AS l_partkey, degree,
            coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
          FROM deg LEFT JOIN pn USING (node)""",
+
+    // six synchronous k-core peels unrolled (the q114 pattern); the
+    // final degree pass re-counts alive neighbors among survivors
+    "q157_kcore" -> {
+      def peel(i: Int): String =
+        s"""s$i AS (SELECT s.node FROM s${i - 1} s JOIN (
+             SELECT e.u, count(*) AS c FROM e0 e JOIN s${i - 1} t
+             ON e.v = t.node GROUP BY e.u) d
+           ON s.node = d.u WHERE d.c >= 3)"""
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_quantity > 45),
+         e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+         s0 AS (SELECT DISTINCT u AS node FROM e0),
+         ${(1 to 6).map(peel).mkString(",\n         ")}
+         SELECT s.node AS l_partkey, CAST(d.c AS BIGINT) AS core_degree
+         FROM s6 s JOIN (SELECT e.u, count(*) AS c FROM e0 e
+           JOIN s6 t ON e.v = t.node GROUP BY e.u) d ON s.node = d.u"""
+    },
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

@@ -200,6 +200,64 @@ object Graph {
         coalesce(col("__t"), lit(0L)).as("n_triangles"))
   }
 
+  /** Fixed-round k-core peel (Seidman 1983; the distributed peel is
+    * Montresor 2013's message formulation) over an undirected edge list —
+    * the density-filter tier next to [[labelPropagation]]'s communities:
+    * where LPA asks "which dense group", the k-core asks "dense AT ALL?",
+    * and the peel is the standard pre-filter before expensive community
+    * or embedding passes (a node that can't hold k neighbors after
+    * cascade removal is noise to a co-occurrence analysis).
+    *
+    * Semantics (fixed rounds = defined outcome, the [[labelPropagation]]
+    * contract): `rounds` synchronous peels; each round removes every
+    * surviving node with fewer than `k` SURVIVING neighbors. A peel on a
+    * stable set is a no-op, so if the peel converges within `rounds` the
+    * result IS the true k-core; if not, it is the defined partial peel
+    * the oracle mirrors round for round. Output: survivors with their
+    * in-core degree (neighbors among survivors — recomputed once after
+    * the last peel, so a non-converged run can report degrees < k).
+    *
+    * Scale shape (the [[pageRank]] pattern, one |E|→|V| shuffle per
+    * round): the symmetrized edge list is hash-partitioned on the
+    * NEIGHBOR end `v` and checkpointed ONCE; the survivor set leaves
+    * every round hash-partitioned on `node` (the vote aggregate's own
+    * exchange feeds the co-partitioned survivor join). Each round is
+    * then: alive-neighbor vote = e⋈s on `v` (co-partitioned, NO exchange
+    * on the |E| side) → groupBy `u` count (THE shuffle, map-side
+    * partials, |V|-bounded output) → inner join s on `node`
+    * (co-partitioned) → `count ≥ k` filter. Survivors are re-pinned via
+    * `localCheckpoint` each round — without it the round-r plan nests
+    * round-(r-1) TWICE (vote side + membership side) and the lazy tree
+    * doubles per round. |V|-sized broadcasts only under the measured
+    * `broadcastMaxNodes` gate, same as [[pageRank]]. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    require(broadcastMaxNodes >= 0L)
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = GraftShims.checkpointHashPartitioned(
+      raw.union(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      p, "v")
+    var survivors = GraftShims.checkpointHashPartitioned(
+      e.select(col("u").as("node")).distinct(), p, "node")
+    val gate: DataFrame => DataFrame =
+      if (survivors.count() <= broadcastMaxNodes) broadcast else identity
+    def aliveDeg(s: DataFrame): DataFrame =
+      e.join(gate(s), col("v") === col("node"), "left_semi")
+        .groupBy("u").agg(count(lit(1)).as("__c"))
+    (1 to rounds).foreach { _ =>
+      survivors = GraftShims.checkpointHashPartitioned(
+        survivors.join(aliveDeg(survivors), col("node") === col("u"))
+          .filter(col("__c") >= k).select("node"),
+        p, "node")
+    }
+    survivors.join(aliveDeg(survivors), col("node") === col("u"))
+      .select(col("node"), col("__c").as("core_degree"))
+  }
+
   /** Synchronous label propagation (Raghavan 2007) over an undirected
     * edge list, fixed `iters` rounds — the community-detection tier next
     * to [[Dedup.connectedComponents]]' reachability clustering: where CC

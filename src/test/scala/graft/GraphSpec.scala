@@ -138,4 +138,40 @@ class GraphSpec extends SparkSpec {
     assert(Graph.labelPropagation(
       Seq((7L, 7L)).toDF("s", "d"), "s", "d", 2).count() == 0)
   }
+
+  test("kCore: pendant chain cascades off a K4 core (hand-traced peels)") {
+    // K4 {1,2,3,4} + chain 4-5-6. k=2: round 1 removes 6 (1 alive
+    // neighbor), round 2 removes 5 (4 alive, 6 gone -> 1), round 3 is a
+    // no-op. Survivors: the K4, each with 3 in-core neighbors. Edges
+    // arrive duplicated and reversed; dups must collapse.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 4L), (5L, 6L))).toDF("s", "d")
+    val out = Graph.kCore(edges, "s", "d", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out.toString)
+    // shuffle path (gate=0) must be bit-identical to the broadcast path
+    val viaShuffle = Graph.kCore(edges, "s", "d", k = 2, rounds = 3,
+      broadcastMaxNodes = 0L).as[(Long, Long)].collect().toMap
+    assert(viaShuffle == out)
+  }
+
+  test("kCore: fixed rounds define a partial peel; degrees < k can survive") {
+    // path 1-2-...-8, k=2: each round peels both current endpoints.
+    // After exactly 2 rounds {3,4,5,6} survive; the ENDPOINTS of the
+    // surviving sub-path (3 and 6) report in-core degree 1 < k — the
+    // documented non-converged contract the oracle mirrors.
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("s", "d")
+    val out = Graph.kCore(path, "s", "d", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 1L), out.toString)
+    // two more rounds converge to the (empty) true 2-core of a path
+    assert(Graph.kCore(path, "s", "d", k = 2, rounds = 5).count() == 0)
+    // degenerate inputs: empty list, self-loops-only, k above max degree
+    assert(Graph.kCore(Seq.empty[(Long, Long)].toDF("s", "d"),
+      "s", "d", 2, 2).count() == 0)
+    assert(Graph.kCore(Seq((7L, 7L)).toDF("s", "d"), "s", "d", 1, 2)
+      .count() == 0)
+    assert(Graph.kCore(Seq((1L, 2L)).toDF("s", "d"), "s", "d", 5, 1)
+      .count() == 0)
+  }
 }

@@ -1149,6 +1149,16 @@ object SparkEntry {
       Dedup.ngramJaccard(docs20, "doc_id", col("text"), pairs, 3)
     }),
 
+    // exact set-similarity SELF-join by prefix filtering (AllPairs /
+    // PPJoin family): no false negatives, unlike the MinHash/SimHash
+    // tier. Probed at sf0.01: 116 candidates of 124,750 possible pairs
+    // (the rare-token prefix equi-join prunes ~1000x), 25 verified at
+    // tau=0.6 — both the candidate filter AND the exact-Jaccard verify
+    // step provably fire
+    "q158_setsim_join" -> ((s, d) =>
+      Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id",
+        col("text"), tauPct = 60)),
+
     // benchmark decontamination: every 7th doc plays the eval set; the
     // rest of the corpus is checked for shared 5-shingles. Modulus
     // chosen so the overlap join provably fires on the corpus (12
@@ -2617,6 +2627,38 @@ object SparkEntry {
          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
          JOIN sizes za ON p.doc_a = za.doc_id
          JOIN sizes zb ON p.doc_b = zb.doc_id""",
+
+    // prefix filter mirrored op for op: (df, token)-ranked prefix of
+    // length |T| - ceil(tau|T|) + 1, candidate equi-join on prefix
+    // tokens with the integer length filter, exact-overlap verify on
+    // candidates only; the maxPostings=1000 cap mirrors the operator's
+    "q158_setsim_join" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           THEN list_distinct([array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w) - 2)])
+           ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+         t AS (SELECT doc_id, unnest(s) AS tk FROM sh),
+         df AS (SELECT tk, count(*) AS dfc FROM t GROUP BY 1),
+         lens AS (SELECT doc_id, count(*) AS la FROM t GROUP BY 1),
+         pref AS (SELECT doc_id, la, tk FROM (
+             SELECT t.doc_id, t.tk, df.dfc, l.la,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY df.dfc, t.tk) AS rk
+             FROM t JOIN df USING (tk) JOIN lens l ON l.doc_id = t.doc_id)
+           WHERE rk <= la - ((60 * la + 99) // 100) + 1 AND dfc <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.la AS la, b.la AS lb
+           FROM pref a JOIN pref b ON a.tk = b.tk AND a.doc_id < b.doc_id
+             AND 100 * least(a.la, b.la) >= 60 * greatest(a.la, b.la)),
+         ov AS (SELECT c.doc_a, c.doc_b, c.la, c.lb,
+             CAST(count(*) AS BIGINT) AS overlap
+           FROM cand c JOIN t x ON x.doc_id = c.doc_a
+             JOIN t y ON y.doc_id = c.doc_b AND y.tk = x.tk
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, overlap,
+           CAST(floor(CAST(overlap AS DOUBLE) / (la + lb - overlap)
+             * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS jaccard
+         FROM ov WHERE 100 * overlap >= 60 * (la + lb - overlap)""",
     // same 5-shingle construction as the minhash oracle; every 7th doc
     // is the benchmark side
     "q58_decontaminate" ->

@@ -215,6 +215,52 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) == 0.0)
   }
 
+  test("prefixFilterJoin: exact — agrees with brute-force Jaccard over all pairs") {
+    // mixed corpus: an exact dup pair, a near-dup pair, unrelated docs,
+    // a short-text fallback shingle, a doc whose length ratio fails tau
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),        // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),         // near-dup of 1
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "one two three four five six seven eight nine eleven"),  // near-dup of 4
+      (6L, "completely different words entirely here now"),
+      (7L, "xy zz"),                                                // < k fallback
+      (8L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(corpus, "doc_id", col("text"), tauPct = 60)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // brute force over every pair with the same shingle definition
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val texts = corpus.as[(Long, String)].collect().toMap
+    val expect = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      ov = (sa & sb).size; un = (sa | sb).size
+      if 100 * ov >= 60 * un
+    } yield (a, b) -> (ov.toLong,
+      math.floor(ov.toDouble / un * 1e6 + 0.5) / 1e6)).toMap
+    assert(got == expect, s"got $got expected $expect")
+    assert(got.contains((1L, 2L)) && got((1L, 2L))._2 == 1.0)
+    assert(got.contains((1L, 3L)) && got.contains((4L, 5L)))
+  }
+
+  test("prefixFilterJoin: maxPostings cap drops pairs whose only shared prefix token is hot") {
+    // ten docs all sharing one rare-ish token set; cap=1 makes every
+    // prefix token (df=10) over-posted -> zero candidates survive,
+    // while the default cap finds all 45 identical pairs
+    val clones = (1L to 10L).map(i => (i, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixFilterJoin(clones, "doc_id", col("text"),
+      tauPct = 60).count() == 45L)
+    assert(Dedup.prefixFilterJoin(clones, "doc_id", col("text"),
+      tauPct = 60, maxPostings = 1L).count() == 0L)
+  }
+
   test("embedding cosine near-dup: parallel vectors similarity 1") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(2.0f, 0.0f, 0.0f)),

@@ -1149,6 +1149,13 @@ object SparkEntry {
       Dedup.ngramJaccard(docs20, "doc_id", col("text"), pairs, 3)
     }),
 
+    // Heaps-law vocabulary-growth curve over 3-shingle TYPES — the
+    // corpus-saturation diagnostic (probed: shingle types grow with a
+    // real sublinear bend, beta ~0.85 at sf0.01 / ~0.74 at sf0.1, where
+    // WORD vocabulary saturates at 31 by doc 16 and would be vacuous)
+    "q159_heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(Tables.documents(s, d), "doc_id", col("text"))),
+
     // exact set-similarity SELF-join by prefix filtering (AllPairs /
     // PPJoin family): no false negatives, unlike the MinHash/SimHash
     // tier. Probed at sf0.01: 116 candidates of 124,750 possible pairs
@@ -2627,6 +2634,44 @@ object SparkEntry {
          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
          JOIN sizes za ON p.doc_a = za.doc_id
          JOIN sizes zb ON p.doc_b = zb.doc_id""",
+
+    // Heaps curve mirrored op for op: one type-keyed aggregate, the
+    // micro-quantized-log least-squares slope in exact integer sums
+    "q159_heaps_law" -> {
+      val cuts = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+      val tcols = cuts.map(c =>
+        s"sum(CASE WHEN doc_id < $c THEN 1 ELSE 0 END) AS t$c").mkString(", ")
+      val vagg = cuts.map(c =>
+        s"count(CASE WHEN m < $c THEN 1 END) AS v$c").mkString(", ")
+      val nagg = cuts.map(c => s"CAST(sum(t$c) AS BIGINT) AS n$c").mkString(", ")
+      val logs = cuts.map(c =>
+        s"""CAST(floor(ln(CAST(n$c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x$c,
+           CAST(floor(ln(CAST(v$c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y$c""")
+        .mkString(", ")
+      val np = cuts.size
+      val sx = cuts.map(c => s"x$c").mkString(" + ")
+      val sy = cuts.map(c => s"y$c").mkString(" + ")
+      val sxy = cuts.map(c => s"x$c * y$c").mkString(" + ")
+      val sxx = cuts.map(c => s"x$c * x$c").mkString(" + ")
+      val unions = cuts.map(c =>
+        s"""SELECT CAST($c AS BIGINT) AS cutoff, n$c AS n_tokens,
+           CAST(v$c AS BIGINT) AS n_vocab, beta_micro FROM b""")
+        .mkString("\n         UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           THEN [array_to_string(w[i+1:i+3], ' ') for i in range(0, len(w) - 2)]
+           ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+         t AS (SELECT doc_id, unnest(s) AS tk FROM sh),
+         g AS (SELECT tk, min(doc_id) AS m, $tcols FROM t GROUP BY tk),
+         r AS (SELECT $vagg, $nagg FROM g),
+         l AS (SELECT *, $logs FROM r),
+         b AS (SELECT *, CAST(floor(
+             CAST($np * ($sxy) - ($sx) * ($sy) AS DOUBLE) /
+             CAST($np * ($sxx) - ($sx) * ($sx) AS DOUBLE)
+             * 1000000.0 + 0.5) AS BIGINT) AS beta_micro FROM l)
+         $unions"""
+    },
 
     // prefix filter mirrored op for op: (df, token)-ranked prefix of
     // length |T| - ceil(tau|T|) + 1, candidate equi-join on prefix

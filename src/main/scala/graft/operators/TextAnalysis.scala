@@ -2179,4 +2179,82 @@ object TextAnalysis {
           acc + when(b.getField("m"), 1L).otherwise(0L)))
         .as("n_masked"))
   }
+
+  /** Heaps-law vocabulary-growth curve (Heaps 1978; Baeza-Yates 1999
+    * §6.3 gives the V = K·N^β fit) over k-shingle TYPES — the corpus
+    * saturation diagnostic a curation pass reads before deciding whether
+    * more raw data still buys new content: a dedup-healthy corpus grows
+    * types sublinearly (β < 1) but steadily; β collapsing toward 0 at
+    * the tail means new documents are re-treading old n-grams (crawl
+    * exhaustion or a broken dedup upstream). Shingle types rather than
+    * word types because a bounded-vocabulary corpus (this one: 31 words)
+    * saturates instantly while its k-gram space keeps growing — the same
+    * reason the dedup tier fingerprints shingles, not words.
+    *
+    * Semantics: for each doc-id cutoff c, `n_tokens` = total shingle
+    * OCCURRENCES in docs with id < c and `n_vocab` = distinct shingle
+    * types first seen below c; `beta_micro` is the least-squares slope
+    * of ln V against ln N over all checkpoints, computed from
+    * micro-quantized logs in exact integer arithmetic (one double
+    * division at the end — the engine-portable determinism contract).
+    * Cutoffs beyond the corpus repeat the full-corpus point: the honest
+    * tail of a saturation curve, and a defined value at every scale.
+    *
+    * Scale shape: ONE corpus explode (widened; array pinned
+    * [[Parallelism.opaque]]) into ONE shingle-keyed aggregate carrying
+    * min-first-doc plus per-cutoff occurrence counts (map-side partials;
+    * output bounded by the type vocabulary), then a single-row reduce —
+    * the fit itself never sees corpus-sized data. */
+  def heapsLaw(df: DataFrame, idCol: String, text: Column, k: Int = 3,
+      cutoffs: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L,
+        2048L)): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted.distinct,
+      "cutoffs must be ascending and distinct")
+    val ex = Parallelism.ensure(
+      df.filter(text.isNotNull)
+        .select(col(idCol).cast(LongType).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(Parallelism.opaque({
+        // NON-distinct k-grams (occurrences, not the dedup tier's
+        // distinct sets), short docs falling back to one whole-text
+        // shingle — the shinglesOfTokens fallback without its distinct
+        val toks = tokens(col("__t"))
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array(concat_ws(" ", toks)))
+      })).as("tk"))
+    val perType = ex.groupBy("tk").agg(
+      min(col("doc")).as("__m"),
+      cutoffs.map(c =>
+        sum(when(col("doc") < c, 1L).otherwise(0L)).as(s"__t$c")): _*)
+    val row = perType.agg(
+      count(when(col("__m") < cutoffs.head, 1)).as(s"__v${cutoffs.head}"),
+      (cutoffs.tail.map(c =>
+        count(when(col("__m") < c, 1)).as(s"__v$c")) ++
+       cutoffs.map(c => sum(col(s"__t$c")).as(s"__n$c"))): _*)
+    // micro-quantized logs, then the closed-form least-squares slope in
+    // exact integer sums; the single double division is last
+    val withLogs = row.select(col("*") +:
+      cutoffs.flatMap(c => Seq(
+        floor(log(col(s"__n$c").cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as(s"__x$c"),
+        floor(log(col(s"__v$c").cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as(s"__y$c"))): _*)
+    val n = lit(cutoffs.size.toLong)
+    val sx = cutoffs.map(c => col(s"__x$c")).reduce(_ + _)
+    val sy = cutoffs.map(c => col(s"__y$c")).reduce(_ + _)
+    val sxy = cutoffs.map(c => col(s"__x$c") * col(s"__y$c")).reduce(_ + _)
+    val sxx = cutoffs.map(c => col(s"__x$c") * col(s"__x$c")).reduce(_ + _)
+    withLogs
+      .select(
+        floor((n * sxy - sx * sy).cast(DoubleType) /
+          (n * sxx - sx * sx).cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType).as("beta_micro"),
+        explode(array(cutoffs.map(c => struct(
+          lit(c).as("cutoff"),
+          col(s"__n$c").as("n_tokens"),
+          col(s"__v$c").as("n_vocab"))): _*)).as("__r"))
+      .select(col("__r.cutoff"), col("__r.n_tokens"),
+        col("__r.n_vocab"), col("beta_micro"))
+  }
 }

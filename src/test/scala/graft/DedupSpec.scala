@@ -530,6 +530,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 3L, 4L, 1333333L)), one.toString)
   }
 
+  test("heapsLaw: hand-checked counts per cutoff; slope matches a JVM least-squares twin") {
+    // doc 0: 4 tokens -> 2 trigrams (1 repeated pair of types? no - both
+    // distinct); doc 1 repeats doc 0 exactly (0 new types); doc 2 is new
+    // content; doc 3 is short (<3 tokens -> whole-text fallback shingle);
+    // a null-text doc must be ignored entirely
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "x y z w"), (3L, "q r"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val cuts = Seq(1L, 2L, 3L, 4L)
+    val out = TextAnalysis.heapsLaw(docs, "doc_id", col("text"),
+        k = 3, cutoffs = cuts)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // occurrences: docs 0,1 have 2 trigrams each, doc 2 has 2, doc 3 has
+    // 1 fallback shingle; types: doc 0 mints 2, doc 1 mints 0, doc 2
+    // mints 2, doc 3 mints 1
+    val expectNV = Map(1L -> (2L, 2L), 2L -> (4L, 2L), 3L -> (6L, 4L),
+      4L -> (7L, 5L))
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == expectNV, out.toString)
+    // JVM twin of the micro-quantized log fit
+    val pts = cuts.map { c =>
+      val (nt, nv) = expectNV(c)
+      (math.floor(math.log(nt.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(nv.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = math.floor((n * sxy - sx * sy).toDouble /
+      (n * sxx - sx * sx).toDouble * 1e6 + 0.5).toLong
+    assert(out.values.map(_._3).toSet == Set(beta),
+      s"beta ${out.values.map(_._3).toSet} vs $beta")
+    assert(beta > 0L && beta < 1000000L, "sublinear growth on this corpus")
+  }
+
   test("zipfFit: recovers slope -1 on a true Zipf sample; flat corpus fits flat") {
     import spark.implicits._
     // freq(rank) = round(3000 / rank) for 60 ranks: ln-ln is a straight

@@ -132,7 +132,17 @@ object Stress {
       // merge decisions — the two axes of the trainer's cost model
       "bpe_train" -> (() =>
         TextAnalysis.bpeTrain(spark.read.parquet(s"$dir/bpe.parquet"),
-          col("text"), nMerges = 8)))
+          col("text"), nMerges = 8)),
+      // maxPostings 500: the clone family (n/7 docs sharing a FULL
+      // body — 714 postings per prefix token at scale 1, 7,143 at 10)
+      // binds the cap at every scale; un-capped, ~13 prefix tokens
+      // each mint O((n/7)²) candidate pairs. The within-block template
+      // pairs (prefix dfs at clique size 40) carry the real join load
+      "prefix_join" -> (() =>
+        Dedup.prefixFilterJoin(
+          corpus.withColumn("text",
+            StressData.cloneSpike(col("text"), col("doc_id"))),
+          "doc_id", col("text"), tauPct = 60, maxPostings = 500)))
   }
 
   /** Per-op scaling exponent (see scaladoc above). */

@@ -115,6 +115,24 @@ object StressData {
       lit(" corpus common footer nav alpha beta gamma delta epsilon " +
         "zeta eta theta")).otherwise(lit("")))
 
+  /** Corpus-wide CLONE family for [[graft.operators.Dedup.prefixFilterJoin]]
+    * stress: every `every`-th doc's text is REPLACED by one fixed
+    * clone body. Unlike [[footerSpike]] (whose common shingles are the
+    * most FREQUENT in each spiked doc and therefore never reach a
+    * df-ascending prefix), a full-body clone leaves each clone doc
+    * NOTHING BUT family-wide shingles — every prefix token's posting
+    * list holds the whole family (n/every docs), and the un-capped
+    * candidate join would mint O((n/every)²) pairs from each of ~13
+    * prefix tokens. The operator's `maxPostings` cap must drop those
+    * postings (trading away the clone-family recall, the documented
+    * LSH-maxBucket-style trade) while the within-block template pairs
+    * — whose prefix dfs stay at clique size — are untouched. */
+  def cloneSpike(text: Column, idCol: Column, every: Int = 7): Column =
+    when(idCol % every === 4,
+      lit("clonebody alpha quartz nebula crimson ledger apex marrow " +
+        "tundra sable onyx garnet cobalt umber verdigris"))
+      .otherwise(text)
+
   /** BPE-trainer adversary (doc_id, text): Zipf word ranks with LONG
     * long-tail words. The trainer's per-round pair table is bounded by
     * the VOCABULARY's total symbol mass — Σ over distinct words of

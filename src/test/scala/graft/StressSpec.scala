@@ -236,6 +236,34 @@ class StressSpec extends SparkSpec {
     } finally capped.unpersist()
   }
 
+  test("prefixFilterJoin: clone family capped, block pairs untouched") {
+    import spark.implicits._
+    // 560 docs -> exactly 80 clones (id ≡ 4 mod 7); block template dfs
+    // stay ≤ 40, clone shingle dfs = 80 — cap 50 separates the two
+    val docs = StressData.corpus(spark, 560)
+      .withColumn("text", StressData.cloneSpike(col("text"), col("doc_id")))
+    def run(cap: Long) =
+      Dedup.prefixFilterJoin(docs, "doc_id", col("text"),
+        tauPct = 60, maxPostings = cap)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val capped = run(50L)
+    val loose = run(100000L)
+    val isClone = (id: Long) => id % 7 == 4
+    // capped: the clone family's over-posted prefix tokens are dropped,
+    // so NO clone participates in any pair (its only shingles are
+    // family-wide) — the documented recall trade
+    assert(capped.keys.forall { case (a, b) => !isClone(a) && !isClone(b) })
+    assert(capped.nonEmpty, "block/dup pairs must still be found")
+    // loose: exactly the same non-clone pairs PLUS all C(80,2) = 3160
+    // clone pairs at Jaccard 1.0 — the quadratic blowup the cap stops
+    val loosePairs = loose.keys.filter { case (a, b) => isClone(a) || isClone(b) }
+    assert(loosePairs.size == 3160, s"got ${loosePairs.size}")
+    assert(loosePairs.forall { case k => loose(k)._2 == 1.0 })
+    assert(loose.filter { case (k, _) => !isClone(k._1) && !isClone(k._2) }
+      == capped, "non-clone pairs must be cap-invariant")
+  }
+
   test("bitextMarginMine: anchor-cluster bucket capped, twin recall exact") {
     val emb = StressData.bitext(spark, 2000).cache()
     try {

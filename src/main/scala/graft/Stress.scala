@@ -93,6 +93,14 @@ object Stress {
           broadcastMaxNodes = 0L)),
       "triangles" -> (() =>
         Graph.triangleCounts(edges, "src", "dst", broadcastMaxEdges = 0L)),
+      // k=3, 5 fixed peels, gate closed: the 10⁵-spoke star peels in
+      // round 1 (spoke degree 1 < 3 — one |E|-sized vote absorbs the
+      // hub key's 10⁵ rows via map-side partials), then the Zipf tail
+      // cascades; each round is one co-partitioned semi-join + one
+      // |E|→|V| vote shuffle over the SHRINKING survivor graph
+      "kcore" -> (() =>
+        Graph.kCore(edges, "src", "dst", k = 3, rounds = 5,
+          broadcastMaxNodes = 0L)),
       "duplicate_spans" -> (() =>
         Dedup.duplicateSpans(corpus, "doc_id", col("text"), k = 8)),
       // broadcastNorms=false: the |docs|-sized norm table must take the

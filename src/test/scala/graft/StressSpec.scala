@@ -123,6 +123,35 @@ class StressSpec extends SparkSpec {
     } finally tri.unpersist()
   }
 
+  test("kCore: star spokes peel in round 1; survivors had degree >= k; paths agree") {
+    import spark.implicits._
+    // 20k nodes, 20k Zipf edges + a 500-spoke star into node 0: sparse
+    // enough that degree-1 nodes exist (deterministic hash data)
+    val edges = StressData.hubGraph(spark, 20000, 20000, 500).cache()
+    try {
+      val out = Graph.kCore(edges, "src", "dst", k = 3, rounds = 5,
+        broadcastMaxNodes = 0L)
+        .as[(Long, Long)].collect().toMap
+      // initial symmetric degree per node
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .as[(Long, Long)].collect().toMap
+      // a peel can only remove nodes: every survivor had degree >= k
+      // BEFORE any peel (necessary condition; the cascade may remove
+      // more), and every degree-1 pure spoke is gone
+      assert(out.keys.forall(n => deg(n) >= 3L), "survivor with degree < 3")
+      val spokes = deg.filter(_._2 == 1L).keys
+      assert(spokes.nonEmpty && spokes.forall(!out.contains(_)))
+      assert(out.nonEmpty, "Zipf core must survive")
+      // the size-gated broadcast path is bit-identical on the same graph
+      val viaBroadcast = Graph.kCore(edges, "src", "dst", k = 3, rounds = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(viaBroadcast == out)
+    } finally edges.unpersist()
+  }
+
   test("duplicateSpans: per-block template surfaces as one exact span per doc") {
     val docs = StressData.corpus(spark, 400)
     val spans = Dedup.duplicateSpans(docs, "doc_id", col("text"), k = 8)

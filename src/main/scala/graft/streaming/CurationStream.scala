@@ -324,6 +324,24 @@ object CurationStream {
     * null or not the model's arity score NULL and gate FALSE — the
     * batch operator drops them, the stream keeps the row so the caller
     * sees a verdict per vector. */
+  /** Stateless streaming C4 badword gate (Raffel 2020 §2.2) — the
+    * deployment twin of
+    * [[graft.operators.TextAnalysis.blocklistHit]] (q152) and the
+    * simplest member of the gate family: the static list compiles to
+    * a literal whole-token membership + padded-substring phrase test
+    * inside the scan projection — no model row, no broadcast
+    * variable, no state, no shuffle; a batch-flagged and a
+    * stream-flagged doc agree bit-for-bit (StreamingSpec parity).
+    * NULL text has no token evidence: `blocked` false, row kept so
+    * the caller sees a verdict per doc (the family convention). */
+  def blocklistGate(docs: DataFrame, words: Seq[String],
+      phrases: Seq[String]): DataFrame =
+    docs.withColumn("blocked",
+      coalesce(
+        graft.operators.TextAnalysis.blocklistHit(col("text"),
+          words, phrases),
+        lit(false)))
+
   def mahalanobisGate(vecs: DataFrame, embCol: String,
       model: graft.operators.Pca.PcaModel, k: Int,
       maxMdMicro: Long): DataFrame = {

@@ -746,6 +746,44 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streaming blocklist gate flags bit-identically to the batch blocklistHit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq("badword", "slur")
+    val phrases = Seq("bad phrase", "worse yet")
+    val docs = Seq(
+      (1L, "clean text entirely fine"),
+      (2L, "contains a badword here"),              // word hit
+      (3L, "this has a bad phrase inside"),         // phrase hit
+      (4L, "badwording is NOT a hit"),              // substring ≠ token
+      (5L, "bad phrasejoined does not hit"),        // adjacency broken
+      (6L, "worse yet"),                            // phrase = whole text
+      (7L, null.asInstanceOf[String]))              // null: kept, false
+    // batch truth over the same rows
+    val batch = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), coalesce(
+        TextAnalysis.blocklistHit(col("text"), words, phrases),
+        lit(false)).as("b"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(batch == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> false, 6L -> true, 7L -> false), batch.toString)
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.blocklistGate(
+        input.toDF().toDF("doc_id", "text"), words, phrases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bl_gate").start()
+    val out = try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("bl_gate").select("doc_id", "blocked")
+        .as[(Long, Boolean)].collect().toMap
+    } finally q.stop()
+    assert(out == batch, s"stream $out vs batch $batch")
+  }
+
   test("streaming Mahalanobis embedding gate scores bit-identically to the batch scorer") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1759,6 +1759,37 @@ object SparkEntry {
         .select(col("node").as("l_partkey"), col("core_degree"))
     }),
 
+    // Z-order (Morton) locality cells over the top-2 PCA plane — the
+    // data-layout primitive behind multi-dimensional file clustering:
+    // write the lake sorted by z_cell and 2-D range predicates become
+    // scan pruning. Same captured-model mechanism as q154; the
+    // quantization range is computed INTERNALLY on both sides (PCA
+    // scores are bit-identical across engines — identical IEEE fold
+    // order — so min/max and the floor-quantized cells agree exactly)
+    "q160_zorder_cells" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pca.fit(
+        Pca.moments(emb, "embedding", 64).collect().toSeq, 64)
+      q160Model = Some(model)
+      // wide(): the two 64-term projection folds are the heavy narrow
+      // compute, and the embeddings parquet scans as ONE partition
+      val proj = Pca.project(wide(emb), "embedding", model.mean,
+        model.eigenvectors.take(2))
+      val rng = proj.agg(
+        min(col("pc1")).as("__n1"), max(col("pc1")).as("__x1"),
+        min(col("pc2")).as("__n2"), max(col("pc2")).as("__x2"))
+      def qz(p: Column, lo: Column, hi: Column): Column =
+        when(hi > lo,
+          least(floor((p - lo) / (hi - lo) * 32.0), lit(31.0)))
+          .otherwise(lit(0.0)).cast(LongType)
+      proj.crossJoin(broadcast(rng))
+        .select(Similarity.zorderCell(
+          qz(col("pc1"), col("__n1"), col("__x1")),
+          qz(col("pc2"), col("__n2"), col("__x2")), 5).as("z_cell"))
+        .groupBy("z_cell").agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("n_vecs").desc, col("z_cell")).limit(50)
+    }),
+
     // train/val/test split assignment + leakage audit: content
     // fingerprints spanning more than one hash-assigned split
     "q120_split_leakage" -> ((s, d) => {
@@ -2234,6 +2265,11 @@ object SparkEntry {
     * independent capture so each query's oracle stands alone). */
   @volatile private var q155Model: Option[Pca.PcaModel] = None
 
+  /** Captured by the q160 builder (independent capture, q154's rule);
+    * only the model crosses — the z-quantization RANGE is recomputed
+    * inside both engines from the bit-identical projections. */
+  @volatile private var q160Model: Option[Pca.PcaModel] = None
+
   private val PqSubspaces = 8
   private val PqCodes = 16
 
@@ -2343,6 +2379,31 @@ object SparkEntry {
         s"""WITH ${pcaProjCte(m, 4, "label")}
            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, $means
            FROM p GROUP BY 1"""
+    }.toMap
+
+  /** Generated oracle: Z-order cells — captured model through the
+    * shared projection CTE, range + quantization + the unrolled
+    * bit-interleave mirrored digit for digit (disjoint bits: + is |). */
+  private def zorderOracle: Map[String, String] =
+    q160Model.map { m =>
+      val z = (0 until 5).map(i =>
+        s"(((qx >> $i) & 1) << ${2 * i}) + (((qy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def qz(p: String, lo: String, hi: String): String =
+        s"""CAST(CASE WHEN $hi > $lo
+           THEN least(floor(($p - $lo) / ($hi - $lo) * 32.0),
+             CAST(31 AS DOUBLE))
+           ELSE 0 END AS BIGINT)"""
+      "q160_zorder_cells" ->
+        s"""WITH ${pcaProjCte(m, 2, "vec_id")},
+           rng AS (SELECT min(p1) AS n1, max(p1) AS x1,
+             min(p2) AS n2, max(p2) AS x2 FROM p),
+           qq AS (SELECT ${qz("p1", "n1", "x1")} AS qx,
+             ${qz("p2", "n2", "x2")} AS qy FROM p CROSS JOIN rng),
+           cells AS (SELECT $z AS z_cell,
+             CAST(count(*) AS BIGINT) AS n_vecs FROM qq GROUP BY 1)
+           SELECT z_cell, n_vecs FROM cells
+           ORDER BY n_vecs DESC, z_cell LIMIT 50"""
     }.toMap
 
   /** Generated oracle: trained-quantizer IVF — the captured centroids as
@@ -4460,5 +4521,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     referenceOracle ++ generalOracle ++ pipelineOracle ++ trainedIvfOracle ++
-      pcaOracle ++ mahalanobisOracle ++ pqAdcOracle
+      pcaOracle ++ mahalanobisOracle ++ pqAdcOracle ++ zorderOracle
 }

@@ -860,4 +860,23 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cos_micro"),
         col("margin_micro"))
   }
+
+  /** Morton/Z-order cell id from two pre-quantized non-negative
+    * coordinates (Morton 1966; the data-layout primitive behind
+    * multi-dimensional file clustering in modern lakehouses): bit i of
+    * `qx` lands at z-bit 2i, bit i of `qy` at 2i+1, so points close in
+    * BOTH dimensions share a z-prefix and sort into the same file/row
+    * group — one clustered write turns later 2-D range predicates into
+    * scan pruning. Compile-time-unrolled shift/mask sum (disjoint bits,
+    * so + is |): pure codegen'd integer arithmetic, no UDF, and the
+    * oracle mirrors it digit for digit. Inputs must already lie in
+    * [0, 2^bits) — quantization is the caller's contract (it needs the
+    * caller's range model). */
+  def zorderCell(qx: Column, qy: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1,31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

@@ -1014,6 +1014,30 @@ class TextAnalysisSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("zorderCell: hand-checked interleave; quadrant blocks share z-prefixes") {
+    val pts = Seq((0L, 0L), (3L, 5L), (1L, 0L), (0L, 1L), (7L, 7L),
+      (2L, 2L), (3L, 3L), (4L, 4L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Similarity.zorderCell(col("x"), col("y"), 3).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // JVM reference interleave
+    def ref(x: Long, y: Long): Long =
+      (0 until 3).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"($x,$y)")
+    }
+    // spot values: x bits land even, y bits odd
+    assert(got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
+    assert(got((3L, 5L)) == 39L && got((7L, 7L)) == 63L)
+    // locality: a 2^k-aligned quadrant is one contiguous z-prefix —
+    // points in the same 2x2 block share z div 4; crossing the block
+    // boundary changes the prefix
+    assert(got((2L, 2L)) / 4 == got((3L, 3L)) / 4)
+    assert(got((3L, 3L)) / 4 != got((4L, 4L)) / 4)
+  }
+
   test("pqCodes: per-subspace argmin, code tie to smallest id, codebook slicing") {
     // dim 4, 2 subspaces of 2; codewords chosen so assignments differ
     // per subspace: vec (1,0, 0,9) -> sub0 matches cw0 (1,0), sub1

@@ -1149,6 +1149,31 @@ object SparkEntry {
       Dedup.ngramJaccard(docs20, "doc_id", col("text"), pairs, 3)
     }),
 
+    // fragment stitching over a deterministic split of the corpus (the
+    // q151 synthesize→recover round-trip pattern: every 5th doc ships
+    // as two fragments with a 5-token deliberate overlap — paginated-
+    // scrape shape — and the stitcher must re-find every cut point;
+    // coincidental boundary matches surface honestly as key matches)
+    "q161_fragment_stitch" -> ((s, d) => {
+      val toksOf = TextAnalysis.tokens(col("text"))
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          size(toksOf).cast(org.apache.spark.sql.types.LongType).as("__n"))
+      val isSplit = col("doc_id") % 5 === 0 && col("__n") >= 12
+      val fragA = base.filter(isSplit).select(
+        (col("doc_id") * 10).as("frag_id"),
+        concat_ws(" ", slice(toksOf, lit(1),
+          (expr("__n div 2") + 5).cast("int"))).as("text"))
+      val fragB = base.filter(isSplit).select(
+        (col("doc_id") * 10 + 1).as("frag_id"),
+        concat_ws(" ", slice(toksOf, (expr("__n div 2") + 1).cast("int"),
+          col("__n").cast("int"))).as("text"))
+      val whole = base.filter(!isSplit)
+        .select((col("doc_id") * 10).as("frag_id"), col("text"))
+      Dedup.stitchFragments(fragA.union(fragB).union(whole),
+        "frag_id", col("text"), k = 5)
+    }),
+
     // Heaps-law vocabulary-growth curve over 3-shingle TYPES — the
     // corpus-saturation diagnostic (probed: shingle types grow with a
     // real sublinear bend, beta ~0.85 at sf0.01 / ~0.74 at sf0.1, where
@@ -2695,6 +2720,31 @@ object SparkEntry {
          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
          JOIN sizes za ON p.doc_a = za.doc_id
          JOIN sizes zb ON p.doc_b = zb.doc_id""",
+
+    // fragmentation + boundary-key join mirrored op for op; the tail
+    // slice is w[n-4:n] (DuckDB 1-based inclusive = Spark slice(-5,5))
+    "q161_fragment_stitch" ->
+      """WITH base AS (SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n,
+           string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+         sp AS (SELECT * FROM base WHERE doc_id % 5 = 0 AND n >= 12),
+         f AS (SELECT doc_id * 10 AS frag_id,
+             array_to_string(w[1:(n // 2) + 5], ' ') AS text FROM sp
+           UNION ALL SELECT doc_id * 10 + 1,
+             array_to_string(w[(n // 2) + 1:n], ' ') FROM sp
+           UNION ALL SELECT doc_id * 10, text FROM base
+             WHERE NOT (doc_id % 5 = 0 AND n >= 12)),
+         ky AS (SELECT frag_id, len(w2) AS n,
+             array_to_string(w2[1:5], ' ') AS head,
+             array_to_string(w2[len(w2) - 4:len(w2)], ' ') AS tail
+           FROM (SELECT frag_id, string_split(text, ' ') AS w2 FROM f)
+           WHERE len(w2) >= 6)
+         SELECT a.frag_id AS left_id, b.frag_id AS right_id,
+           a.tail AS boundary,
+           CAST(a.n + b.n - 5 AS BIGINT) AS stitched_tokens
+         FROM ky a JOIN ky b
+           ON a.tail = b.head AND a.frag_id <> b.frag_id""",
 
     // Heaps curve mirrored op for op: one type-keyed aggregate, the
     // micro-quantized-log least-squares slope in exact integer sums

@@ -894,6 +894,44 @@ object Dedup {
           (col("za.n_sh") + col("zb.n_sh") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** Fragment stitching: find ordered fragment pairs whose k-token
+    * boundary overlaps — A's LAST k tokens equal B's FIRST k (the crawl
+    * re-assembly primitive: truncated fetches and paginated scrapes ship
+    * as fragments with deliberate overlap, and the stitcher recovers the
+    * join points before dedup ever sees the halves as "near-dups").
+    * Pure key-equality semantics: every (a, b), a ≠ b, with
+    * tail_k(a) = head_k(b) is reported with the shared boundary n-gram
+    * and the stitched length `n_a + n_b - k`; coincidental boundary
+    * matches are genuine key matches and surface honestly (the caller
+    * filters by source/offset metadata it has and this operator
+    * doesn't). Fragments shorter than k+1 tokens carry no usable
+    * boundary and emit nothing — a k-token fragment would stitch on its
+    * ENTIRE body, gluing chains.
+    *
+    * Scale shape: one narrow pass computes each fragment's two boundary
+    * keys (no explode — two slice+concat projections), then ONE
+    * equi-join on the k-gram key. Boundary-key collisions bound the
+    * join fan-out the same way exact-dedup's fingerprint does; there is
+    * no all-pairs stage. */
+  def stitchFragments(frags: DataFrame, idCol: String, text: Column,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, "k >= 2: a 1-token boundary stitches on stopwords")
+    val toks = TextAnalysis.tokens(col("__t"))
+    val keyed = Parallelism.ensure(
+      frags.filter(text.isNotNull)
+        .select(col(idCol).as("frag"), text.as("__t")))
+      .select(col("frag"), size(toks).cast("long").as("__n"),
+        concat_ws(" ", slice(toks, 1, k)).as("__head"),
+        concat_ws(" ", slice(toks, -k, k)).as("__tail"))
+      .filter(col("__n") >= k + 1)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.__tail") === col("b.__head") &&
+          col("a.frag") =!= col("b.frag"))
+      .select(col("a.frag").as("left_id"), col("b.frag").as("right_id"),
+        col("a.__tail").as("boundary"),
+        (col("a.__n") + col("b.__n") - k).as("stitched_tokens"))
+  }
+
   /** Exact set-similarity SELF-join by prefix filtering (AllPairs /
     * PPJoin family — Chaudhuri 2006 "A Primitive Operator for Similarity
     * Joins"; Vernica 2010 gives the MapReduce stage decomposition this

@@ -215,6 +215,22 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) == 0.0)
   }
 
+  test("stitchFragments: boundary joins, chains, short-fragment exclusion") {
+    val frags = Seq(
+      (1L, "a b c d e f g h"),          // tail5 = "d e f g h"
+      (2L, "d e f g h x y z"),          // head5 matches 1 -> (1,2)
+      (3L, "x y z q r s t u v"),        // head5 "x y z q r" ≠ any tail
+      (4L, "g h x y z m n o p"),        // head5 = tail5(2) -> (2,4): chain
+      (5L, "d e f g h"),                // EXACTLY k tokens: excluded
+      (6L, null.asInstanceOf[String])).toDF("frag_id", "text")
+    val out = Dedup.stitchFragments(frags, "frag_id", col("text"), k = 5)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(
+      (1L, 2L) -> (("d e f g h", 8L + 8L - 5L)),
+      (2L, 4L) -> (("g h x y z", 8L + 9L - 5L))), out.toString)
+  }
+
   test("prefixFilterJoin: exact — agrees with brute-force Jaccard over all pairs") {
     // mixed corpus: an exact dup pair, a near-dup pair, unrelated docs,
     // a short-text fallback shingle, a doc whose length ratio fails tau

@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "sig_agree_pairs takes exactly 1 argument")
         SigAgreePairs(children.head)
       }))
+    // zorder_cell(qx, qy, bits) — Morton interleave for clustered writes
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_cell"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "zorder_cell"),
+      GraftExtensions.zorderBuilder))
     // md5_long56(str) — fused engine-portable 56-bit content hash
     ext.injectFunction((
       new FunctionIdentifier("md5_long56"),
@@ -121,5 +126,24 @@ object GraftExtensions {
       "hamming_pairs_within takes (bucket, maxHamming)")
     HammingPairsWithin(children.head,
       foldableNum(children(1), "hamming_pairs_within", "maxHamming").intValue())
+  }
+
+  /** zorder_cell(qx, qy, bits): the same compile-time-unrolled
+    * shift/mask tree [[graft.operators.Similarity.zorderCell]] builds
+    * through the Column API — all built-in codegen'd expressions, so
+    * the SQL registration adds no new evaluation path to maintain. */
+  private[graft] def zorderBuilder(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    require(children.length == 3, "zorder_cell takes (qx, qy, bits)")
+    val bits = foldableNum(children(2), "zorder_cell", "bits").intValue()
+    require(bits >= 1 && bits <= 31, "zorder_cell bits in [1,31]")
+    val x = Cast(children.head, LongType)
+    val y = Cast(children(1), LongType)
+    def part(e: Expression, i: Int, off: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRight(e, Literal(i)), Literal(1L)),
+        Literal(2 * i + off))
+    (0 until bits).flatMap(i => Seq(part(x, i, 0), part(y, i, 1)))
+      .reduce[Expression](Add(_, _))
   }
 }

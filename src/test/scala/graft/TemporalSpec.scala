@@ -425,6 +425,28 @@ class NativeCosineSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
   }
 
+  test("zorder_cell registers via the extension's builder, matches the Column API") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("zorder_cell",
+      graft.GraftExtensions.zorderBuilder, "built-in")
+    val viaSql = spark.sql(
+      """SELECT x, y, zorder_cell(x, y, 3) AS z FROM VALUES
+           (0L, 0L), (3L, 5L), (1L, 0L), (0L, 1L), (7L, 7L) t(x, y)""")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val viaApi = viaSql.keys.toSeq.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Similarity.zorderCell(col("x"), col("y"), 3).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(viaSql == viaApi, s"$viaSql vs $viaApi")
+    assert(viaSql((3L, 5L)) == 39L && viaSql((7L, 7L)) == 63L)
+    // non-foldable bits rejected at analysis time
+    val err = intercept[Exception] {
+      spark.sql("SELECT zorder_cell(x, y, CAST(x AS INT)) FROM VALUES (1L, 2L) t(x, y)")
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
+
   test("id_pairs and hamming_pairs_within register via the extension's builders") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("id_pairs",

@@ -43,11 +43,10 @@ object Warehouse {
         floor((c.cast("double") - lit(lo)) / lit(span) * lit((1L << bits) - 1)),
         lit(0L)), lit((1L << bits) - 1L)).cast("long")
     }
-    val (x, y) = (scaled(c1, min1, max1), scaled(c2, min2, max2))
-    (0 until bits).map { i =>
-      (shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1)): Column
-    }.reduce(_ + _)
+    // interleave via the canonical primitive (also registered in SQL as
+    // zorder_cell and exercised hash-checked by q160)
+    graft.operators.Similarity.zorderCell(
+      scaled(c1, min1, max1), scaled(c2, min2, max2), bits)
   }
 
   /** Z-order clustered parquet write: range-partition + sort the data by

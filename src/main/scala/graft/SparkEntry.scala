@@ -1174,6 +1174,32 @@ object SparkEntry {
         "frag_id", col("text"), k = 5)
     }),
 
+    // C4 line-level structural cleaning (Raffel 2020 §2.2's line
+    // rules). The corpus has no newlines or punctuation, so page
+    // structure is spiked deterministically: a period+newline every 6
+    // words makes well-formed lines (the trailing partial line lacks
+    // terminal punctuation and is struck — the punctuation rule fires
+    // on every doc), docs on the %19 stratum keep their original
+    // single unpunctuated line (short_page fires), and junk lines are
+    // appended by stratum — lorem-ipsum (%13) and curly-brace (%17)
+    // pages drop whole, javascript banner lines (%11) and 2-word
+    // lines (%7) are struck line-level. Every rule provably fires
+    // both ways; when-chain order mirrors the oracle CASE order.
+    "q162_line_clean" -> ((s, d) => {
+      val structured = when(col("doc_id") % 19 === 0, col("text"))
+        .otherwise(regexp_replace(col("text"),
+          "((?:\\S+ ){5}\\S+) ", "$1.\n"))
+      val junk = when(col("doc_id") % 13 === 0,
+          lit("\nlorem ipsum dolor sit amet."))
+        .when(col("doc_id") % 17 === 0, lit("\nfunction() { return x; }"))
+        .when(col("doc_id") % 11 === 0,
+          lit("\nplease enable javascript to view this content."))
+        .when(col("doc_id") % 7 === 0, lit("\nshort line."))
+        .otherwise(lit(""))
+      TextAnalysis.lineClean(Tables.documents(s, d), "doc_id",
+        concat(structured, junk))
+    }),
+
     // Heaps-law vocabulary-growth curve over 3-shingle TYPES — the
     // corpus-saturation diagnostic (probed: shingle types grow with a
     // real sublinear bend, beta ~0.85 at sf0.01 / ~0.74 at sf0.1, where
@@ -2745,6 +2771,42 @@ object SparkEntry {
            CAST(a.n + b.n - 5 AS BIGINT) AS stitched_tokens
          FROM ky a JOIN ky b
            ON a.tail = b.head AND a.frag_id <> b.frag_id""",
+
+    // same spike (CASE order mirrors the when-chain), same trimmed
+    // non-empty line split, same three line rules and two page rules
+    "q162_line_clean" ->
+      """WITH spiked AS (SELECT doc_id,
+           (CASE WHEN doc_id % 19 = 0 THEN text
+                 ELSE regexp_replace(text, '((?:\S+ ){5}\S+) ',
+                   '\1.' || chr(10), 'g') END)
+           || (CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+               WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'function() { return x; }'
+               WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'please enable javascript to view this content.'
+               WHEN doc_id % 7 = 0 THEN chr(10) || 'short line.'
+               ELSE '' END) AS text
+         FROM documents),
+         ls AS (SELECT doc_id,
+           [trim(x) for x in string_split(text, chr(10))
+            if trim(x) <> ''] AS ls FROM spiked),
+         j AS (SELECT doc_id, ls,
+           len([l for l in ls if contains(l, '{') OR contains(l, '}')
+                OR contains(l, 'lorem ipsum')]) > 0 AS pf,
+           [l for l in ls if regexp_matches(l, '[.!?"]$')
+              AND len([w for w in regexp_split_to_array(l, ' +')
+                       if w <> '']) >= 3
+              AND NOT contains(l, 'javascript')] AS kept
+         FROM ls)
+         SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CASE WHEN pf THEN 'page_filter'
+                WHEN len(kept) < 3 THEN 'short_page'
+                ELSE 'kept' END AS disposition,
+           CASE WHEN NOT pf AND len(kept) >= 3
+                THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+         FROM j""",
 
     // Heaps curve mirrored op for op: one type-keyed aggregate, the
     // micro-quantized-log least-squares slope in exact integer sums

@@ -2257,4 +2257,61 @@ object TextAnalysis {
       .select(col("__r.cutoff"), col("__r.n_tokens"),
         col("__r.n_vocab"), col("beta_micro"))
   }
+
+  /** C4-style line-level structural cleaning (Raffel et al. 2020 §2.2,
+    * the rules that operate on LINES rather than tokens or pages'
+    * vocabulary — the complement of [[blocklistHit]] (word/phrase page
+    * drop) and [[Dedup.sentenceDedup]] (corpus-frequency sentence
+    * strike), both already covered):
+    *
+    *   - a line survives only if it ends in terminal punctuation
+    *     (`. ! ? "`), carries at least `minWords` whitespace words, and
+    *     does not mention `javascript` (C4 drops the boilerplate
+    *     "enable javascript" banner lines this way);
+    *   - a page is dropped WHOLE when any line carries a curly brace
+    *     (leftover code) or the phrase "lorem ipsum" (placeholder
+    *     text), or when fewer than `minLines` lines survive the line
+    *     rules.
+    *
+    * Pure per-row narrow compute: the line array binds ONCE as a real
+    * column (Spark never hoists loop-invariant subtrees out of HOF
+    * lambdas), every rule is a codegen'd built-in over that array, and
+    * nothing shuffles — at 100 TB this is a map over the scan. Routed
+    * through [[Parallelism.ensure]] so a single-row-group parquet file
+    * still computes wide.
+    *
+    * Output one row per input doc — the disposition ledger a curation
+    * run wants, not just the survivors: doc id, n_lines (non-empty
+    * input lines), n_kept (lines passing the line rules, reported even
+    * for dropped pages), disposition ('kept' | 'page_filter' |
+    * 'short_page'), and clean_text (kept lines re-joined with
+    * newlines; empty unless kept). NULL text behaves as the empty
+    * page: 0 lines, 'short_page'. */
+  def lineClean(df: DataFrame, idCol: String, text: Column,
+      minWords: Int = 3, minLines: Int = 3): DataFrame = {
+    require(minWords >= 1 && minLines >= 1, "thresholds must be positive")
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("doc"), coalesce(text, lit("")).as("__t")))
+      .select(col("doc"),
+        filter(transform(split(col("__t"), "\n"), l => trim(l)),
+          l => l =!= lit("")).as("__ls"))
+    val wordsOf = (l: Column) =>
+      size(filter(split(l, " +"), w => w =!= lit("")))
+    base
+      .select(col("doc"), col("__ls"),
+        exists(col("__ls"), l => l.contains("{") || l.contains("}") ||
+          l.contains("lorem ipsum")).as("__pf"),
+        filter(col("__ls"), l =>
+          l.rlike("[.!?\"]$") && wordsOf(l) >= minWords &&
+            !l.contains("javascript")).as("__kept"))
+      .select(col("doc").as(idCol),
+        size(col("__ls")).cast(LongType).as("n_lines"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        when(col("__pf"), lit("page_filter"))
+          .when(size(col("__kept")) < minLines, lit("short_page"))
+          .otherwise(lit("kept")).as("disposition"),
+        when(!col("__pf") && size(col("__kept")) >= minLines,
+          array_join(col("__kept"), "\n")).otherwise(lit(""))
+          .as("clean_text"))
+  }
 }

@@ -582,6 +582,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(beta > 0L && beta < 1000000L, "sublinear growth on this corpus")
   }
 
+  test("lineClean: line rules, page rules, rule order, null text") {
+    val docs = Seq(
+      // 3 good lines -> kept; the unpunctuated and 2-word lines struck
+      (0L, "one two three four.\nfive six seven eight!\nnine ten eleven?\nno terminal punct here\ntiny line."),
+      // javascript line struck even though well-formed
+      (1L, "good line one here.\nplease enable javascript now ok.\nanother good line here.\nthird good line stays."),
+      // lorem ipsum anywhere drops the page, even with 3 good lines
+      (2L, "good line one here.\ngood line two here.\ngood line three here.\nlorem ipsum dolor"),
+      // curly brace drops the page; page_filter WINS over short_page
+      (3L, "if (x) { return; }"),
+      // only 2 survivors < minLines=3 -> short_page
+      (4L, "good line one here.\ngood line two here.\nno punct line"),
+      // quote counts as terminal punctuation
+      (5L, "he said \"hello there everyone.\"\nsecond good line here.\nthird good line stays."),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineClean(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((5L, 3L, "kept",
+      "one two three four.\nfive six seven eight!\nnine ten eleven?")))
+    assert(out(1L) == ((4L, 3L, "kept",
+      "good line one here.\nanother good line here.\nthird good line stays.")))
+    assert(out(2L)._3 == "page_filter" && out(2L)._2 == 3L &&
+      out(2L)._4 == "")
+    assert(out(3L)._3 == "page_filter", "brace page drop beats short_page")
+    assert(out(4L) == ((3L, 2L, "short_page", "")))
+    assert(out(5L)._3 == "kept" && out(5L)._2 == 3L)
+    assert(out(6L) == ((0L, 0L, "short_page", "")), "null text = empty page")
+  }
+
   test("zipfFit: recovers slope -1 on a true Zipf sample; flat corpus fits flat") {
     import spark.implicits._
     // freq(rank) = round(3000 / rank) for 60 ranks: ln-ln is a straight

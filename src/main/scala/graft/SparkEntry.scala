@@ -919,6 +919,17 @@ object SparkEntry {
         col("text"), k = MinhashK, numPerm = MinhashPerms,
         bands = MinhashBands, maxBucket = DefaultMaxBucket)),
 
+    // BLEU modified n-gram precision over the mined near-dup pairs —
+    // the multiset eval twin of q142's directional set containment:
+    // repeated n-grams clip at the reference's multiplicity
+    "q163_ngram_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.clippedNgramPrecision(docs, "doc_id", col("text"),
+        Dedup.minHashCandidates(docs, "doc_id", col("text"),
+          k = MinhashK, numPerm = MinhashPerms, bands = MinhashBands,
+          maxBucket = DefaultMaxBucket))
+    }),
+
     // token-budget subset selection: highest-quality docs under an
     // 8000-token training budget via histogram threshold — whole
     // buckets above the cut, a hash-ordered partial admit at the
@@ -3919,6 +3930,45 @@ object SparkEntry {
          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          JOIN sz sa ON sa.doc_id = c.doc_a
          JOIN sz sb ON sb.doc_id = c.doc_b""",
+
+    // same candidate CTE as q142; grams with MULTIPLICITY (no
+    // list_distinct), clipped at the reference count per (n, gram)
+    "q163_ngram_precision" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+           JOIN ok ON a.band_idx = ok.band_idx
+             AND a.band_hash = ok.band_hash),
+         ids AS (SELECT doc_a AS doc FROM cand
+                 UNION SELECT doc_b FROM cand),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents JOIN ids ON doc_id = doc),
+         g1 AS (SELECT doc_id, 1 AS n, unnest(w) AS gram FROM tk),
+         g2 AS (SELECT doc_id, 2 AS n,
+             unnest([array_to_string(w[i+1:i+2], ' ')
+                     for i in range(0, len(w) - 1)]) AS gram
+           FROM tk WHERE len(w) >= 2),
+         cnt AS (SELECT doc_id, n, gram, count(*) AS c
+           FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+           GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+                 FROM cnt GROUP BY 1, 2),
+         clip AS (SELECT p.doc_a, p.doc_b, a.n,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+           FROM cand p JOIN cnt a ON a.doc_id = p.doc_a
+           JOIN cnt b ON b.doc_id = p.doc_b AND b.n = a.n
+             AND b.gram = a.gram
+           GROUP BY 1, 2, 3)
+         SELECT p.doc_a, p.doc_b, CAST(t.n AS BIGINT) AS n,
+           t.tot AS cand_ngrams,
+           CAST(coalesce(c.clip, 0) AS BIGINT) AS clipped,
+           CAST(coalesce(c.clip, 0) * 1000000 // t.tot AS BIGINT)
+             AS p_micro
+         FROM cand p JOIN tot t ON t.doc_id = p.doc_a
+         LEFT JOIN clip c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+           AND c.n = t.n""",
 
     "q143_budget_select" -> {
       val h = sqlHexLong("CAST(doc_id AS VARCHAR)")

@@ -2314,4 +2314,67 @@ object TextAnalysis {
           array_join(col("__kept"), "\n")).otherwise(lit(""))
           .as("clean_text"))
   }
+
+  /** BLEU-style clipped n-gram precision (Papineni et al. 2002 §2.1,
+    * "modified n-gram precision") for a declared (candidate, reference)
+    * pair set — the MT/summarization eval primitive, and the MULTISET
+    * upgrade of the dedup tier's set-overlap scores
+    * ([[Dedup.ngramJaccard]]: symmetric distinct sets;
+    * [[Dedup.containmentVerify]]: directional distinct sets): each
+    * candidate n-gram occurrence is credited at most
+    * min(count_cand, count_ref) times, so a degenerate "the the the"
+    * candidate cannot farm credit from one reference "the".
+    *
+    * Shape (the q142 candidate-verification shape): the corpus touches
+    * only docs appearing in `pairs` (semi-join on the widened scan,
+    * tokens checkpointed once), n-grams explode WITH multiplicity into
+    * one (doc, n, gram, count) table checkpointed and shared by the
+    * totals aggregate and both sides of the pair equi-join — clipped
+    * sums join on (gram, n), never all-pairs, so fan-out is bounded by
+    * the pair list the caller mined (capped LSH candidates in the
+    * declared query). Precisions cross as exact integer micro-ratios.
+    *
+    * Output: one row per (pair, order n in 1..maxOrder) with the
+    * candidate's n-gram total, the clipped overlap, and
+    * p_micro = clipped·1e6 div total. A candidate with fewer than n
+    * tokens has no order-n grams and emits no order-n row; a
+    * zero-overlap pair keeps its zero row. */
+  def clippedNgramPrecision(docs: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame, maxOrder: Int = 2): DataFrame = {
+    require(maxOrder >= 1, "maxOrder >= 1")
+    val ids = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    val toks = Parallelism.ensure(
+        docs.select(col(idCol).as("doc"), text.as("__t")))
+      .join(ids, Seq("doc"), "left_semi")
+      .select(col("doc"), tokens(col("__t")).as("__w"))
+      .localCheckpoint(true)
+    val grams = (1 to maxOrder).map { n =>
+      toks.filter(size(col("__w")) >= n)
+        .select(col("doc"), lit(n).as("n"),
+          explode(Parallelism.opaque(
+            if (n == 1) col("__w")
+            else transform(sequence(lit(0), size(col("__w")) - n),
+              i => concat_ws(" ", slice(col("__w"), i + 1, lit(n))))))
+            .as("gram"))
+    }.reduce(_ union _)
+    val counts = grams.groupBy("doc", "n", "gram")
+      .agg(count(lit(1)).as("__c")).localCheckpoint(true)
+    val totals = counts.groupBy("doc", "n").agg(sum(col("__c")).as("__tot"))
+    val clip = pairs
+      .join(counts.select(col("doc").as("doc_a"), col("n"), col("gram"),
+        col("__c").as("__ca")), Seq("doc_a"))
+      .join(counts.select(col("doc").as("doc_b"), col("n"), col("gram"),
+        col("__c").as("__cb")), Seq("doc_b", "n", "gram"))
+      .groupBy("doc_a", "doc_b", "n")
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__clip"))
+    pairs
+      .join(totals.select(col("doc").as("doc_a"), col("n"), col("__tot")),
+        Seq("doc_a"))
+      .join(clip, Seq("doc_a", "doc_b", "n"), "left")
+      .na.fill(0L, Seq("__clip"))
+      .select(col("doc_a"), col("doc_b"), col("n").cast(LongType).as("n"),
+        col("__tot").as("cand_ngrams"), col("__clip").as("clipped"),
+        expr("__clip * 1000000 div __tot").as("p_micro"))
+  }
 }

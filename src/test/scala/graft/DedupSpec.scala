@@ -613,6 +613,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) == ((0L, 0L, "short_page", "")), "null text = empty page")
   }
 
+  test("clippedNgramPrecision: multiset clipping, missing orders, zero-overlap rows") {
+    val docs = Seq(
+      (1L, "the the the the"),     // degenerate candidate
+      (2L, "the cat sat"),         // reference with ONE 'the'
+      (3L, "a b c"), (4L, "x y z"),// zero overlap pair
+      (5L, "q"), (6L, "q r"))      // 1-token candidate: no bigram row
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 1L))
+      .toDF("doc_a", "doc_b")
+    val out = TextAnalysis.clippedNgramPrecision(docs, "doc_id",
+        col("text"), pairs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    // candidate 'the the the the' vs ref with one 'the': clip = 1 of 4
+    assert(out((1L, 2L, 1L)) == ((4L, 1L, 250000L)))
+    // its bigrams 'the the' x3: ref has none -> zero row kept
+    assert(out((1L, 2L, 2L)) == ((3L, 0L, 0L)))
+    // reversed direction: candidate 'the cat sat' finds its one 'the'
+    assert(out((2L, 1L, 1L)) == ((3L, 1L, 333333L)))
+    // zero unigram overlap keeps a zero row
+    assert(out((3L, 4L, 1L)) == ((3L, 0L, 0L)))
+    // 1-token candidate has unigram row but NO order-2 row
+    assert(out((5L, 6L, 1L)) == ((1L, 1L, 1000000L)))
+    assert(!out.contains((5L, 6L, 2L)))
+  }
+
   test("zipfFit: recovers slope -1 on a true Zipf sample; flat corpus fits flat") {
     import spark.implicits._
     // freq(rank) = round(3000 / rank) for 60 ranks: ln-ln is a straight

@@ -806,6 +806,30 @@ object SparkEntry {
           col("nb_pos"))
     }),
 
+    // operating-point sweep for the q131 quality filter: precision /
+    // recall at each exact score-decile cut (histogram-selection
+    // quantiles -> one conditional aggregate; no ranking window).
+    // Unlike q131's clean spike, a quarter of the labeled positives
+    // (doc_id % 4 = 0) ship WITHOUT the marker vocabulary — label
+    // noise — so high cuts trade recall for precision and BOTH curve
+    // columns genuinely move across the sweep (probed at sf0.01:
+    // precision 0.107->0.50 and recall 0.96->0.50, no constant column)
+    "q164_pr_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spiked = concat(col("text"),
+        when(col("source").isin("src0", "src1") && col("doc_id") % 4 =!= 0,
+          lit(" curated encyclopedia reference citation archive"))
+          .when(col("source") === "src2",
+            lit(" encyclopedia reference citation"))
+          .otherwise(lit("")))
+      val scored = TextAnalysis.nbClassifier(docs, "doc_id", spiked,
+        col("source").isin("src0", "src1"))
+        .join(docs.select(col("doc_id").as("doc"), col("source")),
+          Seq("doc"))
+      TextAnalysis.thresholdSweep(scored, col("nb_micro"),
+        col("source").isin("src0", "src1"))
+    }),
+
     // CCNet perplexity terciles: hashed-bigram add-one LM trained on
     // the src0/src1 reference slice scores every doc; head = cleanest
     "q132_ppl_buckets" -> ((s, d) => {
@@ -2094,12 +2118,18 @@ object SparkEntry {
   /** Generated oracle for the q131 NB classifier — also the `nb` CTE of
     * the q148 calibration curve (nested WITH inside a subquery is
     * valid DuckDB). */
-  private def nbClassifierOracle: String = {
-    val h = sqlHexLong("tok")
-    val spiked = """CASE WHEN source IN ('src0','src1')
+  private def nbClassifierOracle: String =
+    nbClassifierOracleSpiked("""CASE WHEN source IN ('src0','src1')
       THEN text || ' curated encyclopedia reference citation archive'
       WHEN source = 'src2' THEN text || ' encyclopedia reference citation'
-      ELSE text END"""
+      ELSE text END""")
+
+  /** The same NB chain under a caller-chosen spike CASE — the q164 PR
+    * sweep trains on a label-noised variant (a quarter of the
+    * positives unmarked) so recall genuinely trades against precision
+    * across the cut sweep. */
+  private def nbClassifierOracleSpiked(spiked: String): String = {
+    val h = sqlHexLong("tok")
     s"""WITH docs AS (SELECT doc_id, source IN ('src0','src1') AS pos,
                         $spiked AS text
                       FROM documents WHERE text IS NOT NULL),
@@ -4099,6 +4129,40 @@ object SparkEntry {
     },
 
     "q131_nb_classifier" -> nbClassifierOracle,
+
+    // q131's scores re-labeled, exact decile cuts via quantile_cont
+    // (interpolation bit-identical to the histogram-selection pass),
+    // one conditional aggregate, 9 unrolled output rows
+    "q164_pr_sweep" -> {
+      val ks = (1 to 9).map(_ * 10)
+      val cuts = ks.map(k =>
+        s"quantile_cont(s, 0.${k / 10}) AS t$k").mkString(", ")
+      val condAggs = (ks.flatMap(k => Seq(
+        s"sum(CASE WHEN s >= t$k THEN 1 ELSE 0 END) AS pred$k",
+        s"sum(CASE WHEN s >= t$k AND y THEN 1 ELSE 0 END) AS tp$k",
+        s"max(t$k) AS thr$k")) :+
+        "sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos").mkString(", ")
+      val rows = ks.map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS frac_pct, thr$k AS thr,
+           CAST(pred$k AS BIGINT) AS n_pred, CAST(tp$k AS BIGINT) AS n_tp,
+           CAST(pos AS BIGINT) AS n_pos,
+           CAST(tp$k * 1000000 // nullif(pred$k, 0) AS BIGINT)
+             AS precision_micro,
+           CAST(tp$k * 1000000 // nullif(pos, 0) AS BIGINT)
+             AS recall_micro FROM agg""").mkString("\n         UNION ALL ")
+      val noised = nbClassifierOracleSpiked(
+        """CASE WHEN source IN ('src0','src1') AND doc_id % 4 <> 0
+        THEN text || ' curated encyclopedia reference citation archive'
+        WHEN source = 'src2' THEN text || ' encyclopedia reference citation'
+        ELSE text END""")
+      s"""WITH nb AS ($noised),
+         scored AS (SELECT n.doc_id, CAST(n.nb_micro AS DOUBLE) AS s,
+             d.source IN ('src0', 'src1') AS y
+           FROM nb n JOIN documents d USING (doc_id)),
+         cuts AS (SELECT $cuts FROM scored),
+         agg AS (SELECT $condAggs FROM scored CROSS JOIN cuts)
+         $rows"""
+    },
 
     "q148_calibration" ->
       s"""WITH nb AS ($nbClassifierOracle),

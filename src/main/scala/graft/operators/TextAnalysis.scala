@@ -2377,4 +2377,62 @@ object TextAnalysis {
         col("__tot").as("cand_ngrams"), col("__clip").as("clipped"),
         expr("__clip * 1000000 div __tot").as("p_micro"))
   }
+
+  /** Operating-point selection for a quality filter: precision and
+    * recall at every score-decile threshold — the PR sweep a pipeline
+    * runs before FREEZING a classifier's cut, companion to
+    * [[calibrationCurve]] ("are the scores honest?" vs this operator's
+    * "where do we cut, and what does each cut cost?").
+    *
+    * Thresholds are the EXACT interpolated score quantiles from the
+    * histogram-selection machinery ([[Quantiles.quantileContBucketed]]
+    * — no corpus-wide ranking window, ever), broadcast back as one
+    * row; the sweep itself is then ONE conditional aggregate over the
+    * scored table: for each threshold t, n_pred = |score ≥ t| and
+    * n_tp = |score ≥ t ∧ label|. The only doubles are the
+    * interpolated thresholds themselves, bit-identical cross-engine
+    * (the q109/q41 quantile contract); precision/recall cross as
+    * exact integer micro-ratios. NULL scores never pass a threshold;
+    * NULL labels count as negatives.
+    *
+    * Output: one row per requested fraction: frac_pct, thr (the
+    * interpolated cut), n_pred, n_tp, n_pos (corpus positives),
+    * precision_micro, recall_micro. */
+  def thresholdSweep(scored: DataFrame, score: Column, label: Column,
+      fracs: Seq[Double] = (1 to 9).map(_ / 10.0),
+      width: Double = 1e6): DataFrame = {
+    require(fracs.nonEmpty && fracs == fracs.sorted.distinct &&
+      fracs.forall(p => p > 0.0 && p < 1.0),
+      "fracs must be ascending, distinct, strictly inside (0, 1)")
+    def tName(p: Double): String = s"__t${math.round(p * 100)}"
+    // two passes (cut selection, sweep): checkpoint so the upstream
+    // scoring subplan runs once, not once per job
+    val base = scored.select(score.cast(DoubleType).as("__s"),
+      coalesce(label, lit(false)).as("__y")).localCheckpoint(true)
+    val cuts = Quantiles.quantileContBucketed(base, Seq.empty,
+      Seq(("s", col("__s"), width, fracs.map(p => (tName(p), p)))))
+    val aggs =
+      fracs.flatMap { p =>
+        Seq(
+          sum(when(col("__s") >= col(tName(p)), 1L).otherwise(0L))
+            .as(s"__pred${math.round(p * 100)}"),
+          sum(when(col("__s") >= col(tName(p)) && col("__y"), 1L)
+            .otherwise(0L)).as(s"__tp${math.round(p * 100)}"),
+          max(col(tName(p))).as(tName(p)))
+      } :+ sum(when(col("__y"), 1L).otherwise(0L)).as("__pos")
+    val one = base.crossJoin(broadcast(cuts)).agg(aggs.head, aggs.tail: _*)
+    one
+      .select(explode(array(fracs.map { p =>
+        val k = math.round(p * 100)
+        struct(lit(k).as("frac_pct"), col(tName(p)).as("thr"),
+          col(s"__pred$k").as("n_pred"), col(s"__tp$k").as("n_tp"),
+          col("__pos").as("n_pos"))
+      }: _*)).as("__r"))
+      .select(col("__r.frac_pct"), col("__r.thr"), col("__r.n_pred"),
+        col("__r.n_tp"), col("__r.n_pos"),
+        expr("__r.n_tp * 1000000 div nullif(__r.n_pred, 0)")
+          .as("precision_micro"),
+        expr("__r.n_tp * 1000000 div nullif(__r.n_pos, 0)")
+          .as("recall_micro"))
+  }
 }

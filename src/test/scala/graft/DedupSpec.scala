@@ -639,6 +639,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains((5L, 6L, 2L)))
   }
 
+  test("thresholdSweep: hand-checked PR points, null score/label, division guards") {
+    // scores 1..10; positives at 2, 9, 10; a NULL score and NULL label
+    val scored = (Seq((1.0, Some(false)), (2.0, Some(true)),
+      (3.0, Some(false)), (4.0, Some(false)), (5.0, Some(false)),
+      (6.0, Some(false)), (7.0, Some(false)), (8.0, Some(false)),
+      (9.0, Some(true)), (10.0, Some(true))) :+
+      ((Double.NaN, Some(true))) :+ ((0.5, None)))
+      .map { case (s, y) => (if (s.isNaN) None else Some(s), y) }
+      .toDF("s", "y")
+    val out = TextAnalysis.thresholdSweep(scored, col("s"), col("y"),
+        fracs = Seq(0.5), width = 1.0)
+      .as[(Long, Double, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (pct, thr, nPred, nTp, nPos, prec, rec) = out.head match {
+      case (a, b, c, d, e, f, g) => (a, b, c, d, e, f, g)
+    }
+    assert(pct == 50L)
+    // 11 non-null scores (0.5, 1..10): median = 5.0 interpolated
+    assert(thr == 5.0, thr.toString)
+    // >= 5.0: scores 5..10 -> 6 predicted, tp = {9, 10} = 2
+    assert((nPred, nTp) == ((6L, 2L)))
+    // positives: rows 2, 9, 10 and the null-SCORE positive counts in
+    // n_pos (it exists, the filter just can never admit it)
+    assert(nPos == 4L)
+    assert(prec == 333333L && rec == 500000L)
+    // degenerate: no positives at all -> recall NULL, not a crash
+    val none = TextAnalysis.thresholdSweep(
+        Seq((1.0, false), (2.0, false)).toDF("s", "y"),
+        col("s"), col("y"), fracs = Seq(0.5), width = 1.0)
+      .select(col("recall_micro")).collect()
+    assert(none.head.isNullAt(0))
+  }
+
   test("zipfFit: recovers slope -1 on a true Zipf sample; flat corpus fits flat") {
     import spark.implicits._
     // freq(rank) = round(3000 / rank) for 60 ranks: ln-ln is a straight

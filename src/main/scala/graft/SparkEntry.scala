@@ -806,6 +806,21 @@ object SparkEntry {
           col("nb_pos"))
     }),
 
+    // per-source corpus datasheet (Gebru 2018; the Dodge 2021 C4
+    // profile): size, token volume, mean doc length, exact-duplicate
+    // exposure, language spread, null-text count. The corpus has zero
+    // organic exact-dup texts (probed round 4), so the %41 stratum
+    // ships one shared body — 13 docs across 13 of the 20 sources —
+    // and the cross-source duplicate column provably fires both ways
+    "q165_datasheet" -> ((s, d) => {
+      val spiked = when(col("doc_id") % 41 === 0,
+        lit("duplicate boilerplate page about spark tables and joins"))
+        .otherwise(col("text"))
+      Quality.datasheet(Tables.documents(s, d), "source", "doc_id",
+        spiked, col("lang"))
+        .withColumnRenamed("slice", "source")
+    }),
+
     // operating-point sweep for the q131 quality filter: precision /
     // recall at each exact score-decile cut (histogram-selection
     // quantiles -> one conditional aggregate; no ranking window).
@@ -4129,6 +4144,34 @@ object SparkEntry {
     },
 
     "q131_nb_classifier" -> nbClassifierOracle,
+
+    // same spike, same md5 fingerprint identity, same micro ratios
+    "q165_datasheet" ->
+      """WITH d AS (SELECT source, lang,
+           CASE WHEN doc_id % 41 = 0
+             THEN 'duplicate boilerplate page about spark tables and joins'
+             ELSE text END AS t
+         FROM documents),
+         p AS (SELECT source, lang, md5(t) AS fp,
+           CASE WHEN t IS NULL THEN 0
+                ELSE len(string_split(t, ' ')) END AS nt,
+           CASE WHEN t IS NULL THEN 0 ELSE length(t) END AS nc
+         FROM d),
+         f AS (SELECT fp, count(*) AS c FROM p WHERE fp IS NOT NULL
+               GROUP BY 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nt) * 1000000 // count(*) AS BIGINT)
+             AS mean_toks_micro,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS dup_micro,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+         FROM p LEFT JOIN f USING (fp) GROUP BY source""",
 
     // q131's scores re-labeled, exact decile cuts via quantile_cont
     // (interpolation bit-identical to the histogram-selection pass),

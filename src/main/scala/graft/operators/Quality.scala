@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Data-quality gate: declarative expectations evaluated in ONE pass —
   * the validation stage an ETL pipeline runs between extract and load
@@ -71,4 +72,48 @@ object Quality {
       .join(dim.select(col(dimKey).as("__dk")),
         col(factKey) === col("__dk"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
+
+  /** Per-slice corpus datasheet (Gebru et al. 2018, "Datasheets for
+    * Datasets": the composition/provenance summary every released
+    * corpus should ship; Dodge et al. 2021 ran exactly this profile
+    * over C4): one row per slice (source) with size, token volume,
+    * mean document length, exact-duplicate exposure, language spread,
+    * and null-text count — the first artifact a curation run produces
+    * and the one a consumer reads before training.
+    *
+    * Shape: one narrow per-doc projection (fingerprint, token count,
+    * char count), a corpus-wide fingerprint-count aggregate (the q28
+    * exact-dedup shuffle — duplicate exposure is CROSS-slice identity,
+    * so it must see the whole corpus), a co-partitioned join back on
+    * the fingerprint key, then one per-slice aggregate whose shuffle
+    * carries slice-count rows. Ratios cross as exact integer micro
+    * units. NULL text: counted in n_docs and n_null_text, zero tokens/
+    * chars, never a duplicate (no fingerprint). */
+  def datasheet(df: DataFrame, sliceCol: String, idCol: String,
+      text: Column, lang: Column): DataFrame = {
+    val perDoc = df.select(col(sliceCol).as("slice"), col(idCol).as("doc"),
+        lang.as("__lang"), text.as("__t"))
+      .select(col("slice"), col("doc"), col("__lang"),
+        md5(col("__t")).as("__fp"),
+        when(col("__t").isNull, 0L)
+          .otherwise(size(TextAnalysis.tokens(col("__t"))).cast(LongType))
+          .as("__nt"),
+        when(col("__t").isNull, 0L)
+          .otherwise(length(col("__t")).cast(LongType)).as("__nc"))
+    val dupFp = perDoc.filter(col("__fp").isNotNull)
+      .groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2L).select(col("__fp"), lit(true).as("__dup"))
+    perDoc.join(dupFp, Seq("__fp"), "left")
+      .groupBy("slice")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        expr("sum(__nt) * 1000000 div count(1)").as("mean_toks_micro"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        expr("sum(CASE WHEN __dup THEN 1 ELSE 0 END) * 1000000 div count(1)")
+          .as("dup_micro"),
+        count_distinct(col("__lang")).as("n_langs"),
+        sum(when(col("__fp").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(col("__nc")).as("n_chars"))
+  }
 }

@@ -149,6 +149,28 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Union"), plan.take(800))
   }
 
+  test("datasheet: cross-slice dup exposure, null text, language spread") {
+    val df = Seq(
+      (1L, "s1", "en", "a b c"),       // dup of doc 4 in the OTHER slice
+      (2L, "s1", "de", "x y"),
+      (3L, "s1", "en", null.asInstanceOf[String]),
+      (4L, "s2", "en", "a b c"),       // dup partner
+      (5L, "s2", "en", "unique text here"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = Quality.datasheet(df, "source", "doc_id", col("text"),
+        col("lang"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // s1: 3 docs, 3+2+0 tokens, 1 dup (doc 1), 2 langs, 1 null text,
+    // 5+3 chars
+    assert(out("s1") == (("s1", 3L, 5L, 1666666L, 1L, 333333L, 2L, 1L,
+      8L)))
+    // s2: 2 docs, 3+3 tokens, 1 dup (doc 4 — cross-slice identity), 1
+    // lang, 0 null
+    assert(out("s2") == (("s2", 2L, 6L, 3000000L, 1L, 500000L, 1L, 0L,
+      21L)))
+  }
+
   test("orphanCount finds fact keys missing from the dim") {
     val fact = Seq(1L, 2L, 2L, 9L, 10L).toDF("fk")
     val dim = Seq(1L, 2L, 3L).toDF("dk")

@@ -806,6 +806,13 @@ object SparkEntry {
           col("nb_pos"))
     }),
 
+    // Johnson-Lindenstrauss +-1 random projection (Achlioptas 2003):
+    // 64 -> 16 dims with md5-derived plan-time signs, exact integer
+    // micro sums — the training-free reduction next to PCA (fit) and
+    // PQ (k-means). Pure map, zero broadcast state
+    "q166_jl_project" -> ((s, d) =>
+      Similarity.jlProject(Tables.embeddings(s, d), dIn = 64, kOut = 16)),
+
     // per-source corpus datasheet (Gebru 2018; the Dodge 2021 C4
     // profile): size, token volume, mean doc length, exact-duplicate
     // exposure, language spread, null-text count. The corpus has zero
@@ -4144,6 +4151,29 @@ object SparkEntry {
     },
 
     "q131_nb_classifier" -> nbClassifierOracle,
+
+    // the sign matrix rebuilt in SQL from the same md5 formula
+    // (hexLongJvm's DuckDB twin), the same micro quantization, exact
+    // integer sums pivoted to the 16 rp columns
+    "q166_jl_project" -> {
+      val sg = sqlHexLong("'rp:' || j || ':' || i")
+      val pivot = (0 until 16).map(j =>
+        s"CAST(max(CASE WHEN j = $j THEN p END) AS BIGINT) AS rp_$j")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id,
+           [CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+            for x in CAST(embedding AS DOUBLE[])] AS vm
+         FROM embeddings WHERE len(embedding) = 64),
+         u AS (SELECT vec_id, unnest(vm) AS v,
+           generate_subscripts(vm, 1) - 1 AS i FROM e),
+         s AS (SELECT j, i,
+             CASE WHEN $sg % 2 = 0 THEN 1 ELSE -1 END AS sg
+           FROM (SELECT unnest(range(0, 16)) AS j)
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         p AS (SELECT vec_id, j, sum(sg * v) AS p
+           FROM u JOIN s USING (i) GROUP BY 1, 2)
+         SELECT vec_id, $pivot FROM p GROUP BY vec_id"""
+    },
 
     // same spike, same md5 fingerprint identity, same micro ratios
     "q165_datasheet" ->

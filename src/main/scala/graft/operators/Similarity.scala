@@ -879,4 +879,46 @@ object Similarity {
         shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** Johnson–Lindenstrauss random projection with ±1 entries
+    * (Achlioptas 2003, "Database-friendly random projections": a
+    * uniform ±1 matrix satisfies the JL distance-preservation lemma
+    * with the same guarantees as Gaussian entries, and needs only
+    * integer adds) — the TRAINING-FREE member of the
+    * dimensionality-reduction tier: [[Pca.project]] needs a fit pass
+    * and ships a model artifact; [[trainPqCodebook]] needs k-means;
+    * this needs a seed string. Sketch first, train later is the
+    * standard 100 TB move — the projection is a pure map any scan
+    * task applies with no broadcast state at all.
+    *
+    * Signs are md5-derived plan-time constants
+    * ([[graft.functions.Hashing.hexLongJvm]], the LSH-hyperplane
+    * mechanism) riding in the plan as literal arrays; vectors
+    * quantize to exact micro longs FIRST, so every projected
+    * coordinate is an exact integer sum — identical in any engine,
+    * no double fold-order hazard. Unnormalized: the canonical
+    * 1/sqrt(k) rescale is a constant the consumer applies (keeping it
+    * out preserves integer exactness).
+    *
+    * Output: one row per conforming vector (`size == dIn`; malformed
+    * rows are excluded, the q153 contract) with kOut exact projected
+    * micro-coordinates `rp_0..rp_{kOut-1}`. */
+  def jlProject(df: DataFrame, dIn: Int, kOut: Int,
+      seed: String = "rp", idCol: String = "vec_id"): DataFrame = {
+    require(kOut >= 1 && dIn >= kOut, "need 1 <= kOut <= dIn")
+    val base = df
+      .select(col(idCol),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * lit(1e6) + lit(0.5)).cast(LongType)).as("__vm"))
+      .filter(size(col("__vm")) === dIn)
+    val projs = (0 until kOut).map { j =>
+      val signs = (0 until dIn).map(i =>
+        if (graft.functions.Hashing.hexLongJvm(s"$seed:$j:$i") % 2 == 0)
+          1L
+        else -1L)
+      aggregate(zip_with(col("__vm"), typedLit(signs), (v, s) => v * s),
+        lit(0L), (a, x) => a + x).as(s"rp_$j")
+    }
+    base.select(col(idCol) +: projs: _*)
+  }
 }

@@ -1144,6 +1144,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got((3L, 3L)) / 4 != got((4L, 4L)) / 4)
   }
 
+  test("jlProject: exact JVM twin, malformed rows dropped, distances roughly preserved") {
+    def signs(j: Int, d: Int): Seq[Long] = (0 until d).map(i =>
+      if (graft.functions.Hashing.hexLongJvm(s"rp:$j:$i") % 2 == 0) 1L
+      else -1L)
+    def refProj(v: Seq[Double], k: Int): Seq[Long] = {
+      val vm = v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      (0 until k).map(j => signs(j, v.size).zip(vm).map {
+        case (s, x) => s * x
+      }.sum)
+    }
+    // deterministic pseudo-random 8-dim vectors
+    val vecs = (0 until 6).map { n =>
+      (n.toLong, (0 until 8).map(i =>
+        math.sin(n * 17.0 + i * 3.0)).toArray)
+    }
+    val df = (vecs :+ ((99L, Array(1.0, 2.0)))) // malformed arity
+      .toDF("vec_id", "embedding")
+    val out = Similarity.jlProject(df, dIn = 8, kOut = 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(c => r.getLong(c)).toSeq).toMap
+    assert(!out.contains(99L), "malformed row must be excluded")
+    vecs.foreach { case (id, v) =>
+      assert(out(id) == refProj(v.toSeq, 4), s"vec $id")
+    }
+    // JL expectation: E[|p(u)-p(v)|^2] = k * |u-v|^2 (in micro^2 units)
+    // — with k=4 the concentration is loose, so assert within 3x
+    val (u, w) = (vecs(0)._2, vecs(1)._2)
+    val d2 = u.zip(w).map { case (a, b) =>
+      val dd = (a - b) * 1e6; dd * dd
+    }.sum
+    val p2 = out(0L).zip(out(1L)).map { case (a, b) =>
+      val dd = (a - b).toDouble; dd * dd
+    }.sum
+    assert(p2 > 4 * d2 / 3.0 && p2 < 4 * d2 * 3.0,
+      s"projected $p2 vs expected ~${4 * d2}")
+  }
+
   test("pqCodes: per-subspace argmin, code tie to smallest id, codebook slicing") {
     // dim 4, 2 subspaces of 2; codewords chosen so assignments differ
     // per subspace: vec (1,0, 0,9) -> sub0 matches cw0 (1,0), sub1

@@ -2102,6 +2102,17 @@ object SparkEntry {
       Dedup.minHashCandidatesWithEstimate(Tables.documents(s, d), "doc_id",
         col("text"), MinhashK, MinhashPerms, MinhashBands)),
 
+    // b-bit minwise compression (b=2: 2-bit slots, a 28x storage cut
+    // on 56-bit mins) with the collision-corrected estimator, side by
+    // side with the full-width estimate over the same candidate pairs
+    "q167_bbit_minwise" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bbitMinwiseEstimate(docs, "doc_id", col("text"),
+        Dedup.minHashCandidates(docs, "doc_id", col("text"),
+          MinhashK, MinhashPerms, MinhashBands, DefaultMaxBucket),
+        MinhashK, MinhashPerms, b = 2)
+    }),
+
     // inverted-index posting lists: top tokens with counts, doc
     // frequency, and capped ascending doc-id postings (bounded top-k
     // aggregate — never a full collect_list per token). The posting
@@ -3133,6 +3144,35 @@ object SparkEntry {
              (acc, x) -> acc + x) / 64), 6) AS rmse
          FROM q""",
     "q64_minhash_est" -> minhashEstOracle,
+
+    // same signatures (mh CTE), low-2-bit agreement, the clamped
+    // integer collision correction (n_b*4 - 16) * 1e6 // 48
+    "q167_bbit_minwise" -> {
+      val aFull = (0 until MinhashPerms)
+        .map(p => s"(CASE WHEN x.mh$p = y.mh$p THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val aB = (0 until MinhashPerms)
+        .map(p => s"(CASE WHEN x.mh$p % 4 = y.mh$p % 4 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+           JOIN ok ON a.band_idx = ok.band_idx
+             AND a.band_hash = ok.band_hash),
+         ag AS (SELECT c.doc_a, c.doc_b,
+             CAST($aFull AS BIGINT) AS n_agree_full,
+             CAST($aB AS BIGINT) AS n_agree_b
+           FROM cand c JOIN mh x ON x.doc_id = c.doc_a
+           JOIN mh y ON y.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, n_agree_full, n_agree_b,
+           CAST(n_agree_full * 1000000 // $MinhashPerms AS BIGINT)
+             AS est_full_micro,
+           CAST(greatest(0, n_agree_b * 4 - $MinhashPerms) * 1000000
+             // (${MinhashPerms * 3}) AS BIGINT) AS est_b_micro
+         FROM ag"""
+    },
     "q61_postings" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          pd AS (SELECT token, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),

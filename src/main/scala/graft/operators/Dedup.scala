@@ -415,6 +415,50 @@ object Dedup {
         round(matches.cast(DoubleType) / numPerm, 6).as("jaccard_est"))
   }
 
+  /** b-bit minwise hashing (Li & König 2010, "b-Bit Minwise Hashing"):
+    * store only the LOWEST b bits of each MinHash slot — a 64/b-fold
+    * signature-storage compression (the paper's point: at web scale
+    * the signature store dominates, and 2-bit slots with ~4× more
+    * permutations beat full-width slots at equal storage) — and
+    * correct the estimate for accidental low-bit collisions. With
+    * collision probability C = 1/2^b for non-matching slots, E[A] =
+    * C + (1−C)·J, so Ĵ = (A − C)/(1 − C); in exact integers over
+    * `numPerm` slots that is `(n_agree·2^b − numPerm) · 1e6 div
+    * (numPerm·(2^b − 1))`, clamped at zero BEFORE the division (both
+    * engines' integer division agrees on non-negative operands; a
+    * negative numerator would expose truncate-vs-floor divergence).
+    *
+    * Output per pair: the full-width agreement count and estimate
+    * (the [[minHashEstimate]] baseline) next to the b-bit agreement
+    * and corrected estimate — the compression trade-off as data.
+    * Shape: the signature subplan runs once (checkpointed), two joins
+    * attach it to the pair set, everything else is a codegen'd per-row
+    * integer fold. */
+  def bbitMinwiseEstimate(docs: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame, k: Int, numPerm: Int, b: Int): DataFrame = {
+    require(b >= 1 && b <= 16, "b in [1, 16]")
+    val m = 1L << b
+    val sig = minHashSignatures(docs, idCol, text, k, numPerm)
+      .localCheckpoint(true) // joined on both sides of the pair set
+    val agreeFull = (0 until numPerm)
+      .map(p => when(col(s"a.mh$p") === col(s"b.mh$p"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agreeB = (0 until numPerm)
+      .map(p => when(col(s"a.mh$p") % m === col(s"b.mh$p") % m, 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("a"), col("doc_a") === col("a.doc"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        agreeFull.as("n_agree_full"), agreeB.as("n_agree_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_agree_full"), col("n_agree_b"),
+        expr(s"n_agree_full * 1000000 div $numPerm").as("est_full_micro"),
+        expr(s"greatest(0, n_agree_b * $m - $numPerm) * 1000000 div " +
+          s"(${numPerm.toLong * (m - 1)})").as("est_b_micro"))
+  }
+
   /** [[minHashCandidates]] and [[minHashEstimate]] fused into ONE pass:
     * the full signature rides through the banding aggregation next to
     * its doc id, and the within-bucket pair generator

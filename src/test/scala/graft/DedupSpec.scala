@@ -613,6 +613,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) == ((0L, 0L, "short_page", "")), "null text = empty page")
   }
 
+  test("bbitMinwiseEstimate: identical=1, collision correction, clamp at zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.bbitMinwiseEstimate(docs, "doc_id", col("text"),
+        pairs, k = 3, numPerm = 16, b = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // identical docs: every slot agrees at any width
+    assert(out((1L, 2L)) == ((16L, 16L, 1000000L, 1000000L)))
+    // disjoint docs: full-width slots never agree; 2-bit slots collide
+    // at ~1/4 by chance and the correction must NOT report similarity
+    val (af, ab, ef, eb) = out((1L, 3L)) match { case t => t }
+    assert(af == 0L && ef == 0L)
+    // JVM twin of the corrected estimator incl. the zero clamp
+    assert(eb == math.max(0L, ab * 4 - 16) * 1000000L / 48L)
+    assert(eb <= 250000L, s"corrected estimate should be near zero, got $eb")
+  }
+
   test("clippedNgramPrecision: multiset clipping, missing orders, zero-overlap rows") {
     val docs = Seq(
       (1L, "the the the the"),     // degenerate candidate

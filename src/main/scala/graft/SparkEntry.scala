@@ -2092,6 +2092,22 @@ object SparkEntry {
         .select(col("node").as("l_partkey"), col("rank_unit"))
     }),
 
+    // HITS hubs/authorities over the DIRECTED bipartite customer->part
+    // purchase graph (its natural habitat — the co-purchase graph is
+    // symmetric and would degenerate to a = h): 3 mutual-reinforcement
+    // rounds, L-infinity integer renormalization per half-round.
+    // Authorities = widely-bought parts (hub_unit 0), hubs =
+    // broad-basket customers (auth_unit 0) — each side fires where the
+    // other is zero, and scores vary within each side
+    "q168_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst"))
+      Graph.hits(e, "src", "dst", rounds = 3)
+    }),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -3144,6 +3160,37 @@ object SparkEntry {
              (acc, x) -> acc + x) / 64), 6) AS rmse
          FROM q""",
     "q64_minhash_est" -> minhashEstOracle,
+
+    // same graph (partkeys offset out of the custkey id space), three
+    // unrolled mutual-reinforcement rounds, same integer L-inf rescale
+    "q168_hits" -> {
+      val unit = 1000000L
+      val roundCtes = (1 to 3).map { r =>
+        val prevH = if (r == 1) "h0" else s"h${r - 1}"
+        s"""ar$r AS (SELECT e.dst AS node, CAST(sum(p.v) AS BIGINT) AS s
+             FROM e JOIN $prevH p ON e.src = p.node GROUP BY 1),
+           a$r AS (SELECT n.node,
+               CAST(coalesce(r.s, 0) * $unit //
+                 (SELECT max(s) FROM ar$r) AS BIGINT) AS v
+             FROM nodes n LEFT JOIN ar$r r USING (node)),
+           hr$r AS (SELECT e.src AS node, CAST(sum(p.v) AS BIGINT) AS s
+             FROM e JOIN a$r p ON e.dst = p.node GROUP BY 1),
+           h$r AS (SELECT n.node,
+               CAST(coalesce(r.s, 0) * $unit //
+                 (SELECT max(s) FROM hr$r) AS BIGINT) AS v
+             FROM nodes n LEFT JOIN hr$r r USING (node))"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+             l_partkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+         h0 AS (SELECT node, CAST($unit AS BIGINT) AS v FROM nodes),
+         $roundCtes
+         SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
+         FROM a3 JOIN h3 USING (node)"""
+    },
 
     // same signatures (mh CTE), low-2-bit agreement, the clamped
     // integer collision correction (n_b*4 - 16) * 1e6 // 48

@@ -111,6 +111,86 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_unit"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment"): fixed mutual-reinforcement rounds
+    * over a DIRECTED edge list — `a(v) = Σ_{u→v} h(u)` then
+    * `h(u) = Σ_{u→v} a(v)` — the link-analysis complement of
+    * [[pageRank]]'s random surfer, and the natural ranking for
+    * bipartite interaction graphs (crawl frontiers: authorities are
+    * the pages worth fetching, hubs the index pages worth re-crawling;
+    * retail: popular parts vs broad-basket customers).
+    *
+    * Determinism contract: scores are exact fixed-point longs and each
+    * half-round renormalizes by the MAXIMUM raw score (L∞ rather than
+    * the textbook L2 — `v·unit div max` stays in integer arithmetic,
+    * and the normalization choice rescales without reordering).
+    * Every per-node reduction is a long sum (order-independent), so
+    * fixed rounds are bit-identical across engines and partitionings.
+    * Bound: `indeg_max·unit² < 2^63` — the default unit=1e6 supports
+    * ~9×10⁶-degree hubs; drop unit for denser graphs.
+    *
+    * Scale shape (the [[pageRank]] pattern): TWO pinned edge copies —
+    * src-partitioned for the authority gather, dst-partitioned for the
+    * hub gather — so each half-round is one co-partitioned score⋈edge
+    * join (no exchange on the |E| side) plus one |E|→|V| aggregate
+    * with map-side partials; raw gathers are re-pinned via per-round
+    * checkpoints (the [[kCore]] idiom, stopping the lazy-plan blowup),
+    * and the per-half-round max is ONE scalar row broadcast into the
+    * scaling projection (a bounded driver decision, the BPE-trainer
+    * shape). |V|-sized broadcasts only under the measured
+    * `broadcastMaxNodes` gate. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, unit: Long = 1000000L,
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(rounds >= 1 && unit >= 1L)
+    require(broadcastMaxNodes >= 0L)
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val eSrc = GraftShims.checkpointHashPartitioned(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      p, "src")
+    val eDst = GraftShims.checkpointHashPartitioned(eSrc, p, "dst")
+    val nodes = GraftShims.checkpointHashPartitioned(
+      eSrc.select(col("src").as("node"))
+        .union(eSrc.select(col("dst").as("node"))).distinct(),
+      p, "node")
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("auth_unit"),
+        lit(0L).as("hub_unit"))
+    val gate: DataFrame => DataFrame =
+      if (n <= broadcastMaxNodes) broadcast else identity
+    // one gather + L∞ rescale: raw sums re-pinned on the gather key
+    // (the explicit-repartition pin, NOT the layout claim — the
+    // aggregate's exchange is AQE-managed and may coalesce, so a claim
+    // would be false under the cluster profile), the max as a
+    // broadcast scalar row, scores left node-partitioned
+    def gather(e: DataFrame, from: String, to: String,
+        scores: DataFrame): DataFrame = {
+      val raw = GraftShims.checkpointHashPartitioned(
+        e.join(gate(scores), col(from) === col("node"))
+          .select(col(to), col("v").as("__x"))
+          .groupBy(to).agg(sum(col("__x")).as("__s")),
+        p, to)
+      val mx = raw.agg(max(col("__s")).as("__m"))
+      nodes.join(gate(raw.withColumnRenamed(to, "node")), Seq("node"),
+          "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          coalesce(expr(s"__s * $unit div __m"), lit(0L)).as("v"))
+    }
+    var h = nodes.select(col("node"), lit(unit).as("v"))
+    var a = nodes.select(col("node"), lit(0L).as("v"))
+    (1 to rounds).foreach { _ =>
+      a = gather(eSrc, "src", "dst", h)
+      h = gather(eDst, "dst", "src", a)
+    }
+    a.select(col("node"), col("v").as("auth_unit"))
+      .join(h.select(col("node"), col("v").as("hub_unit")), Seq("node"))
+  }
+
   /** Per-node triangle counts on an undirected graph (edge list in
     * either/both directions; duplicates and self-loops collapse). The
     * local clustering signal behind community/cohesion analysis — the

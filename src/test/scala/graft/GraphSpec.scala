@@ -41,6 +41,62 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - U) < 100L, r.toString)
   }
 
+  private def jvmHits(edges: Seq[(Long, Long)], rounds: Int,
+      unit: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(_ -> unit).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    def gather(groups: Map[Long, Seq[Long]], s: Map[Long, Long]) = {
+      val raw = groups.view.mapValues(_.map(s).sum).toMap
+      val mx = raw.values.max
+      nodes.map(n => n -> raw.get(n).map(_ * unit / mx).getOrElse(0L)).toMap
+    }
+    (1 to rounds).foreach { _ =>
+      a = gather(e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap, h)
+      h = gather(e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap, a)
+    }
+    nodes.map(n => n -> ((a(n), h(n)))).toMap
+  }
+
+  test("hits: bipartite roles, JVM-twin equality, L-inf normalization, direction") {
+    // customers 1,2 -> parts 11,12: c1 buys both, c2 buys 11 only
+    val edges = Seq((1L, 11L), (1L, 12L), (2L, 11L))
+    val out = Graph.hits(edges.toDF("s", "d"), "s", "d", rounds = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == jvmHits(edges, 3), out.toString)
+    // sources never gather authority, sinks never gather hub mass
+    assert(out(1L)._1 == 0L && out(2L)._1 == 0L)
+    assert(out(11L)._2 == 0L && out(12L)._2 == 0L)
+    // L-inf: the best authority and best hub sit exactly at unit
+    assert(out(11L)._1 == 1000000L && out(1L)._2 == 1000000L)
+    // mutual reinforcement: the part bought by BOTH outranks the other,
+    // the broader-basket customer outranks the narrower
+    assert(out(11L)._1 > out(12L)._1 && out(1L)._2 > out(2L)._2)
+    // direction matters: reversing edges swaps the roles
+    val rev = Graph.hits(edges.map(e => (e._2, e._1)).toDF("s", "d"),
+        "s", "d", rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rev(1L)._2 == 0L && rev(11L)._1 == 0L)
+    // null endpoints and duplicate edges drop/collapse
+    val dirty = (edges ++ edges).map { case (s0, d0) => (Some(s0), Some(d0)) } :+
+      ((Option.empty[Long], Some(11L)))
+    val cleaned = Graph.hits(dirty.toDF("s", "d"), "s", "d", rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cleaned == out)
+  }
+
+  test("hits shuffle-join path (gate=0) is bit-identical to the broadcast path") {
+    val edges = Seq((1L, 11L), (1L, 12L), (2L, 11L), (3L, 12L), (2L, 13L))
+    val b = Graph.hits(edges.toDF("s", "d"), "s", "d", rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val sh = Graph.hits(edges.toDF("s", "d"), "s", "d", rounds = 2,
+        broadcastMaxNodes = 0L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(b == sh)
+  }
+
   test("triangleCounts: hand-checked K4 plus pendant; dup/reversed edges collapse") {
     // K4 on {1,2,3,4} = 4 triangles, each node in 3; node 5 pendant off
     // 4 (degree 1, zero triangles). Edges arrive duplicated + reversed.

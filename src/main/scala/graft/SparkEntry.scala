@@ -2108,6 +2108,26 @@ object SparkEntry {
       Graph.hits(e, "src", "dst", rounds = 3)
     }),
 
+    // Moore-Lewis cross-entropy difference selection: every doc scored
+    // by an in-domain add-one bigram LM (trained on src0/src1) AND a
+    // general LM (trained on the remaining sources); CED = mean_in -
+    // mean_gen in exact micro-nats, selected below the corpus-mean CED
+    // cut (the size-imbalance-calibrated operating point). Probed
+    // non-vacuous at sf0.01: all 50 in-domain docs and a proper subset
+    // of the general docs clear the cut - the decision fires both ways
+    // and splits WITHIN the general group rather than memorizing the
+    // source split.
+    "q169_ced_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.crossEntropyDiffSelect(docs, "doc_id", col("text"),
+        docs.filter(col("source").isin("src0", "src1")), col("text"),
+        docs.filter(!col("source").isin("src0", "src1")), col("text"))
+        .select(col("doc").as("doc_id"), col("n_pairs"),
+          col("nll_in_micro"), col("nll_gen_micro"),
+          col("mean_in_micro"), col("mean_gen_micro"),
+          col("ced_micro"), col("selected"))
+    }),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -3190,6 +3210,66 @@ object SparkEntry {
          $roundCtes
          SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
          FROM a3 JOIN h3 USING (node)"""
+    },
+
+    // two q132-shaped add-one LMs (in-domain / general) scored in one
+    // pass; CED is a subtraction of two integer-div means
+    "q169_ced_select" -> {
+      val h = sqlHexLong("w[i]")
+      s"""WITH refzi AS (
+           SELECT unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+         refpi AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS c12i
+                   FROM refzi GROUP BY 1, 2),
+         margi AS (SELECT b1, CAST(sum(c12i) AS BIGINT) AS c1i
+                   FROM refpi GROUP BY 1),
+         refzg AS (
+           SELECT unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source NOT IN ('src0','src1')
+                         AND text IS NOT NULL))),
+         refpg AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS c12g
+                   FROM refzg GROUP BY 1, 2),
+         margg AS (SELECT b1, CAST(sum(c12g) AS BIGINT) AS c1g
+                   FROM refpg GROUP BY 1),
+         dz AS (
+           SELECT doc_id, unnest(h[1:len(h)-1]) AS b1, unnest(h[2:len(h)]) AS b2
+           FROM (SELECT doc_id, [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents WHERE text IS NOT NULL))),
+         dp AS (SELECT doc_id, b1, b2, CAST(count(*) AS BIGINT) AS m
+                FROM dz GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(coalesce(c1i, 0) + 256 AS DOUBLE) /
+               CAST(coalesce(c12i, 0) + 1 AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS nll_in_micro,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(coalesce(c1g, 0) + 256 AS DOUBLE) /
+               CAST(coalesce(c12g, 0) + 1 AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS nll_gen_micro
+           FROM dp LEFT JOIN margi USING (b1)
+                LEFT JOIN refpi USING (b1, b2)
+                LEFT JOIN margg USING (b1)
+                LEFT JOIN refpg USING (b1, b2)
+           GROUP BY 1),
+         mm AS (SELECT doc_id, n_pairs, nll_in_micro, nll_gen_micro,
+                  CAST(nll_in_micro // n_pairs AS BIGINT) AS mean_in_micro,
+                  CAST(nll_gen_micro // n_pairs AS BIGINT) AS mean_gen_micro
+                FROM scored),
+         cut AS (SELECT CAST(sum(mean_in_micro) // count(*) AS BIGINT)
+                   - CAST(sum(mean_gen_micro) // count(*) AS BIGINT) AS c
+                 FROM mm)
+         SELECT doc_id, n_pairs, nll_in_micro, nll_gen_micro,
+           mean_in_micro, mean_gen_micro,
+           mean_in_micro - mean_gen_micro AS ced_micro,
+           mean_in_micro - mean_gen_micro < (SELECT c FROM cut)
+             AS selected
+         FROM mm"""
     },
 
     // same signatures (mh CTE), low-2-bit agreement, the clamped

@@ -2435,4 +2435,102 @@ object TextAnalysis {
         expr("__r.n_tp * 1000000 div nullif(__r.n_pos, 0)")
           .as("recall_micro"))
   }
+
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010, "Intelligent selection of language model training data" —
+    * public): score every document with TWO [[lmTrain]] add-one
+    * hashed-bigram LMs — one trained on the IN-DOMAIN slice, one on a
+    * GENERAL slice — and keep documents where
+    * `H_in(d) − H_gen(d) < threshold`: text the target domain predicts
+    * better than the background does. The third selection lens next to
+    * DSIR (importance ratios, q128) and the NB classifier (posterior
+    * odds, q131): CED cancels the "easy text scores well everywhere"
+    * confound that a single-LM perplexity cut (q132) suffers from.
+    *
+    * Determinism contract: both per-pair nlls use the exact
+    * [[lmPerplexityBuckets]] quantizer (one ln of a ratio of
+    * exactly-represented integers → micro-nats), per-doc sums are long
+    * folds, means are integer `div`, and the CED is a subtraction of
+    * two already-floored means — bit-identical across engines.
+    *
+    * Scale shape: each model is a ≤B²-row pair table packed into ONE
+    * broadcast row (the q131/q132 single-broadcast fix — no corpus
+    * re-read per consumer); the corpus is exploded into bigram buckets
+    * ONCE and both folds score in the SAME aggregate, so adding the
+    * second model costs zero extra shuffles. Output: doc, n_pairs,
+    * nll_in_micro, nll_gen_micro, mean_in_micro, mean_gen_micro,
+    * ced_micro, selected. Docs with <2 tokens carry no bigram evidence
+    * and are dropped (the q132 contract).
+    *
+    * Operating point: a raw `CED < 0` cut is miscalibrated when the
+    * two training slices differ in size (add-one smoothing shifts the
+    * smaller model's every score up by roughly ln(|gen|/|in|), so
+    * nothing — or everything — clears zero). The default
+    * `thresholdMicro = None` therefore cuts at the CORPUS-MEAN CED
+    * (`Σced div n`, exact integer arithmetic, one extra
+    * statistics-sized aggregate broadcast back) — "more in-domain than
+    * the average document", the relative operating point Moore & Lewis
+    * tune by held-out perplexity; pass `Some(t)` to pin an absolute
+    * micro-nat threshold instead. */
+  def crossEntropyDiffSelect(df: DataFrame, idCol: String, text: Column,
+      inDomain: DataFrame, inText: Column,
+      general: DataFrame, genText: Column,
+      buckets: Int = 256, thresholdMicro: Option[Long] = None): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val b = buckets.toLong
+    def pack(reference: DataFrame, refText: Column,
+        pm: String, c1: String): DataFrame = {
+      val model = lmTrain(reference, refText, buckets).localCheckpoint(true)
+      model.groupBy().agg(map_from_entries(collect_list(struct(
+          col("b1") * buckets + col("b2"), col("c12")))).as(pm))
+        .crossJoin(model.groupBy("b1").agg(sum(col("c12")).as("c1"))
+          .groupBy().agg(map_from_entries(collect_list(struct(
+            col("b1"), col("c1")))).as(c1)))
+    }
+    def nll(pm: String, c1: String): Column =
+      floor(log(
+        (coalesce(element_at(col(c1), col("b1")), lit(0L)) + lit(b))
+          .cast(DoubleType) /
+          (coalesce(element_at(col(pm), col("b1") * buckets + col("b2")),
+            lit(0L)) + lit(1L)).cast(DoubleType)) * 1e6 + 0.5)
+        .cast(LongType)
+    val packed = broadcast(
+      pack(inDomain, inText, "__pmi", "__c1i")
+        .crossJoin(pack(general, genText, "__pmg", "__c1g")))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = bigramBucketPairs(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(col("__t").isNotNull)
+        .repartition(par, col("doc")), Seq("doc"), buckets)
+    val scored = perDoc
+      .crossJoin(packed)
+      .withColumn("__ni", nll("__pmi", "__c1i"))
+      .withColumn("__ng", nll("__pmg", "__c1g"))
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_pairs"),
+        sum(col("m") * col("__ni")).as("nll_in_micro"),
+        sum(col("m") * col("__ng")).as("nll_gen_micro"))
+      .withColumn("mean_in_micro", expr("nll_in_micro div n_pairs"))
+      .withColumn("mean_gen_micro", expr("nll_gen_micro div n_pairs"))
+      .withColumn("ced_micro",
+        col("mean_in_micro") - col("mean_gen_micro"))
+    thresholdMicro match {
+      case Some(t) =>
+        scored.withColumn("selected", col("ced_micro") < lit(t))
+      case None =>
+        // two consumers (cut selection, decision): checkpoint so the
+        // scoring subplan runs once (the thresholdSweep lifecycle);
+        // the cut is ONE row broadcast into the projection. Built from
+        // two ALL-POSITIVE integer divisions (Σmean_in div n −
+        // Σmean_gen div n), never `Σced div n`: ced sums can go
+        // negative, where Spark's `div` truncates toward zero but SQL
+        // `//` floors — the q84 positive-mass contract
+        val base = scored.localCheckpoint(true)
+        base.crossJoin(broadcast(base.agg(
+            (expr("sum(mean_in_micro) div count(1)") -
+              expr("sum(mean_gen_micro) div count(1)")).as("__cut"))))
+          .withColumn("selected", col("ced_micro") < col("__cut"))
+          .drop("__cut")
+    }
+  }
 }

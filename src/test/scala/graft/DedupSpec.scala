@@ -2145,4 +2145,70 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, String, Long, Double, Double)].collect().toSet
     assert(rows(false) == rows(true))
   }
+
+  test("crossEntropyDiffSelect: JVM-twin exact arithmetic, both decisions fire, evidence contract") {
+    import spark.implicits._
+    val B = 256
+    val inDom = Seq("alpha beta gamma alpha beta", "beta gamma alpha beta")
+    val gen = Seq("delta epsilon zeta delta epsilon", "epsilon zeta delta")
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),   // in-domain-looking -> selected
+      (2L, "delta epsilon zeta"),       // general-looking -> rejected
+      (3L, "solo"),                     // 1 token: no bigram, dropped
+      (4L, null.asInstanceOf[String]))  // null text dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.crossEntropyDiffSelect(docs, "doc_id",
+        col("text"),
+        inDom.toDF("text"), col("text"), gen.toDF("text"), col("text"),
+        buckets = B)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "only docs with >=2 tokens score")
+
+    // JVM twin: identical bucketing, counts, quantizer
+    def bk(t: String): Long = functions.Hashing.hexLongJvm(t) % B
+    def pairs(s: String): Seq[(Long, Long)] = {
+      val h = s.split(" ").map(bk)
+      h.dropRight(1).zip(h.drop(1)).toSeq
+    }
+    def model(corpus: Seq[String]): (Map[(Long, Long), Long], Map[Long, Long]) = {
+      val p = corpus.flatMap(pairs).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      (p, p.groupBy(_._1._1).map { case (b1, m) => b1 -> m.values.sum })
+    }
+    val (pmI, c1I) = model(inDom)
+    val (pmG, c1G) = model(gen)
+    def nll(pm: Map[(Long, Long), Long], c1: Map[Long, Long],
+        p: (Long, Long)): Long =
+      math.floor(math.log(
+        (c1.getOrElse(p._1, 0L) + B).toDouble /
+          (pm.getOrElse(p, 0L) + 1L).toDouble) * 1e6 + 0.5).toLong
+    val exp = Seq(1L -> "alpha beta gamma alpha",
+      2L -> "delta epsilon zeta").map { case (id, text) =>
+      val ps = pairs(text)
+      val eIn = ps.map(nll(pmI, c1I, _)).sum
+      val eGen = ps.map(nll(pmG, c1G, _)).sum
+      id -> ((ps.size.toLong, eIn, eGen, eIn / ps.size, eGen / ps.size))
+    }.toMap
+    // the default operating point: corpus-mean CED from two
+    // all-positive integer divisions (the Spark-div == SQL-// contract)
+    val cut = exp.values.map(_._4).sum / exp.size -
+      exp.values.map(_._5).sum / exp.size
+    for ((id, (ePairs, eIn, eGen, eMi, eMg)) <- exp) {
+      val (_, nPairs, nllIn, nllGen, mIn, mGen, ced, sel) = out(id)
+      assert(nPairs == ePairs)
+      assert((nllIn, nllGen) == ((eIn, eGen)), s"doc $id micro-nats")
+      assert(mIn == eMi && mGen == eMg)
+      assert(ced == mIn - mGen && sel == (ced < cut))
+    }
+    // decisions genuinely fire both ways on the disjoint vocabularies
+    assert(out(1L)._8 && !out(2L)._8)
+    // pinned absolute threshold overrides the mean cut
+    val pinned = TextAnalysis.crossEntropyDiffSelect(docs, "doc_id",
+        col("text"),
+        inDom.toDF("text"), col("text"), gen.toDF("text"), col("text"),
+        buckets = B, thresholdMicro = Some(Long.MaxValue))
+      .select(col("selected")).as[Boolean].collect()
+    assert(pinned.length == 2 && pinned.forall(identity))
+  }
 }

@@ -976,6 +976,19 @@ object SparkEntry {
           maxBucket = DefaultMaxBucket))
     }),
 
+    // chrF2 (char n-gram F-score, orders 1-3, beta=2) over the same
+    // mined candidate pairs - the tokenization-free eval twin of
+    // q163's BLEU precision. Probed at sf0.01: 25 pairs, 25 distinct
+    // chrf2 values spanning 0.977-0.999, precision != recall on all
+    // 25 (the clip and both totals all bite)
+    "q170_chrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.chrF(docs, "doc_id", col("text"),
+        Dedup.minHashCandidates(docs, "doc_id", col("text"),
+          k = MinhashK, numPerm = MinhashPerms, bands = MinhashBands,
+          maxBucket = DefaultMaxBucket))
+    }),
+
     // token-budget subset selection: highest-quality docs under an
     // 8000-token training budget via histogram threshold — whole
     // buckets above the cut, a hash-ordered partial admit at the
@@ -4188,6 +4201,55 @@ object SparkEntry {
          FROM cand p JOIN tot t ON t.doc_id = p.doc_a
          LEFT JOIN clip c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
            AND c.n = t.n""",
+
+    // char n-grams (spaces stripped) orders 1-3; per-order integer
+    // micro P/R floored BEFORE the order average; F2 = 5PR // (4P+R)
+    "q170_chrf" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+           JOIN ok ON a.band_idx = ok.band_idx
+             AND a.band_hash = ok.band_hash),
+         ids AS (SELECT doc_a AS doc FROM cand
+                 UNION SELECT doc_b FROM cand),
+         ch AS (SELECT doc_id, replace(text, ' ', '') AS s
+                FROM documents JOIN ids ON doc_id = doc
+                WHERE text IS NOT NULL),
+         gr AS (SELECT doc_id, n, unnest([s[i+1:i+n]
+                  for i in range(0, len(s) - n + 1)]) AS gram
+                FROM ch, (SELECT unnest([1, 2, 3]) AS n)
+                WHERE len(s) >= n),
+         cnt AS (SELECT doc_id, n, gram, count(*) AS c
+                 FROM gr GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+                 FROM cnt GROUP BY 1, 2),
+         clip AS (SELECT p.doc_a, p.doc_b, a.n,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+           FROM cand p JOIN cnt a ON a.doc_id = p.doc_a
+           JOIN cnt b ON b.doc_id = p.doc_b AND b.n = a.n
+             AND b.gram = a.gram
+           GROUP BY 1, 2, 3),
+         po AS (SELECT p.doc_a, p.doc_b, ta.n,
+             coalesce(c.m, 0) AS m, ta.tot AS t_a, tb.tot AS t_b
+           FROM cand p
+           JOIN tot ta ON ta.doc_id = p.doc_a
+           JOIN tot tb ON tb.doc_id = p.doc_b AND tb.n = ta.n
+           LEFT JOIN clip c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+             AND c.n = ta.n),
+         agg AS (SELECT doc_a, doc_b,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(m * 1000000 // t_a) // count(*) AS BIGINT)
+               AS chrp_micro,
+             CAST(sum(m * 1000000 // t_b) // count(*) AS BIGINT)
+               AS chrr_micro
+           FROM po GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_orders, chrp_micro, chrr_micro,
+           CAST(coalesce(5 * chrp_micro * chrr_micro //
+             nullif(4 * chrp_micro + chrr_micro, 0), 0) AS BIGINT)
+             AS chrf2_micro
+         FROM agg""",
 
     "q143_budget_select" -> {
       val h = sqlHexLong("CAST(doc_id AS VARCHAR)")

@@ -2378,6 +2378,84 @@ object TextAnalysis {
         expr("__clip * 1000000 div __tot").as("p_micro"))
   }
 
+  /** chrF — character n-gram F-score (Popović 2015, "chrF: character
+    * n-gram F-score for automatic MT evaluation" — public): the
+    * tokenization-free eval twin of [[clippedNgramPrecision]]'s BLEU
+    * precision, and the standard quality score for mined bitext
+    * (CCMatrix/NLLB report chrF alongside the q134 margin). Whitespace
+    * is stripped, n-grams run over raw characters, and both PRECISION
+    * and RECALL aggregate into F_β (β = 2: recall-weighted, the chrF2
+    * default) — robust to morphology/segmentation differences that
+    * zero out word-level BLEU.
+    *
+    * Per pair and order n: m = Σ_g min(count_a(g), count_b(g))
+    * (multiset clip), P_n = m/|a-grams|, R_n = m/|b-grams|; orders
+    * missing on EITHER side (doc shorter than n chars) contribute
+    * nothing and are excluded from the order average (the chrF
+    * reference behavior for short segments). Everything crosses as
+    * exact integer micro-ratios over all-positive masses (`div` ==
+    * `//`): per-order P/R micro-ratios average via integer div over
+    * n_orders, and F2 = 5·P·R div (4P+R) stays within long range
+    * (5·10¹² max).
+    *
+    * Scale shape (the q163 lifecycle): corpus semi-joined to the
+    * capped candidate docs, ONE checkpointed (doc, n, gram, count)
+    * char-gram table shared by totals and both pair-join sides —
+    * gram-keyed equi-joins bounded by the pair cap, never all-pairs.
+    * Output: doc_a, doc_b, n_orders, chrp_micro, chrr_micro,
+    * chrf2_micro. */
+  def chrF(docs: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame, maxOrder: Int = 3): DataFrame = {
+    require(maxOrder >= 1, "maxOrder >= 1")
+    val ids = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    // the stripped char string lands in a REAL column before the
+    // n-gram HOF (the hoisting contract: one regexp pass per doc, not
+    // one per gram)
+    val chars = Parallelism.ensure(
+        docs.select(col(idCol).as("doc"), text.as("__t")))
+      .join(ids, Seq("doc"), "left_semi")
+      .filter(col("__t").isNotNull)
+      .select(col("doc"), regexp_replace(col("__t"), " ", "").as("__s"))
+      .localCheckpoint(true)
+    val grams = (1 to maxOrder).map { n =>
+      chars.filter(length(col("__s")) >= n)
+        .select(col("doc"), lit(n).as("n"),
+          explode(Parallelism.opaque(
+            transform(sequence(lit(0), length(col("__s")) - n),
+              i => col("__s").substr(i + 1, lit(n))))).as("gram"))
+    }.reduce(_ union _)
+    val counts = grams.groupBy("doc", "n", "gram")
+      .agg(count(lit(1)).as("__c")).localCheckpoint(true)
+    val totals = counts.groupBy("doc", "n").agg(sum(col("__c")).as("__tot"))
+    val clip = pairs
+      .join(counts.select(col("doc").as("doc_a"), col("n"), col("gram"),
+        col("__c").as("__ca")), Seq("doc_a"))
+      .join(counts.select(col("doc").as("doc_b"), col("n"), col("gram"),
+        col("__c").as("__cb")), Seq("doc_b", "n", "gram"))
+      .groupBy("doc_a", "doc_b", "n")
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__m"))
+    val perOrder = pairs
+      .join(totals.select(col("doc").as("doc_a"), col("n"),
+        col("__tot").as("__ta")), Seq("doc_a"))
+      .join(totals.select(col("doc").as("doc_b"), col("n"),
+        col("__tot").as("__tb")), Seq("doc_b", "n"))
+      .join(clip, Seq("doc_a", "doc_b", "n"), "left")
+      .na.fill(0L, Seq("__m"))
+    perOrder
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("__m * 1000000 div __ta")).as("__sp"),
+        sum(expr("__m * 1000000 div __tb")).as("__sr"))
+      .withColumn("chrp_micro", expr("__sp div n_orders"))
+      .withColumn("chrr_micro", expr("__sr div n_orders"))
+      .withColumn("chrf2_micro", coalesce(
+        expr("5 * chrp_micro * chrr_micro div " +
+          "nullif(4 * chrp_micro + chrr_micro, 0)"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("n_orders"),
+        col("chrp_micro"), col("chrr_micro"), col("chrf2_micro"))
+  }
+
   /** Operating-point selection for a quality filter: precision and
     * recall at every score-decile threshold — the PR sweep a pipeline
     * runs before FREEZING a classifier's cut, companion to

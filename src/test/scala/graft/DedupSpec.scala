@@ -2211,4 +2211,32 @@ class SimilaritySpec extends SparkSpec {
       .select(col("selected")).as[Boolean].collect()
     assert(pinned.length == 2 && pinned.forall(identity))
   }
+
+  test("chrF: hand-checked P/R/F2, whitespace stripped, short-side order exclusion") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab"), (2L, "abab"),      // identical after space strip
+      (3L, "abc"), (4L, "abcabc"),      // P=1, R degrades per order
+      (5L, "ab"), (6L, "abcd"),         // doc5 has no order-3 grams
+      (7L, "a"), (8L, "a"))             // single-char pair: 1 order
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val out = TextAnalysis.chrF(docs, "doc_id", col("text"), pairs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // spaces MUST not count as characters: 'ab ab' == 'abab' exactly
+    assert(out((1L, 2L)) == ((3L, 1000000L, 1000000L, 1000000L)))
+    // P_n = 1 every order; R = (3/6, 2/5, 1/4) floored then averaged
+    val r34 = (500000L + 400000L + 250000L) / 3
+    val f34 = 5L * 1000000L * r34 / (4L * 1000000L + r34)
+    assert(out((3L, 4L)) == ((3L, 1000000L, r34, f34)))
+    // doc5 'ab' has no order-3 grams -> only orders 1-2 average
+    // o1: m=2 of a=2/b=4 -> P=1e6, R=500000; o2: m=1 of 1/3 ->
+    // P=1e6, R=333333
+    val r56 = (500000L + 333333L) / 2
+    val f56 = 5L * 1000000L * r56 / (4L * 1000000L + r56)
+    assert(out((5L, 6L)) == ((2L, 1000000L, r56, f56)))
+    assert(out((7L, 8L)) == ((1L, 1000000L, 1000000L, 1000000L)))
+  }
 }

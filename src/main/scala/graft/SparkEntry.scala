@@ -2141,6 +2141,19 @@ object SparkEntry {
           col("ced_micro"), col("selected"))
     }),
 
+    // Adamic-Adar link prediction over the customer-part bipartite
+    // graph: customer pairs scored by Sum 1/ln(deg) over shared parts,
+    // hub parts above deg 40 excluded before the self-join (the
+    // degenerate-bucket guard; trims the top decile at sf0.01 - 188 of
+    // 2000 parts), exact micro weights, TakeOrdered top-100
+    "q171_adamic_adar" -> ((s, d) => {
+      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      Graph.adamicAdar(e, "src", "dst", maxDeg = 40, topK = 100)
+    }),
+
     // MinHash signature-agreement Jaccard estimate for the q29
     // candidate pairs — the O(numPerm) triage before exact verify.
     // Fused form: the signature subplan runs structurally ONCE (it
@@ -3224,6 +3237,26 @@ object SparkEntry {
          SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
          FROM a3 JOIN h3 USING (node)"""
     },
+
+    // same bipartite edges; deg-capped common-neighbor self-join,
+    // floor(1e6/ln(deg)+0.5) weights, total-order top-100
+    "q171_adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS z
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+         w AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+         wk AS (SELECT z, CAST(floor(CAST(1000000 AS DOUBLE) / ln(deg)
+                  + 0.5) AS BIGINT) AS w
+                FROM w WHERE deg BETWEEN 2 AND 40),
+         pr AS (SELECT a.u AS u_a, b.u AS u_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(wk.w) AS BIGINT) AS aa_micro
+           FROM e a JOIN e b ON a.z = b.z AND a.u < b.u
+           JOIN wk ON wk.z = a.z
+           GROUP BY 1, 2)
+         SELECT u_a, u_b, n_common, aa_micro FROM pr
+         ORDER BY aa_micro DESC, u_a, u_b LIMIT 100""",
 
     // two q132-shaped add-one LMs (in-domain / general) scored in one
     // pass; CED is a subtraction of two integer-div means

@@ -396,4 +396,56 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Adamic–Adar link prediction over a bipartite interaction graph
+    * (Adamic & Adar 2003, "Friends and neighbors on the Web" —
+    * public): for every pair of left-side nodes sharing a right-side
+    * neighbor, `score(u,v) = Σ_{z ∈ Γ(u)∩Γ(v)} 1/ln(deg(z))` — common
+    * neighbors weighted by how SELECTIVE they are. The classic
+    * link-prediction baseline (recommend-next-part, crawl frontier
+    * expansion), and the graph-tier complement of the similarity
+    * family: q129/q158 weigh shared SET content, this weighs shared
+    * graph structure.
+    *
+    * Determinism contract: each neighbor's weight is
+    * `floor(10⁶/ln(deg) + 0.5)` — one double division of
+    * exactly-represented integers, same quantizer family as the LM
+    * micro-nats — and pair scores are order-independent long sums, so
+    * top-k by (score desc, u, v) is total and bit-identical across
+    * engines. deg ≥ 2 always holds for a common neighbor.
+    *
+    * Scale shape: candidate pairs come from self-joining the edge list
+    * on the right-side node — the LSH-bucket equi-join shape, never
+    * all-pairs — with hub neighbors ABOVE `maxDeg` excluded before the
+    * join (the q32/q134 degenerate-bucket guard: a right-node of
+    * degree D mints D² pairs while contributing the corpus-minimum
+    * 1/ln(D) weight; the cap bounds the join at |Z|·maxDeg² and is
+    * mirrored in the oracle). The final top-k is a TakeOrdered — a
+    * per-partition heap + driver merge of k rows, no global sort. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Int = 1024, topK: Int = 100): DataFrame = {
+    require(maxDeg >= 2 && topK >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("z"))
+      .filter(col("u").isNotNull && col("z").isNotNull)
+      .distinct()
+    val w = e.groupBy("z").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+      .withColumn("__w",
+        floor(lit(1000000.0) / log(col("deg").cast("double")) + 0.5)
+          .cast("long"))
+    // one weighted-edge table, hash-pinned on z and checkpointed: the
+    // self-join below then zips two copies of the SAME layout — no
+    // exchange on either side, and the deg/weight subplan runs once
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ez = GraftShims.checkpointHashPartitioned(e.join(w, "z"), p, "z")
+    ez.select(col("z"), col("u").as("u_a"), col("__w"))
+      .join(ez.select(col("z"), col("u").as("u_b")), "z")
+      .filter(col("u_a") < col("u_b"))
+      .groupBy("u_a", "u_b")
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("u_a"), col("u_b"))
+      .limit(topK)
+  }
 }

@@ -230,4 +230,28 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(Seq((1L, 2L)).toDF("s", "d"), "s", "d", 5, 1)
       .count() == 0)
   }
+
+  test("adamicAdar: exact weights, hub cap excludes, top-k total order") {
+    // z10 {1,2} deg2; z20 {1,2,3} deg3; z30 {1,4} deg2;
+    // z40 {1..5} deg5 -> excluded at maxDeg=4; z50 {9} deg1 -> no pair
+    val edges = (Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L),
+      (3L, 20L), (1L, 30L), (4L, 30L), (9L, 50L)) ++
+      (1L to 5L).map(u => (u, 40L)) :+ ((2L, 10L))) // dup edge collapses
+      .toDF("u", "z")
+    val w2 = math.floor(1e6 / math.log(2.0) + 0.5).toLong
+    val w3 = math.floor(1e6 / math.log(3.0) + 0.5).toLong
+    val out = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 100)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // (1,2) share z10 AND z20; (1,3)/(2,3) share z20; (1,4) shares z30
+    assert(out == Map(
+      (1L, 2L) -> ((2L, w2 + w3)), (1L, 3L) -> ((1L, w3)),
+      (2L, 3L) -> ((1L, w3)), (1L, 4L) -> ((1L, w2))),
+      out.toString)
+    // pairs sharing ONLY the over-cap hub z40 (e.g. 4-5) never mint;
+    // top-k truncates in (score desc, u_a, u_b) total order
+    val top2 = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2))
+    assert(top2.toSeq == Seq((1L, 2L), (1L, 4L)), top2.mkString(","))
+  }
 }

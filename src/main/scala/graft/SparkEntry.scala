@@ -2141,6 +2141,26 @@ object SparkEntry {
           col("ced_micro"), col("selected"))
     }),
 
+    // TextRank keywords: PageRank (5 integer fixed-point rounds) over
+    // the filtered-word co-occurrence graph (len>=4 content filter,
+    // filter-then-window adjacency, both directions). The synthetic
+    // corpus is a 31-word near-clique where every rank ties, so a
+    // hub-and-satellite sublanguage is injected (the q130/q131
+    // spike mechanism): 'quantum' bridges three doc_id-keyed
+    // satellite chains plus the natural tail words. Probed at sf0.01:
+    // 'quantum' is the top-1 keyword and the 31-node graph splits
+    // into 4 distinct rank tiers (hub > natural clique > satellites)
+    // - centrality genuinely reorders the near-uniform frequency
+    // table
+    "q172_textrank" -> ((s, d) => {
+      val spiked = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" quantum entangled lattice")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" quantum spectral manifold")))
+        .otherwise(concat(col("text"), lit(" quantum harmonic cascade")))
+      TextAnalysis.textRankKeywords(Tables.documents(s, d), spiked)
+    }),
+
     // Adamic-Adar link prediction over the customer-part bipartite
     // graph: customer pairs scored by Sum 1/ln(deg) over shared parts,
     // hub parts above deg 40 excluded before the self-join (the
@@ -3236,6 +3256,48 @@ object SparkEntry {
          $roundCtes
          SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
          FROM a3 JOIN h3 USING (node)"""
+    },
+
+    // q84's unrolled integer PageRank over the md5-id word graph
+    "q172_textrank" -> {
+      val unit = "1000000000000"
+      val h1 = sqlHexLong("w1")
+      val h2 = sqlHexLong("w2")
+      val hk = sqlHexLong("keyword")
+      val rk = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node AS node,
+           (SELECT b FROM base) + coalesce(CAST((85 * s.s) // 100 AS BIGINT), CAST(0 AS BIGINT)) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS s
+             FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+             JOIN deg ON e.src = deg.src GROUP BY 1) s
+           ON n.node = s.node)"""
+      }.mkString(",\n         ")
+      s"""WITH tk AS (SELECT [x FOR x IN string_split(
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' quantum entangled lattice'
+                  WHEN doc_id % 3 = 1
+                  THEN text || ' quantum spectral manifold'
+                  ELSE text || ' quantum harmonic cascade' END, ' ')
+             IF len(x) >= 4] AS w
+           FROM documents WHERE text IS NOT NULL),
+         bp AS (SELECT unnest(w[1:len(w)-1]) AS w1,
+             unnest(w[2:len(w)]) AS w2
+           FROM tk WHERE len(w) >= 2),
+         e AS (SELECT DISTINCT $h1 AS src, $h2 AS dst FROM bp
+               WHERE w1 <> w2
+               UNION SELECT DISTINCT $h2, $h1 FROM bp WHERE w1 <> w2),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                 FROM e GROUP BY 1),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         base AS (SELECT CAST((15 * ($unit // (SELECT n FROM nn))) // 100 AS BIGINT) AS b),
+         r0 AS (SELECT node, CAST($unit // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+         $rk,
+         vocab AS (SELECT DISTINCT keyword, $hk AS node FROM
+           (SELECT unnest(w) AS keyword FROM tk))
+         SELECT keyword, r AS rank_unit FROM r5 JOIN vocab USING (node)
+         ORDER BY rank_unit DESC, keyword LIMIT 50"""
     },
 
     // same bipartite edges; deg-capped common-neighbor self-join,

@@ -2378,6 +2378,54 @@ object TextAnalysis {
         expr("__clip * 1000000 div __tot").as("p_micro"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing order into text" — public): [[Graph.pageRank]] over the
+    * word co-occurrence graph — tokens passing the content filter
+    * (here `length ≥ minLen`, the public implementations' POS-filter
+    * proxy) become nodes, adjacency IN THE FILTERED SEQUENCE (the
+    * standard filter-then-window construction) becomes an undirected
+    * edge, and the stationary mass ranks corpus keywords. The
+    * graph-global counterpart of the frequency lenses (TF-IDF weighs
+    * repetition, PMI weighs pairwise association; TextRank weighs
+    * CENTRALITY — a word bridging many contexts outranks an equally
+    * frequent word locked in one collocation).
+    *
+    * Determinism: words map to md5-derived long node ids
+    * ([[graft.functions.Hashing.hexLong]], the engine-portable id
+    * contract), ranks are [[Graph.pageRank]]'s exact fixed-point
+    * longs, and the top-k orders by (rank desc, keyword asc) — total
+    * because keywords are distinct.
+    *
+    * Scale shape: edges and vocab are two narrow passes over one
+    * filtered-token projection (the array binds to a REAL column
+    * before the bigram HOF — the hoisting contract); pageRank brings
+    * its own pinned-checkpoint iteration machinery; top-k is a
+    * TakeOrdered. */
+  def textRankKeywords(docs: DataFrame, text: Column, minLen: Int = 4,
+      iters: Int = 5, topK: Int = 50): DataFrame = {
+    require(minLen >= 1 && topK >= 1)
+    val ft = Parallelism.ensure(docs.select(text.as("__t")))
+      .filter(col("__t").isNotNull)
+      .select(filter(tokens(col("__t")),
+        w => length(w) >= minLen).as("__fw"))
+    val bp = ft.filter(size(col("__fw")) >= 2)
+      .select(explode(Parallelism.opaque(bigramsOf(col("__fw"))))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = bp.select(Hashing.hexLong(col("w1")).as("src"),
+        Hashing.hexLong(col("w2")).as("dst"))
+      .union(bp.select(Hashing.hexLong(col("w2")).as("src"),
+        Hashing.hexLong(col("w1")).as("dst")))
+    val ranks = Graph.pageRank(edges, "src", "dst", iters)
+    val vocab = ft.select(explode(col("__fw")).as("keyword")).distinct()
+      .select(col("keyword"), Hashing.hexLong(col("keyword")).as("node"))
+    ranks.join(vocab, "node")
+      .select(col("keyword"), col("rank_unit"))
+      .orderBy(col("rank_unit").desc, col("keyword"))
+      .limit(topK)
+  }
+
   /** chrF — character n-gram F-score (Popović 2015, "chrF: character
     * n-gram F-score for automatic MT evaluation" — public): the
     * tokenization-free eval twin of [[clippedNgramPrecision]]'s BLEU

@@ -2239,4 +2239,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out((5L, 6L)) == ((2L, 1000000L, r56, f56)))
     assert(out((7L, 8L)) == ((1L, 1000000L, 1000000L, 1000000L)))
   }
+
+  test("textRankKeywords: hub centrality, content filter, filter-then-window adjacency") {
+    import spark.implicits._
+    def run(texts: Seq[String], k: Int = 50): Seq[(String, Long)] =
+      TextAnalysis.textRankKeywords(texts.toDF("text"), col("text"),
+        topK = k).as[(String, Long)].collect().toSeq
+    // star: alpha co-occurs with all three spokes -> highest rank;
+    // the symmetric spokes tie and order alphabetically
+    val star = run(Seq("alpha beta", "alpha gamma", "alpha delta"))
+    assert(star.map(_._1) == Seq("alpha", "beta", "delta", "gamma"),
+      star.toString)
+    assert(star.head._2 > star(1)._2)
+    assert(star(1)._2 == star(2)._2 && star(2)._2 == star(3)._2)
+    // the content filter drops short words BEFORE windowing, so a
+    // filtered word does not break adjacency: identical graphs
+    assert(run(Seq("alpha xx beta", null)) == run(Seq("alpha beta")))
+    // no output keyword under the length filter; <2 filtered tokens
+    // contribute no edges (and a no-edge corpus returns empty)
+    assert(star.forall(_._1.length >= 4))
+    assert(run(Seq("solitary", "aa bb cc")).isEmpty)
+  }
 }

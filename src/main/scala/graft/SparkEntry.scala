@@ -2141,6 +2141,25 @@ object SparkEntry {
           col("ced_micro"), col("selected"))
     }),
 
+    // Personalized PageRank from a seed catalog: q84's co-purchase
+    // part graph, teleport mass concentrated on the p_partkey % 41
+    // seed set (49 of 2000 parts at sf0.01) - ranks parts by graph
+    // proximity to the seeds ("more like these"). Probed: seed ranks
+    // sit far above non-seeds, and non-seed ranks spread with
+    // co-purchase distance rather than collapsing to one value
+    "q173_ppr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val seeds = Tables.part(s, d).select(col("p_partkey"))
+        .filter(col("p_partkey") % 41 === 0)
+      Graph.personalizedPageRank(e, seeds, "p_partkey", "src", "dst",
+          iters = 5)
+        .select(col("node").as("l_partkey"), col("rank_unit"))
+    }),
+
     // TextRank keywords: PageRank (5 integer fixed-point rounds) over
     // the filtered-word co-occurrence graph (len>=4 content filter,
     // filter-then-window adjacency, both directions). The synthetic
@@ -3256,6 +3275,37 @@ object SparkEntry {
          $roundCtes
          SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
          FROM a3 JOIN h3 USING (node)"""
+    },
+
+    // q84's co-purchase graph with the teleport vector concentrated
+    // on the arithmetic seed set; same integer round unrolling
+    "q173_ppr" -> {
+      val unit = "1000000000000"
+      val rk = (1 to 5).map { k =>
+        s"""r$k AS (SELECT b.node,
+           b.tele + coalesce(CAST((85 * s.s) // 100 AS BIGINT), CAST(0 AS BIGINT)) AS r
+           FROM b LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS s
+             FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+             JOIN deg ON e.src = deg.src GROUP BY 1) s
+           ON b.node = s.node)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 41 = 0),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+                   UNION SELECT node FROM seeds),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+         tl AS (SELECT CAST((15 * ($unit // (SELECT n FROM ns))) // 100 AS BIGINT) AS t),
+         b AS (SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM tl)
+                  ELSE CAST(0 AS BIGINT) END AS tele
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         r0 AS (SELECT node, tele AS r FROM b),
+         $rk
+         SELECT node AS l_partkey, r AS rank_unit FROM r5"""
     },
 
     // q84's unrolled integer PageRank over the md5-id word graph

@@ -111,6 +111,81 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_unit"))
   }
 
+  /** Personalized PageRank / random walk with restart (Page et al.
+    * 1999 §6's personalized vector; Jeh & Widom 2003, "Scaling
+    * personalized web search" — public): [[pageRank]] with the
+    * teleport mass CONCENTRATED on a seed set instead of spread
+    * uniformly — `r'(v) = tele(v) + d·Σ (r(u) div deg(u))` where
+    * `tele(v) = ((100−d)·unit div |S|) div 100` for seeds and 0
+    * elsewhere. Mass diffuses outward from the seeds through the
+    * link structure, so the stationary score ranks nodes by
+    * PROXIMITY to the seed set — the graph-native "more like these":
+    * related-item retrieval from a purchase graph, crawl-frontier
+    * expansion from trusted pages, seed-anchored data selection over
+    * a document similarity graph (the graph twin of the q169
+    * Moore–Lewis lens).
+    *
+    * Same determinism contract as [[pageRank]] (all-positive
+    * fixed-point longs, order-independent sums, Scala `/` == SQL
+    * `div` on the driver-folded constants) and the same pinned-
+    * checkpoint iteration shape: ONE |E| shuffle up front, per-round
+    * co-partitioned gathers, |V| broadcasts only under the gate.
+    * Seeds not present in the graph still teleport (they hold rank
+    * but contribute nothing); an empty seed∩anything set returns
+    * all-zero ranks rather than dividing by zero. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      seedCol: String, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Int = 85,
+      unit: Long = 1000000000000L,
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = GraftShims.checkpointHashPartitioned(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      p, "src")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outEdges = GraftShims.checkpointClaimHashPartitioned(
+      e.join(deg, "src"), p, "src")
+    val s = GraftShims.checkpointHashPartitioned(
+      seeds.select(col(seedCol).cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct(),
+      p, "node")
+    val nodes = GraftShims.checkpointHashPartitioned(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .union(s.select(col("node"))).distinct(),
+      p, "node")
+    val nSeeds = s.count()
+    if (nSeeds == 0L)
+      return nodes.select(col("node"), lit(0L).as("rank_unit"))
+    val tele = ((100L - dampingPct) * (unit / nSeeds)) / 100L
+    val gate: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
+    // tele(v) joins as a seed flag once; r0 = the teleport vector
+    val teleCol = when(col("__seed").isNotNull, lit(tele))
+      .otherwise(lit(0L))
+    val base = GraftShims.checkpointClaimHashPartitioned(
+      nodes.join(gate(s.select(col("node"),
+          lit(1).as("__seed"))), Seq("node"), "left")
+        .select(col("node"), teleCol.as("tele")),
+      p, "node")
+    var ranks = base.select(col("node"), col("tele").as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = outEdges.join(gate(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__s"))
+        .withColumnRenamed("dst", "node")
+      ranks = base.join(gate(contrib), Seq("node"), "left")
+        .select(col("node"),
+          (col("tele") +
+            coalesce(expr(s"($dampingPct * __s) div 100"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_unit"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
     * in a hyperlinked environment"): fixed mutual-reinforcement rounds
     * over a DIRECTED edge list — `a(v) = Σ_{u→v} h(u)` then

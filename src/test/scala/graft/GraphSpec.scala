@@ -231,6 +231,42 @@ class GraphSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("personalizedPageRank: JVM-twin fixed rounds, distance decay, seed contracts") {
+    // undirected path 1-2-3-4, seed {1}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)).toDF("s", "d")
+    val out = Graph.personalizedPageRank(edges, Seq(1L).toDF("n"), "n",
+      "s", "d", iters = 4).as[(Long, Long)].collect().toMap
+    // reference loop: exact integer arithmetic, same fold order
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val adj = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 4L,
+      4L -> 3L)
+    val tele = Map(1L -> (15L * (1000000000000L / 1L)) / 100L)
+      .withDefaultValue(0L)
+    var r: Map[Long, Long] = (1L to 4L).map(n => n -> tele(n)).toMap
+    (1 to 4).foreach { _ =>
+      val in = adj.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum }
+      r = (1L to 4L).map(n =>
+        n -> (tele(n) + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(out == r, s"spark=$out twin=$r")
+    // proximity decays with hop distance from the seed
+    assert(out(1L) > out(2L) && out(2L) > out(3L) && out(3L) > out(4L))
+    // a seed OUTSIDE the graph holds teleport mass; split halves tele
+    val out2 = Graph.personalizedPageRank(edges, Seq(1L, 9L).toDF("n"),
+      "n", "s", "d", iters = 1).as[(Long, Long)].collect().toMap
+    val t2 = (15L * (1000000000000L / 2L)) / 100L
+    // the isolated seed keeps exactly its teleport mass; the in-graph
+    // seed's mass has flowed one hop (2 gains, 4 still unreached)
+    assert(out2(9L) == t2 && out2(1L) == t2)
+    assert(out2(2L) > 0L && out2(4L) == 0L)
+    // empty seed set: all-zero ranks, no division by zero
+    assert(Graph.personalizedPageRank(edges,
+        Seq.empty[Long].toDF("n"), "n", "s", "d", iters = 1)
+      .as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+  }
+
   test("adamicAdar: exact weights, hub cap excludes, top-k total order") {
     // z10 {1,2} deg2; z20 {1,2,3} deg3; z30 {1,4} deg2;
     // z40 {1..5} deg5 -> excluded at maxDeg=4; z50 {9} deg1 -> no pair

@@ -288,6 +288,62 @@ object CurationStream {
       .drop("__h", "__pm", "__c1", "__n1", "__ct", "__np")
   }
 
+  /** Stateless streaming Moore–Lewis gate — the deployment half of
+    * [[graft.operators.TextAnalysis.crossEntropyDiffSelect]] (q169,
+    * the [[lmQualityGate]] pattern doubled): BOTH exported
+    * `(b1,b2,c12)` models — in-domain and general — pack into ONE
+    * broadcast row as four maps, the token-hash array binds once, and
+    * each doc's two nll folds run over the same array. `ced_micro` is
+    * the batch operator's exact subtraction of integer-div means;
+    * the corpus-relative mean cut cannot stream, so the gate takes
+    * the batch run's exported cut as the fixed `maxCedMicro` (the
+    * family convention: the tercile boundary for [[lmQualityGate]],
+    * the Mahalanobis radius for the PCA gate). Batch-selected and
+    * stream-passed agree bit-for-bit (StreamingSpec parity). Null
+    * text / <2 tokens: no bigram evidence, NULL scores, gate false,
+    * row kept. */
+  def cedGate(docs: DataFrame, modelIn: DataFrame, modelGen: DataFrame,
+      maxCedMicro: Long, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    def pack(model: DataFrame, pm: String, c1: String): DataFrame =
+      model.groupBy().agg(map_from_entries(collect_list(struct(
+          col("b1") * buckets + col("b2"), col("c12")))).as(pm))
+        .crossJoin(model.groupBy("b1").agg(sum(col("c12")).as("c1"))
+          .groupBy().agg(map_from_entries(collect_list(struct(
+            col("b1"), col("c1")))).as(c1)))
+    val packed = broadcast(pack(modelIn, "__pmi", "__c1i")
+      .crossJoin(pack(modelGen, "__pmg", "__c1g")))
+    def nllOf(pm: String, c1: String)(b1: Column, b2: Column): Column =
+      floor(log(
+        (coalesce(element_at(col(c1), b1), lit(0L)) +
+          lit(buckets.toLong)).cast("double") /
+          (coalesce(element_at(col(pm), b1 * buckets + b2), lit(0L)) +
+            lit(1L)).cast("double")) * 1e6 + 0.5).cast("long")
+    def foldNll(pm: String, c1: String): Column =
+      when(col("text").isNotNull && size(col("__h")) >= 2,
+        aggregate(sequence(lit(0), size(col("__h")) - 2), lit(0L),
+          (acc, i) => acc + nllOf(pm, c1)(
+            element_at(col("__h"), (i + 1).cast("int")),
+            element_at(col("__h"), (i + 2).cast("int")))))
+    docs.crossJoin(packed)
+      .withColumn("__h",
+        transform(TextAnalysis.tokens(col("text")),
+          t => pmod(graft.functions.Hashing.hexLong(t),
+            lit(buckets.toLong))))
+      .withColumn("n_pairs",
+        when(col("text").isNotNull,
+          greatest(size(col("__h")) - 1, lit(0)).cast("long")))
+      .withColumn("nll_in_micro", foldNll("__pmi", "__c1i"))
+      .withColumn("nll_gen_micro", foldNll("__pmg", "__c1g"))
+      .withColumn("ced_micro",
+        when(col("n_pairs") > 0L,
+          expr("nll_in_micro div n_pairs") -
+            expr("nll_gen_micro div n_pairs")))
+      .withColumn("ced_pass",
+        coalesce(col("ced_micro") < maxCedMicro, lit(false)))
+      .drop("__h", "__pmi", "__c1i", "__pmg", "__c1g")
+  }
+
   /** Incremental funnel report: docs per stage per event-time window —
     * the monitoring view ([[EventsStream.windowedExpectations]]'s shape
     * applied to the funnel itself). Counts are decomposable, so this is

@@ -746,6 +746,65 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streaming Moore-Lewis CED gate scores bit-identically to the batch selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val inDom = Seq("alpha beta gamma alpha beta", "beta gamma alpha beta")
+      .toDF("text")
+    val gen = Seq("delta epsilon zeta delta epsilon", "epsilon zeta delta")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),   // in-domain-looking
+      (2L, "delta epsilon zeta"),       // general-looking
+      (3L, "solo"),                     // <2 tokens: no evidence
+      (4L, null.asInstanceOf[String]))  // null text
+      .toDF("doc_id", "text")
+    val batch = TextAnalysis.crossEntropyDiffSelect(docs, "doc_id",
+        col("text"), inDom, col("text"), gen, col("text"))
+      .select(col("doc"), col("n_pairs"), col("nll_in_micro"),
+        col("nll_gen_micro"), col("ced_micro"), col("selected"))
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // deploy the batch run's operating point as the fixed stream cut
+    val cut = (batch(1L)._5 + batch(2L)._5) / 2
+    val mIn = TextAnalysis.lmTrain(inDom, col("text")).cache()
+    val mGen = TextAnalysis.lmTrain(gen, col("text")).cache()
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.cedGate(
+        input.toDF().toDF("doc_id", "text"), mIn, mGen,
+        maxCedMicro = cut)
+      .select(col("doc_id"), col("n_pairs"), col("nll_in_micro"),
+        col("nll_gen_micro"), col("ced_micro"), col("ced_pass"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ced_gate").start()
+    val out = try {
+      input.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      spark.table("ced_gate")
+        .as[(Long, Option[Long], Option[Long], Option[Long],
+          Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    // scored docs: stream == batch, bit for bit, and the decision
+    // fires both ways around the deployed cut
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id)._2.contains(batch(id)._2) &&
+        out(id)._3.contains(batch(id)._3) &&
+        out(id)._4.contains(batch(id)._4) &&
+        out(id)._5.contains(batch(id)._5),
+        s"doc $id: stream ${out(id)} vs batch ${batch(id)}")
+    }
+    assert(out(1L)._6 && !out(2L)._6, out.toString)
+    // batch drops no-evidence docs; the stream keeps and gates false
+    assert(!batch.contains(3L) && !batch.contains(4L))
+    assert(out(3L)._2.contains(0L) && out(3L)._5.isEmpty && !out(3L)._6)
+    assert(out(4L)._2.isEmpty && out(4L)._5.isEmpty && !out(4L)._6)
+    mIn.unpersist(); mGen.unpersist()
+  }
+
   test("streaming blocklist gate flags bit-identically to the batch blocklistHit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

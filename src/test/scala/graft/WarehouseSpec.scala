@@ -106,4 +106,25 @@ class WarehouseSpec extends SparkSpec {
     assert(fileSpans(zDir, "l_suppkey") < 0.5,
       s"suppkey span ${fileSpans(zDir, "l_suppkey")}")
   }
+
+  test("pruningAudit: hand-checked skip counts per layout, null rows excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key k == row index; 'sorted' layout orders by k, 'perm' layout by
+    // the decorrelating permutation (k*7)%10; 5 equal-width files of 2
+    val rows = (0L to 9L).map(o => (Some(o), (o * 7) % 10, o)) :+
+      ((None: Option[Long], 0L, 0L)) // null order: no statistics
+    val df = rows.toDF("o", "p", "k")
+    val out = Warehouse.pruningAudit(df,
+        Seq("sorted" -> col("o"), "perm" -> col("p")), col("k"),
+        nFiles = 5, probes = Seq(("p34", 3L, 4L)))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // sorted: files hold k-pairs {0,1}..{8,9}; probe [3,4] needs files
+    // 1 ({2,3}) and 2 ({4,5}) -> 3 of 5 skippable
+    assert(out("sorted") == (("p34", 5L, 3L, 600000L)), out.toString)
+    // perm: file key ranges [0,3],[6,9],[2,5],[1,8],[4,7] -> only the
+    // kmin=6 file is skippable
+    assert(out("perm") == (("p34", 5L, 1L, 200000L)), out.toString)
+  }
 }

@@ -456,4 +456,68 @@ object Temporal {
         (floor(col("__n").cast(DoubleType) / col("__d") / 100.0
           * 1000000.0 + 0.5).cast(DoubleType) / 1000000.0).as("ewma"))
   }
+
+  /** Theil–Sen robust trend estimator per key (Theil 1950; Sen 1968,
+    * "Estimates of the regression coefficient based on Kendall's tau"
+    * — public): the slope of a key's value series as the MEDIAN of all
+    * pairwise slopes `(v_j − v_i)/(t_j − t_i)` — up to ~29% outlier
+    * contamination moves it not at all, where least squares chases
+    * every spike. The robust-statistics tier's trend member (MAD
+    * q96 measures spread, winsorize q109 clips, this measures drift)
+    * — metric-drift detection over per-user event series.
+    *
+    * Determinism contract: slopes quantize to exact micro-units/second
+    * (`floor(Δv·10¹²/Δt_us + 0.5)` — one multiply and divide of
+    * plan-literal-scaled doubles, identical op order cross-engine),
+    * the estimate is the LOWER MEDIAN (element `(n+1) div 2` of the
+    * sorted slope list — index selection, no interpolation averaging),
+    * and same-timestamp pairs (Δt = 0) carry no slope and are
+    * excluded. Keys with no valid pair drop (no evidence, the q132
+    * convention).
+    *
+    * Scale shape: state per key is bounded by `maxEvents` (the first
+    * `maxEvents` events by (ts, id) — a per-key window over the
+    * key-partitioned shuffle, the sessionize layout), so the pairwise
+    * expansion is ≤ maxEvents²/2 per key INSIDE one row's array fold —
+    * no pair shuffle, no self-join; the corpus moves once. */
+  def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: Column, maxEvents: Int = 128): DataFrame = {
+    require(maxEvents >= 2, "need at least 2 events for a slope")
+    import org.apache.spark.sql.types.LongType
+    val capped = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        valCol.isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__id"), valCol.cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__us"), col("__id"))))
+      .filter(col("__rn") <= maxEvents)
+    val slope =
+      (i: Column, j: Column) => {
+        val a = element_at(col("__arr"), i.cast("int"))
+        val b = element_at(col("__arr"), j.cast("int"))
+        val dt = b.getField("us") - a.getField("us")
+        when(dt =!= 0L,
+          floor((b.getField("v") - a.getField("v")) * lit(1e12) /
+            dt.cast("double") + 0.5).cast(LongType))
+      }
+    capped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("__us").as("us"),
+          col("__id").as("id"), col("__v").as("v")))).as("__arr"))
+      .withColumn("__slopes",
+        when(col("n_events") >= 2,
+          array_sort(filter(flatten(
+            transform(sequence(lit(1), col("n_events") - 1),
+              i => transform(sequence(i + 1, col("n_events")),
+                j => slope(i, j)))),
+            s => s.isNotNull)))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("n_pairs", size(col("__slopes")).cast(LongType))
+      .filter(col("n_pairs") > 0L)
+      .select(col(keyCol), col("n_events"), col("n_pairs"),
+        element_at(col("__slopes"),
+          expr("(n_pairs + 1) div 2").cast("int"))
+          .as("slope_micro"))
+  }
 }

@@ -490,4 +490,35 @@ class NativeCosineSpec extends SparkSpec {
     assert(Temporal.ewmaSmooth(dirty, "user_id", "ts", "event_id",
       col("value"), 4).count() == 0)
   }
+
+  test("theilSenTrend: outlier-robust lower median, dt=0 exclusion, cap, evidence drop") {
+    import graft.operators.Temporal
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // user 1: clean 0.1/s drift with one wild outlier at the end —
+      // 3 of 6 pairwise slopes are contaminated, the median is not
+      (1L, 1L, t(0), 0.0), (1L, 2L, t(10), 1.0),
+      (1L, 3L, t(20), 2.0), (1L, 4L, t(30), 300.0),
+      // user 3: a same-timestamp pair (excluded) and a negative trend
+      (3L, 1L, t(0), 0.0), (3L, 2L, t(0), 5.0), (3L, 3L, t(10), 1.0),
+      // user 4: single event — no pair, no row
+      (4L, 1L, t(0), 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.theilSenTrend(ev, "user_id", "ts", "event_id",
+        col("value"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 6 slopes, sorted [1e5,1e5,1e5,1e7,14.95e6,29.8e6]: lower median
+    // (idx (6+1) div 2 = 3) rejects the outlier entirely
+    assert(out(1L) == ((1L, 4L, 6L, 100000L)), out.toString)
+    // dt=0 pair carries no slope; remaining slopes [-400000, 100000],
+    // lower median = the NEGATIVE one (idx 1)
+    assert(out(3L) == ((3L, 3L, 2L, -400000L)), out.toString)
+    assert(!out.contains(4L))
+    // the state cap keeps the FIRST maxEvents by time: user 1 capped
+    // to 2 events sees only the (0,10s) pair
+    val capped = Temporal.theilSenTrend(ev.filter(col("user_id") === 1L),
+        "user_id", "ts", "event_id", col("value"), maxEvents = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(capped.toSeq == Seq((1L, 2L, 1L, 100000L)), capped.toString)
+  }
 }

@@ -1802,6 +1802,15 @@ object SparkEntry {
       Temporal.theilSenTrend(Tables.events(s, d), "user_id", "ts",
         "event_id", col("value"))),
 
+    // graded retrieval eval: nDCG@10 + MRR of the 16-dim truncated
+    // ranking against full-dim relevance bands — the ranking-quality
+    // metrics next to q147's set recall (thresholds probed at sf0.01:
+    // every band fires, 2 queries have zero grade-3 docs)
+    "q176_ndcg" -> ((s, d) =>
+      Similarity.ndcgEval(Tables.embeddings(s, d),
+        col("vec_id") < 30, k = 10, truncDim = 16,
+        t1 = 180000L, t2 = 250000L, t3 = 320000L)),
+
     // label-propagation communities (4 synchronous rounds, min-label
     // ties) over the simhash near-dup candidate graph — community
     // detection next to q51's reachability components: dense
@@ -3965,6 +3974,62 @@ object SparkEntry {
            sl.slope AS slope_micro
          FROM sl JOIN ne ON sl.user_id = ne.user_id
          WHERE sl.r = (sl.n + 1) // 2""",
+
+    // the same injected integer discount weights, grade bands, and
+    // composite ideal-tiebreak score; rankings as row_number windows
+    "q176_ndcg" -> {
+      def dotp(u: String, v: String, d: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$u[i+1] * $v[i+1] for i in range(0, $d)]), (acc, x) -> acc + x)"
+      def cosD(d: Int) =
+        s"${dotp("qe", "e.emb", d)} / (sqrt(${dotp("qe", "qe", d)}) * sqrt(${dotp("e.emb", "e.emb", d)}))"
+      val wRows = graft.operators.Similarity.dcgWeights(10).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+      s"""WITH w(rnk, wt) AS (VALUES $wRows),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+               WHERE vec_id < 30),
+         sim AS (SELECT query_id, e.vec_id AS neighbor_id,
+             CAST(floor(${cosD(64)} * 1e6 + 0.5) AS BIGINT) AS cos_full,
+             CAST(floor(${cosD(16)} * 1e6 + 0.5) AS BIGINT) AS cos_trunc
+           FROM q, e WHERE query_id <> e.vec_id),
+         g AS (SELECT *, CASE WHEN cos_full >= 320000 THEN 3
+               WHEN cos_full >= 250000 THEN 2
+               WHEN cos_full >= 180000 THEN 1 ELSE 0 END AS g,
+             CASE WHEN cos_full >= 320000 THEN 7
+               WHEN cos_full >= 250000 THEN 3
+               WHEN cos_full >= 180000 THEN 1 ELSE 0 END AS gain
+           FROM sim),
+         sys AS (SELECT query_id, neighbor_id, g, gain, rn FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_trunc DESC, neighbor_id) AS rn
+             FROM g WHERE cos_trunc IS NOT NULL) WHERE rn <= 10),
+         dcg AS (SELECT query_id,
+             CAST(sum(gain * wt) AS BIGINT) AS dcg,
+             min(CASE WHEN g >= 2 THEN rn END) AS first_rel
+           FROM sys JOIN w ON sys.rn = w.rnk GROUP BY 1),
+         idl AS (SELECT query_id, gain, rn FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY g * 4294967296 - neighbor_id DESC) AS rn
+             FROM g WHERE g > 0) WHERE rn <= 10),
+         idcg AS (SELECT query_id,
+             CAST(sum(gain * wt) AS BIGINT) AS idcg
+           FROM idl JOIN w ON idl.rn = w.rnk GROUP BY 1),
+         nr AS (SELECT query_id, CAST(sum(CASE WHEN g > 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS n_rel
+           FROM g GROUP BY 1)
+         SELECT nr.query_id, nr.n_rel,
+           CAST(coalesce(dcg.dcg, 0) AS BIGINT) AS dcg,
+           CAST(coalesce(idcg.idcg, 0) AS BIGINT) AS idcg,
+           CAST(CASE WHEN coalesce(idcg.idcg, 0) > 0
+             THEN coalesce(dcg.dcg, 0) * 1000000 // idcg.idcg
+             ELSE 0 END AS BIGINT) AS ndcg_micro,
+           CAST(CASE WHEN dcg.first_rel IS NOT NULL
+             THEN 1000000 // dcg.first_rel ELSE 0 END AS BIGINT)
+             AS rr_micro
+         FROM nr LEFT JOIN idcg ON nr.query_id = idcg.query_id
+           LEFT JOIN dcg ON nr.query_id = dcg.query_id"""
+    },
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

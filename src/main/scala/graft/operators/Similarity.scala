@@ -198,6 +198,103 @@ object Similarity {
       .withColumn("recall_micro", expr(s"n_overlap * 1000000 div $k"))
   }
 
+  /** Discount weights for [[ndcgEval]]: `floor(1e6 / log2(rank+1) + 0.5)`
+    * for ranks 1..k, computed ONCE on the JVM and injected as plan-time
+    * literals (the wall-clock-injection pattern) — the oracle SQL embeds
+    * the SAME longs, so no cross-engine transcendental ever executes
+    * inside either plan. */
+  def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Graded retrieval eval — nDCG@k + MRR (Järvelin & Kekäläinen 2002;
+    * the standard ranking metrics next to [[truncationRecall]]'s set
+    * overlap): the system ranking is the truncated-prefix cosine top-k
+    * (the Matryoshka deployment candidate), relevance grades come from
+    * FULL-dimension cosine bands (`cos_full ≥ t3 → 3, ≥ t2 → 2,
+    * ≥ t1 → 1, else 0`), and the ideal ranking takes the k best grades
+    * over ALL candidates — so nDCG is a true ≤1 ratio, not a
+    * retrieved-set-only rescaling.
+    *
+    * Exact integer contract: gains are `2^g − 1`, discounts are the
+    * injected [[dcgWeights]] longs, `ndcg_micro = dcg·1e6 div idcg`
+    * (both sides positive — `div` == SQL `//`), and
+    * `rr_micro = 1e6 div rank` of the first grade-≥2 hit in the system
+    * list (0 when none — the miss case must stay representable).
+    * Ideal-ranking ties inside a grade band break by neighbor id via a
+    * composite score `g·2^32 − neighbor_id`, exact in the top-k
+    * buffer's double score (< 2^53) and mirrored verbatim in SQL.
+    *
+    * Shape: the ONE checkpointed query×corpus scored pass both rankings
+    * read (queries broadcast — eval query sets are bounded by
+    * construction), two bounded [[Relational.topKPerGroup]] buffers
+    * (never a window over the corpus), and |Q|·k-row joins after. At
+    * 100 TB the corpus moves once; everything downstream is
+    * eval-set-sized. */
+  def ndcgEval(emb: DataFrame, isQuery: Column, k: Int, truncDim: Int,
+      t1: Long, t2: Long, t3: Long): DataFrame = {
+    require(k >= 1 && truncDim >= 1 && t1 <= t2 && t2 <= t3,
+      "degenerate eval params")
+    val ws = dcgWeights(k)
+    val wAt = (rank: Column) => // rank is 1..k by construction
+      element_at(array(ws.map(lit): _*), rank.cast("int"))
+    val grade = when(col("cos_full") >= t3, 3L)
+      .when(col("cos_full") >= t2, 2L)
+      .when(col("cos_full") >= t1, 1L).otherwise(0L)
+    val scored = Parallelism.ensure(
+        emb.select(col("vec_id"), col("embedding"))).as("c")
+      .join(broadcast(emb.filter(isQuery)
+        .select(col("vec_id"), col("embedding")).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        // nanvl → NULL: a zero-norm side has no cosine (and ANSI would
+        // throw casting the NaN); NULL rows drop from both rankings
+        floor(nanvl(cosine(col("q.embedding"), col("c.embedding")),
+          lit(null).cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as("cos_full"),
+        floor(nanvl(cosine(slice(col("q.embedding"), 1, truncDim),
+          slice(col("c.embedding"), 1, truncDim)),
+          lit(null).cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType).as("cos_trunc"))
+      .withColumn("g", grade)
+      .withColumn("gain", // 2^g − 1, unrolled: g is 0..3 by construction
+        when(col("g") === 3L, 7L).when(col("g") === 2L, 3L)
+          .when(col("g") === 1L, 1L).otherwise(0L))
+      .localCheckpoint(true) // system ranking, ideal ranking, n_rel
+    val system = Relational.topKPerGroup(
+        scored.filter(col("cos_trunc").isNotNull),
+        Seq("query_id"), col("cos_trunc"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+      .join(scored.select(col("query_id"), col("neighbor_id"),
+        col("g"), col("gain")), Seq("query_id", "neighbor_id"))
+    val dcg = system.groupBy("query_id")
+      .agg(sum(col("gain") * wAt(col("rank"))).as("dcg"),
+        min(when(col("g") >= 2L, col("rank"))).as("__first_rel"))
+    val ideal = Relational.topKPerGroup(scored.filter(col("g") > 0L),
+        Seq("query_id"),
+        col("g") * lit(4294967296L) - col("neighbor_id"),
+        col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+      .join(scored.select(col("query_id"), col("neighbor_id"),
+        col("gain")), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(sum(col("gain") * wAt(col("rank")))
+        .as("idcg"))
+    val nRel = scored.groupBy("query_id")
+      .agg(sum(when(col("g") > 0L, 1L).otherwise(0L)).as("n_rel"))
+    nRel.join(ideal, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        coalesce(col("idcg"), lit(0L)).as("idcg"),
+        when(coalesce(col("idcg"), lit(0L)) > 0L,
+          expr("coalesce(dcg, 0L) * 1000000 div idcg"))
+          .otherwise(0L).as("ndcg_micro"),
+        when(col("__first_rel").isNotNull,
+          expr("1000000 div __first_rel")).otherwise(0L)
+          .cast(LongType).as("rr_micro"))
+  }
+
   /** Sign-bit signature under `nBits` pseudo-random hyperplanes, via the
     * native fused-loop expression (graft.functions.LshBucketSig). The
     * hyperplanes are derived deterministically from md5 of

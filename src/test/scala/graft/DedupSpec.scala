@@ -2043,6 +2043,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 500000L)), out.toString)
   }
 
+  test("ndcgEval: hand-computed DCG/IDCG/MRR, zero-norm prefix query degrades to dcg=0") {
+    import spark.implicits._
+    val w = Similarity.dcgWeights(2)
+    assert(w == Seq(1000000L, 630930L), w.toString)
+    // query 0 = (1,0), truncDim 1 (x only). Full cosines / grades
+    // (t3=.9, t2=.6, t1=.3): v1 .99995 g3, v2 .4472 g1, v3 -.894 g0,
+    // v4 .7071 g2, v5 0 g0. Trunc ranking: v1=v2=v4 tie at 1.0, id
+    // order -> system top-2 = [v1 g3, v2 g1]; ideal top-2 = [v1, v4].
+    // Query 5 = (0,1): the 1-dim prefix has zero norm -> every trunc
+    // cosine is NULL -> empty system list, dcg 0, rr 0 — while the
+    // full-dim grades still give idcg > 0 (the left-join path).
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(1f, 2f)),
+      (3L, Array(-1f, 0.5f)), (4L, Array(1f, 1f)), (5L, Array(0f, 1f)))
+    val out = Similarity.ndcgEval(vecs.toDF("vec_id", "embedding"),
+        col("vec_id").isin(0L, 5L), k = 2, truncDim = 1,
+        t1 = 300000L, t2 = 600000L, t3 = 900000L)
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val dcg0 = 7L * w(0) + 1L * w(1)  // system [g3, g1]
+    val idcg0 = 7L * w(0) + 3L * w(1) // ideal  [g3, g2]
+    val idcg5 = 3L * w(0) + 3L * w(1) // v2, v4 both g2
+    assert(out == Seq(
+      (0L, 3L, dcg0, idcg0, dcg0 * 1000000L / idcg0, 1000000L),
+      (5L, 3L, 0L, idcg5, 0L, 0L)), out.toString)
+  }
+
   test("calibrationCurve: equal-population bins, deterministic tie split, exact rates") {
     import spark.implicits._
     // 10 docs, scores 1..10, positives = scores 7..10 plus a noisy 2

@@ -1811,6 +1811,16 @@ object SparkEntry {
         col("vec_id") < 30, k = 10, truncDim = 16,
         t1 = 180000L, t2 = 250000L, t3 = 320000L)),
 
+    // mergeable relative-error quantile sketch (DDSketch, binary
+    // flavor): O(#buckets) state per group where q41's exact path
+    // carries the data — the 100 TB quantile primitive
+    "q177_ddsketch" -> ((s, d) =>
+      Sketches.ddsketchQuantiles(
+        Tables.lineitem(s, d).withColumn("__cents",
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")),
+        Seq("l_returnflag"), col("__cents"), subBits = 6,
+        qMicros = Seq(500000L, 900000L, 990000L))),
+
     // label-propagation communities (4 synchronous rounds, min-label
     // ties) over the simhash near-dup candidate graph — community
     // detection next to q51's reachability components: dense
@@ -4030,6 +4040,37 @@ object SparkEntry {
          FROM nr LEFT JOIN idcg ON nr.query_id = idcg.query_id
            LEFT JOIN dcg ON nr.query_id = dcg.query_id"""
     },
+
+    // same exponent/mantissa-bit bucketing via to_base(v,2) string
+    // length (no cross-engine log2), same ceil-rank and midpoint
+    "q177_ddsketch" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+             AND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0),
+         bk AS (SELECT g, shift, m, CAST(count(*) AS BIGINT) AS c,
+             (m << shift) AS lo, ((m + 1) << shift) - 1 AS hi
+           FROM (SELECT g, v,
+               greatest(length(to_base(v, 2)) - 1 - 6, 0) AS shift,
+               v >> greatest(length(to_base(v, 2)) - 1 - 6, 0) AS m
+             FROM v)
+           GROUP BY 1, 2, 3),
+         cum AS (SELECT g, lo, hi, c,
+             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n,
+             count(*) OVER (PARTITION BY g) AS nb
+           FROM bk),
+         qs(q_micro) AS (VALUES (500000), (900000), (990000)),
+         pick AS (SELECT g, q_micro, n, nb,
+             min(lo) AS bucket_lo, min(hi) AS bucket_hi
+           FROM cum CROSS JOIN qs
+           WHERE cum >= greatest(1, (n * q_micro + 999999) // 1000000)
+           GROUP BY 1, 2, 3, 4)
+         SELECT g AS l_returnflag, CAST(q_micro AS BIGINT) AS q_micro,
+           CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_buckets,
+           bucket_lo, bucket_hi,
+           CAST((bucket_lo + bucket_hi) // 2 AS BIGINT) AS est
+         FROM pick""",
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

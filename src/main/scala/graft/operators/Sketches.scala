@@ -149,4 +149,66 @@ object Sketches {
       .groupBy(col(tokCol), col("n_true"))
       .agg(min(col("__c")).as("est_cms"))
   }
+
+  /** DDSketch-style mergeable quantile sketch (Masson et al. 2019's
+    * relative-error buckets, binary-exponent flavor): each positive
+    * long value lands in the bucket keyed by its EXPONENT and top
+    * `subBits` mantissa bits —
+    * `shift = max(bitlen(v)−1−subBits, 0)`, `m = v >> shift`, bucket
+    * range `[m<<shift, ((m+1)<<shift)−1]` — so bucket width is
+    * ≤ 2^−subBits of the value: the quantile estimate's RELATIVE error
+    * is bounded by the sketch, not by a fixed grid. Unlike the exact
+    * percentile (q41's full-data histogram selection), the shuffled
+    * state here is O(#buckets) per group (≤ 64·subBits² in practice,
+    * independent of n), the counts are trivially MERGEABLE (sum), and
+    * the whole structure streams — this is the quantile you actually
+    * compute at 100 TB.
+    *
+    * All bucketing is exact integer bit arithmetic (`bin()` length /
+    * `to_base(v,2)` length on the oracle side — no cross-engine log2),
+    * the quantile rank is `max(1, ceil(n·q_micro/1e6))` as all-positive
+    * integer ceil-division, and the estimate is the arithmetic bucket
+    * midpoint `(lo+hi) div 2`. The answer bucket per (group, q) is the
+    * FIRST bucket whose cumulative count reaches the rank; buckets are
+    * disjoint ordered ranges, so `min(lo)`/`min(hi)` over the
+    * qualifying set name the same bucket (no struct-argmin
+    * SortAggregate). The cum-count window runs over the sketch table
+    * only — statistics-sized, never the corpus. NULL and non-positive
+    * values carry no quantile evidence and are excluded (mirror in any
+    * re-implementation). */
+  def ddsketchQuantiles(df: DataFrame, grp: Seq[String], valCol: Column,
+      subBits: Int, qMicros: Seq[Long]): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, "subBits out of range")
+    require(qMicros.nonEmpty && qMicros.forall(q => q >= 1 && q <= 1000000),
+      "quantiles must be in (0, 1] micro")
+    val g = grp.map(col)
+    val buckets = df
+      .filter(valCol.isNotNull && (valCol > 0L))
+      .select(g :+ valCol.cast(LongType).as("__v"): _*)
+      .withColumn("__shift",
+        greatest(length(bin(col("__v"))) - 1 - subBits, lit(0))
+          .cast(IntegerType))
+      .withColumn("__m", expr("shiftright(__v, __shift)"))
+      .groupBy(g :+ col("__shift") :+ col("__m"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__lo", expr("shiftleft(__m, __shift)"))
+      .withColumn("__hi", expr("shiftleft(__m + 1L, __shift) - 1L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__lo"))
+    val cum = buckets // sketch-sized: the window never sees the corpus
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .withColumn("n_buckets", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+    val sp = df.sparkSession
+    import sp.implicits._
+    cum.crossJoin(broadcast(qMicros.toDF("q_micro")))
+      .withColumn("__r",
+        greatest(lit(1L), expr("(n * q_micro + 999999) div 1000000")))
+      .filter(col("__cum") >= col("__r"))
+      .groupBy(g :+ col("q_micro") :+ col("n") :+ col("n_buckets"): _*)
+      .agg(min(col("__lo")).as("bucket_lo"), min(col("__hi")).as("bucket_hi"))
+      .withColumn("est", expr("(bucket_lo + bucket_hi) div 2"))
+  }
 }

@@ -67,4 +67,37 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(est.forall { case (t, _, cms) => twice(t) == 2 * cms })
   }
+
+  test("ddsketchQuantiles: hand-checked buckets, rank clamp, junk rows excluded") {
+    // values 1,2,3,100 at subBits=1: small values land in singleton
+    // buckets ([1,1],[2,2],[3,3]); 100 (7 bits) coarsens to [96,127]
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L),
+      ("a", 0L), ("a", -5L)) // non-positive: no quantile evidence
+      .toDF("g", "v")
+      .union(Seq(("a", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "v").select(col("g"), col("v").cast("long")))
+    val out = Sketches.ddsketchQuantiles(df, Seq("g"), col("v"),
+        subBits = 1, qMicros = Seq(1L, 500000L, 990000L))
+      .select("q_micro", "n", "n_buckets", "bucket_lo", "bucket_hi", "est")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 4L, 4L, 1L, 1L, 1L),         // rank clamps to 1 -> min value's bucket
+      (500000L, 4L, 4L, 2L, 2L, 2L),    // rank 2 -> exact singleton
+      (990000L, 4L, 4L, 96L, 127L, 111L)), out.toString) // true 100 inside
+    // the sketch property: the true quantile always lies inside the
+    // reported bucket, and bucket width respects the relative bound
+    val vals = (1 to 1000).map(i => ("b", (i.toLong * i) % 7919 + 1))
+    val o2 = Sketches.ddsketchQuantiles(vals.toDF("g", "v"), Seq("g"),
+        col("v"), subBits = 4, qMicros = Seq(500000L, 900000L))
+      .select("q_micro", "bucket_lo", "bucket_hi")
+      .as[(Long, Long, Long)].collect()
+    val sorted = vals.map(_._2).sorted
+    o2.foreach { case (q, lo, hi) =>
+      val truth = sorted(math.max(1,
+        math.ceil(1000 * q / 1e6).toInt) - 1)
+      assert(truth >= lo && truth <= hi, s"q=$q truth=$truth [$lo,$hi]")
+      assert(hi - lo <= math.max(1L, lo >> 4), s"width at q=$q [$lo,$hi]")
+    }
+  }
 }

@@ -1821,6 +1821,12 @@ object SparkEntry {
         Seq("l_returnflag"), col("__cents"), subBits = 6,
         qMicros = Seq(500000L, 900000L, 990000L))),
 
+    // Flesch-Kincaid grade + reading ease over the period-spiked corpus
+    // (q149's sentence spike): the classic surface-readability pair
+    "q178_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d), "doc_id",
+        regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1. "))),
+
     // label-propagation communities (4 synchronous rounds, min-label
     // ties) over the simhash near-dup candidate graph — community
     // detection next to q51's reachability components: dense
@@ -4071,6 +4077,31 @@ object SparkEntry {
            bucket_lo, bucket_hi,
            CAST((bucket_lo + bucket_hi) // 2 AS BIGINT) AS est
          FROM pick""",
+
+    // same vowel-group syllable heuristic, positive ratios under //,
+    // constants subtracted after the divisions
+    "q178_readability" ->
+      """WITH sp AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1. ', 'g') AS tx
+           FROM documents WHERE text IS NOT NULL),
+         w AS (SELECT doc_id,
+             [x for x in string_split(replace(tx, '.', ' '), ' ')
+              if len(x) > 0] AS ws,
+             greatest(1, len(regexp_extract_all(tx, '\.'))) AS n_sentences
+           FROM sp),
+         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(list_sum([greatest(1,
+               len(regexp_extract_all(x, '[aeiouy]+'))) for x in ws])
+               AS BIGINT) AS n_syllables
+           FROM w WHERE len(ws) > 0)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(390000 * n_words // n_sentences
+             + 11800000 * n_syllables // n_words
+             - 15590000 AS BIGINT) AS fk_grade_micro,
+           CAST(206835000 - 1015000 * n_words // n_sentences
+             - 84600000 * n_syllables // n_words AS BIGINT) AS ease_micro
+         FROM c""",
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

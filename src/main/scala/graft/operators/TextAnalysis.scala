@@ -2659,4 +2659,43 @@ object TextAnalysis {
           .drop("__cut")
     }
   }
+
+  /** Flesch–Kincaid grade + Flesch reading ease (Kincaid et al. 1975 /
+    * Flesch 1948 — the classic surface readability pair, a quality-tier
+    * member next to the Gopher rules and the stopword/length signals;
+    * readability bands are a standard curation facet for educational-
+    * content selection). Syllables use the public vowel-group heuristic
+    * `max(1, #[aeiouy]+ runs)` per word; sentences count terminal
+    * periods (`max(1, #'.')`).
+    *
+    * Exact-integer contract: both formulas decompose into all-POSITIVE
+    * scaled ratios computed with `div` (== SQL `//` on positive mass),
+    * constants subtracted AFTER the divisions — so the possibly-negative
+    * final values never route a negative through the floor-vs-truncate
+    * divergence: `fk = 390000·W div S + 11800000·Syl div W − 15590000`,
+    * `ease = 206835000 − 1015000·W div S − 84600000·Syl div W`.
+    *
+    * Pure per-row narrow compute: the word array binds ONCE to a real
+    * column (the HOF-hoisting contract), one codegen'd fold counts
+    * syllables, zero shuffles. Empty/null texts (W = 0) carry no
+    * readability and are excluded — mirror `n_words > 0`. */
+  def readability(df: DataFrame, idCol: String, textCol: Column): DataFrame =
+    df.select(col(idCol),
+        filter(tokens(regexp_replace(textCol, "\\.", " ")),
+          w => length(w) > 0).as("__w"),
+        greatest(lit(1L),
+          regexp_count(textCol, lit("\\.")).cast(LongType)).as("n_sentences"))
+      .withColumn("n_words", size(col("__w")).cast(LongType))
+      .filter(col("n_words") > 0L)
+      .withColumn("n_syllables",
+        aggregate(col("__w"), lit(0L), (acc, w) => acc +
+          greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast(LongType))))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (expr("390000 * n_words div n_sentences") +
+          expr("11800000 * n_syllables div n_words") -
+          lit(15590000L)).as("fk_grade_micro"),
+        (lit(206835000L) -
+          expr("1015000 * n_words div n_sentences") -
+          expr("84600000 * n_syllables div n_words")).as("ease_micro"))
 }

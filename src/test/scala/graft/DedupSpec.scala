@@ -320,6 +320,26 @@ class DedupSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readability: hand-computed FK/ease, vowelless min-1 syllable, null/empty dropped") {
+    val rows = Seq((1L, "the cat. a dog runs."), (2L, "xyz qrst"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+    val out = TextAnalysis.readability(rows.toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: W=5 S=2 Syl=5 -> fk = 390000*5 div 2 + 11800000*5 div 5
+    //   - 15590000 = -2815000; ease = 206835000 - 2537500 - 84600000
+    // doc 2: no period -> S clamps to 1; vowelless words count 1
+    //   syllable each -> W=2 S=1 Syl=2
+    assert(out == Seq(
+      (1L, 5L, 2L, 5L, -2815000L, 119697500L),
+      (2L, 2L, 1L, 2L, -3010000L, 120205000L)), out.toString)
+    // multi-vowel-group word: 'aerie' = [ae],[ie] -> 2 syllables
+    val syl = TextAnalysis.readability(Seq((9L, "aerie")).toDF("doc_id",
+        "text"), "doc_id", col("text"))
+      .select("n_syllables").as[Long].head()
+    assert(syl == 2L)
+  }
+
   test("shingles: k-grams for long text, whole text for short (minhash input)") {
     val df = Seq("a b c d e f", "tiny").toDF("text")
       .select(TextAnalysis.shingles(col("text"), 5).as("s"))

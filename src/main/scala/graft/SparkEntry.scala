@@ -1827,6 +1827,13 @@ object SparkEntry {
       TextAnalysis.readability(Tables.documents(s, d), "doc_id",
         regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1. "))),
 
+    // CUSUM changepoint score: max excursion of the mean-centered
+    // prefix walk per user, plus the peak position — level-shift
+    // detection next to q175's robust trend
+    "q179_cusum" -> ((s, d) =>
+      Temporal.cusumExcursion(Tables.events(s, d), "user_id", "ts",
+        "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
+
     // label-propagation communities (4 synchronous rounds, min-label
     // ties) over the simhash near-dup candidate graph — community
     // detection next to q51's reachability components: dense
@@ -4102,6 +4109,33 @@ object SparkEntry {
            CAST(206835000 - 1015000 * n_words // n_sentences
              - 84600000 * n_syllables // n_words AS BIGINT) AS ease_micro
          FROM c""",
+
+    // same scale-by-n centered walk as a window prefix sum; empty
+    // prefix P_0=0 via greatest/least clamps; first-peak via min(rn)
+    "q179_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         rk AS (SELECT user_id, us, v, row_number() OVER (
+             PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+         cap AS (SELECT * FROM rk WHERE rn <= 128),
+         st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS t FROM cap GROUP BY 1),
+         p AS (SELECT c.user_id, c.rn,
+             sum(st.n * c.v - st.t) OVER (PARTITION BY c.user_id
+               ORDER BY c.rn) AS p
+           FROM cap c JOIN st ON c.user_id = st.user_id),
+         agg AS (SELECT user_id, greatest(max(p), 0) AS maxp,
+             least(min(p), 0) AS minp FROM p GROUP BY 1),
+         pos AS (SELECT p.user_id, min(p.rn) AS cp
+           FROM p JOIN agg ON p.user_id = agg.user_id AND p.p = agg.maxp
+           WHERE agg.maxp > 0 GROUP BY 1)
+         SELECT st.user_id, st.n AS n_events,
+           CAST(coalesce(pos.cp, 0) AS BIGINT) AS cp_pos,
+           CAST((agg.maxp - agg.minp) // st.n AS BIGINT) AS excursion
+         FROM st JOIN agg ON st.user_id = agg.user_id
+         LEFT JOIN pos ON st.user_id = pos.user_id""",
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

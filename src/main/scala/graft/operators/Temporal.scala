@@ -520,4 +520,65 @@ object Temporal {
           expr("(n_pairs + 1) div 2").cast("int"))
           .as("slope_micro"))
   }
+
+  /** CUSUM-style changepoint score (Page 1954's cumulative-sum chart,
+    * two-sided range form): per key, the maximum excursion of the
+    * mean-centered prefix-sum walk — `max_k P_k − min_k P_k` where
+    * `P_k = Σ_{j≤k}(v_j − mean)` over time-ordered events — plus the
+    * position where the walk peaks (the level-shift point). A stable
+    * series walks near zero; a mean shift makes the walk trend one way
+    * then the other, and the excursion measures the shift mass.
+    *
+    * Exactness: the walk is computed on `n·v_j − T` (T = Σv), i.e.
+    * scaled by n — every term is an exact long, no per-row mean
+    * division ever happens; the reported `excursion` divides the
+    * non-negative range by n once at the end (positive mass, `div` ==
+    * `//`). The empty prefix P_0 = 0 participates (max/min start at 0,
+    * peak position 0 = "no upward excursion"); `cp_pos` is the FIRST
+    * index attaining the maximum (strict-improvement update).
+    *
+    * Scale shape = [[theilSenTrend]]'s: per-key state bounded by
+    * `maxEvents` (deterministic (ts, id)-ordered cap, mirrored in the
+    * oracle), the walk runs INSIDE one row's array fold — a single
+    * O(n) codegen'd pass, no window over the corpus, corpus moves
+    * once. Overflow bound: |n·v − T| ≤ 2·maxEvents·max|v|, and the
+    * prefix sum ≤ maxEvents times that — cents-scale inputs stay far
+    * inside a long. */
+  def cusumExcursion(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: Column, maxEvents: Int = 128): DataFrame = {
+    require(maxEvents >= 1, "need at least one event")
+    import org.apache.spark.sql.types.LongType
+    val capped = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        valCol.isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__id"), valCol.cast(LongType).as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__us"), col("__id"))))
+      .filter(col("__rn") <= maxEvents)
+    val zero = struct(lit(0L).as("cur"), lit(0L).as("maxp"),
+      lit(0L).as("minp"), lit(0L).as("best"), lit(0L).as("idx"))
+    capped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("__t"),
+        sort_array(collect_list(struct(col("__us").as("us"),
+          col("__id").as("id"), col("__v").as("v")))).as("__arr"))
+      .withColumn("__walk",
+        aggregate(col("__arr"), zero, (acc, x) => {
+          val idx = acc.getField("idx") + 1L
+          val cur = acc.getField("cur") +
+            col("n_events") * x.getField("v") - col("__t")
+          struct(cur.as("cur"),
+            greatest(acc.getField("maxp"), cur).as("maxp"),
+            least(acc.getField("minp"), cur).as("minp"),
+            when(cur > acc.getField("maxp"), idx)
+              .otherwise(acc.getField("best")).as("best"),
+            idx.as("idx"))
+        }))
+      .select(col(keyCol), col("n_events"),
+        (col("__walk").getField("maxp") - col("__walk").getField("minp"))
+          .as("__range"),
+        col("__walk").getField("best").as("cp_pos"))
+      .withColumn("excursion", expr("__range div n_events"))
+      .drop("__range")
+  }
 }

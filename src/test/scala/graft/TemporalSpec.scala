@@ -521,4 +521,38 @@ class NativeCosineSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(capped.toSeq == Seq((1L, 2L, 1L, 100000L)), capped.toString)
   }
+
+  test("cusumExcursion: level shift peaks at the regime boundary, first-tie, flat=0, cap") {
+    import graft.operators.Temporal
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    def ev(rows: (Long, Long, Int, Long)*) =
+      rows.map { case (u, e, s, v) => (u, e, t(s), v) }
+        .toDF("user_id", "event_id", "ts", "value")
+    // user 1: high->low level shift [10,10,10,0,0,0]: centered walk
+    // (n=6, T=30) = 30,60,90,60,30,0 -> peak 90 at pos 3 (the regime
+    // boundary), min 0 -> excursion 90 div 6 = 15
+    // user 2: alternating [1,-1,1,-1]: walk 4,0,4,0 -> FIRST peak pos 1
+    // user 3: flat [5,5]: walk 0,0 -> no excursion, cp_pos 0 (empty
+    // prefix is the peak)
+    // user 4: low->high shift [0,0,10,10]: walk -20,-40,0,0 stays <= 0
+    //   -> cp_pos 0, excursion 40 div 4 = 10 (downward walk measured)
+    val df = ev((1L, 1L, 0, 10L), (1L, 2L, 1, 10L), (1L, 3L, 2, 10L),
+      (1L, 4L, 3, 0L), (1L, 5L, 4, 0L), (1L, 6L, 5, 0L),
+      (2L, 1L, 0, 1L), (2L, 2L, 1, -1L), (2L, 3L, 2, 1L), (2L, 4L, 3, -1L),
+      (3L, 1L, 0, 5L), (3L, 2L, 1, 5L),
+      (4L, 1L, 0, 0L), (4L, 2L, 1, 0L), (4L, 3L, 2, 10L), (4L, 4L, 3, 10L))
+    val out = Temporal.cusumExcursion(df, "user_id", "ts", "event_id",
+        col("value"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 6L, 3L, 15L)), out.toString)
+    assert(out(2L) == ((2L, 4L, 1L, 1L)), out.toString) // range 4 div n 4
+    assert(out(3L) == ((3L, 2L, 0L, 0L)), out.toString)
+    assert(out(4L) == ((4L, 4L, 0L, 10L)), out.toString)
+    // the cap keeps the FIRST maxEvents by time: user 1 capped to 3
+    // sees the flat high regime only -> excursion 0
+    val capped = Temporal.cusumExcursion(df.filter(col("user_id") === 1L),
+        "user_id", "ts", "event_id", col("value"), maxEvents = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(capped.toSeq == Seq((1L, 3L, 0L, 0L)), capped.toString)
+  }
 }

@@ -1834,6 +1834,12 @@ object SparkEntry {
       Temporal.cusumExcursion(Tables.events(s, d), "user_id", "ts",
         "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
 
+    // Mann-Kendall S + Kendall tau: "is there a monotonic trend at
+    // all" — the significance companion to q175's Theil-Sen slope
+    "q180_mann_kendall" -> ((s, d) =>
+      Temporal.mannKendall(Tables.events(s, d), "user_id", "ts",
+        "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
+
     // label-propagation communities (4 synchronous rounds, min-label
     // ties) over the simhash near-dup candidate graph — community
     // detection next to q51's reachability components: dense
@@ -4136,6 +4142,34 @@ object SparkEntry {
            CAST((agg.maxp - agg.minp) // st.n AS BIGINT) AS excursion
          FROM st JOIN agg ON st.user_id = agg.user_id
          LEFT JOIN pos ON st.user_id = pos.user_id""",
+
+    // tie-aware pair signs; tau divides sign-split positive mass (a
+    // negative numerator is where div and // diverge)
+    "q180_mann_kendall" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         rk AS (SELECT user_id, us, v, row_number() OVER (
+             PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+         cap AS (SELECT * FROM rk WHERE rn <= 128),
+         ne AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           FROM cap GROUP BY 1),
+         s AS (SELECT a.user_id, CAST(sum(CASE WHEN b.v > a.v THEN 1
+               WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           FROM cap a JOIN cap b ON a.user_id = b.user_id
+             AND a.rn < b.rn GROUP BY 1)
+         SELECT ne.user_id, ne.n_events,
+           CAST(ne.n_events * (ne.n_events - 1) // 2 AS BIGINT) AS n_pairs,
+           s.s_stat,
+           CAST(CASE WHEN s.s_stat < 0 THEN
+               -((-s.s_stat) * 1000000 //
+                 (ne.n_events * (ne.n_events - 1) // 2))
+             ELSE s.s_stat * 1000000 //
+                 (ne.n_events * (ne.n_events - 1) // 2)
+             END AS BIGINT) AS tau_micro
+         FROM ne JOIN s ON ne.user_id = s.user_id
+         WHERE ne.n_events >= 2""",
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

@@ -581,4 +581,53 @@ object Temporal {
       .withColumn("excursion", expr("__range div n_events"))
       .drop("__range")
   }
+
+  /** Mann–Kendall trend test statistic (Mann 1945 / Kendall 1975 — the
+    * standard nonparametric "is there a monotonic trend at all"
+    * companion to [[theilSenTrend]]'s "how steep": S = Σ_{i<j}
+    * sign(v_j − v_i) over time-ordered pairs; |S| near the pair count
+    * means consistent direction, near 0 means none). Also emits
+    * Kendall's tau as the pair-normalized strength.
+    *
+    * Exactness: S is a sum of {−1,0,+1} longs (value ties contribute
+    * 0 — the tie-aware S, not a tie-broken one); tau divides through
+    * SIGN-SPLIT positive mass — `tau_micro = sign(S) · (|S|·1e6 div
+    * n_pairs)` — because a negative numerator is exactly where Spark's
+    * truncating `div` and SQL's flooring `//` diverge. Same maxEvents
+    * cap, same in-row O(n²)-pair fold as [[theilSenTrend]]: pairs never
+    * become rows, the corpus moves once. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: Column, maxEvents: Int = 128): DataFrame = {
+    require(maxEvents >= 2, "need at least 2 events for a pair")
+    import org.apache.spark.sql.types.LongType
+    val capped = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        valCol.isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__id"), valCol.cast(LongType).as("__v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__us"), col("__id"))))
+      .filter(col("__rn") <= maxEvents)
+    val pairSign = (i: Column, j: Column) => {
+      val a = element_at(col("__arr"), i.cast("int")).getField("v")
+      val b = element_at(col("__arr"), j.cast("int")).getField("v")
+      when(b > a, 1L).when(b < a, -1L).otherwise(0L)
+    }
+    capped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("__us").as("us"),
+          col("__id").as("id"), col("__v").as("v")))).as("__arr"))
+      .filter(col("n_events") >= 2L)
+      .withColumn("s_stat",
+        aggregate(flatten(
+          transform(sequence(lit(1), col("n_events") - 1),
+            i => transform(sequence(i + 1, col("n_events")),
+              j => pairSign(i, j)))),
+          lit(0L), (acc, s) => acc + s))
+      .withColumn("n_pairs",
+        expr("n_events * (n_events - 1) div 2"))
+      .select(col(keyCol), col("n_events"), col("n_pairs"), col("s_stat"),
+        (signum(col("s_stat")).cast(LongType) *
+          expr("abs(s_stat) * 1000000 div n_pairs")).as("tau_micro"))
+  }
 }

@@ -555,4 +555,30 @@ class NativeCosineSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(capped.toSeq == Seq((1L, 3L, 0L, 0L)), capped.toString)
   }
+
+  test("mannKendall: tie-aware S, sign-split tau, negative trend, single event dropped") {
+    import graft.operators.Temporal
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0), 0L), (1L, 2L, t(10), 1L),   // monotone up: tau 1
+      (1L, 3L, t(20), 2L), (1L, 4L, t(30), 300L),
+      (3L, 1L, t(0), 0L), (3L, 2L, t(0), 5L),    // same-ts id tie-break
+      (3L, 3L, t(10), 1L),                        // then a drop
+      (5L, 1L, t(0), 5L), (5L, 2L, t(10), 3L),   // down: tau -1 exactly
+      (6L, 1L, t(0), 2L), (6L, 2L, t(10), 2L),   // value tie: S 0
+      (4L, 1L, t(0), 9L))                         // single event: no row
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.mannKendall(ev, "user_id", "ts", "event_id",
+        col("value"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 6L, 6L, 1000000L)), out.toString)
+    // (0,5)+1, (0,1)+1, (5,1)-1 -> S 1 of 3 pairs -> tau 333333
+    assert(out(3L) == ((3L, 3L, 3L, 1L, 333333L)), out.toString)
+    // the sign-split contract: -1000000 exactly, not -1000001 (a
+    // floored negative division would give -(1000000) here too, but
+    // S=-1 of 3 pairs would floor to -333334 vs truncate -333333)
+    assert(out(5L) == ((5L, 2L, 1L, -1L, -1000000L)), out.toString)
+    assert(out(6L) == ((6L, 2L, 1L, 0L, 0L)), out.toString)
+    assert(!out.contains(4L))
+  }
 }

@@ -1840,6 +1840,22 @@ object SparkEntry {
       Temporal.mannKendall(Tables.events(s, d), "user_id", "ts",
         "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
 
+    // Pareto frontier of the length-vs-lexical-diversity tradeoff:
+    // the docs no other doc beats on BOTH n_tokens and type-token
+    // ratio — every frontier row is an optimal curation operating point
+    "q181_pareto" -> ((s, d) =>
+      Relational.paretoFrontier(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
+            size(array_distinct(col("__t"))).cast("long").as("n_dist"))
+          .filter(col("n_toks") > 0L)
+          .withColumn("ttr_micro", expr("n_dist * 1000000 div n_toks")),
+        "doc_id", col("n_toks"), col("ttr_micro"), bucketWidth = 32L)
+        .select(col("doc_id"), col("x").as("n_toks"),
+          col("y").as("ttr_micro"))),
+
     // label-propagation communities (4 synchronous rounds, min-label
     // ties) over the simhash near-dup candidate graph — community
     // detection next to q51's reachability components: dense
@@ -4170,6 +4186,20 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // the textbook NOT EXISTS dominance form (the bucket prefilter is
+    // a pure optimization — removal provably preserves the frontier)
+    "q181_pareto" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+         p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS x,
+             CAST(CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+               // len(w) AS BIGINT) AS y
+           FROM t WHERE len(w) > 0)
+         SELECT d.doc_id, d.x AS n_toks, d.y AS ttr_micro FROM p d
+         WHERE NOT EXISTS (SELECT 1 FROM p o
+           WHERE o.x >= d.x AND o.y >= d.y
+             AND (o.x > d.x OR o.y > d.y))""",
 
     // exact-integer truncated EWMA: lag chain with power-of-two weights,
     // one final double division — the recursive-smoother determinism

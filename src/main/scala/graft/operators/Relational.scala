@@ -463,4 +463,52 @@ object Relational {
       .select(col("doc"), col("n_toks"), col("q_bucket"))
     full.unionByName(boundary)
   }
+
+  /** 2-D Pareto frontier (skyline, Börzsönyi et al. 2001): the rows no
+    * other row dominates — `x' ≥ x ∧ y' ≥ y`, strict in at least one —
+    * the curation shape behind "longest AND most-diverse" tradeoff
+    * audits (every frontier point is an optimal operating point; ties
+    * on BOTH axes are mutually non-dominating and all kept).
+    *
+    * Scale path: the corpus never meets a global window. Pass 1 buckets
+    * x (`x div bucketWidth`) and keeps per-bucket max-y — a
+    * statistics-sized table whose strictly-descending SUFFIX max (any
+    * higher bucket implies strictly larger x) broadcast-prunes every
+    * row provably dominated from a higher bucket; domination chains
+    * always terminate at a surviving point (x strictly grows along a
+    * chain), so the prune never removes a frontier member and never
+    * orphans a dominator. Pass 2 resolves exactly among the SURVIVORS
+    * (per-x max for the equal-x strict-y rule, a strict-larger-x
+    * running max via a range frame) — survivor cardinality is the
+    * frontier plus per-bucket near-frontier residue: bucket-local, not
+    * corpus-sized, provided bucketWidth actually splits the x range
+    * (an all-one-bucket width degrades to the exact pass alone). */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: Column,
+      yCol: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    import org.apache.spark.sql.types.LongType
+    val pts = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .select(col(idCol), xCol.cast(LongType).as("x"),
+        yCol.cast(LongType).as("y"))
+      .withColumn("__b", expr(s"x div $bucketWidth"))
+    val wSuffix = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bstats = pts.groupBy("__b").agg(max(col("y")).as("__by"))
+      .withColumn("__sufmax", max(col("__by")).over(wSuffix)) // tiny
+      .select(col("__b"), col("__sufmax"))
+    val survivors = pts.join(broadcast(bstats), Seq("__b"))
+      .filter(col("__sufmax").isNull || col("y") > col("__sufmax"))
+      .localCheckpoint(true) // both exact windows read it
+    val wLargerX = Window.orderBy(col("x").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSameX = Window.partitionBy(col("x"))
+    survivors
+      .withColumn("__maxLarger", max(col("y")).over(wLargerX))
+      .withColumn("__maxSame", max(col("y")).over(wSameX))
+      .filter((col("__maxLarger").isNull ||
+          col("y") > col("__maxLarger")) &&
+        !(col("__maxSame") > col("y")))
+      .select(col(idCol), col("x"), col("y"))
+  }
 }

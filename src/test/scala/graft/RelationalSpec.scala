@@ -382,4 +382,31 @@ class RelationalSpec extends SparkSpec {
     // budget respected
     assert(out.map(_._2).sum <= 100L, out.toString)
   }
+
+  test("paretoFrontier: dominance, both-axes ties kept, bucket-width invariant, nulls dropped") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, java.lang.Long, java.lang.Long)], w: Long) =
+      graft.operators.Relational.paretoFrontier(
+          rows.toDF("id", "x", "y"), "id", col("x"), col("y"), w)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base: Seq[(Long, java.lang.Long, java.lang.Long)] = Seq(
+      (1L, 1L, 10L), (2L, 5L, 5L), (3L, 10L, 1L), // the frontier
+      (4L, 4L, 4L),                               // dominated by 2
+      (5L, 5L, 5L),                               // exact tie of 2: kept
+      (6L, null.asInstanceOf[java.lang.Long], 9L),// null x: dropped
+      (7L, 3L, null.asInstanceOf[java.lang.Long]))
+    val expected = Seq((1L, 1L, 10L), (2L, 5L, 5L), (3L, 10L, 1L),
+      (5L, 5L, 5L))
+    assert(run(base, 2L) == expected, run(base, 2L).toString)
+    // bucket width is a pure optimization: per-value buckets and the
+    // degenerate one-bucket width agree exactly
+    assert(run(base, 1L) == expected)
+    assert(run(base, 100L) == expected)
+    // a same-x strictly-better point kills both tied rows
+    val withF = base :+ ((8L, 5L, 6L)
+      : (Long, java.lang.Long, java.lang.Long))
+    assert(run(withF, 2L) ==
+      Seq((1L, 1L, 10L), (3L, 10L, 1L), (8L, 5L, 6L)),
+      run(withF, 2L).toString)
+  }
 }

@@ -1840,6 +1840,21 @@ object SparkEntry {
       Temporal.mannKendall(Tables.events(s, d), "user_id", "ts",
         "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
 
+    // PSI drift monitor: reference fortnight vs current, with drift
+    // INJECTED into the current period for two event types (level
+    // shift on 'error', scale on 'purchase') so the monitor separates
+    "q182_psi_drift" -> ((s, d) => {
+      val isRef = col("ts") < lit("2024-01-16").cast("timestamp")
+      val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
+      val spiked = when(!isRef && col("event_type") === "error",
+          cents + 5000L)
+        .when(!isRef && col("event_type") === "purchase", cents * 2L)
+        .otherwise(cents)
+      Temporal.psiDrift(Tables.events(s, d), "event_type", isRef, spiked)
+        .select(col("g").as("event_type"), col("n_ref"), col("n_cur"),
+          col("psi"))
+    }),
+
     // Pareto frontier of the length-vs-lexical-diversity tradeoff:
     // the docs no other doc beats on BOTH n_tokens and type-token
     // ratio — every frontier row is an optimal curation operating point
@@ -4186,6 +4201,47 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same equal-width reference bins with edge clamps, Laplace micro
+    // masses, ascending-bin ln fold under round(...,6)
+    "q182_psi_drift" ->
+      """WITH base AS (SELECT event_type AS g,
+             ts < TIMESTAMP '2024-01-16' AS isref,
+             CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+                 AND event_type = 'error'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) + 5000
+               WHEN NOT (ts < TIMESTAMP '2024-01-16')
+                 AND event_type = 'purchase'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+               ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         stats AS (SELECT g,
+             min(v) FILTER (WHERE isref) AS mn,
+             max(v) FILTER (WHERE isref) AS mx,
+             CAST(count(*) FILTER (WHERE isref) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (WHERE NOT isref) AS BIGINT) AS n_cur
+           FROM base GROUP BY 1
+           HAVING min(v) FILTER (WHERE isref) IS NOT NULL),
+         binned AS (SELECT b.g,
+             CASE WHEN v <= mn THEN 0 WHEN v >= mx THEN 9
+               ELSE (v - mn) * 10 // (mx - mn + 1) END AS bin,
+             CAST(count(*) FILTER (WHERE isref) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE NOT isref) AS BIGINT) AS cc
+           FROM base b JOIN stats s USING (g) GROUP BY 1, 2),
+         dense AS (SELECT s.g, s.n_ref, s.n_cur, bn.bin,
+             (coalesce(cr, 0) + 1) * 1000000 // (s.n_ref + 10) AS p,
+             (coalesce(cc, 0) + 1) * 1000000 // (s.n_cur + 10) AS q
+           FROM stats s
+           CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) bn
+           LEFT JOIN binned ON binned.g = s.g AND binned.bin = bn.bin)
+         SELECT g AS event_type, n_ref, n_cur,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list((p - q) / CAST(1000000 AS DOUBLE)
+               * (ln(CAST(p AS DOUBLE)) - ln(CAST(q AS DOUBLE)))
+               ORDER BY bin)),
+             (acc, x) -> acc + x), 6) AS psi
+         FROM dense GROUP BY 1, 2, 3""",
 
     // the textbook NOT EXISTS dominance form (the bucket prefilter is
     // a pure optimization — removal provably preserves the frontier)

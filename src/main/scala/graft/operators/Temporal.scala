@@ -630,4 +630,69 @@ object Temporal {
         (signum(col("s_stat")).cast(LongType) *
           expr("abs(s_stat) * 1000000 div n_pairs")).as("tau_micro"))
   }
+
+  /** Population stability index (the standard industry drift monitor —
+    * Siddiqi 2006's scorecard PSI; Σ (p_i − q_i)·ln(p_i/q_i) between a
+    * REFERENCE period's bin distribution and the CURRENT one; rule of
+    * thumb: <0.1 stable, >0.25 action): the deployment-monitoring
+    * member of the distribution-distance family next to q105's JSD
+    * (corpus-vs-corpus vocabulary) and q97's chi-square (association).
+    *
+    * Binning is q174's equal-width integer machinery: per group, the
+    * reference min/max (ONE statistics-sized broadcast row) defines
+    * `nBins` equal ranges, `bin = (v−min)·B div (max−min+1)` with edge
+    * CLAMPS — current-period values outside the reference range land
+    * in the boundary bins, exactly where drift shows. Bin masses are
+    * Laplace-smoothed exact micro ratios `(c+1)·1e6 div (n+B)` (all
+    * positive, empty bins stay representable), densified so every
+    * (group, bin) exists. The one double computation — the ln sum —
+    * folds in ascending-bin order inside a row (sort_array →
+    * aggregate), crossing engines inside round(…, 6) like the
+    * PMI/entropy/LM oracles.
+    *
+    * Scale: corpus → one conditional-count shuffle keyed (group, bin);
+    * everything after is groups×nBins-sized. Rows with a NULL group,
+    * value, or period flag carry no evidence; groups with no reference
+    * rows cannot bin and are excluded. */
+  def psiDrift(df: DataFrame, grpCol: String, isRef: Column,
+      valCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    import org.apache.spark.sql.types.LongType
+    val base = df
+      .filter(col(grpCol).isNotNull && isRef.isNotNull && valCol.isNotNull)
+      .select(col(grpCol).as("g"), isRef.as("__ref"),
+        valCol.cast(LongType).as("__v"))
+    val stats = base.groupBy("g").agg(
+        min(when(col("__ref"), col("__v"))).as("__mn"),
+        max(when(col("__ref"), col("__v"))).as("__mx"),
+        sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
+      .filter(col("__mn").isNotNull)
+    val binned = base.join(broadcast(stats), Seq("g"))
+      .withColumn("__bin",
+        when(col("__v") <= col("__mn"), 0L)
+          .when(col("__v") >= col("__mx"), lit(nBins - 1).cast(LongType))
+          .otherwise(expr(s"(__v - __mn) * $nBins div (__mx - __mn + 1)")))
+      .groupBy(col("g"), col("__bin"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__cc"))
+    val dense = stats
+      .select(col("g"), col("n_ref"), col("n_cur"),
+        explode(sequence(lit(0L), lit(nBins - 1).cast(LongType)))
+          .as("__bin"))
+      .join(binned, Seq("g", "__bin"), "left")
+      .select(col("g"), col("n_ref"), col("n_cur"), col("__bin"),
+        expr(s"(coalesce(__cr, 0L) + 1) * 1000000 div (n_ref + $nBins)")
+          .as("p_micro"),
+        expr(s"(coalesce(__cc, 0L) + 1) * 1000000 div (n_cur + $nBins)")
+          .as("q_micro"))
+    dense.groupBy(col("g"), col("n_ref"), col("n_cur"))
+      .agg(sort_array(collect_list(struct(col("__bin"),
+        col("p_micro").as("p"), col("q_micro").as("q")))).as("__bins"))
+      .select(col("g"), col("n_ref"), col("n_cur"),
+        round(aggregate(col("__bins"), lit(0.0), (acc, x) => acc +
+          (x.getField("p") - x.getField("q")).cast("double") / lit(1e6) *
+            (log(x.getField("p").cast("double")) -
+              log(x.getField("q").cast("double")))), 6).as("psi"))
+  }
 }

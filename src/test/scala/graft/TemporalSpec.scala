@@ -581,4 +581,35 @@ class NativeCosineSpec extends SparkSpec {
     assert(out(6L) == ((6L, 2L, 1L, 0L, 0L)), out.toString)
     assert(!out.contains(4L))
   }
+
+  test("psiDrift: identical periods score 0, JVM-twin drift value, no-reference group excluded") {
+    import graft.operators.Temporal
+    def psiJvm(ref: Seq[Long], cur: Seq[Long], nBins: Int = 10): Double = {
+      val mn = ref.min; val mx = ref.max
+      def bin(v: Long) = if (v <= mn) 0 else if (v >= mx) nBins - 1
+        else ((v - mn) * nBins / (mx - mn + 1)).toInt
+      val cr = Array.fill(nBins)(0L); ref.foreach(v => cr(bin(v)) += 1)
+      val cc = Array.fill(nBins)(0L); cur.foreach(v => cc(bin(v)) += 1)
+      val acc = (0 until nBins).map { b =>
+        val p = (cr(b) + 1) * 1000000L / (ref.size + nBins)
+        val q = (cc(b) + 1) * 1000000L / (cur.size + nBins)
+        (p - q).toDouble / 1e6 * (math.log(p.toDouble) - math.log(q.toDouble))
+      }.sum
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val refA = Seq(10L, 20L, 30L, 40L); val curA = Seq(10L, 20L, 30L, 40L)
+    val refB = refA
+    val curB = Seq.fill(20)(100L) // all mass beyond the ref max
+    val rows =
+      refA.map(v => ("a", true, v)) ++ curA.map(v => ("a", false, v)) ++
+      refB.map(v => ("b", true, v)) ++ curB.map(v => ("b", false, v)) ++
+      Seq(("c", false, 5L)) // current-only group: cannot bin, excluded
+    val out = Temporal.psiDrift(rows.toDF("g", "isref", "v"), "g",
+        col("isref"), col("v"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 4L, 4L, 0.0)), out.toString)
+    assert(out("b") == (("b", 4L, 20L, psiJvm(refB, curB))), out.toString)
+    assert(out("b")._4 > 0.25, "injected drift must clear the action threshold")
+    assert(!out.contains("c"), out.toString)
+  }
 }

@@ -1840,6 +1840,29 @@ object SparkEntry {
       Temporal.mannKendall(Tables.events(s, d), "user_id", "ts",
         "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
 
+    // pairwise HLL overlap: union by register max-merge, intersection
+    // by inclusion-exclusion — the sketch twin of q129's exact matrix.
+    // Slices = supplier shards; orders scatter across shards, so every
+    // pair has partial (not degenerate) order-set overlap
+    "q183_hll_overlap" -> ((s, d) =>
+      Sketches.hllOverlap(
+        Tables.lineitem(s, d)
+          .withColumn("shard", expr("l_suppkey % 8")),
+        "shard", col("l_orderkey"))),
+
+    // mixed-script spoofing profile over a homoglyph-spiked corpus:
+    // doc_id%11 gets Cyrillic look-alike 'a's, %13 a CJK spam run
+    "q184_script_mix" -> ((s, d) =>
+      TextAnalysis.scriptProfile(
+        Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            regexp_replace(col("text"), "a", "а"))
+            .otherwise(col("text"))),
+        "doc_id",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" 购买 现在")))
+          .otherwise(col("text")))),
+
     // PSI drift monitor: reference fortnight vs current, with drift
     // INJECTED into the current period for two event types (level
     // shift on 'error', scale on 'purchase') so the monitor separates
@@ -4201,6 +4224,83 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same explicit BMP ranges (RE2 accepts \x{...} classes), same
+    // spikes, positive-mass micro ratio
+    "q184_script_mix" ->
+      """WITH sp AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN tx0 || ' 购买 现在'
+               ELSE tx0 END AS tx
+           FROM (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN regexp_replace(text, 'a', 'а', 'g')
+                 ELSE text END AS tx0
+             FROM documents WHERE text IS NOT NULL)),
+         c AS (SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(tx, '[A-Za-z]')) AS BIGINT)
+               AS n_latin,
+             CAST(len(regexp_extract_all(tx, '[\x{0400}-\x{04FF}]'))
+               AS BIGINT) AS n_cyrillic,
+             CAST(len(regexp_extract_all(tx, '[\x{4E00}-\x{9FFF}]'))
+               AS BIGINT) AS n_cjk,
+             CAST(len(regexp_extract_all(tx, '[0-9]')) AS BIGINT)
+               AS n_digit
+           FROM sp WHERE length(tx) > 0)
+         SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+           CAST((n_cyrillic + n_cjk) * 1000000 // n_chars AS BIGINT)
+             AS foreign_micro,
+           n_latin > 0 AND n_cyrillic + n_cjk >= 3 AS mixed
+         FROM c""",
+
+    // q93's register build + estimator, dense 64-slot arrays, pair
+    // max-merge; intersection/jaccard recomputed from ROUNDED estimates
+    "q183_hll_overlap" -> {
+      val h = sqlHexLong("concat('hll:', CAST(l_orderkey AS VARCHAR))")
+      val alpha = Sketches.HllAlphaM2.toString
+      def zOf(arr: String) =
+        s"CAST(list_sum([CAST(1 AS BIGINT) << CAST(51 - x AS INTEGER) for x in $arr]) AS BIGINT)"
+      def hOf(arr: String) = s"len([x for x in $arr if x > 0])"
+      def estOf(z: String, ht: String) =
+        s"""round(CASE WHEN CAST('$alpha' AS DOUBLE) /
+             (CAST($z AS DOUBLE) / CAST(2251799813685248 AS DOUBLE))
+             <= CAST(160 AS DOUBLE) AND $ht < 64
+           THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - $ht))
+           ELSE CAST('$alpha' AS DOUBLE) /
+             (CAST($z AS DOUBLE) / CAST(2251799813685248 AS DOUBLE))
+           END, 6)"""
+      s"""WITH h AS (SELECT l_suppkey % 8 AS s, $h AS hv FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         r AS (SELECT s, hv % 64 AS reg,
+             max(CASE WHEN hv // 64 = 0 THEN 51
+                 ELSE 51 - length(bin(hv // 64)) END) AS mr
+           FROM h GROUP BY 1, 2),
+         d AS (SELECT sl.s, list(coalesce(r.mr, 0) ORDER BY i.i) AS arr
+           FROM (SELECT DISTINCT s FROM r) sl
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+           LEFT JOIN r ON r.s = sl.s AND r.reg = i.i
+           GROUP BY sl.s),
+         p AS (SELECT a.s AS source_a, b.s AS source_b,
+             a.arr AS aa, b.arr AS ab,
+             [greatest(a.arr[k+1], b.arr[k+1]) for k in range(0, 64)] AS mg
+           FROM d a JOIN d b ON a.s < b.s),
+         z AS (SELECT source_a, source_b,
+             ${zOf("aa")} AS za, ${hOf("aa")} AS ha,
+             ${zOf("ab")} AS zb, ${hOf("ab")} AS hb,
+             ${zOf("mg")} AS zu, ${hOf("mg")} AS hu
+           FROM p),
+         e AS (SELECT source_a, source_b,
+             ${estOf("za", "ha")} AS est_a,
+             ${estOf("zb", "hb")} AS est_b,
+             ${estOf("zu", "hu")} AS est_union
+           FROM z),
+         i AS (SELECT *,
+             round(greatest(CAST(0 AS DOUBLE),
+               est_a + est_b - est_union), 6) AS est_intersection
+           FROM e)
+         SELECT source_a, source_b, est_a, est_b, est_union,
+           est_intersection,
+           round(est_intersection / est_union, 6) AS jaccard_est
+         FROM i"""
+    },
 
     // same equal-width reference bins with edge clamps, Laplace micro
     // masses, ascending-bin ln fold under round(...,6)

@@ -194,7 +194,12 @@ object Pca {
     val dim = mu.length
     val embD = col(embCol).cast("array<double>")
     val muLit = typedLit(mu.toSeq)
-    components.zipWithIndex.foldLeft(df.filter(size(col(embCol)) === dim)) {
+    // the arity filter sits BELOW the widening exchange (a written
+    // filter above an ensure would push down and drag the projection
+    // folds onto the single scan task — the q141/q144 trap; round 9
+    // caught exactly that here via StageAudit: 484 ms on one task)
+    val wide = Parallelism.ensure(df.filter(size(col(embCol)) === dim))
+    components.zipWithIndex.foldLeft(wide) {
       case (acc, (vk, k)) =>
         val vLit = typedLit(vk.toSeq)
         acc.withColumn(s"pc${k + 1}",

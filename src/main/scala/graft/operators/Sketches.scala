@@ -150,6 +150,68 @@ object Sketches {
       .agg(min(col("__c")).as("est_cms"))
   }
 
+  /** Pairwise HLL set-operation overlap (Flajolet 2007 §4's union
+    * mergeability + inclusion–exclusion: HLL registers max-merge, so
+    * `|A∪B|` comes from the merged sketch and `|A∩B| ≈ |A|+|B|−|A∪B|`
+    * — the SKETCH twin of q129's exact source-overlap matrix, the form
+    * that survives when the slices no longer fit a shuffle): per slice
+    * ONE dense m-register row (64 longs), pair join bounded by
+    * |slices|², every estimate an in-row fold — after the one
+    * register aggregation the corpus is gone.
+    *
+    * Estimator parity with [[hllDistinct]] bit for bit: same md5
+    * register/rho split, exact-integer harmonic sums (empty register =
+    * 2^51 falls out of the dense fold at rho 0), same small-range
+    * linear-counting correction. Downstream arithmetic uses the
+    * ROUNDED estimates (round 6), so the oracle reproduces the
+    * intersection and Jaccard from its own rounded values — no
+    * unrounded double ever crosses an operator boundary. Intersection
+    * clamps at 0 (inclusion–exclusion on sketches can go negative);
+    * the clamp is part of the contract. */
+  def hllOverlap(df: DataFrame, sliceCol: String, key: Column): DataFrame = {
+    val m = HllM
+    val h = Hashing.hexLong(concat(lit("hll:"), key.cast(StringType)))
+    val suffix = shiftrightunsigned(h, 6)
+    val rho = when(suffix === 0L, lit(HllRhoMax))
+      .otherwise(lit(HllRhoMax) - length(bin(suffix)))
+    val dense = df.filter(key.isNotNull && col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("__s"), (h % m).as("__reg"),
+        rho.cast(LongType).as("__rho"))
+      .groupBy("__s", "__reg").agg(max(col("__rho")).as("__m"))
+      .groupBy("__s")
+      .agg(sort_array(collect_list(struct(col("__reg"), col("__m"))))
+        .as("__sp"))
+      .withColumn("__arr", expr(s"transform(sequence(0, ${m - 1}), " +
+        "r -> coalesce(element_at(map_from_entries(__sp), " +
+        "CAST(r AS BIGINT)), 0L))"))
+      .select(col("__s"), col("__arr"))
+    def est(arr: String): Column = {
+      val hits = expr(
+        s"aggregate($arr, 0L, (a, x) -> a + IF(x > 0L, 1L, 0L))")
+      val z = expr(s"aggregate($arr, 0L, (a, x) -> " +
+        s"a + shiftleft(CAST(1 AS BIGINT), CAST($HllRhoMax - x AS INT)))")
+      val estRaw = lit(HllAlphaM2) /
+        (z.cast(DoubleType) / lit(HllPow51.toDouble))
+      round(when(estRaw <= lit(2.5 * m) && hits < m,
+        lit(m.toDouble) *
+          log(lit(m.toDouble) / (lit(m.toLong) - hits).cast(DoubleType)))
+        .otherwise(estRaw), 6)
+    }
+    dense.as("a").join(dense.as("b"), col("a.__s") < col("b.__s"))
+      .select(col("a.__s").as("source_a"), col("b.__s").as("source_b"),
+        col("a.__arr").as("__aa"), col("b.__arr").as("__ab"))
+      .withColumn("__mg", expr(
+        "zip_with(__aa, __ab, (x, y) -> greatest(x, y))"))
+      .select(col("source_a"), col("source_b"),
+        est("__aa").as("est_a"), est("__ab").as("est_b"),
+        est("__mg").as("est_union"))
+      .withColumn("est_intersection",
+        round(greatest(lit(0.0), col("est_a") + col("est_b") -
+          col("est_union")), 6))
+      .withColumn("jaccard_est",
+        round(col("est_intersection") / col("est_union"), 6))
+  }
+
   /** DDSketch-style mergeable quantile sketch (Masson et al. 2019's
     * relative-error buckets, binary-exponent flavor): each positive
     * long value lands in the bucket keyed by its EXPONENT and top

@@ -2660,6 +2660,38 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode script profile + mixed-script flag (the homoglyph/
+    * spoofing signal — UTS #39 confusable detection's corpus-scale
+    * cousin, and a standard web-crawl spam facet next to the C4
+    * blocklist and the quality rules: Latin text salted with Cyrillic
+    * look-alikes or an unrelated CJK run is a strong junk predictor).
+    * Per doc: code-point counts per script range (explicit BMP ranges,
+    * portable across regex engines — no engine-named \\p classes),
+    * `foreign_micro = (cyrillic+cjk)·1e6 div n_chars` (positive mass),
+    * and `mixed` = Latin present AND ≥ `minForeign` foreign code
+    * points. Pure per-row narrow scan expression, zero shuffle; empty
+    * and NULL texts carry no profile and are excluded. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: Column,
+      minForeign: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    def cnt(pat: String) =
+      regexp_count(col("__tx"), lit(pat)).cast(LongType)
+    df.filter(textCol.isNotNull)
+      .select(col(idCol), textCol.as("__tx"))
+      .withColumn("n_chars", length(col("__tx")).cast(LongType))
+      .filter(col("n_chars") > 0L)
+      .withColumn("n_latin", cnt("[A-Za-z]"))
+      .withColumn("n_cyrillic", cnt("[\\x{0400}-\\x{04FF}]"))
+      .withColumn("n_cjk", cnt("[\\x{4E00}-\\x{9FFF}]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("foreign_micro",
+        expr("(n_cyrillic + n_cjk) * 1000000 div n_chars"))
+      .withColumn("mixed",
+        col("n_latin") > 0L &&
+          col("n_cyrillic") + col("n_cjk") >= minForeign.toLong)
+      .drop("__tx")
+  }
+
   /** Flesch–Kincaid grade + Flesch reading ease (Kincaid et al. 1975 /
     * Flesch 1948 — the classic surface readability pair, a quality-tier
     * member next to the Gopher rules and the stopword/length signals;

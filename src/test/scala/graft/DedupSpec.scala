@@ -340,6 +340,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syl == 2L)
   }
 
+  test("scriptProfile: per-script counts, mixed needs latin AND foreign mass, junk dropped") {
+    val rows = Seq(
+      (1L, "abc где xyz"),            // 3 cyrillic + latin: mixed
+      (2L, "hello world"),            // pure latin: not mixed
+      (3L, "普通话 test 123"), // 3 CJK + latin + digits: mixed
+      (4L, "где только"), // no latin: NOT mixed
+      (5L, "ab ж cd"),           // 1 foreign char < minForeign: not mixed
+      (6L, ""), (7L, null.asInstanceOf[String]))
+    val out = TextAnalysis.scriptProfile(rows.toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5, out.toString)
+    // "abc где xyz": 11 chars, 6 latin, 3 cyrillic -> 272727 micro
+    assert(out(1L) == ((1L, 11L, 6L, 3L, 0L, 0L, 272727L, true)), out.toString)
+    assert(out(2L)._8 == false && out(2L)._4 == 0L, out.toString)
+    assert(out(3L)._5 == 3L && out(3L)._6 == 3L && out(3L)._8 == true,
+      out.toString)
+    assert(out(4L)._8 == false && out(4L)._3 == 0L, out.toString)
+    assert(out(5L)._8 == false && out(5L)._4 == 1L, out.toString)
+  }
+
   test("shingles: k-grams for long text, whole text for short (minhash input)") {
     val df = Seq("a b c d e f", "tiny").toDF("text")
       .select(TextAnalysis.shingles(col("text"), 5).as("s"))

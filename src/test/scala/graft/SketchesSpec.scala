@@ -68,6 +68,36 @@ class SketchesSpec extends SparkSpec {
     assert(est.forall { case (t, _, cms) => twice(t) == 2 * cms })
   }
 
+  test("hllOverlap: identical=1, subset union identity, merge equals one-shot sketch") {
+    val rows =
+      (1 to 300).map(i => ("a", s"u$i")) ++
+      (301 to 600).map(i => ("b", s"u$i")) ++ // disjoint from a
+      (1 to 300).map(i => ("c", s"u$i")) ++   // identical to a
+      (1 to 150).map(i => ("d", s"u$i"))      // strict subset of a
+    val df = rows.toDF("g", "k")
+    val out = Sketches.hllOverlap(df, "g", col("k"))
+      .as[(String, String, Double, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 6)
+    // identical slices: union = both, intersection = either, jaccard 1
+    val ac = out(("a", "c"))
+    assert(ac._5 == ac._3 && ac._6 == ac._3 && ac._7 == 1.0, ac.toString)
+    // subset: merging a strict subset leaves the registers unchanged
+    val ad = out(("a", "d"))
+    assert(ad._5 == ad._3, ad.toString)
+    // disjoint slices: union well above either side, overlap small
+    val ab = out(("a", "b"))
+    assert(ab._5 > ab._3 && ab._5 > ab._4, ab.toString)
+    assert(ab._7 < 0.4, s"disjoint jaccard too high: $ab")
+    // mergeability is EXACT: the pair's union estimate equals the
+    // one-shot sketch over the concatenated keys, bit for bit
+    val oneShot = Sketches.hllDistinct(
+        df.filter(col("g").isin("a", "b")).withColumn("g", lit("all")),
+        Seq("g"), col("k"))
+      .select("est_distinct").as[Double].head()
+    assert(ab._5 == oneShot, s"${ab._5} vs $oneShot")
+  }
+
   test("ddsketchQuantiles: hand-checked buckets, rank clamp, junk rows excluded") {
     // values 1,2,3,100 at subBits=1: small values land in singleton
     // buckets ([1,1],[2,2],[3,3]); 100 (7 bits) coarsens to [96,127]

@@ -239,13 +239,18 @@ object Sketches {
     * values carry no quantile evidence and are excluded (mirror in any
     * re-implementation). */
   def ddsketchQuantiles(df: DataFrame, grp: Seq[String], valCol: Column,
-      subBits: Int, qMicros: Seq[Long]): DataFrame = {
+      subBits: Int, qMicros: Seq[Long]): DataFrame =
+    ddsketchExtract(ddsketchBuckets(df, grp, valCol, subBits), grp, qMicros)
+
+  /** The sketch-build half of [[ddsketchQuantiles]]: one hash-aggregated
+    * bucket-count table keyed (group, shift, m) — exactly the mergeable
+    * state a STREAMING window can emit per watermark close (counts sum
+    * across shards/batches by construction). */
+  def ddsketchBuckets(df: DataFrame, grp: Seq[String], valCol: Column,
+      subBits: Int): DataFrame = {
     require(subBits >= 1 && subBits <= 16, "subBits out of range")
-    require(qMicros.nonEmpty && qMicros.forall(q => q >= 1 && q <= 1000000),
-      "quantiles must be in (0, 1] micro")
     val g = grp.map(col)
-    val buckets = df
-      .filter(valCol.isNotNull && (valCol > 0L))
+    df.filter(valCol.isNotNull && (valCol > 0L))
       .select(g :+ valCol.cast(LongType).as("__v"): _*)
       .withColumn("__shift",
         greatest(length(bin(col("__v"))) - 1 - subBits, lit(0))
@@ -253,6 +258,21 @@ object Sketches {
       .withColumn("__m", expr("shiftright(__v, __shift)"))
       .groupBy(g :+ col("__shift") :+ col("__m"): _*)
       .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The read-time half: quantile extraction over a persisted/sunk
+    * bucket table (columns `__shift`, `__m`, `__c` + group columns;
+    * duplicate bucket rows — e.g. one per micro-batch — are re-merged
+    * first, the mergeability contract). Windows here run over the
+    * SKETCH table only, never the corpus. */
+  def ddsketchExtract(bucketRows: DataFrame, grp: Seq[String],
+      qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty && qMicros.forall(q => q >= 1 && q <= 1000000),
+      "quantiles must be in (0, 1] micro")
+    val g = grp.map(col)
+    val buckets = bucketRows
+      .groupBy(g :+ col("__shift") :+ col("__m"): _*)
+      .agg(sum(col("__c")).as("__c"))
       .withColumn("__lo", expr("shiftleft(__m, __shift)"))
       .withColumn("__hi", expr("shiftleft(__m + 1L, __shift) - 1L"))
     val w = org.apache.spark.sql.expressions.Window
@@ -263,7 +283,7 @@ object Sketches {
         org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
       .withColumn("n_buckets", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
-    val sp = df.sparkSession
+    val sp = bucketRows.sparkSession
     import sp.implicits._
     cum.crossJoin(broadcast(qMicros.toDF("q_micro")))
       .withColumn("__r",

@@ -48,6 +48,31 @@ object EventsStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Windowed DDSketch value-distribution stream — the deployment twin
+    * of [[graft.operators.Sketches.ddsketchQuantiles]] (the
+    * latency/spend-percentile monitor you actually run on a live
+    * stream): per tumbling window, emit the MERGEABLE bucket rows
+    * (shift, m, count) at watermark close; quantile extraction happens
+    * at read time over the sunk sketch table via
+    * [[graft.operators.Sketches.ddsketchExtract]], which re-merges
+    * duplicate bucket rows by construction — so a window split across
+    * recoveries/micro-batches still extracts the exact same quantiles
+    * (StreamingSpec asserts bit parity with the one-shot batch sketch).
+    * State per window is O(#buckets), independent of event volume —
+    * this is the quantile monitor that survives 100 TB/day. The
+    * bucketing IS the batch operator's (one implementation, zero
+    * drift). */
+  def windowedValueSketch(events: DataFrame, valCol: Column,
+      subBits: Int = 6, windowLen: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    graft.operators.Sketches.ddsketchBuckets(
+        events.withWatermark("ts", lateness)
+          .select(window(col("ts"), windowLen).as("__wnd"),
+            valCol.as("__val")),
+        Seq("__wnd"), col("__val"), subBits)
+      .select(col("__wnd.start").as("window_start"),
+        col("__shift"), col("__m"), col("__c"))
+
   /** Streaming exact dedup with BOUNDED state: drops rows whose key was
     * already seen among rows whose event time is within the watermark —
     * the streaming twin of [[graft.operators.Dedup.exact]]'s keep-first

@@ -336,6 +336,48 @@ class StreamingSpec extends SparkSpec {
     assert(s.exists(r => r._2 == "no_errors" && r._3 > 0))
   }
 
+  test("windowed DDSketch stream: sunk buckets extract bit-identically to the batch sketch") {
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_dd").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
+    val q = EventsStream.windowedValueSketch(
+        EventsStream.readEvents(spark, dir), cents, subBits = 6,
+        windowLen = "6 hours", lateness = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ev_ddsketch").option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_dd").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val qs = Seq(500000L, 990000L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    // read-time extraction over the sunk mergeable bucket rows
+    val streamed = Sketches.ddsketchExtract(
+        spark.table("ev_ddsketch"), Seq("window_start"), qs)
+      .collect().map(key).toSet
+    // one-shot batch sketch over the same event-time windows
+    val batch = Sketches.ddsketchQuantiles(
+        graft.Tables.events(spark, sf001)
+          .select(window(col("ts"), "6 hours").getField("start")
+            .as("window_start"), cents.as("v")),
+        Seq("window_start"), col("v"), subBits = 6, qMicros = qs)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    // bit parity on every CLOSED window; the one window the watermark
+    // never passes (the stream's tail) is the only permitted absence
+    assert(streamed.subsetOf(batch),
+      s"only-streamed=${(streamed -- batch).take(2)}")
+    val missingWindows = (batch -- streamed).map(_._1)
+    val lastWindow = batch.map(_._1).max
+    assert(missingWindows.forall(_ == lastWindow),
+      s"non-tail windows missing: ${missingWindows.filter(_ != lastWindow)}")
+  }
+
   test("distinctSketch: streaming register state agrees exactly with the batch sketch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1850,6 +1850,18 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // TextTiling topic segmentation: lexical-cohesion valleys over
+    // block gaps; doc_id%7 gets a second topic appended so a true
+    // boundary exists — natural docs supply the no-boundary mass
+    "q185_texttiling" -> ((s, d) =>
+      TextAnalysis.textTiling(Tables.documents(s, d), "doc_id",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" " + Seq.fill(6)(
+            "galaxy nebula quasar pulsar comet meteor orbit cosmos")
+            .mkString(" "))))
+          .otherwise(col("text")),
+        blockSize = 8, windowBlocks = 2, minDepthMicro = 400000L)),
+
     // mixed-script spoofing profile over a homoglyph-spiked corpus:
     // doc_id%11 gets Cyrillic look-alike 'a's, %13 a CJK spam run
     "q184_script_mix" -> ((s, d) =>
@@ -4224,6 +4236,50 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same 1-based inclusive window slices, distinct-set Jaccard in
+    // exact integers, full-span peak windows for the depth score
+    "q185_texttiling" -> {
+      val topicB = Seq.fill(6)(
+        "galaxy nebula quasar pulsar comet meteor orbit cosmos")
+        .mkString(" ")
+      s"""WITH sp AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' $topicB'
+               ELSE text END AS tx
+           FROM documents WHERE text IS NOT NULL),
+         t AS (SELECT doc_id,
+             [x for x in string_split(tx, ' ') if len(x) > 0] AS toks
+           FROM sp),
+         p AS (SELECT doc_id, toks,
+             CAST((len(toks) + 7) // 8 - 1 AS INTEGER) AS ng FROM t),
+         gp AS (SELECT doc_id, toks, ng,
+             CAST(unnest(range(1, ng + 1)) AS INTEGER) AS g
+           FROM p WHERE ng >= 1),
+         wnd AS (SELECT doc_id, ng, g,
+             list_distinct(toks[greatest(1, (g - 2) * 8 + 1):g * 8]) AS dl,
+             list_distinct(toks[g * 8 + 1:least(g + 2, ng + 1) * 8]) AS dr
+           FROM gp),
+         sm AS (SELECT doc_id, ng, g,
+             CAST(len(list_filter(dl, x -> list_contains(dr, x)))
+               AS BIGINT) AS i,
+             CAST(len(dl) AS BIGINT) AS a, CAST(len(dr) AS BIGINT) AS b
+           FROM wnd),
+         sv AS (SELECT doc_id, ng, g,
+             i * 1000000 // (a + b - i) AS sim FROM sm),
+         dp AS (SELECT doc_id, CAST(g AS BIGINT) AS gap,
+             CAST(g * 8 AS BIGINT) AS pos_tokens, sim AS sim_micro,
+             max(sim) OVER (PARTITION BY doc_id ORDER BY g
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             + max(sim) OVER (PARTITION BY doc_id ORDER BY g
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+             - 2 * sim AS depth_micro
+           FROM sv)
+         SELECT doc_id, gap, pos_tokens,
+           CAST(sim_micro AS BIGINT) AS sim_micro,
+           CAST(depth_micro AS BIGINT) AS depth_micro,
+           depth_micro >= 400000 AS is_boundary
+         FROM dp"""
+    },
 
     // same explicit BMP ranges (RE2 accepts \x{...} classes), same
     // spikes, positive-mass micro ratio

@@ -2660,6 +2660,73 @@ object TextAnalysis {
     }
   }
 
+  /** TextTiling topic segmentation (Hearst 1997 — lexical-cohesion
+    * valleys as topic boundaries; the document-STRUCTURE operator the
+    * chunking tier lacks: q39/q101 cut at fixed sizes, this cuts where
+    * the vocabulary actually shifts, the right pre-chunker for RAG and
+    * for long-document packing). Jaccard-cohesion variant: at every
+    * block gap, similarity of the `windowBlocks`-block windows on each
+    * side is `|distinct∩|·1e6 div |distinct∪|` (exact integers — the
+    * cosine of Hearst §3.1 swapped for the set form the oracle can
+    * mirror token-for-token), and a gap is a boundary when its DEPTH
+    * `(lpeak−v)+(rpeak−v)` reaches `minDepthMicro`, where the peaks
+    * are the highest similarity within `peakSpan` gaps on each side —
+    * the bounded stand-in for Hearst's hill-climb to the nearest
+    * local maximum (a FULL-span peak overfires: every gap in a
+    * two-topic document would see the far topic's high plateau and
+    * score deep; measured 67% of spiked-doc gaps flagging vs 24%
+    * local — the local form is the paper's intent and the one that
+    * marks the junction, not the whole document).
+    *
+    * Shape: pure per-row narrow compute routed through
+    * [[Parallelism.ensure]]: the token array binds ONCE, the gap-sim
+    * array binds ONCE more (the HOF-hoisting contract — inlining
+    * re-evaluates the whole sim vector per depth term), then one
+    * explode to (doc, gap) rows. No shuffle before the output; docs
+    * with fewer than two blocks have no gap and are excluded BEFORE
+    * the sequence builds (Spark's `sequence(1, 0)` DESCENDS). */
+  def textTiling(df: DataFrame, idCol: String, textCol: Column,
+      blockSize: Int = 8, windowBlocks: Int = 2,
+      minDepthMicro: Long = 400000L, peakSpan: Int = 3): DataFrame = {
+    require(blockSize >= 1 && windowBlocks >= 1 && peakSpan >= 1,
+      "degenerate tiling params")
+    val k = blockSize; val w = windowBlocks; val h = peakSpan
+    import org.apache.spark.sql.types.LongType
+    val base = Parallelism.ensure(
+        df.filter(textCol.isNotNull).select(col(idCol), textCol.as("__tx")))
+      .withColumn("__t", filter(tokens(col("__tx")), t => length(t) > 0))
+      .withColumn("__ng",
+        (expr(s"(size(__t) + ${k - 1}) div $k") - 1).cast("int"))
+      .filter(col("__ng") >= 1)
+    // each window's distinct set and the intersection bind ONCE per gap
+    // (the element_at(transform(array(...)), 1) binding idiom — Spark
+    // does not hoist repeated subtrees out of HOF lambdas)
+    val sims = base.withColumn("__sims", expr(
+      s"""transform(sequence(1, __ng), g ->
+            element_at(transform(array(struct(
+                array_distinct(slice(__t, greatest(1, (g - $w) * $k + 1),
+                  g * $k - greatest(1, (g - $w) * $k + 1) + 1)) AS dl,
+                array_distinct(slice(__t, g * $k + 1,
+                  least(g + $w, __ng + 1) * $k - g * $k)) AS dr)),
+              p -> element_at(transform(
+                array(CAST(size(array_intersect(p.dl, p.dr)) AS BIGINT)),
+                i -> i * 1000000 div (CAST(size(p.dl) AS BIGINT)
+                  + CAST(size(p.dr) AS BIGINT) - i)), 1)), 1))"""))
+    sims
+      .withColumn("__gap", explode(expr(
+        s"""transform(sequence(1, __ng), g -> struct(
+             CAST(g AS BIGINT) AS gap,
+             element_at(__sims, g) AS sim_micro,
+             array_max(slice(__sims, greatest(1, g - $h),
+                 g - greatest(1, g - $h) + 1))
+               + array_max(slice(__sims, g, least($h + 1, __ng - g + 1)))
+               - 2 * element_at(__sims, g) AS depth_micro))""")))
+      .select(col(idCol), col("__gap.gap").as("gap"),
+        (col("__gap.gap") * k).cast(LongType).as("pos_tokens"),
+        col("__gap.sim_micro"), col("__gap.depth_micro"),
+        (col("__gap.depth_micro") >= minDepthMicro).as("is_boundary"))
+  }
+
   /** Unicode script profile + mixed-script flag (the homoglyph/
     * spoofing signal — UTS #39 confusable detection's corpus-scale
     * cousin, and a standard web-crawl spam facet next to the C4

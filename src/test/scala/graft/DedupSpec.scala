@@ -340,6 +340,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syl == 2L)
   }
 
+  test("textTiling: junction valley deepest and flagged, uniform doc flat, short doc excluded") {
+    val a = (1 to 4).flatMap(_ => (1 to 8).map(i => s"a$i")).mkString(" ")
+    val b = (1 to 4).flatMap(_ => (1 to 8).map(i => s"b$i")).mkString(" ")
+    val rows = Seq(
+      (1L, s"$a $b"),            // two topics, junction at token 32
+      (2L, s"$a $a"),            // one topic: all gaps flat
+      (3L, "tiny doc"),          // < 2 blocks: no gap rows
+      (4L, null.asInstanceOf[String]))
+    val out = TextAnalysis.textTiling(rows.toDF("doc_id", "text"),
+        "doc_id", col("text"), blockSize = 8, windowBlocks = 2,
+        minDepthMicro = 400000L)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // sims per gap: same-topic windows are identical 8-word sets
+    // (sim 1.0), straddling windows halve, the junction hits 0
+    assert(d1.map(_._4).toSeq ==
+      Seq(1000000L, 1000000L, 500000L, 0L, 500000L, 1000000L, 1000000L),
+      d1.mkString(","))
+    val junction = d1(3)
+    assert(junction._3 == 32L && junction._5 == 2000000L && junction._6,
+      junction.toString)
+    assert(junction._5 == d1.map(_._5).max) // the deepest valley
+    // topic-interior gaps at full similarity never flag
+    assert(!d1.head._6 && !d1.last._6, d1.mkString(","))
+    // uniform doc: every gap sim 1.0, depth 0, no boundary
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.nonEmpty && d2.forall(r => r._4 == 1000000L && r._5 == 0L
+      && !r._6), d2.mkString(","))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("scriptProfile: per-script counts, mixed needs latin AND foreign mass, junk dropped") {
     val rows = Seq(
       (1L, "abc где xyz"),            // 3 cyrillic + latin: mixed

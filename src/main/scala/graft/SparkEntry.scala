@@ -1850,6 +1850,39 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // interval-overlap join: supplier heavy-shipment coverage windows
+    // (q94's islands) x sampled-customer activity windows — the
+    // range-vs-range theta join on the canonical-cell equi plan
+    "q186_interval_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sup = Temporal.mergeIntervals(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate"))
+          .select(col("l_suppkey"), col("o_orderdate").as("iv_s"),
+            col("l_shipdate").as("iv_e")),
+        "l_suppkey", "iv_s", "iv_e")
+      val cust = Temporal.mergeIntervals(
+        Tables.orders(s, d).filter(col("o_custkey") % 37 === 0)
+          .select(col("o_custkey"), col("o_orderdate").as("cv_s"),
+            date_add(col("o_orderdate"), 6).as("cv_e")),
+        "o_custkey", "cv_s", "cv_e")
+      Temporal.intervalOverlapJoin(
+        sup.select(col("l_suppkey"), col("window_start"),
+          col("window_end")),
+        "l_suppkey", col("window_start"), col("window_end"),
+        cust.select(col("o_custkey"), col("window_start"),
+          col("window_end")),
+        "o_custkey", col("window_start"), col("window_end"))
+        .select(col("l_suppkey"), col("o_custkey"),
+          date_format(col("overlap_start"), "yyyy-MM-dd")
+            .as("overlap_start"),
+          date_format(col("overlap_end"), "yyyy-MM-dd").as("overlap_end"),
+          col("overlap_days"))
+    }),
+
     // TextTiling topic segmentation: lexical-cohesion valleys over
     // block gaps; doc_id%7 gets a second topic appended so a true
     // boundary exists — natural docs supply the no-boundary mass
@@ -4236,6 +4269,50 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // q94's island build on both sides, then the textbook theta form
+    // (the canonical-cell equi plan is a pure optimization)
+    "q186_interval_join" ->
+      """WITH iv AS (SELECT l.l_suppkey,
+             CAST(o.o_orderdate AS DATE) AS s,
+             CAST(l.l_shipdate AS DATE) AS e
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_quantity >= 50 AND l.l_shipdate >= o.o_orderdate),
+         m AS (SELECT l_suppkey, s, e,
+             max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         f AS (SELECT l_suppkey, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+           FROM m),
+         i AS (SELECT l_suppkey, s, e,
+             sum(nw) OVER (PARTITION BY l_suppkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM f),
+         sup AS (SELECT l_suppkey, min(s) AS ws, max(e) AS we
+           FROM i GROUP BY l_suppkey, island),
+         civ AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 6 AS e
+           FROM orders WHERE o_custkey % 37 = 0),
+         cm AS (SELECT o_custkey, s, e,
+             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM civ),
+         cf AS (SELECT o_custkey, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+           FROM cm),
+         ci AS (SELECT o_custkey, s, e,
+             sum(nw) OVER (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM cf),
+         cust AS (SELECT o_custkey, min(s) AS ws, max(e) AS we
+           FROM ci GROUP BY o_custkey, island)
+         SELECT s.l_suppkey, c.o_custkey,
+           strftime(greatest(s.ws, c.ws), '%Y-%m-%d') AS overlap_start,
+           strftime(least(s.we, c.we), '%Y-%m-%d') AS overlap_end,
+           CAST(least(s.we, c.we) - greatest(s.ws, c.ws) + 1 AS BIGINT)
+             AS overlap_days
+         FROM sup s JOIN cust c ON s.ws <= c.we AND c.ws <= s.we""",
 
     // same 1-based inclusive window slices, distinct-set Jaccard in
     // exact integers, full-span peak windows for the depth score

@@ -631,6 +631,49 @@ object Temporal {
           expr("abs(s_stat) * 1000000 div n_pairs")).as("tau_micro"))
   }
 
+  /** Interval-overlap join — the temporal theta join (`a.s ≤ b.e AND
+    * b.s ≤ a.e`) that naive planning turns into a cartesian product:
+    * instead, both sides EXPLODE to the coarse time cells they cover
+    * (`cellDays` wide), pairs meet on a cell EQUI-join, and each
+    * overlapping pair survives exactly ONCE — in the canonical cell
+    * `greatest(ls, rs) div W`, the first cell both intervals cover —
+    * so no distinct/dedup shuffle ever runs. The q36/q56 range-join
+    * machinery generalized from points-in-ranges to range-vs-range.
+    *
+    * Scale: blow-up is `interval_length/cellDays` rows per interval
+    * (pick cellDays near the typical interval length); the join is
+    * hash-partitioned on cells, never a broadcast-nested-loop. Output:
+    * both keys, the overlap window, and its inclusive day count.
+    * Open/null endpoints are excluded (an unbounded interval would
+    * explode unboundedly — cap upstream). */
+  def intervalOverlapJoin(left: DataFrame, lKey: String, lS: Column,
+      lE: Column, right: DataFrame, rKey: String, rS: Column, rE: Column,
+      cellDays: Int = 64): DataFrame = {
+    require(cellDays >= 1, "cellDays must be >= 1")
+    val epoch = to_date(lit("1970-01-01"))
+    def cells(df: DataFrame, key: String, s: Column, e: Column,
+        ks: String, kd: String) = df
+      .filter(s.isNotNull && e.isNotNull && (e >= s))
+      .select(col(key), datediff(s, epoch).cast("long").as(s"__${ks}s"),
+        datediff(e, epoch).cast("long").as(s"__${ks}e"))
+      .withColumn("__cell",
+        explode(expr(s"sequence(__${ks}s div $cellDays, " +
+          s"__${ks}e div $cellDays)")))
+      .withColumnRenamed(key, kd)
+    val l = cells(left, lKey, lS, lE, "l", "__lk")
+    val r = cells(right, rKey, rS, rE, "r", "__rk")
+    l.join(r, Seq("__cell"))
+      .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+        col("__cell") === expr(s"greatest(__ls, __rs) div $cellDays"))
+      .select(col("__lk").as(lKey), col("__rk").as(rKey),
+        date_add(epoch, greatest(col("__ls"), col("__rs")).cast("int"))
+          .as("overlap_start"),
+        date_add(epoch, least(col("__le"), col("__re")).cast("int"))
+          .as("overlap_end"),
+        (least(col("__le"), col("__re")) -
+          greatest(col("__ls"), col("__rs")) + 1L).as("overlap_days"))
+  }
+
   /** Population stability index (the standard industry drift monitor —
     * Siddiqi 2006's scorecard PSI; Σ (p_i − q_i)·ln(p_i/q_i) between a
     * REFERENCE period's bin distribution and the CURRENT one; rule of

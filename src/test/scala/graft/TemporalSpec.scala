@@ -582,6 +582,36 @@ class NativeCosineSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("intervalOverlapJoin: exact overlap windows, multi-cell pairs appear once, junk dropped") {
+    import graft.operators.Temporal
+    def dt(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+    val left = Seq(("A", dt(1), dt(10)), ("B", dt(100), dt(110)))
+      .toDF("lk", "ls", "le")
+    val right = Seq(
+      ("R1", dt(5), dt(7)),     // inside A
+      ("R2", dt(10), dt(12)),   // touches A's last day only
+      ("R3", dt(11), dt(20)),   // adjacent to A, NO overlap
+      ("R4", dt(95), dt(200)),  // covers B entirely
+      ("R5", dt(1), dt(10)),    // identical to A: shares EVERY cell
+      ("R6", dt(30), dt(20)),   // inverted: dropped
+      ("R7", null.asInstanceOf[java.sql.Date], dt(5)))
+      .toDF("rk", "rs", "re")
+    // cellDays=4 makes A and R5 share three cells — the canonical-cell
+    // rule must still emit the pair exactly once
+    val out = Temporal.intervalOverlapJoin(left, "lk", col("ls"),
+        col("le"), right, "rk", col("rs"), col("re"), cellDays = 4)
+      .select(col("lk"), col("rk"),
+        datediff(col("overlap_start"), lit("1970-01-01")),
+        datediff(col("overlap_end"), lit("1970-01-01")),
+        col("overlap_days"))
+      .as[(String, String, Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("A", "R1", 5, 7, 3L),
+      ("A", "R2", 10, 10, 1L),
+      ("A", "R5", 1, 10, 10L),
+      ("B", "R4", 100, 110, 11L)), out.mkString(","))
+  }
+
   test("psiDrift: identical periods score 0, JVM-twin drift value, no-reference group excluded") {
     import graft.operators.Temporal
     def psiJvm(ref: Seq[Long], cur: Seq[Long], nBins: Int = 10): Double = {

@@ -1850,6 +1850,26 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // Benford first-digit audit over three columns with genuinely
+    // different conformity (prices, bounded quantities, totals) —
+    // the forensic fabricated-numbers screen
+    "q187_benford" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val vals = li.select(lit("extendedprice").as("metric"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            .as("v"))
+        .unionByName(li.select(lit("quantity").as("metric"),
+          col("l_quantity").cast("long").as("v")))
+        .unionByName(Tables.orders(s, d)
+          .select(lit("totalprice").as("metric"),
+            expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+              .as("v")))
+      Relational.benfordAudit(vals, "metric", col("v"))
+        .select(col("g").as("metric"), col("digit"), col("n_obs"),
+          col("n"), col("p_micro"), col("e_micro"), col("dev_micro"),
+          col("chi2"))
+    }),
+
     // interval-overlap join: supplier heavy-shipment coverage windows
     // (q94's islands) x sampled-customer activity windows — the
     // range-vs-range theta join on the canonical-cell equi plan
@@ -4269,6 +4289,45 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same injected Benford micro masses, densified digits, ordered
+    // chi-square fold under round(...,6)
+    "q187_benford" -> {
+      val eList = graft.operators.Relational.benfordMicros.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      s"""WITH vals AS (
+           SELECT 'extendedprice' AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem
+           UNION ALL SELECT 'quantity', CAST(l_quantity AS BIGINT)
+           FROM lineitem
+           UNION ALL SELECT 'totalprice',
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           FROM orders),
+         e(digit, e_micro) AS (VALUES $eList),
+         c AS (SELECT g,
+             CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS c
+           FROM vals WHERE v IS NOT NULL AND v > 0 GROUP BY 1, 2),
+         n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         dn AS (SELECT n.g, CAST(e.digit AS BIGINT) AS digit,
+             CAST(e.e_micro AS BIGINT) AS e_micro, n.n,
+             coalesce(c.c, 0) AS c
+           FROM n CROSS JOIN e
+           LEFT JOIN c ON c.g = n.g AND c.digit = e.digit),
+         x AS (SELECT g, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list((c - n * e_micro / CAST(1000000 AS DOUBLE))
+               * (c - n * e_micro / CAST(1000000 AS DOUBLE))
+               / (n * e_micro / CAST(1000000 AS DOUBLE)) ORDER BY digit)),
+             (a, t) -> a + t), 6) AS chi2
+           FROM dn GROUP BY 1)
+         SELECT dn.g AS metric, dn.digit, dn.c AS n_obs, dn.n,
+           CAST(dn.c * 1000000 // dn.n AS BIGINT) AS p_micro, dn.e_micro,
+           CAST(abs(dn.c * 1000000 // dn.n - dn.e_micro) AS BIGINT)
+             AS dev_micro,
+           x.chi2
+         FROM dn JOIN x ON dn.g = x.g"""
+    },
 
     // q94's island build on both sides, then the textbook theta form
     // (the canonical-cell equi plan is a pure optimization)

@@ -464,6 +464,65 @@ object Relational {
     full.unionByName(boundary)
   }
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; Nigrini's
+    * forensic-accounting screen — the data-quality tier's
+    * fabricated-or-truncated-numbers detector next to q83's rule
+    * expectations): per group, the observed first-significant-digit
+    * distribution against Benford's `log10(1+1/d)`, with the exact
+    * per-digit deviation and the group's χ² statistic.
+    *
+    * Exactness: digit masses are exact micro ratios (`c·1e6 div n`,
+    * positive); the Benford expectations are JVM-computed micro
+    * literals injected into BOTH plans ([[benfordMicros]] — no
+    * cross-engine log10); the one double — χ² = Σ (c−n·e/1e6)²/(n·e/1e6)
+    * — folds in ascending-digit order inside a row and crosses engines
+    * under round(…,6) (the PSI/PMI contract). Digits are densified to
+    * all of 1..9 so an absent digit contributes its full χ² mass.
+    * Non-positive and NULL values carry no first digit and are
+    * excluded. One (group, digit) count shuffle; everything after is
+    * groups×9-sized. */
+  def benfordAudit(df: DataFrame, grpCol: String, valCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val counts = df
+      .filter(col(grpCol).isNotNull && valCol.isNotNull && (valCol > 0L))
+      .select(col(grpCol).as("g"),
+        substring(valCol.cast(LongType).cast("string"), 1, 1)
+          .cast(LongType).as("digit"))
+      .groupBy("g", "digit").agg(count(lit(1)).as("__c"))
+    val eArr = benfordMicros
+    val dense = counts.groupBy("g")
+      .agg(sum(col("__c")).as("n"),
+        sort_array(collect_list(struct(col("digit"), col("__c")))).as("__sp"))
+      .withColumn("__digits", expr(
+        "transform(sequence(1, 9), d -> struct(CAST(d AS BIGINT) AS digit, " +
+          "coalesce(element_at(map_from_entries(__sp), CAST(d AS BIGINT)), 0L) AS c))"))
+      .withColumn("__e", typedLit(eArr))
+      .withColumn("chi2", round(aggregate(col("__digits"), lit(0.0),
+        (acc, x) => {
+          val exp = col("n").cast("double") *
+            element_at(col("__e"), x.getField("digit").cast("int"))
+              .cast("double") / lit(1e6)
+          acc + (x.getField("c").cast("double") - exp) *
+            (x.getField("c").cast("double") - exp) / exp
+        }), 6))
+    dense.select(col("g"), col("n"), col("chi2"), col("__e"),
+        explode(col("__digits")).as("d"))
+      .select(col("g"), col("d.digit").as("digit"), col("d.c").as("n_obs"),
+        col("n"),
+        expr("d.c * 1000000 div n").as("p_micro"),
+        element_at(col("__e"), col("d.digit").cast("int")).as("e_micro"),
+        abs(expr("d.c * 1000000 div n") -
+          element_at(col("__e"), col("d.digit").cast("int")))
+          .as("dev_micro"),
+        col("chi2"))
+  }
+
+  /** Benford's law first-digit masses as micro longs, computed once on
+    * the JVM and injected as literals into both the Spark plan and the
+    * oracle SQL — `floor(log10(1+1/d)·1e6 + 0.5)` for d = 1..9. */
+  def benfordMicros: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
   /** 2-D Pareto frontier (skyline, Börzsönyi et al. 2001): the rows no
     * other row dominates — `x' ≥ x ∧ y' ≥ y`, strict in at least one —
     * the curation shape behind "longest AND most-diverse" tradeoff

@@ -383,6 +383,43 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 100L, out.toString)
   }
 
+  test("benfordAudit: first-digit extraction, densified digits, JVM-twin chi2, junk dropped") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val e = Relational.benfordMicros
+    assert(e.head == 301030L && e.last == 45757L && e.length == 9)
+    def chi2Jvm(counts: Map[Long, Long]): Double = {
+      val n = counts.values.sum.toDouble
+      val acc = (1 to 9).map { d =>
+        val exp = n * e(d - 1).toDouble / 1e6
+        val c = counts.getOrElse(d.toLong, 0L).toDouble
+        (c - exp) * (c - exp) / exp
+      }.sum
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // group u: first digits of multi-digit values; group s: one digit
+    // only, the other eight densify in at c=0; junk rows drop
+    val rows = Seq(
+      ("u", 123L), ("u", 987L), ("u", 20L), ("u", 1L), ("u", 55L),
+      ("s", 7L), ("s", 71L), ("s", 700L),
+      ("u", 0L), ("u", -5L)).toDF("g", "v")
+      .union(Seq(("u", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "v").select(col("g"), col("v").cast("long")))
+    val out = Relational.benfordAudit(rows, "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(out.length == 18, out.length.toString) // 2 groups x 9 digits
+    val u = out.filter(_._1 == "u").map(r => r._2 -> r).toMap
+    assert(u(1L)._3 == 2L && u(9L)._3 == 1L && u(2L)._3 == 1L &&
+      u(5L)._3 == 1L && u(3L)._3 == 0L, u.toString) // 123->1, 987->9
+    assert(u(1L)._4 == 5L) // n excludes the three junk rows
+    assert(u(1L)._5 == 400000L) // 2*1e6 div 5
+    assert(u(1L)._8 == chi2Jvm(Map(1L -> 2L, 2L -> 1L, 5L -> 1L, 9L -> 1L)))
+    val sChi = out.filter(_._1 == "s").head._8
+    assert(sChi == chi2Jvm(Map(7L -> 3L)), sChi.toString)
+    assert(sChi > u(1L)._8, "single-digit pile must deviate harder")
+  }
+
   test("paretoFrontier: dominance, both-axes ties kept, bucket-width invariant, nulls dropped") {
     import spark.implicits._
     def run(rows: Seq[(Long, java.lang.Long, java.lang.Long)], w: Long) =

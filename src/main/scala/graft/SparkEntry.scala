@@ -1850,6 +1850,28 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // Poisson-bootstrap 95% CI of the mean order value per priority:
+    // the ONE-PASS bootstrap (every replicate streams through the
+    // same aggregation) — the uncertainty the sampling tier feeds
+    "q189_bootstrap_ci" -> ((s, d) =>
+      Relational.poissonBootstrapCI(Tables.orders(s, d),
+        "o_orderpriority", col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .select(col("g").as("o_orderpriority"), col("n_rows"),
+          col("mean_micro"), col("n_replicates"), col("ci_lo_micro"),
+          col("ci_hi_micro"))),
+
+    // full CUBE over (returnflag, linestatus): all four grouping sets
+    // in one pass — the lattice q19/q113's ROLLUP only half-covers
+    "q188_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("level"),
+          count(lit(1)).as("n_rows"),
+          fromCents(sum(cents(col("l_extendedprice"))), 2).as("revenue"))
+        .select("l_returnflag", "l_linestatus", "level", "n_rows",
+          "revenue")),
+
     // Benford first-digit audit over three columns with genuinely
     // different conformity (prices, bounded quantities, totals) —
     // the forensic fabricated-numbers screen
@@ -4289,6 +4311,60 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same injected Poisson(1) inverse-CDF thresholds on the 2^20 hash
+    // grid, two-division exact means, index-selected order statistics
+    "q189_bootstrap_ci" -> {
+      val ts = graft.operators.Relational.poissonThresholds
+      val nReps = 64; val alphaMicro = 25000L
+      val rankLo = math.max(1L, (alphaMicro * nReps + 999999L) / 1000000L)
+      val rankHi = nReps + 1L - rankLo
+      val h = sqlHexLong(
+        "concat('boot:', CAST(b AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (SELECT o_orderpriority AS g, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IS NOT NULL
+             AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+         r AS (SELECT g, o_orderkey, v, unnest(range(0, $nReps)) AS b
+           FROM o),
+         u AS (SELECT g, b, v, $h % 1048576 AS u FROM r),
+         wt AS (SELECT g, b, v,
+             CASE WHEN u < ${ts(0)} THEN 0 WHEN u < ${ts(1)} THEN 1
+               WHEN u < ${ts(2)} THEN 2 WHEN u < ${ts(3)} THEN 3
+               WHEN u < ${ts(4)} THEN 4 WHEN u < ${ts(5)} THEN 5
+               ELSE 6 END AS w
+           FROM u),
+         m AS (SELECT g, b, CAST(sum(w * v) AS BIGINT) AS s,
+             CAST(sum(w) AS BIGINT) AS n FROM wt GROUP BY 1, 2),
+         mm AS (SELECT g,
+             (s // n) * 1000000 + (s % n) * 1000000 // n AS m
+           FROM m WHERE n > 0),
+         ci AS (SELECT g, CAST(count(*) AS BIGINT) AS n_replicates,
+             list(m ORDER BY m) AS ms FROM mm GROUP BY 1),
+         base AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(v) AS BIGINT) AS s FROM o GROUP BY 1)
+         SELECT ci.g AS o_orderpriority, base.n_rows,
+           CAST((base.s // base.n_rows) * 1000000
+             + (base.s % base.n_rows) * 1000000 // base.n_rows AS BIGINT)
+             AS mean_micro,
+           ci.n_replicates,
+           CAST(ms[CAST(least($rankLo, n_replicates) AS INTEGER)]
+             AS BIGINT) AS ci_lo_micro,
+           CAST(ms[CAST(least($rankHi, n_replicates) AS INTEGER)]
+             AS BIGINT) AS ci_hi_micro
+         FROM ci JOIN base ON ci.g = base.g"""
+    },
+
+    // money crosses as exact long cents summed then shifted (q113's
+    // DECIMAL(18,2) shortcut is equivalent on two-decimal inputs)
+    "q188_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     // same injected Benford micro masses, densified digits, ordered
     // chi-square fold under round(...,6)

@@ -464,6 +464,90 @@ object Relational {
     full.unionByName(boundary)
   }
 
+  /** Poisson bootstrap confidence interval (Chamandy et al. 2012 — the
+    * ONE-PASS bootstrap that scales: classical resampling needs the
+    * whole dataset per replicate; here every row draws an independent
+    * Poisson(1) weight per replicate from a hash, so all `nReps`
+    * replicates stream through one aggregation — the uncertainty
+    * quantifier the sampling tier (q40/q82/q90) feeds). Weights come
+    * from the md5 hash's low 20 bits against the Poisson(1) inverse
+    * CDF with JVM-computed INJECTED thresholds ([[poissonThresholds]];
+    * no cross-engine exp), capped at 6 (P ≈ 6e-5 truncated — part of
+    * the operator's definition, mirrored).
+    *
+    * Exactness: replicate means in micro units via the two-division
+    * identity `S·1e6 div W = (S div W)·1e6 + (S mod W)·1e6 div W`
+    * (all positive; dodges the S·1e6 overflow a 100 TB sum would
+    * hit), and the CI bounds are INDEX-SELECTED order statistics of
+    * the replicate means (`rank_lo = max(1, ceil(α·B))`,
+    * `rank_hi = B+1−rank_lo`) — no interpolation, no doubles anywhere.
+    *
+    * Shape: corpus → replicate explode (×nReps, the scale knob) → one
+    * (group, replicate) partial-aggregated shuffle → groups×B-sized
+    * everything after (means collect to ONE row per group). */
+  def poissonBootstrapCI(df: DataFrame, grpCol: String, keyCol: Column,
+      valCol: Column, nReps: Int = 64,
+      alphaMicro: Long = 25000L): DataFrame = {
+    require(nReps >= 4 && alphaMicro >= 1 && alphaMicro < 500000L,
+      "degenerate bootstrap params")
+    import org.apache.spark.sql.types.LongType
+    val ts = poissonThresholds
+    val rankLo = math.max(1L, (alphaMicro * nReps + 999999L) / 1000000L)
+    val rankHi = nReps + 1L - rankLo
+    def meanMicro(s: String, w: String) =
+      expr(s"($s div $w) * 1000000 + ($s % $w) * 1000000 div $w")
+    val reps = df
+      .filter(col(grpCol).isNotNull && keyCol.isNotNull && valCol.isNotNull)
+      .select(col(grpCol).as("g"), keyCol.cast(LongType).as("__k"),
+        valCol.cast(LongType).as("__v"))
+      .withColumn("__b", explode(expr(s"sequence(0, ${nReps - 1})")))
+      .withColumn("__u",
+        graft.functions.Hashing.hexLong(
+          concat(lit("boot:"), col("__b").cast("string"), lit(":"),
+            col("__k").cast("string"))) % 1048576L)
+      .withColumn("__w",
+        when(col("__u") < ts(0), 0L).when(col("__u") < ts(1), 1L)
+          .when(col("__u") < ts(2), 2L).when(col("__u") < ts(3), 3L)
+          .when(col("__u") < ts(4), 4L).when(col("__u") < ts(5), 5L)
+          .otherwise(6L))
+      .groupBy(col("g"), col("__b"))
+      .agg(sum(col("__w") * col("__v")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0L) // an all-zero-weight replicate has no mean
+      .withColumn("__m", meanMicro("__s", "__n"))
+    val base = df
+      .filter(col(grpCol).isNotNull && keyCol.isNotNull && valCol.isNotNull)
+      .select(col(grpCol).as("g"), valCol.cast(LongType).as("__v"))
+      .groupBy("g").agg(sum(col("__v")).as("__s"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("mean_micro", meanMicro("__s", "n_rows"))
+      .select(col("g"), col("n_rows"), col("mean_micro"))
+    reps.groupBy("g")
+      .agg(count(lit(1)).as("n_replicates"),
+        sort_array(collect_list(col("__m"))).as("__ms"))
+      .select(col("g"), col("n_replicates"),
+        element_at(col("__ms"),
+          least(lit(rankLo), col("n_replicates")).cast("int")).as("ci_lo_micro"),
+        element_at(col("__ms"),
+          least(lit(rankHi), col("n_replicates")).cast("int")).as("ci_hi_micro"))
+      .join(base, Seq("g"))
+      .select(col("g"), col("n_rows"), col("mean_micro"),
+        col("n_replicates"), col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds on the hash's 2^20 grid,
+    * JVM-computed and injected into both plans:
+    * `floor(P(X ≤ k)·2^20)` for k = 0..5. */
+  def poissonThresholds: Seq[Long] = {
+    val pow = 1048576.0
+    var cdf = 0.0; var fact = 1.0
+    (0 to 5).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.floor(cdf * pow).toLong
+    }
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938; Nigrini's
     * forensic-accounting screen — the data-quality tier's
     * fabricated-or-truncated-numbers detector next to q83's rule

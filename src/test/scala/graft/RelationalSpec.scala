@@ -383,6 +383,46 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 100L, out.toString)
   }
 
+  test("poissonBootstrapCI: deterministic, brackets the exact mean, bounded weights") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val vs = (1 to 200).map(i => 1000L + (i % 7))
+    val rows = vs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("g", "k", "v")
+    def run() = Relational.poissonBootstrapCI(rows, "g", col("k"),
+        col("v"), nReps = 32)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    val out = run()
+    val s = vs.sum; val n = vs.size.toLong
+    val exactMean = (s / n) * 1000000L + (s % n) * 1000000L / n
+    assert(out._2 == 200L && out._3 == exactMean, out.toString)
+    assert(out._4 == 32L, out.toString)
+    // a tame distribution: the 95% CI must bracket the mean, and be
+    // a real interval (resampling variance is nonzero)
+    assert(out._5 <= exactMean && exactMean <= out._6, out.toString)
+    assert(out._5 < out._6, out.toString)
+    // hash-derived weights: bit-identical across runs
+    assert(run() == out)
+    // thresholds really are the Poisson(1) CDF on the 2^20 grid
+    val ts = Relational.poissonThresholds
+    assert(ts.head == math.floor(math.exp(-1.0) * 1048576.0).toLong)
+    assert(ts == ts.sorted && ts.last < 1048576L, ts.toString)
+  }
+
+  test("cube: all four grouping sets with grouping_id levels") {
+    import spark.implicits._
+    val df = Seq(("r", "x", 1L), ("r", "y", 2L), ("s", "x", 4L))
+      .toDF("a", "b", "v")
+    val out = df.cube(col("a"), col("b"))
+      .agg(grouping_id().cast("long").as("level"), sum("v").as("s"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("r", "x", 0L, 1L), ("r", "y", 0L, 2L), ("s", "x", 0L, 4L),
+      ("r", null, 1L, 3L), ("s", null, 1L, 4L),
+      (null, "x", 2L, 5L), (null, "y", 2L, 2L),
+      (null, null, 3L, 7L)), out.toString)
+  }
+
   test("benfordAudit: first-digit extraction, densified digits, JVM-twin chi2, junk dropped") {
     import spark.implicits._
     import graft.operators.Relational

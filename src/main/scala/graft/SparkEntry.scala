@@ -1850,6 +1850,25 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // exact tie-aware ROC AUC of the NB quality filter under q164's
+    // noisy labels — the threshold-free ranking metric completing the
+    // eval tier (PR sweep q164, calibration q148)
+    "q190_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spiked = concat(col("text"),
+        when(col("source").isin("src0", "src1") && col("doc_id") % 4 =!= 0,
+          lit(" curated encyclopedia reference citation archive"))
+          .when(col("source") === "src2",
+            lit(" encyclopedia reference citation"))
+          .otherwise(lit("")))
+      val scored = TextAnalysis.nbClassifier(docs, "doc_id", spiked,
+          col("source").isin("src0", "src1"))
+        .join(docs.select(col("doc_id").as("doc"), col("source")),
+          Seq("doc"))
+      TextAnalysis.aucExact(scored, col("nb_micro"),
+        col("source").isin("src0", "src1"))
+    }),
+
     // Poisson-bootstrap 95% CI of the mean order value per priority:
     // the ONE-PASS bootstrap (every replicate streams through the
     // same aggregation) — the uncertainty the sampling tier feeds
@@ -4311,6 +4330,36 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // Mann-Whitney with doubled tie halves over the distinct-score
+    // table; same spiked NB scoring as q164
+    "q190_auc" -> {
+      val noised = nbClassifierOracleSpiked(
+        """CASE WHEN source IN ('src0','src1') AND doc_id % 4 <> 0
+        THEN text || ' curated encyclopedia reference citation archive'
+        WHEN source = 'src2' THEN text || ' encyclopedia reference citation'
+        ELSE text END""")
+      s"""WITH nb AS ($noised),
+         scored AS (SELECT n.nb_micro AS s,
+             d.source IN ('src0', 'src1') AS y
+           FROM nb n JOIN documents d USING (doc_id)),
+         bs AS (SELECT s,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+           FROM scored WHERE s IS NOT NULL GROUP BY 1),
+         cw AS (SELECT s, cp, cn,
+             coalesce(sum(cn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cnlt
+           FROM bs)
+         SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+           CAST(sum(cn) AS BIGINT) AS n_neg,
+           CAST(CASE WHEN sum(cp) > 0 AND sum(cn) > 0
+             THEN sum(cp * (2 * cnlt + cn)) * 1000000
+               // (2 * sum(cp) * sum(cn))
+             ELSE NULL END AS BIGINT) AS auc_micro
+         FROM cw"""
+    },
 
     // same injected Poisson(1) inverse-CDF thresholds on the 2^20 hash
     // grid, two-division exact means, index-selected order statistics

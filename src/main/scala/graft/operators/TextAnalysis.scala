@@ -2504,6 +2504,40 @@ object TextAnalysis {
         col("chrp_micro"), col("chrr_micro"), col("chrf2_micro"))
   }
 
+  /** Exact tie-aware ROC AUC — the Mann–Whitney identity (Hanley &
+    * McNeil 1982): AUC = P(score⁺ > score⁻) + ½P(tie), computed WITHOUT
+    * doubles by doubling — per distinct score s,
+    * `2·numerator += cp(s)·(2·CN_<(s) + cn(s))`, so ties contribute
+    * their exact half and `auc_micro = num2·1e6 div (2·n⁺·n⁻)` on
+    * positive mass. The threshold-free companion of [[thresholdSweep]]
+    * (one number per filter, no operating point chosen) and
+    * [[calibrationCurve]] (which checks the scores' meaning, not their
+    * ranking). NULL scores carry no ranking evidence and are excluded;
+    * NULL labels are negatives (the q164 contract); degenerate
+    * one-class inputs return NULL, not a fake 0.5.
+    *
+    * Scale: the corpus collapses to the DISTINCT-SCORE table in one
+    * hash aggregate; the cumulative window runs over that table, whose
+    * size is bounded by the score's own resolution (micro-quantized
+    * classifier scores, not corpus rows). */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.filter(score.isNotNull)
+      .select(score.as("__s"), coalesce(label, lit(false)).as("__l"))
+    val byScore = base.groupBy("__s")
+      .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__l"), 1L).otherwise(0L)).as("__cn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__cnlt", coalesce(sum(col("__cn")).over(w), lit(0L)))
+      .agg(sum(expr("__cp * (2 * __cnlt + __cn)")).as("__auc2"),
+        sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("__auc2 * 1000000 div (2 * n_pos * n_neg)"))
+          .otherwise(lit(null)).as("auc_micro"))
+  }
+
   /** Operating-point selection for a quality filter: precision and
     * recall at every score-decile threshold — the PR sweep a pipeline
     * runs before FREEZING a classifier's cut, companion to

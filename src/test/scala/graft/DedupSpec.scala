@@ -340,6 +340,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syl == 2L)
   }
 
+  test("aucExact: perfect/reversed/tied rankings, half-credit ties, degenerate NULL") {
+    def run(rows: Seq[(java.lang.Long, java.lang.Boolean)]) =
+      TextAnalysis.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+        .as[(Long, Long, Option[Long])].head()
+    assert(run(Seq((10L, true), (9L, true), (2L, false), (1L, false)))
+      == ((2L, 2L, Some(1000000L))))
+    assert(run(Seq((1L, true), (2L, false))) == ((1L, 1L, Some(0L))))
+    assert(run(Seq((5L, true), (5L, false), (5L, true), (5L, false)))
+      == ((2L, 2L, Some(500000L)))) // all tied: exactly chance
+    // one tie pair + one win: (1 + 0.5) / 2 = 0.75
+    assert(run(Seq((2L, true), (2L, false), (1L, false)))
+      == ((1L, 2L, Some(750000L))))
+    // NULL score drops; NULL label is a negative
+    assert(run(Seq((2L, true), (1L, null.asInstanceOf[java.lang.Boolean]),
+      (null.asInstanceOf[java.lang.Long], false)))
+      == ((1L, 1L, Some(1000000L))))
+    // one-class input: NULL, not a fake 0.5
+    assert(run(Seq((2L, true), (1L, true))) == ((2L, 0L, None)))
+  }
+
   test("textTiling: junction valley deepest and flagged, uniform doc flat, short doc excluded") {
     val a = (1 to 4).flatMap(_ => (1 to 8).map(i => s"a$i")).mkString(" ")
     val b = (1 to 4).flatMap(_ => (1 to 8).map(i => s"b$i")).mkString(" ")

@@ -1850,6 +1850,19 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // Burrows' Delta authorship attribution: each source writes with
+    // a coded function-word mix ((N%3, N%4, N%5) repeat counts —
+    // distinct per source); Delta must recover the hand from the rates
+    "q191_burrows_delta" -> ((s, d) => {
+      val idx = "cast(substr(source, 4) as int)"
+      val styled = concat(col("text"), lit(" "),
+        expr(s"repeat('thus ', $idx % 3 + 1)"),
+        expr(s"repeat('hence ', $idx % 4 + 1)"),
+        expr(s"repeat('very ', $idx % 5 + 1)"), lit("quite"))
+      TextAnalysis.burrowsDelta(Tables.documents(s, d), "doc_id",
+        "source", styled, Seq("thus", "hence", "very", "quite"))
+    }),
+
     // exact tie-aware ROC AUC of the NB quality filter under q164's
     // noisy labels — the threshold-free ranking metric completing the
     // eval tier (PR sweep q164, calibration q148)
@@ -4330,6 +4343,60 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same floor-mean/MD scaling, sign-split divisions, md5 tie-break
+    "q191_burrows_delta" -> {
+      val ms = Seq("thus", "hence", "very", "quite")
+      val cid = sqlHexLong("cand")
+      val fCols = ms.zipWithIndex.map { case (w, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$w')) AS BIGINT) * 1000000 // n AS f$i"
+      }.mkString(", ")
+      val fbarCols = ms.indices.map(i =>
+        s"CAST(sum(f$i) AS BIGINT) // count(*) AS fbar$i").mkString(", ")
+      val mdCols = ms.indices.map(i =>
+        s"greatest(CAST(sum(abs(f$i - fbar$i)) AS BIGINT) // max(nd), 1) AS md$i")
+        .mkString(", ")
+      val zCols = ms.indices.map(i =>
+        s"""CASE WHEN f$i >= fbar$i
+           THEN (f$i - fbar$i) * 1000000 // md$i
+           ELSE -((fbar$i - f$i) * 1000000 // md$i) END AS z$i""")
+        .mkString(", ")
+      val szCols = ms.indices.map(i =>
+        s"CAST(sum(z$i) AS BIGINT) AS sz$i").mkString(", ")
+      val zcCols = ms.indices.map(i =>
+        s"""CASE WHEN sz$i >= 0 THEN sz$i // ns
+           ELSE -((-sz$i) // ns) END AS zc$i""").mkString(", ")
+      val deltaExpr = ms.indices.map(i => s"abs(z$i - zc$i)")
+        .mkString("(", " + ", s") // ${ms.length}")
+      s"""WITH sp AS (SELECT doc_id, source, text || ' '
+             || repeat('thus ', CAST(substr(source, 4) AS INTEGER) % 3 + 1)
+             || repeat('hence ', CAST(substr(source, 4) AS INTEGER) % 4 + 1)
+             || repeat('very ', CAST(substr(source, 4) AS INTEGER) % 5 + 1)
+             || 'quite' AS tx
+           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         t AS (SELECT doc_id, source,
+             [x for x in string_split(tx, ' ') if len(x) > 0] AS toks
+           FROM sp),
+         t2 AS (SELECT doc_id, source, toks,
+             CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+         r AS (SELECT doc_id, source, n, $fCols FROM t2),
+         st AS (SELECT $fbarCols, CAST(count(*) AS BIGINT) AS nd FROM r),
+         md AS (SELECT $mdCols FROM r CROSS JOIN st),
+         z AS (SELECT doc_id, source, $zCols
+           FROM r CROSS JOIN st CROSS JOIN md),
+         c AS (SELECT source AS cand, $szCols,
+             CAST(count(*) AS BIGINT) AS ns
+           FROM z GROUP BY 1),
+         cc AS (SELECT cand, $cid AS cid, $zcCols FROM c),
+         d AS (SELECT z.doc_id, z.source, cc.cand, cc.cid,
+             CAST($deltaExpr AS BIGINT) AS delta
+           FROM z CROSS JOIN cc),
+         p AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY delta, cid) AS rn FROM d)
+         SELECT doc_id, source, cand AS predicted,
+           delta AS delta_micro, source = cand AS correct
+         FROM p WHERE rn = 1"""
+    },
 
     // Mann-Whitney with doubled tie halves over the distinct-score
     // table; same spiked NB scoring as q164

@@ -2694,6 +2694,100 @@ object TextAnalysis {
     }
   }
 
+  /** Burrows' Delta stylometric attribution (Burrows 2002; Argamon
+    * 2008's analysis — the standard authorship-attribution measure:
+    * docs and author profiles live in a space of STANDARDIZED
+    * function-word rates, and Delta is the mean absolute difference of
+    * standardized scores; here the integer-exact variant — rates scale
+    * by the corpus floor-mean and mean-absolute-deviation instead of
+    * mean/σ, so no sqrt and no double ever enters a comparison).
+    * The provenance lens the dedup tier lacks: near-dup finds COPIES,
+    * Delta finds the same HAND.
+    *
+    * Pipeline (all exact longs): per doc, marker rates
+    * `f = count·1e6 div n_tokens`; per marker over the corpus,
+    * `fbar = Σf div n` and `md = Σ|f−fbar| div n` (ONE statistics row,
+    * broadcast — never a corpus collect); standardized
+    * `z = sign-split (f−fbar)·1e6 div max(md,1)` (negative numerators
+    * are exactly where div and // diverge); per candidate source the
+    * centroid `zc = sign-split Σz div n_src`; and
+    * `delta(doc, src) = Σ_w |z − zc| div K`. Attribution = the
+    * min-delta source via the bounded [[Relational.topKPerGroup]]
+    * heap (score −delta, smallest source index breaks ties) — no
+    * doc×source window. Docs with no tokens are excluded; the marker
+    * list is the caller's curated function-word set (Burrows' top-K
+    * frequency list is one choice of it). */
+  def burrowsDelta(df: DataFrame, idCol: String, srcCol: String,
+      textCol: Column, markers: Seq[String]): DataFrame = {
+    require(markers.nonEmpty && markers == markers.distinct,
+      "markers must be distinct and non-empty")
+    import org.apache.spark.sql.types.LongType
+    val k = markers.length
+    val base = Parallelism.ensure(
+        df.filter(textCol.isNotNull && col(srcCol).isNotNull)
+          .select(col(idCol), col(srcCol).as("__src"), textCol.as("__tx")))
+      .withColumn("__t", filter(tokens(col("__tx")), t => length(t) > 0))
+      .withColumn("__n", size(col("__t")).cast(LongType))
+      .filter(col("__n") > 0L)
+    val rated = markers.zipWithIndex.foldLeft(base) { case (acc, (w, i)) =>
+      acc.withColumn(s"__f$i",
+        expr(s"CAST(size(filter(__t, x -> x = '$w')) AS BIGINT)" +
+          " * 1000000 div __n"))
+    }.drop("__tx", "__t").localCheckpoint(true) // 3 jobs read it
+    // pass 1: corpus floor-means (one statistics row)
+    val statAggs = markers.indices.map(i =>
+      sum(col(s"__f$i")).as(s"__sf$i")) :+ count(lit(1)).as("__nd")
+    val stats = rated.agg(statAggs.head, statAggs.tail: _*)
+      .select(markers.indices.map(i =>
+        expr(s"__sf$i div __nd").as(s"__fbar$i")) :+ col("__nd"): _*)
+    val withBar = rated.crossJoin(broadcast(stats))
+    // pass 2: mean absolute deviations (one statistics row, floor ≥ 1)
+    val mdAggs = markers.indices.map(i =>
+      sum(abs(col(s"__f$i") - col(s"__fbar$i"))).as(s"__sad$i")) :+
+      max(col("__nd")).as("__nd2")
+    val mds = withBar.agg(mdAggs.head, mdAggs.tail: _*)
+      .select(markers.indices.map(i =>
+        expr(s"greatest(__sad$i div __nd2, 1)").as(s"__md$i")): _*)
+    // standardized scores, sign-split (negative numerators are where
+    // div and // diverge)
+    val z = markers.indices.foldLeft(withBar.crossJoin(broadcast(mds))) {
+      (acc, i) =>
+        acc.withColumn(s"__z$i", expr(
+          s"CASE WHEN __f$i >= __fbar$i" +
+            s" THEN (__f$i - __fbar$i) * 1000000 div __md$i" +
+            s" ELSE -((__fbar$i - __f$i) * 1000000 div __md$i) END"))
+    }.select(col(idCol) +: col("__src") +:
+      markers.indices.map(i => col(s"__z$i")): _*)
+      .localCheckpoint(true) // centroids AND the doc side read it
+    // per-source centroids (sign-split floor means), md5-keyed for the
+    // deterministic tie-break the top-k heap needs
+    val cAggs = markers.indices.map(i =>
+      sum(col(s"__z$i")).as(s"__sz$i")) :+ count(lit(1)).as("__ns")
+    val centroids = z.groupBy(col("__src").as("cand"))
+      .agg(cAggs.head, cAggs.tail: _*)
+      .select(col("cand") +:
+        graft.functions.Hashing.hexLong(col("cand")).as("__cid") +:
+        markers.indices.map(i => expr(
+          s"CASE WHEN __sz$i >= 0 THEN __sz$i div __ns" +
+            s" ELSE -((-__sz$i) div __ns) END").as(s"__zc$i")): _*)
+    val deltas = z.crossJoin(broadcast(centroids))
+      .withColumn("__delta", expr(
+        markers.indices.map(i => s"abs(__z$i - __zc$i)")
+          .mkString("(", " + ", s") div $k"))) // ≥ 0: plain div is safe
+    val best = Relational.topKPerGroup(
+        deltas.withColumn("__negd", -col("__delta")),
+        Seq(idCol), col("__negd"), col("__cid"), 1)
+      .select(col(idCol), col("id").as("__cid"))
+      .join(broadcast(centroids.select(col("cand").as("predicted"),
+        col("__cid"))), Seq("__cid"))
+    deltas.join(best.withColumnRenamed("predicted", "__pred"),
+        Seq(idCol))
+      .filter(col("cand") === col("__pred"))
+      .select(col(idCol), col("__src").as("source"),
+        col("__pred").as("predicted"), col("__delta").as("delta_micro"),
+        (col("__src") === col("__pred")).as("correct"))
+  }
+
   /** TextTiling topic segmentation (Hearst 1997 — lexical-cohesion
     * valleys as topic boundaries; the document-STRUCTURE operator the
     * chunking tier lacks: q39/q101 cut at fixed sizes, this cuts where

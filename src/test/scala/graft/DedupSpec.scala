@@ -340,6 +340,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syl == 2L)
   }
 
+  test("burrowsDelta: recovers the hand exactly on separated styles, junk dropped") {
+    val a = "alpha beta thus thus thus thus"   // author A: thus-heavy
+    val b = "alpha beta very very very very"   // author B: very-heavy
+    val rows = (1L to 5L).map(i => (i, "A", a)) ++
+      (6L to 10L).map(i => (i, "B", b)) ++
+      Seq((11L, "A", ""), (12L, null.asInstanceOf[String], a),
+        (13L, "A", null.asInstanceOf[String]))
+    val out = TextAnalysis.burrowsDelta(rows.toDF("doc_id", "src", "text"),
+        "doc_id", "src", col("text"), Seq("thus", "very"))
+      .as[(Long, String, String, Long, Boolean)].collect()
+    assert(out.length == 10, out.mkString(","))          // junk excluded
+    assert(out.forall(_._5), out.mkString(","))          // all attributed
+    // identical docs sit ON their centroid: delta exactly 0
+    assert(out.forall(_._4 == 0L), out.mkString(","))
+    // and the styles are genuinely separated: cross-author delta > 0
+    val deltas = TextAnalysis.burrowsDelta(
+        rows.toDF("doc_id", "src", "text"), "doc_id", "src",
+        col("text"), Seq("thus", "very"))
+    assert(deltas.filter(col("doc_id") === 1L)
+      .select("predicted").as[String].head() == "A")
+  }
+
   test("aucExact: perfect/reversed/tied rankings, half-credit ties, degenerate NULL") {
     def run(rows: Seq[(java.lang.Long, java.lang.Boolean)]) =
       TextAnalysis.aucExact(rows.toDF("s", "y"), col("s"), col("y"))

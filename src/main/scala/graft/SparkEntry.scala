@@ -1850,6 +1850,22 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // KS two-sample drift on the sketch grid over q182's injected
+    // drift: the bin-free worst-CDF-gap statistic beside PSI's
+    // where-did-mass-move divergence
+    "q192_ks_drift" -> ((s, d) => {
+      val isRef = col("ts") < lit("2024-01-16").cast("timestamp")
+      val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
+      val spiked = when(!isRef && col("event_type") === "error",
+          cents + 5000L)
+        .when(!isRef && col("event_type") === "purchase", cents * 2L)
+        .otherwise(cents)
+      Sketches.ddsketchKS(Tables.events(s, d), "event_type", isRef,
+        spiked)
+        .select(col("g").as("event_type"), col("n_ref"), col("n_cur"),
+          col("ks_micro"))
+    }),
+
     // Burrows' Delta authorship attribution: each source writes with
     // a coded function-word mix ((N%3, N%4, N%5) repeat counts —
     // distinct per source); Delta must recover the hand from the rates
@@ -4343,6 +4359,37 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same shared sketch grid, exact cross-multiplied CDF gap
+    "q192_ks_drift" ->
+      """WITH base AS (SELECT * FROM (SELECT event_type AS g,
+             ts < TIMESTAMP '2024-01-16' AS isref,
+             CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+                 AND event_type = 'error'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) + 5000
+               WHEN NOT (ts < TIMESTAMP '2024-01-16')
+                 AND event_type = 'purchase'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+               ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL) WHERE v > 0),
+         bk AS (SELECT g,
+             greatest(length(to_base(v, 2)) - 1 - 8, 0) AS shift,
+             v >> greatest(length(to_base(v, 2)) - 1 - 8, 0) AS m,
+             CAST(count(*) FILTER (WHERE isref) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE NOT isref) AS BIGINT) AS cc
+           FROM base GROUP BY 1, 2, 3),
+         cum AS (SELECT g, cr, cc,
+             sum(cr) OVER (PARTITION BY g ORDER BY (m << shift)) AS cumr,
+             sum(cc) OVER (PARTITION BY g ORDER BY (m << shift)) AS cumc,
+             sum(cr) OVER (PARTITION BY g) AS nr,
+             sum(cc) OVER (PARTITION BY g) AS nc
+           FROM bk)
+         SELECT g AS event_type, CAST(nr AS BIGINT) AS n_ref,
+           CAST(nc AS BIGINT) AS n_cur,
+           CAST(max(abs(cumr * nc - cumc * nr)) * 1000000 // (nr * nc)
+             AS BIGINT) AS ks_micro
+         FROM cum WHERE nr > 0 AND nc > 0 GROUP BY g, nr, nc""",
 
     // same floor-mean/MD scaling, sign-split divisions, md5 tie-break
     "q191_burrows_delta" -> {

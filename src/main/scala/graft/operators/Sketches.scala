@@ -248,16 +248,69 @@ object Sketches {
     * across shards/batches by construction). */
   def ddsketchBuckets(df: DataFrame, grp: Seq[String], valCol: Column,
       subBits: Int): DataFrame = {
-    require(subBits >= 1 && subBits <= 16, "subBits out of range")
     val g = grp.map(col)
-    df.filter(valCol.isNotNull && (valCol > 0L))
-      .select(g :+ valCol.cast(LongType).as("__v"): _*)
-      .withColumn("__shift",
+    withDdsketchBucket(
+        df.filter(valCol.isNotNull && (valCol > 0L))
+          .select(g :+ valCol.cast(LongType).as("__v"): _*), subBits)
+      .groupBy(g :+ col("__shift") :+ col("__m"): _*)
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The exponent/mantissa-bit bucket key over a positive-long `__v`
+    * column — the ONE implementation every sketch-grid consumer
+    * ([[ddsketchBuckets]], [[ddsketchKS]]) shares. */
+  private[operators] def withDdsketchBucket(df: DataFrame,
+      subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, "subBits out of range")
+    df.withColumn("__shift",
         greatest(length(bin(col("__v"))) - 1 - subBits, lit(0))
           .cast(IntegerType))
       .withColumn("__m", expr("shiftright(__v, __shift)"))
-      .groupBy(g :+ col("__shift") :+ col("__m"): _*)
-      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Kolmogorov–Smirnov two-sample statistic on the sketch grid
+    * (Kolmogorov 1933 / Smirnov 1939: D = max |F_ref − F_cur| — the
+    * bin-free distribution-drift test beside [[Temporal.psiDrift]]'s
+    * binned divergence; PSI weighs WHERE mass moved, KS bounds the
+    * worst single CDF gap). Computed exactly on the DDSketch-quantized
+    * values: both periods bucket on the SHARED [[withDdsketchBucket]]
+    * grid in one conditional pass (this IS the exact KS of the
+    * quantized data — the quantization, ≤2^−subBits relative, is the
+    * operator's stated resolution), then
+    * `D = max |cumr·n_cur − cumc·n_ref|` over bucket boundaries as
+    * exact longs and `ks_micro = D·1e6 div (n_ref·n_cur)` on positive
+    * mass. The cumulative window runs over the per-group SKETCH table
+    * only. Long bound: cum·n ≤ n², so n·1e3 must fit a long —
+    * fine to ~3e7 rows per group per period at micro output; shard
+    * groups beyond that. NULL/non-positive values excluded; groups
+    * need both periods represented or KS is undefined (excluded). */
+  def ddsketchKS(df: DataFrame, grpCol: String, isRef: Column,
+      valCol: Column, subBits: Int = 8): DataFrame = {
+    val base = df
+      .filter(col(grpCol).isNotNull && isRef.isNotNull &&
+        valCol.isNotNull && (valCol > 0L))
+      .select(col(grpCol).as("g"), isRef.as("__ref"),
+        valCol.cast(LongType).as("__v"))
+    val buckets = withDdsketchBucket(base, subBits)
+      .groupBy(col("g"), col("__shift"), col("__m"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__cc"))
+      .withColumn("__lo", expr("shiftleft(__m, __shift)"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("__lo"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    buckets // sketch-sized windows
+      .withColumn("__cumr", sum(col("__cr")).over(wCum))
+      .withColumn("__cumc", sum(col("__cc")).over(wCum))
+      .withColumn("__nr", sum(col("__cr")).over(wAll))
+      .withColumn("__nc", sum(col("__cc")).over(wAll))
+      .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .groupBy(col("g"), col("__nr").as("n_ref"), col("__nc").as("n_cur"))
+      .agg(max(abs(col("__cumr") * col("__nc") -
+        col("__cumc") * col("__nr"))).as("__d"))
+      .select(col("g"), col("n_ref"), col("n_cur"),
+        expr("__d * 1000000 div (n_ref * n_cur)").as("ks_micro"))
   }
 
   /** The read-time half: quantile extraction over a persisted/sunk

@@ -98,6 +98,29 @@ class SketchesSpec extends SparkSpec {
     assert(ab._5 == oneShot, s"${ab._5} vs $oneShot")
   }
 
+  test("ddsketchKS: identical=0, disjoint=1, hand-checked partial gap, one-period group excluded") {
+    def run(rows: Seq[(String, Boolean, Long)]) =
+      Sketches.ddsketchKS(rows.toDF("g", "isref", "v"), "g",
+          col("isref"), col("v"), subBits = 8)
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // small values (< 2^8) sit in singleton buckets: the grid is exact
+    val ident = (1L to 50L).flatMap(v =>
+      Seq(("a", true, v), ("a", false, v)))
+    val disjoint = (1L to 50L).map(v => ("b", true, v)) ++
+      (101L to 150L).map(v => ("b", false, v))
+    // half the current mass shifted fully right of the reference:
+    // worst CDF gap = |1.0 - 0.5| at the reference max
+    val half = (1L to 50L).map(v => ("c", true, v)) ++
+      (1L to 25L).map(v => ("c", false, v)) ++
+      (101L to 125L).map(v => ("c", false, v))
+    val lone = Seq(("d", true, 5L))
+    val out = run(ident ++ disjoint ++ half ++ lone)
+    assert(out("a") == (("a", 50L, 50L, 0L)), out.toString)
+    assert(out("b") == (("b", 50L, 50L, 1000000L)), out.toString)
+    assert(out("c") == (("c", 50L, 50L, 500000L)), out.toString)
+    assert(!out.contains("d"), out.toString)
+  }
+
   test("ddsketchQuantiles: hand-checked buckets, rank clamp, junk rows excluded") {
     // values 1,2,3,100 at subBits=1: small values land in singleton
     // buckets ([1,1],[2,2],[3,3]); 100 (7 bits) coarsens to [96,127]

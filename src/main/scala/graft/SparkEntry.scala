@@ -1850,6 +1850,13 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // top user journeys: whole session paths (1-day gap so multi-event
+    // sessions form), capped at 6 steps — the trajectory view next to
+    // q81's single ordained funnel
+    "q193_session_paths" -> ((s, d) =>
+      Temporal.sessionPaths(Tables.events(s, d), "user_id", "ts",
+        "event_id", col("event_type"), gapSeconds = 86400L)),
+
     // KS two-sample drift on the sketch grid over q182's injected
     // drift: the bin-free worst-CDF-gap statistic beside PSI's
     // where-did-mass-move divergence
@@ -4359,6 +4366,30 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // q63's session windows, ordered-list path build, top-k
+    "q193_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IS NOT NULL AND ts IS NOT NULL),
+         l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev FROM e),
+         f AS (SELECT *, CASE WHEN prev IS NULL
+             OR us - prev > 86400000000 THEN 1 ELSE 0 END AS nw FROM l),
+         s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         p AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+             array_to_string(list(event_type
+               ORDER BY us, event_id)[1:6], '>') AS path
+           FROM s GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n > 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 50""",
 
     // same shared sketch grid, exact cross-multiplied CDF gap
     "q192_ks_drift" ->

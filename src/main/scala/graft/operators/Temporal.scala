@@ -134,6 +134,49 @@ object Temporal {
           .cast(org.apache.spark.sql.types.LongType))
   }
 
+  /** Session path mining — the top user JOURNEYS ("view>view>purchase"),
+    * the product-analytics staple a transition matrix can't answer
+    * (paths are whole trajectories, not first-order hops; complements
+    * q81's fixed-template funnel, which asks about ONE ordained path).
+    * Sessions are [[sessionize]]'s gap rule verbatim; each session's
+    * path is its first `maxSteps` event types in (ts, order) order
+    * (the cap bounds path-string state — `n_truncated` reports how
+    * often it bit), then one path-keyed count aggregate and a bounded
+    * TakeOrdered top-k (count desc, path asc) — no global sort. The
+    * per-user session window is q63's (the q68 salted build is the
+    * hot-key escape hatch). */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, typeCol: Column, gapSeconds: Long,
+      maxSteps: Int = 6, topK: Int = 50): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1, "degenerate path params")
+    val gapUs = gapSeconds * 1000000L
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"), col("__ord"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paths = df
+      .select(col(userCol), col(orderCol).as("__ord"), typeCol.as("__et"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .filter(col(userCol).isNotNull && col("__et").isNotNull &&
+        col("__us").isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(wrun))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(count(lit(1)).as("__n"),
+        array_join(expr(s"transform(slice(array_sort(collect_list(" +
+          s"struct(__us AS us, __ord AS ord, __et AS et))), 1, $maxSteps)," +
+          " x -> x.et)"), ">").as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__n")).as("n_events"),
+        sum(when(col("__n") > maxSteps.toLong, 1L).otherwise(0L))
+          .as("n_truncated"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Per-row rolling time-window aggregate: for every row, the count and
     * sum of `valCol` over that key's rows in the trailing window
     * `[ts - windowSeconds, ts]` (inclusive both ends) — the feature-

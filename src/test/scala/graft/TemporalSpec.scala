@@ -582,6 +582,31 @@ class NativeCosineSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("sessionPaths: gap splits journeys, order by time not input, cap truncates, top-k ties") {
+    import graft.operators.Temporal
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // user 1: a>b then (after the gap) c ; user 2: a>b — input rows
+    // deliberately shuffled so only (ts, id) order can build the path
+    val ev = Seq(
+      (1L, 2L, t(10), "b"), (1L, 1L, t(0), "a"), (1L, 3L, t(5000), "c"),
+      (2L, 1L, t(0), "a"), (2L, 2L, t(10), "b"),
+      (3L, 1L, t(0), "x"), (3L, 2L, t(1), "x"), (3L, 3L, t(2), "x"),
+      (3L, 4L, t(3), "x"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Temporal.sessionPaths(ev, "user_id", "ts", "event_id",
+        col("event_type"), gapSeconds = 600L, maxSteps = 3, topK = 10)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a>b") == (("a>b", 2L, 4L, 0L)), out.toString) // both users
+    assert(out("c") == (("c", 1L, 1L, 0L)), out.toString)     // post-gap
+    // user 3's 4-event session truncates to 3 steps, n_events keeps 4
+    assert(out("x>x>x") == (("x>x>x", 1L, 4L, 1L)), out.toString)
+    // top-k ordering: count desc then path asc
+    val ordered = Temporal.sessionPaths(ev, "user_id", "ts", "event_id",
+        col("event_type"), gapSeconds = 600L, maxSteps = 3, topK = 2)
+      .as[(String, Long, Long, Long)].collect().map(_._1).toSeq
+    assert(ordered == Seq("a>b", "c"), ordered.toString)
+  }
+
   test("intervalOverlapJoin: exact overlap windows, multi-cell pairs appear once, junk dropped") {
     import graft.operators.Temporal
     def dt(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))

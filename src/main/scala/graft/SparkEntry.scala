@@ -1850,6 +1850,26 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // exact Gini concentration of customer spend per market segment —
+    // whales INJECTED into one segment (every 20th AUTOMOBILE customer
+    // spends 20x) so the index separates; zero-spend customers count
+    "q194_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("__spend"))
+      val joined = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("__sp", coalesce(col("__spend"), lit(0L)))
+        .withColumn("__sp2",
+          when(col("c_mktsegment") === "AUTOMOBILE" &&
+            col("c_custkey") % 20 === 0, col("__sp") * 20L)
+            .otherwise(col("__sp")))
+      Relational.giniIndex(joined, "c_mktsegment", col("__sp2"))
+        .select(col("g").as("c_mktsegment"), col("n_rows"), col("total"),
+          col("gini_micro"))
+    }),
+
     // top user journeys: whole session paths (1-day gap so multi-event
     // sessions form), capped at 6 steps — the trajectory view next to
     // q81's single ordained funnel
@@ -4366,6 +4386,34 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // same grouped-data Gini collapse, two-division overflow guard
+    "q194_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sp
+           FROM orders GROUP BY 1),
+         j AS (SELECT c.c_mktsegment AS g,
+             CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                 AND c.c_custkey % 20 = 0
+               THEN coalesce(sp, 0) * 20 ELSE coalesce(sp, 0) END AS v
+           FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+         cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+           FROM j WHERE g IS NOT NULL AND v >= 0 GROUP BY 1, 2),
+         cum AS (SELECT g, v, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM cnt),
+         t AS (SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(sum(v * c) AS BIGINT) AS total,
+             CAST(sum(v * c * (2 * k + c - n)) AS BIGINT) AS t
+           FROM cum GROUP BY 1)
+         SELECT g AS c_mktsegment, n_rows, total,
+           CAST((t * 1000 // (n_rows * total)) * 1000
+             + (t * 1000 % (n_rows * total)) * 1000 // (n_rows * total)
+             AS BIGINT) AS gini_micro
+         FROM t WHERE total > 0""",
 
     // q63's session windows, ordered-list path build, top-k
     "q193_session_paths" ->

@@ -464,6 +464,47 @@ object Relational {
     full.unionByName(boundary)
   }
 
+  /** Exact Gini concentration index (Gini 1912, the grouped-data form):
+    * per group, how dominated the mass is by few rows — the
+    * "is this corpus a handful of giant documents" / "does one
+    * customer carry the segment" audit next to q140's Zipf tail fit
+    * and q165's datasheet. For a value v with count c whose
+    * cumulative predecessor count is k (ascending order), the classic
+    * `Σ(2·rank − n − 1)·x` collapses to `Σ v·c·(2k + c − n)` — every
+    * term an exact long (terms go negative, the TOTAL is ≥ 0 for
+    * non-negative values, so the final division is positive mass) —
+    * and `gini_micro = T·1e6 div (n·S)` via the two-division overflow
+    * guard. The corpus collapses to the per-group DISTINCT-VALUE table
+    * in one hash aggregate (the [[graft.operators.TextAnalysis.aucExact]]
+    * shape); the cumulative window runs over value resolution, not
+    * rows. NULL and negative values carry no concentration evidence
+    * and are excluded; an all-zero group (S = 0) has no defined index
+    * and is excluded. */
+  def giniIndex(df: DataFrame, grpCol: String, valCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val counts = df
+      .filter(col(grpCol).isNotNull && valCol.isNotNull && (valCol >= 0L))
+      .select(col(grpCol).as("g"), valCol.cast(LongType).as("__v"))
+      .groupBy("g", "__v").agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("g"))
+    counts // distinct-value-sized windows
+      .withColumn("__k", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(col("g"), col("__n").as("n_rows"))
+      .agg(sum(expr("__v * __c * (2 * __k + __c - __n)")).as("__t"),
+        sum(expr("__v * __c")).as("total"))
+      .filter(col("total") > 0L)
+      // T·1e6 div D in two ×1000 stages (exact identity) — one ×1e6
+      // stage overflows a long once D = n·total reaches cents-scale
+      // corpora; caller pre-scales the value unit past ~1e18/n² mass
+      .select(col("g"), col("n_rows"), col("total"),
+        expr("((__t * 1000 div (n_rows * total)) * 1000) " +
+          "+ ((__t * 1000 % (n_rows * total)) * 1000) " +
+          "div (n_rows * total)").as("gini_micro"))
+  }
+
   /** Poisson bootstrap confidence interval (Chamandy et al. 2012 — the
     * ONE-PASS bootstrap that scales: classical resampling needs the
     * whole dataset per replicate; here every row draws an independent

@@ -383,6 +383,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 100L, out.toString)
   }
 
+  test("giniIndex: equality=0, single-holder=(n-1)/n, hand value, tie groups, junk excluded") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val rows = Seq(
+      ("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("one", 0L), ("one", 0L), ("one", 0L), ("one", 10L),
+      ("hand", 1L), ("hand", 2L), ("hand", 3L), ("hand", 4L),
+      ("tie", 1L), ("tie", 1L), ("tie", 2L),
+      ("zero", 0L), ("zero", 0L),
+      ("neg", -5L), ("neg", 10L))
+      .toDF("g", "v")
+      .union(Seq(("eq", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "v").select(col("g"), col("v").cast("long")))
+    val out = Relational.giniIndex(rows, "g", col("v"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("eq") == (("eq", 4L, 20L, 0L)), out.toString)
+    assert(out("one") == (("one", 4L, 10L, 750000L)), out.toString)
+    // [1,2,3,4]: T = -3-2+3+12 = 10, G = 10/40 = 0.25 exactly
+    assert(out("hand") == (("hand", 4L, 10L, 250000L)), out.toString)
+    // [1,1,2]: grouped-count path, G = 2/12 -> 166666 floored
+    assert(out("tie") == (("tie", 3L, 4L, 166666L)), out.toString)
+    assert(!out.contains("zero"), "all-zero group has no index")
+    // the negative row drops; the group keeps its remaining mass
+    assert(out("neg") == (("neg", 1L, 10L, 0L)), out.toString)
+  }
+
   test("poissonBootstrapCI: deterministic, brackets the exact mean, bounded weights") {
     import spark.implicits._
     import graft.operators.Relational

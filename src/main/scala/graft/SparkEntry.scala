@@ -1850,6 +1850,25 @@ object SparkEntry {
           .withColumn("shard", expr("l_suppkey % 8")),
         "shard", col("l_orderkey"))),
 
+    // entity resolution: q89's blocked fuzzy pairs closed transitively
+    // into entities (the record-linkage end-game — pairs alone aren't
+    // entities), canonical = min member key, singletons filtered
+    "q195_entities" -> ((s, d) => {
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val pairs = Relational.fuzzySelfJoin(Tables.part(s, d), "p_partkey",
+          "p_name", Seq("p_brand"), maxDist = 2)
+        .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+      Tables.part(s, d).select(col("p_partkey"))
+        .join(Dedup.connectedComponents(pairs),
+          col("p_partkey") === col("doc"), "left")
+        .withColumn("entity_id",
+          coalesce(col("component"), col("p_partkey")))
+        .groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+        .join(parts.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), Seq("entity_id"))
+        .filter(col("n_members") >= 2L)
+    }),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -4386,6 +4405,32 @@ object SparkEntry {
              END AS BIGINT) AS tau_micro
          FROM ne JOIN s ON ne.user_id = s.user_id
          WHERE ne.n_events >= 2""",
+
+    // q89's pair SQL + q51's recursive reachability closure
+    "q195_entities" ->
+      """WITH RECURSIVE cand AS (
+           SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+           FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 2
+           WHERE levenshtein(a.p_name, b.p_name) <= 2),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r
+                   JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc,
+             least(src, min(dst)) AS component
+           FROM reach GROUP BY src),
+         ent AS (SELECT p.p_partkey,
+             coalesce(c.component, p.p_partkey) AS entity_id
+           FROM part p LEFT JOIN comp c ON p.p_partkey = c.doc),
+         g AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+           FROM ent GROUP BY 1)
+         SELECT g.entity_id, g.n_members, p.p_name AS canonical_name
+         FROM g JOIN part p ON g.entity_id = p.p_partkey
+         WHERE n_members >= 2""",
 
     // same grouped-data Gini collapse, two-division overflow guard
     "q194_gini" ->

@@ -340,6 +340,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syl == 2L)
   }
 
+  test("entity resolution: fuzzy pairs close transitively, canonical = min key, blocks isolate") {
+    import graft.operators.{Dedup, Relational}
+    // a 3-link chain whose ENDS are 2 edits apart through the middle —
+    // pairwise matching alone gives 3 pairs, resolution gives 1 entity
+    val parts = Seq(
+      (1L, "B1", "widget alpha"), (2L, "B1", "widget alphb"),
+      (3L, "B1", "widget alphc"), (4L, "B1", "completely different"),
+      (5L, "B2", "widget alpha")) // same name, other block: isolated
+      .toDF("p_partkey", "p_brand", "p_name")
+    val pairs = Relational.fuzzySelfJoin(parts, "p_partkey", "p_name",
+        Seq("p_brand"), maxDist = 2)
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+    val out = parts.select(col("p_partkey"))
+      .join(Dedup.connectedComponents(pairs),
+        col("p_partkey") === col("doc"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("p_partkey")))
+      .groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L), out.toString)
+  }
+
   test("burrowsDelta: recovers the hand exactly on separated styles, junk dropped") {
     val a = "alpha beta thus thus thus thus"   // author A: thus-heavy
     val b = "alpha beta very very very very"   // author B: very-heavy

@@ -510,14 +510,23 @@ object Graph {
       .withColumn("__w",
         floor(lit(1000000.0) / log(col("deg").cast("double")) + 0.5)
           .cast("long"))
-    // one weighted-edge table, hash-pinned on z and checkpointed: the
-    // self-join below then zips two copies of the SAME layout — no
-    // exchange on either side, and the deg/weight subplan runs once
-    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ez = GraftShims.checkpointHashPartitioned(e.join(w, "z"), p, "z")
-    ez.select(col("z"), col("u").as("u_a"), col("__w"))
-      .join(ez.select(col("z"), col("u").as("u_b")), "z")
-      .filter(col("u_a") < col("u_b"))
+    // per-z adjacency collected ONCE (arrays bounded by the maxDeg
+    // filter, which runs BEFORE any list materializes — the hub guard),
+    // then the native IdPairs generator enumerates each z's pairs
+    // INSIDE the stage, where the (u_a, u_b) partial aggregate combines
+    // them map-side before the one pair-keyed exchange. Round 9
+    // replaced the checkpointed z-self-join with this form: wall time
+    // is UNCHANGED (~2.3 s at sf0.1 either way — the ~9M-pair
+    // enumeration dominates both plans, measured; see the BASELINE.md
+    // q171 floor note), but the iteration-free linear chain drops the
+    // checkpoint machinery and one exchange, which is the shape that
+    // matters when |E| grows 100×.
+    e.join(w, "z")
+      .groupBy("z")
+      .agg(max(col("__w")).as("__w"), collect_list(col("u")).as("__us"))
+      .select(col("__w"),
+        graft.functions.Native.idPairs(col("__us"))
+          .as(Seq("u_a", "u_b")))
       .groupBy("u_a", "u_b")
       .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("aa_micro"))
       .orderBy(col("aa_micro").desc, col("u_a"), col("u_b"))

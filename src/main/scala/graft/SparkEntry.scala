@@ -977,6 +977,16 @@ object SparkEntry {
           maxBucket = DefaultMaxBucket))
     }),
 
+    // ROUGE-N recall + exact-identity F1 over the same mined pairs —
+    // the summarization-eval twin completing the BLEU/chrF/ROUGE triple
+    "q196_rouge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.rougeN(docs, "doc_id", col("text"),
+        Dedup.minHashCandidates(docs, "doc_id", col("text"),
+          k = MinhashK, numPerm = MinhashPerms, bands = MinhashBands,
+          maxBucket = DefaultMaxBucket))
+    }),
+
     // chrF2 (char n-gram F-score, orders 1-3, beta=2) over the same
     // mined candidate pairs - the tokenization-free eval twin of
     // q163's BLEU precision. Probed at sf0.01: 25 pairs, 25 distinct
@@ -5393,6 +5403,48 @@ object SparkEntry {
          FROM cand p JOIN tot t ON t.doc_id = p.doc_a
          LEFT JOIN clip c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
            AND c.n = t.n""",
+
+    // q163's CTEs; reference-side denominator + the exact F1 identity
+    // 2PR/(P+R) = 2*clip/(tot_a + tot_b)
+    "q196_rouge" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+           JOIN ok ON a.band_idx = ok.band_idx
+             AND a.band_hash = ok.band_hash),
+         ids AS (SELECT doc_a AS doc FROM cand
+                 UNION SELECT doc_b FROM cand),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents JOIN ids ON doc_id = doc),
+         g1 AS (SELECT doc_id, 1 AS n, unnest(w) AS gram FROM tk),
+         g2 AS (SELECT doc_id, 2 AS n,
+             unnest([array_to_string(w[i+1:i+2], ' ')
+                     for i in range(0, len(w) - 1)]) AS gram
+           FROM tk WHERE len(w) >= 2),
+         cnt AS (SELECT doc_id, n, gram, count(*) AS c
+           FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+           GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+                 FROM cnt GROUP BY 1, 2),
+         clip AS (SELECT p.doc_a, p.doc_b, a.n,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+           FROM cand p JOIN cnt a ON a.doc_id = p.doc_a
+           JOIN cnt b ON b.doc_id = p.doc_b AND b.n = a.n
+             AND b.gram = a.gram
+           GROUP BY 1, 2, 3)
+         SELECT p.doc_a, p.doc_b, CAST(tb.n AS BIGINT) AS n,
+           tb.tot AS ref_ngrams,
+           CAST(coalesce(c.clip, 0) AS BIGINT) AS clipped,
+           CAST(coalesce(c.clip, 0) * 1000000 // tb.tot AS BIGINT)
+             AS r_micro,
+           CAST(2 * coalesce(c.clip, 0) * 1000000 // (ta.tot + tb.tot)
+             AS BIGINT) AS f1_micro
+         FROM cand p JOIN tot tb ON tb.doc_id = p.doc_b
+         JOIN tot ta ON ta.doc_id = p.doc_a AND ta.n = tb.n
+         LEFT JOIN clip c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+           AND c.n = tb.n""",
 
     // char n-grams (spaces stripped) orders 1-3; per-order integer
     // micro P/R floored BEFORE the order average; F2 = 5PR // (4P+R)

@@ -2341,6 +2341,24 @@ object TextAnalysis {
     * zero-overlap pair keeps its zero row. */
   def clippedNgramPrecision(docs: DataFrame, idCol: String, text: Column,
       pairs: DataFrame, maxOrder: Int = 2): DataFrame = {
+    val (totals, clip) = pairNgramOverlap(docs, idCol, text, pairs, maxOrder)
+    pairs
+      .join(totals.select(col("doc").as("doc_a"), col("n"), col("__tot")),
+        Seq("doc_a"))
+      .join(clip, Seq("doc_a", "doc_b", "n"), "left")
+      .na.fill(0L, Seq("__clip"))
+      .select(col("doc_a"), col("doc_b"), col("n").cast(LongType).as("n"),
+        col("__tot").as("cand_ngrams"), col("__clip").as("clipped"),
+        expr("__clip * 1000000 div __tot").as("p_micro"))
+  }
+
+  /** The shared multiset-overlap core of [[clippedNgramPrecision]] and
+    * [[rougeN]]: semi-joined corpus, ONE checkpointed per-doc
+    * (doc, n, gram, count) table feeding the per-doc totals AND both
+    * pair-join sides, clipped overlap per (pair, order). */
+  private def pairNgramOverlap(docs: DataFrame, idCol: String,
+      text: Column, pairs: DataFrame,
+      maxOrder: Int): (DataFrame, DataFrame) = {
     require(maxOrder >= 1, "maxOrder >= 1")
     val ids = pairs.select(col("doc_a").as("doc"))
       .union(pairs.select(col("doc_b").as("doc"))).distinct()
@@ -2368,14 +2386,36 @@ object TextAnalysis {
         col("__c").as("__cb")), Seq("doc_b", "n", "gram"))
       .groupBy("doc_a", "doc_b", "n")
       .agg(sum(least(col("__ca"), col("__cb"))).as("__clip"))
+    (totals, clip)
+  }
+
+  /** ROUGE-N recall + F1 (Lin 2004 — the summarization-eval twin of
+    * q163's BLEU precision: BLEU asks "how much of the CANDIDATE is in
+    * the reference", ROUGE asks "how much of the REFERENCE did the
+    * candidate recover"; doc_a plays candidate, doc_b reference). Same
+    * multiset-clipped overlap machinery and lifecycle as
+    * [[clippedNgramPrecision]] — the one checkpointed per-doc n-gram
+    * count table feeds totals and both pair-join sides — with the
+    * recall denominator (reference totals) and the EXACT integer F1
+    * identity `F1 = 2PR/(P+R) = 2·clip/(tot_a+tot_b)` (no
+    * micro-ratio composition, no rounding drift; all-positive `div`).
+    * A pair lacking order-n grams on EITHER side carries no score at
+    * that order and is excluded (the chrF short-side contract — F1
+    * needs both denominators). */
+  def rougeN(docs: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame, maxOrder: Int = 2): DataFrame = {
+    val (totals, clip) = pairNgramOverlap(docs, idCol, text, pairs, maxOrder)
     pairs
-      .join(totals.select(col("doc").as("doc_a"), col("n"), col("__tot")),
-        Seq("doc_a"))
+      .join(totals.select(col("doc").as("doc_b"), col("n"),
+        col("__tot").as("__totb")), Seq("doc_b"))
+      .join(totals.select(col("doc").as("doc_a"), col("n"),
+        col("__tot").as("__tota")), Seq("doc_a", "n"))
       .join(clip, Seq("doc_a", "doc_b", "n"), "left")
       .na.fill(0L, Seq("__clip"))
       .select(col("doc_a"), col("doc_b"), col("n").cast(LongType).as("n"),
-        col("__tot").as("cand_ngrams"), col("__clip").as("clipped"),
-        expr("__clip * 1000000 div __tot").as("p_micro"))
+        col("__totb").as("ref_ngrams"), col("__clip").as("clipped"),
+        expr("__clip * 1000000 div __totb").as("r_micro"),
+        expr("2 * __clip * 1000000 div (__tota + __totb)").as("f1_micro"))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:

@@ -340,6 +340,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syl == 2L)
   }
 
+  test("rougeN: hand-checked recall/F1, clip bites, short side drops its order") {
+    val docs = Seq((1L, "a b a"), (2L, "a b b b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 1L)).toDF("doc_a", "doc_b")
+    val out = TextAnalysis.rougeN(docs, "doc_id", col("text"), pairs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2, r._3) -> r).toMap
+    // (1,2) n=1: cand {a:2,b:1}, ref {a:1,b:3} -> clip 2 (the a clips
+    // at the REFERENCE count), R = 2/4, F1 = 2*2/(3+4)
+    assert(out((1L, 2L, 1L)) == ((1L, 2L, 1L, 4L, 2L, 500000L, 571428L)),
+      out.toString)
+    // (1,2) n=2: clip {"a b"} = 1 of ref 3, F1 = 2/(2+3)
+    assert(out((1L, 2L, 2L)) == ((1L, 2L, 2L, 3L, 1L, 333333L, 400000L)),
+      out.toString)
+    // (3,1): the 1-token candidate has no bigrams -> order 2 excluded,
+    // order 1 scores (x misses entirely: recall 0)
+    assert(out.contains((3L, 1L, 1L)) && !out.contains((3L, 1L, 2L)),
+      out.keys.toString)
+    assert(out((3L, 1L, 1L))._6 == 0L, out.toString)
+  }
+
   test("entity resolution: fuzzy pairs close transitively, canonical = min key, blocks isolate") {
     import graft.operators.{Dedup, Relational}
     // a 3-link chain whose ENDS are 2 edits apart through the middle —

@@ -1879,6 +1879,13 @@ object SparkEntry {
         .filter(col("n_members") >= 2L)
     }),
 
+    // per-user least-squares drift: the classical estimator next to
+    // q175's Theil-Sen robust slope — the pair whose disagreement is
+    // itself an outlier signal
+    "q197_ols_trend" -> ((s, d) =>
+      Temporal.olsTrend(Tables.events(s, d), "user_id", "ts",
+        "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -4441,6 +4448,34 @@ object SparkEntry {
          SELECT g.entity_id, g.n_members, p.p_name AS canonical_name
          FROM g JOIN part p ON g.entity_id = p.p_partkey
          WHERE n_members >= 2""",
+
+    // closed-form sums, minutes offset, sign-split staged division
+    "q197_ols_trend" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         rk AS (SELECT user_id, us, v, row_number() OVER (
+             PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+         cap AS (SELECT * FROM rk WHERE rn <= 128),
+         x AS (SELECT user_id, v,
+             (us - min(us) OVER (PARTITION BY user_id)) // 60000000 AS x
+           FROM cap),
+         s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * v) AS BIGINT) AS sxy
+           FROM x GROUP BY 1),
+         d AS (SELECT *, n * sxx - sx * sx AS den,
+             n * sxy - sx * sy AS num FROM s)
+         SELECT user_id, n AS n_events,
+           CAST(CASE WHEN num >= 0
+             THEN (num * 1000 // den) * 1000
+               + (num * 1000 % den) * 1000 // den
+             ELSE -(((-num) * 1000 // den) * 1000
+               + ((-num) * 1000 % den) * 1000 // den)
+             END AS BIGINT) AS slope_micro_per_min
+         FROM d WHERE den > 0""",
 
     // same grouped-data Gini collapse, two-division overflow guard
     "q194_gini" ->

@@ -625,6 +625,49 @@ object Temporal {
       .drop("__range")
   }
 
+  /** Per-key ordinary-least-squares trend (the classical estimator next
+    * to [[theilSenTrend]]'s robust one — run BOTH and a gap between
+    * them is itself an outlier signal): slope of value over time from
+    * the closed form `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, every sum an
+    * exact long. Time is MINUTES offset from the key's first capped
+    * event (the offset keeps Σx² inside a long where raw epoch micros
+    * explode it; minutes keep the two-stage division inside a long at
+    * the 128-event cap), value is the caller's integer unit. The
+    * division is sign-split (negative numerators are where div and //
+    * diverge) and staged ×1000 twice (the Gini overflow guard).
+    * Same maxEvents cap as q175; keys whose capped events share one
+    * minute have no x variance and are excluded. Output slope unit:
+    * value-micro per minute. */
+  def olsTrend(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: Column, maxEvents: Int = 128): DataFrame = {
+    require(maxEvents >= 2, "need at least 2 events for a slope")
+    import org.apache.spark.sql.types.LongType
+    val capped = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        valCol.isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__id"), valCol.cast(LongType).as("__y"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__us"), col("__id"))))
+      .filter(col("__rn") <= maxEvents)
+      .withColumn("__x",
+        expr("(__us - min(__us) OVER (PARTITION BY " + keyCol +
+          ")) div 60000000"))
+    capped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("__den", expr("n_events * __sxx - __sx * __sx"))
+      .filter(col("__den") > 0L)
+      .withColumn("__num", expr("n_events * __sxy - __sx * __sy"))
+      .select(col(keyCol), col("n_events"),
+        (signum(col("__num")).cast(LongType) *
+          expr("(abs(__num) * 1000 div __den) * 1000 " +
+            "+ (abs(__num) * 1000 % __den) * 1000 div __den"))
+          .as("slope_micro_per_min"))
+  }
+
   /** Mann–Kendall trend test statistic (Mann 1945 / Kendall 1975 — the
     * standard nonparametric "is there a monotonic trend at all"
     * companion to [[theilSenTrend]]'s "how steep": S = Σ_{i<j}

@@ -637,6 +637,33 @@ class NativeCosineSpec extends SparkSpec {
       ("B", "R4", 100, 110, 11L)), out.mkString(","))
   }
 
+  test("olsTrend: exact line slope, outlier drags OLS but not Theil-Sen, zero-variance excluded") {
+    import graft.operators.Temporal
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0), 0L), (1L, 2L, t(60), 3L), (1L, 3L, t(120), 6L),
+      (2L, 1L, t(0), 10L), (2L, 2L, t(60), 4L),   // negative drift
+      (3L, 1L, t(0), 1L), (3L, 2L, t(10), 9L),    // same minute: no x var
+      // user 4: clean +1/min line with one wild final outlier
+      (4L, 1L, t(0), 0L), (4L, 2L, t(60), 1L), (4L, 3L, t(120), 2L),
+      (4L, 4L, t(180), 300L))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.olsTrend(ev, "user_id", "ts", "event_id",
+        col("value"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3000000L)), out.toString) // y = 3x exact
+    assert(out(2L) == ((2L, 2L, -6000000L)), out.toString)
+    assert(!out.contains(3L), out.toString)
+    // the robust/classical gap: OLS slope is dragged far above the
+    // clean +1/min by the outlier; Theil-Sen's median slope is not
+    val ols = out(4L)._3
+    val ts4 = Temporal.theilSenTrend(ev.filter(col("user_id") === 4L),
+        "user_id", "ts", "event_id", col("value"))
+      .select("slope_micro").as[Long].head()
+    assert(ols > 40000000L, s"ols=$ols")        // ~ +89/min, dragged
+    assert(ts4 < 2000000L, s"theilsen=$ts4")    // per-second scale: tiny
+  }
+
   test("psiDrift: identical periods score 0, JVM-twin drift value, no-reference group excluded") {
     import graft.operators.Temporal
     def psiJvm(ref: Seq[Long], cur: Seq[Long], nBins: Int = 10): Double = {

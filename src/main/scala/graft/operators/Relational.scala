@@ -537,10 +537,15 @@ object Relational {
     val rankHi = nReps + 1L - rankLo
     def meanMicro(s: String, w: String) =
       expr(s"($s div $w) * 1000000 + ($s % $w) * 1000000 div $w")
-    val reps = df
-      .filter(col(grpCol).isNotNull && keyCol.isNotNull && valCol.isNotNull)
-      .select(col(grpCol).as("g"), keyCol.cast(LongType).as("__k"),
-        valCol.cast(LongType).as("__v"))
+    // the replicate explode multiplies a small scan ×nReps with an md5
+    // per row — heavy narrow compute that a single-row-group parquet
+    // file would otherwise pin to ONE task (StageAudit caught exactly
+    // that); the null filters sit BELOW the widening exchange
+    val reps = Parallelism.ensure(df
+        .filter(col(grpCol).isNotNull && keyCol.isNotNull &&
+          valCol.isNotNull)
+        .select(col(grpCol).as("g"), keyCol.cast(LongType).as("__k"),
+          valCol.cast(LongType).as("__v")))
       .withColumn("__b", explode(expr(s"sequence(0, ${nReps - 1})")))
       .withColumn("__u",
         graft.functions.Hashing.hexLong(

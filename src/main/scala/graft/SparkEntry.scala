@@ -4782,7 +4782,9 @@ object SparkEntry {
          FROM sup s JOIN cust c ON s.ws <= c.we AND c.ws <= s.we""",
 
     // same 1-based inclusive window slices, distinct-set Jaccard in
-    // exact integers, full-span peak windows for the depth score
+    // exact integers, ±peakSpan LOCAL peak windows for the depth score
+    // (ROWS BETWEEN 3 PRECEDING/FOLLOWING — the full-span form overfires;
+    // see TextAnalysis.textTiling scaladoc)
     "q185_texttiling" -> {
       val topicB = Seq.fill(6)(
         "galaxy nebula quasar pulsar comet meteor orbit cosmos")

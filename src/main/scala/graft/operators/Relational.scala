@@ -499,10 +499,21 @@ object Relational {
       // T·1e6 div D in two ×1000 stages (exact identity) — one ×1e6
       // stage overflows a long once D = n·total reaches cents-scale
       // corpora; caller pre-scales the value unit past ~1e18/n² mass
+      // loud overflow guard: the staged ×1000 identity still overflows
+      // once T·1000 (bounded by n·S·1000) passes 2^63 — i.e. n·S past
+      // ~9e15, a few-million-row group at cents scale. Without this the
+      // ANSI runtime throws a bare arithmetic-overflow; with it the
+      // failure names the operator and the fix (double-typed check, so
+      // the guard itself can't overflow).
       .select(col("g"), col("n_rows"), col("total"),
-        expr("((__t * 1000 div (n_rows * total)) * 1000) " +
+        when(col("n_rows").cast("double") * col("total").cast("double")
+            > 9.0e15,
+          expr("raise_error('graft.giniIndex: group mass n_rows*total " +
+            "exceeds 9e15 — pre-scale the value unit (see scaladoc)')")
+            .cast(LongType))
+        .otherwise(expr("((__t * 1000 div (n_rows * total)) * 1000) " +
           "+ ((__t * 1000 % (n_rows * total)) * 1000) " +
-          "div (n_rows * total)").as("gini_micro"))
+          "div (n_rows * total)")).as("gini_micro"))
   }
 
   /** Poisson bootstrap confidence interval (Chamandy et al. 2012 — the

@@ -650,9 +650,12 @@ object Temporal {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("__us"), col("__id"))))
       .filter(col("__rn") <= maxEvents)
-      .withColumn("__x",
-        expr("(__us - min(__us) OVER (PARTITION BY " + keyCol +
-          ")) div 60000000"))
+      // Column-based window (not a SQL string with keyCol interpolated —
+      // that breaks on names needing backticks); the integer div stays
+      // in expr over the already-named offset
+      .withColumn("__off",
+        col("__us") - min(col("__us")).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__x", expr("__off div 60000000"))
     capped.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),

@@ -2768,7 +2768,10 @@ object TextAnalysis {
           .select(col(idCol), col(srcCol).as("__src"), textCol.as("__tx")))
       .withColumn("__t", filter(tokens(col("__tx")), t => length(t) > 0))
       .withColumn("__n", size(col("__t")).cast(LongType))
-      .filter(col("__n") > 0L)
+      // unpushable: the predicate references size(filter(tokens(__tx)))
+      // — pushed below the ensure exchange it would re-tokenize the
+      // whole corpus on the single scan task (the q141/q144 trap)
+      .filter(Parallelism.unpushable(col("__n") > 0L))
     val rated = markers.zipWithIndex.foldLeft(base) { case (acc, (w, i)) =>
       acc.withColumn(s"__f$i",
         expr(s"CAST(size(filter(__t, x -> x = '$w')) AS BIGINT)" +
@@ -2865,7 +2868,10 @@ object TextAnalysis {
       .withColumn("__t", filter(tokens(col("__tx")), t => length(t) > 0))
       .withColumn("__ng",
         (expr(s"(size(__t) + ${k - 1}) div $k") - 1).cast("int"))
-      .filter(col("__ng") >= 1)
+      // unpushable: pushed below the ensure exchange this predicate
+      // substitutes the token-split expression and serializes the whole
+      // tokenization onto the single scan task (the q141/q144 trap)
+      .filter(Parallelism.unpushable(col("__ng") >= 1))
     // each window's distinct set and the intersection bind ONCE per gap
     // (the element_at(transform(array(...)), 1) binding idiom — Spark
     // does not hoist repeated subtrees out of HOF lambdas)

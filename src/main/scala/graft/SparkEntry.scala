@@ -1616,7 +1616,7 @@ object SparkEntry {
     // without an all-pairs join
     "q89_fuzzy_match" -> ((s, d) =>
       Relational.fuzzySelfJoin(Tables.part(s, d), "p_partkey", "p_name",
-        Seq("p_brand"), maxDist = 2)),
+        Seq("p_brand"), maxDist = 2, maxCell = 2048)),
 
     // weighted sample without replacement (A-ES exponential race):
     // top-50 docs by the hash-derandomized race key, win probability
@@ -1866,7 +1866,7 @@ object SparkEntry {
     "q195_entities" -> ((s, d) => {
       val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
       val pairs = Relational.fuzzySelfJoin(Tables.part(s, d), "p_partkey",
-          "p_name", Seq("p_brand"), maxDist = 2)
+          "p_name", Seq("p_brand"), maxDist = 2, maxCell = 2048)
         .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
       Tables.part(s, d).select(col("p_partkey"))
         .join(Dedup.connectedComponents(pairs),
@@ -4425,9 +4425,13 @@ object SparkEntry {
 
     // q89's pair SQL + q51's recursive reachability closure
     "q195_entities" ->
-      """WITH RECURSIVE cand AS (
+      """WITH RECURSIVE pf AS (SELECT * FROM (SELECT p_partkey, p_name,
+             p_brand, COUNT(*) OVER (PARTITION BY p_brand,
+               length(p_name) // 3) AS __cn FROM part)
+           WHERE __cn <= 2048),
+         cand AS (
            SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
-           FROM part a JOIN part b
+           FROM pf a JOIN pf b
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
              AND abs(length(a.p_name) - length(b.p_name)) <= 2
            WHERE levenshtein(a.p_name, b.p_name) <= 2),
@@ -6164,9 +6168,12 @@ object SparkEntry {
              [x.term for x in ts]), (acc, y) -> acc + y), 6) AS jsd
          FROM agg""",
     "q89_fuzzy_match" ->
-      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      """WITH pf AS (SELECT * FROM (SELECT p_partkey, p_name, p_brand,
+             COUNT(*) OVER (PARTITION BY p_brand, length(p_name) // 3)
+               AS __cn FROM part) WHERE __cn <= 2048)
+         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-         FROM part a JOIN part b
+         FROM pf a JOIN pf b
          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
            AND abs(length(a.p_name) - length(b.p_name)) <= 2
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",

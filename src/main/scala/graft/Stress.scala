@@ -41,7 +41,7 @@ import graft.pipelines.CurationPipeline
 object Stress {
 
   final case class Sizes(docs: Long, nodes: Long, randomEdges: Long,
-      hubDegree: Long, pairRows: Long, bitextRows: Long)
+      hubDegree: Long, pairRows: Long, bitextRows: Long, partRows: Long)
 
   def sizes(scale: Int): Sizes = Sizes(
     docs = 5000L * scale,
@@ -49,7 +49,8 @@ object Stress {
     randomEdges = 550000L * scale,
     hubDegree = 10000L * scale,
     pairRows = 100000L * scale,
-    bitextRows = 2000L * scale)
+    bitextRows = 2000L * scale,
+    partRows = 20000L * scale)
 
   def dataDir(scale: Int): String = s"target/stress_data/s$scale"
 
@@ -72,6 +73,8 @@ object Stress {
     // constant-size at 10× and stress only the one corpus aggregate
     StressData.bpeCorpus(spark, s.docs, vocab = 2000 * scale)
       .write.mode("overwrite").parquet(s"$dir/bpe.parquet")
+    StressData.partNames(spark, s.partRows)
+      .write.mode("overwrite").parquet(s"$dir/parts.parquet")
   }
 
   /** The graded ops: name → (build result from the scale's parquet
@@ -83,6 +86,7 @@ object Stress {
     def edges = spark.read.parquet(s"$dir/edges.parquet")
     def pairs = spark.read.parquet(s"$dir/pairs.parquet")
     def bitext = spark.read.parquet(s"$dir/bitext.parquet")
+    def parts = spark.read.parquet(s"$dir/parts.parquet")
     Seq(
       "connected_components" -> (() =>
         Dedup.connectedComponents(pairs, maxIter = 12)),
@@ -150,7 +154,28 @@ object Stress {
         Dedup.prefixFilterJoin(
           corpus.withColumn("text",
             StressData.cloneSpike(col("text"), col("doc_id"))),
-          "doc_id", col("text"), tauPct = 60, maxPostings = 500)))
+          "doc_id", col("text"), tauPct = 60, maxPostings = 500)),
+      // maxCell 2048: the hot brand is ONE (block, length-bucket) cell
+      // of n/3 rows (6,667 at scale 1, 66,667 at 10) that the length
+      // band cannot split — the cap excludes it at every scale;
+      // un-capped it alone is O((n/3)²) thresholded-DP probes whose
+      // near-identical digit strings all PAY the DP. Background typo
+      // twins ride in ~bounded cells (brand space scales with n) and
+      // carry the real per-cell DP load; the q195 composition (pairs →
+      // CC closure → entity groups) keeps the downstream stages in the
+      // measurement
+      "fuzzy_entities" -> (() => {
+        val pairs = graft.operators.Relational.fuzzySelfJoin(
+            parts, "key", "name", Seq("brand"), maxDist = 2,
+            maxCell = 2048)
+          .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+        parts.select(col("key"))
+          .join(Dedup.connectedComponents(pairs),
+            col("key") === col("doc"), "left")
+          .withColumn("entity_id", coalesce(col("component"), col("key")))
+          .groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2L)
+      }))
   }
 
   /** Per-op scaling exponent (see scaladoc above). */

@@ -227,4 +227,47 @@ object StressData {
       (col("id") + base).as("doc_a"), (col("id") + base + 1).as("doc_b"))
     stars.union(chain)
   }
+
+  /** Part-name catalog for the blocked-fuzzy-join / entity-resolution
+    * stress ([[graft.operators.Relational.fuzzySelfJoin]]):
+    *
+    *   - ids ≡ 0 (mod 3) — n/3 rows — belong to ONE hot brand and share
+    *     ONE exact name length (only the embedded zero-padded id
+    *     varies), so the whole hot brand is a single (block,
+    *     length-bucket) CELL the length band cannot split: the
+    *     O(cell²) adversary the `maxCell` guard exists for. Un-capped,
+    *     that cell alone is ~(n/3)²/2 thresholded-DP probes (and the
+    *     near-identical digit strings pass the cheap guards, so most
+    *     probes PAY the DP);
+    *   - ids 3k+1 / 3k+2 are a background TYPO TWIN: same brand (drawn
+    *     from a brand space that scales with n, holding background
+    *     cells at ~bounded size), same base name with a length spread
+    *     of k mod 18 pad chars (≈6 length buckets per brand), the odd
+    *     twin's last char mutated → every twin pair is a guaranteed
+    *     distance-1 match in one cell, and cross-family names in the
+    *     same cell embed hashed 9-digit family tokens that differ in
+    *     ~8 digit positions — far past maxDist — so the DP load is
+    *     real but the match set is exactly the twins.
+    */
+  def partNames(spark: SparkSession, n: Long): DataFrame = {
+    require(n >= 30)
+    val nBrands = math.max(25L, n / 900L)
+    val fam = expr("id div 3")
+    spark.range(n).select(
+      col("id").as("key"),
+      when(col("id") % 3 === 0, lit("BrandHot"))
+        .otherwise(concat(lit("Brand#"), pmod(fam, lit(nBrands))))
+        .as("brand"),
+      when(col("id") % 3 === 0,
+        concat(lit("hotunit "), lpad(col("id").cast("string"), 12, "0"),
+          lit(" rev0")))
+        .otherwise(concat(
+          lit("component c"),
+          lpad(pmod(xxhash64(fam, lit(53)), lit(1000000000L))
+            .cast("string"), 9, "0"),
+          lit(" unit"),
+          repeat(lit("x"), pmod(fam, lit(18)).cast("int")),
+          when(col("id") % 3 === 2, lit("q")).otherwise(lit("z"))))
+        .as("name"))
+  }
 }

@@ -54,4 +54,9 @@ object Native {
     * [[SourceJsdPairs]]). */
   def sourceJsdPairs(vocab: Column): Column =
     column(SourceJsdPairs(expr(vocab)))
+
+  /** Capped distinct-set aggregate with O(maxSize) per-group state (see
+    * [[BoundedDistinctSet]]). */
+  def boundedDistinctSet(v: Column, maxSize: Int): Column =
+    column(BoundedDistinctSet(expr(v), maxSize).toAggregateExpression())
 }

@@ -489,13 +489,16 @@ object Graph {
     * top-k by (score desc, u, v) is total and bit-identical across
     * engines. deg ≥ 2 always holds for a common neighbor.
     *
-    * Scale shape: candidate pairs come from self-joining the edge list
-    * on the right-side node — the LSH-bucket equi-join shape, never
-    * all-pairs — with hub neighbors ABOVE `maxDeg` excluded before the
-    * join (the q32/q134 degenerate-bucket guard: a right-node of
-    * degree D mints D² pairs while contributing the corpus-minimum
-    * 1/ln(D) weight; the cap bounds the join at |Z|·maxDeg² and is
-    * mirrored in the oracle). The final top-k is a TakeOrdered — a
+    * Scale shape: candidate pairs come from enumerating each
+    * right-node's bounded neighbor set — the LSH-bucket shape, never
+    * all-pairs — with hub neighbors ABOVE `maxDeg` excluded by the
+    * [[graft.functions.BoundedDistinctSet]] cap enforced DURING
+    * collection, O(maxDeg) state per group even for a degree-10⁷ hub
+    * (the q32/q134 degenerate-bucket guard: a right-node of degree D
+    * mints D² pairs while contributing the corpus-minimum 1/ln(D)
+    * weight; the cap bounds enumeration at |Z|·maxDeg² and is mirrored
+    * in the oracle). Two data exchanges total: one z-keyed aggregate,
+    * one pair-keyed aggregate. The final top-k is a TakeOrdered — a
     * per-partition heap + driver merge of k rows, no global sort. */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
       maxDeg: Int = 1024, topK: Int = 100): DataFrame = {
@@ -504,26 +507,31 @@ object Graph {
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("z"))
       .filter(col("u").isNotNull && col("z").isNotNull)
-      .distinct()
-    val w = e.groupBy("z").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
-      .withColumn("__w",
-        floor(lit(1000000.0) / log(col("deg").cast("double")) + 0.5)
-          .cast("long"))
-    // per-z adjacency collected ONCE (arrays bounded by the maxDeg
-    // filter, which runs BEFORE any list materializes — the hub guard),
-    // then the native IdPairs generator enumerates each z's pairs
-    // INSIDE the stage, where the (u_a, u_b) partial aggregate combines
-    // them map-side before the one pair-keyed exchange. Round 9
-    // replaced the checkpointed z-self-join with this form: wall time
-    // is UNCHANGED (~2.3 s at sf0.1 either way — the ~9M-pair
-    // enumeration dominates both plans, measured; see the BASELINE.md
-    // q171 floor note), but the iteration-free linear chain drops the
-    // checkpoint machinery and one exchange, which is the shape that
-    // matters when |E| grows 100×.
-    e.join(w, "z")
-      .groupBy("z")
-      .agg(max(col("__w")).as("__w"), collect_list(col("u")).as("__us"))
+    // ONE exchange builds every per-z input the pair stage needs: the
+    // native BoundedDistinctSet aggregate collects each z's DISTINCT
+    // neighbor set with O(maxDeg) per-group state, returning NULL for
+    // any z whose degree exceeds the cap — the hub guard enforced
+    // DURING collection. The unfused round-9 form spent three extra
+    // exchanges (global (u,z) distinct, a separate degree aggregate,
+    // and a z-keyed re-join) just to learn, before collect_list, that
+    // no group is a hub; the fused form is the same guarantee with one
+    // flag bit, and deg == size(set) afterwards for free. Pair
+    // enumeration stays the IdPairs generator + codegen'd row-level
+    // partial aggregate: the pair multiplicity on real bipartite
+    // graphs is ~1.05 (measured at sf0.1: 8.4M instances / 8.0M
+    // distinct), so a fancier map-side pair combiner has nothing to
+    // combine — round 10 built and measured one (primitive
+    // open-addressing per-partition maps) and it lost 3x to this
+    // shape on allocation + cache misses over a near-unique key set.
+    e.groupBy("z")
+      .agg(graft.functions.Native
+        .boundedDistinctSet(col("u"), maxDeg).as("__us"))
+      .filter(col("__us").isNotNull && size(col("__us")) >= 2)
+      .select(
+        floor(lit(1000000.0) /
+            log(size(col("__us")).cast("double")) + 0.5)
+          .cast("long").as("__w"),
+        col("__us"))
       .select(col("__w"),
         graft.functions.Native.idPairs(col("__us"))
           .as(Seq("u_a", "u_b")))

@@ -178,7 +178,8 @@ object Relational {
     * pins a task (the LSH maxBucket lesson), too fine and true matches
     * land in different blocks. */
   def fuzzySelfJoin(df: DataFrame, keyCol: String, textCol: String,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
+      blockCols: Seq[String], maxDist: Int,
+      maxCell: Int = 4096): DataFrame = {
     require(maxDist >= 0 && blockCols.nonEmpty)
     // Length joins the equi-key, not just the band filter: bucket width
     // maxDist+1 guarantees a within-band pair is at most one bucket
@@ -188,7 +189,28 @@ object Relational {
     // shuffle key count past the raw block-key cardinality (25 brands
     // alone cap the join at 25-ish tasks).
     val w = maxDist + 1
-    def side(p: String) = df.select(
+    // Degenerate-cell guard (the maxBucket/maxPostings discipline, here
+    // for the (block, length-bucket) CELL): the length band only splits
+    // a hot block if its lengths actually spread — an adversarial block
+    // whose every string shares one length bucket is a single
+    // O(cell²)-pair cell no prefilter touches. Rows in cells larger
+    // than `maxCell` are excluded from matching on BOTH sides (their
+    // comparisons are the quadratic mass AND such mega-cells are
+    // boilerplate-catalog noise, not typo families), which bounds any
+    // row's comparisons at 3·maxCell and the whole join at
+    // O(n·maxCell) — linear in n. Mirror the cap in any oracle
+    // (COUNT(*) OVER the same cell key). maxCell <= 0 disables.
+    val base = if (maxCell > 0) {
+      val keyed = df.withColumn("__lb",
+        floor(length(col(textCol)) / w))
+      val ok = keyed
+        .groupBy(blockCols.map(col) :+ col("__lb"): _*)
+        .agg(count(lit(1)).as("__cn"))
+        .filter(col("__cn") <= maxCell)
+        .drop("__cn")
+      keyed.join(ok, blockCols :+ "__lb").drop("__lb")
+    } else df
+    def side(p: String) = base.select(
       col(keyCol).as(p + "key") +: col(textCol).as(p + "text") +:
         blockCols.map(c => col(c).as(p + c)): _*)
     val a = side("a_")

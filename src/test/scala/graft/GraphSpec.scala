@@ -290,4 +290,28 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2))
     assert(top2.toSeq == Seq((1L, 2L), (1L, 4L)), top2.mkString(","))
   }
+
+  test("boundedDistinctSet: dedup across partitions, overflow -> null") {
+    import graft.functions.Native
+    import org.apache.spark.sql.functions._
+    // 8 partitions force the merge path; key 1 has 3 distinct values
+    // (each duplicated), key 2 exceeds maxSize=3 with 4 distinct, key 3
+    // holds zero/negative ids (no empty-sentinel collision), key 4 is
+    // all-null input (empty set, not null result)
+    val df = spark.createDataFrame(
+      ((1L to 3L).flatMap(v => Seq((1L, Option(v)), (1L, Option(v)))) ++
+        (10L to 13L).map(v => (2L, Option(v))) ++
+        Seq((3L, Option(0L)), (3L, Option(-5L)), (3L, Option(0L)),
+          (4L, Option.empty[Long]))
+      ).toList.asInstanceOf[List[(Long, Option[Long])]])
+      .toDF("k", "v").repartition(8)
+    val out = df.groupBy("k")
+      .agg(sort_array(Native.boundedDistinctSet(col("v"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toList)).toMap
+    assert(out(1L) == List(1L, 2L, 3L))
+    assert(out(2L) == null) // 4 distinct > maxSize=3: overflow poisons
+    assert(out(3L) == List(-5L, 0L))
+    assert(out(4L) == List()) // nulls skipped, empty set survives
+  }
 }

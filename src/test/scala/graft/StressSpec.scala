@@ -293,6 +293,42 @@ class StressSpec extends SparkSpec {
       == capped, "non-clone pairs must be cap-invariant")
   }
 
+  test("fuzzySelfJoin: hot one-bucket cell capped, twin recall exact") {
+    import spark.implicits._
+    // 900 rows: 300 hot (one brand, ONE length bucket — the cell the
+    // length band cannot split), 300 background twin pairs at exact
+    // distance 1. Cap 120 excludes the 300-row hot cell; background
+    // cells (25 brands × ~6 length buckets) stay far under it.
+    val parts = StressData.partNames(spark, 900).cache()
+    try {
+      def run(cap: Int) =
+        graft.operators.Relational.fuzzySelfJoin(parts, "key", "name",
+            Seq("brand"), maxDist = 2, maxCell = cap)
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      val capped = run(120)
+      val isHot = (id: Long) => id % 3 == 0
+      // capped: NO hot row participates in any pair — the documented
+      // recall trade of the degenerate-cell guard
+      assert(capped.keys.forall { case (a, b) => !isHot(a) && !isHot(b) })
+      // every background twin (3k+1, 3k+2) is found, at distance 1,
+      // and nothing else: cross-family hashed tokens sit past maxDist
+      val twins = (0L until 300L).map(k => (3 * k + 1, 3 * k + 2)).toSet
+      assert(capped.keys.toSet == twins,
+        s"${(capped.keys.toSet -- twins).take(5)} extra / " +
+          s"${(twins -- capped.keys.toSet).take(5)} missing")
+      assert(capped.values.forall(_ == 1L))
+      // loose cap: the hot cell joins in and mints quadratic pair mass
+      // (near-identical digit strings within distance 2) — the blowup
+      // the cap stops; background pairs are cap-invariant
+      val loose = run(1000000)
+      val hotPairs = loose.keys.filter { case (a, b) => isHot(a) || isHot(b) }
+      assert(hotPairs.nonEmpty, "hot cell must mint pairs when un-capped")
+      assert(loose.filter { case (k, _) => !isHot(k._1) && !isHot(k._2) }
+        == capped, "background pairs must be cap-invariant")
+    } finally parts.unpersist()
+  }
+
   test("bitextMarginMine: anchor-cluster bucket capped, twin recall exact") {
     val emb = StressData.bitext(spark, 2000).cache()
     try {

@@ -1886,6 +1886,67 @@ object SparkEntry {
       Temporal.olsTrend(Tables.events(s, d), "user_id", "ts",
         "event_id", expr("cast(floor(value * 100 + 0.5) as bigint)"))),
 
+    // trigram interpolated Kneser-Ney perplexity terciles — q150 one
+    // order up, the first order where the KN recursion actually CHAINS
+    // (trigram → continuation-count bigram → continuation unigram).
+    // q150's novel-script spike makes the unseen-PREFIX backoff
+    // (c12 = 0 → middle order) provably fire next to the
+    // discounted-seen and unseen-triple paths
+    "q201_interp_ppl_tri" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spiked = when(!col("source").isin("src0", "src1") &&
+          col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" cuneiform hieroglyph abjad")))
+        .otherwise(col("text"))
+      TextAnalysis.lmPerplexityBucketsTrigram(docs, "doc_id", spiked,
+        docs.filter(col("source").isin("src0", "src1")), col("text"))
+        .select(col("doc").as("doc_id"), col("n_triples"),
+          col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
+    }),
+
+    // the training-shard writer composition — the actual deliverable of
+    // a training-data pipeline: tokenize → q70 concat-pack →
+    // deterministic shard-of-start assignment → per-shard manifest
+    // (doc count, token count, id range, q86-style XOR content
+    // checksum) that the oracle recomputes from the raw corpus
+    "q200_shard_manifest" -> ((s, d) =>
+      Warehouse.trainingShardManifest(Tables.documents(s, d), "doc_id",
+        col("text"), contextTokens = 512, shardTokens = 4096L)),
+
+    // image-content dedup, hash half: every doc's payload is a REAL
+    // PNG muxed from doc-id arithmetic (Multimodal.pngFixture — ids
+    // ≡ 1 mod 10 are planted near-dup twins of id−1), decoded back
+    // through javax.imageio, area-averaged to the 9×8 grid, and
+    // gradient-hashed from ACTUAL pixels; the oracle restates the
+    // block grid and the bit assembly as md5 arithmetic, so a flipped
+    // bit anywhere in mux, decode, resample, or hash mismatches — the
+    // q151 synthesize→recover pattern applied to pixels
+    "q198_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.pngFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.imageDHashes(s, payloads, "doc_id")
+    }),
+
+    // image-content dedup, pair half (LAION-class): q49's pigeonhole
+    // banding machinery on pixel-derived bits — 4 × 16-bit bands,
+    // degenerate buckets capped, exact Hamming ≤ 3 fused into the
+    // bucket pair loop; the planted fixture twins fire, unrelated
+    // images sit ~32 bits apart
+    "q199_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.pngFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.imageNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -2744,6 +2805,33 @@ object SparkEntry {
          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
        JOIN ok ON a.band_idx = ok.band_idx AND a.band_val = ok.band_val
        WHERE bit_count(xor(a.sh, b.sh)) <= $SimhashMaxHamming"""
+  }
+
+  /** Shared CTE chain of the image-dHash oracles (q198/q199): the
+    * [[graft.operators.Multimodal.pngFixture]] 9×8 block grid restated
+    * as md5 arithmetic (ids ≡ 1 mod 10 reuse id−1's blocks with the top
+    * row's first three twisted), then the gradient-bit assembly — bit
+    * r·8+c set iff cell (r, c+1) > (r, c). DuckDB refuses `1 << 63`
+    * (signed overflow), so bit 63 is the min-long literal; bit_or keeps
+    * the accumulation in BIGINT. Ends with `h(doc_id, dhash)`. */
+  private def imageDHashCtes: String = {
+    val vSeed = sqlHexLong(
+      "concat('img:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', r.r, ':', c.c)")
+    val vTwist = sqlHexLong("concat('img:', d.doc_id, ':twist:', c.c)")
+    s"""cells AS (
+         SELECT d.doc_id, r.r, c.c,
+           CASE WHEN d.doc_id % 10 = 1 AND r.r = 0 AND c.c <= 2
+             THEN $vTwist % 256 ELSE $vSeed % 256 END AS v
+         FROM documents d, range(8) r(r), range(9) c(c)),
+       h AS (
+         SELECT a.doc_id,
+           bit_or(CASE WHEN b.v > a.v THEN
+               CASE WHEN a.r * 8 + a.c = 63 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c AS INT)) END
+             ELSE 0 END) AS dhash
+         FROM cells a JOIN cells b
+           ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+         WHERE a.c <= 7 GROUP BY 1)"""
   }
 
   /** Generated oracle: IVF ANN — stride-anchor quantizer, argmax-cosine
@@ -4480,6 +4568,119 @@ object SparkEntry {
                + ((-num) * 1000 % den) * 1000 // den)
              END AS BIGINT) AS slope_micro_per_min
          FROM d WHERE den > 0""",
+
+    // q150's oracle one order up: the trigram/continuation-bigram/
+    // continuation-unigram chain as exact integer ratios, one ln
+    "q201_interp_ppl_tri" -> {
+      val h = sqlHexLong("w[i]")
+      s"""WITH refz AS (
+           SELECT unnest(h[1:len(h)-2]) AS b1, unnest(h[2:len(h)-1]) AS b2,
+             unnest(h[3:len(h)]) AS b3
+           FROM (SELECT [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+         refp AS (SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS c123
+                  FROM refz GROUP BY 1, 2, 3),
+         pre AS (SELECT b1, b2, CAST(sum(c123) AS BIGINT) AS c12,
+                 CAST(count(*) AS BIGINT) AS n12 FROM refp GROUP BY 1, 2),
+         cont AS (SELECT b2, b3, CAST(count(*) AS BIGINT) AS cp
+                  FROM refp GROUP BY 1, 2),
+         c2 AS (SELECT b2, CAST(sum(cp) AS BIGINT) AS cp2,
+                CAST(count(*) AS BIGINT) AS n2 FROM cont GROUP BY 1),
+         ctt AS (SELECT b3, CAST(count(*) AS BIGINT) AS ct3
+                 FROM cont GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cont),
+         dz AS (
+           SELECT doc_id, unnest(h[1:len(h)-2]) AS b1,
+             unnest(h[2:len(h)-1]) AS b2, unnest(h[3:len(h)]) AS b3
+           FROM (SELECT doc_id, [$h % 256 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT doc_id, string_split(
+                         CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
+                              THEN text || ' cuneiform hieroglyph abjad'
+                              ELSE text END, ' ') AS w FROM documents
+                       WHERE text IS NOT NULL))),
+         dp AS (SELECT doc_id, b1, b2, b3, CAST(count(*) AS BIGINT) AS m
+                FROM dz GROUP BY 1, 2, 3, 4),
+         terms AS (
+           SELECT doc_id, m,
+             CASE WHEN coalesce(cp2, 0) > 0
+               THEN greatest(4 * coalesce(cp, 0) - 3, 0) * (np + 256)
+                    + 3 * n2 * (coalesce(ct3, 0) + 1)
+               ELSE coalesce(ct3, 0) + 1 END AS a2,
+             CASE WHEN coalesce(cp2, 0) > 0
+               THEN 4 * cp2 * (np + 256) ELSE np + 256 END AS d2,
+             coalesce(c12, 0) AS c12x, coalesce(n12, 0) AS n12x,
+             coalesce(c123, 0) AS c123x
+           FROM dp LEFT JOIN pre USING (b1, b2)
+                LEFT JOIN refp USING (b1, b2, b3)
+                LEFT JOIN cont USING (b2, b3) LEFT JOIN c2 USING (b2)
+                LEFT JOIN ctt USING (b3) CROSS JOIN np),
+         scored AS (
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_triples,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(CASE WHEN c12x > 0 THEN 4 * c12x * d2 ELSE d2 END
+                 AS DOUBLE) /
+               CAST(CASE WHEN c12x > 0
+                    THEN greatest(4 * c123x - 3, 0) * d2 + 3 * n12x * a2
+                    ELSE a2 END AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_micro
+           FROM terms GROUP BY 1),
+         mm AS (SELECT doc_id, n_triples, nll_micro,
+                  nll_micro // n_triples AS mean_micro,
+                  ntile(3) OVER (ORDER BY nll_micro // n_triples,
+                    nll_micro, doc_id) AS t3
+                FROM scored)
+         SELECT doc_id, n_triples, nll_micro,
+           CAST(mean_micro AS BIGINT) AS mean_micro,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+         FROM mm"""
+    },
+
+    // q70's global-offset pack + shard-of-start + q86's XOR digest,
+    // recomputed from the raw corpus
+    "q200_shard_manifest" -> {
+      val h = sqlHexLong(
+        "concat_ws('|', doc_id, n_tokens, start_offset, fp)")
+      s"""WITH n AS (SELECT doc_id, md5(text) AS fp,
+           CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+             AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, fp, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset FROM n),
+         s AS (SELECT *, start_offset // 4096 AS shard_id FROM o)
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(bit_xor($h) AS BIGINT) AS xor_hash
+         FROM s GROUP BY 1"""
+    },
+
+    // the pngFixture block grid + gradient-bit assembly as arithmetic
+    "q198_image_dhash" ->
+      s"""WITH $imageDHashCtes
+         SELECT doc_id, dhash FROM h""",
+
+    // q198's hash CTE + the q49 band/bucket/Hamming pair machinery
+    "q199_image_neardup" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, dhash, $b AS band_idx, (dhash >> ${b * 16}) & 65535 AS band_val FROM h")
+        .mkString(" UNION ALL ")
+      s"""WITH $imageDHashCtes,
+         banded AS ($bands),
+         ok AS (SELECT band_idx, band_val FROM banded
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+         JOIN ok ON a.band_idx = ok.band_idx AND a.band_val = ok.band_val
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
+    },
 
     // same grouped-data Gini collapse, two-division overflow guard
     "q194_gini" ->

@@ -781,4 +781,143 @@ object Multimodal {
         }
       })
   }
+
+  /** Deterministic PNG fixture for `id` — the q198/q199 image-content
+    * near-dup oracle surface, the q151 synthesize→recover pattern
+    * applied to pixels: a 72×64 RGB image of 9×8 constant 8×8 gray
+    * blocks whose values are md5-derived doc-id arithmetic
+    * (`Hashing.hexLongJvm("img:<seed>:<r>:<c>") % 256`), so the DuckDB
+    * oracle can restate the decoded grid — and therefore the dHash —
+    * without decoding anything. Ids ≡ 1 (mod 10) are planted NEAR-DUP
+    * TWINS: they reuse id−1's blocks with the top row's first three
+    * re-drawn ("img:<id>:twist:<c>"), which can flip only gradient bits
+    * (0,0)–(0,2) → Hamming ≤ 3, inside the 4-band pigeonhole recall
+    * guarantee; unrelated ids share no block values and sit ~32 bits
+    * apart. The grid is 8-pixel aligned so [[dHash64]]'s area-average
+    * recovers each block value exactly (modulo the monotone luma map),
+    * making the real decode→hash path bit-checkable end to end. */
+  def pngFixture(id: Long): Array[Byte] = {
+    val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
+    val twin = id % 10 == 1
+    val seed = if (twin) id - 1 else id
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val v = ((if (twin && r == 0 && c <= 2)
+            Hashing.hexLongJvm(s"img:$id:twist:$c")
+          else Hashing.hexLongJvm(s"img:$seed:$r:$c")) % 256).toInt
+        val rgb = (v << 16) | (v << 8) | v
+        var y = r * 8
+        while (y < r * 8 + 8) {
+          var x = c * 8
+          while (x < c * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) from REAL pixels: area-average the
+    * luma plane onto a 9-wide × 8-tall grid (every source pixel lands in
+    * exactly one cell — resolution-independent, no interpolation
+    * kernel to disagree about), then one bit per horizontal gradient —
+    * bit r·8+c is set iff cell (r, c+1) is strictly brighter than cell
+    * (r, c). Gradient direction survives the perturbations that change
+    * every byte of the file (re-encode, quality settings, small
+    * brightness shifts), which is what makes it a CONTENT hash where
+    * md5 is an ENCODING hash. Strict `>` on the double means equal
+    * cells (identical inputs → identical fp sums) always read 0, so the
+    * hash is deterministic across partitions and engines. */
+  private[graft] def dHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Double](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val gr = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val gc = (x.toLong * 9 / w).toInt
+        sums(gr)(gc) += lum; counts(gr)(gc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c + 1) / counts(r)(c + 1) > sums(r)(c) / counts(r)(c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-image 64-bit perceptual hash over the real decode path —
+    * PNG/JPEG/GIF/BMP payloads through `javax.imageio`, then
+    * [[dHash64]] on actual pixels. Narrow map, constant memory per
+    * task, payloads never leave their partition; rows whose payload is
+    * not a decodable image at least 9×8 are dropped (a content hash of
+    * nothing is noise, and LAION-style dedup runs after a decode
+    * gate anyway). */
+  def imageDHashes(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).collect {
+          case img if img.getWidth >= 9 && img.getHeight >= 8 =>
+            (id, dHash64(img))
+        }
+      }).toDF("doc_id", "dhash")
+  }
+
+  /** Image-content near-duplicate pairs (the LAION-class image dedup):
+    * [[imageDHashes]] signatures blocked on 4 × 16-bit sub-bands — by
+    * pigeonhole, two hashes within Hamming distance 3 agree on at least
+    * one band — then exact Hamming ≤ `maxHamming` fused into the
+    * within-bucket pair loop ([[graft.functions.Native.hammingPairsWithin]],
+    * the q49 SimHash machinery on pixel-derived bits). Scale shape:
+    * decode is a narrow map; candidates are a bucket group-by (ONE
+    * shuffle of 4 rows per image), never an image self-join; buckets
+    * above `maxBucket` are dropped (the degenerate-band guard — a
+    * monochrome-placeholder corpus puts millions of images in one
+    * bucket, and their O(bucket²) pairs are boilerplate, not near-dups;
+    * mirror the cap in any oracle). */
+  def imageNearDup(spark: SparkSession, df: DataFrame, idCol: String,
+      maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming ($maxHamming) beyond the 4-band pigeonhole guarantee (3)")
+    val sig = imageDHashes(spark, df, idCol)
+    val banded = sig.select(
+      struct(col("doc_id").as("doc"), col("dhash").as("sh")).as("ds"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(0xFFFF).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("ds"), col("band.band_idx"), col("band.band_val"))
+    banded.groupBy("band_idx", "band_val")
+      .agg(collect_list(col("ds")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+      .select(graft.functions.Native
+        .hammingPairsWithin(col("docs"), maxHamming)
+        .as(Seq("doc_a", "doc_b", "hamming")))
+      .distinct()
+  }
 }

@@ -2084,6 +2084,174 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Per-key hashed trigram-bucket triple multiset —
+    * [[bigramBucketPairs]] one order up: (b1, b2, b3, m) per key, docs
+    * under 3 tokens contribute nothing. */
+  private def trigramBucketTriples(shaped: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame =
+    shaped
+      .withColumn("__h",
+        transform(tokens(col("__t")),
+          t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
+      .select(keys.map(col) :+ explode(when(size(col("__h")) >= 3,
+        transform(sequence(lit(0), size(col("__h")) - 3),
+          i => struct(element_at(col("__h"), i + 1).as("b1"),
+            element_at(col("__h"), i + 2).as("b2"),
+            element_at(col("__h"), i + 3).as("b3"))))
+        .otherwise(array()
+          .cast("array<struct<b1:bigint,b2:bigint,b3:bigint>>")))
+        .as("__p"): _*)
+      .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2")
+        :+ col("__p.b3"): _*)
+      .groupBy((keys ++ Seq("b1", "b2", "b3")).map(col): _*)
+      .agg(count(lit(1)).as("m"))
+
+  /** [[lmTrain]] one order up: export the hashed-TRIGRAM model as data —
+    * `(b1, b2, b3, c123)` observed-triple counts, the complete
+    * sufficient statistic of the order-3 interpolated-KN chain (every
+    * margin, discount and continuation count below derives from it).
+    * Wenzek et al. 2020 filter with an order-5 KenLM; trigram is the
+    * first order where the KN recursion actually CHAINS (highest order
+    * backs off into a continuation-count middle order which backs off
+    * into the continuation unigram), so it exercises the full
+    * model shape the 5-gram uses. */
+  def lmTrainTrigram(reference: DataFrame, refText: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    trigramBucketTriples(Parallelism.ensure(
+      reference.select(refText.as("__t")).filter(col("__t").isNotNull)),
+      Nil, buckets)
+      .withColumnRenamed("m", "c123")
+  }
+
+  /** Pack an [[lmTrainTrigram]] model for [[interpNllTri]]: one
+    * broadcast row of seven derived statistics — triple counts
+    * (`__tm`, keyed (b1·B+b2)·B+b3), prefix totals and
+    * distinct-successor counts (`__c12`/`__n12`, keyed b1·B+b2), the
+    * CONTINUATION bigram table N1+(·w2w3) (`__cp`, keyed b2·B+b3, the
+    * Kneser-Ney middle order: how many distinct predecessors each
+    * (w2,w3) has, not how often it occurs), its margins
+    * (`__cp2`/`__n2`, keyed b2), continuation-unigram evidence
+    * (`__ct3`, keyed b3 — distinct w2 preceding w3 among continuation
+    * bigrams), and the distinct continuation-bigram total (`__np`).
+    * ≤ B³ observed keys worst case, B²-bounded margins —
+    * statistics-sized, never corpus-sized. */
+  def lmPackInterpTri(model: DataFrame, buckets: Int): DataFrame = {
+    val b = buckets
+    val cont = model.groupBy("b2", "b3").agg(count(lit(1)).as("cp"))
+    broadcast(model
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        (col("b1") * b + col("b2")) * b + col("b3"), col("c123"))))
+        .as("__tm"))
+      .crossJoin(model.groupBy("b1", "b2")
+        .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n12"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(
+            col("b1") * b + col("b2"), col("c12")))).as("__c12"),
+          map_from_entries(collect_list(struct(
+            col("b1") * b + col("b2"), col("n12")))).as("__n12")))
+      .crossJoin(cont.groupBy().agg(map_from_entries(collect_list(struct(
+        col("b2") * b + col("b3"), col("cp")))).as("__cp")))
+      .crossJoin(cont.groupBy("b2")
+        .agg(sum(col("cp")).as("cp2"), count(lit(1)).as("n2"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(col("b2"), col("cp2"))))
+            .as("__cp2"),
+          map_from_entries(collect_list(struct(col("b2"), col("n2"))))
+            .as("__n2")))
+      .crossJoin(cont.groupBy("b3").agg(count(lit(1)).as("ct3"))
+        .groupBy().agg(map_from_entries(collect_list(struct(
+          col("b3"), col("ct3")))).as("__ct3")))
+      .crossJoin(cont.groupBy().agg(count(lit(1)).as("__np"))))
+  }
+
+  /** Per-triple negative log probability (integer micro-nats) of the
+    * order-3 interpolated absolute-discount chain over an
+    * [[lmPackInterpTri]] row — [[interpNll]]'s recursion unrolled one
+    * level, D = 3/4 rational at BOTH orders so the whole probability
+    * stays one integer-over-integer ratio:
+    *
+    *   p3(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2·)/c12 · p2(w3|w2)
+    *   p2(w3|w2)   = max(cp−D,0)/cp2  + D·N1+(w2·)/cp2  · p1(w3)
+    *   p1(w3)      = (ct3 + 1) / (Np + B)
+    *
+    * with the MIDDLE order over Kneser-Ney continuation counts
+    * (cp = N1+(·w2w3), cp2 = Σ_w3 cp) and add-one on the continuation
+    * unigram. Unseen prefix c12 = 0 backs off to p2; unseen context
+    * cp2 = 0 backs off to p1 (the full chain). Multiplying through:
+    *
+    *   A2 / D2  with A2 = max(4·cp−3,0)·Z + 3·n2·(ct3+1), D2 = 4·cp2·Z
+    *   p3 = [max(4·c123−3,0)·D2 + 3·n12·A2] / (4·c12·D2),  Z = Np+B
+    *
+    * — every factor an exact long; each level's discounted mass
+    * telescopes to exactly 1 so den ≥ num and nll ≥ 0. Long-bound
+    * contract: den ≤ 16·c12·cp2·Z ≤ c12·≈2.8e11 at B = 256, so
+    * c12 ≲ 3·10⁷ tokens per (b1,b2) bucket pair overflows nothing —
+    * ≈10¹¹ tokens corpus-wide at uniform hashing; shard the reference
+    * beyond that (the q192/q194 staged-division discipline applies if
+    * a single degenerate bucket concentrates the corpus). */
+  def interpNllTri(b1: Column, b2: Column, b3: Column,
+      buckets: Int): Column = {
+    val bl = lit(buckets.toLong)
+    val k12 = b1 * bl + b2
+    val k23 = b2 * bl + b3
+    val c123 = coalesce(element_at(col("__tm"), k12 * bl + b3), lit(0L))
+    val c12 = coalesce(element_at(col("__c12"), k12), lit(0L))
+    val n12 = coalesce(element_at(col("__n12"), k12), lit(0L))
+    val cp = coalesce(element_at(col("__cp"), k23), lit(0L))
+    val cp2 = coalesce(element_at(col("__cp2"), b2), lit(0L))
+    val n2 = coalesce(element_at(col("__n2"), b2), lit(0L))
+    val ct3 = coalesce(element_at(col("__ct3"), b3), lit(0L))
+    val z = col("__np") + bl
+    val a2 = when(cp2 > 0L,
+      greatest(lit(4L) * cp - lit(3L), lit(0L)) * z +
+        lit(3L) * n2 * (ct3 + lit(1L)))
+      .otherwise(ct3 + lit(1L))
+    val d2 = when(cp2 > 0L, lit(4L) * cp2 * z).otherwise(z)
+    val num = when(c12 > 0L,
+      greatest(lit(4L) * c123 - lit(3L), lit(0L)) * d2 +
+        lit(3L) * n12 * a2)
+      .otherwise(a2)
+    val den = when(c12 > 0L, lit(4L) * c12 * d2).otherwise(d2)
+    floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+      .cast(LongType)
+  }
+
+  /** [[lmPerplexityBucketsInterp]] one order up — the trigram
+    * interpolated-KN perplexity terciles: same lifecycle (ONE
+    * checkpointed reference pass into the ≤B³-row triple table, margins
+    * derived model-side, one broadcast row), same micro-nat quantizer,
+    * same tercile cut; `n_triples` replaces `n_pairs` and docs under
+    * 3 tokens score no triples (n_triples = 0 rows are excluded — a
+    * mean over nothing is not "head"). */
+  def lmPerplexityBucketsTrigram(df: DataFrame, idCol: String,
+      text: Column, reference: DataFrame, refText: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val model = lmTrainTrigram(reference, refText, buckets)
+      .localCheckpoint(true)
+    val packed = lmPackInterpTri(model, buckets)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = trigramBucketTriples(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(col("__t").isNotNull)
+        .repartition(par, col("doc")), Seq("doc"), buckets)
+    val scored = perDoc
+      .crossJoin(packed)
+      .withColumn("nll",
+        interpNllTri(col("b1"), col("b2"), col("b3"), buckets))
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_triples"),
+        sum(col("m") * col("nll")).as("nll_micro"))
+      .withColumn("mean_micro", expr("nll_micro div n_triples"))
+    val tercile = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_micro"), col("nll_micro"), col("doc")))
+    scored.withColumn("ppl_bucket",
+      when(tercile === 1, lit("head"))
+        .when(tercile === 2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, public): the
     * denoising-pretraining prep that turns each document into a
     * (masked input, span target) pair. Tokens partition into fixed

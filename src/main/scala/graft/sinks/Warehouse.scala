@@ -135,4 +135,55 @@ object Warehouse {
           expr("n_skip * 1000000 div n_files").as("skip_micro"))
     }.reduce(_ union _)
   }
+
+  /** Deterministic training-shard layout — the composition a
+    * training-data pipeline actually ships: the corpus tokenized and
+    * concat-packed into `contextTokens` windows
+    * ([[graft.operators.TextAnalysis.packOffsets]] — the two-level
+    * cumsum, never a global one-task window), then every document
+    * assigned to the shard where its token stream STARTS
+    * (`shard_id = start_offset div shardTokens` — a pure function of
+    * corpus content and order, so two independent runs land every doc
+    * in the same shard with no coordination). Output: the packOffsets
+    * row plus `shard_id` and the document's canonical content
+    * fingerprint (md5 of the text), the per-doc record a shard writer
+    * partitions by. */
+  def trainingShardAssign(df: DataFrame, idCol: String, text: Column,
+      contextTokens: Int = 512, shardTokens: Long = 4096L): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens ($shardTokens) must be >= 1")
+    val offs = graft.operators.TextAnalysis.packOffsets(
+      df, idCol, text, contextTokens)
+    // id-equi join of hash-sized rows (never the text): the fingerprint
+    // attests CONTENT, the offsets attest LAYOUT, the manifest covers
+    // both
+    val fp = df.select(col(idCol), md5(text).as("content_fp"))
+    offs.join(fp, Seq(idCol))
+      .withColumn("shard_id", floor(col("start_offset") / shardTokens))
+  }
+
+  /** Per-shard manifest over [[trainingShardAssign]] — the
+    * replica-verification artifact that rides next to the shard files:
+    * document count, token count, id range, and an order-independent
+    * XOR checksum ([[graft.operators.Quality.checksum]]'s q86 digest
+    * shape) of the md5-derived hash of each member's canonical row
+    * string `doc|n_tokens|start_offset|content_fp`. A consumer
+    * re-derives the manifest from the raw corpus and diffs checksums —
+    * one flipped byte of text, one missing doc, or one shifted offset
+    * anywhere in the shard changes `xor_hash`. The XOR fold is
+    * commutative/associative, so map-side partial aggregation is exact
+    * under any partitioning; the corpus collapses to |shards| rows in
+    * one hash aggregate. */
+  def trainingShardManifest(df: DataFrame, idCol: String, text: Column,
+      contextTokens: Int = 512, shardTokens: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    val rowHash = graft.functions.Hashing.hexLong(concat_ws("|",
+      col(idCol), col("n_tokens"), col("start_offset"), col("content_fp")))
+    trainingShardAssign(df, idCol, text, contextTokens, shardTokens)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        call_function("bit_xor", rowHash).as("xor_hash"))
+  }
 }

@@ -288,6 +288,42 @@ object CurationStream {
       .drop("__h", "__pm", "__c1", "__n1", "__ct", "__np")
   }
 
+  /** [[lmQualityGateInterp]] one order up — the TRIGRAM interpolated-KN
+    * gate over the exported `(b1,b2,b3,c123)` artifact
+    * ([[graft.operators.TextAnalysis.lmTrainTrigram]]): the full
+    * three-level backoff chain
+    * ([[graft.operators.TextAnalysis.interpNllTri]]) as a per-row long
+    * fold over the once-bound token-hash array — no explode, no state,
+    * one broadcast model row
+    * ([[graft.operators.TextAnalysis.lmPackInterpTri]]). Batch
+    * ([[graft.operators.TextAnalysis.lmPerplexityBucketsTrigram]]) and
+    * stream agree bit-for-bit (StreamingSpec parity). */
+  def lmQualityGateTrigram(docs: DataFrame, model: DataFrame,
+      maxMeanMicro: Long, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    docs.crossJoin(TextAnalysis.lmPackInterpTri(model, buckets))
+      .withColumn("__h",
+        transform(TextAnalysis.tokens(col("text")),
+          t => pmod(graft.functions.Hashing.hexLong(t),
+            lit(buckets.toLong))))
+      .withColumn("n_triples",
+        when(col("text").isNotNull,
+          greatest(size(col("__h")) - 2, lit(0)).cast("long")))
+      .withColumn("nll_micro",
+        when(col("text").isNotNull && size(col("__h")) >= 3,
+          aggregate(sequence(lit(0), size(col("__h")) - 3), lit(0L),
+            (acc, i) => acc + TextAnalysis.interpNllTri(
+              element_at(col("__h"), (i + 1).cast("int")),
+              element_at(col("__h"), (i + 2).cast("int")),
+              element_at(col("__h"), (i + 3).cast("int")), buckets))))
+      .withColumn("mean_micro",
+        when(col("n_triples") > 0L, expr("nll_micro div n_triples")))
+      .withColumn("lm_pass",
+        coalesce(col("mean_micro") <= maxMeanMicro, lit(false)))
+      .drop("__h", "__tm", "__c12", "__n12", "__cp", "__cp2", "__n2",
+        "__ct3", "__np")
+  }
+
   /** Stateless streaming Moore–Lewis gate — the deployment half of
     * [[graft.operators.TextAnalysis.crossEntropyDiffSelect]] (q169,
     * the [[lmQualityGate]] pattern doubled): BOTH exported

@@ -1294,6 +1294,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped.map(r => (r._1, r._2)).toSet == Set(("s1", "s2")))
     assert(capped.forall(_._3 == 1L))
   }
+
+  test("trigram interp-KN: JVM-twin exact scores, full backoff chain fires") {
+    import spark.implicits._
+    val refTexts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun")
+    val reference = refTexts.toDF("text")
+    val B = 256L
+    def bk(t: String) = graft.functions.Hashing.hexLongJvm(t) % B
+    // a first word whose BUCKET collides with no reference word's — a
+    // raw unseen word can still hash onto a seen prefix pair (B = 256),
+    // which silently turns the unseen-prefix probe into a seen one
+    val refBuckets = refTexts.flatMap(_.split(" ")).map(bk).toSet
+    val fresh = Iterator.from(0).map(i => s"w$i")
+      .find(w => !refBuckets.contains(bk(w))).get
+    val docTexts = Map(
+      1L -> "the quick brown fox jumps",    // seen triples
+      2L -> "qqq www eee rrr",              // unseen prefix AND context
+      3L -> s"$fresh quick brown",          // unseen prefix, seen context
+      4L -> "the quick brown cat naps under the",
+      5L -> "the quick cat")                // seen prefix, unseen triple
+    val docs = docTexts.toSeq.toDF("doc_id", "text")
+    def tris(s: String) = s.split(" ").map(bk).sliding(3)
+      .filter(_.length == 3).map(a => (a(0), a(1), a(2))).toSeq
+    val c123 = refTexts.flatMap(tris).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val pre = c123.groupBy { case ((b1, b2, _), _) => (b1, b2) }
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val cont = c123.keys.map { case (b1, b2, b3) => ((b2, b3), b1) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c2 = cont.groupBy(_._1._1)
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val ct3 = cont.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val z = cont.size.toLong + B
+    val branches = scala.collection.mutable.Set.empty[String]
+    def nll(t: (Long, Long, Long)): Long = {
+      val (b1, b2, b3) = t
+      val ct = ct3.getOrElse(b3, 0L)
+      val (cp2, n2) = c2.getOrElse(b2, (0L, 0L))
+      val cp = cont.getOrElse((b2, b3), 0L)
+      val (a2, d2) =
+        if (cp2 > 0) (math.max(4 * cp - 3, 0) * z + 3 * n2 * (ct + 1),
+          4 * cp2 * z)
+        else (ct + 1, z)
+      val (c12, n12) = pre.getOrElse((b1, b2), (0L, 0L))
+      val c = c123.getOrElse(t, 0L)
+      branches += (if (c12 > 0 && c > 0) "seen"
+        else if (c12 > 0) "unseen-triple"
+        else if (cp2 > 0) "unseen-prefix" else "unseen-context")
+      val (num, den) =
+        if (c12 > 0) (math.max(4 * c - 3, 0) * d2 + 3 * n12 * a2,
+          4 * c12 * d2)
+        else (a2, d2)
+      math.floor(math.log(den.toDouble / num.toDouble) * 1e6 + 0.5).toLong
+    }
+    val expected = docTexts.map { case (id, s) =>
+      val ts = tris(s)
+      id -> ((ts.size.toLong, ts.map(nll).sum))
+    }
+    val out = TextAnalysis.lmPerplexityBucketsTrigram(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("n_triples"), col("nll_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == expected, s"$out vs $expected")
+    // the chain is non-vacuous: all four branches fired across the docs
+    assert(branches == Set("seen", "unseen-triple", "unseen-prefix",
+      "unseen-context"), branches.toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -387,6 +387,45 @@ class MultimodalSpec extends SparkSpec {
     // neither recovered a 640×360 — the SPS parse, not the entry decoy
     assert(Seq(m45, m7).forall(m => m.width != 640 && m.height != 360))
   }
+
+  def dHashOf(bytes: Array[Byte]): Long =
+    Multimodal.dHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+
+  test("dHash: fixture twins near, unrelated images far, JPEG re-encode stays near") {
+    val base = dHashOf(Multimodal.pngFixture(20))
+    val twin = dHashOf(Multimodal.pngFixture(21)) // 21 ≡ 1 mod 10 → twin of 20
+    val hamTwin = java.lang.Long.bitCount(base ^ twin)
+    assert(hamTwin <= 3, s"twin hamming $hamTwin")
+    val other = dHashOf(Multimodal.pngFixture(30))
+    val hamOther = java.lang.Long.bitCount(base ^ other)
+    assert(hamOther > 10, s"unrelated hamming $hamOther")
+    // CONTENT hash, not encoding hash: a lossy JPEG re-encode changes
+    // every byte of the file (md5 breaks) but the gradient structure
+    // survives — the property perceptual dedup exists for
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.pngFixture(20)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert(!java.util.Arrays.equals(jpeg, Multimodal.pngFixture(20)))
+    val hamJpeg = java.lang.Long.bitCount(base ^ dHashOf(jpeg))
+    assert(hamJpeg <= 3, s"jpeg re-encode hamming $hamJpeg")
+  }
+
+  test("imageNearDup: planted twins surface through the banding, junk rows drop") {
+    val rows = (0L until 40L).map(id => (id, Multimodal.pngFixture(id))) :+
+      (99L, "not an image at all".getBytes("UTF-8"))
+    val df = rows.toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDup(spark, df, "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exactly the planted (10k, 10k+1) twins; the junk payload neither
+    // pairs nor kills the task
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
+    val hashes = Multimodal.imageDHashes(spark, df, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!hashes.contains(99L) && hashes.size == 40)
+  }
 }
 
 class IvfSpec extends SparkSpec {

@@ -127,4 +127,60 @@ class WarehouseSpec extends SparkSpec {
     // kmin=6 file is skippable
     assert(out("perm") == (("p34", 5L, 1L, 200000L)), out.toString)
   }
+
+  test("training shards: deterministic shard-of-start, written files re-derive the manifest, checksum attests content") {
+    import spark.implicits._
+    def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      (0L, words(10, "a")), // start 0  -> shard 0
+      (1L, words(25, "b")), // start 10 -> shard 0 (stream straddles into 1)
+      (2L, words(5, "c")),  // start 35 -> shard 1
+      (3L, words(8, "d")),  // start 40 -> shard 1
+      (4L, words(50, "e")), // start 48 -> shard 1 (straddles 2)
+      (5L, words(3, "f")))  // start 98 -> shard 3 (shard 2 holds no START)
+      .toDF("doc_id", "text")
+    val assign = Warehouse.trainingShardAssign(docs, "doc_id", col("text"),
+      contextTokens = 16, shardTokens = 30L)
+    val byDoc = assign.select("doc_id", "shard_id").as[(Long, Long)]
+      .collect().toMap
+    assert(byDoc == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 3L), byDoc)
+
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      Warehouse.trainingShardManifest(d, "doc_id", col("text"),
+        contextTokens = 16, shardTokens = 30L)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val m = manifest(docs)
+    assert(m.keySet == Set(0L, 1L, 3L))
+    assert(m(0L)._1 == 2L && m(0L)._2 == 35L && m(0L)._3 == 0L && m(0L)._4 == 1L)
+    assert(m(1L)._1 == 3L && m(1L)._2 == 63L && m(1L)._3 == 2L && m(1L)._4 == 4L)
+    assert(m(3L)._1 == 1L && m(3L)._2 == 3L)
+
+    // the WRITER composition: shard files on disk, manifest re-derived
+    // from what was actually written matches the declared manifest
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Warehouse.trainingShardAssign(docs, "doc_id", col("text"),
+        contextTokens = 16, shardTokens = 30L)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+    val written = spark.read.parquet(dir)
+    val rowHash = graft.functions.Hashing.hexLong(concat_ws("|",
+      col("doc_id"), col("n_tokens"), col("start_offset"),
+      col("content_fp")))
+    val rederived = written.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        call_function("bit_xor", rowHash).as("xor_hash"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(rederived == m, s"written-file manifest drifted: $rederived vs $m")
+
+    // one flipped CHARACTER (same token count, same offsets) moves
+    // exactly its shard's checksum — the content-attestation contract
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 2L, words(5, "X")).otherwise(col("text")))
+    val m2 = manifest(mutated)
+    assert(m2(1L)._5 != m(1L)._5, "shard 1 checksum must move")
+    assert(m2(0L) == m(0L) && m2(3L) == m(3L), "other shards must not")
+  }
 }

@@ -2220,26 +2220,75 @@ object TextAnalysis {
   /** [[lmPerplexityBucketsInterp]] one order up — the trigram
     * interpolated-KN perplexity terciles: same lifecycle (ONE
     * checkpointed reference pass into the ≤B³-row triple table, margins
-    * derived model-side, one broadcast row), same micro-nat quantizer,
-    * same tercile cut; `n_triples` replaces `n_pairs` and docs under
-    * 3 tokens score no triples (n_triples = 0 rows are excluded — a
-    * mean over nothing is not "head"). */
+    * derived model-side), same micro-nat quantizer, same tercile cut;
+    * `n_triples` replaces `n_pairs` and docs under 3 tokens score no
+    * triples (n_triples = 0 rows are excluded — a mean over nothing is
+    * not "head").
+    *
+    * Scoring shape: five size-gated BROADCAST HASH JOINS against the
+    * statistics-sized margin tables (triples, prefixes, continuation
+    * bigrams + margins, continuation unigrams) — O(1) hashed probe per
+    * corpus triple inside whole-stage codegen, zero extra corpus
+    * exchanges (broadcast joins preserve the per-doc partitioning).
+    * NOT the broadcast-row map form the streaming gate uses
+    * ([[lmPackInterpTri]]): Catalyst `element_at` on a MapType literal
+    * is a LINEAR scan, and at 16.6k model entries × 7 lookups it
+    * measured 10.5 s task-sum at sf0.1 — ~12× the hash-join form —
+    * with O(B³)-per-row worst case at model saturation, which is the
+    * wrong asymptotic for a 100 TB corpus pass. (The stream keeps the
+    * map fold because each micro-batch row must score standalone
+    * against one broadcast artifact — bounded docs, bounded cost.)
+    * Broadcast bound: the triple table saturates at B³ rows
+    * (≈16.7M at B = 256, ~hundreds of MB) — at that corpus scale raise
+    * the autoBroadcast threshold or let the planner fall back to a
+    * shuffle join; every margin is ≤ B². */
   def lmPerplexityBucketsTrigram(df: DataFrame, idCol: String,
       text: Column, reference: DataFrame, refText: Column,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 2, "need at least 2 hash buckets")
     val model = lmTrainTrigram(reference, refText, buckets)
       .localCheckpoint(true)
-    val packed = lmPackInterpTri(model, buckets)
+    val pre = model.groupBy("b1", "b2")
+      .agg(sum(col("c123")).as("__c12"), count(lit(1)).as("__n12"))
+    val cont = model.groupBy("b2", "b3").agg(count(lit(1)).as("__cp"))
+    val c2 = cont.groupBy("b2")
+      .agg(sum(col("__cp")).as("__cp2"), count(lit(1)).as("__n2"))
+    val ctt = cont.groupBy("b3").agg(count(lit(1)).as("__ct3"))
+    val np = cont.groupBy().agg(count(lit(1)).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = trigramBucketTriples(
       df.select(col(idCol).as("doc"), text.as("__t"))
         .filter(col("__t").isNotNull)
         .repartition(par, col("doc")), Seq("doc"), buckets)
+    val c123 = coalesce(col("__c123"), lit(0L))
+    val c12 = coalesce(col("__c12"), lit(0L))
+    val n12 = coalesce(col("__n12"), lit(0L))
+    val cp = coalesce(col("__cp"), lit(0L))
+    val cp2 = coalesce(col("__cp2"), lit(0L))
+    val n2 = coalesce(col("__n2"), lit(0L))
+    val ct3 = coalesce(col("__ct3"), lit(0L))
+    val z = col("__np") + lit(buckets.toLong)
+    val a2 = when(cp2 > 0L,
+      greatest(lit(4L) * cp - lit(3L), lit(0L)) * z +
+        lit(3L) * n2 * (ct3 + lit(1L)))
+      .otherwise(ct3 + lit(1L))
+    val d2 = when(cp2 > 0L, lit(4L) * cp2 * z).otherwise(z)
+    val num = when(c12 > 0L,
+      greatest(lit(4L) * c123 - lit(3L), lit(0L)) * d2 +
+        lit(3L) * n12 * a2)
+      .otherwise(a2)
+    val den = when(c12 > 0L, lit(4L) * c12 * d2).otherwise(d2)
     val scored = perDoc
-      .crossJoin(packed)
+      .join(broadcast(pre), Seq("b1", "b2"), "left")
+      .join(broadcast(model.withColumnRenamed("c123", "__c123")),
+        Seq("b1", "b2", "b3"), "left")
+      .join(broadcast(cont), Seq("b2", "b3"), "left")
+      .join(broadcast(c2), Seq("b2"), "left")
+      .join(broadcast(ctt), Seq("b3"), "left")
+      .crossJoin(broadcast(np))
       .withColumn("nll",
-        interpNllTri(col("b1"), col("b2"), col("b3"), buckets))
+        floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType))
       .groupBy("doc")
       .agg(sum(col("m")).as("n_triples"),
         sum(col("m") * col("nll")).as("nll_micro"))

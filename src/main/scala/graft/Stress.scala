@@ -41,7 +41,8 @@ import graft.pipelines.CurationPipeline
 object Stress {
 
   final case class Sizes(docs: Long, nodes: Long, randomEdges: Long,
-      hubDegree: Long, pairRows: Long, bitextRows: Long, partRows: Long)
+      hubDegree: Long, pairRows: Long, bitextRows: Long, partRows: Long,
+      imgRows: Long)
 
   def sizes(scale: Int): Sizes = Sizes(
     docs = 5000L * scale,
@@ -50,7 +51,8 @@ object Stress {
     hubDegree = 10000L * scale,
     pairRows = 100000L * scale,
     bitextRows = 2000L * scale,
-    partRows = 20000L * scale)
+    partRows = 20000L * scale,
+    imgRows = 20000L * scale)
 
   def dataDir(scale: Int): String = s"target/stress_data/s$scale"
 
@@ -75,6 +77,8 @@ object Stress {
       .write.mode("overwrite").parquet(s"$dir/bpe.parquet")
     StressData.partNames(spark, s.partRows)
       .write.mode("overwrite").parquet(s"$dir/parts.parquet")
+    StressData.imageCorpus(spark, s.imgRows)
+      .write.mode("overwrite").parquet(s"$dir/images.parquet")
   }
 
   /** The graded ops: name → (build result from the scale's parquet
@@ -164,6 +168,17 @@ object Stress {
       // carry the real per-cell DP load; the q195 composition (pairs →
       // CC closure → entity groups) keeps the downstream stages in the
       // measurement
+      // maxBucket 2000: the placeholder family (n/3 identical flat
+      // images — every web corpus's default-avatar/tracking-pixel
+      // mass) is ONE bucket in EVERY band at any scale; the cap
+      // excludes it, background per-family twins survive with exact
+      // recall. Decode is the real javax.imageio path per payload —
+      // the stress measures pixel-decode throughput scaling too, not
+      // just the banding join
+      "image_neardup" -> (() =>
+        graft.operators.Multimodal.imageNearDup(spark,
+          spark.read.parquet(s"$dir/images.parquet"), "doc_id",
+          maxBucket = 2000)),
       "fuzzy_entities" -> (() => {
         val pairs = graft.operators.Relational.fuzzySelfJoin(
             parts, "key", "name", Seq("brand"), maxDist = 2,

@@ -270,4 +270,76 @@ object StressData {
           when(col("id") % 3 === 2, lit("q")).otherwise(lit("z"))))
         .as("name"))
   }
+
+  /** Image-payload corpus for the perceptual-hash near-dup stress
+    * ([[graft.operators.Multimodal.imageNearDup]]) — real PNGs, muxed
+    * and later decoded through the same `javax.imageio` path the
+    * operator uses:
+    *
+    *   - ids ≡ 0 (mod 3) — n/3 docs — are the PLACEHOLDER family: the
+    *     IDENTICAL flat image (every dHash bit 0), the single most
+    *     common real-world image-dedup adversary (default avatars,
+    *     tracking pixels, gray thumbnails). All n/3 land in ONE band
+    *     bucket in EVERY band, so un-capped the bucket mints
+    *     O((n/3)²) zero-distance pairs; `maxBucket` must bind.
+    *   - ids 3k+1 / 3k+2 are background TWINS: a per-family random
+    *     8×9-block grid (md5-derived, ~32 bits apart across families)
+    *     with the odd twin's top-left three blocks re-drawn — Hamming
+    *     ≤ 3, the guaranteed-recall radius — so exactly one planted
+    *     pair per family must survive the cap.
+    *
+    * JVM-side mux (not Column expressions like the siblings): the
+    * payload IS the adversary here and must be real bytes; determinism
+    * comes from [[graft.functions.Hashing.hexLongJvm]] over (family,
+    * cell), no RNG. */
+  def imageCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    require(n >= 3)
+    spark.range(n).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 3 == 0) flatPng
+          else {
+            val fam = id / 3
+            val twist = id % 3 == 2
+            pngOf { (r, c) =>
+              if (twist && r == 0 && c <= 2)
+                (graft.functions.Hashing.hexLongJvm(
+                  s"simg:$fam:twist:$c") % 256).toInt
+              else
+                (graft.functions.Hashing.hexLongJvm(
+                  s"simg:$fam:$r:$c") % 256).toInt
+            }
+          }
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** 72×64 RGB PNG of 8×8 constant gray blocks valued by `v(r, c)`. */
+  private def pngOf(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val g = v(r, c) & 0xff
+        val rgb = (g << 16) | (g << 8) | g
+        var y = r * 8
+        while (y < r * 8 + 8) {
+          var x = c * 8
+          while (x < c * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The one shared placeholder image (mid-gray everywhere → dHash 0). */
+  private lazy val flatPng: Array[Byte] = pngOf((_, _) => 128)
 }

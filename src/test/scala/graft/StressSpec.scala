@@ -329,6 +329,39 @@ class StressSpec extends SparkSpec {
     } finally parts.unpersist()
   }
 
+  test("imageNearDup: placeholder bucket capped, twin recall exact") {
+    import spark.implicits._
+    // 900 real PNGs: 300 identical flat placeholders (dHash 0 — ONE
+    // bucket in every band), 300 twin pairs at Hamming <= 3. Cap 120
+    // excludes the 300-image placeholder bucket; per-family twins ride
+    // in ~2-member buckets far under it.
+    val imgs = StressData.imageCorpus(spark, 900).cache()
+    try {
+      def run(cap: Int) =
+        graft.operators.Multimodal.imageNearDup(spark, imgs, "doc_id",
+            maxBucket = cap)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val capped = run(120)
+      val isFlat = (id: Long) => id % 3 == 0
+      // capped: no placeholder participates — the documented recall
+      // trade of the degenerate-bucket guard
+      assert(capped.forall { case (a, b) => !isFlat(a) && !isFlat(b) })
+      // every planted twin (3k+1, 3k+2) found, nothing else:
+      // cross-family grids sit ~32 bits apart
+      val twins = (0L until 300L).map(k => (3 * k + 1, 3 * k + 2)).toSet
+      assert(capped == twins,
+        s"${(capped -- twins).take(5)} extra / " +
+          s"${(twins -- capped).take(5)} missing")
+      // loose cap: the placeholder family mints quadratic
+      // zero-distance pair mass; background twins are cap-invariant
+      val loose = run(1000000)
+      val flatPairs = loose.filter { case (a, b) => isFlat(a) || isFlat(b) }
+      assert(flatPairs.nonEmpty, "placeholder bucket must mint pairs un-capped")
+      assert(loose.filter { case (a, b) => !isFlat(a) && !isFlat(b) }
+        == capped, "background pairs must be cap-invariant")
+    } finally imgs.unpersist()
+  }
+
   test("bitextMarginMine: anchor-cluster bucket capped, twin recall exact") {
     val emb = StressData.bitext(spark, 2000).cache()
     try {

@@ -1947,6 +1947,94 @@ object SparkEntry {
           col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // LSH recall/precision audit — the calibration check a production
+    // dedup pipeline ships next to its banding parameters: exact
+    // τ=0.8 truth (q158's PPJoin machinery at the MinHash shingle
+    // order) reconciled against the q29 banding candidates. The corpus
+    // is spiked with GRADED near-dup twins (doc_id%30 ∈ {1,11,21}:
+    // +2 tokens ≈ J .93, +n/3 junk ≈ J .6, half-replaced ≈ J .3) so
+    // the S-curve's head, shoulder, and tail all carry mass: recall
+    // and precision land strictly inside (0,1)
+    "q206_lsh_recall_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.select((col("doc_id") + lit(1L)).as("doc_id"),
+        col("text").as("__pt"))
+      val toks = TextAnalysis.tokens(col("__pt"))
+      def junk(cnt: Column) = concat_ws(" ",
+        transform(sequence(lit(1L), greatest(cnt, lit(1L))),
+          i => concat(lit("aug"), col("doc_id").cast("string"),
+            lit("x"), i.cast("string"))))
+      val spiked = docs.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 1 && col("__pt").isNotNull,
+            concat(col("__pt"), lit(" augx augy")))
+          .when(col("doc_id") % 30 === 11 && col("__pt").isNotNull,
+            concat(col("__pt"), lit(" "), junk(expr("cast(size(split(__pt, ' ')) as bigint) div 5"))))
+          .when(col("doc_id") % 30 === 21 && col("__pt").isNotNull,
+            concat(concat_ws(" ",
+              slice(toks, lit(1), expr("cast(size(split(__pt, ' ')) div 2 as int)"))),
+              lit(" "), junk(expr("cast(size(split(__pt, ' ')) as bigint) div 2"))))
+          .otherwise(col("text")).as("text"))
+      Dedup.lshRecallAudit(spiked, "doc_id", col("text"), tauPct = 80)
+    }),
+
+    // audio-content dedup, hash half: every doc's payload is a REAL
+    // 16-bit PCM WAV muxed from doc-id arithmetic (Multimodal
+    // .wavFixture), decoded back through javax.sound.sampled, and
+    // envelope-hashed from ACTUAL samples — PCM normalization is the
+    // exact dyadic A/32768, so the oracle restates the 65-segment
+    // loudness contour without decoding anything
+    "q202_audio_envhash" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.wavFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.audioEnvelopeHashes(s, payloads, "doc_id")
+    }),
+
+    // audio-content dedup, pair half: the q199 pigeonhole banding on
+    // envelope bits — same-recording-many-encodings dedup
+    "q203_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.wavFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.audioNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
+    // video-content dedup, hash half: a REAL RIFF/AVI container per doc
+    // (Multimodal.aviFixture — frame 0 the content grid, frame 1 an
+    // all-docs-identical decoy), demuxed through the real movi chunk
+    // walk, first key frame decoded and dHashed; selecting the wrong
+    // frame hashes every doc identically and mismatches loudly
+    "q204_video_dhash" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.aviFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoFrameHashes(s, payloads, "doc_id")
+    }),
+
+    // video-content dedup, pair half: first-key-frame hash through the
+    // banding — the cheap same-opening-reel duplicate heuristic
+    "q205_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.aviFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -2807,17 +2895,19 @@ object SparkEntry {
        WHERE bit_count(xor(a.sh, b.sh)) <= $SimhashMaxHamming"""
   }
 
-  /** Shared CTE chain of the image-dHash oracles (q198/q199): the
+  /** Shared CTE chain of the image/video grid-hash oracles
+    * (q198/q199/q204/q205): the
     * [[graft.operators.Multimodal.pngFixture]] 9×8 block grid restated
-    * as md5 arithmetic (ids ≡ 1 mod 10 reuse id−1's blocks with the top
-    * row's first three twisted), then the gradient-bit assembly — bit
-    * r·8+c set iff cell (r, c+1) > (r, c). DuckDB refuses `1 << 63`
-    * (signed overflow), so bit 63 is the min-long literal; bit_or keeps
-    * the accumulation in BIGINT. Ends with `h(doc_id, dhash)`. */
-  private def imageDHashCtes: String = {
+    * as md5 arithmetic under `prefix` (ids ≡ 1 mod 10 reuse id−1's
+    * blocks with the top row's first three twisted), then the
+    * gradient-bit assembly — bit r·8+c set iff cell (r, c+1) > (r, c).
+    * DuckDB refuses `1 << 63` (signed overflow), so bit 63 is the
+    * min-long literal; bit_or keeps the accumulation in BIGINT. Ends
+    * with `h(doc_id, dhash)`. */
+  private def gridHashCtes(prefix: String): String = {
     val vSeed = sqlHexLong(
-      "concat('img:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', r.r, ':', c.c)")
-    val vTwist = sqlHexLong("concat('img:', d.doc_id, ':twist:', c.c)")
+      s"concat('$prefix:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', r.r, ':', c.c)")
+    val vTwist = sqlHexLong(s"concat('$prefix:', d.doc_id, ':twist:', c.c)")
     s"""cells AS (
          SELECT d.doc_id, r.r, c.c,
            CASE WHEN d.doc_id % 10 = 1 AND r.r = 0 AND c.c <= 2
@@ -2832,6 +2922,51 @@ object SparkEntry {
          FROM cells a JOIN cells b
            ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
          WHERE a.c <= 7 GROUP BY 1)"""
+  }
+  private def imageDHashCtes: String = gridHashCtes("img")
+
+  /** The [[graft.operators.Multimodal.wavFixture]] 65-segment envelope
+    * as arithmetic: amplitudes `md5("aud:<seed>:<s>") % 32768`, bit s
+    * iff segment s+1 is strictly louder — the 1-D sibling of
+    * [[gridHashCtes]]. Ends with `h(doc_id, dhash)`. */
+  private def audioHashCtes: String = {
+    val vSeed = sqlHexLong(
+      "concat('aud:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', s.s)")
+    val vTwist = sqlHexLong("concat('aud:', d.doc_id, ':twist:', s.s)")
+    s"""cells AS (
+         SELECT d.doc_id, s.s,
+           CASE WHEN d.doc_id % 10 = 1 AND s.s <= 2
+             THEN $vTwist % 32768 ELSE $vSeed % 32768 END AS v
+         FROM documents d, range(65) s(s)),
+       h AS (
+         SELECT a.doc_id,
+           bit_or(CASE WHEN b.v > a.v THEN
+               CASE WHEN a.s = 63 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << CAST(a.s AS INT)) END
+             ELSE 0 END) AS dhash
+         FROM cells a JOIN cells b
+           ON a.doc_id = b.doc_id AND b.s = a.s + 1
+         WHERE a.s <= 63 GROUP BY 1)"""
+  }
+
+  /** The q49-shape band/bucket/Hamming pair SQL over a `h(doc_id,
+    * dhash)` CTE chain — the oracle twin of the shared Spark banding
+    * ([[graft.operators.Multimodal.imageNearDup]] and siblings). */
+  private def bandPairsSql(hashCtes: String): String = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, dhash, $b AS band_idx, (dhash >> ${b * 16}) & 65535 AS band_val FROM h")
+      .mkString(" UNION ALL ")
+    s"""WITH $hashCtes,
+       banded AS ($bands),
+       ok AS (SELECT band_idx, band_val FROM banded
+              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       FROM banded a JOIN banded b
+         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+       JOIN ok ON a.band_idx = ok.band_idx AND a.band_val = ok.band_val
+       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
   }
 
   /** Generated oracle: IVF ANN — stride-anchor quantizer, argmax-cosine
@@ -4665,22 +4800,90 @@ object SparkEntry {
          SELECT doc_id, dhash FROM h""",
 
     // q198's hash CTE + the q49 band/bucket/Hamming pair machinery
-    "q199_image_neardup" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, dhash, $b AS band_idx, (dhash >> ${b * 16}) & 65535 AS band_val FROM h")
-        .mkString(" UNION ALL ")
-      s"""WITH $imageDHashCtes,
-         banded AS ($bands),
-         ok AS (SELECT band_idx, band_val FROM banded
-                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-         FROM banded a JOIN banded b
-           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             AND a.doc_id < b.doc_id
-         JOIN ok ON a.band_idx = ok.band_idx AND a.band_val = ok.band_val
-         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
+    "q199_image_neardup" -> bandPairsSql(imageDHashCtes),
+
+    // graded-twin spike, q158's PPJoin shape at the MinHash shingle
+    // order as truth, the q29 banding CTE as candidates, one
+    // full-outer reconciliation
+    "q206_lsh_recall_audit" -> {
+      val tau = 80
+      val k = MinhashK
+      val shingleCase = s"""CASE WHEN len(w) >= $k
+        THEN list_distinct([array_to_string(w[i+1:i+$k], ' ') for i in range(0, len(w) - ${k - 1})])
+        ELSE [array_to_string(w, ' ')] END"""
+      s"""WITH spiked AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 30 = 1 AND p.text IS NOT NULL
+                    THEN p.text || ' augx augy'
+                  WHEN d.doc_id % 30 = 11 AND p.text IS NOT NULL
+                    THEN p.text || ' ' || array_to_string(
+                      [concat('aug', d.doc_id, 'x', i) for i in
+                       range(1, greatest(len(string_split(p.text, ' ')) // 5, 1) + 1)], ' ')
+                  WHEN d.doc_id % 30 = 21 AND p.text IS NOT NULL
+                    THEN array_to_string(string_split(p.text, ' ')
+                        [1:len(string_split(p.text, ' ')) // 2], ' ')
+                      || ' ' || array_to_string(
+                      [concat('aug', d.doc_id, 'x', i) for i in
+                       range(1, greatest(len(string_split(p.text, ' ')) // 2, 1) + 1)], ' ')
+                  ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+         stoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM spiked),
+         ssh AS (SELECT doc_id, $shingleCase AS s FROM stoks),
+         st AS (SELECT doc_id, unnest(s) AS tk FROM ssh),
+         sdf AS (SELECT tk, count(*) AS dfc FROM st GROUP BY 1),
+         slens AS (SELECT doc_id, count(*) AS la FROM st GROUP BY 1),
+         spref AS (SELECT doc_id, la, tk FROM (
+             SELECT st.doc_id, st.tk, sdf.dfc, l.la,
+               row_number() OVER (PARTITION BY st.doc_id
+                 ORDER BY sdf.dfc, st.tk) AS rk
+             FROM st JOIN sdf USING (tk) JOIN slens l ON l.doc_id = st.doc_id)
+           WHERE rk <= la - (($tau * la + 99) // 100) + 1 AND dfc <= 1000),
+         scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.la AS la, b.la AS lb
+           FROM spref a JOIN spref b ON a.tk = b.tk AND a.doc_id < b.doc_id
+             AND 100 * least(a.la, b.la) >= $tau * greatest(a.la, b.la)),
+         truth AS (SELECT c.doc_a, c.doc_b FROM (
+             SELECT c.doc_a, c.doc_b, c.la, c.lb,
+               CAST(count(*) AS BIGINT) AS overlap
+             FROM scand c JOIN st x ON x.doc_id = c.doc_a
+               JOIN st y ON y.doc_id = c.doc_b AND y.tk = x.tk
+             GROUP BY 1, 2, 3, 4) c
+           WHERE 100 * c.overlap >= $tau * (c.la + c.lb - c.overlap)),
+         cand AS (${minhashOracleFrom("spiked")}),
+         audit AS (
+           SELECT t.doc_a IS NOT NULL AS is_t, c.doc_a IS NOT NULL AS is_c
+           FROM truth t FULL OUTER JOIN cand c
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         agg AS (SELECT
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM audit)
+         SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_true > 0
+             THEN CAST(n_hit * 1000000 // n_true AS BIGINT) END AS recall_micro,
+           CASE WHEN n_cand > 0
+             THEN CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_micro
+         FROM agg"""
     },
+
+    // the wavFixture envelope restated as arithmetic (1-D gridHashCtes)
+    "q202_audio_envhash" ->
+      s"""WITH $audioHashCtes
+         SELECT doc_id, dhash AS ahash FROM h""",
+
+    // audio envelope hash + the shared band/bucket/Hamming machinery
+    "q203_audio_neardup" -> bandPairsSql(audioHashCtes),
+
+    // the aviFixture frame-0 grid under the 'vid:' prefix — the decoy
+    // frame 1 must never surface (a wrong-frame demux hashes every doc
+    // identically and zeroes the pair set)
+    "q204_video_dhash" ->
+      s"""WITH ${gridHashCtes("vid")}
+         SELECT doc_id, dhash AS vhash FROM h""",
+
+    // first-key-frame hash + the shared band/bucket/Hamming machinery
+    "q205_video_neardup" -> bandPairsSql(gridHashCtes("vid")),
 
     // same grouped-data Gini collapse, two-division overflow guard
     "q194_gini" ->

@@ -1063,4 +1063,44 @@ object Dedup {
           (col("la") + col("lb") - col("overlap")) * 1e6 + 0.5) / 1e6)
           .as("jaccard"))
   }
+
+  /** LSH recall/precision audit — the calibration check a production
+    * dedup pipeline ships next to its banding parameters: ground truth
+    * is the EXACT set-similarity join ([[prefixFilterJoin]], no false
+    * negatives inside its documented `maxPostings` cap), candidates
+    * are the [[minHashCandidates]] banding, and the audit row reports
+    * how the banding's S-curve actually lands on THIS corpus —
+    * `n_true` τ-pairs, `n_cand` banding pairs, `n_hit` their
+    * intersection, exact-integer recall (hit/true) and precision
+    * (hit/cand) in micro units. Measured, not assumed: the
+    * 1−(1−J^r)^b theory curve says nothing about a corpus whose J mass
+    * sits on the curve's shoulder, and every banding parameter change
+    * should re-run this audit before it ships.
+    *
+    * Scale shape: both sides are the library's own capped bucket/
+    * prefix equi-joins (never all-pairs); the reconciliation is one
+    * full-outer join on canonical (doc_a < doc_b) pairs and a global
+    * aggregate to ONE row. Zero-denominator cases surface as NULL
+    * rather than a fake 0 or 100%. */
+  def lshRecallAudit(docs: DataFrame, idCol: String, text: Column,
+      tauPct: Int, k: Int = 5, numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Int = 10000, maxPostings: Long = 1000L): DataFrame = {
+    val truth = prefixFilterJoin(docs, idCol, text, tauPct, k, maxPostings)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
+    val cand = minHashCandidates(docs, idCol, text, k, numPerm, bands,
+        maxBucket)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L))
+          .as("n_true"),
+        coalesce(sum(coalesce(col("__c"), lit(0L))), lit(0L))
+          .as("n_cand"),
+        coalesce(sum(when(col("__t").isNotNull && col("__c").isNotNull,
+          1L).otherwise(0L)), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0L, expr("n_hit * 1000000 div n_true"))
+          .as("recall_micro"),
+        when(col("n_cand") > 0L, expr("n_hit * 1000000 div n_cand"))
+          .as("precision_micro"))
+  }
 }

@@ -796,18 +796,34 @@ object Multimodal {
     * apart. The grid is 8-pixel aligned so [[dHash64]]'s area-average
     * recovers each block value exactly (modulo the monotone luma map),
     * making the real decode→hash path bit-checkable end to end. */
-  def pngFixture(id: Long): Array[Byte] = {
-    val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
+  def pngFixture(id: Long): Array[Byte] =
+    pngGrid(gridValue("img", id))
+
+  /** The fixture grid-value rule shared by the image ([[pngFixture]])
+    * and video ([[aviFixture]]) oracle surfaces: md5-derived block
+    * values under `prefix`, with ids ≡ 1 (mod 10) reusing id−1's
+    * blocks except the top row's first three (re-drawn under
+    * "<prefix>:<id>:twist:<c>") — the planted ≤3-bit near-dup twin. */
+  private def gridValue(prefix: String, id: Long): (Int, Int) => Int = {
     val twin = id % 10 == 1
     val seed = if (twin) id - 1 else id
+    (r, c) =>
+      ((if (twin && r == 0 && c <= 2)
+          Hashing.hexLongJvm(s"$prefix:$id:twist:$c")
+        else Hashing.hexLongJvm(s"$prefix:$seed:$r:$c")) % 256).toInt
+  }
+
+  /** 72×64 RGB PNG of 8-aligned constant gray blocks valued by
+    * `v(r, c)` — the shape [[dHash64]]'s area-average recovers
+    * exactly. */
+  private def pngGrid(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
     var r = 0
     while (r < 8) {
       var c = 0
       while (c < 9) {
-        val v = ((if (twin && r == 0 && c <= 2)
-            Hashing.hexLongJvm(s"img:$id:twist:$c")
-          else Hashing.hexLongJvm(s"img:$seed:$r:$c")) % 256).toInt
-        val rgb = (v << 16) | (v << 8) | v
+        val g = v(r, c) & 0xff
+        val rgb = (g << 16) | (g << 8) | g
         var y = r * 8
         while (y < r * 8 + 8) {
           var x = c * 8
@@ -901,15 +917,27 @@ object Multimodal {
     * bucket, and their O(bucket²) pairs are boilerplate, not near-dups;
     * mirror the cap in any oracle). */
   def imageNearDup(spark: SparkSession, df: DataFrame, idCol: String,
-      maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame = {
+      maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      imageDHashes(spark, df, idCol).withColumnRenamed("dhash", "__h"),
+      maxBucket, maxHamming)
+
+  /** The shared pair half of every 64-bit perceptual-hash near-dup
+    * (image / audio / video): 4 × 16-bit pigeonhole bands over a
+    * `(doc_id, __h)` signature table — within Hamming distance 3 two
+    * hashes agree on at least one band — then exact Hamming ≤
+    * `maxHamming` fused into the within-bucket pair loop. ONE shuffle
+    * of 4 rows per signature, buckets above `maxBucket` dropped (the
+    * degenerate-band guard; mirror in any oracle). */
+  private def bandedHammingPairs(sig: DataFrame, maxBucket: Int,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming ($maxHamming) beyond the 4-band pigeonhole guarantee (3)")
-    val sig = imageDHashes(spark, df, idCol)
     val banded = sig.select(
-      struct(col("doc_id").as("doc"), col("dhash").as("sh")).as("ds"),
+      struct(col("doc_id").as("doc"), col("__h").as("sh")).as("ds"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),
-          shiftright(col("dhash"), b * 16).bitwiseAND(0xFFFF).as("band_val"))
+          shiftright(col("__h"), b * 16).bitwiseAND(0xFFFF).as("band_val"))
       }: _*)).as("band"))
       .select(col("ds"), col("band.band_idx"), col("band.band_val"))
     banded.groupBy("band_idx", "band_val")
@@ -920,4 +948,149 @@ object Multimodal {
         .as(Seq("doc_a", "doc_b", "hamming")))
       .distinct()
   }
+
+  /** Deterministic 16-bit PCM mono WAV fixture for `id` — the image
+    * pattern ([[pngFixture]]) applied to AUDIO: 65 segments of 64
+    * samples, segment `s` a constant-magnitude alternating-sign square
+    * wave of amplitude `hexLongJvm("aud:<seed>:<s>") % 32768`; ids ≡ 1
+    * (mod 10) reuse id−1's amplitudes with segments 0–2 re-drawn
+    * ("aud:<id>:twist:<s>") — flipping only envelope-gradient bits
+    * 0–2, Hamming ≤ 3. 16-bit PCM normalizes to the exact dyadic
+    * rational A/32768 through the real `javax.sound` decode, so the
+    * oracle restates the envelope — and the hash — as md5 arithmetic
+    * without decoding anything. */
+  def wavFixture(id: Long): Array[Byte] = {
+    val twin = id % 10 == 1
+    val seed = if (twin) id - 1 else id
+    val samples = new Array[Short](65 * 64)
+    var s = 0
+    while (s < 65) {
+      val a = ((if (twin && s <= 2) Hashing.hexLongJvm(s"aud:$id:twist:$s")
+        else Hashing.hexLongJvm(s"aud:$seed:$s")) % 32768).toInt
+      var i = 0
+      while (i < 64) {
+        samples(s * 64 + i) = (if (i % 2 == 0) a else -a).toShort
+        i += 1
+      }
+      s += 1
+    }
+    val n = samples.length
+    val dataLen = n * 2
+    val bos = new ByteArrayOutputStream(44 + dataLen)
+    def w32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    bos.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach(v => w16(v & 0xffff))
+    bos.toByteArray
+  }
+
+  /** 64-bit audio envelope hash from REAL PCM samples: mean absolute
+    * amplitude over a 65-segment partition of the stream (every sample
+    * in exactly one segment), one bit per temporal gradient — bit `s`
+    * set iff segment s+1 is strictly louder than segment s. The
+    * loudness CONTOUR survives re-encoding, gain-preserving container
+    * rewrites, and codec dither that changes every byte of the file —
+    * the audio analogue of [[dHash64]]'s content-vs-encoding
+    * distinction. */
+  private[graft] def audioEnvelopeHash64(samples: Array[Double]): Long = {
+    val n = samples.length
+    val sums = new Array[Double](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val s = ((i.toLong * 65) / n).toInt
+      sums(s) += math.abs(samples(i)); counts(s) += 1
+      i += 1
+    }
+    var hash = 0L
+    var s = 0
+    while (s < 64) {
+      if (sums(s + 1) / counts(s + 1) > sums(s) / counts(s))
+        hash |= 1L << s
+      s += 1
+    }
+    hash
+  }
+
+  /** Per-payload audio envelope hash over the real decode path —
+    * RIFF/WAVE PCM through `javax.sound.sampled`, then
+    * [[audioEnvelopeHash64]] on actual samples. Payloads that are not
+    * decodable PCM at least 65 samples long are dropped. */
+  def audioEnvelopeHashes(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavSamples(bytes).collect {
+          case ss if ss.length >= 65 => (id, audioEnvelopeHash64(ss))
+        }
+      }).toDF("doc_id", "ahash")
+  }
+
+  /** Audio-content near-duplicate pairs — [[imageNearDup]]'s banding
+    * on envelope bits: the dataset-dedup primitive for speech/music
+    * corpora where the same recording ships under many encodings. */
+  def audioNearDup(spark: SparkSession, df: DataFrame, idCol: String,
+      maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      audioEnvelopeHashes(spark, df, idCol).withColumnRenamed("ahash", "__h"),
+      maxBucket, maxHamming)
+
+  /** Deterministic AVI fixture for `id`: a real RIFF('AVI ')/movi
+    * container ([[aviFrameSpans]] walks it) holding TWO frames — frame
+    * 0 the content grid (the [[pngFixture]] rule under "vid:"), frame
+    * 1 a constant DECOY identical across all docs. The decoy makes
+    * demux regressions loud: selecting the wrong frame hashes every
+    * doc identically, which floods one bucket past `maxBucket` and
+    * zeroes the pair set against the oracle. */
+  def aviFixture(id: Long): Array[Byte] = {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte)
+        else Array.emptyByteArray
+      tag.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      chunk("00dc", pngGrid(gridValue("vid", id))) ++
+      chunk("00dc", pngGrid((_, _) => 96))
+    val idx = chunk("idx1", Array.fill(16)(0.toByte))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi) ++ idx
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Per-payload first-key-frame perceptual hash over the real demux
+    * path: the container's frame spans ([[aviFrameSpans]] /
+    * [[mp4VideoTrack]]), first decodable frame, [[dHash64]] on its
+    * pixels — the standard cheap video-dedup heuristic (same opening
+    * frame ⇒ candidate duplicate reel). Payloads with no decodable
+    * frame are dropped. */
+  def videoFrameHashes(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoKeyFrame(bytes).collect {
+          case img if img.getWidth >= 9 && img.getHeight >= 8 =>
+            (id, dHash64(img))
+        }
+      }).toDF("doc_id", "vhash")
+  }
+
+  /** Video-content near-duplicate pairs — [[imageNearDup]]'s banding
+    * on first-frame bits through the real container demux. */
+  def videoNearDup(spark: SparkSession, df: DataFrame, idCol: String,
+      maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      videoFrameHashes(spark, df, idCol).withColumnRenamed("vhash", "__h"),
+      maxBucket, maxHamming)
 }

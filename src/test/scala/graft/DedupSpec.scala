@@ -315,6 +315,34 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(strict.isEmpty, strict.mkString(";"))
   }
+
+  test("lshRecallAudit: exact twins hit, dissimilar docs in neither side, counts exact") {
+    import spark.implicits._
+    def sent(seed: String) = (1 to 30)
+      .map(i => s"$seed${(i * 7) % 13}").mkString(" ")
+    val docs = Seq(
+      (1L, sent("alpha")), (2L, sent("alpha")),   // identical: J = 1
+      (3L, sent("beta")), (4L, sent("beta") + " xq yq"), // near twin
+      (5L, sent("gamma")),                         // singleton
+      (6L, "short"))                               // sub-shingle doc
+      .toDF("doc_id", "text")
+    val out = Dedup.lshRecallAudit(docs, "doc_id", col("text"),
+        tauPct = 80)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    val (nTrue, nCand, nHit, recall, precision) = out
+    // identical + near-twin pairs are true; J=1 pairs are ALWAYS
+    // candidates (all bands agree), so hit >= 1; consistency bounds
+    assert(nTrue == 2L, out.toString)
+    assert(nHit <= math.min(nTrue, nCand) && nHit >= 1L, out.toString)
+    assert(recall.contains(nHit * 1000000L / nTrue))
+    assert(precision.contains(nHit * 1000000L / nCand))
+    // empty corpus: zeros and NULL ratios, not fake 0% or 100%
+    val empty = Dedup.lshRecallAudit(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", col("text"), tauPct = 80)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(empty == ((0L, 0L, 0L, None, None)), empty.toString)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

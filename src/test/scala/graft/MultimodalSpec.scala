@@ -413,6 +413,61 @@ class MultimodalSpec extends SparkSpec {
     assert(hamJpeg <= 3, s"jpeg re-encode hamming $hamJpeg")
   }
 
+  test("audio envelope hash: twins near, unrelated far, gain-invariant, junk drops") {
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.audioEnvelopeHash64(
+        Multimodal.decodeWavSamples(bytes).get)
+    val base = hashOf(Multimodal.wavFixture(20))
+    val twin = hashOf(Multimodal.wavFixture(21))
+    assert(java.lang.Long.bitCount(base ^ twin) <= 3)
+    val other = hashOf(Multimodal.wavFixture(30))
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+    // CONTENT hash: a −6 dB gain rewrite changes every sample byte but
+    // the loudness CONTOUR (adjacent-segment comparisons) survives —
+    // integer halving can tie adjacent near-equal amplitudes, so allow
+    // the couple of bits that costs
+    val halved = {
+      val src = Multimodal.decodeWavSamples(Multimodal.wavFixture(20)).get
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = (0 to 3).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      bos.write("RIFF".getBytes("US-ASCII")); w32(36 + src.length * 2)
+      bos.write("WAVE".getBytes("US-ASCII"))
+      bos.write("fmt ".getBytes("US-ASCII")); w32(16)
+      w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+      bos.write("data".getBytes("US-ASCII")); w32(src.length * 2)
+      src.foreach(v => w16(((v * 32768).toInt / 2) & 0xffff))
+      bos.toByteArray
+    }
+    assert(java.lang.Long.bitCount(base ^ hashOf(halved)) <= 3,
+      "gain rewrite must not move the contour hash")
+    // sub-65-sample and non-audio payloads drop, never throw
+    val df = Seq((1L, Multimodal.wavFixture(1)),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val kept = Multimodal.audioEnvelopeHashes(spark, df, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("video first-frame hash rides the real demux: decoy frame never surfaces") {
+    val avi = Multimodal.aviFixture(20)
+    // the container walk must hand frame 0 to the hasher: hash equals
+    // dHash of the content grid exactly, and differs from the decoy
+    val direct = Multimodal.videoKeyFrame(avi).map(Multimodal.dHash64).get
+    val hashes = Multimodal.videoFrameHashes(spark,
+        Seq((20L, avi), (99L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hashes == Map(20L -> direct))
+    assert(direct != 0L, "decoy (constant frame) would hash to 0")
+    // twins through the full pipeline
+    val rows = (0L until 40L).map(id => (id, Multimodal.aviFixture(id)))
+    val pairs = Multimodal.videoNearDup(spark,
+        rows.toDF("doc_id", "payload"), "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
+  }
+
   test("imageNearDup: planted twins surface through the banding, junk rows drop") {
     val rows = (0L until 40L).map(id => (id, Multimodal.pngFixture(id))) :+
       (99L, "not an image at all".getBytes("UTF-8"))

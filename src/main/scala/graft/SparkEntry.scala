@@ -1964,7 +1964,13 @@ object SparkEntry {
         transform(sequence(lit(1L), greatest(cnt, lit(1L))),
           i => concat(lit("aug"), col("doc_id").cast("string"),
             lit("x"), i.cast("string"))))
-      val spiked = docs.join(prev, Seq("doc_id"), "left")
+      // widen the LEFT scan before the spike join: ensure() no-ops on
+      // the join's wide lineage, so an un-widened single-row-group scan
+      // would pin the downstream shingling of BOTH audit legs to one
+      // task (measured 2×~2 s single-task stages at sf0.1); the
+      // broadcast right side is fixture construction, not operator
+      // machinery
+      val spiked = wide(docs).join(broadcast(prev), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("doc_id") % 30 === 1 && col("__pt").isNotNull,
             concat(col("__pt"), lit(" augx augy")))

@@ -839,7 +839,9 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** 64-bit difference hash (dHash) from REAL pixels: area-average the
+  /** 64-bit difference hash (dHash — the public gradient member of the
+    * aHash/dHash/pHash family, Krawetz 2013) from REAL pixels:
+    * area-average the
     * luma plane onto a 9-wide × 8-tall grid (every source pixel lands in
     * exactly one cell — resolution-independent, no interpolation
     * kernel to disagree about), then one bit per horizontal gradient —
@@ -989,7 +991,10 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** 64-bit audio envelope hash from REAL PCM samples: mean absolute
+  /** 64-bit audio envelope hash from REAL PCM samples — the
+    * sign-of-adjacent-energy-difference scheme of acoustic
+    * fingerprinting (Haitsma & Kalker 2002, public) reduced to the
+    * time axis: mean absolute
     * amplitude over a 65-segment partition of the stream (every sample
     * in exactly one segment), one bit per temporal gradient — bit `s`
     * set iff segment s+1 is strictly louder than segment s. The

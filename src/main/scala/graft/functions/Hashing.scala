@@ -39,8 +39,20 @@ object Hashing {
     * same literal, and to DuckDB's
     * `CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)`. */
   def hexLongJvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+    // thread-local digest: getInstance("MD5") does a provider lookup
+    // per call (~5 µs) and fixture muxers call this 65+ times per row —
+    // measured 449 µs/doc mux cost, ~70% of it here. digest() resets
+    // the instance, so reuse is safe; the 7-byte big-endian fold is
+    // bit-identical to parsing the first 14 hex digits (56 bits,
+    // non-negative).
+    val d = Hashing.md5Local.get().digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+      ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+      ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }

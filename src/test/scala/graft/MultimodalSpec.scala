@@ -413,6 +413,45 @@ class MultimodalSpec extends SparkSpec {
     assert(hamJpeg <= 3, s"jpeg re-encode hamming $hamJpeg")
   }
 
+  test("direct WAV PCM parse is bit-identical to the javax.sound path") {
+    // the lock-free chunk walk must agree with AudioSystem sample for
+    // sample on everything it accepts: 16-bit mono (fixture), 8-bit
+    // unsigned mono, 16-bit stereo (channel mean)
+    def wav(bits: Int, channels: Int, frames: Seq[Seq[Int]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = (0 to 3).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      val bps = bits / 8
+      val dataLen = frames.length * bps * channels
+      bos.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+      bos.write("WAVE".getBytes("US-ASCII"))
+      bos.write("fmt ".getBytes("US-ASCII")); w32(16)
+      w16(1); w16(channels); w32(8000); w32(8000 * bps * channels)
+      w16(bps * channels); w16(bits)
+      bos.write("data".getBytes("US-ASCII")); w32(dataLen)
+      frames.foreach(_.foreach { v =>
+        (0 until bps).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      })
+      bos.toByteArray
+    }
+    val cases = Seq(
+      Multimodal.wavFixture(7),
+      wav(8, 1, Seq(Seq(0), Seq(128), Seq(255), Seq(64))),
+      wav(16, 2, Seq(Seq(1000, -1000), Seq(-32768, 32767), Seq(0, 5))))
+    cases.zipWithIndex.foreach { case (b, i) =>
+      val direct = Multimodal.decodeWavPcmDirect(b)
+      val via = Multimodal.decodeWavViaAudioSystem(b)
+      assert(direct.isDefined && via.isDefined, s"case $i")
+      assert(direct.get.toSeq == via.get.toSeq, s"case $i diverged")
+    }
+    // non-PCM format tag: the direct parser declines (fallback path)
+    val alaw = {
+      val b = wav(16, 1, Seq(Seq(5)))
+      b(20) = 6; b // format tag 6 = a-law
+    }
+    assert(Multimodal.decodeWavPcmDirect(alaw).isEmpty)
+  }
+
   test("audio envelope hash: twins near, unrelated far, gain-invariant, junk drops") {
     def hashOf(bytes: Array[Byte]): Long =
       Multimodal.audioEnvelopeHash64(

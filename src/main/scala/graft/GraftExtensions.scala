@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, Md5Long, SigAgreePairs, TopKByScore}
+import graft.functions.{CosinePairsWithin, CosineSimilarity, HammingPairsWithin, IdPairs, LshBucketSig, Md5Long, NfcNormalize, SigAgreePairs, TopKByScore}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the library's native Catalyst expressions so they are
@@ -19,6 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    // nfc_normalize(string) — Unicode canonical composition (DuckDB's
+    // function of the same name is the oracle twin)
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
     // lsh_bucket(emb, table, nBits, dim) — the hyperplane parameters must
     // be foldable integer expressions (they fix the weight matrix at

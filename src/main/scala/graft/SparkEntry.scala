@@ -1947,6 +1947,26 @@ object SparkEntry {
           col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // Unicode-normalized exact dedup: "café" ships as precomposed
+    // U+00E9 AND decomposed e+U+0301 — identical on screen, distinct
+    // to a byte-level fingerprint (q28). The NFC key is
+    // content-addressed: per decade, docs ≡3 and ≡7 (mod 10) carry the
+    // SAME text in the two encodings and must collapse to ONE group —
+    // the multilingual-corpus correctness q28's key silently lacks
+    "q207_nfc_dedup" -> ((s, d) => {
+      val dec = expr("doc_id div 10").cast("string")
+      val spiked = when(col("doc_id") % 10 === 3,
+          concat(lit("Accent Family "), dec, lit(" caf"),
+            lit("e\u0301"), lit(" menu")))
+        .when(col("doc_id") % 10 === 7,
+          concat(lit("Accent Family "), dec, lit(" caf\u00e9 menu")))
+        .otherwise(col("text"))
+      Dedup.exact(
+        Tables.documents(s, d).select(col("doc_id"), spiked.as("text")),
+        "doc_id",
+        graft.functions.Native.nfcNormalize(lower(trim(col("text")))))
+    }),
+
     // LSH recall/precision audit — the calibration check a production
     // dedup pipeline ships next to its banding parameters: exact
     // τ=0.8 truth (q158's PPJoin machinery at the MinHash shingle
@@ -4807,6 +4827,25 @@ object SparkEntry {
 
     // q198's hash CTE + the q49 band/bucket/Hamming pair machinery
     "q199_image_neardup" -> bandPairsSql(imageDHashCtes),
+
+    // q28's exact-dup oracle with DuckDB's own nfc_normalize as the
+    // key (the operator's java.text.Normalizer twin — both implement
+    // Unicode TR #15, so the md5s agree); chr(101)||chr(769) is the
+    // decomposed e + combining acute, chr(233) the precomposed é
+    "q207_nfc_dedup" ->
+      """WITH spiked AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 3
+                  THEN 'Accent Family ' || (doc_id // 10) || ' caf'
+                    || chr(101) || chr(769) || ' menu'
+                WHEN doc_id % 10 = 7
+                  THEN 'Accent Family ' || (doc_id // 10) || ' caf'
+                    || chr(233) || ' menu'
+                ELSE text END AS text
+           FROM documents)
+         SELECT md5(nfc_normalize(lower(trim(text)))) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+         FROM spiked GROUP BY 1""",
 
     // graded-twin spike, q158's PPJoin shape at the MinHash shingle
     // order as truth, the q29 banding CTE as candidates, one

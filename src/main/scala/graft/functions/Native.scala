@@ -59,4 +59,7 @@ object Native {
     * [[BoundedDistinctSet]]). */
   def boundedDistinctSet(v: Column, maxSize: Int): Column =
     column(BoundedDistinctSet(expr(v), maxSize).toAggregateExpression())
+
+  /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
+  def nfcNormalize(s: Column): Column = column(NfcNormalize(expr(s)))
 }

@@ -129,6 +129,35 @@ class PropertySpec extends SparkSpec {
     assert(e.eval(null) == graft.functions.Hashing.hexLongJvm("interpreted-probe"))
   }
 
+  test("nfc_normalize: NFD==NFC keys, idempotent, codegen==interpreted, ASCII untouched") {
+    import graft.functions.{Native, NfcNormalize}
+    val nfd = "cafe\u0301 u\u0308ber A\u030Angstro\u0308m"
+    val nfc = "caf\u00e9 \u00fcber \u00c5ngstr\u00f6m"
+    assert(nfd != nfc) // distinct byte sequences...
+    val out = Seq((nfd, nfc)).toDF("a", "b")
+      .select(Native.nfcNormalize(col("a")).as("na"),
+        Native.nfcNormalize(col("b")).as("nb"),
+        md5(Native.nfcNormalize(col("a"))).as("ka"),
+        md5(Native.nfcNormalize(col("b"))).as("kb"),
+        md5(col("a")).as("ra"), md5(col("b")).as("rb"))
+      .collect().head
+    // ...the normalized forms and keys agree, the raw byte keys do NOT
+    assert(out.getString(0) == out.getString(1))
+    assert(out.getString(2) == out.getString(3))
+    assert(out.getString(4) != out.getString(5))
+    // matches java.text.Normalizer and is idempotent
+    val ref = java.text.Normalizer.normalize(nfd, java.text.Normalizer.Form.NFC)
+    assert(out.getString(0) == ref)
+    // interpreted eval agrees with the codegen'd path above
+    val e = NfcNormalize(Native.expr(lit(nfd)))
+    assert(e.eval(null).toString == ref)
+    // ASCII and null pass through
+    val ascii = Seq(("plain ascii", Option.empty[String])).toDF("a", "n")
+      .select(Native.nfcNormalize(col("a")), Native.nfcNormalize(col("n")))
+      .collect().head
+    assert(ascii.getString(0) == "plain ascii" && ascii.isNullAt(1))
+  }
+
   test("cosine similarity is within [-1, 1] and symmetric") {
     val vecGen = Gen.listOfN(6, Gen.choose(-5.0, 5.0).map(_.toFloat))
       .suchThat(_.exists(_ != 0f)).map(_.toArray)

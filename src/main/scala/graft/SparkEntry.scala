@@ -1972,7 +1972,7 @@ object SparkEntry {
     // τ=0.8 truth (q158's PPJoin machinery at the MinHash shingle
     // order) reconciled against the q29 banding candidates. The corpus
     // is spiked with GRADED near-dup twins (doc_id%30 ∈ {1,11,21}:
-    // +2 tokens ≈ J .93, +n/3 junk ≈ J .6, half-replaced ≈ J .3) so
+    // +2 tokens ≈ J .93, +n/5 junk ≈ J .83, half-replaced ≈ J .3) so
     // the S-curve's head, shoulder, and tail all carry mass: recall
     // and precision land strictly inside (0,1)
     "q206_lsh_recall_audit" -> ((s, d) => {
@@ -4900,9 +4900,9 @@ object SparkEntry {
            FROM truth t FULL OUTER JOIN cand c
              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
          agg AS (SELECT
-             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-             CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
-             CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             CAST(coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+             CAST(coalesce(sum(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+             CAST(coalesce(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
            FROM audit)
          SELECT n_true, n_cand, n_hit,
            CASE WHEN n_true > 0

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types._
   * set can never grow past maxSize+1 live entries, so load stays ≤ 0.5
   * and linear probing stays short. */
 final class BoundedSetBuffer(val maxSize: Int) {
+  require(maxSize <= BoundedSetBuffer.MaxCap,
+    s"BoundedSetBuffer maxSize must be <= ${BoundedSetBuffer.MaxCap}, got $maxSize")
   private val cap = Integer.highestOneBit(math.max(2 * (maxSize + 1), 16) * 2 - 1)
   private val mask = cap - 1
   private var keys = new Array[Long](cap)
@@ -46,8 +48,7 @@ final class BoundedSetBuffer(val maxSize: Int) {
       i = (i + 1) & mask
     }
     if (size == maxSize) {
-      overflow = true
-      keys = null; used = null; size = 0
+      markOverflow()
       return
     }
     keys(i) = v; used(i) = 1; size += 1
@@ -58,6 +59,21 @@ final class BoundedSetBuffer(val maxSize: Int) {
     var i = 0
     while (i < cap) { if (used(i) != 0) f(keys(i)); i += 1 }
   }
+
+  /** Flips to overflow and frees storage (merge-side twin of add()'s
+    * overflow branch, so a poisoned group never retains its O(maxSize)
+    * arrays). */
+  def markOverflow(): Unit = {
+    overflow = true
+    keys = null; used = null; size = 0
+  }
+}
+
+object BoundedSetBuffer {
+  /** Upper bound on maxSize: keeps the power-of-two capacity arithmetic
+    * inside Int (2·(maxSize+1)·2 must not overflow) and caps per-group
+    * allocation at ~2 GiB of longs well before it silently balloons. */
+  val MaxCap: Int = 1 << 26
 }
 
 /** `bounded_distinct_set(v, maxSize)`: per group, the distinct values of
@@ -85,6 +101,8 @@ case class BoundedDistinctSet(
   extends TypedImperativeAggregate[BoundedSetBuffer] {
 
   require(maxSize >= 1, s"bounded_distinct_set requires maxSize >= 1, got $maxSize")
+  require(maxSize <= BoundedSetBuffer.MaxCap,
+    s"bounded_distinct_set requires maxSize <= ${BoundedSetBuffer.MaxCap}, got $maxSize")
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -108,8 +126,7 @@ case class BoundedDistinctSet(
 
   override def merge(buf: BoundedSetBuffer, other: BoundedSetBuffer): BoundedSetBuffer = {
     if (other.overflow) {
-      buf.overflow = true
-      buf.size = 0
+      buf.markOverflow()
     } else if (!buf.overflow) {
       other.foreach(buf.add)
     }

@@ -699,11 +699,13 @@ object TextAnalysis {
       .select("__shard", "__prefix")
     local.join(broadcast(prefixes), Seq("__shard"))
       .withColumn("start_offset", col("__prefix") + col("__local_start"))
-      .withColumn("chunk_first", floor(col("start_offset") / contextTokens))
+      // `div` not floor(a / b): offsets are exact longs and the double
+      // division loses integer exactness past 2^53 cumulative tokens
+      .withColumn("chunk_first", expr(s"start_offset div $contextTokens"))
       .withColumn("chunk_last",
         when(col("n_tokens") > 0,
-          floor((col("start_offset") + col("n_tokens") - 1) / contextTokens))
-          .otherwise(floor(col("start_offset") / contextTokens)))
+          expr(s"(start_offset + n_tokens - 1) div $contextTokens"))
+          .otherwise(expr(s"start_offset div $contextTokens")))
       .select(col("doc").as(idCol), col("n_tokens"), col("start_offset"),
         col("chunk_first"), col("chunk_last"),
         (col("chunk_last") - col("chunk_first") + 1).as("n_chunks"))

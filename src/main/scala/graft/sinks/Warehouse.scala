@@ -157,8 +157,11 @@ object Warehouse {
     // attests CONTENT, the offsets attest LAYOUT, the manifest covers
     // both
     val fp = df.select(col(idCol), md5(text).as("content_fp"))
+    // `div` (exact long division), not floor(a / b): the double route
+    // loses exactness once cumulative offsets exceed 2^53 — real at the
+    // 100 TB token scale this targets — and the oracle's `//` is integral
     offs.join(fp, Seq(idCol))
-      .withColumn("shard_id", floor(col("start_offset") / shardTokens))
+      .withColumn("shard_id", expr(s"start_offset div ${shardTokens}L"))
   }
 
   /** Per-shard manifest over [[trainingShardAssign]] — the

@@ -181,6 +181,14 @@ object Relational {
       blockCols: Seq[String], maxDist: Int,
       maxCell: Int = 4096): DataFrame = {
     require(maxDist >= 0 && blockCols.nonEmpty)
+    // Widen the scan FIRST: the guard join and the pair join both
+    // broadcast their build sides, so nothing downstream ever widens
+    // the probe side — on a single-row-group parquet scan the entire
+    // candidate enumeration AND the Levenshtein DP land on ONE task
+    // (measured 3.8 s of a 4.1 s query at sf0.1, 32 cores idle).
+    // `ensure` no-ops once a wide operator enters the lineage, so this
+    // must happen before the guard join, not after.
+    val src = Parallelism.ensure(df)
     // Length joins the equi-key, not just the band filter: bucket width
     // maxDist+1 guarantees a within-band pair is at most one bucket
     // apart, so expanding one side 3× (the rangeJoinByValue rewrite)
@@ -201,7 +209,7 @@ object Relational {
     // O(n·maxCell) — linear in n. Mirror the cap in any oracle
     // (COUNT(*) OVER the same cell key). maxCell <= 0 disables.
     val base = if (maxCell > 0) {
-      val keyed = df.withColumn("__lb",
+      val keyed = src.withColumn("__lb",
         floor(length(col(textCol)) / w))
       val ok = keyed
         .groupBy(blockCols.map(col) :+ col("__lb"): _*)
@@ -209,7 +217,7 @@ object Relational {
         .filter(col("__cn") <= maxCell)
         .drop("__cn")
       keyed.join(ok, blockCols :+ "__lb").drop("__lb")
-    } else df
+    } else src
     def side(p: String) = base.select(
       col(keyCol).as(p + "key") +: col(textCol).as(p + "text") +:
         blockCols.map(c => col(c).as(p + c)): _*)

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through VERBATIM instead of
+// re-logging them behind "[info] "/"[error] " prefixes: the bench
+// driver tail-parses stdout for the final JSON line, and sbt's logger
+// decoration has broken that parse three rounds running
+// (BENCH_r08..r10 "parsed": null). StdoutOutput keeps the streams
+// raw; sbt's own build messages still carry their prefixes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,4 +62,8 @@ object Native {
 
   /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
   def nfcNormalize(s: Column): Column = column(NfcNormalize(expr(s)))
+
+  /** Theil–Sen pairwise-slope fold (see [[TheilSenSlopes]]). */
+  def theilSenSlopes(events: Column): Column =
+    column(TheilSenSlopes(expr(events)))
 }

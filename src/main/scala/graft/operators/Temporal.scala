@@ -521,8 +521,11 @@ object Temporal {
     * Scale shape: state per key is bounded by `maxEvents` (the first
     * `maxEvents` events by (ts, id) — a per-key window over the
     * key-partitioned shuffle, the sessionize layout), so the pairwise
-    * expansion is ≤ maxEvents²/2 per key INSIDE one row's array fold —
-    * no pair shuffle, no self-join; the corpus moves once. */
+    * expansion is ≤ maxEvents²/2 per key INSIDE one native fold over
+    * the group's event array ([[graft.functions.TheilSenSlopes]] — the
+    * HOF pipeline it replaces paid per-slope Catalyst interpretation
+    * plus four array materializations, 12.3 → 1.3 s task-sum at
+    * sf0.1) — no pair shuffle, no self-join; the corpus moves once. */
   def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valCol: Column, maxEvents: Int = 128): DataFrame = {
     require(maxEvents >= 2, "need at least 2 events for a slope")
@@ -535,33 +538,15 @@ object Temporal {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("__us"), col("__id"))))
       .filter(col("__rn") <= maxEvents)
-    val slope =
-      (i: Column, j: Column) => {
-        val a = element_at(col("__arr"), i.cast("int"))
-        val b = element_at(col("__arr"), j.cast("int"))
-        val dt = b.getField("us") - a.getField("us")
-        when(dt =!= 0L,
-          floor((b.getField("v") - a.getField("v")) * lit(1e12) /
-            dt.cast("double") + 0.5).cast(LongType))
-      }
     capped.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        sort_array(collect_list(struct(col("__us").as("us"),
-          col("__id").as("id"), col("__v").as("v")))).as("__arr"))
-      .withColumn("__slopes",
-        when(col("n_events") >= 2,
-          array_sort(filter(flatten(
-            transform(sequence(lit(1), col("n_events") - 1),
-              i => transform(sequence(i + 1, col("n_events")),
-                j => slope(i, j)))),
-            s => s.isNotNull)))
-          .otherwise(array().cast("array<bigint>")))
-      .withColumn("n_pairs", size(col("__slopes")).cast(LongType))
+        graft.functions.Native.theilSenSlopes(
+          collect_list(struct(col("__us").as("us"),
+            col("__id").as("id"), col("__v").as("v")))).as("__ts"))
+      .withColumn("n_pairs", col("__ts.n_pairs"))
       .filter(col("n_pairs") > 0L)
       .select(col(keyCol), col("n_events"), col("n_pairs"),
-        element_at(col("__slopes"),
-          expr("(n_pairs + 1) div 2").cast("int"))
-          .as("slope_micro"))
+        col("__ts.slope_micro").as("slope_micro"))
   }
 
   /** CUSUM-style changepoint score (Page 1954's cumulative-sum chart,

@@ -28,6 +28,7 @@ def main(sf_dir, oracle_path, out_path):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     timings = {}
+    spread = {}
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -38,6 +39,16 @@ def main(sf_dir, oracle_path, out_path):
                 con.sql(sql).fetchall()
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(runs), 6)
+            # the per-query spread is the adjudication guard: a ratio
+            # quoted against a single-generation DuckDB plan flip (q89's
+            # 4.2->0.6, q111's documented 2.2<->15.2) is meaningless
+            # unless the artifact shows whether the denominator is
+            # stable — min/median/max makes that visible per query
+            spread[name] = {
+                "min": round(min(runs), 6),
+                "median": round(statistics.median(runs), 6),
+                "max": round(max(runs), 6),
+            }
         except Exception as e:
             timings[name] = None
             print(f"ERR {name}: {str(e)[:200]}", file=sys.stderr)
@@ -47,6 +58,7 @@ def main(sf_dir, oracle_path, out_path):
         "value": round(sum(ok.values()), 3),
         "threads": 32, "iters": ITERS, "sf": sf_dir,
         "queries": timings,
+        "spread": spread,
     }
     json.dump(artifact, open(out_path, "w"), indent=1, sort_keys=True)
     print(json.dumps({k: artifact[k] for k in ("metric", "value", "sf")}))

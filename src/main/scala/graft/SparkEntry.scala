@@ -40,6 +40,39 @@ object SparkEntry {
   private def wide(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Parallelism.ensure(df)
 
+  /** Graded near-dup twin corpus shared by the LSH calibration audits
+    * (q206 single point, q208 sweep): documents spiked so doc_id%30 ∈
+    * {1, 11, 21} become twins of doc_id−1 at three Jaccard grades
+    * (+2 tokens ≈ J .93, +n/5 junk ≈ J .83, half-replaced ≈ J .3) —
+    * the S-curve's head, shoulder, and tail all carry mass, so recall
+    * and precision land strictly inside (0,1). Widen the LEFT scan
+    * before the spike join: ensure() no-ops on the join's wide
+    * lineage, so an un-widened single-row-group scan would pin the
+    * downstream shingling of BOTH audit legs to one task (measured
+    * 2×~2 s single-task stages at sf0.1); the broadcast right side is
+    * fixture construction, not operator machinery. */
+  private def gradedTwinSpike(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prev = docs.select((col("doc_id") + lit(1L)).as("doc_id"),
+      col("text").as("__pt"))
+    val toks = TextAnalysis.tokens(col("__pt"))
+    def junk(cnt: Column) = concat_ws(" ",
+      transform(sequence(lit(1L), greatest(cnt, lit(1L))),
+        i => concat(lit("aug"), col("doc_id").cast("string"),
+          lit("x"), i.cast("string"))))
+    wide(docs).join(broadcast(prev), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 30 === 1 && col("__pt").isNotNull,
+          concat(col("__pt"), lit(" augx augy")))
+        .when(col("doc_id") % 30 === 11 && col("__pt").isNotNull,
+          concat(col("__pt"), lit(" "), junk(expr("cast(size(split(__pt, ' ')) as bigint) div 5"))))
+        .when(col("doc_id") % 30 === 21 && col("__pt").isNotNull,
+          concat(concat_ws(" ",
+            slice(toks, lit(1), expr("cast(size(split(__pt, ' ')) div 2 as int)"))),
+            lit(" "), junk(expr("cast(size(split(__pt, ' ')) as bigint) div 2"))))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
     * reference's headline semantic — keep-last dedup (latest order per
     * customer, SURVEY.md §2 O18+O19) — through the library operators. */
@@ -1975,34 +2008,21 @@ object SparkEntry {
     // +2 tokens ≈ J .93, +n/5 junk ≈ J .83, half-replaced ≈ J .3) so
     // the S-curve's head, shoulder, and tail all carry mass: recall
     // and precision land strictly inside (0,1)
-    "q206_lsh_recall_audit" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val prev = docs.select((col("doc_id") + lit(1L)).as("doc_id"),
-        col("text").as("__pt"))
-      val toks = TextAnalysis.tokens(col("__pt"))
-      def junk(cnt: Column) = concat_ws(" ",
-        transform(sequence(lit(1L), greatest(cnt, lit(1L))),
-          i => concat(lit("aug"), col("doc_id").cast("string"),
-            lit("x"), i.cast("string"))))
-      // widen the LEFT scan before the spike join: ensure() no-ops on
-      // the join's wide lineage, so an un-widened single-row-group scan
-      // would pin the downstream shingling of BOTH audit legs to one
-      // task (measured 2×~2 s single-task stages at sf0.1); the
-      // broadcast right side is fixture construction, not operator
-      // machinery
-      val spiked = wide(docs).join(broadcast(prev), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") % 30 === 1 && col("__pt").isNotNull,
-            concat(col("__pt"), lit(" augx augy")))
-          .when(col("doc_id") % 30 === 11 && col("__pt").isNotNull,
-            concat(col("__pt"), lit(" "), junk(expr("cast(size(split(__pt, ' ')) as bigint) div 5"))))
-          .when(col("doc_id") % 30 === 21 && col("__pt").isNotNull,
-            concat(concat_ws(" ",
-              slice(toks, lit(1), expr("cast(size(split(__pt, ' ')) div 2 as int)"))),
-              lit(" "), junk(expr("cast(size(split(__pt, ' ')) as bigint) div 2"))))
-          .otherwise(col("text")).as("text"))
-      Dedup.lshRecallAudit(spiked, "doc_id", col("text"), tauPct = 80)
-    }),
+    "q206_lsh_recall_audit" -> ((s, d) =>
+      Dedup.lshRecallAudit(gradedTwinSpike(s, d), "doc_id", col("text"),
+        tauPct = 80)),
+
+    // LSH banding operating-point sweep — the full (bands, rows) grid
+    // of the 16-permutation budget over the same graded-twin corpus
+    // and PPJoin τ=.8 truth as q206, one audit row per grid point.
+    // Probed at sf0.01: recall_micro climbs 433333 (b=1, r=16) → 750000
+    // (b=2) → 966666 (b=4) → 1000000 (b=8, b=16) — a 90% recall target
+    // is crossed between b=2 and b=4, grid points on BOTH sides
+    // (non-vacuous sweep) — while precision degrades 1000000 → 750000
+    // toward the r=1 corner exactly as the S-curve predicts
+    "q208_lsh_banding_sweep" -> ((s, d) =>
+      Dedup.lshBandingSweep(gradedTwinSpike(s, d), "doc_id", col("text"),
+        tauPct = 80, bandGrid = Seq(1, 2, 4, 8, 16), maxBucket = 2000)),
 
     // audio-content dedup, hash half: every doc's payload is a REAL
     // 16-bit PCM WAV muxed from doc-id arithmetic (Multimodal
@@ -2802,26 +2822,85 @@ object SparkEntry {
   /** The same CTE chain over any (doc_id, text) relation name visible
     * in the enclosing scope — the curation-funnel oracle runs it over
     * the quality SURVIVORS, not the corpus. */
-  private def minhashCtesFrom(src: String): String = {
+  /** toks → shingles → md5 → per-family minima (the `mh` CTE), WITHOUT
+    * a banding — shared by the fixed-banding chain below and the q208
+    * sweep, whose banding is per grid point. */
+  private def minhashMhCtesFrom(src: String): String = {
     val P = Dedup.MinHashP
-    val rows = MinhashPerms / MinhashBands
     val mins = (0 until MinhashPerms).map { p =>
       val a = (p * 1000003L + 17L) % P
       val b = (p * 999983L + 9176L) % P
       s"min((h * $a + $b) % $P) AS mh$p"
     }.mkString(", ")
-    val bands = (0 until MinhashBands).map { b =>
-      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM mh"
-    }.mkString(" UNION ALL ")
-    // `ok` mirrors the operator's maxBucket degenerate-band cap exactly
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        sh AS (SELECT doc_id, CASE WHEN len(w) >= $MinhashK
          THEN list_distinct([array_to_string(w[i+1:i+$MinhashK], ' ') for i in range(0, len(w) - ${MinhashK - 1})])
          ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        hh AS (SELECT doc_id, ${sqlHexLong("s")} % $P AS h FROM ex),
-       mh AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       mh AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
+  }
+
+  /** [[gradedTwinSpike]] restated as a CTE — the corpus under both LSH
+    * calibration audits (q206/q208). */
+  private def gradedSpikeCte: String =
+    """spiked AS (
+       SELECT d.doc_id,
+         CASE WHEN d.doc_id % 30 = 1 AND p.text IS NOT NULL
+                THEN p.text || ' augx augy'
+              WHEN d.doc_id % 30 = 11 AND p.text IS NOT NULL
+                THEN p.text || ' ' || array_to_string(
+                  [concat('aug', d.doc_id, 'x', i) for i in
+                   range(1, greatest(len(string_split(p.text, ' ')) // 5, 1) + 1)], ' ')
+              WHEN d.doc_id % 30 = 21 AND p.text IS NOT NULL
+                THEN array_to_string(string_split(p.text, ' ')
+                    [1:len(string_split(p.text, ' ')) // 2], ' ')
+                  || ' ' || array_to_string(
+                  [concat('aug', d.doc_id, 'x', i) for i in
+                   range(1, greatest(len(string_split(p.text, ' ')) // 2, 1) + 1)], ' ')
+              ELSE d.text END AS text
+       FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1)"""
+
+  /** Exact τ ground truth over `spiked` at the MinHash shingle order —
+    * q158's PPJoin shape (df-ascending prefix postings, maxPostings
+    * 1000) ending in `truth(doc_a, doc_b)`. Shared by q206/q208. */
+  private def ppjoinTruthCtes(tau: Int): String = {
+    val k = MinhashK
+    val shingleCase = s"""CASE WHEN len(w) >= $k
+      THEN list_distinct([array_to_string(w[i+1:i+$k], ' ') for i in range(0, len(w) - ${k - 1})])
+      ELSE [array_to_string(w, ' ')] END"""
+    s"""stoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM spiked),
+       ssh AS (SELECT doc_id, $shingleCase AS s FROM stoks),
+       st AS (SELECT doc_id, unnest(s) AS tk FROM ssh),
+       sdf AS (SELECT tk, count(*) AS dfc FROM st GROUP BY 1),
+       slens AS (SELECT doc_id, count(*) AS la FROM st GROUP BY 1),
+       spref AS (SELECT doc_id, la, tk FROM (
+           SELECT st.doc_id, st.tk, sdf.dfc, l.la,
+             row_number() OVER (PARTITION BY st.doc_id
+               ORDER BY sdf.dfc, st.tk) AS rk
+           FROM st JOIN sdf USING (tk) JOIN slens l ON l.doc_id = st.doc_id)
+         WHERE rk <= la - (($tau * la + 99) // 100) + 1 AND dfc <= 1000),
+       scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.la AS la, b.la AS lb
+         FROM spref a JOIN spref b ON a.tk = b.tk AND a.doc_id < b.doc_id
+           AND 100 * least(a.la, b.la) >= $tau * greatest(a.la, b.la)),
+       truth AS (SELECT c.doc_a, c.doc_b FROM (
+           SELECT c.doc_a, c.doc_b, c.la, c.lb,
+             CAST(count(*) AS BIGINT) AS overlap
+           FROM scand c JOIN st x ON x.doc_id = c.doc_a
+             JOIN st y ON y.doc_id = c.doc_b AND y.tk = x.tk
+           GROUP BY 1, 2, 3, 4) c
+         WHERE 100 * c.overlap >= $tau * (c.la + c.lb - c.overlap))"""
+  }
+
+  private def minhashCtesFrom(src: String): String = {
+    val rows = MinhashPerms / MinhashBands
+    val bands = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM mh"
+    }.mkString(" UNION ALL ")
+    // `ok` mirrors the operator's maxBucket degenerate-band cap exactly
+    s"""${minhashMhCtesFrom(src)},
        banded AS ($bands),
        ok AS (SELECT band_idx, band_hash FROM banded
               GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket)"""
@@ -4851,49 +4930,8 @@ object SparkEntry {
     // order as truth, the q29 banding CTE as candidates, one
     // full-outer reconciliation
     "q206_lsh_recall_audit" -> {
-      val tau = 80
-      val k = MinhashK
-      val shingleCase = s"""CASE WHEN len(w) >= $k
-        THEN list_distinct([array_to_string(w[i+1:i+$k], ' ') for i in range(0, len(w) - ${k - 1})])
-        ELSE [array_to_string(w, ' ')] END"""
-      s"""WITH spiked AS (
-           SELECT d.doc_id,
-             CASE WHEN d.doc_id % 30 = 1 AND p.text IS NOT NULL
-                    THEN p.text || ' augx augy'
-                  WHEN d.doc_id % 30 = 11 AND p.text IS NOT NULL
-                    THEN p.text || ' ' || array_to_string(
-                      [concat('aug', d.doc_id, 'x', i) for i in
-                       range(1, greatest(len(string_split(p.text, ' ')) // 5, 1) + 1)], ' ')
-                  WHEN d.doc_id % 30 = 21 AND p.text IS NOT NULL
-                    THEN array_to_string(string_split(p.text, ' ')
-                        [1:len(string_split(p.text, ' ')) // 2], ' ')
-                      || ' ' || array_to_string(
-                      [concat('aug', d.doc_id, 'x', i) for i in
-                       range(1, greatest(len(string_split(p.text, ' ')) // 2, 1) + 1)], ' ')
-                  ELSE d.text END AS text
-           FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
-         stoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM spiked),
-         ssh AS (SELECT doc_id, $shingleCase AS s FROM stoks),
-         st AS (SELECT doc_id, unnest(s) AS tk FROM ssh),
-         sdf AS (SELECT tk, count(*) AS dfc FROM st GROUP BY 1),
-         slens AS (SELECT doc_id, count(*) AS la FROM st GROUP BY 1),
-         spref AS (SELECT doc_id, la, tk FROM (
-             SELECT st.doc_id, st.tk, sdf.dfc, l.la,
-               row_number() OVER (PARTITION BY st.doc_id
-                 ORDER BY sdf.dfc, st.tk) AS rk
-             FROM st JOIN sdf USING (tk) JOIN slens l ON l.doc_id = st.doc_id)
-           WHERE rk <= la - (($tau * la + 99) // 100) + 1 AND dfc <= 1000),
-         scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.la AS la, b.la AS lb
-           FROM spref a JOIN spref b ON a.tk = b.tk AND a.doc_id < b.doc_id
-             AND 100 * least(a.la, b.la) >= $tau * greatest(a.la, b.la)),
-         truth AS (SELECT c.doc_a, c.doc_b FROM (
-             SELECT c.doc_a, c.doc_b, c.la, c.lb,
-               CAST(count(*) AS BIGINT) AS overlap
-             FROM scand c JOIN st x ON x.doc_id = c.doc_a
-               JOIN st y ON y.doc_id = c.doc_b AND y.tk = x.tk
-             GROUP BY 1, 2, 3, 4) c
-           WHERE 100 * c.overlap >= $tau * (c.la + c.lb - c.overlap)),
+      s"""WITH $gradedSpikeCte,
+         ${ppjoinTruthCtes(80)},
          cand AS (${minhashOracleFrom("spiked")}),
          audit AS (
            SELECT t.doc_a IS NOT NULL AS is_t, c.doc_a IS NOT NULL AS is_c
@@ -4910,6 +4948,58 @@ object SparkEntry {
            CASE WHEN n_cand > 0
              THEN CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_micro
          FROM agg"""
+    },
+
+    // the q206 audit at EVERY (bands, rows) split of the 16-permutation
+    // budget: same spiked corpus, same PPJoin truth, per-grid-point
+    // banding/cap/reconciliation, grid-skeleton left join so every
+    // operating point reports a row
+    "q208_lsh_banding_sweep" -> {
+      val grid = Seq(1, 2, 4, 8, 16)
+      val maxBucket = 2000
+      val bandedUnion = grid.flatMap { b =>
+        val rows = MinhashPerms / b
+        (0 until b).map { i =>
+          val cols = (0 until rows).map(r => s"mh${i * rows + r}").mkString(", ")
+          s"SELECT doc_id, CAST($b AS BIGINT) AS bands, $i AS band_idx, " +
+            s"md5(concat_ws(',', $cols)) AS band_hash FROM mh"
+        }
+      }.mkString(" UNION ALL ")
+      val gridVals = grid.map(b => s"($b)").mkString(", ")
+      s"""WITH $gradedSpikeCte,
+         ${ppjoinTruthCtes(80)},
+         cand AS (${minhashMhCtesFrom("spiked")},
+           sbanded AS ($bandedUnion),
+           sok AS (SELECT bands, band_idx, band_hash FROM sbanded
+                   GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND $maxBucket)
+           SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sbanded a JOIN sbanded b
+             ON a.bands = b.bands AND a.band_idx = b.band_idx
+               AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+           JOIN sok ON a.bands = sok.bands AND a.band_idx = sok.band_idx
+             AND a.band_hash = sok.band_hash),
+         truthx AS (SELECT CAST(g.bands AS BIGINT) AS bands, t.doc_a, t.doc_b
+           FROM truth t CROSS JOIN (VALUES $gridVals) g(bands)),
+         audit AS (
+           SELECT coalesce(t.bands, c.bands) AS bands,
+             t.doc_a IS NOT NULL AS is_t, c.doc_a IS NOT NULL AS is_c
+           FROM truthx t FULL OUTER JOIN cand c
+             ON t.bands = c.bands AND t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         agg AS (SELECT bands,
+             CAST(coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+             CAST(coalesce(sum(CASE WHEN is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+             CAST(coalesce(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+           FROM audit GROUP BY bands),
+         sgrid AS (SELECT CAST(x AS BIGINT) AS bands FROM (VALUES $gridVals) v(x))
+         SELECT g.bands, CAST($MinhashPerms // g.bands AS BIGINT) AS rows_per_band,
+           CAST(coalesce(a.n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN coalesce(a.n_true, 0) > 0
+             THEN CAST(a.n_hit * 1000000 // a.n_true AS BIGINT) END AS recall_micro,
+           CASE WHEN coalesce(a.n_cand, 0) > 0
+             THEN CAST(a.n_hit * 1000000 // a.n_cand AS BIGINT) END AS precision_micro
+         FROM sgrid g LEFT JOIN agg a ON a.bands = g.bands"""
     },
 
     // the wavFixture envelope restated as arithmetic (1-D gridHashCtes)

@@ -1082,6 +1082,83 @@ object Dedup {
     * full-outer join on canonical (doc_a < doc_b) pairs and a global
     * aggregate to ONE row. Zero-denominator cases surface as NULL
     * rather than a fake 0 or 100%. */
+  /** LSH banding operating-point sweep — the recall/precision GRID a
+    * production pipeline freezes its banding from ([[lshRecallAudit]]
+    * audits one operating point; this audits every `(bands, rows)`
+    * split of the same `numPerm`-permutation signature budget). One
+    * output row per grid point: the banding's measured recall and
+    * precision against the exact τ truth on THIS corpus — the
+    * empirical S-curve sweep that replaces reading values off the
+    * theoretical 1−(1−J^r)^b chart.
+    *
+    * Cost shape — everything expensive runs ONCE: signatures are
+    * computed once and every grid point's bands explode out of the
+    * same signature row (`|grid| · bands` structs per doc, hashes of
+    * already-computed slots — no re-shingling, no re-md5 of shingles);
+    * ground truth is one [[prefixFilterJoin]]; the reconciliation is
+    * one full-outer join keyed by (grid point, pair) and one aggregate
+    * to `|grid|` rows. Buckets stay capped per grid point (`maxBucket`
+    * binds hardest at the r = 1 corner, where a single hot shingle
+    * minimum herds a corpus fraction into one bucket — exactly the
+    * degenerate mass a production sweep must exclude on BOTH sides,
+    * cap mirrored in the oracle). */
+  def lshBandingSweep(docs: DataFrame, idCol: String, text: Column,
+      tauPct: Int, k: Int = 5, numPerm: Int = 16,
+      bandGrid: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      maxBucket: Int = 10000, maxPostings: Long = 1000L): DataFrame = {
+    require(bandGrid.nonEmpty && bandGrid.forall(b =>
+      b >= 1 && b <= numPerm && numPerm % b == 0),
+      s"every grid point must divide numPerm=$numPerm: $bandGrid")
+    val sig = minHashSignatures(docs, idCol, text, k, numPerm)
+    // all grid points' bands in ONE array: struct(bands, band_idx,
+    // band_hash) — band_hash identical to bandStructs' definition
+    val sweep = array(bandGrid.flatMap { b =>
+      val rows = numPerm / b
+      (0 until b).map { i =>
+        struct(lit(b.toLong).as("bands"), lit(i).as("band_idx"),
+          md5(concat_ws(",", (0 until rows).map(r =>
+            col(s"mh${i * rows + r}")): _*)).as("band_hash"))
+      }
+    }: _*)
+    val banded = sig.select(col("doc"), explode(sweep).as("bd"))
+      .select(col("doc"), col("bd.bands").as("bands"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+    val cand = banded.groupBy("bands", "band_idx", "band_hash")
+      .agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+      .select(col("bands"),
+        graft.functions.Native.idPairs(col("docs")).as(Seq("doc_a", "doc_b")))
+      .distinct()
+      .withColumn("__c", lit(1L))
+    val truth = prefixFilterJoin(docs, idCol, text, tauPct, k, maxPostings)
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(bandGrid.map(b => lit(b.toLong)): _*)).as("bands"),
+        lit(1L).as("__t"))
+    val agg = truth.join(cand, Seq("bands", "doc_a", "doc_b"), "full_outer")
+      .groupBy("bands")
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("__nt"),
+        sum(coalesce(col("__c"), lit(0L))).as("__nc"),
+        sum(when(col("__t").isNotNull && col("__c").isNotNull,
+          1L).otherwise(0L)).as("__nh"))
+    // grid skeleton: every operating point reports a row even when a
+    // degenerate corpus yields zero pairs on both sides (the q206
+    // empty-corpus contract, per grid point)
+    val grid = docs.sparkSession.range(1)
+      .select(explode(array(bandGrid.map(b => lit(b.toLong)): _*)).as("bands"))
+    grid.join(broadcast(agg), Seq("bands"), "left")
+      .select(col("bands"), (lit(numPerm.toLong) / col("bands"))
+          .cast("long").as("rows_per_band"),
+        coalesce(col("__nt"), lit(0L)).as("n_true"),
+        coalesce(col("__nc"), lit(0L)).as("n_cand"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0L, expr("n_hit * 1000000 div n_true"))
+          .as("recall_micro"),
+        when(col("n_cand") > 0L, expr("n_hit * 1000000 div n_cand"))
+          .as("precision_micro"))
+  }
+
   def lshRecallAudit(docs: DataFrame, idCol: String, text: Column,
       tauPct: Int, k: Int = 5, numPerm: Int = 16, bands: Int = 4,
       maxBucket: Int = 10000, maxPostings: Long = 1000L): DataFrame = {

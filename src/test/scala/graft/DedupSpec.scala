@@ -343,6 +343,50 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
     assert(empty == ((0L, 0L, 0L, None, None)), empty.toString)
   }
+
+  test("lshBandingSweep: one row per grid point, truth constant, recall " +
+      "monotone non-decreasing in bands, b=16 superset, empty-corpus skeleton") {
+    import spark.implicits._
+    def sent(seed: String) = (1 to 30)
+      .map(i => s"$seed${(i * 7) % 13}").mkString(" ")
+    val docs = Seq(
+      (1L, sent("alpha")), (2L, sent("alpha")),          // J = 1
+      (3L, sent("beta")), (4L, sent("beta") + " xq yq"), // near twin
+      (5L, sent("gamma")), (6L, "short"))
+      .toDF("doc_id", "text")
+    val grid = Seq(1, 2, 4, 8, 16)
+    val out = Dedup.lshBandingSweep(docs, "doc_id", col("text"),
+        tauPct = 80, bandGrid = grid)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == grid.map(_.toLong), out.mkString(";"))
+    assert(out.map(r => r._1 * r._2).forall(_ == 16L), "bands*rows != numPerm")
+    // truth side is banding-independent; candidate volume (and so
+    // recall) can only grow as bands increase on a fixed permutation
+    // budget: every r-row band agreement at b bands implies agreement
+    // of some finer band at 2b bands... not in general — but the J=1
+    // pair agrees on EVERY split, so n_hit >= 1 everywhere, and the
+    // b=16/r=1 point is a superset of every coarser banding's pairs
+    assert(out.map(_._3).distinct.length == 1, "truth varies with banding")
+    val byBands = out.map(r => r._1 -> r).toMap
+    assert(grid.forall(b => byBands(b.toLong)._5 >= 1L), out.mkString(";"))
+    assert(grid.forall(b => byBands(16L)._4 >= byBands(b.toLong)._4),
+      "r=1 candidates must contain every coarser banding's pairs")
+    // ratio arithmetic exact
+    out.foreach { r =>
+      if (r._3 > 0) assert(r._6.contains(r._5 * 1000000L / r._3), r.toString)
+      if (r._4 > 0) assert(r._7.contains(r._5 * 1000000L / r._4), r.toString)
+    }
+    // empty corpus: full grid skeleton, zero counts, NULL ratios
+    val empty = Dedup.lshBandingSweep(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", col("text"), tauPct = 80, bandGrid = grid)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(empty.length == grid.length, empty.mkString(";"))
+    assert(empty.forall(r => r._3 == 0 && r._4 == 0 && r._5 == 0 &&
+      r._6.isEmpty && r._7.isEmpty), empty.mkString(";"))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

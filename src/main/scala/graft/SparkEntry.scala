@@ -1946,6 +1946,29 @@ object SparkEntry {
       Warehouse.trainingShardManifest(Tables.documents(s, d), "doc_id",
         col("text"), contextTokens = 512, shardTokens = 4096L)),
 
+    // 4-gram interpolated Kneser-Ney perplexity terciles — q201 one
+    // order up, three full backoff levels chained (4-gram →
+    // continuation trigram → continuation-of-continuation bigram →
+    // continuation unigram), B = 64 per the order-4 exact-long bound.
+    // Probed at sf0.01, ALL FIVE chain branches fire non-vacuously:
+    // 3,287 discounted-seen quads / 4,024 unseen-quad-seen-prefix /
+    // 17,698 unseen-prefix (→ continuation trigram) / 775
+    // unseen-(b2,b3)-context (→ continuation bigram) / 41 of those in
+    // b3 buckets the reference never produced (→ the add-one
+    // continuation unigram floor)
+    "q209_interp_ppl_quad" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spiked = when(!col("source").isin("src0", "src1") &&
+          col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" cuneiform hieroglyph abjad")))
+        .otherwise(col("text"))
+      TextAnalysis.lmPerplexityBucketsQuadgram(docs, "doc_id", spiked,
+        docs.filter(col("source").isin("src0", "src1")), col("text"),
+        buckets = 64)
+        .select(col("doc").as("doc_id"), col("n_quads"),
+          col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
+    }),
+
     // image-content dedup, hash half: every doc's payload is a REAL
     // PNG muxed from doc-id arithmetic (Multimodal.pngFixture — ids
     // ≡ 1 mod 10 are planted near-dup twins of id−1), decoded back
@@ -4871,6 +4894,92 @@ object SparkEntry {
                     nll_micro, doc_id) AS t3
                 FROM scored)
          SELECT doc_id, n_triples, nll_micro,
+           CAST(mean_micro AS BIGINT) AS mean_micro,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+         FROM mm"""
+    },
+
+    // the q201 chain one order up at B=64: 4-gram → continuation
+    // trigram → continuation-of-continuation bigram → continuation
+    // unigram, the same rationalized integer chain with three
+    // backoff levels (a1/d1 → a2/d2 → num/den)
+    "q209_interp_ppl_quad" -> {
+      val h = sqlHexLong("w[i]")
+      s"""WITH refz AS (
+           SELECT unnest(h[1:len(h)-3]) AS b1, unnest(h[2:len(h)-2]) AS b2,
+             unnest(h[3:len(h)-1]) AS b3, unnest(h[4:len(h)]) AS b4
+           FROM (SELECT [$h % 64 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+         refp AS (SELECT b1, b2, b3, b4, CAST(count(*) AS BIGINT) AS c1234
+                  FROM refz GROUP BY 1, 2, 3, 4),
+         pre AS (SELECT b1, b2, b3, CAST(sum(c1234) AS BIGINT) AS c123,
+                 CAST(count(*) AS BIGINT) AS n123 FROM refp GROUP BY 1, 2, 3),
+         cont3 AS (SELECT b2, b3, b4, CAST(count(*) AS BIGINT) AS cp3
+                   FROM refp GROUP BY 1, 2, 3),
+         c23 AS (SELECT b2, b3, CAST(sum(cp3) AS BIGINT) AS cp3s,
+                 CAST(count(*) AS BIGINT) AS n23 FROM cont3 GROUP BY 1, 2),
+         contp AS (SELECT b3, b4, CAST(count(*) AS BIGINT) AS cpp
+                   FROM cont3 GROUP BY 1, 2),
+         c3 AS (SELECT b3, CAST(sum(cpp) AS BIGINT) AS cpp2,
+                CAST(count(*) AS BIGINT) AS n3 FROM contp GROUP BY 1),
+         ctt AS (SELECT b4, CAST(count(*) AS BIGINT) AS ct4
+                 FROM contp GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM contp),
+         dz AS (
+           SELECT doc_id, unnest(h[1:len(h)-3]) AS b1,
+             unnest(h[2:len(h)-2]) AS b2, unnest(h[3:len(h)-1]) AS b3,
+             unnest(h[4:len(h)]) AS b4
+           FROM (SELECT doc_id, [$h % 64 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT doc_id, string_split(
+                         CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
+                              THEN text || ' cuneiform hieroglyph abjad'
+                              ELSE text END, ' ') AS w FROM documents
+                       WHERE text IS NOT NULL))),
+         dp AS (SELECT doc_id, b1, b2, b3, b4, CAST(count(*) AS BIGINT) AS m
+                FROM dz GROUP BY 1, 2, 3, 4, 5),
+         t1 AS (
+           SELECT doc_id, m,
+             CASE WHEN coalesce(cpp2, 0) > 0
+               THEN greatest(4 * coalesce(cpp, 0) - 3, 0) * (np + 64)
+                    + 3 * n3 * (coalesce(ct4, 0) + 1)
+               ELSE coalesce(ct4, 0) + 1 END AS a1,
+             CASE WHEN coalesce(cpp2, 0) > 0
+               THEN 4 * cpp2 * (np + 64) ELSE np + 64 END AS d1,
+             coalesce(cp3, 0) AS cp3x, coalesce(cp3s, 0) AS cp3sx,
+             coalesce(n23, 0) AS n23x,
+             coalesce(c123, 0) AS c123x, coalesce(n123, 0) AS n123x,
+             coalesce(c1234, 0) AS c1234x
+           FROM dp LEFT JOIN pre USING (b1, b2, b3)
+                LEFT JOIN refp USING (b1, b2, b3, b4)
+                LEFT JOIN cont3 USING (b2, b3, b4)
+                LEFT JOIN c23 USING (b2, b3)
+                LEFT JOIN contp USING (b3, b4) LEFT JOIN c3 USING (b3)
+                LEFT JOIN ctt USING (b4) CROSS JOIN np),
+         t2 AS (
+           SELECT doc_id, m, c123x, n123x, c1234x,
+             CASE WHEN cp3sx > 0
+               THEN greatest(4 * cp3x - 3, 0) * d1 + 3 * n23x * a1
+               ELSE a1 END AS a2,
+             CASE WHEN cp3sx > 0 THEN 4 * cp3sx * d1 ELSE d1 END AS d2
+           FROM t1),
+         scored AS (
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_quads,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(CASE WHEN c123x > 0 THEN 4 * c123x * d2 ELSE d2 END
+                 AS DOUBLE) /
+               CAST(CASE WHEN c123x > 0
+                    THEN greatest(4 * c1234x - 3, 0) * d2 + 3 * n123x * a2
+                    ELSE a2 END AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_micro
+           FROM t2 GROUP BY 1),
+         mm AS (SELECT doc_id, n_quads, nll_micro,
+                  nll_micro // n_quads AS mean_micro,
+                  ntile(3) OVER (ORDER BY nll_micro // n_quads,
+                    nll_micro, doc_id) AS t3
+                FROM scored)
+         SELECT doc_id, n_quads, nll_micro,
            CAST(mean_micro AS BIGINT) AS mean_micro,
            CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
              AS ppl_bucket

@@ -2303,6 +2303,261 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Per-key hashed 4-gram-bucket quadruple multiset —
+    * [[trigramBucketTriples]] one order up: (b1, b2, b3, b4, m) per
+    * key, docs under 4 tokens contribute nothing. */
+  private def quadgramBucketQuads(shaped: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame =
+    shaped
+      .withColumn("__h",
+        transform(tokens(col("__t")),
+          t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
+      .select(keys.map(col) :+ explode(when(size(col("__h")) >= 4,
+        transform(sequence(lit(0), size(col("__h")) - 4),
+          i => struct(element_at(col("__h"), i + 1).as("b1"),
+            element_at(col("__h"), i + 2).as("b2"),
+            element_at(col("__h"), i + 3).as("b3"),
+            element_at(col("__h"), i + 4).as("b4"))))
+        .otherwise(array()
+          .cast("array<struct<b1:bigint,b2:bigint,b3:bigint,b4:bigint>>")))
+        .as("__p"): _*)
+      .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2")
+        :+ col("__p.b3") :+ col("__p.b4"): _*)
+      .groupBy((keys ++ Seq("b1", "b2", "b3", "b4")).map(col): _*)
+      .agg(count(lit(1)).as("m"))
+
+  /** [[lmTrainTrigram]] one order up: the hashed-4-GRAM model as data —
+    * `(b1, b2, b3, b4, c1234)` observed-quadruple counts, the complete
+    * sufficient statistic of the order-4 interpolated-KN chain (every
+    * margin, discount and continuation count derives from it — the
+    * continuation TRIGRAM table is the distinct-predecessor count per
+    * observed (b2,b3,b4), i.e. a row-count margin of this table, and
+    * the recursion keeps marginalizing down from there). One order
+    * below Wenzek et al. 2020's order-5 KenLM filter; the chain shape
+    * is now three full backoff levels deep, so the order-5 extension
+    * is mechanical.
+    *
+    * Bucket default drops 256 → 64: the rationalized integer chain's
+    * denominator grows a factor of `4·(backoff-level sum bound)` per
+    * order (see [[interpNllQuad]]'s long-bound contract), and B = 256
+    * at order 4 would cap prefix buckets at ~500 tokens — useless.
+    * B = 64 keeps the exact-integer contract to c123 ≲ 2·10⁶ tokens
+    * per (b1,b2,b3) prefix bucket ≈ 5·10¹¹ tokens corpus-wide at
+    * uniform hashing; shard the reference beyond that. */
+  def lmTrainQuadgram(reference: DataFrame, refText: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    quadgramBucketQuads(Parallelism.ensure(
+      reference.select(refText.as("__t")).filter(col("__t").isNotNull)),
+      Nil, buckets)
+      .withColumnRenamed("m", "c1234")
+  }
+
+  /** Pack an [[lmTrainQuadgram]] model for [[interpNllQuad]]: one
+    * broadcast row of ten derived statistics — quadruple counts
+    * (`__qm`, keyed ((b1·B+b2)·B+b3)·B+b4), prefix totals and
+    * distinct-successor counts (`__c123`/`__n123`, keyed
+    * (b1·B+b2)·B+b3), the CONTINUATION trigram table N1+(·w2w3w4)
+    * (`__cp3`, keyed (b2·B+b3)·B+b4 — distinct predecessors, the KN
+    * middle orders score TYPE novelty, not token frequency), its
+    * margins (`__cp3s`/`__n23`, keyed b2·B+b3), the
+    * continuation-of-continuation bigram N1+(·w3w4) over the
+    * continuation trigrams (`__cpp`, keyed b3·B+b4), its margins
+    * (`__cpp2`/`__n3`, keyed b3), continuation-unigram evidence
+    * (`__ct4`, keyed b4), and the distinct continuation-bigram total
+    * (`__np`). ≤ B⁴ observed keys worst case, B³/B²-bounded margins —
+    * statistics-sized, never corpus-sized. */
+  def lmPackInterpQuad(model: DataFrame, buckets: Int): DataFrame = {
+    val b = buckets
+    val cont3 = model.groupBy("b2", "b3", "b4").agg(count(lit(1)).as("cp3"))
+    val contp = cont3.groupBy("b3", "b4").agg(count(lit(1)).as("cpp"))
+    broadcast(model
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        ((col("b1") * b + col("b2")) * b + col("b3")) * b + col("b4"),
+        col("c1234")))).as("__qm"))
+      .crossJoin(model.groupBy("b1", "b2", "b3")
+        .agg(sum(col("c1234")).as("c123"), count(lit(1)).as("n123"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(
+            (col("b1") * b + col("b2")) * b + col("b3"), col("c123"))))
+            .as("__c123"),
+          map_from_entries(collect_list(struct(
+            (col("b1") * b + col("b2")) * b + col("b3"), col("n123"))))
+            .as("__n123")))
+      .crossJoin(cont3.groupBy().agg(map_from_entries(collect_list(struct(
+        (col("b2") * b + col("b3")) * b + col("b4"), col("cp3"))))
+        .as("__cp3")))
+      .crossJoin(cont3.groupBy("b2", "b3")
+        .agg(sum(col("cp3")).as("cp3s"), count(lit(1)).as("n23"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(
+            col("b2") * b + col("b3"), col("cp3s")))).as("__cp3s"),
+          map_from_entries(collect_list(struct(
+            col("b2") * b + col("b3"), col("n23")))).as("__n23")))
+      .crossJoin(contp.groupBy().agg(map_from_entries(collect_list(struct(
+        col("b3") * b + col("b4"), col("cpp")))).as("__cpp")))
+      .crossJoin(contp.groupBy("b3")
+        .agg(sum(col("cpp")).as("cpp2"), count(lit(1)).as("n3"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(col("b3"), col("cpp2"))))
+            .as("__cpp2"),
+          map_from_entries(collect_list(struct(col("b3"), col("n3"))))
+            .as("__n3")))
+      .crossJoin(contp.groupBy("b4").agg(count(lit(1)).as("ct4"))
+        .groupBy().agg(map_from_entries(collect_list(struct(
+          col("b4"), col("ct4")))).as("__ct4")))
+      .crossJoin(contp.groupBy().agg(count(lit(1)).as("__np"))))
+  }
+
+  /** Per-quadruple negative log probability (integer micro-nats) of
+    * the order-4 interpolated absolute-discount chain over an
+    * [[lmPackInterpQuad]] row — [[interpNllTri]]'s recursion unrolled
+    * one more level, D = 3/4 rational at ALL THREE orders:
+    *
+    *   p4(w4|w1w2w3) = max(c1234−D,0)/c123 + D·n123/c123 · p3'(w4|w2w3)
+    *   p3'(w4|w2w3)  = max(cp3−D,0)/cp3s  + D·n23/cp3s  · p2'(w4|w3)
+    *   p2'(w4|w3)    = max(cpp−D,0)/cpp2  + D·n3/cpp2   · p1(w4)
+    *   p1(w4)        = (ct4 + 1) / (Np + B)
+    *
+    * every middle order over Kneser-Ney continuation counts.
+    * Unseen prefix at each level backs off to the level below (the
+    * full chain). Multiplying through, with Z = Np + B:
+    *
+    *   a1 = max(4·cpp−3,0)·Z  + 3·n3·(ct4+1),   d1 = 4·cpp2·Z
+    *   a2 = max(4·cp3−3,0)·d1 + 3·n23·a1,       d2 = 4·cp3s·d1
+    *   num = max(4·c1234−3,0)·d2 + 3·n123·a2,   den = 4·c123·d2
+    *
+    * — every factor an exact long; each level telescopes to exactly 1
+    * so den ≥ num and nll ≥ 0. Long-bound contract: den =
+    * 64·c123·cp3s·cpp2·Z with cp3s ≤ B², cpp2 ≤ B², Z ≤ B²+B — at
+    * B = 64 that is ≤ c123·4.5·10¹², so c123 ≲ 2·10⁶ tokens per
+    * (b1,b2,b3) bucket triple overflows nothing (≈ 5·10¹¹ tokens
+    * corpus-wide at uniform hashing over B³ = 262 144 prefix buckets);
+    * at B = 256 the same bound collapses to c123 ≲ 500 — which is WHY
+    * this tier defaults to 64 (see [[lmTrainQuadgram]]). */
+  def interpNllQuad(b1: Column, b2: Column, b3: Column, b4: Column,
+      buckets: Int): Column = {
+    val bl = lit(buckets.toLong)
+    val k123 = (b1 * bl + b2) * bl + b3
+    val k234 = (b2 * bl + b3) * bl + b4
+    val k34 = b3 * bl + b4
+    val c1234 = coalesce(element_at(col("__qm"), k123 * bl + b4), lit(0L))
+    val c123 = coalesce(element_at(col("__c123"), k123), lit(0L))
+    val n123 = coalesce(element_at(col("__n123"), k123), lit(0L))
+    val cp3 = coalesce(element_at(col("__cp3"), k234), lit(0L))
+    val cp3s = coalesce(element_at(col("__cp3s"), b2 * bl + b3), lit(0L))
+    val n23 = coalesce(element_at(col("__n23"), b2 * bl + b3), lit(0L))
+    val cpp = coalesce(element_at(col("__cpp"), k34), lit(0L))
+    val cpp2 = coalesce(element_at(col("__cpp2"), b3), lit(0L))
+    val n3 = coalesce(element_at(col("__n3"), b3), lit(0L))
+    val ct4 = coalesce(element_at(col("__ct4"), b4), lit(0L))
+    val z = col("__np") + bl
+    val a1 = when(cpp2 > 0L,
+      greatest(lit(4L) * cpp - lit(3L), lit(0L)) * z +
+        lit(3L) * n3 * (ct4 + lit(1L)))
+      .otherwise(ct4 + lit(1L))
+    val d1 = when(cpp2 > 0L, lit(4L) * cpp2 * z).otherwise(z)
+    val a2 = when(cp3s > 0L,
+      greatest(lit(4L) * cp3 - lit(3L), lit(0L)) * d1 +
+        lit(3L) * n23 * a1)
+      .otherwise(a1)
+    val d2 = when(cp3s > 0L, lit(4L) * cp3s * d1).otherwise(d1)
+    val num = when(c123 > 0L,
+      greatest(lit(4L) * c1234 - lit(3L), lit(0L)) * d2 +
+        lit(3L) * n123 * a2)
+      .otherwise(a2)
+    val den = when(c123 > 0L, lit(4L) * c123 * d2).otherwise(d2)
+    floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+      .cast(LongType)
+  }
+
+  /** [[lmPerplexityBucketsTrigram]] one order up — 4-gram
+    * interpolated-KN perplexity terciles: same lifecycle (ONE
+    * checkpointed reference pass into the ≤B⁴-row quadruple table,
+    * margins derived model-side), same micro-nat quantizer, same
+    * tercile cut; `n_quads` replaces `n_triples` and docs under 4
+    * tokens score no quadruples.
+    *
+    * Scoring shape: SEVEN size-gated broadcast hash joins against the
+    * statistics-sized margin tables (the q201 lesson — a MapType
+    * literal probe is a linear scan, the wrong asymptotic for a
+    * corpus pass; broadcast joins preserve the per-doc partitioning
+    * and stay inside whole-stage codegen). Broadcast bound: the
+    * quadruple table saturates at B⁴ rows (16.7M at B = 64 — same
+    * ceiling as the trigram tier's B³ at 256); every margin ≤ B³. */
+  def lmPerplexityBucketsQuadgram(df: DataFrame, idCol: String,
+      text: Column, reference: DataFrame, refText: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val model = lmTrainQuadgram(reference, refText, buckets)
+      .localCheckpoint(true)
+    val pre = model.groupBy("b1", "b2", "b3")
+      .agg(sum(col("c1234")).as("__c123"), count(lit(1)).as("__n123"))
+    val cont3 = model.groupBy("b2", "b3", "b4")
+      .agg(count(lit(1)).as("__cp3"))
+    val c23 = cont3.groupBy("b2", "b3")
+      .agg(sum(col("__cp3")).as("__cp3s"), count(lit(1)).as("__n23"))
+    val contp = cont3.groupBy("b3", "b4").agg(count(lit(1)).as("__cpp"))
+    val c3 = contp.groupBy("b3")
+      .agg(sum(col("__cpp")).as("__cpp2"), count(lit(1)).as("__n3"))
+    val ct = contp.groupBy("b4").agg(count(lit(1)).as("__ct4"))
+    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = quadgramBucketQuads(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(col("__t").isNotNull)
+        .repartition(par, col("doc")), Seq("doc"), buckets)
+    val c1234 = coalesce(col("__c1234"), lit(0L))
+    val c123 = coalesce(col("__c123"), lit(0L))
+    val n123 = coalesce(col("__n123"), lit(0L))
+    val cp3 = coalesce(col("__cp3"), lit(0L))
+    val cp3s = coalesce(col("__cp3s"), lit(0L))
+    val n23 = coalesce(col("__n23"), lit(0L))
+    val cpp = coalesce(col("__cpp"), lit(0L))
+    val cpp2 = coalesce(col("__cpp2"), lit(0L))
+    val n3 = coalesce(col("__n3"), lit(0L))
+    val ct4 = coalesce(col("__ct4"), lit(0L))
+    val z = col("__np") + lit(buckets.toLong)
+    val a1 = when(cpp2 > 0L,
+      greatest(lit(4L) * cpp - lit(3L), lit(0L)) * z +
+        lit(3L) * n3 * (ct4 + lit(1L)))
+      .otherwise(ct4 + lit(1L))
+    val d1 = when(cpp2 > 0L, lit(4L) * cpp2 * z).otherwise(z)
+    val a2 = when(cp3s > 0L,
+      greatest(lit(4L) * cp3 - lit(3L), lit(0L)) * d1 +
+        lit(3L) * n23 * a1)
+      .otherwise(a1)
+    val d2 = when(cp3s > 0L, lit(4L) * cp3s * d1).otherwise(d1)
+    val num = when(c123 > 0L,
+      greatest(lit(4L) * c1234 - lit(3L), lit(0L)) * d2 +
+        lit(3L) * n123 * a2)
+      .otherwise(a2)
+    val den = when(c123 > 0L, lit(4L) * c123 * d2).otherwise(d2)
+    val scored = perDoc
+      .join(broadcast(pre), Seq("b1", "b2", "b3"), "left")
+      .join(broadcast(model.withColumnRenamed("c1234", "__c1234")),
+        Seq("b1", "b2", "b3", "b4"), "left")
+      .join(broadcast(cont3), Seq("b2", "b3", "b4"), "left")
+      .join(broadcast(c23), Seq("b2", "b3"), "left")
+      .join(broadcast(contp), Seq("b3", "b4"), "left")
+      .join(broadcast(c3), Seq("b3"), "left")
+      .join(broadcast(ct), Seq("b4"), "left")
+      .crossJoin(broadcast(np))
+      .withColumn("nll",
+        floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType))
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_quads"),
+        sum(col("m") * col("nll")).as("nll_micro"))
+      .withColumn("mean_micro", expr("nll_micro div n_quads"))
+    val tercile = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_micro"), col("nll_micro"), col("doc")))
+    scored.withColumn("ppl_bucket",
+      when(tercile === 1, lit("head"))
+        .when(tercile === 2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, public): the
     * denoising-pretraining prep that turns each document into a
     * (masked input, span target) pair. Tokens partition into fixed

@@ -324,6 +324,44 @@ object CurationStream {
         "__ct3", "__np")
   }
 
+  /** [[lmQualityGateTrigram]] one order up — the 4-GRAM interpolated-KN
+    * gate over the exported `(b1,b2,b3,b4,c1234)` artifact
+    * ([[graft.operators.TextAnalysis.lmTrainQuadgram]]): the full
+    * four-level backoff chain
+    * ([[graft.operators.TextAnalysis.interpNllQuad]]) as a per-row long
+    * fold over the once-bound token-hash array — no explode, no state,
+    * one broadcast model row
+    * ([[graft.operators.TextAnalysis.lmPackInterpQuad]]). Batch
+    * ([[graft.operators.TextAnalysis.lmPerplexityBucketsQuadgram]]) and
+    * stream agree bit-for-bit (StreamingSpec parity). Buckets default
+    * 64, the order-4 long-bound contract (see interpNllQuad). */
+  def lmQualityGateQuadgram(docs: DataFrame, model: DataFrame,
+      maxMeanMicro: Long, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    docs.crossJoin(TextAnalysis.lmPackInterpQuad(model, buckets))
+      .withColumn("__h",
+        transform(TextAnalysis.tokens(col("text")),
+          t => pmod(graft.functions.Hashing.hexLong(t),
+            lit(buckets.toLong))))
+      .withColumn("n_quads",
+        when(col("text").isNotNull,
+          greatest(size(col("__h")) - 3, lit(0)).cast("long")))
+      .withColumn("nll_micro",
+        when(col("text").isNotNull && size(col("__h")) >= 4,
+          aggregate(sequence(lit(0), size(col("__h")) - 4), lit(0L),
+            (acc, i) => acc + TextAnalysis.interpNllQuad(
+              element_at(col("__h"), (i + 1).cast("int")),
+              element_at(col("__h"), (i + 2).cast("int")),
+              element_at(col("__h"), (i + 3).cast("int")),
+              element_at(col("__h"), (i + 4).cast("int")), buckets))))
+      .withColumn("mean_micro",
+        when(col("n_quads") > 0L, expr("nll_micro div n_quads")))
+      .withColumn("lm_pass",
+        coalesce(col("mean_micro") <= maxMeanMicro, lit(false)))
+      .drop("__h", "__qm", "__c123", "__n123", "__cp3", "__cp3s",
+        "__n23", "__cpp", "__cpp2", "__n3", "__ct4", "__np")
+  }
+
   /** Stateless streaming Moore–Lewis gate — the deployment half of
     * [[graft.operators.TextAnalysis.crossEntropyDiffSelect]] (q169,
     * the [[lmQualityGate]] pattern doubled): BOTH exported

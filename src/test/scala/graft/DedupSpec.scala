@@ -1435,6 +1435,94 @@ class TextAnalysisSpec extends SparkSpec {
     assert(branches == Set("seen", "unseen-triple", "unseen-prefix",
       "unseen-context"), branches.toString)
   }
+
+  test("4-gram interp-KN: JVM-twin exact scores, all five backoff branches fire") {
+    import spark.implicits._
+    val refTexts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun")
+    val reference = refTexts.toDF("text")
+    val B = 64L
+    def bk(t: String) = graft.functions.Hashing.hexLongJvm(t) % B
+    // words whose BUCKETS collide with no reference word's (B = 64
+    // makes accidental collisions likely — pick explicitly fresh ones)
+    val refBuckets = refTexts.flatMap(_.split(" ")).map(bk).toSet
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    val used = scala.collection.mutable.Set.empty[Long] ++= refBuckets
+    var wi = 0
+    while (fresh.size < 5) {
+      val w = s"w$wi"
+      if (!used.contains(bk(w))) { fresh += w; used += bk(w) }
+      wi += 1
+    }
+    val Seq(f1, f2, f3, f4, f5) = fresh.toSeq
+    val docTexts = Map(
+      1L -> "the quick brown fox jumps",   // seen quads
+      2L -> s"the quick brown $f1",        // seen prefix, unseen quad
+      3L -> s"$f1 quick brown fox",        // unseen prefix, seen (b2,b3)
+      4L -> s"$f1 $f2 brown fox",          // unseen (b2,b3), seen b3
+      5L -> s"$f2 $f3 $f4 $f5")            // deepest: unseen b3 context
+    val docs = docTexts.toSeq.toDF("doc_id", "text")
+    def quads(s: String) = s.split(" ").map(bk).sliding(4)
+      .filter(_.length == 4).map(a => (a(0), a(1), a(2), a(3))).toSeq
+    val c1234 = refTexts.flatMap(quads).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val pre = c1234.groupBy { case ((b1, b2, b3, _), _) => (b1, b2, b3) }
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val cont3 = c1234.keys.map { case (b1, b2, b3, b4) => ((b2, b3, b4), b1) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c23 = cont3.groupBy { case ((b2, b3, _), _) => (b2, b3) }
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val contp = cont3.keys.map { case (b2, b3, b4) => ((b3, b4), b2) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c3 = contp.groupBy(_._1._1)
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val ct4m = contp.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val z = contp.size.toLong + B
+    val branches = scala.collection.mutable.Set.empty[String]
+    def nll(t: (Long, Long, Long, Long)): Long = {
+      val (b1, b2, b3, b4) = t
+      val ct = ct4m.getOrElse(b4, 0L)
+      val (cpp2, n3) = c3.getOrElse(b3, (0L, 0L))
+      val cpp = contp.getOrElse((b3, b4), 0L)
+      val (a1, d1) =
+        if (cpp2 > 0) (math.max(4 * cpp - 3, 0) * z + 3 * n3 * (ct + 1),
+          4 * cpp2 * z)
+        else (ct + 1, z)
+      val (cp3s, n23) = c23.getOrElse((b2, b3), (0L, 0L))
+      val cp3 = cont3.getOrElse((b2, b3, b4), 0L)
+      val (a2, d2) =
+        if (cp3s > 0) (math.max(4 * cp3 - 3, 0) * d1 + 3 * n23 * a1,
+          4 * cp3s * d1)
+        else (a1, d1)
+      val (c123, n123) = pre.getOrElse((b1, b2, b3), (0L, 0L))
+      val c = c1234.getOrElse(t, 0L)
+      branches += (if (c123 > 0 && c > 0) "seen"
+        else if (c123 > 0) "unseen-quad"
+        else if (cp3s > 0) "unseen-prefix"
+        else if (cpp2 > 0) "unseen-ctx23" else "unseen-ctx3")
+      val (num, den) =
+        if (c123 > 0) (math.max(4 * c - 3, 0) * d2 + 3 * n123 * a2,
+          4 * c123 * d2)
+        else (a2, d2)
+      math.floor(math.log(den.toDouble / num.toDouble) * 1e6 + 0.5).toLong
+    }
+    val expected = docTexts.map { case (id, s) =>
+      val qs = quads(s)
+      id -> ((qs.size.toLong, qs.map(nll).sum))
+    }
+    val out = TextAnalysis.lmPerplexityBucketsQuadgram(
+        docs, "doc_id", col("text"), reference, col("text"), buckets = 64)
+      .select(col("doc"), col("n_quads"), col("nll_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == expected, s"$out vs $expected")
+    // all five chain branches fired across the planted docs
+    assert(branches == Set("seen", "unseen-quad", "unseen-prefix",
+      "unseen-ctx23", "unseen-ctx3"), branches.toString)
+    // every score non-negative (the telescoping den >= num contract)
+    assert(out.values.forall(_._2 >= 0L), out.toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -852,6 +852,70 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streaming 4-gram interp-KN gate scores bit-identically to the batch buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun",
+      "a quick brown fox and a lazy dog meet again")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps again"),
+      (2L, "zzz qqq vvv www unseen gibberish"), // full backoff chain
+      (3L, "the quick brown cat naps"),
+      (4L, "one two three"),                     // 3 tokens → 0 quads
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the exported (b1,b2,b3,b4,c1234) artifact is the model — the
+    // stream never sees the reference corpus
+    val model = TextAnalysis.lmTrainQuadgram(reference, col("text")).cache()
+    val batch = TextAnalysis.lmPerplexityBucketsQuadgram(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("n_quads"), col("nll_micro"),
+        col("mean_micro"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val cut = (batch(1L)._4 + batch(2L)._4) / 2
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.lmQualityGateQuadgram(
+        input.toDF().toDF("doc_id", "text"), model, maxMeanMicro = cut)
+      .select(col("doc_id"), col("n_quads"), col("nll_micro"),
+        col("mean_micro"), col("lm_pass"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_gate_quad").start()
+    val out = try {
+      input.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      spark.table("lm_gate_quad")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2.contains(batch(id)._2) &&
+        out(id)._3.contains(batch(id)._3) &&
+        out(id)._4.contains(batch(id)._4),
+        s"doc $id: stream ${out(id)} vs batch ${batch(id)}")
+    }
+    assert(out(1L)._5 && out(3L)._5 && !out(2L)._5, out.toString)
+    // batch drops the <4-token and null docs; the stream keeps them,
+    // gated false (per-doc verdict contract)
+    assert(!batch.contains(4L) && !batch.contains(5L))
+    assert(out(4L)._2.contains(0L) && out(4L)._4.isEmpty && !out(4L)._5)
+    assert(out(5L)._2.isEmpty && !out(5L)._5)
+    // order-4 is non-vacuous next to order-3: the chains disagree on
+    // scored docs (different bucket width AND one more backoff level)
+    val tri = TextAnalysis.lmPerplexityBucketsTrigram(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("nll_micro")).as[(Long, Long)]
+      .collect().toMap
+    assert(Seq(1L, 2L, 3L).exists(id => tri(id) != batch(id)._3),
+      "4-gram chain collapsed to the trigram scores")
+    model.unpersist()
+  }
+
   test("streaming Moore-Lewis CED gate scores bit-identically to the batch selection") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

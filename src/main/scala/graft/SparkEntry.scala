@@ -2104,6 +2104,39 @@ object SparkEntry {
           col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // MJPEG-in-MP4 pixel decode, hash half: every doc's payload is a
+    // real ISO-BMFF container whose samples are REAL JPEGs
+    // (Multimodal.mjpegFixture) — demuxed through the actual
+    // stsz/stsc/stco sample-table walk (mp4VideoTrack), first sample
+    // decoded by javax.imageio, dHash64 on actual decoded pixels. The
+    // fixture plants gradient BITS as a ±14 brightness walk (lossy
+    // JPEG can't be value-exact like the PNG fixtures, but quality-.95
+    // DC error ≲2 never flips a 14-level step), so the oracle restates
+    // the hash as pure md5%2 bit assembly; the all-docs-identical
+    // decoy sample 1 makes a wrong-sample demux regression loud
+    "q210_mjpeg_dhash" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.mjpegFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoFrameHashes(s, payloads, "doc_id")
+    }),
+
+    // MJPEG-in-MP4 content dedup, pair half: the recovered first-frame
+    // hashes through the shared band/bucket/Hamming machinery
+    "q211_mjpeg_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.mjpegFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -3052,6 +3085,29 @@ object SparkEntry {
          WHERE a.c <= 7 GROUP BY 1)"""
   }
   private def imageDHashCtes: String = gridHashCtes("img")
+
+  /** The [[graft.operators.Multimodal.mjpegFixture]] walk grid as
+    * arithmetic: the planted gradient bits ARE the hash
+    * (`md5("mjb:<seed>:<r>:<c>") % 2`), no pixel model — the lossy
+    * sibling of [[gridHashCtes]], same twin/twist rule. Ends with
+    * `h(doc_id, dhash)`. */
+  private def mjpegHashCtes: String = {
+    val bSeed = sqlHexLong(
+      "concat('mjb:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', r.r, ':', c.c)")
+    val bTwist = sqlHexLong("concat('mjb:', d.doc_id, ':twist:', c.c)")
+    s"""bits AS (
+         SELECT d.doc_id, r.r, c.c,
+           CASE WHEN d.doc_id % 10 = 1 AND r.r = 0 AND c.c <= 2
+             THEN $bTwist % 2 ELSE $bSeed % 2 END AS b
+         FROM documents d, range(8) r(r), range(8) c(c)),
+       h AS (
+         SELECT doc_id,
+           bit_or(CASE WHEN b = 1 THEN
+               CASE WHEN r * 8 + c = 63 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INT)) END
+             ELSE 0 END) AS dhash
+         FROM bits GROUP BY 1)"""
+  }
 
   /** The [[graft.operators.Multimodal.wavFixture]] 65-segment envelope
     * as arithmetic: amplitudes `md5("aud:<seed>:<s>") % 32768`, bit s
@@ -5125,6 +5181,16 @@ object SparkEntry {
     "q204_video_dhash" ->
       s"""WITH ${gridHashCtes("vid")}
          SELECT doc_id, dhash AS vhash FROM h""",
+
+    // the mjpegFixture walk bits reassembled directly — the planted
+    // gradient IS the hash, the JPEG round-trip must recover it
+    // bit-exactly; the decoy sample 1 must never surface
+    "q210_mjpeg_dhash" ->
+      s"""WITH $mjpegHashCtes
+         SELECT doc_id, dhash AS vhash FROM h""",
+
+    // MJPEG first-sample hash + the shared band/bucket/Hamming machinery
+    "q211_mjpeg_neardup" -> bandPairsSql(mjpegHashCtes),
 
     // first-key-frame hash + the shared band/bucket/Hamming machinery
     "q205_video_neardup" -> bandPairsSql(gridHashCtes("vid")),

@@ -1125,6 +1125,90 @@ object Multimodal {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  /** Planted gradient-BIT rule for the LOSSY fixture surface
+    * ([[mjpegFixture]]): where the PNG/AVI fixtures plant block VALUES
+    * (md5 % 256) and rely on lossless decode to recover them exactly,
+    * a JPEG round-trip perturbs values by quantization error — so the
+    * lossy fixture plants the GRADIENT BITS themselves and derives
+    * values as a ±14 brightness walk from 128 (range [16, 240] over 8
+    * steps). dHash's strict cell comparison then recovers bit (r, c)
+    * verbatim as long as decode error stays under the 14-level step —
+    * DC-only 8×8 blocks at quality 0.95 err by ≲2 — and the DuckDB
+    * oracle restates the hash as pure `md5 % 2` bit assembly with no
+    * pixel model at all. Twins follow [[gridValue]]'s rule: ids ≡ 1
+    * (mod 10) reuse id−1's bits except (0, 0..2), re-drawn under
+    * "<prefix>:<id>:twist:<c>" — Hamming ≤ 3. */
+  private[graft] def walkBit(prefix: String, id: Long): (Int, Int) => Int = {
+    val twin = id % 10 == 1
+    val seed = if (twin) id - 1 else id
+    (r, c) =>
+      ((if (twin && r == 0 && c <= 2)
+          Hashing.hexLongJvm(s"$prefix:$id:twist:$c")
+        else Hashing.hexLongJvm(s"$prefix:$seed:$r:$c")) % 2).toInt
+  }
+
+  /** The walk from [[walkBit]]'s bits to 9 block values per row:
+    * v(r, 0) = 128, each bit steps ±14. */
+  private[graft] def walkValue(bit: (Int, Int) => Int): (Int, Int) => Int =
+    (r, c) => {
+      var v = 128
+      var k = 0
+      while (k < c) { v += (if (bit(r, k) == 1) 14 else -14); k += 1 }
+      v
+    }
+
+  /** 72×64 grayscale JPEG of 8-aligned constant blocks valued by
+    * `v(r, c)` — the [[pngGrid]] shape through a REAL lossy encoder at
+    * explicit quality 0.95 (block-aligned DC-only content keeps the
+    * round-trip error ≲2 gray levels, far under the walk's 14-level
+    * step). */
+  private def jpegGrid(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(72, 64, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val g = v(r, c) & 0xff
+        var y = r * 8
+        while (y < r * 8 + 8) {
+          var x = c * 8
+          while (x < c * 8 + 8) { raster.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.95f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-MP4 fixture for `id`: a real ISO-BMFF
+    * container ([[Mp4Mux.mp4Bytes]], 'jpeg' sample entry) holding TWO
+    * samples — sample 0 a real JPEG of the [[walkBit]] walk grid under
+    * "mjb:", sample 1 a constant DECOY identical across all docs (the
+    * [[aviFixture]] wrong-sample tripwire, here guarding the MP4
+    * stsz/stsc/stco walk instead of the RIFF chunk walk). This is the
+    * one video codec family whose PIXELS decode with no external
+    * dependency — each sample IS a JPEG and `javax.imageio` owns it —
+    * closing the "non-RIFF video degrades to a stub kernel" gap for
+    * MJPEG while H.264 pixel decode honestly remains out of scope. */
+  def mjpegFixture(id: Long): Array[Byte] =
+    Mp4Mux.mp4Bytes(
+      Seq(jpegGrid(walkValue(walkBit("mjb", id))), jpegGrid((_, _) => 96)),
+      codec = "jpeg",
+      entryExtra = Mp4Mux.visualEntryFields(72, 64))
+
   /** Per-payload first-key-frame perceptual hash over the real demux
     * path: the container's frame spans ([[aviFrameSpans]] /
     * [[mp4VideoTrack]]), first decodable frame, [[dHash64]] on its

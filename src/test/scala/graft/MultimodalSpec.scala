@@ -507,6 +507,41 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
   }
 
+  test("MJPEG-in-MP4: real JPEG samples demux through the sample table, " +
+      "walk bits recovered exactly, decoy sample never surfaces") {
+    val mp4 = Multimodal.mjpegFixture(20)
+    // the mp4 sample-table walk must hand SAMPLE 0 to the hasher
+    val direct = Multimodal.videoKeyFrame(mp4).map(Multimodal.dHash64).get
+    val hashes = Multimodal.videoFrameHashes(spark,
+        Seq((20L, mp4), (99L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hashes == Map(20L -> direct))
+    assert(direct != 0L, "decoy (constant frame) would hash to 0")
+    // the demux is REAL (spans come from stsz/stco, not a RIFF walk):
+    // the first span's bytes are a standalone JPEG whose direct decode
+    // hashes identically to the pipeline output
+    val track = Multimodal.mp4VideoTrack(mp4).get
+    assert(track.spans.length == 2, track.spans.length)
+    val (off, len) = track.spans.head
+    val frame0 = java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len)
+    assert(frame0.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8), "not a JPEG SOI")
+    assert(Multimodal.decodeImage(frame0).map(Multimodal.dHash64).contains(direct))
+    // the LOSSY round-trip recovers the planted walk bits EXACTLY —
+    // the load-bearing claim behind the oracle's md5%2 restatement
+    val bit = Multimodal.walkBit("mjb", 20)
+    val expected = (0 until 8).flatMap(r => (0 until 8).map(c =>
+      if (bit(r, c) == 1) 1L << (r * 8 + c) else 0L)).sum
+    assert(direct == expected,
+      f"JPEG quantization flipped a gradient bit: $direct%x vs $expected%x")
+    // twins through the full pipeline (ids ≡ 1 mod 10, Hamming ≤ 3)
+    val rows = (0L until 40L).map(id => (id, Multimodal.mjpegFixture(id)))
+    val pairs = Multimodal.videoNearDup(spark,
+        rows.toDF("doc_id", "payload"), "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
+  }
+
   test("imageNearDup: planted twins surface through the banding, junk rows drop") {
     val rows = (0L until 40L).map(id => (id, Multimodal.pngFixture(id))) :+
       (99L, "not an image at all".getBytes("UTF-8"))

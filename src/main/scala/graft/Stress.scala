@@ -42,7 +42,7 @@ object Stress {
 
   final case class Sizes(docs: Long, nodes: Long, randomEdges: Long,
       hubDegree: Long, pairRows: Long, bitextRows: Long, partRows: Long,
-      imgRows: Long)
+      imgRows: Long, audRows: Long, vidRows: Long)
 
   def sizes(scale: Int): Sizes = Sizes(
     docs = 5000L * scale,
@@ -52,7 +52,9 @@ object Stress {
     pairRows = 100000L * scale,
     bitextRows = 2000L * scale,
     partRows = 20000L * scale,
-    imgRows = 20000L * scale)
+    imgRows = 20000L * scale,
+    audRows = 20000L * scale,
+    vidRows = 20000L * scale)
 
   def dataDir(scale: Int): String = s"target/stress_data/s$scale"
 
@@ -79,6 +81,10 @@ object Stress {
       .write.mode("overwrite").parquet(s"$dir/parts.parquet")
     StressData.imageCorpus(spark, s.imgRows)
       .write.mode("overwrite").parquet(s"$dir/images.parquet")
+    StressData.audioCorpus(spark, s.audRows)
+      .write.mode("overwrite").parquet(s"$dir/audio.parquet")
+    StressData.videoCorpus(spark, s.vidRows)
+      .write.mode("overwrite").parquet(s"$dir/video.parquet")
   }
 
   /** The graded ops: name → (build result from the scale's parquet
@@ -178,6 +184,23 @@ object Stress {
       "image_neardup" -> (() =>
         graft.operators.Multimodal.imageNearDup(spark,
           spark.read.parquet(s"$dir/images.parquet"), "doc_id",
+          maxBucket = 2000)),
+      // maxBucket 2000: the silent-clip family (n/3 identical all-zero
+      // WAVs — envelope hash 0, one bucket in every band) is excluded
+      // at every scale; per-family twins ride in ~2-member buckets.
+      // Decode is the production decodeWavPcmDirect chunk walk per
+      // payload at 32 threads — the q203 AudioSystem per-call global
+      // lock was invisible below exactly this shape
+      "audio_neardup" -> (() =>
+        graft.operators.Multimodal.audioNearDup(spark,
+          spark.read.parquet(s"$dir/audio.parquet"), "doc_id",
+          maxBucket = 2000)),
+      // maxBucket 2000: n/3 reels open on the decoy-flat frame (dHash
+      // 0, one bucket in every band); real RIFF demux + PNG frame
+      // decode per payload carries the decode-throughput axis
+      "video_neardup" -> (() =>
+        graft.operators.Multimodal.videoNearDup(spark,
+          spark.read.parquet(s"$dir/video.parquet"), "doc_id",
           maxBucket = 2000)),
       "fuzzy_entities" -> (() => {
         val pairs = graft.operators.Relational.fuzzySelfJoin(

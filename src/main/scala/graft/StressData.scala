@@ -315,6 +315,62 @@ object StressData {
       }).toDF("doc_id", "payload")
   }
 
+  /** Audio adversary — the [[imageCorpus]] shape for WAVs: every third
+    * payload an identical SILENT clip (all-zero amplitude → envelope
+    * hash 0 — the hold-music/dead-air mass of a crawled audio corpus,
+    * ONE bucket in EVERY band at any scale), the rest per-family twin
+    * pairs (ids 3k+1/3k+2 share family k's segment amplitudes except
+    * segments 0–2 → Hamming ≤ 3). Real 16-bit PCM WAV bytes; the
+    * stress decode path is the production
+    * `decodeWavSamples` chunk walk, so the measurement carries decode
+    * throughput as well as the banding join. */
+  def audioCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    require(n >= 3)
+    spark.range(n).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 3 == 0) graft.operators.Multimodal.wavOf(_ => 0)
+          else {
+            val fam = id / 3
+            val twist = id % 3 == 2
+            graft.operators.Multimodal.wavOf { s =>
+              (graft.functions.Hashing.hexLongJvm(
+                if (twist && s <= 2) s"saud:$fam:twist:$s"
+                else s"saud:$fam:$s") % 32768).toInt
+            }
+          }
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Video adversary — every third payload an AVI whose frame 0 is the
+    * same flat grid as the DECOY frame (dHash 0, identical across
+    * docs: the test-pattern/placeholder-reel mass, ONE bucket in EVERY
+    * band), the rest per-family twin reels (frame-0 grids under
+    * "svid", ids 3k+1/3k+2 twisted in the top row's first three
+    * blocks → Hamming ≤ 3). Real RIFF demux + PNG frame decode per
+    * payload. */
+  def videoCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    require(n >= 3)
+    spark.range(n).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frame0 =
+          if (id % 3 == 0) graft.operators.Multimodal.pngGridOf((_, _) => 96)
+          else {
+            val fam = id / 3
+            val twist = id % 3 == 2
+            graft.operators.Multimodal.pngGridOf { (r, c) =>
+              (graft.functions.Hashing.hexLongJvm(
+                if (twist && r == 0 && c <= 2) s"svid:$fam:twist:$c"
+                else s"svid:$fam:$r:$c") % 256).toInt
+            }
+          }
+        (id, graft.operators.Multimodal.aviContainer(frame0))
+      }).toDF("doc_id", "payload")
+  }
+
   /** 72×64 RGB PNG of 8×8 constant gray blocks valued by `v(r, c)`. */
   private def pngOf(v: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(72, 64,

@@ -1017,11 +1017,20 @@ object Multimodal {
   def wavFixture(id: Long): Array[Byte] = {
     val twin = id % 10 == 1
     val seed = if (twin) id - 1 else id
+    wavOf(s =>
+      ((if (twin && s <= 2) Hashing.hexLongJvm(s"aud:$id:twist:$s")
+        else Hashing.hexLongJvm(s"aud:$seed:$s")) % 32768).toInt)
+  }
+
+  /** Real 16-bit PCM mono WAV of 65 segments × 64 samples with
+    * per-segment amplitude `amp(s)` (alternating sign square wave) —
+    * the parameterizable body of [[wavFixture]], shared with the
+    * stress corpus generator. */
+  private[graft] def wavOf(amp: Int => Int): Array[Byte] = {
     val samples = new Array[Short](65 * 64)
     var s = 0
     while (s < 65) {
-      val a = ((if (twin && s <= 2) Hashing.hexLongJvm(s"aud:$id:twist:$s")
-        else Hashing.hexLongJvm(s"aud:$seed:$s")) % 32768).toInt
+      val a = amp(s)
       var i = 0
       while (i < 64) {
         samples(s * 64 + i) = (if (i % 2 == 0) a else -a).toShort
@@ -1107,19 +1116,30 @@ object Multimodal {
     * demux regressions loud: selecting the wrong frame hashes every
     * doc identically, which floods one bucket past `maxBucket` and
     * zeroes the pair set against the oracle. */
-  def aviFixture(id: Long): Array[Byte] = {
+  def aviFixture(id: Long): Array[Byte] =
+    aviContainer(pngGrid(gridValue("vid", id)))
+
+  /** Real RIFF('AVI ')/movi container holding `frame0` plus the
+    * constant decoy frame — the parameterizable body of
+    * [[aviFixture]], shared with the stress corpus generator. */
+  private[graft] def aviContainer(frame0: Array[Byte]): Array[Byte] = {
     def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
       val pad = if (data.length % 2 == 1) Array(0.toByte)
         else Array.emptyByteArray
       tag.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
     }
     val movi = "movi".getBytes("US-ASCII") ++
-      chunk("00dc", pngGrid(gridValue("vid", id))) ++
+      chunk("00dc", frame0) ++
       chunk("00dc", pngGrid((_, _) => 96))
     val idx = chunk("idx1", Array.fill(16)(0.toByte))
     val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi) ++ idx
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
+
+  /** 72×64 grid PNG for an arbitrary block-value rule — the
+    * [[pngGrid]] entry the stress corpus generator shares. */
+  private[graft] def pngGridOf(v: (Int, Int) => Int): Array[Byte] =
+    pngGrid(v)
 
   private def le32(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

@@ -362,6 +362,109 @@ class StressSpec extends SparkSpec {
     } finally imgs.unpersist()
   }
 
+  test("audioNearDup: silent-clip bucket capped, twin recall exact") {
+    import spark.implicits._
+    // 900 real WAVs: 300 identical SILENT clips (envelope hash 0 — ONE
+    // bucket in every band), 300 twin pairs at Hamming <= 3. Cap 120
+    // excludes the silent bucket; per-family twins ride far under it.
+    val wavs = StressData.audioCorpus(spark, 900).cache()
+    try {
+      def run(cap: Int) =
+        graft.operators.Multimodal.audioNearDup(spark, wavs, "doc_id",
+            maxBucket = cap)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val capped = run(120)
+      val isSilent = (id: Long) => id % 3 == 0
+      assert(capped.forall { case (a, b) => !isSilent(a) && !isSilent(b) })
+      val twins = (0L until 300L).map(k => (3 * k + 1, 3 * k + 2)).toSet
+      assert(capped == twins,
+        s"${(capped -- twins).take(5)} extra / " +
+          s"${(twins -- capped).take(5)} missing")
+      val loose = run(1000000)
+      val silentPairs = loose.filter { case (a, b) => isSilent(a) || isSilent(b) }
+      assert(silentPairs.nonEmpty, "silent bucket must mint pairs un-capped")
+      assert(loose.filter { case (a, b) => !isSilent(a) && !isSilent(b) }
+        == capped, "background pairs must be cap-invariant")
+    } finally wavs.unpersist()
+  }
+
+  test("videoNearDup: decoy-flat-reel bucket capped, twin recall exact") {
+    import spark.implicits._
+    // 900 real AVIs: 300 open on the decoy-flat frame (dHash 0 — ONE
+    // bucket in every band), 300 twin pairs at Hamming <= 3.
+    val avis = StressData.videoCorpus(spark, 900).cache()
+    try {
+      def run(cap: Int) =
+        graft.operators.Multimodal.videoNearDup(spark, avis, "doc_id",
+            maxBucket = cap)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val capped = run(120)
+      val isFlat = (id: Long) => id % 3 == 0
+      assert(capped.forall { case (a, b) => !isFlat(a) && !isFlat(b) })
+      val twins = (0L until 300L).map(k => (3 * k + 1, 3 * k + 2)).toSet
+      assert(capped == twins,
+        s"${(capped -- twins).take(5)} extra / " +
+          s"${(twins -- capped).take(5)} missing")
+      val loose = run(1000000)
+      val flatPairs = loose.filter { case (a, b) => isFlat(a) || isFlat(b) }
+      assert(flatPairs.nonEmpty, "flat-reel bucket must mint pairs un-capped")
+      assert(loose.filter { case (a, b) => !isFlat(a) && !isFlat(b) }
+        == capped, "background pairs must be cap-invariant")
+    } finally avis.unpersist()
+  }
+
+  test("media decode throughput survives 32-thread parallelism (per-call global-lock guard)") {
+    // The q203 class: AudioSystem.getAudioInputStream held a global
+    // provider-registry lock on EVERY call — 0.3 ms/payload alone,
+    // 5.6 ms/payload at 32 threads (~19x). Single-threaded
+    // microbenchmarks CANNOT see this; this guard decodes the same
+    // payload set on 1 thread and on min(32, cores) threads and bounds
+    // the per-payload slowdown at 10x (a per-call global lock
+    // serializes all threads => ~threads x; CPU contention from
+    // parallel CI suites stays well under the bound).
+    val threads = math.min(32, Runtime.getRuntime.availableProcessors)
+    assume(threads >= 8, s"need >=8 cores for a meaningful guard, have $threads")
+    val wavs = (0 until 32).map(i => graft.operators.Multimodal.wavFixture(i))
+    val avis = (0 until 32).map(i => graft.operators.Multimodal.aviFixture(i))
+    val mp4s = (0 until 32).map(i => graft.operators.Multimodal.mjpegFixture(i))
+    def decodeAudio(b: Array[Byte]): Unit =
+      assert(graft.operators.Multimodal.decodeWavSamples(b).nonEmpty)
+    def decodeVideo(b: Array[Byte]): Unit =
+      assert(graft.operators.Multimodal.videoKeyFrame(b).nonEmpty)
+    def perPayloadNanos(ps: Seq[Array[Byte]], decode: Array[Byte] => Unit,
+        nThreads: Int, reps: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      try {
+        val t0 = System.nanoTime()
+        val futs = (0 until nThreads).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var r = 0
+              while (r < reps) { ps.foreach(decode); r += 1 }
+            }
+          })
+        }
+        futs.foreach(_.get())
+        // all threads run concurrently: lock-free decode keeps the
+        // wall near the single-thread wall; a global lock multiplies
+        // it by ~nThreads
+        (System.nanoTime() - t0).toDouble / (reps.toLong * ps.size)
+      } finally pool.shutdown()
+    }
+    for ((name, ps, dec) <- Seq(
+        ("audio", wavs, decodeAudio _),
+        ("video-avi", avis, decodeVideo _),
+        ("video-mp4", mp4s, decodeVideo _))) {
+      ps.foreach(dec) // warm: codecs, JIT
+      val t1 = perPayloadNanos(ps, dec, 1, 4)
+      val tN = perPayloadNanos(ps, dec, threads, 4)
+      assert(tN <= 10.0 * t1,
+        f"$name: ${tN / 1e6}%.2f ms/payload at $threads threads vs " +
+          f"${t1 / 1e6}%.2f single-threaded (${tN / t1}%.1fx > 10x) — " +
+          "a per-call global lock in the decode path")
+    }
+  }
+
   test("bitextMarginMine: anchor-cluster bucket capped, twin recall exact") {
     val emb = StressData.bitext(spark, 2000).cache()
     try {

@@ -1263,6 +1263,20 @@ object SparkEntry {
       Dedup.ngramJaccard(docs20, "doc_id", col("text"), pairs, 3)
     }),
 
+    // tf-weighted Jaccard over the q29 MinHash candidates — the
+    // repetition-aware LSH verify step (Σmin/Σmax over token
+    // frequencies, the quantity Ioffe 2010's consistent weighted
+    // sampling estimates, computed exactly) next to q34's
+    // distinct-shingle set Jaccard; non-vacuous at sf0.01 — 5 of the
+    // 25 candidate pairs diverge >0.01 from the distinct-token set
+    // Jaccard (e.g. pair (8,245): weighted .988 vs set .963)
+    "q213_weighted_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashCandidates(docs, "doc_id", col("text"),
+        MinhashK, MinhashPerms, MinhashBands)
+      Dedup.weightedJaccard(docs, "doc_id", col("text"), pairs)
+    }),
+
     // fragment stitching over a deterministic split of the corpus (the
     // q151 synthesize→recover round-trip pattern: every 5th doc ships
     // as two fragments with a 5-token deliberate overlap — paginated-
@@ -1864,6 +1878,30 @@ object SparkEntry {
         Seq("l_returnflag"), col("__cents"), subBits = 6,
         qMicros = Seq(500000L, 900000L, 990000L))),
 
+    // exact φ-heavy hitters per source: Misra–Gries candidates (O(k)
+    // state per group, mergeable, guaranteed superset of every item at
+    // ⌈n·φ⌉) + exact candidate-only rescore — the deterministic top-k
+    // primitive whose first pass never materializes the (group, item)
+    // frequency table; φ = 0.2% → k = 501 counters
+    "q215_heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHitters(
+        wide(Tables.documents(s, d)).filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        Seq("source"), col("tok"), phiMicro = 2000L)),
+
+    // sketch-accuracy audit: q177's DDSketch estimates reconciled
+    // against the exact nearest-rank statistics (distinct-value-table
+    // selection) — measured relative error + the containment guarantee
+    // (exact value inside the answer bucket) per (group, quantile);
+    // the q206/q208 audit discipline applied to the quantile tier
+    "q214_sketch_accuracy" -> ((s, d) =>
+      Sketches.ddsketchAccuracyAudit(
+        Tables.lineitem(s, d).withColumn("__cents",
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")),
+        Seq("l_returnflag"), col("__cents"), subBits = 6,
+        qMicros = Seq(500000L, 900000L, 990000L))),
+
     // Flesch-Kincaid grade + reading ease over the period-spiked corpus
     // (q149's sentence spike): the classic surface-readability pair
     "q178_readability" -> ((s, d) =>
@@ -1966,6 +2004,33 @@ object SparkEntry {
         docs.filter(col("source").isin("src0", "src1")), col("text"),
         buckets = 64)
         .select(col("doc").as("doc_id"), col("n_quads"),
+          col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
+    }),
+
+    // 5-gram interpolated Kneser-Ney perplexity terciles — the
+    // published CCNet filter order (Wenzek et al. 2020 use a 5-gram
+    // KenLM), closing the LM tier's order ceiling: FOUR full backoff
+    // levels chained (5-gram → continuation 4-gram → continuation
+    // trigram → continuation bigram → continuation unigram), B = 32
+    // per the order-5 exact-long bound. Spike appends FOUR novel
+    // tokens so boundary quints cross old→new text at every offset.
+    // Branch census at sf0.01 (probed): 3,055 discounted-seen quints /
+    // 557 unseen-quint-seen-prefix / 7,084 unseen-prefix (→
+    // continuation 4-gram) / 14,205 unseen-(b2,b3,b4) (→ continuation
+    // trigram) / 387 unseen-(b3,b4) (→ continuation bigram) / 41
+    // unseen-b4 (→ the add-one continuation-unigram floor) — ALL SIX
+    // chain levels carry mass non-vacuously
+    "q212_interp_ppl_quint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spiked = when(!col("source").isin("src0", "src1") &&
+          col("doc_id") % 11 === 0,
+        concat(col("text"),
+          lit(" cuneiform hieroglyph abjad syllabary")))
+        .otherwise(col("text"))
+      TextAnalysis.lmPerplexityBucketsQuintgram(docs, "doc_id", spiked,
+        docs.filter(col("source").isin("src0", "src1")), col("text"),
+        buckets = 32)
+        .select(col("doc").as("doc_id"), col("n_quints"),
           col("nll_micro"), col("mean_micro"), col("ppl_bucket"))
     }),
 
@@ -3449,6 +3514,36 @@ object SparkEntry {
     "q28_dedup_exact" ->
       "SELECT md5(lower(trim(text))) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1",
     "q29_dedup_minhash" -> minhashOracle,
+
+    // q29's banding CTE as the pair set, then exact Σmin/Σmax over
+    // per-doc token frequencies (Σmax via na + nb − Σmin)
+    "q213_weighted_jaccard" ->
+      s"""WITH cand AS ($minhashOracle),
+         tf AS (SELECT doc_id, u AS token, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+                      FROM documents WHERE text IS NOT NULL)
+                GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n
+                   FROM tf GROUP BY 1),
+         inter AS (SELECT c.doc_a, c.doc_b,
+             CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS nmin
+           FROM cand c
+           JOIN tf a ON c.doc_a = a.doc_id
+           JOIN tf b ON c.doc_b = b.doc_id AND a.token = b.token
+           GROUP BY 1, 2)
+         SELECT c.doc_a, c.doc_b,
+           CAST(coalesce(i.nmin, 0) AS BIGINT) AS n_min,
+           CAST(coalesce(za.n, 0) + coalesce(zb.n, 0)
+             - coalesce(i.nmin, 0) AS BIGINT) AS n_max,
+           CASE WHEN coalesce(za.n, 0) + coalesce(zb.n, 0)
+                     - coalesce(i.nmin, 0) > 0
+             THEN round(CAST(coalesce(i.nmin, 0) AS DOUBLE) /
+               (coalesce(za.n, 0) + coalesce(zb.n, 0) - coalesce(i.nmin, 0)),
+               6) END AS w_jaccard
+         FROM cand c
+         LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         LEFT JOIN sizes za ON c.doc_a = za.doc_id
+         LEFT JOIN sizes zb ON c.doc_b = zb.doc_id""",
     "q30_dedup_simhash" -> simhashOracle,
     "q31_knn_brute" -> {
       val cos = cosineSql("qe", "ce")
@@ -4750,6 +4845,67 @@ object SparkEntry {
            CAST((bucket_lo + bucket_hi) // 2 AS BIGINT) AS est
          FROM pick""",
 
+    // the heavy-hitter CONTRACT is exact-thresholded output, so the
+    // oracle is the plain frequency table + HAVING — the MG pass must
+    // change nothing about WHAT qualifies, only how much state finding
+    // it took
+    "q215_heavy_hitters" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS item
+           FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY 1),
+         f AS (SELECT source, item, CAST(count(*) AS BIGINT) AS freq
+               FROM tok GROUP BY 1, 2)
+         SELECT f.source, f.item, f.freq, n.n,
+           CAST(greatest(1, (n.n * 2000 + 999999) // 1000000) AS BIGINT)
+             AS threshold
+         FROM f JOIN n USING (source)
+         WHERE f.freq >= greatest(1, (n.n * 2000 + 999999) // 1000000)""",
+
+    // q177's sketch CTEs + exact nearest-rank selection over the
+    // distinct-value table, reconciled per (group, quantile)
+    "q214_sketch_accuracy" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+             AND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0),
+         bk AS (SELECT g, shift, m, CAST(count(*) AS BIGINT) AS c,
+             (m << shift) AS lo, ((m + 1) << shift) - 1 AS hi
+           FROM (SELECT g, v,
+               greatest(length(to_base(v, 2)) - 1 - 6, 0) AS shift,
+               v >> greatest(length(to_base(v, 2)) - 1 - 6, 0) AS m
+             FROM v)
+           GROUP BY 1, 2, 3),
+         cum AS (SELECT g, lo, hi, c,
+             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM bk),
+         qs(q_micro) AS (VALUES (500000), (900000), (990000)),
+         pick AS (SELECT g, q_micro, n,
+             min(lo) AS bucket_lo, min(hi) AS bucket_hi
+           FROM cum CROSS JOIN qs
+           WHERE cum >= greatest(1, (n * q_micro + 999999) // 1000000)
+           GROUP BY 1, 2, 3),
+         dv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                FROM v GROUP BY 1, 2),
+         cumv AS (SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM dv),
+         ex AS (SELECT g, q_micro, min(v) AS exact
+           FROM cumv CROSS JOIN qs
+           WHERE cum >= greatest(1, (n * q_micro + 999999) // 1000000)
+           GROUP BY 1, 2)
+         SELECT p.g AS l_returnflag, CAST(p.q_micro AS BIGINT) AS q_micro,
+           CAST(p.n AS BIGINT) AS n,
+           CAST((p.bucket_lo + p.bucket_hi) // 2 AS BIGINT) AS est,
+           CAST(e.exact AS BIGINT) AS exact,
+           CAST(abs((p.bucket_lo + p.bucket_hi) // 2 - e.exact)
+             * 1000000 // e.exact AS BIGINT) AS rel_err_micro,
+           CAST(CASE WHEN e.exact BETWEEN p.bucket_lo AND p.bucket_hi
+             THEN 1 ELSE 0 END AS BIGINT) AS within_bucket
+         FROM pick p JOIN ex e ON p.g = e.g AND p.q_micro = e.q_micro""",
+
     // same vowel-group syllable heuristic, positive ratios under //,
     // constants subtracted after the divisions
     "q178_readability" ->
@@ -5038,6 +5194,107 @@ object SparkEntry {
          SELECT doc_id, n_quads, nll_micro,
            CAST(mean_micro AS BIGINT) AS mean_micro,
            CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+         FROM mm"""
+    },
+
+    "q212_interp_ppl_quint" -> {
+      val h = sqlHexLong("w[i]")
+      s"""WITH refz AS (
+           SELECT unnest(h[1:len(h)-4]) AS b1, unnest(h[2:len(h)-3]) AS b2,
+             unnest(h[3:len(h)-2]) AS b3, unnest(h[4:len(h)-1]) AS b4,
+             unnest(h[5:len(h)]) AS b5
+           FROM (SELECT [$h % 32 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+         refp AS (SELECT b1, b2, b3, b4, b5,
+                  CAST(count(*) AS BIGINT) AS c12345
+                  FROM refz GROUP BY 1, 2, 3, 4, 5),
+         pre AS (SELECT b1, b2, b3, b4, CAST(sum(c12345) AS BIGINT) AS c1234,
+                 CAST(count(*) AS BIGINT) AS n1234
+                 FROM refp GROUP BY 1, 2, 3, 4),
+         cont4 AS (SELECT b2, b3, b4, b5, CAST(count(*) AS BIGINT) AS cp4
+                   FROM refp GROUP BY 1, 2, 3, 4),
+         c234 AS (SELECT b2, b3, b4, CAST(sum(cp4) AS BIGINT) AS cp4s,
+                  CAST(count(*) AS BIGINT) AS n234 FROM cont4 GROUP BY 1, 2, 3),
+         cont3 AS (SELECT b3, b4, b5, CAST(count(*) AS BIGINT) AS cpp3
+                   FROM cont4 GROUP BY 1, 2, 3),
+         c34 AS (SELECT b3, b4, CAST(sum(cpp3) AS BIGINT) AS cpp3s,
+                 CAST(count(*) AS BIGINT) AS n34 FROM cont3 GROUP BY 1, 2),
+         contp AS (SELECT b4, b5, CAST(count(*) AS BIGINT) AS cppp
+                   FROM cont3 GROUP BY 1, 2),
+         c4 AS (SELECT b4, CAST(sum(cppp) AS BIGINT) AS cppp2,
+                CAST(count(*) AS BIGINT) AS n4 FROM contp GROUP BY 1),
+         ctt AS (SELECT b5, CAST(count(*) AS BIGINT) AS ct5
+                 FROM contp GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM contp),
+         dz AS (
+           SELECT doc_id, unnest(h[1:len(h)-4]) AS b1,
+             unnest(h[2:len(h)-3]) AS b2, unnest(h[3:len(h)-2]) AS b3,
+             unnest(h[4:len(h)-1]) AS b4, unnest(h[5:len(h)]) AS b5
+           FROM (SELECT doc_id, [$h % 32 for i in range(1, len(w) + 1)] AS h
+                 FROM (SELECT doc_id, string_split(
+                         CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
+                              THEN text || ' cuneiform hieroglyph abjad syllabary'
+                              ELSE text END, ' ') AS w FROM documents
+                       WHERE text IS NOT NULL))),
+         dp AS (SELECT doc_id, b1, b2, b3, b4, b5,
+                CAST(count(*) AS BIGINT) AS m
+                FROM dz GROUP BY 1, 2, 3, 4, 5, 6),
+         t1 AS (
+           SELECT doc_id, m,
+             CASE WHEN coalesce(cppp2, 0) > 0
+               THEN greatest(4 * coalesce(cppp, 0) - 3, 0) * (np + 32)
+                    + 3 * n4 * (coalesce(ct5, 0) + 1)
+               ELSE coalesce(ct5, 0) + 1 END AS a1,
+             CASE WHEN coalesce(cppp2, 0) > 0
+               THEN 4 * cppp2 * (np + 32) ELSE np + 32 END AS d1,
+             coalesce(cpp3, 0) AS cpp3x, coalesce(cpp3s, 0) AS cpp3sx,
+             coalesce(n34, 0) AS n34x,
+             coalesce(cp4, 0) AS cp4x, coalesce(cp4s, 0) AS cp4sx,
+             coalesce(n234, 0) AS n234x,
+             coalesce(c1234, 0) AS c1234x, coalesce(n1234, 0) AS n1234x,
+             coalesce(c12345, 0) AS c12345x
+           FROM dp LEFT JOIN pre USING (b1, b2, b3, b4)
+                LEFT JOIN refp USING (b1, b2, b3, b4, b5)
+                LEFT JOIN cont4 USING (b2, b3, b4, b5)
+                LEFT JOIN c234 USING (b2, b3, b4)
+                LEFT JOIN cont3 USING (b3, b4, b5)
+                LEFT JOIN c34 USING (b3, b4)
+                LEFT JOIN contp USING (b4, b5) LEFT JOIN c4 USING (b4)
+                LEFT JOIN ctt USING (b5) CROSS JOIN np),
+         t2 AS (
+           SELECT doc_id, m, cp4x, cp4sx, n234x, c1234x, n1234x, c12345x,
+             CASE WHEN cpp3sx > 0
+               THEN greatest(4 * cpp3x - 3, 0) * d1 + 3 * n34x * a1
+               ELSE a1 END AS a2,
+             CASE WHEN cpp3sx > 0 THEN 4 * cpp3sx * d1 ELSE d1 END AS d2
+           FROM t1),
+         t3 AS (
+           SELECT doc_id, m, c1234x, n1234x, c12345x,
+             CASE WHEN cp4sx > 0
+               THEN greatest(4 * cp4x - 3, 0) * d2 + 3 * n234x * a2
+               ELSE a2 END AS a3,
+             CASE WHEN cp4sx > 0 THEN 4 * cp4sx * d2 ELSE d2 END AS d3
+           FROM t2),
+         scored AS (
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_quints,
+             CAST(sum(m * CAST(floor(ln(
+               CAST(CASE WHEN c1234x > 0 THEN 4 * c1234x * d3 ELSE d3 END
+                 AS DOUBLE) /
+               CAST(CASE WHEN c1234x > 0
+                    THEN greatest(4 * c12345x - 3, 0) * d3 + 3 * n1234x * a3
+                    ELSE a3 END AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_micro
+           FROM t3 GROUP BY 1),
+         mm AS (SELECT doc_id, n_quints, nll_micro,
+                  nll_micro // n_quints AS mean_micro,
+                  ntile(3) OVER (ORDER BY nll_micro // n_quints,
+                    nll_micro, doc_id) AS t3n
+                FROM scored)
+         SELECT doc_id, n_quints, nll_micro,
+           CAST(mean_micro AS BIGINT) AS mean_micro,
+           CASE t3n WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
              AS ppl_bucket
          FROM mm"""
     },

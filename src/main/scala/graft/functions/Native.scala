@@ -66,4 +66,9 @@ object Native {
   /** Theil–Sen pairwise-slope fold (see [[TheilSenSlopes]]). */
   def theilSenSlopes(events: Column): Column =
     column(TheilSenSlopes(expr(events)))
+
+  /** Misra–Gries heavy-hitter candidate aggregate with O(k) per-group
+    * state (see [[MisraGriesCandidates]]). */
+  def misraGriesCandidates(item: Column, k: Int): Column =
+    column(MisraGriesCandidates(expr(item), k).toAggregateExpression())
 }

@@ -938,6 +938,53 @@ object Dedup {
           (col("za.n_sh") + col("zb.n_sh") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** Exact tf-WEIGHTED Jaccard for a candidate pair set —
+    * Σ_t min(tf_a,tf_b) / Σ_t max(tf_a,tf_b) over TOKEN FREQUENCIES
+    * (the generalized/weighted Jaccard similarity, the quantity
+    * Ioffe 2010's consistent weighted sampling estimates; computed
+    * here exactly). The repetition-aware verify step that
+    * [[ngramJaccard]]'s distinct-shingle Jaccard structurally misses:
+    * a doc that repeats its boilerplate footer 10× is tf-close to
+    * another footer-heavy doc while their DISTINCT-token sets barely
+    * differ from clean docs', and a one-liner contained in a long doc
+    * set-overlaps heavily while its tf mass is a sliver of the union.
+    *
+    * Identity: Σmax = n_a + n_b − Σmin, so ONE equi-join on the token
+    * computes Σmin = Σ_t least(tf_a, tf_b) and the per-doc token totals
+    * supply the rest — exact longs until the final display division.
+    * Scale shape: the tf table is a doc-partitioned narrow aggregate;
+    * the pair join moves |pairs|·avg_distinct_tokens rows — pair-
+    * scoped, never corpus². Pairs sharing no token report 0; a pair
+    * with zero tf mass on BOTH sides reports NULL (0/0 is undefined,
+    * not "identical"). */
+  def weightedJaccard(docs: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame): DataFrame = {
+    val tf = Parallelism.ensure(
+        docs.filter(text.isNotNull)
+          .select(col(idCol).as("doc"), text.as("__t")))
+      .select(col("doc"), explode(TextAnalysis.tokens(col("__t"))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val sizes = tf.groupBy("doc").agg(sum(col("tf")).as("n_tok"))
+    val inter = pairs
+      .join(tf.as("ta"), col("doc_a") === col("ta.doc"))
+      .join(tf.as("tb"), col("doc_b") === col("tb.doc") &&
+        col("ta.token") === col("tb.token"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ta.tf"), col("tb.tf"))).as("n_min"))
+    val na = coalesce(col("za.n_tok"), lit(0L))
+    val nb = coalesce(col("zb.n_tok"), lit(0L))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_min"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc"), "left")
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_min"),
+        (na + nb - col("n_min")).as("n_max"),
+        when(na + nb - col("n_min") > 0L,
+          round(col("n_min").cast(DoubleType) /
+            (na + nb - col("n_min")), 6)).as("w_jaccard"))
+  }
+
   /** Fragment stitching: find ordered fragment pairs whose k-token
     * boundary overlaps — A's LAST k tokens equal B's FIRST k (the crawl
     * re-assembly primitive: truncated fetches and paginated scrapes ship

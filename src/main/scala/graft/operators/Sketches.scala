@@ -313,6 +313,92 @@ object Sketches {
         expr("__d * 1000000 div (n_ref * n_cur)").as("ks_micro"))
   }
 
+  /** Exact φ-heavy hitters via the two-pass Misra–Gries shape — the
+    * deterministic top-item primitive next to [[countMinEstimates]]'
+    * point estimates: per group, EVERY item whose frequency reaches
+    * ⌈n·φ⌉ with its EXACT count, computed without ever materializing
+    * the full (group, item) frequency table.
+    *
+    * Pass 1 runs [[graft.functions.MisraGriesCandidates]] with
+    * k = ⌊10⁶/φ_micro⌋ + 1 counters per group — O(k) state regardless
+    * of group cardinality, map-side mergeable — whose invariant
+    * (undercount ≤ n/(k+1), so every item with freq > n/(k+1) survives;
+    * k+1 > 1/φ makes every ⌈n·φ⌉-frequent item such an item) guarantees
+    * the candidate array is a SUPERSET of the answer. Pass 2 rescores
+    * ONLY the ≤ k·|groups| candidates exactly (one size-gated broadcast
+    * semi-join + hash count) and applies the threshold. The MG summary
+    * itself is merge-order-dependent below the threshold; the rescored,
+    * thresholded output is a pure function of the data — which is why
+    * only pass 2's result is declarable. NULL items carry no frequency
+    * evidence and are excluded (they still don't count toward n). */
+  def heavyHitters(df: DataFrame, grp: Seq[String], itemCol: Column,
+      phiMicro: Long): DataFrame = {
+    require(phiMicro >= 1 && phiMicro <= 1000000L,
+      "phi must be in (0, 1] micro")
+    val k = (1000000L / phiMicro).toInt + 1
+    val g = grp.map(col)
+    val base = df.filter(itemCol.isNotNull)
+      .select(g :+ itemCol.as("item"): _*)
+    val cand = base.groupBy(g: _*)
+      .agg(graft.functions.Native.misraGriesCandidates(col("item"), k)
+        .as("__cands"), count(lit(1)).as("n"))
+    val candItems = cand.select(
+      g :+ col("n") :+ explode(col("__cands")).as("item"): _*)
+    val freq = base
+      .join(broadcast(candItems.select((g :+ col("item")): _*)),
+        grp :+ "item", "leftsemi")
+      .groupBy((grp :+ "item").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+    candItems.join(freq, grp :+ "item")
+      .withColumn("threshold",
+        expr(s"greatest(1, (n * $phiMicro + 999999) div 1000000)"))
+      .filter(col("freq") >= col("threshold"))
+      .select(g ++ Seq(col("item"), col("freq"), col("n"),
+        col("threshold")): _*)
+  }
+
+  /** Sketch-accuracy audit — [[ddsketchQuantiles]]' estimates
+    * RECONCILED against the exact nearest-rank statistics per
+    * (group, quantile): the calibration row a 100 TB deployment ships
+    * NEXT TO its sketch (the q206/q208 audit discipline applied to the
+    * quantile tier — theory says the relative error is ≤ 2^−subBits;
+    * the audit MEASURES it on this corpus and proves the exact value
+    * landed inside the answer bucket). Columns: the sketch's `est`,
+    * the exact value at rank max(1, ceil(n·q)) (computed over the
+    * DISTINCT-VALUE table — the q190/q194 shape, windows over value
+    * resolution, never corpus rows), `rel_err_micro` =
+    * |est − exact|·1e6 div exact as exact longs, and `within_bucket`
+    * (1 when exact ∈ [bucket_lo, bucket_hi] — the DDSketch containment
+    * guarantee, which must hold unconditionally). The exact half makes
+    * this an AUDIT query — run it on the validation slice that fits
+    * exact selection, then trust the sketch on the 100 TB corpus. */
+  def ddsketchAccuracyAudit(df: DataFrame, grp: Seq[String], valCol: Column,
+      subBits: Int, qMicros: Seq[Long]): DataFrame = {
+    val g = grp.map(col)
+    val sk = ddsketchQuantiles(df, grp, valCol, subBits, qMicros)
+    val dv = df.filter(valCol.isNotNull && (valCol > 0L))
+      .select(g :+ valCol.cast(LongType).as("__v"): _*)
+      .groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+    val exact = dv
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(g :+ col("__v") :+ col("__cum") :+ col("__n") :+
+        explode(array(qMicros.map(q => lit(q)): _*)).as("q_micro"): _*)
+      .filter(col("__cum") >=
+        greatest(lit(1L), expr("(__n * q_micro + 999999) div 1000000")))
+      .groupBy(g :+ col("q_micro"): _*)
+      .agg(min(col("__v")).as("exact"))
+    sk.join(exact, grp :+ "q_micro")
+      .select(g ++ Seq(col("q_micro"), col("n"), col("est"), col("exact"),
+        expr("abs(est - exact) * 1000000 div exact").as("rel_err_micro"),
+        when(col("exact").between(col("bucket_lo"), col("bucket_hi")),
+          lit(1L)).otherwise(lit(0L)).as("within_bucket")): _*)
+  }
+
   /** The read-time half: quantile extraction over a persisted/sunk
     * bucket table (columns `__shift`, `__m`, `__c` + group columns;
     * duplicate bucket rows — e.g. one per micro-batch — are re-merged

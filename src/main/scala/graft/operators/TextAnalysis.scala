@@ -2558,6 +2558,307 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Per-key hashed 5-gram-bucket quintuple multiset —
+    * [[quadgramBucketQuads]] one order up: (b1..b5, m) per key, docs
+    * under 5 tokens contribute nothing. */
+  private def quintgramBucketQuints(shaped: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame =
+    shaped
+      .withColumn("__h",
+        transform(tokens(col("__t")),
+          t => pmod(Hashing.hexLong(t), lit(buckets.toLong))))
+      .select(keys.map(col) :+ explode(when(size(col("__h")) >= 5,
+        transform(sequence(lit(0), size(col("__h")) - 5),
+          i => struct(element_at(col("__h"), i + 1).as("b1"),
+            element_at(col("__h"), i + 2).as("b2"),
+            element_at(col("__h"), i + 3).as("b3"),
+            element_at(col("__h"), i + 4).as("b4"),
+            element_at(col("__h"), i + 5).as("b5"))))
+        .otherwise(array().cast(
+          "array<struct<b1:bigint,b2:bigint,b3:bigint,b4:bigint,b5:bigint>>")))
+        .as("__p"): _*)
+      .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2")
+        :+ col("__p.b3") :+ col("__p.b4") :+ col("__p.b5"): _*)
+      .groupBy((keys ++ Seq("b1", "b2", "b3", "b4", "b5")).map(col): _*)
+      .agg(count(lit(1)).as("m"))
+
+  /** [[lmTrainQuadgram]] one order up: the hashed-5-GRAM model as
+    * data — `(b1..b5, c12345)` observed-quintuple counts, the complete
+    * sufficient statistic of the order-5 interpolated-KN chain — the
+    * published CCNet filter order (Wenzek et al. 2020 use a 5-gram
+    * KenLM; this closes the tier's order ceiling at it). Four full
+    * backoff levels now chain; every margin, discount and continuation
+    * count still derives from this one table.
+    *
+    * Bucket default drops 64 → 32: the rationalized integer chain's
+    * denominator gains another `4·(level sum bound)` factor at order 5
+    * (see [[interpNllQuint]]'s long-bound contract), and B = 64 at
+    * order 5 would cap prefix buckets at ~128 tokens — useless.
+    * B = 32 keeps the exact-integer contract to c1234 ≲ 3·10⁴ tokens
+    * per (b1,b2,b3,b4) prefix bucket ≈ 3·10¹⁰ tokens corpus-wide at
+    * uniform hashing over B⁴ = 1 048 576 prefix buckets; shard the
+    * reference beyond that (a per-shard model is still one broadcast
+    * row each). */
+  def lmTrainQuintgram(reference: DataFrame, refText: Column,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    quintgramBucketQuints(Parallelism.ensure(
+      reference.select(refText.as("__t")).filter(col("__t").isNotNull)),
+      Nil, buckets)
+      .withColumnRenamed("m", "c12345")
+  }
+
+  /** Pack an [[lmTrainQuintgram]] model for [[interpNllQuint]]: one
+    * broadcast row of thirteen derived statistics — quintuple counts
+    * (`__vm`, keyed (((b1·B+b2)·B+b3)·B+b4)·B+b5), prefix totals and
+    * distinct-successor counts (`__c1234`/`__n1234`, keyed
+    * ((b1·B+b2)·B+b3)·B+b4), the CONTINUATION 4-gram table
+    * N1+(·w2w3w4w5) (`__cp4`, keyed ((b2·B+b3)·B+b4)·B+b5), its
+    * margins (`__cp4s`/`__n234`, keyed (b2·B+b3)·B+b4), the
+    * continuation trigram N1+(·w3w4w5) over the continuation 4-grams
+    * (`__cpp3`, keyed (b3·B+b4)·B+b5), its margins (`__cpp3s`/`__n34`,
+    * keyed b3·B+b4), the continuation bigram N1+(·w4w5) (`__cppp`,
+    * keyed b4·B+b5), its margins (`__cppp2`/`__n4`, keyed b4),
+    * continuation-unigram evidence (`__ct5`, keyed b5), and the
+    * distinct continuation-bigram total (`__np`). ≤ B⁵ observed keys
+    * worst case (33.5M at B = 32 — larger than the lower tiers'
+    * ceilings; a saturated model wants the batch scorer's hash joins,
+    * the stream keeps the map fold for bounded micro-batch docs),
+    * B⁴/B³-bounded margins. */
+  def lmPackInterpQuint(model: DataFrame, buckets: Int): DataFrame = {
+    val b = buckets
+    val cont4 = model.groupBy("b2", "b3", "b4", "b5")
+      .agg(count(lit(1)).as("cp4"))
+    val cont3 = cont4.groupBy("b3", "b4", "b5").agg(count(lit(1)).as("cpp3"))
+    val contp = cont3.groupBy("b4", "b5").agg(count(lit(1)).as("cppp"))
+    broadcast(model
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        (((col("b1") * b + col("b2")) * b + col("b3")) * b + col("b4"))
+          * b + col("b5"),
+        col("c12345")))).as("__vm"))
+      .crossJoin(model.groupBy("b1", "b2", "b3", "b4")
+        .agg(sum(col("c12345")).as("c1234"), count(lit(1)).as("n1234"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(
+            ((col("b1") * b + col("b2")) * b + col("b3")) * b + col("b4"),
+            col("c1234")))).as("__c1234"),
+          map_from_entries(collect_list(struct(
+            ((col("b1") * b + col("b2")) * b + col("b3")) * b + col("b4"),
+            col("n1234")))).as("__n1234")))
+      .crossJoin(cont4.groupBy().agg(map_from_entries(collect_list(struct(
+        ((col("b2") * b + col("b3")) * b + col("b4")) * b + col("b5"),
+        col("cp4")))).as("__cp4")))
+      .crossJoin(cont4.groupBy("b2", "b3", "b4")
+        .agg(sum(col("cp4")).as("cp4s"), count(lit(1)).as("n234"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(
+            (col("b2") * b + col("b3")) * b + col("b4"), col("cp4s"))))
+            .as("__cp4s"),
+          map_from_entries(collect_list(struct(
+            (col("b2") * b + col("b3")) * b + col("b4"), col("n234"))))
+            .as("__n234")))
+      .crossJoin(cont3.groupBy().agg(map_from_entries(collect_list(struct(
+        (col("b3") * b + col("b4")) * b + col("b5"), col("cpp3"))))
+        .as("__cpp3")))
+      .crossJoin(cont3.groupBy("b3", "b4")
+        .agg(sum(col("cpp3")).as("cpp3s"), count(lit(1)).as("n34"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(
+            col("b3") * b + col("b4"), col("cpp3s")))).as("__cpp3s"),
+          map_from_entries(collect_list(struct(
+            col("b3") * b + col("b4"), col("n34")))).as("__n34")))
+      .crossJoin(contp.groupBy().agg(map_from_entries(collect_list(struct(
+        col("b4") * b + col("b5"), col("cppp")))).as("__cppp")))
+      .crossJoin(contp.groupBy("b4")
+        .agg(sum(col("cppp")).as("cppp2"), count(lit(1)).as("n4"))
+        .groupBy().agg(
+          map_from_entries(collect_list(struct(col("b4"), col("cppp2"))))
+            .as("__cppp2"),
+          map_from_entries(collect_list(struct(col("b4"), col("n4"))))
+            .as("__n4")))
+      .crossJoin(contp.groupBy("b5").agg(count(lit(1)).as("ct5"))
+        .groupBy().agg(map_from_entries(collect_list(struct(
+          col("b5"), col("ct5")))).as("__ct5")))
+      .crossJoin(contp.groupBy().agg(count(lit(1)).as("__np"))))
+  }
+
+  /** Per-quintuple negative log probability (integer micro-nats) of
+    * the order-5 interpolated absolute-discount chain over an
+    * [[lmPackInterpQuint]] row — [[interpNllQuad]]'s recursion
+    * unrolled one more level, D = 3/4 rational at ALL FOUR orders:
+    *
+    *   p5(w5|w1..w4) = max(c12345−D,0)/c1234 + D·n1234/c1234 · p4'
+    *   p4'(w5|w2w3w4) = max(cp4−D,0)/cp4s + D·n234/cp4s · p3'
+    *   p3'(w5|w3w4)  = max(cpp3−D,0)/cpp3s + D·n34/cpp3s · p2'
+    *   p2'(w5|w4)    = max(cppp−D,0)/cppp2 + D·n4/cppp2 · p1(w5)
+    *   p1(w5)        = (ct5 + 1) / (Np + B)
+    *
+    * every middle order over Kneser-Ney continuation counts; unseen
+    * prefix at each level backs off to the level below. Multiplying
+    * through, with Z = Np + B:
+    *
+    *   a1 = max(4·cppp−3,0)·Z  + 3·n4·(ct5+1),   d1 = 4·cppp2·Z
+    *   a2 = max(4·cpp3−3,0)·d1 + 3·n34·a1,       d2 = 4·cpp3s·d1
+    *   a3 = max(4·cp4−3,0)·d2  + 3·n234·a2,      d3 = 4·cp4s·d2
+    *   num = max(4·c12345−3,0)·d3 + 3·n1234·a3,  den = 4·c1234·d3
+    *
+    * — every factor an exact long; each level telescopes to exactly 1
+    * so den ≥ num and nll ≥ 0. Long-bound contract: den =
+    * 256·c1234·cp4s·cpp3s·cppp2·Z with cp4s/cpp3s/cppp2 ≤ B² and
+    * Z ≤ B²+B — at B = 32 that is ≤ c1234·2.9·10¹⁴, so c1234 ≲ 3·10⁴
+    * tokens per (b1..b4) prefix bucket overflows nothing (≈ 3·10¹⁰
+    * tokens corpus-wide at uniform hashing over B⁴ prefix buckets;
+    * shard beyond — at B = 64 the same bound collapses to
+    * c1234 ≲ 128, which is WHY this tier defaults to 32, see
+    * [[lmTrainQuintgram]]). */
+  def interpNllQuint(b1: Column, b2: Column, b3: Column, b4: Column,
+      b5: Column, buckets: Int): Column = {
+    val bl = lit(buckets.toLong)
+    val k1234 = ((b1 * bl + b2) * bl + b3) * bl + b4
+    val k2345 = ((b2 * bl + b3) * bl + b4) * bl + b5
+    val k345 = (b3 * bl + b4) * bl + b5
+    val k45 = b4 * bl + b5
+    val c12345 = coalesce(element_at(col("__vm"), k1234 * bl + b5), lit(0L))
+    val c1234 = coalesce(element_at(col("__c1234"), k1234), lit(0L))
+    val n1234 = coalesce(element_at(col("__n1234"), k1234), lit(0L))
+    val cp4 = coalesce(element_at(col("__cp4"), k2345), lit(0L))
+    val cp4s = coalesce(
+      element_at(col("__cp4s"), (b2 * bl + b3) * bl + b4), lit(0L))
+    val n234 = coalesce(
+      element_at(col("__n234"), (b2 * bl + b3) * bl + b4), lit(0L))
+    val cpp3 = coalesce(element_at(col("__cpp3"), k345), lit(0L))
+    val cpp3s = coalesce(element_at(col("__cpp3s"), b3 * bl + b4), lit(0L))
+    val n34 = coalesce(element_at(col("__n34"), b3 * bl + b4), lit(0L))
+    val cppp = coalesce(element_at(col("__cppp"), k45), lit(0L))
+    val cppp2 = coalesce(element_at(col("__cppp2"), b4), lit(0L))
+    val n4 = coalesce(element_at(col("__n4"), b4), lit(0L))
+    val ct5 = coalesce(element_at(col("__ct5"), b5), lit(0L))
+    val z = col("__np") + bl
+    val a1 = when(cppp2 > 0L,
+      greatest(lit(4L) * cppp - lit(3L), lit(0L)) * z +
+        lit(3L) * n4 * (ct5 + lit(1L)))
+      .otherwise(ct5 + lit(1L))
+    val d1 = when(cppp2 > 0L, lit(4L) * cppp2 * z).otherwise(z)
+    val a2 = when(cpp3s > 0L,
+      greatest(lit(4L) * cpp3 - lit(3L), lit(0L)) * d1 +
+        lit(3L) * n34 * a1)
+      .otherwise(a1)
+    val d2 = when(cpp3s > 0L, lit(4L) * cpp3s * d1).otherwise(d1)
+    val a3 = when(cp4s > 0L,
+      greatest(lit(4L) * cp4 - lit(3L), lit(0L)) * d2 +
+        lit(3L) * n234 * a2)
+      .otherwise(a2)
+    val d3 = when(cp4s > 0L, lit(4L) * cp4s * d2).otherwise(d2)
+    val num = when(c1234 > 0L,
+      greatest(lit(4L) * c12345 - lit(3L), lit(0L)) * d3 +
+        lit(3L) * n1234 * a3)
+      .otherwise(a3)
+    val den = when(c1234 > 0L, lit(4L) * c1234 * d3).otherwise(d3)
+    floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+      .cast(LongType)
+  }
+
+  /** [[lmPerplexityBucketsQuadgram]] one order up — 5-gram
+    * interpolated-KN perplexity terciles at the published CCNet
+    * filter order (Wenzek et al. 2020): same lifecycle (ONE
+    * checkpointed reference pass into the ≤B⁵-row quintuple table,
+    * margins derived model-side), same micro-nat quantizer, same
+    * tercile cut; `n_quints` replaces `n_quads` and docs under 5
+    * tokens score no quintuples.
+    *
+    * Scoring shape: NINE size-gated broadcast hash joins against the
+    * statistics-sized margin tables (the q201 lesson: a MapType
+    * literal probe is a linear scan — broadcast hash joins stay in
+    * whole-stage codegen and preserve the per-doc partitioning).
+    * Broadcast bound: the quintuple table saturates at B⁵ rows
+    * (33.5M at B = 32); every margin ≤ B⁴. */
+  def lmPerplexityBucketsQuintgram(df: DataFrame, idCol: String,
+      text: Column, reference: DataFrame, refText: Column,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val model = lmTrainQuintgram(reference, refText, buckets)
+      .localCheckpoint(true)
+    val pre = model.groupBy("b1", "b2", "b3", "b4")
+      .agg(sum(col("c12345")).as("__c1234"), count(lit(1)).as("__n1234"))
+    val cont4 = model.groupBy("b2", "b3", "b4", "b5")
+      .agg(count(lit(1)).as("__cp4"))
+    val c234 = cont4.groupBy("b2", "b3", "b4")
+      .agg(sum(col("__cp4")).as("__cp4s"), count(lit(1)).as("__n234"))
+    val cont3 = cont4.groupBy("b3", "b4", "b5")
+      .agg(count(lit(1)).as("__cpp3"))
+    val c34 = cont3.groupBy("b3", "b4")
+      .agg(sum(col("__cpp3")).as("__cpp3s"), count(lit(1)).as("__n34"))
+    val contp = cont3.groupBy("b4", "b5").agg(count(lit(1)).as("__cppp"))
+    val c4 = contp.groupBy("b4")
+      .agg(sum(col("__cppp")).as("__cppp2"), count(lit(1)).as("__n4"))
+    val ct = contp.groupBy("b5").agg(count(lit(1)).as("__ct5"))
+    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = quintgramBucketQuints(
+      df.select(col(idCol).as("doc"), text.as("__t"))
+        .filter(col("__t").isNotNull)
+        .repartition(par, col("doc")), Seq("doc"), buckets)
+    val c12345 = coalesce(col("__c12345"), lit(0L))
+    val c1234 = coalesce(col("__c1234"), lit(0L))
+    val n1234 = coalesce(col("__n1234"), lit(0L))
+    val cp4 = coalesce(col("__cp4"), lit(0L))
+    val cp4s = coalesce(col("__cp4s"), lit(0L))
+    val n234 = coalesce(col("__n234"), lit(0L))
+    val cpp3 = coalesce(col("__cpp3"), lit(0L))
+    val cpp3s = coalesce(col("__cpp3s"), lit(0L))
+    val n34 = coalesce(col("__n34"), lit(0L))
+    val cppp = coalesce(col("__cppp"), lit(0L))
+    val cppp2 = coalesce(col("__cppp2"), lit(0L))
+    val n4 = coalesce(col("__n4"), lit(0L))
+    val ct5 = coalesce(col("__ct5"), lit(0L))
+    val z = col("__np") + lit(buckets.toLong)
+    val a1 = when(cppp2 > 0L,
+      greatest(lit(4L) * cppp - lit(3L), lit(0L)) * z +
+        lit(3L) * n4 * (ct5 + lit(1L)))
+      .otherwise(ct5 + lit(1L))
+    val d1 = when(cppp2 > 0L, lit(4L) * cppp2 * z).otherwise(z)
+    val a2 = when(cpp3s > 0L,
+      greatest(lit(4L) * cpp3 - lit(3L), lit(0L)) * d1 +
+        lit(3L) * n34 * a1)
+      .otherwise(a1)
+    val d2 = when(cpp3s > 0L, lit(4L) * cpp3s * d1).otherwise(d1)
+    val a3 = when(cp4s > 0L,
+      greatest(lit(4L) * cp4 - lit(3L), lit(0L)) * d2 +
+        lit(3L) * n234 * a2)
+      .otherwise(a2)
+    val d3 = when(cp4s > 0L, lit(4L) * cp4s * d2).otherwise(d2)
+    val num = when(c1234 > 0L,
+      greatest(lit(4L) * c12345 - lit(3L), lit(0L)) * d3 +
+        lit(3L) * n1234 * a3)
+      .otherwise(a3)
+    val den = when(c1234 > 0L, lit(4L) * c1234 * d3).otherwise(d3)
+    val scored = perDoc
+      .join(broadcast(pre), Seq("b1", "b2", "b3", "b4"), "left")
+      .join(broadcast(model.withColumnRenamed("c12345", "__c12345")),
+        Seq("b1", "b2", "b3", "b4", "b5"), "left")
+      .join(broadcast(cont4), Seq("b2", "b3", "b4", "b5"), "left")
+      .join(broadcast(c234), Seq("b2", "b3", "b4"), "left")
+      .join(broadcast(cont3), Seq("b3", "b4", "b5"), "left")
+      .join(broadcast(c34), Seq("b3", "b4"), "left")
+      .join(broadcast(contp), Seq("b4", "b5"), "left")
+      .join(broadcast(c4), Seq("b4"), "left")
+      .join(broadcast(ct), Seq("b5"), "left")
+      .crossJoin(broadcast(np))
+      .withColumn("nll",
+        floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType))
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_quints"),
+        sum(col("m") * col("nll")).as("nll_micro"))
+      .withColumn("mean_micro", expr("nll_micro div n_quints"))
+    val tercile = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_micro"), col("nll_micro"), col("doc")))
+    scored.withColumn("ppl_bucket",
+      when(tercile === 1, lit("head"))
+        .when(tercile === 2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, public): the
     * denoising-pretraining prep that turns each document into a
     * (masked input, span target) pair. Tokens partition into fixed

@@ -362,6 +362,48 @@ object CurationStream {
         "__n23", "__cpp", "__cpp2", "__n3", "__ct4", "__np")
   }
 
+  /** [[lmQualityGateQuadgram]] one order up — the 5-GRAM
+    * interpolated-KN gate at the published CCNet filter order over the
+    * exported `(b1..b5,c12345)` artifact
+    * ([[graft.operators.TextAnalysis.lmTrainQuintgram]]): the full
+    * five-level backoff chain
+    * ([[graft.operators.TextAnalysis.interpNllQuint]]) as a per-row
+    * long fold over the once-bound token-hash array — no explode, no
+    * state, one broadcast model row
+    * ([[graft.operators.TextAnalysis.lmPackInterpQuint]]). Batch
+    * ([[graft.operators.TextAnalysis.lmPerplexityBucketsQuintgram]])
+    * and stream agree bit-for-bit (StreamingSpec parity). Buckets
+    * default 32, the order-5 long-bound contract (see
+    * interpNllQuint). */
+  def lmQualityGateQuintgram(docs: DataFrame, model: DataFrame,
+      maxMeanMicro: Long, buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    docs.crossJoin(TextAnalysis.lmPackInterpQuint(model, buckets))
+      .withColumn("__h",
+        transform(TextAnalysis.tokens(col("text")),
+          t => pmod(graft.functions.Hashing.hexLong(t),
+            lit(buckets.toLong))))
+      .withColumn("n_quints",
+        when(col("text").isNotNull,
+          greatest(size(col("__h")) - 4, lit(0)).cast("long")))
+      .withColumn("nll_micro",
+        when(col("text").isNotNull && size(col("__h")) >= 5,
+          aggregate(sequence(lit(0), size(col("__h")) - 5), lit(0L),
+            (acc, i) => acc + TextAnalysis.interpNllQuint(
+              element_at(col("__h"), (i + 1).cast("int")),
+              element_at(col("__h"), (i + 2).cast("int")),
+              element_at(col("__h"), (i + 3).cast("int")),
+              element_at(col("__h"), (i + 4).cast("int")),
+              element_at(col("__h"), (i + 5).cast("int")), buckets))))
+      .withColumn("mean_micro",
+        when(col("n_quints") > 0L, expr("nll_micro div n_quints")))
+      .withColumn("lm_pass",
+        coalesce(col("mean_micro") <= maxMeanMicro, lit(false)))
+      .drop("__h", "__vm", "__c1234", "__n1234", "__cp4", "__cp4s",
+        "__n234", "__cpp3", "__cpp3s", "__n34", "__cppp", "__cppp2",
+        "__n4", "__ct5", "__np")
+  }
+
   /** Stateless streaming Moore–Lewis gate — the deployment half of
     * [[graft.operators.TextAnalysis.crossEntropyDiffSelect]] (q169,
     * the [[lmQualityGate]] pattern doubled): BOTH exported

@@ -215,6 +215,26 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) == 0.0)
   }
 
+  test("weightedJaccard: hand-checked tf min/max, repetition contrast, zero-mass NULL") {
+    val wdocs = Seq(
+      (1L, "a a a b"), (2L, "a b b b"), (3L, "a a a b"),
+      (4L, "c c"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.weightedJaccard(wdocs, "doc_id", col("text"), pairs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // tf {a:3,b:1} vs {a:1,b:3}: Σmin = 2, Σmax = 4+4−2 = 6 → 1/3 —
+    // while the DISTINCT-token sets are both {a,b} (set Jaccard 1.0):
+    // the repetition-aware metric separates what the set metric can't
+    assert(out((1L, 2L)) == ((2L, 6L, Some(0.333333))))
+    assert(out((1L, 3L)) == ((4L, 4L, Some(1.0))))     // identical
+    assert(out((1L, 4L)) == ((0L, 6L, Some(0.0))))     // disjoint
+    assert(out((5L, 6L)) == ((0L, 0L, None)))          // 0/0 → NULL
+  }
+
   test("stitchFragments: boundary joins, chains, short-fragment exclusion") {
     val frags = Seq(
       (1L, "a b c d e f g h"),          // tail5 = "d e f g h"
@@ -1520,6 +1540,107 @@ class TextAnalysisSpec extends SparkSpec {
     // all five chain branches fired across the planted docs
     assert(branches == Set("seen", "unseen-quad", "unseen-prefix",
       "unseen-ctx23", "unseen-ctx3"), branches.toString)
+    // every score non-negative (the telescoping den >= num contract)
+    assert(out.values.forall(_._2 >= 0L), out.toString)
+  }
+
+  test("5-gram interp-KN: JVM-twin exact scores, all six backoff branches fire") {
+    import spark.implicits._
+    val refTexts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun")
+    val reference = refTexts.toDF("text")
+    val B = 32L
+    def bk(t: String) = graft.functions.Hashing.hexLongJvm(t) % B
+    // words whose BUCKETS collide with no reference word's and with
+    // none of each other's (B = 32 makes accidental collisions likely)
+    val refBuckets = refTexts.flatMap(_.split(" ")).map(bk).toSet
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    val used = scala.collection.mutable.Set.empty[Long] ++= refBuckets
+    var wi = 0
+    while (fresh.size < 5) {
+      val w = s"w$wi"
+      if (!used.contains(bk(w))) { fresh += w; used += bk(w) }
+      wi += 1
+    }
+    val Seq(f1, f2, f3, f4, f5) = fresh.toSeq
+    val docTexts = Map(
+      1L -> "the quick brown fox jumps",       // seen quints
+      2L -> s"the quick brown fox $f1",        // seen prefix, unseen quint
+      3L -> s"$f1 quick brown fox jumps",      // unseen prefix, seen (b2..b4)
+      4L -> s"$f1 $f2 brown fox jumps",        // unseen (b2,b3,b4), seen (b3,b4)
+      5L -> s"$f1 $f2 $f3 fox jumps",          // unseen (b3,b4), seen b4
+      6L -> s"$f1 $f2 $f3 $f4 $f5")            // deepest: unseen b4 context
+    val docs = docTexts.toSeq.toDF("doc_id", "text")
+    def quints(s: String) = s.split(" ").map(bk).sliding(5)
+      .filter(_.length == 5).map(a => (a(0), a(1), a(2), a(3), a(4))).toSeq
+    val c12345 = refTexts.flatMap(quints).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val pre = c12345.groupBy { case ((b1, b2, b3, b4, _), _) => (b1, b2, b3, b4) }
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val cont4 = c12345.keys
+      .map { case (b1, b2, b3, b4, b5) => ((b2, b3, b4, b5), b1) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c234 = cont4.groupBy { case ((b2, b3, b4, _), _) => (b2, b3, b4) }
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val cont3 = cont4.keys.map { case (b2, b3, b4, b5) => ((b3, b4, b5), b2) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c34 = cont3.groupBy { case ((b3, b4, _), _) => (b3, b4) }
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val contp = cont3.keys.map { case (b3, b4, b5) => ((b4, b5), b3) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c4 = contp.groupBy(_._1._1)
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    val ct5m = contp.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val z = contp.size.toLong + B
+    val branches = scala.collection.mutable.Set.empty[String]
+    def nll(t: (Long, Long, Long, Long, Long)): Long = {
+      val (b1, b2, b3, b4, b5) = t
+      val ct = ct5m.getOrElse(b5, 0L)
+      val (cppp2, n4) = c4.getOrElse(b4, (0L, 0L))
+      val cppp = contp.getOrElse((b4, b5), 0L)
+      val (a1, d1) =
+        if (cppp2 > 0) (math.max(4 * cppp - 3, 0) * z + 3 * n4 * (ct + 1),
+          4 * cppp2 * z)
+        else (ct + 1, z)
+      val (cpp3s, n34) = c34.getOrElse((b3, b4), (0L, 0L))
+      val cpp3 = cont3.getOrElse((b3, b4, b5), 0L)
+      val (a2, d2) =
+        if (cpp3s > 0) (math.max(4 * cpp3 - 3, 0) * d1 + 3 * n34 * a1,
+          4 * cpp3s * d1)
+        else (a1, d1)
+      val (cp4s, n234) = c234.getOrElse((b2, b3, b4), (0L, 0L))
+      val cp4 = cont4.getOrElse((b2, b3, b4, b5), 0L)
+      val (a3, d3) =
+        if (cp4s > 0) (math.max(4 * cp4 - 3, 0) * d2 + 3 * n234 * a2,
+          4 * cp4s * d2)
+        else (a2, d2)
+      val (c1234, n1234) = pre.getOrElse((b1, b2, b3, b4), (0L, 0L))
+      val c = c12345.getOrElse(t, 0L)
+      branches += (if (c1234 > 0 && c > 0) "seen"
+        else if (c1234 > 0) "unseen-quint"
+        else if (cp4s > 0) "unseen-prefix"
+        else if (cpp3s > 0) "unseen-ctx234"
+        else if (cppp2 > 0) "unseen-ctx34" else "unseen-ctx4")
+      val (num, den) =
+        if (c1234 > 0) (math.max(4 * c - 3, 0) * d3 + 3 * n1234 * a3,
+          4 * c1234 * d3)
+        else (a3, d3)
+      math.floor(math.log(den.toDouble / num.toDouble) * 1e6 + 0.5).toLong
+    }
+    val expected = docTexts.map { case (id, s) =>
+      val qs = quints(s)
+      id -> ((qs.size.toLong, qs.map(nll).sum))
+    }
+    val out = TextAnalysis.lmPerplexityBucketsQuintgram(
+        docs, "doc_id", col("text"), reference, col("text"), buckets = 32)
+      .select(col("doc"), col("n_quints"), col("nll_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == expected, s"$out vs $expected")
+    // all six chain branches fired across the planted docs
+    assert(branches == Set("seen", "unseen-quint", "unseen-prefix",
+      "unseen-ctx234", "unseen-ctx34", "unseen-ctx4"), branches.toString)
     // every score non-negative (the telescoping den >= num contract)
     assert(out.values.forall(_._2 >= 0L), out.toString)
   }

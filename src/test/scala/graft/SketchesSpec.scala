@@ -153,4 +153,62 @@ class SketchesSpec extends SparkSpec {
       assert(hi - lo <= math.max(1L, lo >> 4), s"width at q=$q [$lo,$hi]")
     }
   }
+
+  test("heavyHitters: exact thresholded output, boundary hit, partitioning-invariant, nulls excluded") {
+    // group g1: n = 300 tokens, φ = 10% → threshold = 30. "hot" (40)
+    // and "edge" (exactly 30) qualify; "below" (29) must NOT; a
+    // 67-item ×3 tail swamps the k = 11 MG counters so candidates
+    // genuinely shrink mid-stream. group g2 is uniform → empty.
+    val g1 = Seq.fill(40)("hot") ++ Seq.fill(30)("edge") ++
+      Seq.fill(29)("below") ++ (0 until 67).flatMap(i => Seq.fill(3)(s"t$i"))
+    assert(g1.size == 300)
+    val g2 = (0 until 50).map(i => s"u$i")
+    val rows = g1.map(("g1", _)) ++ g2.map(("g2", _)) ++
+      Seq(("g1", null.asInstanceOf[String])) // null: excluded, not in n
+    val expected = Set(("g1", "hot", 40L, 300L, 30L),
+      ("g1", "edge", 30L, 300L, 30L))
+    // the final output is a pure function of the data: identical under
+    // every partitioning (the MG summary itself is not — the exact
+    // rescore is what makes the operator declarable)
+    Seq(1, 5, 32).foreach { p =>
+      val df = rows.toDF("g", "item").repartition(p)
+      val out = Sketches.heavyHitters(df, Seq("g"), col("item"),
+          phiMicro = 100000L)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(out == expected, s"partitions=$p: $out")
+    }
+  }
+
+  test("ddsketchAccuracyAudit: exact regime zero error, coarse regime bounded, containment always") {
+    // subBits=6: values <= 127 (7 bits) keep shift 0 — every bucket a
+    // singleton, so est == exact and rel_err 0 at every quantile
+    val fine = (1 to 100).map(i => ("a", i.toLong)).toDF("g", "v")
+    val outF = Sketches.ddsketchAccuracyAudit(fine, Seq("g"), col("v"),
+        subBits = 6, qMicros = Seq(500000L, 900000L, 990000L))
+      .select("q_micro", "n", "est", "exact", "rel_err_micro",
+        "within_bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(outF.toSeq == Seq(
+      (500000L, 100L, 50L, 50L, 0L, 1L),
+      (900000L, 100L, 90L, 90L, 0L, 1L),
+      (990000L, 100L, 99L, 99L, 0L, 1L)), outF.mkString(","))
+    // coarse regime (subBits=2 on big values): est can drift from
+    // exact but containment MUST hold and rel err respects 2^-subBits
+    val coarse = (1 to 1000).map(i => ("b", (i.toLong * i) % 7919 + 1))
+      .toDF("g", "v")
+    val outC = Sketches.ddsketchAccuracyAudit(coarse, Seq("g"), col("v"),
+        subBits = 2, qMicros = Seq(500000L, 900000L))
+      .select("q_micro", "est", "exact", "rel_err_micro", "within_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(outC.nonEmpty)
+    outC.foreach { case (q, est, exact, rel, wb) =>
+      assert(wb == 1L, s"containment broke at q=$q: est=$est exact=$exact")
+      // midpoint of a bucket containing exact: rel err <= 2^-2 plus
+      // integer-midpoint slop
+      assert(rel <= 260000L, s"q=$q rel=$rel")
+    }
+    // the two regimes are a non-vacuous contrast: the coarse audit
+    // actually measured nonzero error somewhere
+    assert(outC.exists(_._4 > 0L), outC.mkString(","))
+  }
 }

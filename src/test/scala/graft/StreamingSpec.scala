@@ -916,6 +916,70 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streaming 5-gram interp-KN gate scores bit-identically to the batch buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the warm sun",
+      "a quick brown fox and a lazy dog meet again")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over again"),
+      (2L, "zzz qqq vvv www unseen gibberish"), // full backoff chain
+      (3L, "the quick brown cat naps under"),
+      (4L, "one two three four"),               // 4 tokens → 0 quints
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the exported (b1..b5,c12345) artifact is the model — the stream
+    // never sees the reference corpus
+    val model = TextAnalysis.lmTrainQuintgram(reference, col("text")).cache()
+    val batch = TextAnalysis.lmPerplexityBucketsQuintgram(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("n_quints"), col("nll_micro"),
+        col("mean_micro"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val cut = (batch(1L)._4 + batch(2L)._4) / 2
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.lmQualityGateQuintgram(
+        input.toDF().toDF("doc_id", "text"), model, maxMeanMicro = cut)
+      .select(col("doc_id"), col("n_quints"), col("nll_micro"),
+        col("mean_micro"), col("lm_pass"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_gate_quint").start()
+    val out = try {
+      input.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      spark.table("lm_gate_quint")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    } finally q.stop()
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2.contains(batch(id)._2) &&
+        out(id)._3.contains(batch(id)._3) &&
+        out(id)._4.contains(batch(id)._4),
+        s"doc $id: stream ${out(id)} vs batch ${batch(id)}")
+    }
+    assert(out(1L)._5 && out(3L)._5 && !out(2L)._5, out.toString)
+    // batch drops the <5-token and null docs; the stream keeps them,
+    // gated false (per-doc verdict contract)
+    assert(!batch.contains(4L) && !batch.contains(5L))
+    assert(out(4L)._2.contains(0L) && out(4L)._4.isEmpty && !out(4L)._5)
+    assert(out(5L)._2.isEmpty && !out(5L)._5)
+    // order-5 is non-vacuous next to order-4: the chains disagree on
+    // scored docs (different bucket width AND one more backoff level)
+    val quad = TextAnalysis.lmPerplexityBucketsQuadgram(
+        docs, "doc_id", col("text"), reference, col("text"))
+      .select(col("doc"), col("nll_micro")).as[(Long, Long)]
+      .collect().toMap
+    assert(Seq(1L, 2L, 3L).exists(id => quad(id) != batch(id)._3),
+      "5-gram chain collapsed to the 4-gram scores")
+    model.unpersist()
+  }
+
   test("streaming Moore-Lewis CED gate scores bit-identically to the batch selection") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

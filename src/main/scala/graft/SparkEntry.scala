@@ -2876,6 +2876,22 @@ object SparkEntry {
     // corpus text is clean, so PII is injected deterministically by
     // doc_id (the q37 spike) — the oracle then exercises every pattern
     // and the sequential-replace order.
+    // k-anonymity / l-diversity audit over quasi-identifiers — the
+    // privacy risk report next to q59's direct-identifier redaction:
+    // equivalence classes over (nation, segment, name-end digit — the
+    // zip-like third quasi that keeps classes small as the corpus
+    // grows) with under-k membership or under-l sensitive diversity
+    // (sensitive = account balance sign). Probed: sf0.01 875
+    // violations (78 k-only, 797 both); sf0.1 491 with ALL THREE flag
+    // combinations (376 l-only, 52 k-only, 63 both)
+    "q216_k_anonymity" -> ((s, d) =>
+      Relational.kAnonymityAudit(
+        Tables.customer(s, d).withColumn("name_digit",
+          substring(col("c_name"), -1, 1)),
+        Seq("c_nationkey", "c_mktsegment", "name_digit"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("nonneg")),
+        k = 8L, l = 2L)),
+
     "q59_pii_redact" -> ((s, d) => {
       val spiked = concat(col("text"),
         when(col("doc_id") % 7 === 0, lit(" contact user@example.com"))
@@ -3516,12 +3532,18 @@ object SparkEntry {
     "q29_dedup_minhash" -> minhashOracle,
 
     // q29's banding CTE as the pair set, then exact Σmin/Σmax over
-    // per-doc token frequencies (Σmax via na + nb − Σmin)
+    // per-doc token frequencies (Σmax via na + nb − Σmin); tf is
+    // restricted to candidate docs FIRST — without it DuckDB starts the
+    // pair join from `a.token = b.token` (a corpus-wide token
+    // self-join: 85 s at sf0.1 vs ~1 s with the restriction)
     "q213_weighted_jaccard" ->
       s"""WITH cand AS ($minhashOracle),
+         cdocs AS (SELECT doc_a AS d FROM cand
+                   UNION SELECT doc_b FROM cand),
          tf AS (SELECT doc_id, u AS token, CAST(count(*) AS BIGINT) AS tf
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
-                      FROM documents WHERE text IS NOT NULL)
+                      FROM documents WHERE text IS NOT NULL
+                        AND doc_id IN (SELECT d FROM cdocs))
                 GROUP BY 1, 2),
          sizes AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n
                    FROM tf GROUP BY 1),
@@ -7281,6 +7303,22 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT'
              AND o_totalprice > CAST(400000.0 AS DOUBLE)) o
          ON l_orderkey = o_orderkey""",
+    // plain equivalence-class aggregate + HAVING — the audit's whole
+    // point is that the risk report is a trivially restatable fact
+    "q216_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+           right(c_name, 1) AS name_digit,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+             ELSE 'nonneg' END) AS BIGINT) AS n_sensitive
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, c_mktsegment, name_digit, n_rows, n_sensitive,
+           CAST(CASE WHEN n_rows < 8 THEN 1 ELSE 0 END AS BIGINT)
+             AS k_violation,
+           CAST(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS l_violation
+         FROM g WHERE n_rows < 8 OR n_sensitive < 2""",
+
     "q59_pii_redact" -> {
       // regex constants embed verbatim: DuckDB single-quoted strings do
       // not process backslash escapes, so `\.` crosses unchanged

@@ -652,6 +652,41 @@ object Relational {
     * Non-positive and NULL values carry no first digit and are
     * excluded. One (group, digit) count shuffle; everything after is
     * groups×9-sized. */
+  /** k-anonymity / l-diversity audit (Sweeney 2002 "k-anonymity: a
+    * model for protecting privacy"; Machanavajjhala et al. 2007
+    * "l-diversity" — both public): the privacy risk report a
+    * training-data pipeline ships NEXT TO its PII redaction (q59
+    * removes direct identifiers; this audits the QUASI-identifiers
+    * redaction can't remove — the (zip, age, segment)-style
+    * combinations that re-identify by linkage). Groups rows into
+    * equivalence classes over the quasi-identifier columns and reports
+    * every class with fewer than `k` rows (re-identification risk: the
+    * class pins an individual) or fewer than `l` distinct sensitive
+    * values (attribute disclosure: membership alone reveals the
+    * sensitive attribute), with both flags so one class can violate
+    * either or both.
+    *
+    * Scale shape: ONE hash aggregate — the corpus collapses to the
+    * equivalence-class table and the filter runs there; no windows, no
+    * joins. NULL quasi values form their own class (a NULL zip is
+    * still a linkable signature, not an exemption); NULL sensitive
+    * values carry no diversity evidence (count-distinct ignores them,
+    * so an all-NULL-sensitive class reports l_violation). */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[String],
+      sensitive: Column, k: Long, l: Long): DataFrame = {
+    require(quasi.nonEmpty && k >= 1 && l >= 1,
+      "need quasi-identifier columns and k, l >= 1")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .filter(col("n_rows") < k || col("n_sensitive") < l)
+      .select(quasi.map(col) ++ Seq(col("n_rows"), col("n_sensitive"),
+        when(col("n_rows") < k, lit(1L)).otherwise(lit(0L))
+          .as("k_violation"),
+        when(col("n_sensitive") < l, lit(1L)).otherwise(lit(0L))
+          .as("l_violation")): _*)
+  }
+
   def benfordAudit(df: DataFrame, grpCol: String, valCol: Column): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val counts = df

@@ -512,4 +512,28 @@ class RelationalSpec extends SparkSpec {
       Seq((1L, 1L, 10L), (3L, 10L, 1L), (8L, 5L, 6L)),
       run(withF, 2L).toString)
   }
+
+  test("kAnonymityAudit: k and l flags independent, null quasi is a class, null sensitive no diversity") {
+    val rows =
+      (1 to 6).map(i => ("a", if (i % 2 == 0) "s1" else "s2")) ++ // clean
+      Seq(("b", "s1"), ("b", "s2"), ("b", "s3")) ++     // k only (3 < 5)
+      (1 to 10).map(_ => ("c", "s1")) ++                // l only (1 < 2)
+      Seq(("d", "s1"), ("d", "s1")) ++                  // both
+      Seq((null.asInstanceOf[String], "s1")) ++         // null quasi class
+      (1 to 5).map(_ => ("e", null.asInstanceOf[String])) // null sensitive
+    val out = Relational.kAnonymityAudit(rows.toDF("q", "s"),
+        Seq("q"), col("s"), k = 5L, l = 2L)
+      .as[(Option[String], Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      Some("b") -> ((3L, 3L, 1L, 0L)),   // under-k, diverse
+      Some("c") -> ((10L, 1L, 0L, 1L)),  // populous, uniform
+      Some("d") -> ((2L, 1L, 1L, 1L)),   // both violations
+      None -> ((1L, 1L, 1L, 1L)),        // NULL quasi still audited
+      Some("e") -> ((5L, 0L, 0L, 1L))),  // NULL sensitive: no evidence
+      out.toString)
+    // the clean class is NOT in the report (the audit is the
+    // violations table, not the class table)
+    assert(!out.contains(Some("a")))
+  }
 }

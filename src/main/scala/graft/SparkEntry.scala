@@ -1706,6 +1706,21 @@ object SparkEntry {
       Sketches.hllDistinct(Tables.events(s, d), Seq("event_type"),
         col("user_id"))),
 
+    // cardinality-sketch accuracy audit: the q93 HLL estimator
+    // reconciled against exact count-distinct per DAY — the grouping
+    // where true active-user cardinality actually varies (per
+    // event_type every group sees the same 150-user set, a degenerate
+    // audit) — signed rel err + the published 3σ = 0.39 flag at m = 64
+    // (reported, not enforced; the q214 discipline for the cardinality
+    // tier — CMS q92 carries n_true by construction). Probed at
+    // sf0.01: 30 days, 14 distinct true cardinalities, errs spread
+    // −0.182..+0.081 — genuinely nonzero, all inside 3σ
+    "q217_hll_accuracy" -> ((s, d) =>
+      Sketches.hllAccuracyAudit(
+        Tables.events(s, d).withColumn("day",
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")),
+        Seq("day"), col("user_id"))),
+
     // interval merge (islands): per-supplier coverage windows over the
     // open-order ranges [o_orderdate, l_shipdate] of heavy line items —
     // ranges union on overlap, unlike q63's gap-split point events
@@ -2954,6 +2969,37 @@ object SparkEntry {
   /** Shared CTE prefix of the MinHash oracles: shingles → per-shingle
     * md5 → affine-family minima (mirrors Dedup.minHashFamily exactly) →
     * LSH bands → capped buckets. */
+  /** The q93 HLL estimate chain (m = 64, exact-integer harmonic sum,
+    * linear-counting small-range correction) over an arbitrary group
+    * expression — shared by q93 and the q217 accuracy audit, which
+    * must reconcile against the IDENTICAL rounded estimate. */
+  private def hllEstimateSql(grpExpr: String, outName: String): String = {
+    val h = sqlHexLong("concat('hll:', CAST(user_id AS VARCHAR))")
+    val alpha = Sketches.HllAlphaM2.toString
+    s"""WITH h AS (SELECT $grpExpr AS g, $h AS hv FROM events
+         WHERE user_id IS NOT NULL),
+       b AS (SELECT g, hv % 64 AS reg, hv // 64 AS suf FROM h),
+       r AS (SELECT g, reg,
+             max(CASE WHEN suf = 0 THEN 51
+                 ELSE 51 - length(bin(suf)) END) AS mr
+             FROM b GROUP BY 1, 2),
+       a AS (SELECT g, CAST(count(*) AS BIGINT) AS registers_hit,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mr AS INTEGER))
+               AS BIGINT) AS s
+             FROM r GROUP BY 1),
+       f AS (SELECT g, registers_hit,
+             CAST(s + (64 - registers_hit) * (CAST(1 AS BIGINT) << 51)
+               AS DOUBLE) / CAST(2251799813685248 AS DOUBLE) AS z
+             FROM a)
+       SELECT g AS $outName, registers_hit,
+         round(CASE WHEN CAST('$alpha' AS DOUBLE) / z <= CAST(160 AS DOUBLE)
+                    AND registers_hit < 64
+           THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+             / (64 - registers_hit))
+           ELSE CAST('$alpha' AS DOUBLE) / z END, 6) AS est_distinct
+       FROM f"""
+  }
+
   private def minhashCtes: String = minhashCtesFrom("documents")
 
   /** The same CTE chain over any (doc_id, text) relation name visible
@@ -4459,32 +4505,26 @@ object SparkEntry {
          FROM rr JOIN sk ON rr.i = sk.i AND rr.b = sk.b
          GROUP BY 1, 2"""
     },
-    "q93_hll_distinct" -> {
-      val h = sqlHexLong("concat('hll:', CAST(user_id AS VARCHAR))")
-      val alpha = Sketches.HllAlphaM2.toString
-      s"""WITH h AS (SELECT event_type, $h AS hv FROM events
-           WHERE user_id IS NOT NULL),
-         b AS (SELECT event_type, hv % 64 AS reg, hv // 64 AS suf FROM h),
-         r AS (SELECT event_type, reg,
-               max(CASE WHEN suf = 0 THEN 51
-                   ELSE 51 - length(bin(suf)) END) AS mr
-               FROM b GROUP BY 1, 2),
-         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS registers_hit,
-               CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mr AS INTEGER))
-                 AS BIGINT) AS s
-               FROM r GROUP BY 1),
-         f AS (SELECT event_type, registers_hit,
-               CAST(s + (64 - registers_hit) * (CAST(1 AS BIGINT) << 51)
-                 AS DOUBLE) / CAST(2251799813685248 AS DOUBLE) AS z
-               FROM a)
-         SELECT event_type, registers_hit,
-           round(CASE WHEN CAST('$alpha' AS DOUBLE) / z <= CAST(160 AS DOUBLE)
-                      AND registers_hit < 64
-             THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
-               / (64 - registers_hit))
-             ELSE CAST('$alpha' AS DOUBLE) / z END, 6) AS est_distinct
-         FROM f"""
-    },
+    "q93_hll_distinct" -> hllEstimateSql("event_type", "event_type"),
+
+    // q93's full estimate chain as a CTE (per DAY, where the true
+    // active-user cardinality actually varies) + the exact
+    // count-distinct, reconciled per group: signed rel err from the
+    // SAME rounded estimate both engines emit, 3σ flag at the
+    // published 1.04/√64
+    "q217_hll_accuracy" ->
+      s"""WITH est AS (
+           ${hllEstimateSql("strftime(date_trunc('day', ts), '%Y-%m-%d')",
+             "day")}),
+         ex AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT e.day, ex.n_true, e.registers_hit, e.est_distinct,
+           round((e.est_distinct - ex.n_true) / ex.n_true, 6) AS err,
+           CAST(CASE WHEN abs(round((e.est_distinct - ex.n_true)
+               / ex.n_true, 6)) <= 0.39 THEN 1 ELSE 0 END AS BIGINT)
+             AS within_3sigma
+         FROM est e JOIN ex ON e.day = ex.day""",
     "q94_interval_merge" ->
       """WITH iv AS (SELECT l.l_suppkey, o.o_orderdate AS s, l.l_shipdate AS e
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

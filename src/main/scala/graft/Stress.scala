@@ -213,7 +213,23 @@ object Stress {
           .withColumn("entity_id", coalesce(col("component"), col("key")))
           .groupBy("entity_id").agg(count(lit(1)).as("n_members"))
           .filter(col("n_members") >= 2L)
-      }))
+      }),
+      // Misra–Gries heavy hitters under the Zipf token stream with a
+      // HUB group: every third doc's tokens land in ONE group (a third
+      // of the corpus in one MG buffer), the rest spread over 16. The
+      // hub group's distinct-token tail (corpus vocab ≫ k = 201)
+      // churns the counters constantly — the amortized-shrink path is
+      // exactly what's under load — while per-group state stays 201
+      // counters per partial REGARDLESS of scale, and the exact
+      // rescore pass stays candidate-sized (≤ 17·k items semi-joined)
+      "heavy_hitters" -> (() =>
+        graft.operators.Sketches.heavyHitters(
+          corpus.select(
+            when(col("doc_id") % 3 === 0, lit("hub"))
+              .otherwise(concat(lit("g"),
+                (col("doc_id") % 16).cast("string"))).as("grp"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          Seq("grp"), col("tok"), phiMicro = 5000L)))
   }
 
   /** Per-op scaling exponent (see scaladoc above). */

@@ -313,6 +313,34 @@ object Sketches {
         expr("__d * 1000000 div (n_ref * n_cur)").as("ks_micro"))
   }
 
+  /** Cardinality-sketch accuracy audit — the [[ddsketchAccuracyAudit]]
+    * discipline applied to the HLL tier: [[hllDistinct]]'s estimates
+    * reconciled against the exact per-group count-distinct. (CMS —
+    * [[countMinEstimates]] — carries `n_true` by construction and
+    * needs no separate audit; HLL is the one estimator whose truth the
+    * declared output never showed.) `err` is the SIGNED relative error
+    * `round((est − true)/true, 6)`; `within_3sigma` flags
+    * |err| ≤ 3·1.04/√m — the published HLL standard error (Flajolet
+    * et al. 2007), 0.39 at m = 64 — REPORTED, not enforced: the bound
+    * is probabilistic, and an honest audit shows where the corpus
+    * lands rather than filtering to the flattering subset. Exact half
+    * is one count-distinct hash aggregate — the audit you run on the
+    * validation slice before trusting the sketch fleet-wide. */
+  def hllAccuracyAudit(df: DataFrame, grp: Seq[String],
+      key: Column): DataFrame = {
+    val sk = hllDistinct(df, grp, key)
+    val exact = df.filter(key.isNotNull)
+      .groupBy(grp.map(col): _*)
+      .agg(countDistinct(key).as("n_true"))
+    sk.join(exact, grp)
+      .withColumn("err",
+        round((col("est_distinct") - col("n_true")) / col("n_true"), 6))
+      .withColumn("within_3sigma",
+        when(abs(col("err")) <= 0.39, lit(1L)).otherwise(lit(0L)))
+      .select(grp.map(col) ++ Seq(col("n_true"), col("registers_hit"),
+        col("est_distinct"), col("err"), col("within_3sigma")): _*)
+  }
+
   /** Exact φ-heavy hitters via the two-pass Misra–Gries shape — the
     * deterministic top-item primitive next to [[countMinEstimates]]'
     * point estimates: per group, EVERY item whose frequency reaches

@@ -154,6 +154,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllAccuracyAudit: exact truth, err consistent with estimate, duplicate-invariant, 3sigma honest") {
+    val rows = (1 to 2000).map(i => ("big", i.toLong)) ++
+      (1 to 5).map(i => ("small", i.toLong)) ++
+      (1 to 40).flatMap(i => Seq.fill(3)(("dup3", i.toLong))) ++
+      (1 to 40).map(i => ("dup1", i.toLong))
+    val out = Sketches.hllAccuracyAudit(rows.toDF("g", "k"),
+        Seq("g"), col("k"))
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // truth side is exact count-distinct
+    assert(out("big")._2 == 2000L && out("small")._2 == 5L &&
+      out("dup3")._2 == 40L && out("dup1")._2 == 40L)
+    // err is derived from the SAME rounded estimate the sketch reports
+    out.values.foreach { case (g, t, _, est, err, w3) =>
+      val expect = math.rint((est - t) / t * 1e6) / 1e6
+      assert(math.abs(err - expect) < 1e-9, s"$g: err=$err vs $expect")
+      assert(w3 == (if (math.abs(err) <= 0.39) 1L else 0L), g)
+    }
+    // cardinality estimation is duplicate-invariant: same key SET at
+    // multiplicity 3 and 1 yields the identical estimate
+    assert(out("dup3")._4 == out("dup1")._4, s"${out("dup3")} ${out("dup1")}")
+    // the audit measures honestly: the big group's error is nonzero
+    // (HLL is an estimate) yet inside 3 sigma for this fixed hash
+    assert(out("big")._5 != 0.0 && out("big")._6 == 1L, out("big").toString)
+  }
+
   test("heavyHitters: exact thresholded output, boundary hit, partitioning-invariant, nulls excluded") {
     // group g1: n = 300 tokens, φ = 10% → threshold = 30. "hot" (40)
     // and "edge" (exactly 30) qualify; "below" (29) must NOT; a

@@ -539,6 +539,45 @@ class StressSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("heavyHitters: MG counter cap binds on the hub tail, exact recovery vs brute force") {
+    import spark.implicits._
+    val corpus = StressData.corpus(spark, 600L)
+    val toks = corpus.select(
+      when(col("doc_id") % 3 === 0, lit("hub"))
+        .otherwise(concat(lit("g"), (col("doc_id") % 16).cast("string")))
+        .as("grp"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok")).cache()
+    try {
+      val phi = 5000L
+      val k = (1000000L / phi).toInt + 1 // 201
+      // cap non-vacuity: the hub group's distinct-token tail exceeds
+      // the counter budget, so MG genuinely shrinks mid-stream
+      val hubDistinct = toks.filter(col("grp") === "hub")
+        .select("tok").distinct().count()
+      assert(hubDistinct > k, s"tail $hubDistinct <= k=$k — adversary toothless")
+      // the state discipline: the candidate array itself is <= k
+      val nCands = toks.filter(col("grp") === "hub")
+        .groupBy()
+        .agg(graft.functions.Native.misraGriesCandidates(col("tok"), k)
+          .as("c"))
+        .select(size(col("c"))).as[Int].head()
+      assert(nCands <= k && nCands > 0, s"candidates $nCands vs k=$k")
+      // exact recovery: the declared output equals brute force
+      val out = graft.operators.Sketches.heavyHitters(
+          toks, Seq("grp"), col("tok"), phi)
+        .select("grp", "item", "freq").as[(String, String, Long)]
+        .collect().toSet
+      val brute = toks.groupBy("grp", "tok").agg(count(lit(1)).as("freq"))
+        .join(toks.groupBy("grp").agg(count(lit(1)).as("n")), "grp")
+        .filter(col("freq") >=
+          greatest(lit(1L), expr("(n * 5000 + 999999) div 1000000")))
+        .select(col("grp"), col("tok"), col("freq"))
+        .as[(String, String, Long)].collect().toSet
+      assert(out == brute, s"${out.size} vs brute ${brute.size}")
+      assert(out.nonEmpty && out.exists(_._1 == "hub"))
+    } finally toks.unpersist()
+  }
+
   test("measured near-linear scaling (env-gated: SPARK_GRAFT_STRESS=1)") {
     assume(sys.env.get("SPARK_GRAFT_STRESS").contains("1"),
       "manual: set SPARK_GRAFT_STRESS=1 (full run: sbt 'runMain graft.Stress')")

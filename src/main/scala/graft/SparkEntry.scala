@@ -1893,6 +1893,18 @@ object SparkEntry {
         Seq("l_returnflag"), col("__cents"), subBits = 6,
         qMicros = Seq(500000L, 900000L, 990000L))),
 
+    // priority sampling with Horvitz–Thompson adjusted weights — the
+    // sample that answers subset-SUM queries (DLT 2007): exactly k=100
+    // orders drawn by the derandomized w/u priority race, each carrying
+    // ŵ = max(w, τ); Σŵ over any subset unbiasedly estimates that
+    // subset's true total-price mass. Probed at sf0.01: Σŵ estimates
+    // the 15k-order corpus total within +7.3% (inside the ~1/√(k−1)
+    // ≈ 10% one-realization band)
+    "q218_priority_sample" -> ((s, d) =>
+      Relational.prioritySample(Tables.orders(s, d), col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"),
+        k = 100)),
+
     // exact φ-heavy hitters per source: Misra–Gries candidates (O(k)
     // state per group, mergeable, guaranteed superset of every item at
     // ⌈n·φ⌉) + exact candidate-only rescore — the deterministic top-k
@@ -4906,6 +4918,27 @@ object SparkEntry {
            bucket_lo, bucket_hi,
            CAST((bucket_lo + bucket_hi) // 2 AS BIGINT) AS est
          FROM pick""",
+
+    // the exact-integer priority race restated: same md5-dyadic u,
+    // same truncated division, same (pri DESC, key) order and the
+    // (k+1)-th-priority tau
+    "q218_priority_sample" -> {
+      val h = sqlHexLong("concat('ps:', CAST(key AS VARCHAR))")
+      s"""WITH b AS (SELECT o_orderkey AS key,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+           FROM orders WHERE o_orderkey IS NOT NULL
+             AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+         p AS (SELECT key, w,
+             (w * 1048576) // ($h % 1048576 + 1) AS pri FROM b),
+         r AS (SELECT key, w, pri,
+             row_number() OVER (ORDER BY pri DESC, key) AS rn FROM p),
+         t AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN pri END), 0)
+                 AS tau FROM r WHERE rn <= 101)
+         SELECT r.key, r.w, r.pri,
+           CAST(greatest(r.w, t.tau) AS BIGINT) AS w_hat,
+           CAST(rn AS BIGINT) AS rank
+         FROM r CROSS JOIN t WHERE rn <= 100"""
+    },
 
     // the heavy-hitter CONTRACT is exact-thresholded output, so the
     // oracle is the plain frequency table + HAVING — the MG pass must

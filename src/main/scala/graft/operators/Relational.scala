@@ -652,6 +652,57 @@ object Relational {
     * Non-positive and NULL values carry no first digit and are
     * excluded. One (group, digit) count shuffle; everything after is
     * groups×9-sized. */
+  /** Priority sampling (Duffield–Lund–Thorup 2007 "Priority sampling
+    * for estimation of arbitrary subset sums", public): a
+    * deterministic weight-sensitive sample of exactly k rows that
+    * doubles as an UNBIASED ESTIMATOR — each sampled row carries the
+    * Horvitz–Thompson adjusted weight ŵ = max(w, τ), τ = the (k+1)-th
+    * largest priority, and for ANY subset A,
+    * Σ_{sampled ∩ A} ŵ is an unbiased estimate of Σ_A w with
+    * near-optimal variance (DLT prove no k−1-row scheme beats it).
+    * This is what q90's A-ES race lacks: A-ES draws a fair sample, but
+    * only priority sampling's τ-adjusted weights let downstream answer
+    * subset-SUM queries from the sample alone — the sample you ship
+    * when the 100 TB corpus stays behind.
+    *
+    * Derandomized like every sampler here: u = (md5 mod 2²⁰ + 1)/2²⁰
+    * is an exact dyadic rational in (0, 1], and the priority
+    * w/u = w·2²⁰ div (h+1) stays an EXACT long (integer truncation is
+    * a valid priority family and crosses engines bit-for-bit — no
+    * doubles anywhere; w ≤ 2^43 overflows nothing). Plan shape: one
+    * narrow projection + TakeOrdered(k+1) by (priority DESC, key) —
+    * per-partition top-k then one merge, never a global sort — then a
+    * window over the (k+1)-row result only. Rows with NULL keys or
+    * non-positive/NULL weights carry no mass and are excluded; when
+    * the population has ≤ k rows the whole population returns with
+    * τ = 0 and ŵ = w exactly. */
+  def prioritySample(df: DataFrame, keyCol: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val m = 1048576L // 2^20
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val base = df
+      .filter(keyCol.isNotNull && weight.isNotNull && (weight > 0L))
+      .select(keyCol.cast(LongType).as("key"),
+        weight.cast(LongType).as("w"))
+      .withColumn("__hu",
+        pmod(graft.functions.Hashing.hexLong(
+          concat(lit("ps:"), col("key").cast(StringType))), lit(m)) + 1L)
+      .withColumn("pri", expr(s"(w * $m) div __hu"))
+    val top = base.orderBy(col("pri").desc, col("key").asc).limit(k + 1)
+    // the window runs over k+1 rows, never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pri").desc, col("key").asc)
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val tau = ranked.agg(coalesce(
+      max(when(col("__rn") === k + 1, col("pri"))), lit(0L)).as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("key"), col("w"), col("pri"),
+        greatest(col("w"), col("__tau")).as("w_hat"),
+        col("__rn").cast(LongType).as("rank"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney 2002 "k-anonymity: a
     * model for protecting privacy"; Machanavajjhala et al. 2007
     * "l-diversity" — both public): the privacy risk report a

@@ -513,6 +513,40 @@ class RelationalSpec extends SparkSpec {
       run(withF, 2L).toString)
   }
 
+  test("prioritySample: exactly k, HT estimate tracks the total, whale surely in, degenerate n<=k") {
+    val rows = (1L to 2000L).map(i => (i, (i % 97) + 1))
+    val restMass = rows.map(_._2).sum
+    val df = (rows :+ ((9999L, restMass))).toDF("k", "w") // whale = half of all mass
+    val out = Relational.prioritySample(df, col("k"), col("w"), 100)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 100)
+    assert(out.map(_._5).sorted.toSeq == (1L to 100L)) // ranks dense
+    // the whale's priority w/u >= w = half the corpus mass dwarfs the
+    // (k+1)-th priority (~2 n w̄/k): surely sampled, and since w > tau
+    // its HT weight is EXACT
+    val whale = out.find(_._1 == 9999L)
+    assert(whale.isDefined && whale.get._4 == restMass, whale.toString)
+    // the point of the operator: sum of adjusted weights over the
+    // sample estimates the POPULATION total (DLT unbiasedness; one
+    // realization lands within the ~1/sqrt(k-1) band)
+    val sumW = 2.0 * restMass
+    val sumHat = out.map(_._4).sum.toDouble
+    assert(math.abs(sumHat - sumW) / sumW < 0.3,
+      s"sumHat=$sumHat vs sumW=$sumW")
+    // deterministic: a rerun is bit-identical
+    val again = Relational.prioritySample(df, col("k"), col("w"), 100)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // population <= k: everything returns, tau = 0, w_hat == w exactly
+    val small = Relational.prioritySample(
+        Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 5L), (3L, 0L),
+          (4L, null))
+          .toDF("k", "w"), col("k"), col("w"), 100)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(small.map(r => (r._1, r._2, r._4)).toSeq ==
+      Seq((1L, 10L, 10L), (2L, 5L, 5L)), small.mkString(","))
+  }
+
   test("kAnonymityAudit: k and l flags independent, null quasi is a class, null sensitive no diversity") {
     val rows =
       (1 to 6).map(i => ("a", if (i % 2 == 0) "s1" else "s2")) ++ // clean

@@ -1893,6 +1893,19 @@ object SparkEntry {
         Seq("l_returnflag"), col("__cents"), subBits = 6,
         qMicros = Seq(500000L, 900000L, 990000L))),
 
+    // classical additive seasonal decomposition of daily event revenue
+    // (value = trend + seasonal + residual): centered 7-row MA trend,
+    // per-phase floor-mean seasonal, the weekly-rhythm separator the
+    // monitoring tier (EWMA/CUSUM/Mann–Kendall) runs AFTER so weekends
+    // stop refiring the detectors. Weekend cents are doubled in the
+    // query so the seasonal component carries real planted signal
+    "q219_seasonal_decomp" -> ((s, d) =>
+      Temporal.seasonalDecompose(Tables.events(s, d), col("ts"),
+        when(dayofweek(col("ts")).isin(1, 7),
+          expr("cast(floor(value * 100 + 0.5) as bigint)") * 2L)
+          .otherwise(expr("cast(floor(value * 100 + 0.5) as bigint)")),
+        period = 7)),
+
     // priority sampling with Horvitz–Thompson adjusted weights — the
     // sample that answers subset-SUM queries (DLT 2007): exactly k=100
     // orders drawn by the derandomized w/u priority race, each carrying
@@ -4918,6 +4931,42 @@ object SparkEntry {
            bucket_lo, bucket_hi,
            CAST((bucket_lo + bucket_hi) // 2 AS BIGINT) AS est
          FROM pick""",
+
+    // daily totals → centered MA → per-phase floor means, every
+    // division sign-split; DuckDB dayofweek is 0=Sun..6=Sat where
+    // Spark's is 1=Sun..7=Sat
+    "q219_seasonal_decomp" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+             AS day,
+           CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6)
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+             ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+             AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+         t AS (SELECT day, v,
+             date_diff('day', CAST(min(day) OVER () AS DATE),
+               CAST(day AS DATE)) % 7 AS phase,
+             sum(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+               AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+               AND 3 FOLLOWING) AS n7
+           FROM daily),
+         tr AS (SELECT day, phase, v,
+             CASE WHEN n7 = 7 THEN
+               CASE WHEN s7 >= 0 THEN s7 // 7 ELSE -((-s7) // 7) END
+             END AS trend
+           FROM t),
+         se AS (SELECT phase,
+             CASE WHEN sum(v - trend) >= 0
+               THEN sum(v - trend) // count(*)
+               ELSE -((-sum(v - trend)) // count(*)) END AS seasonal
+           FROM tr WHERE trend IS NOT NULL GROUP BY 1)
+         SELECT tr.day, CAST(tr.phase AS BIGINT) AS phase, tr.v,
+           CAST(tr.trend AS BIGINT) AS trend,
+           CAST(se.seasonal AS BIGINT) AS seasonal,
+           CAST(tr.v - tr.trend - se.seasonal AS BIGINT) AS residual
+         FROM tr LEFT JOIN se ON tr.phase = se.phase""",
 
     // the exact-integer priority race restated: same md5-dyadic u,
     // same truncated division, same (pri DESC, key) order and the

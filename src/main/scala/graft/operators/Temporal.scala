@@ -812,4 +812,62 @@ object Temporal {
             (log(x.getField("p").cast("double")) -
               log(x.getField("q").cast("double")))), 6).as("psi"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method — Kendall & Stuart's classical decomposition, the
+    * deterministic core STL iterates on): the daily series splits into
+    * `value = trend + seasonal + residual`, completing the temporal
+    * monitoring tier — EWMA smooths, CUSUM/Mann–Kendall detect,
+    * Theil–Sen/OLS fit a slope, and THIS separates the weekly rhythm
+    * from the drift so the other detectors can run on `residual`
+    * instead of refiring every weekend.
+    *
+    * All exact longs: the corpus collapses to the per-day totals table
+    * in one hash aggregate, and every window after runs over that
+    * DAILY table only (|days| rows — statistics-sized, never corpus).
+    * `trend` = centered `period`-row moving average (period odd; rows
+    * whose centered window is incomplete — the first/last half-window
+    * days — carry NULL trend and contribute nothing to the seasonal
+    * fit); `phase` = observed-day index mod period (datediff from the
+    * first day — engine-neutral, no weekday-numbering convention);
+    * `seasonal` = per-phase floor mean of the detrended values;
+    * `residual = value − trend − seasonal`. Divisions are sign-split
+    * (negative numerators are where div and // diverge). The row basis
+    * is the OBSERVED day sequence: a calendar gap shifts the centered
+    * window like any rows-based MA — densify upstream if gaps matter. */
+  def seasonalDecompose(df: DataFrame, tsCol: Column, valCol: Column,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "period must be odd >= 3 (centered window)")
+    val half = period / 2
+    import org.apache.spark.sql.types.LongType
+    val daily = df
+      .filter(tsCol.isNotNull && valCol.isNotNull)
+      .groupBy(date_format(date_trunc("day", tsCol), "yyyy-MM-dd")
+        .as("day"))
+      .agg(sum(valCol.cast(LongType)).as("v"))
+    val wOrd = Window.orderBy(col("day"))
+    val wc = wOrd.rowsBetween(-half, half)
+    def signDiv(num: String, den: String) =
+      expr(s"CASE WHEN $num >= 0 THEN $num div $den" +
+        s" ELSE -((-($num)) div $den) END")
+    val withTrend = daily // |days|-sized windows only
+      .withColumn("phase",
+        expr(s"datediff(day, min(day) OVER ()) % $period"))
+      .withColumn("__s7", sum(col("v")).over(wc))
+      .withColumn("__n7", count(lit(1)).over(wc))
+      .withColumn("trend",
+        when(col("__n7") === period, signDiv("__s7", period.toString)))
+      .withColumn("__detr", col("v") - col("trend"))
+    val seasonal = withTrend
+      .filter(col("__detr").isNotNull)
+      .groupBy("phase")
+      .agg(sum(col("__detr")).as("__ss"), count(lit(1)).as("__sn"))
+      .select(col("phase"), signDiv("__ss", "__sn").as("seasonal"))
+    withTrend
+      .join(seasonal, Seq("phase"), "left")
+      .select(col("day"), col("phase").cast(LongType).as("phase"),
+        col("v"), col("trend"), col("seasonal"),
+        (col("v") - col("trend") - col("seasonal")).as("residual"))
+  }
 }

@@ -694,4 +694,44 @@ class NativeCosineSpec extends SparkSpec {
     assert(out("b")._4 > 0.25, "injected drift must clear the action threshold")
     assert(!out.contains("c"), out.toString)
   }
+
+  test("seasonalDecompose: JVM-twin exact trend/seasonal/residual, edge NULLs, sign-split negatives") {
+    import spark.implicits._
+    // 21 days: drift + a planted weekly pattern + NEGATIVE days (the
+    // sign-split branch) — one synthetic daily observation per day
+    val n = 21
+    val v = (0 until n).map(i => -2000L + 150L * i +
+      (if (i % 7 == 0) 900L else 0L) - (if (i % 7 == 3) 1100L else 0L))
+    val rows = (0 until n).map(i =>
+      (f"2024-03-${i + 1}%02d 12:00:00", v(i)))
+    val out = Temporal.seasonalDecompose(
+        rows.toDF("tss", "value"), to_timestamp(col("tss")), col("value"), 7)
+      .select(col("day"), col("phase"), col("v"), col("trend"),
+        col("seasonal"), col("residual"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    // JVM mirror with the identical sign-split division
+    def sdiv(a: Long, d: Long) = if (a >= 0) a / d else -((-a) / d)
+    val trend = (0 until n).map(i =>
+      if (i >= 3 && i <= n - 4) Some(sdiv((i - 3 to i + 3).map(v).sum, 7))
+      else None)
+    val detr = (0 until n).map(i => trend(i).map(t => v(i) - t))
+    val seas = (0 until 7).map { p =>
+      val ds = (p until n by 7).flatMap(detr)
+      p -> (if (ds.isEmpty) None else Some(sdiv(ds.sum, ds.length)))
+    }.toMap
+    (0 until n).foreach { i =>
+      val (_, phase, vv, t, s, r) = out(i)
+      assert(phase == i % 7 && vv == v(i), s"day $i")
+      assert(t == trend(i), s"trend day $i: $t vs ${trend(i)}")
+      assert(s == seas(i % 7), s"seasonal day $i")
+      val expR = for (tt <- trend(i); ss <- seas(i % 7))
+        yield v(i) - tt - ss
+      assert(r == expR, s"residual day $i")
+    }
+    // the planted pattern surfaced: phase-0 seasonal clearly above
+    // phase-3's, and the sign-split branch genuinely fired
+    assert(seas(0).get - seas(3).get > 1500L, seas.toString)
+    assert(v.exists(_ < 0) && detr.flatten.exists(_ < 0))
+  }
 }

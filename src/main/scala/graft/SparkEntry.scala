@@ -1906,6 +1906,28 @@ object SparkEntry {
           .otherwise(expr("cast(floor(value * 100 + 0.5) as bigint)")),
         period = 7)),
 
+    // residual anomaly days — q219's payoff: the q96 median/MAD fence
+    // on the RESIDUAL after rhythm+trend are explained away, so the
+    // doubled weekends do NOT refire while one planted ×5 day does.
+    // Probed at sf0.01 (24 fenced days): the planted 2024-01-17 flags,
+    // all 7 weekend-phase days stay quiet, and the spike's leak into
+    // its OWN phase's single-pass seasonal mean drags its two
+    // phase-mates (01-10, 01-24) plus one trend-window neighbour
+    // (01-19) over the fence — the documented non-robustness of the
+    // classical method that STL's iterated robustness weights exist to
+    // fix (honest behavior, not a bug: the flags localize to the
+    // spike's contamination footprint)
+    "q220_seasonal_anomaly" -> ((s, d) => {
+      val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
+      val weekend = when(dayofweek(col("ts")).isin(1, 7), cents * 2L)
+        .otherwise(cents)
+      val spiked = when(date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd") === "2024-01-17", weekend * 5L)
+        .otherwise(weekend)
+      Temporal.seasonalAnomalies(Tables.events(s, d), col("ts"), spiked,
+        period = 7, k = 3.0)
+    }),
+
     // priority sampling with Horvitz–Thompson adjusted weights — the
     // sample that answers subset-SUM queries (DLT 2007): exactly k=100
     // orders drawn by the derandomized w/u priority race, each carrying
@@ -4931,6 +4953,61 @@ object SparkEntry {
            bucket_lo, bucket_hi,
            CAST((bucket_lo + bucket_hi) // 2 AS BIGINT) AS est
          FROM pick""",
+
+    // q219's decomposition CTEs (weekend doubling + the ×5 planted
+    // day) + q96's quantile_cont median/MAD fence on the residual
+    "q220_seasonal_anomaly" -> {
+      val scale = Quantiles.madScale(3.0)
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+             AS day,
+           CAST(sum(CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d')
+               = '2024-01-17'
+             THEN (CASE WHEN dayofweek(ts) IN (0, 6)
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+               ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) * 5
+             ELSE CASE WHEN dayofweek(ts) IN (0, 6)
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+               ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END END)
+             AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+         t AS (SELECT day, v,
+             date_diff('day', CAST(min(day) OVER () AS DATE),
+               CAST(day AS DATE)) % 7 AS phase,
+             sum(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+               AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+               AND 3 FOLLOWING) AS n7
+           FROM daily),
+         tr AS (SELECT day, phase, v,
+             CASE WHEN n7 = 7 THEN
+               CASE WHEN s7 >= 0 THEN s7 // 7 ELSE -((-s7) // 7) END
+             END AS trend
+           FROM t),
+         se AS (SELECT phase,
+             CASE WHEN sum(v - trend) >= 0
+               THEN sum(v - trend) // count(*)
+               ELSE -((-sum(v - trend)) // count(*)) END AS seasonal
+           FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+         rz AS (SELECT tr.day, tr.phase, tr.v, tr.trend, se.seasonal,
+             tr.v - tr.trend - se.seasonal AS residual
+           FROM tr JOIN se ON tr.phase = se.phase
+           WHERE tr.trend IS NOT NULL),
+         m AS (SELECT quantile_cont(CAST(residual AS DOUBLE), 0.5)
+                 AS med FROM rz),
+         dv AS (SELECT rz.*, m.med,
+             abs(CAST(rz.residual AS DOUBLE) - m.med) AS dd
+           FROM rz CROSS JOIN m),
+         md AS (SELECT quantile_cont(dd, 0.5) AS mad FROM dv)
+         SELECT dv.day, CAST(dv.phase AS BIGINT) AS phase, dv.v,
+           CAST(dv.trend AS BIGINT) AS trend,
+           CAST(dv.seasonal AS BIGINT) AS seasonal,
+           CAST(dv.residual AS BIGINT) AS residual,
+           round(dv.med, 6) AS med, round(md.mad, 6) AS mad,
+           CAST(CASE WHEN dv.dd > md.mad * CAST('""" + scale +
+        """' AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM dv CROSS JOIN md"""
+    },
 
     // daily totals → centered MA → per-phase floor means, every
     // division sign-split; DuckDB dayofweek is 0=Sun..6=Sat where

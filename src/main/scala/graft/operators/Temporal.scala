@@ -835,6 +835,38 @@ object Temporal {
     * (negative numerators are where div and // diverge). The row basis
     * is the OBSERVED day sequence: a calendar gap shifts the centered
     * window like any rows-based MA — densify upstream if gaps matter. */
+  /** Residual anomaly days — the PAYOFF of [[seasonalDecompose]]: the
+    * robust median/MAD fence (q96's machinery, same exact
+    * [[Quantiles.quantileCont]] interpolation both engines share at
+    * the ulp level) runs on the RESIDUAL, after the weekly rhythm and
+    * the trend are explained away — a raw fence on the daily series
+    * refires every weekend; on residuals only genuine departures trip.
+    * Per-day output over the |days| table with the decomposition, the
+    * fence statistics (med/MAD of residuals, rounded for display; the
+    * comparison uses the raw bits), and the `is_anomaly` flag at
+    * `|residual − med| > k·1.4826·MAD`. Edge days (NULL trend, hence
+    * NULL residual) carry no fence evidence and are excluded. */
+  def seasonalAnomalies(df: DataFrame, tsCol: Column, valCol: Column,
+      period: Int = 7, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val dec = seasonalDecompose(df, tsCol, valCol, period)
+      .filter(col("residual").isNotNull)
+      .withColumn("__g", lit(0L))
+      .withColumn("__v", col("residual").cast(DoubleType))
+    val med = Quantiles.quantileCont(dec.select(col("__g"), col("__v")),
+      Seq("__g"), col("__v"), Seq(("med", 0.5)))
+    val dev = dec.join(broadcast(med), Seq("__g"))
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val mad = Quantiles.quantileCont(dev.select(col("__g"), col("__d")),
+      Seq("__g"), col("__d"), Seq(("mad", 0.5)))
+    dev.join(broadcast(mad), Seq("__g"))
+      .select(col("day"), col("phase"), col("v"), col("trend"),
+        col("seasonal"), col("residual"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        when(col("__d") > col("mad") * lit(k * 1.4826), lit(1L))
+          .otherwise(lit(0L)).as("is_anomaly"))
+  }
+
   def seasonalDecompose(df: DataFrame, tsCol: Column, valCol: Column,
       period: Int = 7): DataFrame = {
     require(period >= 3 && period % 2 == 1,

@@ -734,4 +734,36 @@ class NativeCosineSpec extends SparkSpec {
     assert(seas(0).get - seas(3).get > 1500L, seas.toString)
     assert(v.exists(_ < 0) && detr.flatten.exists(_ < 0))
   }
+
+  test("seasonalAnomalies: planted spike flags, rhythm days stay quiet outside its window") {
+    import spark.implicits._
+    // q219's drift+weekly series, with day 10 spiked +9000 — the
+    // rhythm is explained away by the decomposition, so only the
+    // spike (and at most its trend-window neighbours 7..13) can flag
+    val n = 21
+    val base = (0 until n).map(i => 1000L + 150L * i +
+      (if (i % 7 == 0) 900L else 0L) - (if (i % 7 == 3) 1100L else 0L))
+    val v = base.updated(10, base(10) + 9000L)
+    val rows = (0 until n).map(i =>
+      (f"2024-03-${i + 1}%02d 12:00:00", v(i)))
+    val out = Temporal.seasonalAnomalies(
+        rows.toDF("tss", "value"), to_timestamp(col("tss")),
+        col("value"), 7, 3.0)
+      .select(col("day"), col("residual"), col("med"), col("mad"),
+        col("is_anomaly"))
+      .as[(String, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.length == 15) // complete-window days 3..17 only
+    val flagged = out.filter(_._5 == 1L).map(_._1).toSet
+    assert(flagged.contains("2024-03-11"), // day index 10
+      s"planted spike did not flag: $out")
+    // days whose trend window the spike never touches must be quiet
+    val contaminated = (7 to 13).map(i => f"2024-03-${i + 1}%02d").toSet
+    assert(flagged.subsetOf(contaminated), flagged.toString)
+    // the flag is a pure fence: every flagged |r−med| strictly above
+    // every unflagged one
+    val d = out.map(r => (math.abs(r._2 - r._3), r._5))
+    val minFlag = d.filter(_._2 == 1L).map(_._1).min
+    val maxQuiet = d.filter(_._2 == 0L).map(_._1).max
+    assert(minFlag > maxQuiet, s"fence inversion: $minFlag <= $maxQuiet")
+  }
 }

@@ -5274,7 +5274,8 @@ object SparkEntry {
              unnest(h[3:len(h)]) AS b3
            FROM (SELECT [$h % 256 for i in range(1, len(w) + 1)] AS h
                  FROM (SELECT string_split(text, ' ') AS w FROM documents
-                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL)
+                 WHERE len(w) >= 3)),
          refp AS (SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS c123
                   FROM refz GROUP BY 1, 2, 3),
          pre AS (SELECT b1, b2, CAST(sum(c123) AS BIGINT) AS c12,
@@ -5294,7 +5295,8 @@ object SparkEntry {
                          CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
                               THEN text || ' cuneiform hieroglyph abjad'
                               ELSE text END, ' ') AS w FROM documents
-                       WHERE text IS NOT NULL))),
+                       WHERE text IS NOT NULL)
+                 WHERE len(w) >= 3)),
          dp AS (SELECT doc_id, b1, b2, b3, CAST(count(*) AS BIGINT) AS m
                 FROM dz GROUP BY 1, 2, 3, 4),
          terms AS (
@@ -5344,7 +5346,8 @@ object SparkEntry {
              unnest(h[3:len(h)-1]) AS b3, unnest(h[4:len(h)]) AS b4
            FROM (SELECT [$h % 64 for i in range(1, len(w) + 1)] AS h
                  FROM (SELECT string_split(text, ' ') AS w FROM documents
-                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL)
+                 WHERE len(w) >= 4)),
          refp AS (SELECT b1, b2, b3, b4, CAST(count(*) AS BIGINT) AS c1234
                   FROM refz GROUP BY 1, 2, 3, 4),
          pre AS (SELECT b1, b2, b3, CAST(sum(c1234) AS BIGINT) AS c123,
@@ -5369,7 +5372,8 @@ object SparkEntry {
                          CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
                               THEN text || ' cuneiform hieroglyph abjad'
                               ELSE text END, ' ') AS w FROM documents
-                       WHERE text IS NOT NULL))),
+                       WHERE text IS NOT NULL)
+                 WHERE len(w) >= 4)),
          dp AS (SELECT doc_id, b1, b2, b3, b4, CAST(count(*) AS BIGINT) AS m
                 FROM dz GROUP BY 1, 2, 3, 4, 5),
          t1 AS (
@@ -5427,7 +5431,8 @@ object SparkEntry {
              unnest(h[5:len(h)]) AS b5
            FROM (SELECT [$h % 32 for i in range(1, len(w) + 1)] AS h
                  FROM (SELECT string_split(text, ' ') AS w FROM documents
-                       WHERE source IN ('src0','src1') AND text IS NOT NULL))),
+                       WHERE source IN ('src0','src1') AND text IS NOT NULL)
+                 WHERE len(w) >= 5)),
          refp AS (SELECT b1, b2, b3, b4, b5,
                   CAST(count(*) AS BIGINT) AS c12345
                   FROM refz GROUP BY 1, 2, 3, 4, 5),
@@ -5458,7 +5463,8 @@ object SparkEntry {
                          CASE WHEN source NOT IN ('src0','src1') AND doc_id % 11 = 0
                               THEN text || ' cuneiform hieroglyph abjad syllabary'
                               ELSE text END, ' ') AS w FROM documents
-                       WHERE text IS NOT NULL))),
+                       WHERE text IS NOT NULL)
+                 WHERE len(w) >= 5)),
          dp AS (SELECT doc_id, b1, b2, b3, b4, b5,
                 CAST(count(*) AS BIGINT) AS m
                 FROM dz GROUP BY 1, 2, 3, 4, 5, 6),

@@ -962,7 +962,12 @@ object Dedup {
     val tf = Parallelism.ensure(
         docs.filter(text.isNotNull)
           .select(col(idCol).as("doc"), text.as("__t")))
-      .select(col("doc"), explode(TextAnalysis.tokens(col("__t"))).as("token"))
+      // opaque: the Generate-inferred size(...)>0 predicate over a bare
+      // tokens(__t) would substitute and push below the ensure exchange
+      // onto the single scan task (the q141/q144 trap)
+      .select(col("doc"),
+        explode(Parallelism.opaque(TextAnalysis.tokens(col("__t"))))
+          .as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
     val sizes = tf.groupBy("doc").agg(sum(col("tf")).as("n_tok"))
     val inter = pairs

@@ -685,6 +685,13 @@ object Relational {
       .filter(keyCol.isNotNull && weight.isNotNull && (weight > 0L))
       .select(keyCol.cast(LongType).as("key"),
         weight.cast(LongType).as("w"))
+      // enforce the documented w <= 2^43 exact-long contract: a larger
+      // weight would overflow w·2^20 and silently corrupt pri/tau —
+      // fail loudly instead of sampling from garbage priorities
+      .withColumn("w", when(col("w") <= (1L << 43), col("w"))
+        .otherwise(raise_error(concat(
+          lit("prioritySample: weight exceeds 2^43 (overflows the "),
+          lit("exact-long priority): "), col("w").cast(StringType)))))
       .withColumn("__hu",
         pmod(graft.functions.Hashing.hexLong(
           concat(lit("ps:"), col("key").cast(StringType))), lit(m)) + 1L)

@@ -336,7 +336,12 @@ object Sketches {
       .withColumn("err",
         round((col("est_distinct") - col("n_true")) / col("n_true"), 6))
       .withColumn("within_3sigma",
-        when(abs(col("err")) <= 0.39, lit(1L)).otherwise(lit(0L)))
+        // 3·(1.04/√m) HLL standard-error bound, derived from HllM so it
+        // tracks the register count (0.39 at m = 64), rounded to the
+        // 2-decimal display quantum the oracle mirrors
+        when(abs(col("err")) <=
+          math.rint(3 * 1.04 / math.sqrt(HllM) * 100) / 100,
+          lit(1L)).otherwise(lit(0L)))
       .select(grp.map(col) ++ Seq(col("n_true"), col("registers_hit"),
         col("est_distinct"), col("err"), col("within_3sigma")): _*)
   }

@@ -2493,15 +2493,23 @@ object TextAnalysis {
       .localCheckpoint(true)
     val pre = model.groupBy("b1", "b2", "b3")
       .agg(sum(col("c1234")).as("__c123"), count(lit(1)).as("__n123"))
+    // same collapse as [[lmPerplexityBucketsQuintgram]]: cont3's rows
+    // are the distinct (b2,b3,b4) suffixes, so every lower margin is
+    // ONE aggregation over the checkpointed cont3 (count of contp rows
+    // per b4 = countDistinct(b3), Σ_b4 cpp per b3 = count(*), ...) —
+    // the margins build concurrently instead of paying the
+    // cont3→contp→{c3,ct,np} sequential exchange cascade
     val cont3 = model.groupBy("b2", "b3", "b4")
       .agg(count(lit(1)).as("__cp3"))
     val c23 = cont3.groupBy("b2", "b3")
       .agg(sum(col("__cp3")).as("__cp3s"), count(lit(1)).as("__n23"))
     val contp = cont3.groupBy("b3", "b4").agg(count(lit(1)).as("__cpp"))
-    val c3 = contp.groupBy("b3")
-      .agg(sum(col("__cpp")).as("__cpp2"), count(lit(1)).as("__n3"))
-    val ct = contp.groupBy("b4").agg(count(lit(1)).as("__ct4"))
-    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
+    val c3 = cont3.groupBy("b3")
+      .agg(count(lit(1)).as("__cpp2"),
+        countDistinct(col("b4")).as("__n3"))
+    val ct = cont3.groupBy("b4").agg(countDistinct(col("b3")).as("__ct4"))
+    val np = cont3.groupBy()
+      .agg(countDistinct(col("b3"), col("b4")).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = quadgramBucketQuads(
       df.select(col(idCol).as("doc"), text.as("__t"))
@@ -2780,19 +2788,34 @@ object TextAnalysis {
       .localCheckpoint(true)
     val pre = model.groupBy("b1", "b2", "b3", "b4")
       .agg(sum(col("c12345")).as("__c1234"), count(lit(1)).as("__n1234"))
+    // EVERY lower-order continuation margin derives directly from the
+    // first continuation table: cont4's rows are the distinct
+    // (b2,b3,b4,b5) suffixes, so "count of cont3 rows per (b4,b5)" =
+    // countDistinct(b3) over cont4, "Σ_b5 cpp3 per (b3,b4)" = plain
+    // count(*) over cont4, etc. Checkpointing cont4 then makes all
+    // seven margins INDEPENDENT single-exchange aggregations whose
+    // broadcast builds run concurrently — the previous
+    // cont4→cont3→contp→{c4,ct,np} cascade paid four sequential
+    // exchange waves over a bounded (≤B⁴-row) table, which dominated
+    // the query's wall-clock at sub-second scale (round-12 collapse;
+    // q212 1.69 s → sub-second target at sf0.1).
     val cont4 = model.groupBy("b2", "b3", "b4", "b5")
       .agg(count(lit(1)).as("__cp4"))
     val c234 = cont4.groupBy("b2", "b3", "b4")
       .agg(sum(col("__cp4")).as("__cp4s"), count(lit(1)).as("__n234"))
     val cont3 = cont4.groupBy("b3", "b4", "b5")
       .agg(count(lit(1)).as("__cpp3"))
-    val c34 = cont3.groupBy("b3", "b4")
-      .agg(sum(col("__cpp3")).as("__cpp3s"), count(lit(1)).as("__n34"))
-    val contp = cont3.groupBy("b4", "b5").agg(count(lit(1)).as("__cppp"))
-    val c4 = contp.groupBy("b4")
-      .agg(sum(col("__cppp")).as("__cppp2"), count(lit(1)).as("__n4"))
-    val ct = contp.groupBy("b5").agg(count(lit(1)).as("__ct5"))
-    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
+    val c34 = cont4.groupBy("b3", "b4")
+      .agg(count(lit(1)).as("__cpp3s"),
+        countDistinct(col("b5")).as("__n34"))
+    val contp = cont4.groupBy("b4", "b5")
+      .agg(countDistinct(col("b3")).as("__cppp"))
+    val c4 = cont4.groupBy("b4")
+      .agg(countDistinct(col("b3"), col("b5")).as("__cppp2"),
+        countDistinct(col("b5")).as("__n4"))
+    val ct = cont4.groupBy("b5").agg(countDistinct(col("b4")).as("__ct5"))
+    val np = cont4.groupBy()
+      .agg(countDistinct(col("b4"), col("b5")).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = quintgramBucketQuints(
       df.select(col(idCol).as("doc"), text.as("__t"))

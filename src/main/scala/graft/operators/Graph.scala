@@ -523,7 +523,17 @@ object Graph {
     // combine — round 10 built and measured one (primitive
     // open-addressing per-partition maps) and it lost 3x to this
     // shape on allocation + cache misses over a near-unique key set.
-    e.groupBy("z")
+    // Width contract (round 12): both exchanges are written EXPLICITLY
+    // at defaultParallelism instead of inheriting
+    // spark.sql.shuffle.partitions — the z-agg→pair-explode stage and
+    // the pair-agg stage together carry ~10 s of task-sum at sf0.1 and
+    // were pinned to 8 tasks on 32 cores by the suite-wide sub-second
+    // shuffle sizing (1.8 s → 0.9 s at sf0.1). Same two-exchange plan,
+    // just full-width; pair-side map partial aggregation loses nothing
+    // because pair multiplicity is ~1.05 (see above).
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    e.repartition(par, col("z"))
+      .groupBy("z")
       .agg(graft.functions.Native
         .boundedDistinctSet(col("u"), maxDeg).as("__us"))
       .filter(col("__us").isNotNull && size(col("__us")) >= 2)
@@ -535,6 +545,7 @@ object Graph {
       .select(col("__w"),
         graft.functions.Native.idPairs(col("__us"))
           .as(Seq("u_a", "u_b")))
+      .repartition(par, col("u_a"), col("u_b"))
       .groupBy("u_a", "u_b")
       .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("aa_micro"))
       .orderBy(col("aa_micro").desc, col("u_a"), col("u_b"))

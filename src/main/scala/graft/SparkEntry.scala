@@ -1849,7 +1849,10 @@ object SparkEntry {
     // the oracle's naive id-ordering must count identically
     "q111_triangles" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      val e = li.as("a").join(li.as("b"),
+      // widen the PROBE side before the self-join: the pair fan-out and
+      // the canonical-edge partial distinct otherwise run on the 3
+      // lineitem scan tasks (1.5 s serialized of q111's 3.6 s, round 12)
+      val e = wide(li).as("a").join(broadcast(li.as("b")),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))

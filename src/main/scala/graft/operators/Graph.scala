@@ -303,7 +303,13 @@ object Graph {
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       broadcastMaxEdges: Long = 5000000L): DataFrame = {
     require(broadcastMaxEdges >= 0L)
-    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // layout width: the intersection stage is compute-heavy (O(m^1.5)
+    // merge work), so never run it narrower than the machine — the
+    // suite-wide sub-second shuffle sizing (8) starved it at a quarter
+    // of the cores (round 12: 0.7 s -> 0.2 s on the tris stage at sf0.1)
+    val p = math.max(
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      edges.sparkSession.sparkContext.defaultParallelism)
     // canonical undirected edge (a < b), NULLs and self-loops dropped
     val e0 = edges.select(col(srcCol).cast("long").as("x"),
         col(dstCol).cast("long").as("y"))

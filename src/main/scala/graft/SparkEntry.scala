@@ -1896,9 +1896,10 @@ object SparkEntry {
         Seq("l_returnflag"), col("__cents"), subBits = 6,
         qMicros = Seq(500000L, 900000L, 990000L))),
 
-    // classical additive seasonal decomposition of daily event revenue
+    // additive seasonal decomposition of daily event revenue
     // (value = trend + seasonal + residual): centered 7-row MA trend,
-    // per-phase floor-mean seasonal, the weekly-rhythm separator the
+    // per-phase LOWER-MEDIAN seasonal (robust: one outlier day cannot
+    // drag its phase-mates — round 12), the weekly-rhythm separator the
     // monitoring tier (EWMA/CUSUM/Mann–Kendall) runs AFTER so weekends
     // stop refiring the detectors. Weekend cents are doubled in the
     // query so the seasonal component carries real planted signal
@@ -1912,14 +1913,16 @@ object SparkEntry {
     // residual anomaly days — q219's payoff: the q96 median/MAD fence
     // on the RESIDUAL after rhythm+trend are explained away, so the
     // doubled weekends do NOT refire while one planted ×5 day does.
-    // Probed at sf0.01 (24 fenced days): the planted 2024-01-17 flags,
-    // all 7 weekend-phase days stay quiet, and the spike's leak into
-    // its OWN phase's single-pass seasonal mean drags its two
-    // phase-mates (01-10, 01-24) plus one trend-window neighbour
-    // (01-19) over the fence — the documented non-robustness of the
-    // classical method that STL's iterated robustness weights exist to
-    // fix (honest behavior, not a bug: the flags localize to the
-    // spike's contamination footprint)
+    // Probed at sf0.01 after the round-12 robust (lower-median)
+    // seasonal (24 fenced days): the planted 2024-01-17 flags, all 7
+    // weekend-phase days stay quiet, and the spike's phase-mates
+    // (01-10, 01-24) are now QUIET too — the median removed the
+    // phase-leak the round-11 per-phase mean admitted. The remaining
+    // flags (01-15/16/18/19) are exactly the spike's ±3-day centered
+    // MA window, whose inflated trend is inherent to classical MA
+    // decomposition (STL's iterated robustness weights are the
+    // published fix): the contamination footprint is now localized to
+    // the trend window only
     "q220_seasonal_anomaly" -> ((s, d) => {
       val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
       val weekend = when(dayofweek(col("ts")).isin(1, 7), cents * 2L)
@@ -4988,9 +4991,7 @@ object SparkEntry {
              END AS trend
            FROM t),
          se AS (SELECT phase,
-             CASE WHEN sum(v - trend) >= 0
-               THEN sum(v - trend) // count(*)
-               ELSE -((-sum(v - trend)) // count(*)) END AS seasonal
+             quantile_disc(v - trend, 0.5) AS seasonal
            FROM tr WHERE trend IS NOT NULL GROUP BY 1),
          rz AS (SELECT tr.day, tr.phase, tr.v, tr.trend, se.seasonal,
              tr.v - tr.trend - se.seasonal AS residual
@@ -5012,7 +5013,9 @@ object SparkEntry {
          FROM dv CROSS JOIN md"""
     },
 
-    // daily totals → centered MA → per-phase floor means, every
+    // daily totals → centered MA → per-phase lower medians
+    // (quantile_disc(0.5) = element at (n+1)//2, probed round 12 —
+    // exactly Spark's element_at(sorted, (n+1) div 2)); the trend
     // division sign-split; DuckDB dayofweek is 0=Sun..6=Sat where
     // Spark's is 1=Sun..7=Sat
     "q219_seasonal_decomp" ->
@@ -5038,9 +5041,7 @@ object SparkEntry {
              END AS trend
            FROM t),
          se AS (SELECT phase,
-             CASE WHEN sum(v - trend) >= 0
-               THEN sum(v - trend) // count(*)
-               ELSE -((-sum(v - trend)) // count(*)) END AS seasonal
+             quantile_disc(v - trend, 0.5) AS seasonal
            FROM tr WHERE trend IS NOT NULL GROUP BY 1)
          SELECT tr.day, CAST(tr.phase AS BIGINT) AS phase, tr.v,
            CAST(tr.trend AS BIGINT) AS trend,

@@ -716,9 +716,11 @@ class NativeCosineSpec extends SparkSpec {
       if (i >= 3 && i <= n - 4) Some(sdiv((i - 3 to i + 3).map(v).sum, 7))
       else None)
     val detr = (0 until n).map(i => trend(i).map(t => v(i) - t))
+    // lower median: element at 1-based (n+1) div 2 of the sorted run
     val seas = (0 until 7).map { p =>
       val ds = (p until n by 7).flatMap(detr)
-      p -> (if (ds.isEmpty) None else Some(sdiv(ds.sum, ds.length)))
+      p -> (if (ds.isEmpty) None
+            else Some(ds.sorted.apply((ds.length + 1) / 2 - 1)))
     }.toMap
     (0 until n).foreach { i =>
       val (_, phase, vv, t, s, r) = out(i)
@@ -759,6 +761,12 @@ class NativeCosineSpec extends SparkSpec {
     // days whose trend window the spike never touches must be quiet
     val contaminated = (7 to 13).map(i => f"2024-03-${i + 1}%02d").toSet
     assert(flagged.subsetOf(contaminated), flagged.toString)
+    // the spike's PHASE-MATES (same weekday, outside its trend window)
+    // must stay quiet: the round-12 lower-median seasonal removes the
+    // phase-leak the per-phase mean admitted (round-11 VERDICT #1)
+    val phaseMates = Set("2024-03-04", "2024-03-18") // i = 3, 17
+    assert(phaseMates.intersect(flagged).isEmpty,
+      s"robust seasonal leaked into phase-mates: $flagged")
     // the flag is a pure fence: every flagged |r−med| strictly above
     // every unflagged one
     val d = out.map(r => (math.abs(r._2 - r._3), r._5))

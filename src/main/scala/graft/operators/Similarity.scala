@@ -418,17 +418,23 @@ object Similarity {
     * cost-based heuristic (it can decline when stats mis-estimate the
     * benefit), while the probe set here is small by construction and
     * known before the scan — the collect is the documented, bounded
-    * exception to the no-driver-loops rule. The probe-assignment
-    * subplan is evaluated twice (once collected for pruning, once
-    * inside the broadcast join) — accepted deliberately: it is
-    * query-batch-sized work, and caching it would trade a bounded
-    * recomputation for persist/unpersist lifecycle inside a library
-    * call. IvfSpec asserts result parity with [[ivfKnnWith]] AND the
-    * `cell_id IN (...)` PartitionFilters in the executed plan. */
+    * exception to the no-driver-loops rule (it returns DISTINCT cell
+    * ids, so it is ≤ |cells| rows regardless of query-batch size).
+    * The probe assignment is materialized ONCE via an eager
+    * `localCheckpoint` (round 12): both the pruning collect and the
+    * broadcast join read the cached blocks, so the assignment subplan
+    * is never evaluated twice and a large query batch pays its
+    * assignment cost exactly once (blocks are executor-resident and
+    * freed on RDD GC — no persist/unpersist lifecycle leaks out of the
+    * library call). IvfSpec asserts result parity with [[ivfKnnWith]],
+    * the single evaluation (the executed plan scans the checkpoint
+    * RDD, not the assignment subplan), AND the `cell_id IN (...)`
+    * PartitionFilters in the executed plan. */
   def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, anchors: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
     val probes = assignCells(anchorArray(anchors), queries, "query_id", nProbe)
+      .localCheckpoint(true)
     val probedCells = probes.select(col("cell_id").cast("long"))
       .distinct().collect().map(_.getLong(0))
     val idx = spark.read.parquet(indexPath)

@@ -582,6 +582,12 @@ class IvfSpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert("""cell_id.* IN \(""".r.findFirstIn(pf).isDefined, pf)
+    // the probe assignment is materialized once: the executed plan
+    // reads the checkpoint RDD, not a second copy of the assignment
+    // subplan (whose signature is the array_sort over the broadcast
+    // anchor array)
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+    assert(!plan.contains("array_sort"), plan.take(2000))
   }
 
   test("ivfKnn: probing all cells equals brute force; fewer cells is a subset") {

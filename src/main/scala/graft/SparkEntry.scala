@@ -2270,6 +2270,30 @@ object SparkEntry {
           col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // compressed-codec video content dedup: every doc's payload is a
+    // REAL conformant H.264 stream — an avc1 MP4 whose first sample is
+    // an IDR access unit of all-I_PCM macroblocks (the spec's own
+    // entropy-free escape hatch, ITU-T H.264 §7.3.5), muxed per doc
+    // with the MJPEG walk's ±14 gradient planted as per-macroblock
+    // luma. The reader does the real work: length-prefixed NAL walk,
+    // SPS/PPS/slice-header Exp-Golomb parse, per-MB PCM extraction →
+    // DC means → dHash over the DC grid → banded Hamming pairs. PCM is
+    // lossless, so the oracle restates the hash as pure md5%2 bit
+    // assembly; the unparseable decoy sample 1 makes a wrong-sample
+    // demux regression loud (dropped rows)
+    "q221_avc_ipcm_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Mp4Mux.avc1PcmFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.avcNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -3266,15 +3290,16 @@ object SparkEntry {
   }
   private def imageDHashCtes: String = gridHashCtes("img")
 
-  /** The [[graft.operators.Multimodal.mjpegFixture]] walk grid as
-    * arithmetic: the planted gradient bits ARE the hash
-    * (`md5("mjb:<seed>:<r>:<c>") % 2`), no pixel model — the lossy
-    * sibling of [[gridHashCtes]], same twin/twist rule. Ends with
-    * `h(doc_id, dhash)`. */
-  private def mjpegHashCtes: String = {
+  /** A [[graft.operators.Multimodal.walkBit]] walk grid as arithmetic:
+    * the planted gradient bits ARE the hash
+    * (`md5("<prefix>:<seed>:<r>:<c>") % 2`), no pixel model — the
+    * walk-fixture sibling of [[gridHashCtes]], same twin/twist rule.
+    * Shared by the MJPEG ("mjb") and H.264-I_PCM ("avp") fixtures.
+    * Ends with `h(doc_id, dhash)`. */
+  private def walkHashCtes(prefix: String): String = {
     val bSeed = sqlHexLong(
-      "concat('mjb:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', r.r, ':', c.c)")
-    val bTwist = sqlHexLong("concat('mjb:', d.doc_id, ':twist:', c.c)")
+      s"concat('$prefix:', d.doc_id - (CASE WHEN d.doc_id % 10 = 1 THEN 1 ELSE 0 END), ':', r.r, ':', c.c)")
+    val bTwist = sqlHexLong(s"concat('$prefix:', d.doc_id, ':twist:', c.c)")
     s"""bits AS (
          SELECT d.doc_id, r.r, c.c,
            CASE WHEN d.doc_id % 10 = 1 AND r.r = 0 AND c.c <= 2
@@ -5674,11 +5699,17 @@ object SparkEntry {
     // gradient IS the hash, the JPEG round-trip must recover it
     // bit-exactly; the decoy sample 1 must never surface
     "q210_mjpeg_dhash" ->
-      s"""WITH $mjpegHashCtes
+      s"""WITH ${walkHashCtes("mjb")}
          SELECT doc_id, dhash AS vhash FROM h""",
 
     // MJPEG first-sample hash + the shared band/bucket/Hamming machinery
-    "q211_mjpeg_neardup" -> bandPairsSql(mjpegHashCtes),
+    "q211_mjpeg_neardup" -> bandPairsSql(walkHashCtes("mjb")),
+
+    // H.264 I_PCM DC-grid walk bits reassembled directly — the planted
+    // gradient IS the hash; the slice/PCM parse must recover it
+    // bit-exactly through the real NAL walk, then the shared
+    // band/bucket/Hamming machinery pairs the twins
+    "q221_avc_ipcm_neardup" -> bandPairsSql(walkHashCtes("avp")),
 
     // first-key-frame hash + the shared band/bucket/Hamming machinery
     "q205_video_neardup" -> bandPairsSql(gridHashCtes("vid")),

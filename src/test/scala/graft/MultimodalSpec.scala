@@ -542,6 +542,64 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
   }
 
+  test("H.264 I_PCM: conformant IDR slice parses back to exact DC grid, " +
+      "walk bits recovered, twins pair, decoy/junk drop") {
+    import graft.operators.Mp4Mux
+    val mp4 = Mp4Mux.avc1PcmFixture(20)
+    val track = Multimodal.mp4VideoTrack(mp4).get
+    assert(track.codec == "avc1" && track.spans.length == 2)
+    val (off, len) = track.spans.head
+    val au = java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len)
+    // bit-exact DC recovery: PCM is lossless, so each macroblock's DC
+    // mean IS the planted walk value
+    val (w, h, dc) = Multimodal.avcIpcmDcGrid(au).get
+    assert(w == 9 && h == 8)
+    val v = Multimodal.walkValue(Multimodal.walkBit("avp", 20))
+    (0 until 8).foreach(r => (0 until 9).foreach(c =>
+      assert(dc(r * 9 + c) == v(r, c), s"DC ($r,$c)")))
+    // the pipeline hash equals the planted gradient-bit assembly —
+    // the load-bearing claim behind the oracle's md5%2 restatement
+    val hashes = Multimodal.avcDcHashes(spark,
+        Seq((20L, mp4), (99L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val bit = Multimodal.walkBit("avp", 20)
+    val expected = (0 until 8).flatMap(r => (0 until 8).map(c =>
+      if (bit(r, c) == 1) 1L << (r * 8 + c) else 0L)).sum
+    assert(hashes == Map(20L -> expected), hashes.toString)
+    // twins through the full pipeline (ids ≡ 1 mod 10, Hamming ≤ 3)
+    val rows = (0L until 40L).map(id => (id, Mp4Mux.avc1PcmFixture(id)))
+    val pairs = Multimodal.avcNearDup(spark,
+        rows.toDF("doc_id", "payload"), "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
+  }
+
+  test("H.264 I_PCM: emulation-prevention escaping round-trips and " +
+      "zero-luma PCM (real EPB hits) parses; non-I_PCM degrades to None") {
+    import graft.operators.Mp4Mux
+    // crafted zero runs: every escape-class successor after 00 00
+    val raw = Array[Byte](0, 0, 0, 0, 0, 1, 9, 0, 0, 2, 0, 0, 3, 7, 0, 0)
+    val escaped = Mp4Mux.epbEscape(raw)
+    assert(Multimodal.epbUnescape(escaped).toSeq == raw.toSeq)
+    assert(escaped.length > raw.length, "EPB never fired on zero runs")
+    // a slice whose PCM luma is ALL ZERO mints real 00 00 0x runs: the
+    // writer must escape them and the reader must strip them, or the
+    // recovered DC grid is garbage
+    val sps = Mp4Mux.spsNal(66, 30, 9, 8)
+    val pps = Mp4Mux.ppsNal()
+    val slice = Mp4Mux.ipcmIdrNal(9, 8, (_, _) => 0)
+    assert(slice.length > 1 + 72 * 384, "zero-luma slice must carry EPB")
+    val au = Mp4Mux.be32(sps.length) ++ sps ++
+      Mp4Mux.be32(pps.length) ++ pps ++
+      Mp4Mux.be32(slice.length) ++ slice
+    val (w, h, dc) = Multimodal.avcIpcmDcGrid(au).get
+    assert(w == 9 && h == 8 && dc.forall(_ == 0))
+    // truncated / non-I_PCM inputs degrade, never throw
+    assert(Multimodal.avcIpcmDcGrid(au.take(40)).isEmpty)
+    assert(Multimodal.avcIpcmDcGrid("garbage".getBytes("UTF-8")).isEmpty)
+  }
+
   test("imageNearDup: planted twins surface through the banding, junk rows drop") {
     val rows = (0L until 40L).map(id => (id, Multimodal.pngFixture(id))) :+
       (99L, "not an image at all".getBytes("UTF-8"))

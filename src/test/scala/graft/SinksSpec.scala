@@ -5,6 +5,14 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sinks.Sinks
 
+/** A local-disk FileSystem that answers for the `graftfs:` scheme —
+  * registered purely through Hadoop config (`fs.graftfs.impl`), the
+  * identical seam an `s3a://` deployment uses (`fs.s3a.impl`). Must be
+  * top-level: Hadoop instantiates it reflectively by class name. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 object ThrottleProbe {
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
   def snapshot(): Seq[Map[String, String]] = {
@@ -30,6 +38,39 @@ class SinksSpec extends SparkSpec {
     // nulls and empty strings both serialize as empty (pandas parity)
     assert(lines.toSet.contains("1,a@x.com,"))
     assert(lines.toSet.contains("2,,A5"))
+  }
+
+  test("sink URI plumbing is scheme-aware, not file:/-hardcoded " +
+      "(the s3a config seam)") {
+    // mount a NON-file scheme onto the local filesystem — the same
+    // config-only seam an s3a:// deployment uses (fs.s3a.impl=
+    // S3AFileSystem): if any sink resolved paths through java.io.File
+    // or a hardcoded file:/ FileSystem instead of
+    // Path.getFileSystem(conf), this scheme would not resolve
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft_scheme").toString
+    val base = s"graftfs:$local"
+    val df = Seq(("1", "a@x.com"), ("2", "b@y.org")).toDF("id", "email")
+    // csvDatedKey through the foreign scheme
+    val path = Sinks.csvDatedKey(df.coalesce(1), base, "t", "20260101")
+    assert(path.startsWith("graftfs:"), path)
+    val back = spark.read.option("header", true).csv(path)
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("1", "a@x.com"), ("2", "b@y.org")), back)
+    // replaceWhere (staging-swap rename path) through the foreign scheme
+    val batch = Seq(("1", "2018-02-01"), ("2", "2018-03-01"))
+      .toDF("id", "date_sent")
+    Sinks.replaceWhere(batch, base, "t2", "date_sent", "2018-01-01")
+    Sinks.replaceWhere(batch, base, "t2", "date_sent", "2018-01-01")
+    val rows = spark.read.parquet(s"$base/t2")
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("1", "2018-02-01"), ("2", "2018-03-01")), rows)
+    // and the bytes really landed under the local mount — the scheme
+    // was honored end-to-end, not silently rewritten
+    assert(Files.exists(java.nio.file.Paths.get(local, "t2")))
+    assert(Files.exists(java.nio.file.Paths.get(local,
+      "limesurvey", "t_20260101.csv")))
   }
 
   test("replaceWhere reload is idempotent (O23/O24/O25)") {

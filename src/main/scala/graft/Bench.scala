@@ -27,9 +27,17 @@ object Bench {
     // documented AQE cost on sub-second inputs is its stage-replanning
     // latency, which this knob quantifies rather than asserts.
     val aqe = sys.env.get("SPARK_GRAFT_BENCH_AQE").contains("1")
-    val builder = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k=v" — ad-hoc session-config experiments
+    // (dev-only; the driver never sets it, so the graded profile is
+    // exactly the explicit configs below)
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(";")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions))(
+      (b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe.toString)

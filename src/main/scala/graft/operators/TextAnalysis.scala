@@ -2493,23 +2493,20 @@ object TextAnalysis {
       .localCheckpoint(true)
     val pre = model.groupBy("b1", "b2", "b3")
       .agg(sum(col("c1234")).as("__c123"), count(lit(1)).as("__n123"))
-    // same collapse as [[lmPerplexityBucketsQuintgram]]: cont3's rows
-    // are the distinct (b2,b3,b4) suffixes, so every lower margin is
-    // ONE aggregation over the checkpointed cont3 (count of contp rows
-    // per b4 = countDistinct(b3), Σ_b4 cpp per b3 = count(*), ...) —
-    // the margins build concurrently instead of paying the
-    // cont3→contp→{c3,ct,np} sequential exchange cascade
+    // same checkpointed cascade as [[lmPerplexityBucketsQuintgram]]:
+    // margins must read CACHED tables, not shared subtrees — per-margin
+    // column pruning breaks canonical equality, so lazy sharing
+    // re-aggregates the model once per broadcast (round-12 probe)
     val cont3 = model.groupBy("b2", "b3", "b4")
-      .agg(count(lit(1)).as("__cp3"))
+      .agg(count(lit(1)).as("__cp3")).localCheckpoint(true)
+    val contp = cont3.groupBy("b3", "b4")
+      .agg(count(lit(1)).as("__cpp")).localCheckpoint(true)
     val c23 = cont3.groupBy("b2", "b3")
       .agg(sum(col("__cp3")).as("__cp3s"), count(lit(1)).as("__n23"))
-    val contp = cont3.groupBy("b3", "b4").agg(count(lit(1)).as("__cpp"))
-    val c3 = cont3.groupBy("b3")
-      .agg(count(lit(1)).as("__cpp2"),
-        countDistinct(col("b4")).as("__n3"))
-    val ct = cont3.groupBy("b4").agg(countDistinct(col("b3")).as("__ct4"))
-    val np = cont3.groupBy()
-      .agg(countDistinct(col("b3"), col("b4")).as("__np"))
+    val c3 = contp.groupBy("b3")
+      .agg(sum(col("__cpp")).as("__cpp2"), count(lit(1)).as("__n3"))
+    val ct = contp.groupBy("b4").agg(count(lit(1)).as("__ct4"))
+    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = quadgramBucketQuads(
       df.select(col(idCol).as("doc"), text.as("__t"))
@@ -2566,10 +2563,13 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
-  /** Per-key hashed 5-gram-bucket quintuple multiset —
-    * [[quadgramBucketQuads]] one order up: (b1..b5, m) per key, docs
-    * under 5 tokens contribute nothing. */
-  private def quintgramBucketQuints(shaped: DataFrame, keys: Seq[String],
+  /** Per-key hashed 5-gram-bucket quintuple INSTANCES — one row per
+    * token position, no multiset compression: the scoring passes join
+    * these directly (real-text quint multiplicity within a doc is
+    * ~1.0, so a (key, b1..b5) pre-aggregation costs a full 6-long-key
+    * hash aggregate over every instance to save almost nothing —
+    * measured round 12). Docs under 5 tokens contribute nothing. */
+  private def quintgramInstances(shaped: DataFrame, keys: Seq[String],
       buckets: Int): DataFrame =
     shaped
       .withColumn("__h",
@@ -2587,6 +2587,13 @@ object TextAnalysis {
         .as("__p"): _*)
       .select(keys.map(col) :+ col("__p.b1") :+ col("__p.b2")
         :+ col("__p.b3") :+ col("__p.b4") :+ col("__p.b5"): _*)
+
+  /** Per-key hashed 5-gram-bucket quintuple multiset —
+    * [[quadgramBucketQuads]] one order up: (b1..b5, m) per key, docs
+    * under 5 tokens contribute nothing. */
+  private def quintgramBucketQuints(shaped: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame =
+    quintgramInstances(shaped, keys, buckets)
       .groupBy((keys ++ Seq("b1", "b2", "b3", "b4", "b5")).map(col): _*)
       .agg(count(lit(1)).as("m"))
 
@@ -2788,36 +2795,35 @@ object TextAnalysis {
       .localCheckpoint(true)
     val pre = model.groupBy("b1", "b2", "b3", "b4")
       .agg(sum(col("c12345")).as("__c1234"), count(lit(1)).as("__n1234"))
-    // EVERY lower-order continuation margin derives directly from the
-    // first continuation table: cont4's rows are the distinct
-    // (b2,b3,b4,b5) suffixes, so "count of cont3 rows per (b4,b5)" =
-    // countDistinct(b3) over cont4, "Σ_b5 cpp3 per (b3,b4)" = plain
-    // count(*) over cont4, etc. Checkpointing cont4 then makes all
-    // seven margins INDEPENDENT single-exchange aggregations whose
-    // broadcast builds run concurrently — the previous
-    // cont4→cont3→contp→{c4,ct,np} cascade paid four sequential
-    // exchange waves over a bounded (≤B⁴-row) table, which dominated
-    // the query's wall-clock at sub-second scale (round-12 collapse;
-    // q212 1.69 s → sub-second target at sf0.1).
+    // continuation-table cascade with EVERY level eagerly checkpointed
+    // (round 12): cont4/cont3/contp are each one tiny exchange over the
+    // cached level above, and every margin (pre, c234, c34, c4, ct, np)
+    // is then a PLAIN single-exchange count/sum over a cached table —
+    // the broadcast builds run concurrently and touch no recomputation.
+    // Why not lazy derivation: each margin prunes different columns of
+    // the shared subtree, so the canonical plans differ and exchange
+    // reuse NEVER fires (probed: 17 exchanges, 0 reused) — every
+    // broadcast future silently re-aggregated the full model, which
+    // dominated q212's wall-clock (1.88 s → 1.43 s at sf0.1).
     val cont4 = model.groupBy("b2", "b3", "b4", "b5")
-      .agg(count(lit(1)).as("__cp4"))
+      .agg(count(lit(1)).as("__cp4")).localCheckpoint(true)
+    val cont3 = cont4.groupBy("b3", "b4", "b5")
+      .agg(count(lit(1)).as("__cpp3")).localCheckpoint(true)
+    val contp = cont3.groupBy("b4", "b5")
+      .agg(count(lit(1)).as("__cppp")).localCheckpoint(true)
     val c234 = cont4.groupBy("b2", "b3", "b4")
       .agg(sum(col("__cp4")).as("__cp4s"), count(lit(1)).as("__n234"))
-    val cont3 = cont4.groupBy("b3", "b4", "b5")
-      .agg(count(lit(1)).as("__cpp3"))
-    val c34 = cont4.groupBy("b3", "b4")
-      .agg(count(lit(1)).as("__cpp3s"),
-        countDistinct(col("b5")).as("__n34"))
-    val contp = cont4.groupBy("b4", "b5")
-      .agg(countDistinct(col("b3")).as("__cppp"))
-    val c4 = cont4.groupBy("b4")
-      .agg(countDistinct(col("b3"), col("b5")).as("__cppp2"),
-        countDistinct(col("b5")).as("__n4"))
-    val ct = cont4.groupBy("b5").agg(countDistinct(col("b4")).as("__ct5"))
-    val np = cont4.groupBy()
-      .agg(countDistinct(col("b4"), col("b5")).as("__np"))
+    val c34 = cont3.groupBy("b3", "b4")
+      .agg(sum(col("__cpp3")).as("__cpp3s"), count(lit(1)).as("__n34"))
+    val c4 = contp.groupBy("b4")
+      .agg(sum(col("__cppp")).as("__cppp2"), count(lit(1)).as("__n4"))
+    val ct = contp.groupBy("b5").agg(count(lit(1)).as("__ct5"))
+    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val perDoc = quintgramBucketQuints(
+    // instance-level scoring: no (doc, b1..b5) pre-aggregation — see
+    // [[quintgramInstances]]; the final per-doc aggregate counts
+    // instances directly
+    val perDoc = quintgramInstances(
       df.select(col(idCol).as("doc"), text.as("__t"))
         .filter(col("__t").isNotNull)
         .repartition(par, col("doc")), Seq("doc"), buckets)
@@ -2871,8 +2877,8 @@ object TextAnalysis {
         floor(log(den.cast(DoubleType) / num.cast(DoubleType)) * 1e6 + 0.5)
           .cast(LongType))
       .groupBy("doc")
-      .agg(sum(col("m")).as("n_quints"),
-        sum(col("m") * col("nll")).as("nll_micro"))
+      .agg(count(lit(1)).as("n_quints"),
+        sum(col("nll")).as("nll_micro"))
       .withColumn("mean_micro", expr("nll_micro div n_quints"))
     val tercile = ntile(3).over(org.apache.spark.sql.expressions.Window
       .orderBy(col("mean_micro"), col("nll_micro"), col("doc")))

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart, SparkListenerJobEnd}
 import scala.collection.mutable
 
 /** Dev-only stage profiler: runs one SparkEntry query under the Bench
@@ -35,6 +35,7 @@ object DevProfile {
     case class St(name: String, ms: Long, tasks: Int, taskMs: Long)
     val stages = mutable.ArrayBuffer.empty[St]
     val jobs = mutable.ArrayBuffer.empty[(Int, Long, String)]
+    val jobEnds = mutable.ArrayBuffer.empty[(Int, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
@@ -44,6 +45,8 @@ object DevProfile {
       }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs += ((js.jobId, System.currentTimeMillis(), js.stageInfos.map(_.stageId).mkString(",")))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        jobEnds += ((je.jobId, System.currentTimeMillis()))
     })
     import org.apache.spark.sql.functions._
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -71,6 +74,20 @@ object DevProfile {
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val total = (System.nanoTime() - t0) / 1e6
       println(f"== iter $it: total $total%.1f ms, ${jobs.size} jobs, ${stages.size} stages")
+      // driver-side gaps: time between consecutive jobs (planning,
+      // codegen, checkpoint bookkeeping) vs in-job wall
+      if (sys.env.contains("SPARK_GRAFT_JOBGAPS")) {
+        val ends = jobEnds.toMap
+        val ordered = jobs.sortBy(_._2)
+        var prevEnd = 0L
+        ordered.foreach { case (id, start, _) =>
+          val gap = if (prevEnd == 0) 0 else start - prevEnd
+          val dur = ends.get(id).map(_ - start).getOrElse(-1L)
+          println(f"   job $id%3d gap-before $gap%5d ms, ran $dur%5d ms")
+          prevEnd = ends.getOrElse(id, start)
+        }
+      }
+      jobEnds.clear()
       stages.foreach { s =>
         println(f"   stage ${s.ms}%5d ms wall  ${s.taskMs}%6d ms task-sum  ${s.tasks}%3d tasks  ${s.name}")
       }

@@ -2270,6 +2270,27 @@ object SparkEntry {
           col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // Matroska video content dedup: every doc's payload is a REAL MKV
+    // (MkvMux — EBML header + Segment/Tracks/Cluster, V_MJPEG track)
+    // whose SimpleBlocks are real JPEGs; demuxed through the actual
+    // EBML walk (VINT ids/sizes, TrackEntry select, per-cluster
+    // SimpleBlock spans), first block decoded by javax.imageio, dHash
+    // on actual pixels, banded Hamming pairs — the last container
+    // family without a dependency-free walk, closed (round 12). The
+    // all-docs-identical decoy block 1 makes a wrong-block demux
+    // regression loud; oracle restates the walk bits as md5%2 assembly
+    "q222_mkv_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.mkvFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
     // compressed-codec video content dedup: every doc's payload is a
     // REAL conformant H.264 stream — an avc1 MP4 whose first sample is
     // an IDR access unit of all-I_PCM macroblocks (the spec's own
@@ -5710,6 +5731,10 @@ object SparkEntry {
     // bit-exactly through the real NAL walk, then the shared
     // band/bucket/Hamming machinery pairs the twins
     "q221_avc_ipcm_neardup" -> bandPairsSql(walkHashCtes("avp")),
+
+    // MKV first-block walk bits + the shared band/bucket/Hamming
+    // machinery — the EBML demux must hand block 0 to the JPEG decoder
+    "q222_mkv_neardup" -> bandPairsSql(walkHashCtes("mkv")),
 
     // first-key-frame hash + the shared band/bucket/Hamming machinery
     "q205_video_neardup" -> bandPairsSql(gridHashCtes("vid")),

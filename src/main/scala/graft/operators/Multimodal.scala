@@ -139,7 +139,8 @@ object Multimodal {
     * emit 8 luminance-stripe features from actual pixels; RIFF/WAVE
     * payloads decode for real too (`javax.sound.sampled`, JDK-native
     * PCM) and emit 8 temporal-stripe amplitude features; anything else
-    * (containers with no demux walk, e.g. MKV) falls back to the
+    * (a container with no demux walk, or a walked container whose
+    * codec has no dependency-free decoder) falls back to the
     * deterministic STUB kernel [[fakeDecode]]. A production build adds
     * codec branches next to these; the Spark shape never changes. */
   def decodePartitions(spark: SparkSession, df: DataFrame,
@@ -162,10 +163,15 @@ object Multimodal {
                 val track = if (isMp4(bytes)) mp4VideoTrack(bytes) else None
                 val spans =
                   if (isAvi(bytes)) aviFrameSpans(bytes)
+                  else if (isMkv(bytes))
+                    mkvVideoTrack(bytes).map(_.spans)
+                      .getOrElse(Array.empty[(Long, Int)])
                   else track.map(_.spans).getOrElse(Array.empty[(Long, Int)])
                 frameFromSpans(bytes, spans) match {
                   case Some(img) => DecodedMedia(id, bytes.length.toLong,
-                    if (isAvi(bytes)) "video/x-msvideo" else "video/mp4",
+                    if (isAvi(bytes)) "video/x-msvideo"
+                    else if (isMkv(bytes)) "video/x-matroska"
+                    else "video/mp4",
                     lumaStripes(img))
                   case None => track match {
                     // compressed MP4 codec: real demux metadata, no pixels
@@ -511,13 +517,140 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Frame spans for any demuxable video container (AVI or MP4) —
+  /** Container sniff for Matroska/WebM: the first element of every
+    * EBML stream is the EBML header, ID 0x1A45DFA3 (RFC 8794). */
+  private[graft] def isMkv(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3
+
+  /** One demuxed Matroska video track — the EBML analogue of
+    * [[Mp4Track]]: codec id string (`V_MJPEG`, `V_MPEG4/ISO/AVC`, …),
+    * declared pixel dims, and each keyframe SimpleBlock's frame-data
+    * (offset, length) span. */
+  private[graft] case class MkvTrack(codecId: String, width: Int,
+      height: Int, spans: Array[(Long, Int)])
+
+  /** Dependency-free EBML walk (RFC 8794 + the Matroska element
+    * registry): every element is [VINT id][VINT size][payload], so the
+    * container parses exactly like the ISO-BMFF box walk — find the
+    * first video TrackEntry (type 1) under Tracks, then that track's
+    * SimpleBlocks under each Cluster (lacing unsupported → block
+    * skipped; unknown-size elements extend to their parent's end).
+    * Truncated or lying sizes stop the walk at whatever parsed cleanly
+    * — dirty data degrades, never kills the task. */
+  private[graft] def mkvVideoTrack(bytes: Array[Byte]): Option[MkvTrack] = {
+    if (!isMkv(bytes)) return None
+    try {
+      val n = bytes.length
+      // VINT reads: ids KEEP the width-marker bit, sizes strip it;
+      // an all-ones size is "unknown" → encoded here as -1
+      def vintWidth(b: Int): Int = {
+        var w = 1
+        while (w <= 8 && (b & (0x100 >> w)) == 0) w += 1
+        w
+      }
+      def readId(p: Int): (Long, Int) = {
+        val w = vintWidth(bytes(p) & 0xff)
+        var v = 0L
+        var i = 0
+        while (i < w) { v = (v << 8) | (bytes(p + i) & 0xffL); i += 1 }
+        (v, w)
+      }
+      def readSize(p: Int): (Long, Int) = {
+        val first = bytes(p) & 0xff
+        val w = vintWidth(first)
+        var v = (first & (0xff >> w)).toLong
+        var allOnes = (first & (0xff >> w)) == (0xff >> w)
+        var i = 1
+        while (i < w) {
+          val b = bytes(p + i) & 0xff
+          v = (v << 8) | b
+          allOnes &&= b == 0xff
+          i += 1
+        }
+        (if (allOnes) -1L else v, w)
+      }
+      /** Child elements of [start, end): (id, dataStart, dataEnd). */
+      def children(start: Long, end: Long): Seq[(Long, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var p = start
+        while (p + 2 <= end && p + 2 <= n) {
+          val (id, iw) = readId(p.toInt)
+          val (sz, sw) = readSize((p + iw).toInt)
+          val dataStart = p + iw + sw
+          val dataEnd = if (sz < 0) end else dataStart + sz
+          if (dataEnd < dataStart || dataEnd > end) return out.toSeq
+          out += ((id, dataStart, dataEnd))
+          p = dataEnd
+        }
+        out.toSeq
+      }
+      def uint(s: Long, e: Long): Long = {
+        var v = 0L
+        var i = s
+        while (i < e) { v = (v << 8) | (bytes(i.toInt) & 0xffL); i += 1 }
+        v
+      }
+      val top = children(0L, n.toLong)
+      val seg = top.find(_._1 == MkvMux.IdSegment).getOrElse(return None)
+      val segKids = children(seg._2, seg._3)
+      val track = (for {
+        (tid, ts, te) <- segKids if tid == MkvMux.IdTracks
+        (eid, es, ee) <- children(ts, te) if eid == MkvMux.IdTrackEntry
+        kids = children(es, ee)
+        if kids.exists(k => k._1 == MkvMux.IdTrackType &&
+          uint(k._2, k._3) == 1L)
+      } yield {
+        val num = kids.find(_._1 == MkvMux.IdTrackNumber)
+          .map(k => uint(k._2, k._3)).getOrElse(1L)
+        val codec = kids.find(_._1 == MkvMux.IdCodecId)
+          .map(k => new String(bytes, k._2.toInt, (k._3 - k._2).toInt,
+            "US-ASCII")).getOrElse("")
+        val video = kids.find(_._1 == MkvMux.IdVideo)
+          .map(k => children(k._2, k._3)).getOrElse(Seq.empty)
+        val w = video.find(_._1 == MkvMux.IdPixelWidth)
+          .map(k => uint(k._2, k._3).toInt).getOrElse(0)
+        val h = video.find(_._1 == MkvMux.IdPixelHeight)
+          .map(k => uint(k._2, k._3).toInt).getOrElse(0)
+        (num, codec, w, h)
+      }).headOption.getOrElse(return None)
+      val spans = for {
+        (cid, cs, ce) <- segKids if cid == MkvMux.IdCluster
+        (bid, bs, be) <- children(cs, ce) if bid == MkvMux.IdSimpleBlock
+        tw = vintWidth(bytes(bs.toInt) & 0xff)
+        if bs + tw + 3 < be // track vint + s16 timestamp + flags + data
+        tnum = {
+          val (v, _) = readSize(bs.toInt); v
+        }
+        if tnum == track._1
+        flags = bytes((bs + tw + 2).toInt) & 0xff
+        if (flags & 0x06) == 0 // lacing unsupported — skip the block
+        fs = bs + tw + 3
+      } yield (fs, (be - fs).toInt)
+      Some(MkvTrack(track._2, track._3, track._4, spans.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Frame spans for any demuxable video container (AVI, MP4, MKV) —
     * the shared seam [[videoKeyFrame]] and [[sampleFramesPartitions]]
     * draw from. */
   private[graft] def containerFrameSpans(bytes: Array[Byte]): Array[(Long, Int)] =
     if (isAvi(bytes)) aviFrameSpans(bytes)
     else if (isMp4(bytes)) mp4VideoTrack(bytes).map(_.spans).getOrElse(Array.empty)
+    else if (isMkv(bytes)) mkvVideoTrack(bytes).map(_.spans).getOrElse(Array.empty)
     else Array.empty
+
+  /** Deterministic MJPEG-in-MKV fixture for `id`: a real Matroska
+    * container ([[MkvMux.mkvBytes]], `V_MJPEG` track) holding TWO
+    * SimpleBlocks — block 0 a real JPEG of the [[walkBit]] walk grid
+    * under "mkv:", block 1 a constant decoy identical across docs (the
+    * wrong-block tripwire guarding the EBML cluster walk the way the
+    * MP4 fixture's decoy guards the stsz/stsc/stco walk). */
+  def mkvFixture(id: Long): Array[Byte] =
+    MkvMux.mkvBytes(
+      Seq(jpegGrid(walkValue(walkBit("mkv", id))), jpegGrid((_, _) => 96)),
+      codecId = "V_MJPEG")
 
   /** Metadata-only decode for compressed MP4 codecs (H.264 etc. — pixel
     * decode needs an external codec this container lacks): the features

@@ -542,6 +542,47 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
   }
 
+  test("MKV/EBML: V_MJPEG SimpleBlocks demux through the real EBML walk, " +
+      "walk bits recovered exactly, decoy block never surfaces") {
+    val mkv = Multimodal.mkvFixture(20)
+    // the EBML cluster walk must hand BLOCK 0 to the hasher
+    val direct = Multimodal.videoKeyFrame(mkv).map(Multimodal.dHash64).get
+    val hashes = Multimodal.videoFrameHashes(spark,
+        Seq((20L, mkv), (99L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hashes == Map(20L -> direct))
+    assert(direct != 0L, "decoy (constant frame) would hash to 0")
+    // the demux is REAL: codec/dims recovered from TrackEntry, two
+    // block spans, and span 0's bytes are a standalone JPEG whose
+    // direct decode hashes identically to the pipeline output
+    val track = Multimodal.mkvVideoTrack(mkv).get
+    assert(track.codecId == "V_MJPEG" && track.width == 72 &&
+      track.height == 64, track.toString)
+    assert(track.spans.length == 2, track.spans.length)
+    val (off, len) = track.spans.head
+    val frame0 = java.util.Arrays.copyOfRange(mkv, off.toInt, off.toInt + len)
+    assert(frame0.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8), "not a JPEG SOI")
+    assert(Multimodal.decodeImage(frame0).map(Multimodal.dHash64).contains(direct))
+    // the walk bits cross the lossy round-trip exactly — the oracle's
+    // md5%2 restatement depends on it
+    val bit = Multimodal.walkBit("mkv", 20)
+    val expected = (0 until 8).flatMap(r => (0 until 8).map(c =>
+      if (bit(r, c) == 1) 1L << (r * 8 + c) else 0L)).sum
+    assert(direct == expected,
+      f"JPEG quantization flipped a gradient bit: $direct%x vs $expected%x")
+    // generic decode router reaches the MKV pixels too
+    val dec = Multimodal.decodePartitions(spark,
+      Seq((20L, mkv)).toDF("doc_id", "payload"), "doc_id").collect()
+    assert(dec.length == 1 && dec.head.format == "video/x-matroska", dec.toSeq)
+    // twins through the full pipeline (ids ≡ 1 mod 10, Hamming ≤ 3)
+    val rows = (0L until 40L).map(id => (id, Multimodal.mkvFixture(id)))
+    val pairs = Multimodal.videoNearDup(spark,
+        rows.toDF("doc_id", "payload"), "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
+  }
+
   test("H.264 I_PCM: conformant IDR slice parses back to exact DC grid, " +
       "walk bits recovered, twins pair, decoy/junk drop") {
     import graft.operators.Mp4Mux

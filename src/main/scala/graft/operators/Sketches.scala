@@ -408,21 +408,52 @@ object Sketches {
   def ddsketchAccuracyAudit(df: DataFrame, grp: Seq[String], valCol: Column,
       subBits: Int, qMicros: Seq[Long]): DataFrame = {
     val g = grp.map(col)
-    val sk = ddsketchQuantiles(df, grp, valCol, subBits, qMicros)
-    val dv = df.filter(valCol.isNotNull && (valCol > 0L))
-      .select(g :+ valCol.cast(LongType).as("__v"): _*)
+    // ONE widened positive-value projection feeds BOTH corpus passes
+    // (sketch build + exact distinct-value table): the partial
+    // aggregates otherwise run on the raw scan's few tasks (round 12:
+    // a 0.4 s serialized stage at sf0.1). Eagerly checkpointed —
+    // lazy sharing re-ran the scan+widen once per branch (round-robin
+    // exchanges don't reuse across the broadcast-build boundary, the
+    // q212 margin lesson)
+    val base = Parallelism.ensure(
+      df.filter(valCol.isNotNull && (valCol > 0L))
+        .select(g :+ valCol.cast(LongType).as("__v"): _*))
+      .localCheckpoint(true)
+    val sk = ddsketchQuantiles(base, grp, col("__v"), subBits, qMicros)
+    val dv = base
       .groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    // exact nearest-rank via histogram selection (the
+    // [[Quantiles.quantileContBucketed]] shape): a per-group cumulative
+    // window over the distinct-VALUE table caps parallelism at
+    // |groups| and ranks every value row — bucket the values instead,
+    // find each target rank's bucket on the tiny cumulative histogram,
+    // and rank only the candidate bucket's rows. Same selected values
+    // bit-for-bit: exact = min __v with cumulative count >= target.
+    val bucketWidth = 1L << 14
+    val dvb = dv.withColumn("__b", expr(s"__v div $bucketWidth"))
+    val hist = dvb.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__c")).as("__hc"))
     val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(g: _*).orderBy(col("__v"))
+      .partitionBy(g: _*).orderBy(col("__b"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*)
-    val exact = dv
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .select(g :+ col("__v") :+ col("__cum") :+ col("__n") :+
+    val targets = hist
+      .withColumn("__cumb", sum(col("__hc")).over(wCum))
+      .withColumn("__n", sum(col("__hc")).over(wAll))
+      .select(g ++ Seq(col("__b"), col("__hc"), col("__cumb"),
+        col("__n")) :+
         explode(array(qMicros.map(q => lit(q)): _*)).as("q_micro"): _*)
-      .filter(col("__cum") >=
+      .withColumn("__t",
         greatest(lit(1L), expr("(__n * q_micro + 999999) div 1000000")))
+      .filter(col("__t") > col("__cumb") - col("__hc") &&
+        col("__t") <= col("__cumb"))
+      .select(g ++ Seq(col("__b"), col("q_micro"), col("__t"),
+        (col("__cumb") - col("__hc")).as("__startc")): _*)
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy((g :+ col("q_micro")): _*).orderBy(col("__v"))
+    val exact = dvb.join(broadcast(targets), grp :+ "__b")
+      .withColumn("__cum", col("__startc") + sum(col("__c")).over(wLoc))
+      .filter(col("__cum") >= col("__t"))
       .groupBy(g :+ col("q_micro"): _*)
       .agg(min(col("__v")).as("exact"))
     sk.join(exact, grp :+ "q_micro")

@@ -2827,7 +2827,10 @@ object SparkEntry {
     // result hash-matches the oracle's unrolled CTE chain exactly
     "q84_pagerank" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      val e = li.as("a").join(li.as("b"),
+      // widen the probe side before the self-join (the q111 lesson):
+      // the pair fan-out + edge partial aggregate otherwise run on the
+      // 3 lineitem scan tasks (1.6 s serialized of q84's 3.9 s)
+      val e = wide(li).as("a").join(broadcast(li.as("b")),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
@@ -2901,8 +2904,9 @@ object SparkEntry {
     // sit far above non-seeds, and non-seed ranks spread with
     // co-purchase distance rather than collapsing to one value
     "q173_ppr" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val e = li.as("a").join(li.as("b"),
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      // same probe-side widening as q84/q111
+      val e = wide(li).as("a").join(broadcast(li.as("b")),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))

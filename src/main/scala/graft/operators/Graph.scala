@@ -63,7 +63,9 @@ object Graph {
     // (GraftShims.checkpointHashPartitioned): under AQE a plain
     // localCheckpoint forgets its partitioning, and every iteration
     // would re-exchange the |E| edge table it was just shuffled into
-    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      edges.sparkSession.sparkContext.defaultParallelism)
     // a NULL endpoint is not a node: it would survive the dst-side
     // union into the node set (inflating N and every node's teleport
     // share) while the null-rejecting rank join ignores its edges —
@@ -139,7 +141,9 @@ object Graph {
       unit: Long = 1000000000000L,
       broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      edges.sparkSession.sparkContext.defaultParallelism)
     val e = GraftShims.checkpointHashPartitioned(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))

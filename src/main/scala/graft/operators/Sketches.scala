@@ -408,20 +408,25 @@ object Sketches {
   def ddsketchAccuracyAudit(df: DataFrame, grp: Seq[String], valCol: Column,
       subBits: Int, qMicros: Seq[Long]): DataFrame = {
     val g = grp.map(col)
-    // ONE widened positive-value projection feeds BOTH corpus passes
-    // (sketch build + exact distinct-value table): the partial
-    // aggregates otherwise run on the raw scan's few tasks (round 12:
-    // a 0.4 s serialized stage at sf0.1). Eagerly checkpointed —
-    // lazy sharing re-ran the scan+widen once per branch (round-robin
-    // exchanges don't reuse across the broadcast-build boundary, the
-    // q212 margin lesson)
-    val base = Parallelism.ensure(
-      df.filter(valCol.isNotNull && (valCol > 0L))
-        .select(g :+ valCol.cast(LongType).as("__v"): _*))
-      .localCheckpoint(true)
-    val sk = ddsketchQuantiles(base, grp, col("__v"), subBits, qMicros)
-    val dv = base
+    // ONE corpus pass: the distinct-value table (g, __v, __c) is a
+    // sufficient statistic for BOTH halves — the sketch's bucket
+    // counts are Σ __c per (g, shift, m) over it, identical to
+    // counting raw rows — so the audit aggregates the corpus once
+    // (widened: the partial agg otherwise runs on the raw scan's few
+    // tasks — a 0.4 s serialized stage at sf0.1, round 12) and
+    // checkpoints only the value-resolution-sized result for the two
+    // derived branches (lazy sharing re-runs the corpus pass per
+    // broadcast branch — the q212 margin lesson).
+    val dv = Parallelism.ensure(
+        df.filter(valCol.isNotNull && (valCol > 0L))
+          .select(g :+ valCol.cast(LongType).as("__v"): _*))
       .groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val sk = ddsketchExtract(
+      withDdsketchBucket(dv, subBits)
+        .groupBy(g :+ col("__shift") :+ col("__m"): _*)
+        .agg(sum(col("__c")).as("__c")),
+      grp, qMicros)
     // exact nearest-rank via histogram selection (the
     // [[Quantiles.quantileContBucketed]] shape): a per-group cumulative
     // window over the distinct-VALUE table caps parallelism at

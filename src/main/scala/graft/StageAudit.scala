@@ -47,16 +47,20 @@ object StageAudit {
       * negative control uses a low floor so the planted trap's detection
       * is a statement about task-time CONCENTRATION (host-independent),
       * not about how many milliseconds this machine needs to hash.
-      * The 2×-floor TOTAL condition keeps tiny whole-query-is-one-task
-      * queries (~100–200 ms of total work — small, not trapped) from
-      * flagging when parallel-suite contention inflates their single
-      * task's executorRunTime past the floor (round-12 in-suite flake):
-      * a real trap concentrates substantial work, so its total clears
-      * 2× the floor by construction. */
+      * The PRODUCTION rule additionally demands 2× the floor of TOTAL
+      * task time, keeping tiny whole-query-is-one-task queries
+      * (~100–200 ms of total work — small, not trapped) from flagging
+      * when parallel-suite contention inflates their single task's
+      * executorRunTime past the floor (round-12 in-suite flake): a real
+      * trap concentrates substantial work, so its total clears 2× the
+      * floor by construction. The total condition lives on [[violates]]
+      * only — the spec's negative control probes concentration at a low
+      * explicit floor on a hot JIT, where the planted trap's absolute
+      * milliseconds are deliberately out of scope. */
     def violatesAt(minSingleTaskMs: Long): Boolean =
-      worstSingleTaskMs >= minSingleTaskMs && fraction >= MaxFraction &&
-        totalTaskMs >= 2 * minSingleTaskMs
-    def violates: Boolean = violatesAt(MinSingleTaskMs)
+      worstSingleTaskMs >= minSingleTaskMs && fraction >= MaxFraction
+    def violates: Boolean =
+      violatesAt(MinSingleTaskMs) && totalTaskMs >= 2 * MinSingleTaskMs
     override def toString: String =
       f"$query%-28s total=${totalTaskMs}%6d ms  worst1task=${worstSingleTaskMs}%6d ms" +
         f"  frac=${fraction}%.2f" +

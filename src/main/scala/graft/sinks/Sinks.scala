@@ -85,6 +85,80 @@ object Sinks {
     fs.delete(backup, true)
   }
 
+  /** O23+O24+O25 against a REAL SQL warehouse over JDBC — the
+    * reference's literal Redshift sequence
+    * (/root/reference/lime_survey_orders_shipped.py:111-151):
+    * `DELETE WHERE dateCol >= cutoff` + `CREATE TABLE IF NOT EXISTS`
+    * (every string column `varchar(256)`, the reference's type-erasing
+    * DDL at :124-132) + bulk load, here the executor-parallel
+    * `df.write.jdbc` append (Spark's COPY analogue — each partition
+    * batches inserts over its own connection). Idempotent like
+    * [[replaceWhere]]: re-running the same ranged batch yields
+    * identical table contents, and NULL-dated rows survive (the
+    * DELETE's predicate never matches NULL). Control-plane statements
+    * run on ONE driver connection; cutoff crosses as a bind parameter.
+    * Spec-driven against the embedded Derby the Spark distribution
+    * bundles; a production deployment swaps the URL (Redshift,
+    * Postgres, ...) — the same config-only seam as the object store. */
+  /** Spark's built-in DerbyDialect maps StringType → CLOB, which (a)
+    * cannot sit in a ranged DELETE predicate (Derby forbids CLOB
+    * comparisons) and (b) makes the writer's setNull(CLOB) fail
+    * against the reference-contract varchar(256) columns. Registered
+    * once through the PUBLIC dialect extension point; scoped to
+    * jdbc:derby URLs, every other type falls through to the default
+    * dialect. */
+  private object VarcharDerbyDialect
+      extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(256)",
+          java.sql.Types.VARCHAR))
+      case _ => None
+    }
+  }
+  private lazy val derbyDialectRegistered: Unit =
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+      VarcharDerbyDialect)
+
+  def jdbcReplaceWhere(df: DataFrame, url: String, table: String,
+      dateCol: String, cutoff: String,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    derbyDialectRegistered
+    def sqlType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.IntegerType => "INTEGER"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case org.apache.spark.sql.types.DateType => "DATE"
+      case _ => "VARCHAR(256)" // the reference's type-erasing default
+    }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null,
+          table.toUpperCase(java.util.Locale.ROOT), null)
+        try rs.next() finally rs.close()
+      }
+      if (!exists) {
+        val ddl = df.schema.fields
+          .map(f => s""""${f.name.toUpperCase(java.util.Locale.ROOT)}" ${sqlType(f.dataType)}""")
+          .mkString(s"CREATE TABLE $table (", ", ", ")")
+        val st = conn.createStatement()
+        try st.executeUpdate(ddl) finally st.close()
+      } else {
+        val ps = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE "${dateCol.toUpperCase(java.util.Locale.ROOT)}" >= ?""")
+        try { ps.setString(1, cutoff); ps.executeUpdate() }
+        finally ps.close()
+      }
+    } finally conn.close()
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
   /** The scalable form of O23: a date-partitioned table with DYNAMIC
     * partition overwrite — only the partitions present in the incoming
     * batch are rewritten; everything else is untouched I/O-wise. This is

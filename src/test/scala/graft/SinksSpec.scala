@@ -73,6 +73,36 @@ class SinksSpec extends SparkSpec {
       "limesurvey", "t_20260101.csv")))
   }
 
+  test("jdbcReplaceWhere: ranged reload against a REAL SQL engine " +
+      "(embedded Derby) is idempotent, DDL-on-write, NULL-date-keeping") {
+    val dbDir = Files.createTempDirectory("graft_derby").resolve("wh")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val batch = Seq(("1", "2018-02-01"), ("2", "2018-03-01"))
+      .toDF("id", "date_sent")
+    // first load CREATEs the table (reference DDL: varchar(256) strings)
+    Sinks.jdbcReplaceWhere(batch, url, "survey_t", "date_sent",
+      "2018-01-01")
+    def readBack() = spark.read.jdbc(url, "survey_t",
+        new java.util.Properties)
+      .as[(String, String)].collect().toSet
+    assert(readBack() == Set(("1", "2018-02-01"), ("2", "2018-03-01")))
+    // a pre-cutoff row and a NULL-dated row must both survive reloads
+    val keeper = Seq(("0", "2017-06-01"), ("9", null))
+      .toDF("id", "date_sent").as[(String, String)]
+    Sinks.jdbcReplaceWhere(keeper.toDF(), url, "survey_t", "date_sent",
+      "2019-01-01") // range matches nothing existing; appends keepers
+    // re-running the ORIGINAL ranged load must not duplicate its rows
+    Sinks.jdbcReplaceWhere(batch, url, "survey_t", "date_sent",
+      "2018-01-01")
+    Sinks.jdbcReplaceWhere(batch, url, "survey_t", "date_sent",
+      "2018-01-01")
+    val rows = spark.read.jdbc(url, "survey_t", new java.util.Properties)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(
+      ("0", Some("2017-06-01")), ("9", None),
+      ("1", Some("2018-02-01")), ("2", Some("2018-03-01"))), rows)
+  }
+
   test("replaceWhere reload is idempotent (O23/O24/O25)") {
     val dir = Files.createTempDirectory("graft_wh").toString
     val old = Seq(("2017-06-01", "keep"), ("2018-03-01", "stale"))

@@ -34,14 +34,13 @@ object Bench {
       .filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }
-    val builder = extraConf.foldLeft(SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions))(
-      (b, kv) => b.config(kv._1, kv._2))
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe.toString)
-    val spark = (if (aqe) builder.config("spark.sql.extensions", "graft.GraftExtensions")
+    val explicit = (if (aqe) builder.config("spark.sql.extensions", "graft.GraftExtensions")
       else builder)
       // broadcast sizing for this host: 64 MB is conservative on 128 GiB
       // (the default 10 MB narrowly excludes the ~15 MB orders table and
@@ -50,6 +49,10 @@ object Bench {
       // shuffle joins when a side outgrows it)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    // extraConf folds LAST so user-supplied keys override the explicit
+    // chain above — an experiment setting e.g. adaptive.enabled=true must
+    // win (it used to fold first and be silently overridden; ADVICE r12)
+    val spark = extraConf.foldLeft(explicit)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen compiler, parquet reader, shuffle paths) so

@@ -24,12 +24,15 @@ object DevProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
-    val spark = extra.foldLeft(builder0)((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    // extraConf folds LAST so user-supplied keys override the explicit
+    // profile (ADVICE r12: an experiment setting adaptive.enabled=true
+    // used to be silently overridden by the hardcoded chain)
+    val spark = extra.foldLeft(builder0)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class St(name: String, ms: Long, tasks: Int, taskMs: Long)

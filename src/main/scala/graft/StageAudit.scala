@@ -36,6 +36,10 @@ object StageAudit {
   /** ...and must dominate the query to this fraction: a heavy query with
     * a genuine 1-row reduction stage still does its real work wide. */
   val MaxFraction = 0.5
+  /** At or above this fraction the query's ENTIRE task time sits in one
+    * task; such audits skip the 2× total-work floor (see [[QueryAudit
+    * .violates]]) after surviving the confirmation re-run in [[sweep]]. */
+  val FullConcentration = 0.999
 
   final case class StageRow(name: String, tasks: Int, taskMs: Long)
   final case class QueryAudit(query: String, totalTaskMs: Long,
@@ -56,11 +60,22 @@ object StageAudit {
       * floor by construction. The total condition lives on [[violates]]
       * only — the spec's negative control probes concentration at a low
       * explicit floor on a hot JIT, where the planted trap's absolute
-      * milliseconds are deliberately out of scope. */
+      * milliseconds are deliberately out of scope.
+      *
+      * The 2× total floor opens a blind spot (ADVICE r12): a FULLY
+      * concentrated trap whose sf0.01 total is 400–800 ms passes even at
+      * fraction 1.0, yet scales to seconds at sf0.1. [[violates]]
+      * therefore waives the total floor at full concentration — and
+      * [[sweep]] neutralizes the contention flake that floor existed
+      * for by re-running full-concentration grey-band queries AFTER the
+      * sweep (temporally separated from the contended window, the Bench
+      * retry pattern) and keeping the lighter audit: an inflated task
+      * deflates on the quiet re-run, a real trap reproduces. */
     def violatesAt(minSingleTaskMs: Long): Boolean =
       worstSingleTaskMs >= minSingleTaskMs && fraction >= MaxFraction
     def violates: Boolean =
-      violatesAt(MinSingleTaskMs) && totalTaskMs >= 2 * MinSingleTaskMs
+      violatesAt(MinSingleTaskMs) &&
+        (totalTaskMs >= 2 * MinSingleTaskMs || fraction >= FullConcentration)
     override def toString: String =
       f"$query%-28s total=${totalTaskMs}%6d ms  worst1task=${worstSingleTaskMs}%6d ms" +
         f"  frac=${fraction}%.2f" +
@@ -117,17 +132,35 @@ object StageAudit {
       .count().write.mode("overwrite").format("noop").save()
     val (buf, listener) = attach(spark)
     try {
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      def auditQuery(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QueryAudit = {
+        buf.synchronized(buf.clear())
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        GraftListenerShims.waitListenerBusEmpty(spark.sparkContext)
+        val rows = buf.synchronized(buf.toVector)
+        val total = rows.map(_.taskMs).sum
+        val worst = rows.filter(_.tasks == 1).sortBy(-_.taskMs).headOption
+        QueryAudit(name, total, worst)
+      }
+      val first = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
-          buf.synchronized(buf.clear())
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          GraftListenerShims.waitListenerBusEmpty(spark.sparkContext)
-          val rows = buf.synchronized(buf.toVector)
-          val total = rows.map(_.taskMs).sum
-          val worst = rows.filter(_.tasks == 1).sortBy(-_.taskMs).headOption
-          QueryAudit(name, total, worst)
+        .map { case (name, fn) => auditQuery(name, fn) }
+      // Confirmation pass for the full-concentration grey band (total
+      // under the 2× floor but ALL of it in one task): re-run AFTER the
+      // sweep — temporally separated from any in-suite contention burst
+      // that inflated the single task past the floor (the round-12
+      // flake) — and keep the audit with the lighter single task. A
+      // contention artifact deflates on the quiet re-run; a real
+      // 400–800 ms fully-concentrated trap (seconds at sf0.1) reproduces
+      // and now flags instead of hiding under the total-work floor.
+      first.map { a =>
+        val grey = a.violates && a.totalTaskMs < 2 * MinSingleTaskMs
+        if (!grey) a
+        else {
+          val second = auditQuery(a.query, SparkEntry.queries(a.query))
+          if (second.worstSingleTaskMs < a.worstSingleTaskMs) second else a
         }
+      }
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       aqeWas match {

@@ -21,12 +21,19 @@ object Tables {
     * per query at the suite's scale, over half the sub-second floor
     * (round-12 probe: q05 build 79 ms of a 131 ms execution). The
     * resolved LogicalRelation is immutable, so one per
-    * (session, path) is correct to share across queries; keyed WeakHashMap
-    * on the session so a stopped session's entries are collectable.
+    * (session, path) is correct to share across queries. The map is
+    * keyed by session, but the cached DataFrames strongly reference
+    * their session (`Dataset.sparkSession`), so weak keys alone can
+    * never collect an entry (ADVICE r12) — eviction is EXPLICIT: the
+    * first `load` on a context registers a listener that drops every
+    * entry for that context's sessions on application end.
     * At 100 TB the same memo simply holds one relation per table root. */
   private val relCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val evictionHooked =
+    java.util.Collections.synchronizedSet(
+      new java.util.HashSet[org.apache.spark.SparkContext]())
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val perSession = relCache.synchronized {
@@ -36,6 +43,18 @@ object Tables {
         relCache.put(spark, m)
       }
       m
+    }
+    val sc = spark.sparkContext
+    if (evictionHooked.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          relCache.synchronized {
+            val it = relCache.keySet().iterator()
+            while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
+            evictionHooked.remove(sc)
+          }
+      })
     }
     perSession.getOrElseUpdate(s"$sfDir/$table.parquet",
       spark.read.parquet(s"$sfDir/$table.parquet"))

@@ -92,11 +92,15 @@ object Sinks {
     * (every string column `varchar(256)`, the reference's type-erasing
     * DDL at :124-132) + bulk load, here the executor-parallel
     * `df.write.jdbc` append (Spark's COPY analogue — each partition
-    * batches inserts over its own connection). Idempotent like
-    * [[replaceWhere]]: re-running the same ranged batch yields
-    * identical table contents, and NULL-dated rows survive (the
-    * DELETE's predicate never matches NULL). Control-plane statements
-    * run on ONE driver connection; cutoff crosses as a bind parameter.
+    * batches inserts over its own connection). Idempotency contract
+    * (the reference's implicit one): re-running yields identical table
+    * contents ONLY for batches whose `dateCol` is non-NULL and
+    * >= `cutoff` — the ranged DELETE never matches NULL, so a NULL- or
+    * below-cutoff-dated input row would duplicate on every re-run.
+    * EXISTING NULL-dated table rows outside the batch survive reloads
+    * for the same reason (that part is a feature). Control-plane
+    * statements run on ONE driver connection; cutoff crosses as a
+    * bind parameter.
     * Spec-driven against the embedded Derby the Spark distribution
     * bundles; a production deployment swaps the URL (Redshift,
     * Postgres, ...) — the same config-only seam as the object store. */
@@ -139,8 +143,18 @@ object Sinks {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val exists = {
-        val rs = conn.getMetaData.getTables(null, null,
-          table.toUpperCase(java.util.Locale.ROOT), null)
+        // getTables treats its name argument as a LIKE pattern: an
+        // unescaped '_' is a single-char wildcard, so probing SURVEY_T
+        // would match an existing SURVEYXT, skip the CREATE, and fail
+        // the append (ADVICE r12). Escape the metacharacters with the
+        // driver's declared escape string.
+        val md = conn.getMetaData
+        val esc = md.getSearchStringEscape
+        val pat = table.toUpperCase(java.util.Locale.ROOT).flatMap {
+          case c @ ('_' | '%') => esc + c
+          case c => c.toString
+        }
+        val rs = md.getTables(null, null, pat, null)
         try rs.next() finally rs.close()
       }
       if (!exists) {

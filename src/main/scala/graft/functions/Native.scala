@@ -33,6 +33,11 @@ object Native {
   def idPairs(bucket: Column): Column =
     column(IdPairs(expr(bucket)))
 
+  /** Packed-long variant (see [[IdPairsPacked]]): one `(a<<32)|b`
+    * column, ids must fit [0, 2^31) or the generator throws. */
+  def idPairsPacked(bucket: Column): Column =
+    column(IdPairsPacked(expr(bucket)))
+
   /** Fused 56-bit engine-portable md5 hash (see [[Md5Long]]). */
   def md5Long(c: Column): Column =
     column(Md5Long(expr(c)))

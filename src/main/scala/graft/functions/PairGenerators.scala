@@ -68,6 +68,65 @@ case class IdPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** [[IdPairs]] with the pair PACKED into one non-negative long,
+  * `(a << 32) | b` — for pair streams that immediately hit a
+  * pair-keyed exchange + aggregate (Adamic–Adar), where the residual
+  * cost is shuffle volume: one 8-byte key instead of two halves the
+  * key bytes per row and gives the aggregate a single-long group key.
+  * Because a < b and both fit in 31 bits, the packed long sorts exactly
+  * as the (a, b) lexicographic pair, so downstream `ORDER BY score
+  * DESC, packed` reproduces the two-column total order and unpacking
+  * (`shiftright`/`& 0xFFFFFFFF`) can wait until after the top-k.
+  *
+  * Ids MUST lie in [0, 2^31): anything else FAILS LOUDLY here — a
+  * silent wraparound would alias unrelated pairs. Callers with wider
+  * id spaces use the generic [[IdPairs]] path. */
+case class IdPairsPacked(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"id_pairs_packed expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pair", LongType, nullable = false)))
+
+  override def prettyName: String = "id_pairs_packed"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Nil
+    val data = arr.asInstanceOf[ArrayData]
+    // null slots skipped for the same phantom-(0,x)-edge reason as
+    // IdPairs
+    val ids = (0 until data.numElements())
+      .filter(!data.isNullAt(_)).map(data.getLong).toArray.sorted
+    val n = ids.length
+    if (n < 2) return Nil
+    if (ids(0) < 0L || ids(n - 1) >= (1L << 31))
+      throw new IllegalArgumentException(
+        s"id_pairs_packed requires ids in [0, 2^31); got " +
+          s"[${ids(0)}, ${ids(n - 1)}] — use the unpacked id_pairs path")
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(
+          Array[Any]((ids(i) << 32) | ids(j)))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IdPairsPacked =
+    copy(child = newChild)
+}
+
 /** Unordered pairs (doc_a < doc_b) from
   * `array<struct<doc: bigint, sh: bigint>>` whose signature Hamming
   * distance is ≤ `maxHamming`, emitted as (doc_a, doc_b, hamming) — the

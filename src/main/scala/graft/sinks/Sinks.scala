@@ -85,6 +85,113 @@ object Sinks {
     fs.delete(backup, true)
   }
 
+  /** Snapshot-isolated variant of [[replaceWhere]] (VERDICT r12 item 7)
+    * — a minimal version-directory table format, the Delta/Iceberg idea
+    * reduced to its two load-bearing pieces: IMMUTABLE version
+    * directories and an ATOMIC commit marker.
+    *
+    *   `warehouseDir/table/_v/v00000042/` part-*.parquet + _SUCCESS
+    *
+    * A writer never touches a published version: the merged result
+    * (retention below cutoff/NULL + new batch, [[replaceWhere]]
+    * semantics) lands in a FRESH `v{N+1}` directory, which becomes
+    * visible only when the job-commit `_SUCCESS` marker exists — a
+    * single atomic file create. [[readVersioned]] resolves "latest
+    * committed version" ONCE and pins the returned DataFrame to that
+    * concrete directory, so a reader that resolved v41 keeps reading
+    * v41's immutable files however many reloads commit afterwards, and
+    * no reader can ever observe a half-swapped table (the compact
+    * [[replaceWhere]]'s rename window) or a half-written version
+    * (visibility IS the marker). A crash mid-write strands an
+    * uncommitted directory that resolution skips and
+    * [[vacuumVersions]] clears. Single-writer like the reference's
+    * cron: two racing writers contend on the same next version number
+    * and the loser fails on the existing directory (ErrorIfExists)
+    * instead of corrupting it.
+    *
+    * @return the committed version number */
+  def replaceWhereVersioned(df: DataFrame, warehouseDir: String,
+      table: String, dateCol: String, cutoff: String): Long = {
+    val spark = df.sparkSession
+    val vdir = versionsDir(warehouseDir, table)
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedVersions(fs, vdir)
+    // next version counts UNCOMMITTED dirs too: a crashed writer's
+    // stranded v43 must not be re-targeted by the next reload (its
+    // half-written files would pollute the retry's output)
+    val next = (0L +: allVersionDirs(fs, vdir).map(_._1)).max + 1
+    val merged = committed.lastOption match {
+      case Some((_, p)) =>
+        spark.read.parquet(p.toString)
+          .filter(col(dateCol) < lit(cutoff) || col(dateCol).isNull)
+          .unionByName(df)
+      case None => df
+    }
+    val target = new org.apache.hadoop.fs.Path(vdir, f"v$next%08d")
+    merged.write.mode(SaveMode.ErrorIfExists).parquet(target.toString)
+    // Spark drops _SUCCESS on job commit; if a deployment disabled the
+    // marker (mapreduce...marksuccessfuljobs=false) the version would
+    // be invisible forever — create it explicitly then (atomic create,
+    // and the write above has fully committed by this point)
+    val marker = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    next
+  }
+
+  /** Read the LATEST COMMITTED version of a [[replaceWhereVersioned]]
+    * table, pinned: resolution happens here, once, and the returned
+    * DataFrame reads that version's concrete directory for its whole
+    * lifetime — concurrent reloads publish new directories and never
+    * disturb this one (until [[vacuumVersions]] retires it). */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String, table: String): DataFrame = {
+    val vdir = versionsDir(warehouseDir, table)
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, path) = committedVersions(fs, vdir).lastOption.getOrElse(
+      throw new NoSuchElementException(
+        s"no committed version of $table under $warehouseDir"))
+    spark.read.parquet(path.toString)
+  }
+
+  /** Retire history: keep the newest `keep` committed versions, drop
+    * older ones plus any UNCOMMITTED directory below the latest
+    * committed version (crashed-writer leftovers; an uncommitted dir
+    * ABOVE it may be a writer mid-commit and is left alone). Callers
+    * choose `keep` as their reader-lag horizon — a reader pinned to a
+    * version older than the last `keep` reloads loses its files. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String, table: String, keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val vdir = versionsDir(warehouseDir, table)
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedVersions(fs, vdir)
+    if (committed.isEmpty) return
+    val latest = committed.last._1
+    val keepSet = committed.takeRight(keep).map(_._1).toSet
+    allVersionDirs(fs, vdir).foreach { case (v, p) =>
+      val isCommitted = committed.exists(_._1 == v)
+      if ((isCommitted && !keepSet.contains(v)) || (!isCommitted && v < latest))
+        fs.delete(p, true)
+    }
+  }
+
+  private def versionsDir(warehouseDir: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouseDir/$table/_v")
+
+  private def allVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      vdir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(vdir)) Seq.empty
+    else fs.listStatus(vdir).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.matches("v\\d{8}") =>
+        (st.getPath.getName.drop(1).toLong, st.getPath)
+    }.sortBy(_._1)
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      vdir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    allVersionDirs(fs, vdir).filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+
   /** O23+O24+O25 against a REAL SQL warehouse over JDBC — the
     * reference's literal Redshift sequence
     * (/root/reference/lime_survey_orders_shipped.py:111-151):

@@ -143,6 +143,69 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/fresh_table").count() == 1)
   }
 
+  test("replaceWhereVersioned pins a concurrent reader to its resolved " +
+      "snapshot across a reload (snapshot isolation)") {
+    val dir = Files.createTempDirectory("graft_wh_v").toString
+    val v1 = Sinks.replaceWhereVersioned(
+      Seq(("2017-06-01", "keep"), ("2018-03-01", "stale"))
+        .toDF("date_sent", "v"),
+      dir, "t", "date_sent", "2017-01-01")
+    assert(v1 == 1L)
+    // reader resolves NOW — pinned to v1's immutable directory
+    val pinned = Sinks.readVersioned(spark, dir, "t")
+    val batch = Seq(("2018-03-01", "fresh"), ("2018-04-01", "fresh2"))
+      .toDF("date_sent", "v")
+    val v2 = Sinks.replaceWhereVersioned(batch, dir, "t", "date_sent",
+      "2018-01-01")
+    assert(v2 == 2L)
+    // mid-reload reader: still sees EXACTLY the v1 contents it resolved,
+    // untouched by the reload that committed after it
+    assert(pinned.as[(String, String)].collect().toSet ==
+      Set(("2017-06-01", "keep"), ("2018-03-01", "stale")))
+    // a fresh resolution sees the reloaded table (replaceWhere semantics)
+    assert(Sinks.readVersioned(spark, dir, "t")
+      .as[(String, String)].collect().toSet ==
+      Set(("2017-06-01", "keep"), ("2018-03-01", "fresh"),
+        ("2018-04-01", "fresh2")))
+    // idempotency: same ranged batch again -> identical contents, new version
+    assert(Sinks.replaceWhereVersioned(batch, dir, "t", "date_sent",
+      "2018-01-01") == 3L)
+    assert(Sinks.readVersioned(spark, dir, "t")
+      .as[(String, String)].collect().toSet ==
+      Set(("2017-06-01", "keep"), ("2018-03-01", "fresh"),
+        ("2018-04-01", "fresh2")))
+  }
+
+  test("replaceWhereVersioned skips crashed-writer leftovers; vacuum " +
+      "retires history and junk") {
+    val dir = Files.createTempDirectory("graft_wh_vc").toString
+    Sinks.replaceWhereVersioned(Seq(("2018-02-01", "a")).toDF("date_sent", "v"),
+      dir, "t", "date_sent", "2018-01-01")
+    // simulate a writer that crashed mid-write: a version directory with
+    // data files but NO _SUCCESS marker must be invisible to readers and
+    // must not be re-targeted by the next writer
+    val junk = new java.io.File(s"$dir/t/_v/v00000002")
+    assert(junk.mkdirs())
+    java.nio.file.Files.writeString(junk.toPath.resolve("part-junk.parquet"),
+      "not parquet")
+    assert(Sinks.readVersioned(spark, dir, "t")
+      .as[(String, String)].collect().toSet == Set(("2018-02-01", "a")))
+    // next reload allocates PAST the stranded v2
+    val v3 = Sinks.replaceWhereVersioned(
+      Seq(("2018-03-01", "b")).toDF("date_sent", "v"),
+      dir, "t", "date_sent", "2018-03-01")
+    assert(v3 == 3L)
+    assert(Sinks.readVersioned(spark, dir, "t")
+      .as[(String, String)].collect().toSet ==
+      Set(("2018-02-01", "a"), ("2018-03-01", "b")))
+    // vacuum(keep=1): v1 (old committed) and v2 (junk below latest) go,
+    // v3 stays readable
+    Sinks.vacuumVersions(spark, dir, "t", keep = 1)
+    val left = new java.io.File(s"$dir/t/_v").list().sorted.toSeq
+    assert(left == Seq("v00000003"), left)
+    assert(Sinks.readVersioned(spark, dir, "t").count() == 2)
+  }
+
   test("overwritePartitions rewrites only the partitions in the batch (O23 at scale)") {
     val dir = Files.createTempDirectory("graft_dyn").toString
     val day1 = Seq(("2018-01-01", "a"), ("2018-01-02", "b")).toDF("d", "v")

@@ -2315,6 +2315,27 @@ object SparkEntry {
           col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // q221 one honesty level up: the per-doc H.264 stream is ENTROPY
+    // CODED — CAVLC Intra_16x16 DC-only macroblocks (coeff_token,
+    // level prefix/suffix escape ladder, total_zeros) instead of the
+    // spec's I_PCM escape hatch — so the reader's recovered DC grid
+    // now rides a real entropy decode + §8.5.10 dequant + §8.3.3.1 DC
+    // prediction chain. The fixture encoder reconstructs as it codes,
+    // so decoded macroblock means equal the planted ±14 walk exactly
+    // and the oracle stays pure md5%2 bit assembly (prefix "avq")
+    "q223_avc_cavlc_neardup" -> ((s, d) => {
+      import s.implicits._
+      val payloads = wide(Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, operators.Mp4Mux.avc1CavlcFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.avcNearDup(s, payloads, "doc_id",
+        maxBucket = DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast(LongType).as("hamming"))
+    }),
+
     // exact Gini concentration of customer spend per market segment —
     // whales INJECTED into one segment (every 20th AUTOMOBILE customer
     // spends 20x) so the index separates; zero-spend customers count
@@ -5735,6 +5756,12 @@ object SparkEntry {
     // bit-exactly through the real NAL walk, then the shared
     // band/bucket/Hamming machinery pairs the twins
     "q221_avc_ipcm_neardup" -> bandPairsSql(walkHashCtes("avp")),
+
+    // CAVLC sibling: the entropy decode + dequant + DC-prediction chain
+    // reconstructs the same planted walk exactly (encoder codes against
+    // its own reconstruction), so the oracle is the identical md5%2 bit
+    // assembly under the "avq" prefix
+    "q223_avc_cavlc_neardup" -> bandPairsSql(walkHashCtes("avq")),
 
     // MKV first-block walk bits + the shared band/bucket/Hamming
     // machinery — the EBML demux must hand block 0 to the JPEG decoder

@@ -32,7 +32,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): the dump stays one part file
+      // (the layout the driver has always read), but coalesce is a
+      // NARROW collapse — it pulled every post-shuffle stage of the
+      // query onto the single writer task, which turned heavy-output
+      // queries into one-core marathons at the 10x rehearsal scale
+      // (q186 at sf1: ~10 min on one task, found round 13). The
+      // repartition exchange keeps the query itself machine-wide and
+      // serializes only the write.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -593,7 +593,7 @@ class MultimodalSpec extends SparkSpec {
     val au = java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len)
     // bit-exact DC recovery: PCM is lossless, so each macroblock's DC
     // mean IS the planted walk value
-    val (w, h, dc) = Multimodal.avcIpcmDcGrid(au).get
+    val (w, h, dc) = Multimodal.avcIntraDcGrid(au).get
     assert(w == 9 && h == 8)
     val v = Multimodal.walkValue(Multimodal.walkBit("avp", 20))
     (0 until 8).foreach(r => (0 until 9).foreach(c =>
@@ -634,11 +634,94 @@ class MultimodalSpec extends SparkSpec {
     val au = Mp4Mux.be32(sps.length) ++ sps ++
       Mp4Mux.be32(pps.length) ++ pps ++
       Mp4Mux.be32(slice.length) ++ slice
-    val (w, h, dc) = Multimodal.avcIpcmDcGrid(au).get
+    val (w, h, dc) = Multimodal.avcIntraDcGrid(au).get
     assert(w == 9 && h == 8 && dc.forall(_ == 0))
     // truncated / non-I_PCM inputs degrade, never throw
-    assert(Multimodal.avcIpcmDcGrid(au.take(40)).isEmpty)
-    assert(Multimodal.avcIpcmDcGrid("garbage".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.avcIntraDcGrid(au.take(40)).isEmpty)
+    assert(Multimodal.avcIntraDcGrid("garbage".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("H.264 CAVLC Intra_16x16 DC-only: entropy-coded IDR slice decodes " +
+      "to the exact target grid; twins pair through the full pipeline") {
+    import graft.operators.Mp4Mux
+    val mp4 = Mp4Mux.avc1CavlcFixture(20)
+    val track = Multimodal.mp4VideoTrack(mp4).get
+    assert(track.codec == "avc1" && track.spans.length == 2)
+    val (off, len) = track.spans.head
+    val au = java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len)
+    // the encoder reconstructs as it codes (DC pred + exact residual at
+    // qp 16), so the decoded per-MB means equal the walk targets
+    // bit-for-bit even though the stream is entropy-coded
+    val (w, h, dc) = Multimodal.avcIntraDcGrid(au).get
+    assert(w == 9 && h == 8)
+    val v = Multimodal.walkValue(Multimodal.walkBit("avq", 20))
+    (0 until 8).foreach(r => (0 until 9).foreach(c =>
+      assert(dc(r * 9 + c) == v(r, c), s"DC ($r,$c): ${dc(r * 9 + c)} vs ${v(r, c)}")))
+    // twins through the full pipeline (ids ≡ 1 mod 10, Hamming ≤ 3)
+    val rows = (0L until 40L).map(id => (id, Mp4Mux.avc1CavlcFixture(id)))
+    val pairs = Multimodal.avcNearDup(spark,
+        rows.toDF("doc_id", "payload"), "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)), pairs)
+  }
+
+  test("H.264 CAVLC: mixed CAVLC-then-PCM slice decodes both branches; " +
+      "PCM-neighbor nC and unsupported shapes refuse, never misread") {
+    import graft.operators.Mp4Mux
+    val sps = Mp4Mux.spsNal(66, 30, 9, 8)
+    val pps = Mp4Mux.ppsNal()
+    def auOf(slice: Array[Byte]): Array[Byte] =
+      Mp4Mux.be32(sps.length) ++ sps ++
+        Mp4Mux.be32(pps.length) ++ pps ++
+        Mp4Mux.be32(slice.length) ++ slice
+    // rows 0-3 entropy-coded, rows 4-7 I_PCM (PCM below CAVLC keeps
+    // every CAVLC macroblock's neighbors CAVLC -> nC = 0 throughout)
+    val target = (r: Int, c: Int) => 40 + 20 * r + 3 * c
+    val mixed = Mp4Mux.intraDcIdrNal(9, 8, target, (r, _) => r >= 4)
+    val (w, h, dc) = Multimodal.avcIntraDcGrid(auOf(mixed)).get
+    assert(w == 9 && h == 8)
+    (0 until 8).foreach(r => (0 until 9).foreach(c =>
+      assert(dc(r * 9 + c) == target(r, c), s"($r,$c)")))
+    // the encoder refuses the layout its coeff_token table cannot
+    // express (a CAVLC macroblock after an I_PCM one)
+    intercept[IllegalArgumentException] {
+      Mp4Mux.intraDcIdrNal(2, 1, (_, _) => 100, (r, c) => c == 0)
+    }
+    // ...and a hand-built stream in exactly that layout must decode to
+    // None (the PCM neighbor's 16-coefficient count selects a
+    // coeff_token column the reader does not carry): 2x1 grid, MB0
+    // I_PCM, MB1 Intra_16x16 DC-only
+    val bw = new Mp4Mux.BitWriter
+    bw.ue(0).ue(7).ue(0).u(0, 4).ue(0).u(0, 4).u(0, 1).u(0, 1).se(16 - 26)
+    bw.ue(25).align()
+    (0 until 256).foreach(_ => bw.u(70, 8))
+    (0 until 128).foreach(_ => bw.u(128, 8))
+    bw.ue(3).ue(0).se(0).u(1, 1) // CAVLC MB, tc = 0
+    bw.u(1, 1) // rbsp stop
+    val sps21 = Mp4Mux.spsNal(66, 30, 2, 1)
+    val bad = Array(0x65.toByte) ++ Mp4Mux.epbEscape(bw.toBytes)
+    val auBad = Mp4Mux.be32(sps21.length) ++ sps21 ++
+      Mp4Mux.be32(pps.length) ++ pps ++
+      Mp4Mux.be32(bad.length) ++ bad
+    assert(Multimodal.avcIntraDcGrid(auBad).isEmpty)
+    // decoder-only paths the fixture encoder never emits: a trailing-one
+    // ±1 coefficient at qp 40 exercises the (1,1) coeff_token code, the
+    // qp >= 36 dequant branch, and slice-qp tracking — dcY = 256,
+    // residual (256+32)>>6 = 4 over pred 128
+    val bw2 = new Mp4Mux.BitWriter
+    bw2.ue(0).ue(7).ue(0).u(0, 4).ue(0).u(0, 4).u(0, 1).u(0, 1).se(40 - 26)
+    bw2.ue(3).ue(0).se(0)
+    bw2.u(1, 2) // coeff_token (1,1): '01'
+    bw2.u(0, 1) // trailing one sign: +1
+    bw2.u(1, 1) // total_zeros = 0
+    bw2.u(1, 1) // rbsp stop
+    val sps11 = Mp4Mux.spsNal(66, 30, 1, 1)
+    val one = Array(0x65.toByte) ++ Mp4Mux.epbEscape(bw2.toBytes)
+    val auOne = Mp4Mux.be32(sps11.length) ++ sps11 ++
+      Mp4Mux.be32(pps.length) ++ pps ++
+      Mp4Mux.be32(one.length) ++ one
+    val (_, _, dc1) = Multimodal.avcIntraDcGrid(auOne).get
+    assert(dc1.toSeq == Seq(132), dc1.toSeq)
   }
 
   test("imageNearDup: planted twins surface through the banding, junk rows drop") {

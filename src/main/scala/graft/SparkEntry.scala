@@ -1206,6 +1206,17 @@ object SparkEntry {
           col("rank").cast(LongType).as("knn_rank"))
     }),
 
+    // recall@10 of the q50 IVF index vs exact brute force on a
+    // 1-in-40 sampled query set — the q206 audit discipline applied to
+    // the vector tier (recall is a property of THIS corpus at THIS
+    // scale, so the same query re-runs at the 10x rehearsal corpus and
+    // its recall lands in BASELINE.md)
+    "q224_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annRecallAudit(emb, emb.filter(col("vec_id") % 40 === 0),
+        10, stride = IvfStride, nCells = IvfCells, nProbe = IvfProbe)
+    }),
+
     // near-dup clusters: connected components over the q29 candidate
     // graph — every doc labeled with its cluster's minimum doc id (the
     // canonical survivor of a global dedup)
@@ -3415,6 +3426,49 @@ object SparkEntry {
              WHERE vec_id % $IvfStride = 0 AND vec_id < $anchorMax)""")
   }
 
+  /** Generated oracle: ANN recall audit — [[ivfOracle]]'s candidate
+    * chain and q31's brute-force chain over the same 1-in-40 sampled
+    * query set, reconciled per query into exact integer recall. */
+  private def annRecallOracle: String = {
+    val anchorMax = IvfStride * IvfCells
+    def cos(a: String, b: String) = cosineSql(a, b)
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       a AS (SELECT vec_id AS cell_id, emb AS aemb FROM c
+             WHERE vec_id % $IvfStride = 0 AND vec_id < $anchorMax),
+       cells AS (SELECT vec_id AS neighbor_id, emb AS cemb, cell_id FROM (
+         SELECT c.vec_id AS vec_id, c.emb AS emb, a.cell_id AS cell_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY ${cos("c.emb", "a.aemb")} DESC, a.cell_id) AS rk
+         FROM c, a) WHERE rk = 1),
+       q AS (SELECT vec_id, emb FROM c WHERE vec_id % 40 = 0),
+       probes AS (SELECT vec_id AS query_id, emb AS qemb, cell_id FROM (
+         SELECT q.vec_id AS vec_id, q.emb AS emb, a.cell_id AS cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cos("q.emb", "a.aemb")} DESC, a.cell_id) AS rk
+         FROM q, a) WHERE rk <= $IvfProbe),
+       icand AS (SELECT query_id, neighbor_id,
+           round(${cos("qemb", "cemb")}, 6) AS cos_sim
+         FROM probes JOIN cells USING (cell_id) WHERE query_id <> neighbor_id),
+       ivf AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS rn FROM icand
+         WHERE cos_sim IS NOT NULL) WHERE rn <= 10),
+       bcand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(${cos("q.emb", "c.emb")}, 6) AS cos_sim
+         FROM q, c WHERE q.vec_id <> c.vec_id),
+       brute AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS rn FROM bcand
+         WHERE cos_sim IS NOT NULL) WHERE rn <= 10)
+       SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+         CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+           AS recall_micro
+       FROM brute b LEFT JOIN ivf i
+         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       GROUP BY 1"""
+  }
+
   /** The shared post-quantizer IVF oracle: argmax-cosine cell
     * assignment, nProbe probe, exact re-rank (mirrors
     * Similarity.ivfKnnWith; cosine fold order is bit-identical, so the
@@ -3828,6 +3882,7 @@ object SparkEntry {
 
     "q49_simhash_candidates" -> simhashCandidatesOracle,
     "q50_ivf_knn" -> ivfOracle,
+    "q224_ann_recall" -> annRecallOracle,
     // connected components = transitive closure (recursive CTE) over the
     // same candidate edges, min reachable id per doc
     "q51_dedup_components" ->

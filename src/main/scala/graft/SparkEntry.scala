@@ -2478,8 +2478,17 @@ object SparkEntry {
           .select(col("l_suppkey"), col("o_orderdate").as("iv_s"),
             col("l_shipdate").as("iv_e")),
         "l_suppkey", "iv_s", "iv_e")
+      // the customer side is a BOUNDED query batch (the q50 pattern:
+      // vec_id < 5): every supplier coverage window overlapping every
+      // sampled customer window is output-quadratic in corpus size —
+      // no plan beats output cardinality, and a production interval
+      // probe asks about a bounded batch. <= 15000 is a no-op at
+      // sf0.01/sf0.1 (max custkey there) and binds at the 10x
+      // rehearsal corpus (round 13: the unbounded form wrote 900 MB+
+      // at sf1 before being stopped).
       val cust = Temporal.mergeIntervals(
-        Tables.orders(s, d).filter(col("o_custkey") % 37 === 0)
+        Tables.orders(s, d).filter(col("o_custkey") % 37 === 0 &&
+            col("o_custkey") <= 15000)
           .select(col("o_custkey"), col("o_orderdate").as("cv_s"),
             date_add(col("o_orderdate"), 6).as("cv_e")),
         "o_custkey", "cv_s", "cv_e")
@@ -6108,7 +6117,7 @@ object SparkEntry {
            FROM i GROUP BY l_suppkey, island),
          civ AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
              CAST(o_orderdate AS DATE) + 6 AS e
-           FROM orders WHERE o_custkey % 37 = 0),
+           FROM orders WHERE o_custkey % 37 = 0 AND o_custkey <= 15000),
          cm AS (SELECT o_custkey, s, e,
              max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax

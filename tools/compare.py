@@ -32,11 +32,25 @@ def rows_key(cols, rows):
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Dev-only filters for the 10x-rehearsal pass (the driver never sets
+    # these): GRAFT_COMPARE_SKIP excludes oracles that are quadratic in
+    # DuckDB at sf1 (recursive CTEs), GRAFT_COMPARE_ONLY narrows to a
+    # dev loop. Skipped queries are reported so a partial pass can never
+    # read as a full one.
+    skip = set(filter(None, os.environ.get("GRAFT_COMPARE_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("GRAFT_COMPARE_ONLY", "").split(",")))
     con = duckdb.connect()
+    threads = os.environ.get("GRAFT_COMPARE_THREADS")
+    if threads:
+        con.sql(f"SET threads TO {int(threads)}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    import time
     for name in sorted(oracle):
+        if name in skip or (only and name not in only):
+            print(f"SKIP {name} (filtered)"); n_skip += 1; continue
+        t0 = time.time()
         sql = oracle[name]
         pq = os.path.join(out_dir, name)
         try:
@@ -68,7 +82,7 @@ def main(sf_dir, out_dir):
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}"); n_fail += 1; continue
-        print(f"PASS {name} ({len(spark_rows)} rows)")
+        print(f"PASS {name} ({len(spark_rows)} rows, {time.time() - t0:.1f}s)")
         n_pass += 1
     # queries dumped without an oracle: ONLY the explicit ROWS_ONLY
     # allowlist gets the weaker exists-and-non-empty check; any other
@@ -77,6 +91,8 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if name in oracle or not os.path.isdir(d):
             continue
+        if name in skip or (only and name not in only):
+            print(f"SKIP {name} (filtered)"); n_skip += 1; continue
         if name not in ROWS_ONLY:
             print(f"FAIL {name}: dump has no oracleSql entry and is not "
                   f"in the ROWS_ONLY allowlist"); n_fail += 1; continue
@@ -88,7 +104,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows-only dump is empty"); n_fail += 1; continue
         print(f"PASS {name} ({n} rows, rows-only: no oracle)")
         n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    print(f"\n{n_pass} pass / {n_fail} fail" +
+          (f" / {n_skip} SKIPPED (partial pass!)" if n_skip else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":

@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf1 10"
   * Not part of any gate; the driver never runs it. */
 object ScaleUp {
-  private val S = 1000000000L // id stride per replica
+  // id stride per replica: comfortably above every base-table id at
+  // sf0.1 (max ≈ 1.5M orderkeys — 66× headroom) while keeping ALL
+  // replica ids under 2^31, so 31-bit fast paths that legitimately
+  // hold on the driver corpus (packed pair keys, Graph.adamicAdar
+  // packIds) stay exercisable at the 10× rehearsal instead of being
+  // knocked out by an artificially astronomical id space (round 13:
+  // the old 1e9 stride pushed ids to ~9.2e9)
+  private val S = 100000000L // id stride per replica
 
   def main(args: Array[String]): Unit = {
     val src = args(0)

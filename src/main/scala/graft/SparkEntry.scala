@@ -2364,7 +2364,7 @@ object SparkEntry {
             .otherwise(col("__sp")))
       Relational.giniIndex(joined, "c_mktsegment", col("__sp2"))
         .select(col("g").as("c_mktsegment"), col("n_rows"), col("total"),
-          col("gini_micro"))
+          col("scale_unit"), col("gini_micro"))
     }),
 
     // top user journeys: whole session paths (1-day gap so multi-event
@@ -2988,7 +2988,11 @@ object SparkEntry {
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-      Graph.adamicAdar(e, "src", "dst", maxDeg = 40, topK = 100)
+      // packIds: custkeys/partkeys are dense sub-2^31 keys at every
+      // corpus this query runs on (ScaleUp's 1e8 replica stride keeps
+      // the 10x rehearsal inside the domain too)
+      Graph.adamicAdar(e, "src", "dst", maxDeg = 40, topK = 100,
+        packIds = true)
     }),
 
     // MinHash signature-agreement Jaccard estimate for the q29
@@ -5850,16 +5854,29 @@ object SparkEntry {
          cum AS (SELECT g, v, c,
              coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k,
-             sum(c) OVER (PARTITION BY g) AS n
+             sum(c) OVER (PARTITION BY g) AS n,
+             sum(v * c) OVER (PARTITION BY g) AS tot
            FROM cnt),
+         sc AS (SELECT *, CASE
+             WHEN CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) <= 9e15 THEN 1
+             WHEN CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) <= 9e16 THEN 10
+             WHEN CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) <= 9e17 THEN 100
+             WHEN CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) <= 9e18 THEN 1000
+             WHEN CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) <= 9e19 THEN 10000
+             WHEN CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) <= 9e20 THEN 100000
+             ELSE 1000000 END AS s
+           FROM cum),
          t AS (SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
-             CAST(sum(v * c) AS BIGINT) AS total,
-             CAST(sum(v * c * (2 * k + c - n)) AS BIGINT) AS t
-           FROM cum GROUP BY 1)
-         SELECT g AS c_mktsegment, n_rows, total,
-           CAST((t * 1000 // (n_rows * total)) * 1000
-             + (t * 1000 % (n_rows * total)) * 1000 // (n_rows * total)
-             AS BIGINT) AS gini_micro
+             CAST(max(tot) AS BIGINT) AS total,
+             CAST(max(s) AS BIGINT) AS scale_unit,
+             CAST(sum((v // s) * c * (2 * k + c - n)) AS BIGINT) AS t,
+             CAST(sum((v // s) * c) AS BIGINT) AS ts
+           FROM sc GROUP BY 1)
+         SELECT g AS c_mktsegment, n_rows, total, scale_unit,
+           CASE WHEN ts = 0 THEN NULL
+             ELSE CAST((t * 1000 // (n_rows * ts)) * 1000
+               + (t * 1000 % (n_rows * ts)) * 1000 // (n_rows * ts)
+               AS BIGINT) END AS gini_micro
          FROM t WHERE total > 0""",
 
     // q63's session windows, ordered-list path build, top-k

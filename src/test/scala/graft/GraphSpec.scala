@@ -293,8 +293,8 @@ class GraphSpec extends SparkSpec {
     // including the top-k tie order
     val generic = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 100,
       packIds = false).as[(Long, Long, Long, Long)].collect()
-    val packed = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 100)
-      .as[(Long, Long, Long, Long)].collect()
+    val packed = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 100,
+      packIds = true).as[(Long, Long, Long, Long)].collect()
     assert(packed.toSeq == generic.toSeq)
   }
 
@@ -303,16 +303,17 @@ class GraphSpec extends SparkSpec {
     val big = (1L << 31) - 1 // max packable id
     val edges = Seq((0L, 10L), (big, 10L), (0L, 20L), (big, 20L))
       .toDF("u", "z")
-    val out = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 10)
-      .as[(Long, Long, Long, Long)].collect()
+    val out = Graph.adamicAdar(edges, "u", "z", maxDeg = 4, topK = 10,
+      packIds = true).as[(Long, Long, Long, Long)].collect()
     val w2 = math.floor(1e6 / math.log(2.0) + 0.5).toLong
     assert(out.toSeq == Seq((0L, big, 2L, 2 * w2)), out.mkString(","))
-    // one id past the boundary: the packed default must THROW (silent
+    // one id past the boundary: the packed OPT-IN must THROW (silent
     // wraparound would alias unrelated pairs) and the generic path
     // must still work
     val wide = Seq((0L, 10L), (1L << 31, 10L)).toDF("u", "z")
     val e = intercept[org.apache.spark.SparkException] {
-      Graph.adamicAdar(wide, "u", "z", maxDeg = 4, topK = 10).collect()
+      Graph.adamicAdar(wide, "u", "z", maxDeg = 4, topK = 10,
+        packIds = true).collect()
     }
     assert(e.getCause.getMessage.contains("id_pairs_packed"),
       e.getCause.getMessage)

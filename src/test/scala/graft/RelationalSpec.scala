@@ -392,21 +392,27 @@ class RelationalSpec extends SparkSpec {
       ("hand", 1L), ("hand", 2L), ("hand", 3L), ("hand", 4L),
       ("tie", 1L), ("tie", 1L), ("tie", 2L),
       ("zero", 0L), ("zero", 0L),
-      ("neg", -5L), ("neg", 10L))
+      ("neg", -5L), ("neg", 10L),
+      // mass past the 9e15 long bound: n*total = 2.4e16 -> the value
+      // unit auto-scales to 10 and the index computes on v div 10
+      // ([4e14, 8e14]: T = 4e14, ts = 1.2e15, G = 4e20/2.4e15 = 166666)
+      ("big", 4000000000000000L), ("big", 8000000000000000L))
       .toDF("g", "v")
       .union(Seq(("eq", null.asInstanceOf[java.lang.Long]))
         .toDF("g", "v").select(col("g"), col("v").cast("long")))
     val out = Relational.giniIndex(rows, "g", col("v"))
-      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(out("eq") == (("eq", 4L, 20L, 0L)), out.toString)
-    assert(out("one") == (("one", 4L, 10L, 750000L)), out.toString)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("eq") == (("eq", 4L, 20L, 1L, 0L)), out.toString)
+    assert(out("one") == (("one", 4L, 10L, 1L, 750000L)), out.toString)
     // [1,2,3,4]: T = -3-2+3+12 = 10, G = 10/40 = 0.25 exactly
-    assert(out("hand") == (("hand", 4L, 10L, 250000L)), out.toString)
+    assert(out("hand") == (("hand", 4L, 10L, 1L, 250000L)), out.toString)
     // [1,1,2]: grouped-count path, G = 2/12 -> 166666 floored
-    assert(out("tie") == (("tie", 3L, 4L, 166666L)), out.toString)
+    assert(out("tie") == (("tie", 3L, 4L, 1L, 166666L)), out.toString)
     assert(!out.contains("zero"), "all-zero group has no index")
     // the negative row drops; the group keeps its remaining mass
-    assert(out("neg") == (("neg", 1L, 10L, 0L)), out.toString)
+    assert(out("neg") == (("neg", 1L, 10L, 1L, 0L)), out.toString)
+    assert(out("big") ==
+      (("big", 2L, 12000000000000000L, 10L, 166666L)), out.toString)
   }
 
   test("poissonBootstrapCI: deterministic, brackets the exact mean, bounded weights") {

@@ -1565,8 +1565,12 @@ object SparkEntry {
         .withColumn("o_orderstatus", lit("R2"))
         .withColumn("o_totalprice", col("o_totalprice") * 1.10)
         .withColumn("__v", lit(2L))
+      // insert keys shift by 1e10 — ABOVE every real orderkey at every
+      // corpus this runs on including the 10x rehearsal (ScaleUp ids
+      // < 2^31): the old +1e8 offset collided with replica-1's real
+      // keys at sf1 and manufactured (key, version) merge ties
       val ins = t.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)
         .withColumn("o_orderstatus", lit("N"))
         .withColumn("__v", lit(1L))
       Relational.mergeUpsert(t, upd1.unionByName(upd2).unionByName(ins),
@@ -4622,7 +4626,7 @@ object SparkEntry {
              o_totalprice * CAST(1.10 AS DOUBLE), o_orderdate, 2
            FROM orders WHERE o_orderkey % 20 = 0
            UNION ALL
-           SELECT o_orderkey + 100000000, o_custkey, 'N',
+           SELECT o_orderkey + 10000000000, o_custkey, 'N',
              o_totalprice, o_orderdate, 1
            FROM orders WHERE o_orderkey % 97 = 0),
          s1 AS (SELECT * FROM (SELECT *, row_number() OVER (

@@ -136,9 +136,16 @@ object Relational {
     * a CDC batch can itself be huge). Within the source, the highest
     * `versionCol` wins (a CDC batch may carry several updates for one
     * key); target rows all carry version −∞ via the priority tag.
-    * Deterministic as long as (priority, version) is unique per key —
-    * callers feed an ingest position as the version, exactly like
-    * [[keepLast]]. */
+    * Determinism is ENFORCED, not assumed (round 13: the 10× rehearsal
+    * corpus manufactured a (key, version) tie between two source rows
+    * and the engines silently diverged on which row won): two source
+    * rows sharing (key, version) RAISE — the Delta MERGE
+    * "multiple source rows matched" contract — instead of letting
+    * `max_by` pick one arbitrarily. Callers feed an ingest position as
+    * the version, exactly like [[keepLast]]. The guard costs one extra
+    * source-side aggregate (the source pre-collapses to one row per
+    * (key, version)); the target side keeps its single-shuffle
+    * no-join shape. */
   def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       versionCol: Column): DataFrame = {
     val dataCols = target.columns
@@ -146,8 +153,21 @@ object Relational {
       "source must carry every target column (extra version columns allowed)")
     val t2 = target.select(dataCols.map(col) :+
       lit(0L).as("__pri") :+ lit(0L).as("__ver"): _*)
+    val rest = dataCols.filterNot(keys.contains)
     val s2 = source.select(dataCols.map(col) :+
-      lit(1L).as("__pri") :+ versionCol.cast("long").as("__ver"): _*)
+        lit(1L).as("__pri") :+ versionCol.cast("long").as("__ver"): _*)
+      .groupBy((keys :+ "__ver").map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        any_value(struct(rest.map(col): _*)).as("__r"))
+      .select(keys.map(col) ++
+        rest.map(c => col(s"__r.$c").as(c)) ++ Seq(
+        lit(1L).as("__pri"),
+        when(col("__c") > 1L,
+          expr("raise_error('graft.mergeUpsert: multiple source rows " +
+            "share one (key, version) - the merge would be " +
+            "nondeterministic; feed a unique ingest position as the " +
+            "version (see scaladoc)')").cast("long"))
+          .otherwise(col("__ver")).as("__ver")): _*)
     t2.unionByName(s2)
       .groupBy(keys.map(col): _*)
       .agg(max_by(struct(dataCols.map(col): _*),

@@ -107,6 +107,16 @@ class RelationalSpec extends SparkSpec {
       (2L, "new-2b", 22.0),
       (3L, "old-3", 30.0),
       (4L, "ins-4", 40.0)))
+    // two source rows on ONE (key, version): the merge would be
+    // nondeterministic (the sf1-rehearsal divergence, round 13) — the
+    // operator must raise the Delta-MERGE contract error, not let
+    // max_by pick a winner
+    val tied = source.union(
+      Seq((2L, "new-2c", 23.0, 2L)).toDF("k", "s", "v", "ver"))
+    val e = intercept[Exception] {
+      Relational.mergeUpsert(target, tied, Seq("k"), col("ver")).collect()
+    }
+    assert(e.getMessage.contains("mergeUpsert"), e.getMessage)
   }
 
   test("mergePartialAggs == aggregate of the union, for sum/min/max algebra") {
@@ -271,7 +281,9 @@ class RelationalSpec extends SparkSpec {
     val plan = Relational.mergeUpsert(target, source, Seq("k"), col("ver"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "merge must be union+aggregate, not a join")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+    // one exchange for the merge itself + one for the source-side
+    // (key, version)-uniqueness guard aggregate (round 13)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
   }
 
   test("quotaCap: at most quota per group, smallest-hash picks, no window") {

@@ -44,7 +44,11 @@ def main(sf_dir, out_dir):
     if threads:
         con.sql(f"SET threads TO {int(threads)}")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver corpora are flat files; derived corpora (target/sf1,
+        # target/sf0.1-mrg) are spark-style directories of part files
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = n_skip = 0
     import time
     for name in sorted(oracle):

@@ -2847,8 +2847,11 @@ object SparkEntry {
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.05)
             .otherwise(col("o_totalprice")))
+      // +1e10, not +1e8: the q77 lesson — the insert offset must land
+      // ABOVE every real orderkey at every corpus including the 10x
+      // rehearsal, or shifted keys collide with replica-1's real ones
       val ins = t.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)
         .withColumn("o_orderstatus", lit("N"))
       Relational.snapshotDiff(t, changed.unionByName(ins), Seq("o_orderkey"))
         .select(col("o_orderkey"), col("change_type"),
@@ -4413,7 +4416,7 @@ object SparkEntry {
     "q173_ppr" -> {
       val unit = "1000000000000"
       val rk = (1 to 5).map { k =>
-        s"""r$k AS (SELECT b.node,
+        s"""r$k AS MATERIALIZED (SELECT b.node,
            b.tele + coalesce(CAST((85 * s.s) // 100 AS BIGINT), CAST(0 AS BIGINT)) AS r
            FROM b LEFT JOIN (
              SELECT e.dst AS node, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS s
@@ -4421,16 +4424,17 @@ object SparkEntry {
              JOIN deg ON e.src = deg.src GROUP BY 1) s
            ON b.node = s.node)"""
       }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      // AS MATERIALIZED: same >68 GB inlining spill as q84 (round 13)
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-         seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 41 = 0),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+         deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         seeds AS MATERIALIZED (SELECT p_partkey AS node FROM part WHERE p_partkey % 41 = 0),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e
                    UNION SELECT node FROM seeds),
          ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
          tl AS (SELECT CAST((15 * ($unit // (SELECT n FROM ns))) // 100 AS BIGINT) AS t),
-         b AS (SELECT n.node,
+         b AS MATERIALIZED (SELECT n.node,
              CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM tl)
                   ELSE CAST(0 AS BIGINT) END AS tele
            FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
@@ -7585,7 +7589,7 @@ object SparkEntry {
              o_orderdate, o_orderpriority
            FROM orders WHERE o_orderkey % 13 <> 0
            UNION ALL
-           SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+           SELECT o_orderkey + 10000000000, o_custkey, 'N', o_totalprice,
              o_orderdate, o_orderpriority
            FROM orders WHERE o_orderkey % 97 = 0),
          j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
@@ -7617,7 +7621,7 @@ object SparkEntry {
       // cast back from DuckDB's HUGEINT to BIGINT
       val unit = "1000000000000"
       val rk = (1 to 5).map { k =>
-        s"""r$k AS (SELECT n.node AS node,
+        s"""r$k AS MATERIALIZED (SELECT n.node AS node,
            (SELECT b FROM base) + coalesce(CAST((85 * s.s) // 100 AS BIGINT), CAST(0 AS BIGINT)) AS r
            FROM nodes n LEFT JOIN (
              SELECT e.dst AS node, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS s
@@ -7625,11 +7629,16 @@ object SparkEntry {
              JOIN deg ON e.src = deg.src GROUP BY 1) s
            ON n.node = s.node)"""
       }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      // AS MATERIALIZED: DuckDB inlines plain CTEs, and each unrolled
+      // round re-derives the co-purchase self-join edge table — ~20
+      // derivations by r5, which spilled >68 GB at the 10x corpus
+      // (round 13). Materialization pins one derivation each; results
+      // are identical (planning hint only).
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
          base AS (SELECT CAST((15 * ($unit // (SELECT n FROM nn))) // 100 AS BIGINT) AS b),
          r0 AS (SELECT node, CAST($unit // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),

@@ -302,12 +302,25 @@ object Relational {
     tag(oldDf, 0).unionByName(tag(newDf, 1))
       .groupBy(keys.map(col): _*)
       .agg(max(when(col("__s") === 0, col("__row"))).as("old"),
-        max(when(col("__s") === 1, col("__row"))).as("new"))
+        max(when(col("__s") === 1, col("__row"))).as("new"),
+        sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__c1"))
+      // a SNAPSHOT has unique keys by definition — a duplicate means
+      // the input is not a snapshot, and the struct-max would silently
+      // pick one row as "the" value (round 13: the 10x rehearsal
+      // manufactured exactly this and the DuckDB oracle's join
+      // multiplied instead). Same loud-contract rule as
+      // [[mergeUpsert]]; the guard rides the existing aggregate, no
+      // extra pass.
       .withColumn("change_type",
-        when(col("old").isNull, "I")
+        when(col("__c0") > 1L || col("__c1") > 1L,
+          expr("raise_error('graft.snapshotDiff: duplicate key within " +
+            "one snapshot side - not a snapshot; dedupe upstream')"))
+          .when(col("old").isNull, "I")
           .when(col("new").isNull, "D")
           .when(!(col("old") <=> col("new")), "U"))
       .filter(col("change_type").isNotNull)
+      .drop("__c0", "__c1")
   }
 
   /** Apply a typed change feed back onto a snapshot — the closure of

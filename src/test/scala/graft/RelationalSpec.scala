@@ -202,6 +202,14 @@ class RelationalSpec extends SparkSpec {
       .select(col("k"), col("change_type"))
       .as[(Long, String)].collect().toMap
     assert(out == Map(2L -> "U", 3L -> "U", 4L -> "D", 5L -> "I"))
+    // a duplicated key inside one side is NOT a snapshot: the operator
+    // must raise (round 13 - the struct-max would otherwise silently
+    // pick a winner while a join-based consumer multiplies)
+    val dup = neu.union(Seq((5L, Some("e2"))).toDF("k", "v"))
+    val e = intercept[Exception] {
+      Relational.snapshotDiff(old, dup, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("snapshotDiff"), e.getMessage)
   }
 
   test("checksum is order-independent and localizes a change to one bucket") {

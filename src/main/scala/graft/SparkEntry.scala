@@ -4345,26 +4345,29 @@ object SparkEntry {
       val unit = 1000000L
       val roundCtes = (1 to 3).map { r =>
         val prevH = if (r == 1) "h0" else s"h${r - 1}"
-        s"""ar$r AS (SELECT e.dst AS node, CAST(sum(p.v) AS BIGINT) AS s
+        s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(p.v) AS BIGINT) AS s
              FROM e JOIN $prevH p ON e.src = p.node GROUP BY 1),
-           a$r AS (SELECT n.node,
+           a$r AS MATERIALIZED (SELECT n.node,
                CAST(coalesce(r.s, 0) * $unit //
                  (SELECT max(s) FROM ar$r) AS BIGINT) AS v
              FROM nodes n LEFT JOIN ar$r r USING (node)),
-           hr$r AS (SELECT e.src AS node, CAST(sum(p.v) AS BIGINT) AS s
+           hr$r AS MATERIALIZED (SELECT e.src AS node, CAST(sum(p.v) AS BIGINT) AS s
              FROM e JOIN a$r p ON e.dst = p.node GROUP BY 1),
-           h$r AS (SELECT n.node,
+           h$r AS MATERIALIZED (SELECT n.node,
                CAST(coalesce(r.s, 0) * $unit //
                  (SELECT max(s) FROM hr$r) AS BIGINT) AS v
              FROM nodes n LEFT JOIN hr$r r USING (node))"""
       }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+      // AS MATERIALIZED: each half-round references its predecessor
+      // TWICE (scalar max + join), so plain-CTE inlining re-derives the
+      // e self-join exponentially (~2^6 by round 3) - the q84 fix
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
              l_partkey + 10000000 AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
-         nodes AS (SELECT src AS node FROM e
+         nodes AS MATERIALIZED (SELECT src AS node FROM e
                    UNION SELECT dst FROM e),
-         h0 AS (SELECT node, CAST($unit AS BIGINT) AS v FROM nodes),
+         h0 AS MATERIALIZED (SELECT node, CAST($unit AS BIGINT) AS v FROM nodes),
          $roundCtes
          SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
          FROM a3 JOIN h3 USING (node)"""
@@ -6569,13 +6572,31 @@ object SparkEntry {
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
                   JOIN ok ON a.f = ok.f),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
                    UNION SELECT doc_b, doc_a FROM cand),
-         reach AS (SELECT src, dst FROM edges
-                   UNION
-                   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS component
-         FROM reach GROUP BY src"""
+         nodes0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         l0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes0),
+         ${(1 to 10).map { k =>
+        // min-label propagation with POINTER JUMPING, unrolled: the old
+        // transitive-closure CTE materializes |component|^2 reachable
+        // pairs, which the 10x corpus's ~29k-doc boilerplate families
+        // turn into ~1e9 rows (>40 min, killed — round 13). Each round
+        // here is one linear join+min; comp(comp) doubling covers
+        // diameter 2^10, and the conv guard makes under-iteration LOUD
+        // (zero output rows) instead of silently wrong.
+        s"""l$k AS MATERIALIZED (SELECT n.node,
+             least(n.comp, coalesce(nb.m, n.comp), coalesce(pj.comp, n.comp)) AS comp
+           FROM l${k - 1} n
+           LEFT JOIN (SELECT e.dst AS node, min(l.comp) AS m
+             FROM edges e JOIN l${k - 1} l ON e.src = l.node
+             GROUP BY 1) nb ON n.node = nb.node
+           LEFT JOIN l${k - 1} pj ON n.comp = pj.node)"""
+      }.mkString(",\n         ")},
+         conv AS (SELECT count(*) AS c FROM edges e
+           JOIN l10 a ON e.src = a.node JOIN l10 b ON e.dst = b.node
+           WHERE a.comp <> b.comp)
+         SELECT node AS doc, CAST(comp AS BIGINT) AS component
+         FROM l10 WHERE (SELECT c FROM conv) = 0"""
     },
 
     "q135_boilerplate_density" -> {

@@ -2519,51 +2519,21 @@ object TextAnalysis {
     require(buckets >= 2, "need at least 2 hash buckets")
     val model = lmTrainQuadgram(reference, refText, buckets)
       .localCheckpoint(true)
-    // all six margin tables in ONE checkpointed union job — the same
-    // barrier collapse as [[lmPerplexityBucketsQuintgram]] (round 13);
-    // see the layout notes there
-    val nl = lit(null).cast(LongType)
-    val cont3L = model.groupBy("b2", "b3", "b4")
-      .agg(count(lit(1)).as("c"))
-    val contpL = cont3L.groupBy("b3", "b4").agg(count(lit(1)).as("c"))
-    val allm = model.groupBy("b1", "b2", "b3")
-      .agg(sum(col("c1234")).as("v1"), count(lit(1)).as("v2"))
-      .select(lit(1).as("gid"), col("b1").as("g1"), col("b2").as("g2"),
-        col("b3").as("g3"), col("v1"), col("v2"))
-      .unionByName(cont3L.select(lit(2).as("gid"), col("b2").as("g1"),
-        col("b3").as("g2"), col("b4").as("g3"),
-        col("c").as("v1"), nl.as("v2")))
-      .unionByName(cont3L.groupBy("b2", "b3")
-        .agg(sum(col("c")).as("v1"), count(lit(1)).as("v2"))
-        .select(lit(3).as("gid"), col("b2").as("g1"), col("b3").as("g2"),
-          nl.as("g3"), col("v1"), col("v2")))
-      .unionByName(contpL.select(lit(4).as("gid"), col("b3").as("g1"),
-        col("b4").as("g2"), nl.as("g3"), col("c").as("v1"), nl.as("v2")))
-      .unionByName(contpL.groupBy("b3")
-        .agg(sum(col("c")).as("v1"), count(lit(1)).as("v2"))
-        .select(lit(5).as("gid"), col("b3").as("g1"), nl.as("g2"),
-          nl.as("g3"), col("v1"), col("v2")))
-      .unionByName(contpL.groupBy("b4").agg(count(lit(1)).as("v1"))
-        .select(lit(6).as("gid"), col("b4").as("g1"), nl.as("g2"),
-          nl.as("g3"), col("v1"), nl.as("v2")))
-      .unionByName(contpL.groupBy().agg(count(lit(1)).as("v1"))
-        .select(lit(7).as("gid"), nl.as("g1"), nl.as("g2"), nl.as("g3"),
-          col("v1"), nl.as("v2")))
-      .localCheckpoint(true)
-    val pre = allm.filter(col("gid") === 1).select(col("g1").as("b1"),
-      col("g2").as("b2"), col("g3").as("b3"),
-      col("v1").as("__c123"), col("v2").as("__n123"))
-    val cont3 = allm.filter(col("gid") === 2).select(col("g1").as("b2"),
-      col("g2").as("b3"), col("g3").as("b4"), col("v1").as("__cp3"))
-    val c23 = allm.filter(col("gid") === 3).select(col("g1").as("b2"),
-      col("g2").as("b3"), col("v1").as("__cp3s"), col("v2").as("__n23"))
-    val contp = allm.filter(col("gid") === 4).select(col("g1").as("b3"),
-      col("g2").as("b4"), col("v1").as("__cpp"))
-    val c3 = allm.filter(col("gid") === 5).select(col("g1").as("b3"),
-      col("v1").as("__cpp2"), col("v2").as("__n3"))
-    val ct = allm.filter(col("gid") === 6).select(col("g1").as("b4"),
-      col("v1").as("__ct4"))
-    val np = allm.filter(col("gid") === 7).select(col("v1").as("__np"))
+    // checkpointed margin cascade — the round-12 shape, kept after the
+    // measured round-13 union-of-branches experiment lost 0.85 → 2.04 s
+    // (see [[lmPerplexityBucketsQuintgram]] for the analysis)
+    val cont3 = model.groupBy("b2", "b3", "b4")
+      .agg(count(lit(1)).as("__cp3")).localCheckpoint(true)
+    val contp = cont3.groupBy("b3", "b4")
+      .agg(count(lit(1)).as("__cpp")).localCheckpoint(true)
+    val pre = model.groupBy("b1", "b2", "b3")
+      .agg(sum(col("c1234")).as("__c123"), count(lit(1)).as("__n123"))
+    val c23 = cont3.groupBy("b2", "b3")
+      .agg(sum(col("__cp3")).as("__cp3s"), count(lit(1)).as("__n23"))
+    val c3 = contp.groupBy("b3")
+      .agg(sum(col("__cpp")).as("__cpp2"), count(lit(1)).as("__n3"))
+    val ct = contp.groupBy("b4").agg(count(lit(1)).as("__ct4"))
+    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = quadgramBucketQuads(
       df.select(col(idCol).as("doc"), text.as("__t"))
@@ -2850,80 +2820,34 @@ object TextAnalysis {
     require(buckets >= 2, "need at least 2 hash buckets")
     val model = lmTrainQuintgram(reference, refText, buckets)
       .localCheckpoint(true)
-    // ALL EIGHT margin tables in ONE checkpointed union job (round 13,
-    // VERDICT r12 item 5). The round-12 form checkpointed each
-    // continuation level sequentially — model→cont4→cont3→contp, four
-    // driver barriers — and still left every margin its own broadcast-
-    // build job (~13 jobs / ~26 stages of fixed scheduling cost, the
-    // engine's widest barrier chain). Here every margin is a BRANCH of
-    // one union over the checkpointed model, so the whole cascade is a
-    // single job whose branches the scheduler runs concurrently; the
-    // broadcast sides below become filters of the one cached result.
-    // Branch chains recompute the intermediate continuation aggregates
-    // (cont4 in five branches, cont3 in three — exchange reuse cannot
-    // fire across branches that prune different columns, the round-12
-    // probe), but each is a statistics-sized hash-agg (≤ B⁵ rows in,
-    // ≤ B⁴ out) inside one concurrent stage wave, cheaper than the
-    // driver barriers it replaces. Layout: (gid, g1..g4 key slots,
-    // v1, v2).
-    val nl = lit(null).cast(LongType)
-    val cont4L = model.groupBy("b2", "b3", "b4", "b5")
-      .agg(count(lit(1)).as("c"))
-    val cont3L = cont4L.groupBy("b3", "b4", "b5")
-      .agg(count(lit(1)).as("c"))
-    val contpL = cont3L.groupBy("b4", "b5").agg(count(lit(1)).as("c"))
-    val allm = model.groupBy("b1", "b2", "b3", "b4")
-      .agg(sum(col("c12345")).as("v1"), count(lit(1)).as("v2"))
-      .select(lit(1).as("gid"), col("b1").as("g1"), col("b2").as("g2"),
-        col("b3").as("g3"), col("b4").as("g4"), col("v1"), col("v2"))
-      .unionByName(cont4L.select(lit(2).as("gid"), col("b2").as("g1"),
-        col("b3").as("g2"), col("b4").as("g3"), col("b5").as("g4"),
-        col("c").as("v1"), nl.as("v2")))
-      .unionByName(cont4L.groupBy("b2", "b3", "b4")
-        .agg(sum(col("c")).as("v1"), count(lit(1)).as("v2"))
-        .select(lit(3).as("gid"), col("b2").as("g1"), col("b3").as("g2"),
-          col("b4").as("g3"), nl.as("g4"), col("v1"), col("v2")))
-      .unionByName(cont3L.select(lit(4).as("gid"), col("b3").as("g1"),
-        col("b4").as("g2"), col("b5").as("g3"), nl.as("g4"),
-        col("c").as("v1"), nl.as("v2")))
-      .unionByName(cont3L.groupBy("b3", "b4")
-        .agg(sum(col("c")).as("v1"), count(lit(1)).as("v2"))
-        .select(lit(5).as("gid"), col("b3").as("g1"), col("b4").as("g2"),
-          nl.as("g3"), nl.as("g4"), col("v1"), col("v2")))
-      .unionByName(contpL.select(lit(6).as("gid"), col("b4").as("g1"),
-        col("b5").as("g2"), nl.as("g3"), nl.as("g4"),
-        col("c").as("v1"), nl.as("v2")))
-      .unionByName(contpL.groupBy("b4")
-        .agg(sum(col("c")).as("v1"), count(lit(1)).as("v2"))
-        .select(lit(7).as("gid"), col("b4").as("g1"), nl.as("g2"),
-          nl.as("g3"), nl.as("g4"), col("v1"), col("v2")))
-      .unionByName(contpL.groupBy("b5").agg(count(lit(1)).as("v1"))
-        .select(lit(8).as("gid"), col("b5").as("g1"), nl.as("g2"),
-          nl.as("g3"), nl.as("g4"), col("v1"), nl.as("v2")))
-      .unionByName(contpL.groupBy().agg(count(lit(1)).as("v1"))
-        .select(lit(9).as("gid"), nl.as("g1"), nl.as("g2"),
-          nl.as("g3"), nl.as("g4"), col("v1"), nl.as("v2")))
-      .localCheckpoint(true)
-    val pre = allm.filter(col("gid") === 1).select(col("g1").as("b1"),
-      col("g2").as("b2"), col("g3").as("b3"), col("g4").as("b4"),
-      col("v1").as("__c1234"), col("v2").as("__n1234"))
-    val cont4 = allm.filter(col("gid") === 2).select(col("g1").as("b2"),
-      col("g2").as("b3"), col("g3").as("b4"), col("g4").as("b5"),
-      col("v1").as("__cp4"))
-    val c234 = allm.filter(col("gid") === 3).select(col("g1").as("b2"),
-      col("g2").as("b3"), col("g3").as("b4"),
-      col("v1").as("__cp4s"), col("v2").as("__n234"))
-    val cont3 = allm.filter(col("gid") === 4).select(col("g1").as("b3"),
-      col("g2").as("b4"), col("g3").as("b5"), col("v1").as("__cpp3"))
-    val c34 = allm.filter(col("gid") === 5).select(col("g1").as("b3"),
-      col("g2").as("b4"), col("v1").as("__cpp3s"), col("v2").as("__n34"))
-    val contp = allm.filter(col("gid") === 6).select(col("g1").as("b4"),
-      col("g2").as("b5"), col("v1").as("__cppp"))
-    val c4 = allm.filter(col("gid") === 7).select(col("g1").as("b4"),
-      col("v1").as("__cppp2"), col("v2").as("__n4"))
-    val ct = allm.filter(col("gid") === 8).select(col("g1").as("b5"),
-      col("v1").as("__ct5"))
-    val np = allm.filter(col("gid") === 9).select(col("v1").as("__np"))
+    // Margin cascade with EVERY level eagerly checkpointed — the
+    // round-12 shape, kept after a measured round-13 experiment:
+    // collapsing all eight margins into one union-of-branches job
+    // (fewer driver barriers) LOST 0.99 → 2.47 s at sf0.1 — branches
+    // cannot share the model-sized first aggregation (exchange reuse
+    // never fires across branches that prune different columns, the
+    // round-12 probe), and the 16 small branch exchanges scheduled
+    // worse inside one job than the checkpointed cascade's concurrent
+    // broadcast builds. The barriers ARE the cheaper option here;
+    // cont4/cont3/contp are each one statistics-sized exchange over
+    // the cached level above, and every margin is then a plain
+    // single-exchange count/sum over a cached table.
+    val cont4 = model.groupBy("b2", "b3", "b4", "b5")
+      .agg(count(lit(1)).as("__cp4")).localCheckpoint(true)
+    val cont3 = cont4.groupBy("b3", "b4", "b5")
+      .agg(count(lit(1)).as("__cpp3")).localCheckpoint(true)
+    val contp = cont3.groupBy("b4", "b5")
+      .agg(count(lit(1)).as("__cppp")).localCheckpoint(true)
+    val pre = model.groupBy("b1", "b2", "b3", "b4")
+      .agg(sum(col("c12345")).as("__c1234"), count(lit(1)).as("__n1234"))
+    val c234 = cont4.groupBy("b2", "b3", "b4")
+      .agg(sum(col("__cp4")).as("__cp4s"), count(lit(1)).as("__n234"))
+    val c34 = cont3.groupBy("b3", "b4")
+      .agg(sum(col("__cpp3")).as("__cpp3s"), count(lit(1)).as("__n34"))
+    val c4 = contp.groupBy("b4")
+      .agg(sum(col("__cppp")).as("__cppp2"), count(lit(1)).as("__n4"))
+    val ct = contp.groupBy("b5").agg(count(lit(1)).as("__ct5"))
+    val np = contp.groupBy().agg(count(lit(1)).as("__np"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     // instance-level scoring: no (doc, b1..b5) pre-aggregation — see
     // [[quintgramInstances]]; the final per-doc aggregate counts

@@ -25,8 +25,11 @@ def main(sf_dir, oracle_path, out_path):
     con = duckdb.connect()
     con.sql("SET threads TO 32")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')")
+        # flat driver files or spark-style directories (target/sf1,
+        # target/sf0.1-mrg)
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     timings = {}
     spread = {}
     for name in sorted(oracle):

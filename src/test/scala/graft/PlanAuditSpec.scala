@@ -361,7 +361,9 @@ class PlanAuditSpec extends SparkSpec {
   test("q77 merge: union + one hash aggregate, no join operator") {
     val plan = planOf("q77_merge_upsert")
     assert(!plan.contains("Join"), plan.take(1200))
-    assert(countOf("Exchange hashpartitioning", plan) == 1, plan.take(1200))
+    // merge exchange + the round-13 source-side (key, version)
+    // uniqueness guard aggregate's exchange
+    assert(countOf("Exchange hashpartitioning", plan) == 2, plan.take(1200))
     // map-side partial aggregation is present: struct max_by plans as
     // SortAggregate (no mutable hash buffer for struct ordering), but
     // the partial_max_by below the exchange is what bounds shuffle

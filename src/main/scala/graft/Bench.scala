@@ -51,8 +51,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // extraConf folds LAST so user-supplied keys override the explicit
     // chain above — an experiment setting e.g. adaptive.enabled=true must
-    // win (it used to fold first and be silently overridden; ADVICE r12)
-    val spark = extraConf.foldLeft(explicit)((b, kv) => b.config(kv._1, kv._2))
+    // win (it used to fold first and be silently overridden; ADVICE r12).
+    // An extraConf that turns AQE on also gets GraftExtensions unless the
+    // experiment set spark.sql.extensions itself — the AQE profile is
+    // documented WITH the extension rules, and measuring AQE without them
+    // would silently benchmark a different engine config (ADVICE r13).
+    val extImplied =
+      if (extraConf.exists(kv => kv._1 == "spark.sql.adaptive.enabled" &&
+            kv._2 == "true") &&
+          !extraConf.exists(_._1 == "spark.sql.extensions") && !aqe)
+        extraConf :+ ("spark.sql.extensions" -> "graft.GraftExtensions")
+      else extraConf
+    val spark = extImplied.foldLeft(explicit)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen compiler, parquet reader, shuffle paths) so
@@ -115,6 +125,12 @@ object Bench {
       // neighbor
       val times = if (iters >= 3 && first(first.size / 2) > 1.0)
         (first ++ Vector.fill(2)(timed())).sorted else first
+      // free this query's localCheckpoint blocks (iterative operators
+      // pin per-round blocks; 224 queries of accumulation OOM'd the
+      // sf1 rehearsal driver — round 13 defect 6). Outside the timed
+      // region; nothing outlives its query.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       times(times.size / 2)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -135,16 +151,24 @@ object Bench {
     // min could only ever shrink the headline, which biases the
     // comparison against a baseline that gets no retry. Both numbers
     // land in the artifact so a judge re-run can audit the call.
-    val suspects = firstPass.collect {
+    // The two headline graph queries are ALWAYS isolated: they are the
+    // engine's heaviest (4+ s), ride the noisiest part of the full-suite
+    // window, and their round-over-round swing (q84 2.93→4.36 s in r13
+    // with an untouched plan) kept re-opening perf investigations that
+    // were host noise. The artifact's official number for these is the
+    // temporally-separated solo median every round (VERDICT r13 item 8).
+    val alwaysIsolate = Set("q84_pagerank", "q173_ppr")
+    val suspects = (firstPass.collect {
       case (name, v) if v >= 0 && ref.get(name).exists(r =>
         v > 3 * r && v - r > 0.5) => name
-    }.toSeq.sorted
+    } ++ alwaysIsolate.filter(n => firstPass.get(n).exists(_ >= 0)))
+      .toSeq.distinct.sorted
     val retried = suspects.map { name =>
       val second = try benchQuery(name, SparkEntry.queries(name))
         catch { case e: Throwable =>
           System.err.println(s"[bench] retry $name: $e"); firstPass(name) }
       System.err.println(f"[bench] retry $name: first=${firstPass(name)}%.3f" +
-        f" second=$second%.3f ref=${ref(name)}%.3f")
+        f" second=$second%.3f ref=${ref.getOrElse(name, -1.0)}%.3f")
       name -> second
     }.toMap
     val results = firstPass.map { case (name, v) =>

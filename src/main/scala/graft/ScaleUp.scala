@@ -3,31 +3,48 @@ package graft
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10×-corpus generator for the scale rehearsal: replicates
-  * the driver corpus with disjoint key ranges per replica (ids shift by
-  * replica · 10⁹) and per-replica letter-ROTATED document text
-  * (`translate` over the lowercase alphabet), so replicas share corpus
+/** Dev-only replicated-corpus generator for the scale rehearsals:
+  * replicates the driver corpus with disjoint key ranges per replica
+  * (ids shift by replica · stride) and per-replica AFFINE-PERMUTED
+  * document text (`translate` with the alphabet permutation
+  * i → a·i + b mod 26, a coprime to 26 — 312 distinct permutations, so
+  * up to 312 replicas get pairwise-distinct substitutions; the round-13
+  * plain rotation collided at r ≡ r' mod 26, which would have minted
+  * 4-member twin families at 100 replicas). Replicas share corpus
   * statistics — token counts, doc lengths, zipf shape — without being
   * near-duplicates of each other (a naive text copy would mint
   * C(replicas, 2)-sized twin families and inflate every dedup tier's
-  * pair count ~45×, grading the corpus, not the engine). Dimension
+  * pair count, grading the corpus, not the engine). Dimension
   * tables (region, nation) copy verbatim.
   * Usage: sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf1 10"
+  *        sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf10 100 10000000"
   * Not part of any gate; the driver never runs it. */
 object ScaleUp {
-  // id stride per replica: comfortably above every base-table id at
-  // sf0.1 (max ≈ 1.5M orderkeys — 66× headroom) while keeping ALL
-  // replica ids under 2^31, so 31-bit fast paths that legitimately
-  // hold on the driver corpus (packed pair keys, Graph.adamicAdar
-  // packIds) stay exercisable at the 10× rehearsal instead of being
-  // knocked out by an artificially astronomical id space (round 13:
-  // the old 1e9 stride pushed ids to ~9.2e9)
-  private val S = 100000000L // id stride per replica
+  // default id stride per replica: comfortably above every base-table
+  // id at sf0.1 (max ≈ 1.5e5 orderkeys) while keeping ALL replica ids
+  // under 2^31, so 31-bit fast paths that legitimately hold on the
+  // driver corpus (packed pair keys, Graph.adamicAdar packIds) stay
+  // exercisable at the rehearsal instead of being knocked out by an
+  // artificially astronomical id space (round 13: the old 1e9 stride
+  // pushed ids to ~9.2e9). At 100 replicas the default overflows 31
+  // bits — pass an explicit stride (1e7 keeps 100 replicas ≤ ~9.9e8
+  // with 66× headroom over the max base id); the require below is the
+  // loud guard.
+  private val defaultStride = 100000000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
+    val S = if (args.length > 3) args(3).toLong else defaultStride
+    // every replica id must stay under 2^31 (the packIds contract the
+    // rehearsal exists to exercise) and strides must clear the base id
+    // space (max base id 1.5e5 at sf0.1; collisions would silently
+    // merge graph nodes across replicas)
+    require(S > 1000000L, s"stride $S is inside the base id space")
+    require(reps.toLong * S + 1000000L < Int.MaxValue.toLong,
+      s"$reps replicas at stride $S exceed 31-bit ids — pass a smaller " +
+        "stride (arg 4), e.g. 10000000 for 100 replicas")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,8 +63,14 @@ object ScaleUp {
         textCol match {
           case Some(t) if r > 0 =>
             val abc = "abcdefghijklmnopqrstuvwxyz"
-            val rot = abc.drop(r % 26) + abc.take(r % 26)
-            ids.withColumn(t, translate(col(t), abc, rot))
+            // affine substitution i -> a*i + b (mod 26): a cycles the 12
+            // units of Z/26, b the 26 shifts -> 312 distinct permutations
+            val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+            val a = units((r / 26) % units.size)
+            val b = r % 26
+            val perm = (0 until 26)
+              .map(i => abc((a * i + b) % 26)).mkString
+            ids.withColumn(t, translate(col(t), abc, perm))
           case _ => ids
         }
       }.reduce(_ unionByName _)

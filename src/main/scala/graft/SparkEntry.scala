@@ -2889,13 +2889,19 @@ object SparkEntry {
     // HITS hubs/authorities over the DIRECTED bipartite customer->part
     // purchase graph (its natural habitat — the co-purchase graph is
     // symmetric and would degenerate to a = h): 3 mutual-reinforcement
-    // rounds, L-infinity integer renormalization per half-round.
+    // rounds, L-infinity integer renormalization once per round (the
+    // authority gather feeds the hub gather raw — round-14 cadence).
     // Authorities = widely-bought parts (hub_unit 0), hubs =
     // broad-basket customers (auth_unit 0) — each side fires where the
     // other is zero, and scores vary within each side
     "q168_hits" -> ((s, d) => {
-      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+      // widen the lineitem scan BEFORE the broadcast join: the 3-row-
+      // group parquet otherwise pins the scan+join+partial-distinct to
+      // 3 tasks (measured 385 ms wall of the setup, round 14); orders
+      // broadcasts explicitly (the smaller side)
+      val e = wide(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"))
+        .join(broadcast(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_partkey") + 10000000L).as("dst"))
@@ -4340,37 +4346,41 @@ object SparkEntry {
     "q64_minhash_est" -> minhashEstOracle,
 
     // same graph (partkeys offset out of the custkey id space), three
-    // unrolled mutual-reinforcement rounds, same integer L-inf rescale
+    // unrolled mutual-reinforcement rounds, round-14 cadence: the
+    // authority gather feeds the hub gather RAW, hubs rescale once per
+    // round, authorities once at output; the ×unit rescale is the
+    // exact two-stage ×1000×1000 long-division identity (mirrors
+    // Graph.hits — raw hub mass only needs ×1000 headroom)
     "q168_hits" -> {
-      val unit = 1000000L
+      def scaled(v: String, mx: String) =
+        s"""CAST(($v * 1000 // ($mx)) * 1000
+            + ($v * 1000 % ($mx)) * 1000 // ($mx) AS BIGINT)"""
       val roundCtes = (1 to 3).map { r =>
         val prevH = if (r == 1) "h0" else s"h${r - 1}"
         s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(p.v) AS BIGINT) AS s
              FROM e JOIN $prevH p ON e.src = p.node GROUP BY 1),
-           a$r AS MATERIALIZED (SELECT n.node,
-               CAST(coalesce(r.s, 0) * $unit //
-                 (SELECT max(s) FROM ar$r) AS BIGINT) AS v
-             FROM nodes n LEFT JOIN ar$r r USING (node)),
-           hr$r AS MATERIALIZED (SELECT e.src AS node, CAST(sum(p.v) AS BIGINT) AS s
-             FROM e JOIN a$r p ON e.dst = p.node GROUP BY 1),
-           h$r AS MATERIALIZED (SELECT n.node,
-               CAST(coalesce(r.s, 0) * $unit //
-                 (SELECT max(s) FROM hr$r) AS BIGINT) AS v
-             FROM nodes n LEFT JOIN hr$r r USING (node))"""
+           hr$r AS MATERIALIZED (SELECT e.src AS node, CAST(sum(p.s) AS BIGINT) AS s
+             FROM e JOIN ar$r p ON e.dst = p.node GROUP BY 1),
+           h$r AS MATERIALIZED (SELECT node,
+               ${scaled("s", s"SELECT max(s) FROM hr$r")} AS v
+             FROM hr$r)"""
       }.mkString(",\n         ")
-      // AS MATERIALIZED: each half-round references its predecessor
+      // AS MATERIALIZED: each round references its predecessor
       // TWICE (scalar max + join), so plain-CTE inlining re-derives the
-      // e self-join exponentially (~2^6 by round 3) - the q84 fix
+      // e self-join exponentially - the q84 fix
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
              l_partkey + 10000000 AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
          nodes AS MATERIALIZED (SELECT src AS node FROM e
                    UNION SELECT dst FROM e),
-         h0 AS MATERIALIZED (SELECT node, CAST($unit AS BIGINT) AS v FROM nodes),
+         h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
          $roundCtes
-         SELECT a3.node, a3.v AS auth_unit, h3.v AS hub_unit
-         FROM a3 JOIN h3 USING (node)"""
+         SELECT n.node,
+           coalesce(${scaled("a.s", "SELECT max(s) FROM ar3")}, 0) AS auth_unit,
+           coalesce(h.v, 0) AS hub_unit
+         FROM nodes n LEFT JOIN ar3 a USING (node)
+         LEFT JOIN h3 h USING (node)"""
     },
 
     // equal-width value-range files from one min/max row per layout;

@@ -200,13 +200,24 @@ object Graph {
     * retail: popular parts vs broad-basket customers).
     *
     * Determinism contract: scores are exact fixed-point longs and each
-    * half-round renormalizes by the MAXIMUM raw score (L∞ rather than
+    * FULL round renormalizes by the MAXIMUM raw score (L∞ rather than
     * the textbook L2 — `v·unit div max` stays in integer arithmetic,
-    * and the normalization choice rescales without reordering).
-    * Every per-node reduction is a long sum (order-independent), so
-    * fixed rounds are bit-identical across engines and partitionings.
-    * Bound: `indeg_max·unit² < 2^63` — the default unit=1e6 supports
-    * ~9×10⁶-degree hubs; drop unit for denser graphs.
+    * and the normalization choice rescales without reordering): the
+    * authority gather feeds the hub gather RAW (round-14 cadence —
+    * normalizing per half-round cost a max-scalar barrier between the
+    * two gathers and a |V| zero-fill join per half-round, measured
+    * ~12 sequential ~50 ms jobs for 3 rounds), then hub scores rescale
+    * once at round end; authorities rescale once at output. Every
+    * per-node reduction is a long sum (order-independent), so fixed
+    * rounds are bit-identical across engines and partitionings.
+    * Bound: the deferred half-round's raw hub mass reaches
+    * `indeg_max·outdeg_max·unit`; the rescale runs the exact two-stage
+    * ×√unit long-division identity, so the requirement is
+    * `indeg_max·outdeg_max·unit·√unit < 2^63` — the default unit=1e6
+    * supports `indeg·outdeg ≤ ~9×10⁹` (e.g. a 10⁵-in-degree authority
+    * fed by 10⁴-out-degree hubs); drop unit for denser graphs. (A
+    * prime `unit` degrades the split to ×1·×unit — use a composite
+    * unit.)
     *
     * Scale shape (the [[pageRank]] pattern): TWO pinned edge copies —
     * src-partitioned for the authority gather, dst-partitioned for the
@@ -214,20 +225,29 @@ object Graph {
     * join (no exchange on the |E| side) plus one |E|→|V| aggregate
     * with map-side partials; raw gathers are re-pinned via per-round
     * checkpoints (the [[kCore]] idiom, stopping the lazy-plan blowup),
-    * and the per-half-round max is ONE scalar row broadcast into the
-    * scaling projection (a bounded driver decision, the BPE-trainer
-    * shape). |V|-sized broadcasts only under the measured
-    * `broadcastMaxNodes` gate. */
+    * and the per-round max is ONE scalar row — a cheap re-aggregate of
+    * the just-checkpointed gather, broadcast into the scaling
+    * projection (a bounded driver decision, the BPE-trainer shape).
+    * Intermediate score tables carry only nodes with nonzero mass
+    * (absent = 0 contributes nothing to a gather join); the |V|
+    * zero-fill happens exactly once, at the output. |V|-sized
+    * broadcasts only under the measured `broadcastMaxNodes` gate. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, unit: Long = 1000000L,
       broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && unit >= 1L)
     require(broadcastMaxNodes >= 0L)
     val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val eSrc = GraftShims.checkpointHashPartitioned(
+    // repartition FIRST, then distinct: HashPartitioning(src, p)
+    // satisfies the distinct aggregate's ClusteredDistribution(src,dst)
+    // (partitioning keys ⊆ grouping keys), so the dedup runs exchange-
+    // free on the target layout and the checkpoint CLAIMS it — one |E|
+    // shuffle instead of the distinct-then-repartition two (round 14)
+    val eSrc = GraftShims.checkpointClaimHashPartitioned(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
+        .repartition(p, col("src"))
         .distinct(),
       p, "src")
     val eDst = GraftShims.checkpointHashPartitioned(eSrc, p, "dst")
@@ -241,33 +261,50 @@ object Graph {
         lit(0L).as("hub_unit"))
     val gate: DataFrame => DataFrame =
       if (n <= broadcastMaxNodes) broadcast else identity
-    // one gather + L∞ rescale: raw sums re-pinned on the gather key
-    // (the explicit-repartition pin, NOT the layout claim — the
-    // aggregate's exchange is AQE-managed and may coalesce, so a claim
-    // would be false under the cluster profile), the max as a
-    // broadcast scalar row, scores left node-partitioned
-    def gather(e: DataFrame, from: String, to: String,
-        scores: DataFrame): DataFrame = {
-      val raw = GraftShims.checkpointHashPartitioned(
+    // one RAW gather: co-partitioned join + aggregate, re-pinned on the
+    // gather key (the explicit-repartition pin, NOT the layout claim —
+    // the aggregate's exchange is AQE-managed and may coalesce, so a
+    // claim would be false under the cluster profile). No max barrier,
+    // no zero-fill: absent nodes carry 0 and contribute nothing to the
+    // next gather's join.
+    def gatherRaw(e: DataFrame, from: String, to: String,
+        scores: DataFrame): DataFrame =
+      GraftShims.checkpointHashPartitioned(
         e.join(gate(scores), col(from) === col("node"))
-          .select(col(to), col("v").as("__x"))
-          .groupBy(to).agg(sum(col("__x")).as("__s")),
-        p, to)
-      val mx = raw.agg(max(col("__s")).as("__m"))
-      nodes.join(gate(raw.withColumnRenamed(to, "node")), Seq("node"),
-          "left")
-        .crossJoin(broadcast(mx))
+          .select(col(to).as("node"), col("v").as("__x"))
+          .groupBy("node").agg(sum(col("__x")).as("__s")),
+        p, "node")
+    // L∞ rescale: the max is a re-aggregate of the just-checkpointed
+    // gather (a cheap scan of pinned blocks), broadcast as one scalar.
+    // `v·unit div max` runs as the exact two-stage ×u1×u2 long-division
+    // identity (floor(S·u1·u2/W) = (S·u1 div W)·u2 + (S·u1 mod W)·u2
+    // div W — exact for nonnegative longs) so the raw mass only needs
+    // ~√unit multiplicative headroom instead of unit: the deferred
+    // half-round's indeg·outdeg·unit sums would overflow a single
+    // ×unit multiply at the 100× rehearsal scale
+    val (u1, u2) = {
+      var f = math.sqrt(unit.toDouble).toLong max 1L
+      while (f > 1 && unit % f != 0) f -= 1
+      (f, unit / f)
+    }
+    def rescale(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("__s")).as("__m"))))
         .select(col("node"),
-          coalesce(expr(s"__s * $unit div __m"), lit(0L)).as("v"))
-    }
+          expr(s"(__s * $u1 div __m) * $u2 + " +
+            s"(__s * $u1 % __m) * $u2 div __m").as("v"))
     var h = nodes.select(col("node"), lit(unit).as("v"))
-    var a = nodes.select(col("node"), lit(0L).as("v"))
+    var aRaw: DataFrame = null
     (1 to rounds).foreach { _ =>
-      a = gather(eSrc, "src", "dst", h)
-      h = gather(eDst, "dst", "src", a)
+      aRaw = gatherRaw(eSrc, "src", "dst", h)
+      h = rescale(gatherRaw(eDst, "dst", "src",
+        aRaw.select(col("node"), col("__s").as("v"))))
     }
-    a.select(col("node"), col("v").as("auth_unit"))
-      .join(h.select(col("node"), col("v").as("hub_unit")), Seq("node"))
+    nodes
+      .join(gate(rescale(aRaw).withColumnRenamed("v", "__a")),
+        Seq("node"), "left")
+      .join(gate(h.withColumnRenamed("v", "__h")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth_unit"),
+        coalesce(col("__h"), lit(0L)).as("hub_unit"))
   }
 
   /** Per-node triangle counts on an undirected graph (edge list in

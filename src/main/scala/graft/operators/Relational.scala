@@ -284,9 +284,11 @@ object Relational {
     * Same single-shuffle shape as [[mergeUpsert]]: tagged union + one
     * hash aggregate picking each side's row per key — no join operator,
     * neither snapshot broadcast. Comparison is null-safe struct
-    * equality over ALL non-key columns. Assumes keys are unique within
-    * each snapshot (snapshot semantics); duplicate keys collapse to the
-    * struct-max row deterministically.
+    * equality over ALL non-key columns. Keys MUST be unique within
+    * each snapshot (snapshot semantics); a duplicate key on either
+    * side RAISES `graft.snapshotDiff: duplicate key` at execution
+    * (round-13 contract — the pre-r13 form collapsed duplicates
+    * silently, which diverged nondeterministically at sf1).
     *
     * Output: key columns + `change_type` + `old`/`new` structs of the
     * full row (null on the absent side) — project scalar fields out for
@@ -554,8 +556,12 @@ object Relational {
     * is the only loss). At graded scales scale_unit = 1 and the
     * result is bit-identical to the unscaled form; groups past 9e21
     * of mass (scale 10⁶ insufficient) still raise loudly — pre-scale
-    * the input unit there. A group whose scaled mass is all zeros
-    * reports NULL (no measurable concentration at that unit). */
+    * the input unit there. Bound caveat: the UNSCALED per-group total
+    * `Σ v·c` itself must fit int64 (~9.2e18) — a small-n/huge-v group
+    * whose raw total exceeds that overflows in the ANSI sum BEFORE the
+    * named `graft.giniIndex` raise can fire (still loud, just a bare
+    * arithmetic-overflow error). A group whose scaled mass is all
+    * zeros reports NULL (no measurable concentration at that unit). */
   def giniIndex(df: DataFrame, grpCol: String, valCol: Column): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val counts = df

@@ -2250,13 +2250,15 @@ object TextAnalysis {
     require(buckets >= 2, "need at least 2 hash buckets")
     val model = lmTrainTrigram(reference, refText, buckets)
       .localCheckpoint(true)
-    // all five margin tables in ONE checkpointed union job — the same
-    // barrier collapse as [[lmPerplexityBucketsQuintgram]] (round 13):
-    // the lazy form re-aggregated the B³-bounded model once per
-    // broadcast build (column pruning defeats exchange reuse across
-    // branches, the round-12 probe); the union computes each margin
-    // once, in one concurrent stage wave, and the broadcast sides
-    // become filters of the cached result
+    // all five margin tables in ONE checkpointed union job. NOTE: this
+    // collapse WON here (trigram: 5 small margins of a B³-bounded model,
+    // measured faster than the lazy per-branch form, round 12) but LOST
+    // for quad/quintgram (round 13: 2.5× slower — those branches cannot
+    // share the model-sized first aggregate, and column pruning defeats
+    // exchange-reuse canonicality), so quad/quint keep the checkpointed
+    // cascade. The union computes each margin once, in one concurrent
+    // stage wave, and the broadcast sides become filters of the cached
+    // result.
     val nl = lit(null).cast(LongType)
     val contL = model.groupBy("b2", "b3").agg(count(lit(1)).as("c"))
     val allm = model.groupBy("b1", "b2")

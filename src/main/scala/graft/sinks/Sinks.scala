@@ -182,7 +182,10 @@ object Sinks {
       vdir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(vdir)) Seq.empty
     else fs.listStatus(vdir).toSeq.collect {
-      case st if st.isDirectory && st.getPath.getName.matches("v\\d{8}") =>
+      // {8,}: the writer formats f"v$next%08d", which grows past 8 digits
+      // at version 100,000,000 — a fixed {8} matcher would stop seeing
+      // such directories and the next writer's max()+1 would collide
+      case st if st.isDirectory && st.getPath.getName.matches("v\\d{8,}") =>
         (st.getPath.getName.drop(1).toLong, st.getPath)
     }.sortBy(_._1)
 

@@ -41,22 +41,29 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - U) < 100L, r.toString)
   }
 
+  // round-14 cadence twin: the authority gather feeds the hub gather
+  // RAW; hubs renormalize once per round, authorities once at output.
+  // BigInt rescale == the engine's exact two-stage ×u1×u2 identity.
   private def jvmHits(edges: Seq[(Long, Long)], rounds: Int,
       unit: Long = 1000000L): Map[Long, (Long, Long)] = {
     val e = edges.distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
-    var h = nodes.map(_ -> unit).toMap
-    var a = nodes.map(_ -> 0L).toMap
-    def gather(groups: Map[Long, Seq[Long]], s: Map[Long, Long]) = {
-      val raw = groups.view.mapValues(_.map(s).sum).toMap
+    def rescale(raw: Map[Long, Long]): Map[Long, Long] = {
       val mx = raw.values.max
-      nodes.map(n => n -> raw.get(n).map(_ * unit / mx).getOrElse(0L)).toMap
+      raw.view.mapValues(v => (BigInt(v) * unit / mx).toLong).toMap
     }
+    var h = nodes.map(_ -> unit).toMap
+    var aRaw = Map.empty[Long, Long]
     (1 to rounds).foreach { _ =>
-      a = gather(e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap, h)
-      h = gather(e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap, a)
+      aRaw = e.groupBy(_._2).view
+        .mapValues(_.map(x => h.getOrElse(x._1, 0L)).sum).toMap
+      val hRaw = e.groupBy(_._1).view
+        .mapValues(_.map(x => aRaw.getOrElse(x._2, 0L)).sum).toMap
+      h = rescale(hRaw)
     }
-    nodes.map(n => n -> ((a(n), h(n)))).toMap
+    val a = rescale(aRaw)
+    nodes.map(n =>
+      n -> ((a.getOrElse(n, 0L), h.getOrElse(n, 0L)))).toMap
   }
 
   test("hits: bipartite roles, JVM-twin equality, L-inf normalization, direction") {

@@ -1121,4 +1121,72 @@ class StreamingSpec extends SparkSpec {
     assert(out(9001L)._2.isEmpty && !out(9001L)._3, out(9001L).toString)
     assert(out(9002L)._2.isEmpty && !out(9002L)._3, out(9002L).toString)
   }
+
+  /** Canned fake-server replies for the LimeSurvey streaming tests:
+    * `n` responses and 10 participants, with get_summary counts kept
+    * CONSISTENT with the row fixtures (the offset basis). */
+  private def writeSurveyReplies(dir: String, n: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val rows = (1 to n).map { i =>
+      s"""{ "${i + 10}": { "id": "${i + 10}", "datestamp": "2018-01-0$i 10:00:00",
+         "q01": "A$i", "q03": "u$i@x.com", "q06": "BR${i + 10}" } }"""
+    }.mkString("{ \"responses\": [", ",", "] }")
+    val b64 = java.util.Base64.getEncoder.encodeToString(rows.getBytes("UTF-8"))
+    Files.writeString(Paths.get(dir, "export_responses.json"),
+      s"""{"id":1,"result":"$b64","error":null}""")
+    val participants = (0 until 10).map { i =>
+      s"""{"tid":"$i","participant_info":{"firstname":"F$i","lastname":"L$i","email":"p$i@x.com"}}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(dir, "list_participants.json"),
+      s"""{"id":2,"result":$participants,"error":null}""")
+    Files.writeString(Paths.get(dir, "get_summary.json"),
+      s"""{"id":3,"result":{"token_count":"10","full_responses":"$n"},"error":null}""")
+  }
+
+  test("LimeSurvey streaming ingest: AvailableNow parity with batch, incremental restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    writeSurveyReplies(dir, 3)
+    def streamDF(table: String) = spark.readStream.format("limesurvey")
+      .option("transport", s"file:$dir").option("table", table)
+      .option("surveyId", "101").option("pageSize", "4")
+      .option("maxPages", "3").load()
+    def batchDF(table: String) = spark.read.format("limesurvey")
+      .option("transport", s"file:$dir").option("table", table)
+      .option("surveyId", "101").option("pageSize", "4")
+      .option("maxPages", "3").load()
+    // parquet sink, not memory: the memory sink refuses checkpoint
+    // recovery, and the restart leg is the point of this test
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    def drain(table: String, sink: String, checkpoint: String): Unit = {
+      val q = streamDF(table).writeStream.outputMode("append")
+        .format("parquet").option("path", s"$outDir/$sink")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // responses: stream == batch (the parity contract)
+    drain("responses", "resp", ckpt)
+    val streamed = spark.read.parquet(s"$outDir/resp").collect()
+      .map(_.getValuesMap[String](Seq("index", "q01", "q06"))).toSet
+    val batch = batchDF("responses").collect()
+      .map(_.getValuesMap[String](Seq("index", "q01", "q06"))).toSet
+    assert(streamed == batch && batch.size == 3, s"$streamed vs $batch")
+    // participants: per-page partitions become the microbatch windows
+    val pCkpt = java.nio.file.Files.createTempDirectory("graft_stream_pk").toString
+    drain("participants", "part", pCkpt)
+    assert(spark.read.parquet(s"$outDir/part").collect()
+      .map(_.getAs[String]("email")).toSet ==
+      (0 until 10).map(i => s"p$i@x.com").toSet)
+    // incremental restart: two NEW responses arrive; the same checkpoint
+    // resumes from offset 3 and ships ONLY rows 4..5 — the incremental
+    // path the batch connector lacks (it would re-export everything)
+    writeSurveyReplies(dir, 5)
+    drain("responses", "resp", ckpt)
+    val after = spark.read.parquet(s"$outDir/resp").collect()
+      .map(_.getAs[String]("index")).toSeq
+    assert(after.size == 5 && after.toSet == Set("11", "12", "13", "14", "15"),
+      s"expected exactly the 2 new rows appended once: $after")
+  }
 }

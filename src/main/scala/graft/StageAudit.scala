@@ -138,6 +138,13 @@ object StageAudit {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         GraftListenerShims.waitListenerBusEmpty(spark.sparkContext)
         val rows = buf.synchronized(buf.toVector)
+        // free this query's localCheckpoint blocks (the Bench/Verify
+        // round-13 fix applied to the sweep too: 224 queries of pinned
+        // blocks in the SHARED 8g test JVM — after 20 prior suites —
+        // drove multi-second GC pauses that inflated later queries'
+        // single scan task past the 400 ms floor, a fake violation)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val total = rows.map(_.taskMs).sum
         val worst = rows.filter(_.tasks == 1).sortBy(-_.taskMs).headOption
         QueryAudit(name, total, worst)
@@ -153,9 +160,18 @@ object StageAudit {
       // contention artifact deflates on the quiet re-run; a real
       // 400–800 ms fully-concentrated trap (seconds at sf0.1) reproduces
       // and now flags instead of hiding under the total-work floor.
+      // ...and not just the grey band: ANY violator gets the quiet
+      // re-run. The round-14 full-suite flake was the complement case —
+      // a GC pause in the shared test JVM inflated two map-only
+      // queries' single scan task to 1.5–6 s of measured
+      // executorRunTime (q45/q166, frac 1.0, normally <100 ms; both
+      // passed the isolated re-run), and the grey-band condition
+      // (total < 2× floor) excluded them precisely BECAUSE the
+      // inflation was large. A real pushdown trap reproduces on the
+      // temporally-separated re-run; any contention/GC artifact
+      // deflates. The gate keeps its teeth either way.
       first.map { a =>
-        val grey = a.violates && a.totalTaskMs < 2 * MinSingleTaskMs
-        if (!grey) a
+        if (!a.violates) a
         else {
           val second = auditQuery(a.query, SparkEntry.queries(a.query))
           if (second.worstSingleTaskMs < a.worstSingleTaskMs) second else a

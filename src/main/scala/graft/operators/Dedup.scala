@@ -327,8 +327,15 @@ object Dedup {
     * model as MLlib's training loops. Plan-only inspection of a query
     * built on it therefore pays the clustering cost up front. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize in ONE pass over the pair plan: the union-of-swap form
+    // evaluated the whole candidate-pair subplan TWICE (one branch per
+    // direction — measured 20 s task-sum on q195's fuzzy pairs, round
+    // 14); a per-row explode of both orientations reads it once
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -339,16 +346,26 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // __chg rides along as a 0/1 long so the convergence test comes
+      // out of the SAME action that materializes the round's checkpoint
+      // (GraftShims.localCheckpointWithLongSum) — the old shape paid a
+      // separate isEmpty probe job per round (round 14)
       val propagated = labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+        .withColumn("__chg",
+          when(col("component") =!= col("__old"), 1L).otherwise(0L))
       // checkpoint BEFORE the jump, so the |E|-sized propagation subtree
       // (edges join + min aggregate) materializes exactly once per
       // round — the jump references the frame twice, which would
-      // otherwise recompute that subtree twice
-      val checkpointed = propagated.localCheckpoint(true)
+      // otherwise recompute that subtree twice. For the jump-free early
+      // rounds this checkpoint IS the round result, so its fused sum is
+      // the convergence test.
+      val (checkpointed, chgEarly) =
+        org.apache.spark.sql.GraftShims.localCheckpointWithLongSum(
+          propagated, "__chg")
       // pointer jump: component := component(component) — a self-join of
       // the CHECKPOINTED |V|-sized label frame only. Inner join is safe:
       // every label is the id of some labeled node. Skipped for the
@@ -357,17 +374,29 @@ object Dedup {
       // they never pay the extra |V| self-join; anything still moving by
       // round 3 gets the doubling.
       // ... and checkpoint the jump result too (cheap, |V|-sized): it is
-      // read three times (convergence probe + both sides of the next
-      // round), which would otherwise re-run the self-join each time
-      val next = if (iter < 2) checkpointed
-      else checkpointed.as("x")
-        .join(checkpointed.select(col("id").as("__pid"),
-          col("component").as("__pcomp")), col("x.component") === col("__pid"))
-        .select(col("x.id").as("id"), col("x.__old").as("__old"),
-          col("__pcomp").as("component"))
-        .localCheckpoint(true)
-      converged = next.filter(col("component") =!= col("__old")).isEmpty
-      labels = next.select(col("id"), col("component"))
+      // read by both sides of the next round, which would otherwise
+      // re-run the self-join each time. A jumped component may differ
+      // from __old even when the pre-jump round was stable only if the
+      // jump moved a label, which itself implies __old ≠ component
+      // somewhere — so the fused sum over the JUMPED frame is the same
+      // convergence signal the old isEmpty probe read.
+      if (iter < 2) {
+        converged = chgEarly == 0L
+        labels = checkpointed.select(col("id"), col("component"))
+      } else {
+        val jumped = checkpointed.as("x")
+          .join(checkpointed.select(col("id").as("__pid"),
+            col("component").as("__pcomp")), col("x.component") === col("__pid"))
+          .select(col("x.id").as("id"),
+            when(col("__pcomp") =!= col("x.__old"), 1L).otherwise(0L)
+              .as("__chg"),
+            col("__pcomp").as("component"))
+        val (next, chg) =
+          org.apache.spark.sql.GraftShims.localCheckpointWithLongSum(
+            jumped, "__chg")
+        converged = chg == 0L
+        labels = next.select(col("id"), col("component"))
+      }
       iter += 1
     }
     if (!converged)
@@ -522,7 +551,14 @@ object Dedup {
       .select(col("doc"), TextAnalysis.tokens(col("__t")).as("__toks"))
       .select(col("doc"),
         explode(TextAnalysis.shinglesOfTokens(col("__toks"), k)).as("shingle"))
-    val benchSh = bench.select(explode(TextAnalysis.shingles(benchText, k)).as("shingle"))
+    // widen the bench side too: it is usually a narrow slice of a
+    // single-row-group scan, and un-widened its whole shingle explode
+    // runs as ONE task inside the broadcast build (423 ms serialized in
+    // q124's profile, round 14). opaque pins the explode's inferred
+    // size(arr)>0 filter above the widening exchange (the q141 trap).
+    val benchSh = Parallelism.ensure(bench.select(benchText.as("__bt")))
+      .select(explode(Parallelism.opaque(
+        TextAnalysis.shingles(col("__bt"), k))).as("shingle"))
       .distinct()
     docSh.join(broadcast(benchSh), "shingle")
       .groupBy("doc").agg(count(lit(1)).as("n_contaminated"))

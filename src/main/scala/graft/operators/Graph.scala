@@ -70,24 +70,29 @@ object Graph {
     // union into the node set (inflating N and every node's teleport
     // share) while the null-rejecting rank join ignores its edges —
     // an asymmetric, meaningless (NULL, rank) row. Drop such edges.
-    val e = GraftShims.checkpointHashPartitioned(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull)
-        .distinct(),
-      p, "src")
-    // deg (|V|-sized) comes from grouping the pinned e on src, so it is
-    // born co-partitioned with e — the degree-attach join plans with NO
-    // exchange on either side and, crucially, no |V| broadcast. Its
-    // output is a partition-zip of two src-partitioned inputs, i.e.
-    // still physically HashPartitioning(src, p), so the checkpoint pins
-    // that claim without paying a second |E| shuffle.
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    //
+    // ONE |E| shuffle and ONE |E| materialization (round 14; was two of
+    // each): repartition FIRST, then distinct — HashPartitioning(src, p)
+    // satisfies the distinct aggregate's ClusteredDistribution(src,dst)
+    // (partitioning keys ⊆ grouping keys), so the dedup adds no
+    // exchange (the [[hits]] idiom) — and the degree attach happens
+    // INSIDE the same materializing query: deg groups the deduped edges
+    // on src (exchange-free on the same layout) and joins back
+    // co-partitioned, so the checkpoint lands (src, dst, deg) directly.
+    // The repartition exchange is planned once (reuse) with the distinct
+    // hash-aggregate evaluated on each join side — cheaper than a second
+    // |E| copy + checkpoint barrier, measured at sf0.1.
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(p, col("src"))
+      .distinct()
+    val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
     val outEdges = GraftShims.checkpointClaimHashPartitioned(
-      e.join(deg, "src"), p, "src")
+      eRaw.join(deg, "src"), p, "src")
     val nodes = GraftShims.checkpointHashPartitioned(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct(),
+      outEdges.select(col("src").as("node"))
+        .union(outEdges.select(col("dst").as("node"))).distinct(),
       p, "node")
     val n = nodes.count()
     if (n == 0L)
@@ -144,22 +149,23 @@ object Graph {
     val p = math.max(
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       edges.sparkSession.sparkContext.defaultParallelism)
-    val e = GraftShims.checkpointHashPartitioned(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull)
-        .distinct(),
-      p, "src")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // same one-shuffle/one-materialization edge+degree build as
+    // [[pageRank]] (round 14)
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(p, col("src"))
+      .distinct()
+    val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
     val outEdges = GraftShims.checkpointClaimHashPartitioned(
-      e.join(deg, "src"), p, "src")
+      eRaw.join(deg, "src"), p, "src")
     val s = GraftShims.checkpointHashPartitioned(
       seeds.select(col(seedCol).cast("long").as("node"))
         .filter(col("node").isNotNull).distinct(),
       p, "node")
     val nodes = GraftShims.checkpointHashPartitioned(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
+      outEdges.select(col("src").as("node"))
+        .union(outEdges.select(col("dst").as("node")))
         .union(s.select(col("node"))).distinct(),
       p, "node")
     val nSeeds = s.count()
@@ -266,41 +272,50 @@ object Graph {
     // the aggregate's exchange is AQE-managed and may coalesce, so a
     // claim would be false under the cluster profile). No max barrier,
     // no zero-fill: absent nodes carry 0 and contribute nothing to the
-    // next gather's join.
+    // next gather's join. The L∞ max comes out of the SAME action that
+    // materializes the checkpoint (round 14; it was a separate scalar
+    // re-aggregate + broadcast-build job per rescale — ~3 extra driver
+    // barriers per round on a ~25 ms/job floor), and folds into the
+    // scaling projection as a plan-time literal — bit-identical values.
     def gatherRaw(e: DataFrame, from: String, to: String,
-        scores: DataFrame): DataFrame =
-      GraftShims.checkpointHashPartitioned(
+        scores: DataFrame): (DataFrame, Long) =
+      GraftShims.checkpointHashPartitionedWithMax(
         e.join(gate(scores), col(from) === col("node"))
           .select(col(to).as("node"), col("v").as("__x"))
           .groupBy("node").agg(sum(col("__x")).as("__s")),
-        p, "node")
-    // L∞ rescale: the max is a re-aggregate of the just-checkpointed
-    // gather (a cheap scan of pinned blocks), broadcast as one scalar.
-    // `v·unit div max` runs as the exact two-stage ×u1×u2 long-division
-    // identity (floor(S·u1·u2/W) = (S·u1 div W)·u2 + (S·u1 mod W)·u2
-    // div W — exact for nonnegative longs) so the raw mass only needs
-    // ~√unit multiplicative headroom instead of unit: the deferred
-    // half-round's indeg·outdeg·unit sums would overflow a single
-    // ×unit multiply at the 100× rehearsal scale
+        p, "node", "__s")
+    // L∞ rescale: `v·unit div max` runs as the exact two-stage ×u1×u2
+    // long-division identity (floor(S·u1·u2/W) = (S·u1 div W)·u2 +
+    // (S·u1 mod W)·u2 div W — exact for nonnegative longs) so the raw
+    // mass only needs ~√unit multiplicative headroom instead of unit:
+    // the deferred half-round's indeg·outdeg·unit sums would overflow a
+    // single ×unit multiply at the 100× rehearsal scale
     val (u1, u2) = {
       var f = math.sqrt(unit.toDouble).toLong max 1L
       while (f > 1 && unit % f != 0) f -= 1
       (f, unit / f)
     }
-    def rescale(raw: DataFrame): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(max(col("__s")).as("__m"))))
-        .select(col("node"),
-          expr(s"(__s * $u1 div __m) * $u2 + " +
-            s"(__s * $u1 % __m) * $u2 div __m").as("v"))
+    // empty gathers cannot happen on a nonempty graph (h starts at
+    // `unit` on every node), but mirror the old crossJoin-with-empty
+    // behavior anyway: no rows in, no rows out, whatever the scalar
+    def rescale(raw: DataFrame, m: Long): DataFrame = {
+      val mm = if (m == Long.MinValue) 1L else m
+      raw.select(col("node"),
+        expr(s"(__s * $u1 div $mm) * $u2 + " +
+          s"(__s * $u1 % $mm) * $u2 div $mm").as("v"))
+    }
     var h = nodes.select(col("node"), lit(unit).as("v"))
     var aRaw: DataFrame = null
+    var aMax = Long.MinValue
     (1 to rounds).foreach { _ =>
-      aRaw = gatherRaw(eSrc, "src", "dst", h)
-      h = rescale(gatherRaw(eDst, "dst", "src",
-        aRaw.select(col("node"), col("__s").as("v"))))
+      val (ar, am) = gatherRaw(eSrc, "src", "dst", h)
+      aRaw = ar; aMax = am
+      val (hr, hm) = gatherRaw(eDst, "dst", "src",
+        aRaw.select(col("node"), col("__s").as("v")))
+      h = rescale(hr, hm)
     }
     nodes
-      .join(gate(rescale(aRaw).withColumnRenamed("v", "__a")),
+      .join(gate(rescale(aRaw, aMax).withColumnRenamed("v", "__a")),
         Seq("node"), "left")
       .join(gate(h.withColumnRenamed("v", "__h")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth_unit"),
@@ -355,39 +370,59 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("x"),
         col(dstCol).cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-    val canon = GraftShims.checkpointHashPartitioned(
+    // repartition FIRST, then distinct (the [[hits]] idiom): one |E|
+    // exchange instead of distinct's own + the checkpoint repartition
+    val canon = GraftShims.checkpointClaimHashPartitioned(
       e0.select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
+        .repartition(p, col("a"))
         .distinct(),
       p, "a")
     // the broadcast gate reads an eager count — a scalar, and this
     // operator is already eager through its checkpoints
     val gate: DataFrame => DataFrame =
       if (canon.count() <= broadcastMaxEdges) broadcast else identity
-    // undirected degree: |V|-sized from here on
-    val deg = canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
+    // undirected degree: |V|-sized from here on. CHECKPOINTED: it is
+    // consumed three times (two gated attach sides + the output join),
+    // and each gated broadcast build otherwise re-derives the whole
+    // 2|E|-row union + aggregate — measured ~0.7 s of q111's 3.9 s as
+    // two identical 64-task stages (round 14; alias-renamed broadcast
+    // subtrees never hit exchange reuse, the q212 margin lesson)
+    val deg = GraftShims.checkpointHashPartitioned(
+      canon.select(col("a").as("node"))
+        .union(canon.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d")),
+      p, "node")
     // direct each edge low->high under (degree, id)
     val attached = canon
       .join(gate(deg.select(col("node").as("a"), col("d").as("da"))), "a")
       .join(gate(deg.select(col("node").as("b"), col("d").as("db"))), "b")
     val low = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val fwd = GraftShims.checkpointHashPartitioned(
-      attached.select(
-        when(low, col("a")).otherwise(col("b")).as("u"),
-        when(low, col("b")).otherwise(col("a")).as("v")),
-      p, "u")
+    val fwd = attached.select(
+      when(low, col("a")).otherwise(col("b")).as("u"),
+      when(low, col("b")).otherwise(col("a")).as("v"))
     // forward adjacency: one array per node, sorted by id so the
     // per-edge intersection is a merge of two sorted runs; every row
-    // bounded at sqrt(2m) elements by the degree ordering
-    val adjF = fwd.groupBy("u")
-      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    // bounded at sqrt(2m) elements by the degree ordering. This is the
+    // ONLY materialized derivative of the directed edges (round 14):
+    // fwd itself stays lazy inside this one checkpoint — each directed
+    // edge (u, v) is recovered below by EXPLODING u's adjacency row, so
+    // the old separate fwd checkpoint (a second |E| copy + barrier) and
+    // the u-side adjacency attach join disappear outright.
+    val adjF = GraftShims.checkpointClaimHashPartitioned(
+      fwd.repartition(p, col("u"))
+        .groupBy("u")
+        .agg(array_sort(collect_list(col("v"))).as("nbrs")),
+      p, "u")
     // each directed edge meets both endpoints' forward sets; the
-    // intersection members are the triangles' third corners
-    val tris = fwd
-      .join(gate(adjF.select(col("u"), col("nbrs").as("__nu"))), Seq("u"))
+    // intersection members are the triangles' third corners. The edge
+    // and its u-side set come from one explode of adjF (v ∈ nbrs(u) BY
+    // CONSTRUCTION is exactly the directed edge list); only the v-side
+    // set needs an attach join.
+    val tris = adjF
+      .select(col("u"), col("nbrs").as("__nu"),
+        explode(col("nbrs")).as("v"))
       .join(gate(adjF.select(col("u").as("v"), col("nbrs").as("__nv"))),
         Seq("v"))
       .select(col("u"), col("v"),
@@ -440,8 +475,13 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val e = GraftShims.checkpointHashPartitioned(
-      raw.union(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+    // repartition FIRST, then distinct (the [[hits]] idiom): the dedup
+    // aggregate runs exchange-free on the target v layout — one |E|
+    // shuffle instead of distinct's own + the checkpoint repartition
+    val e = GraftShims.checkpointClaimHashPartitioned(
+      raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+        .repartition(p, col("v"))
+        .distinct(),
       p, "v")
     var survivors = GraftShims.checkpointHashPartitioned(
       e.select(col("u").as("node")).distinct(), p, "node")
@@ -495,8 +535,12 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val e = GraftShims.checkpointHashPartitioned(
-      raw.union(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+    // repartition FIRST, then distinct — one |E| shuffle (the [[hits]]
+    // idiom, see [[kCore]])
+    val e = GraftShims.checkpointClaimHashPartitioned(
+      raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+        .repartition(p, col("v"))
+        .distinct(),
       p, "v")
     // symmetric edge list: the u side alone covers every non-isolated
     // node, and isolated nodes have no business in a vote

@@ -145,6 +145,34 @@ object Parallelism {
       case None => probedPartitions(df) // uncacheable leaf: probe fresh
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (n >= 0 && n < target) df.repartition(target) else df
+    if (n >= 0 && n < target) {
+      // hash-repartition on the row CONTENT, not round-robin: a keyless
+      // repartition(n) pays a local sort of its whole input first
+      // (sortBeforeRepartition, on since SPARK-23207 so retried tasks
+      // reproduce their row-to-partition assignment) — measured ~500 ms
+      // serialized on the 3-task lineitem scan at sf0.1, the single
+      // largest stage of every co-purchase graph query (round 14).
+      // Hashing the output attributes is deterministic per ROW (retry-
+      // safe with no sort) and spreads as evenly as the content varies;
+      // every ensure call site feeds row-independent compute, so
+      // placement is semantically irrelevant. Map-typed columns are not
+      // hashable (ANSI) and drop out of the key; an all-map projection
+      // falls back to the sorted round-robin path.
+      val hashable = df.queryExecution.analyzed.output
+        .filterNot(a => containsMap(a.dataType))
+      if (hashable.nonEmpty)
+        df.repartition(target,
+          hashable.map(a => org.apache.spark.sql.GraftShims.columnOf(a)): _*)
+      else df.repartition(target)
+    } else df
   }
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
 }

@@ -43,9 +43,17 @@ object CurationPipeline {
     * kept docs the PII-redacted text (null otherwise). */
   def dispositions(docs: DataFrame, evalDocs: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
+    // widen the scan ONCE, at the root: every stage below composes
+    // joins on top of `base`, and ensure NO-OPS on wide plans — so the
+    // single-row-group documents scan otherwise pins the quality
+    // survivors join, the dedup operators' shingle passes AND the final
+    // disposition pass (redactPii regexes over every kept doc) to ONE
+    // task (the q206 round-10 trap; measured ~1.4 s of serialized
+    // 1-task stages in q124's 5.3 s, round 14)
+    val base = graft.operators.Parallelism.ensure(
+      docs.select(col("doc_id"), col("text")))
     val quality = TextAnalysis
-      .qualityFeatures(graft.operators.Parallelism.ensure(base), col("text"))
+      .qualityFeatures(base, col("text"))
       .select(col("doc_id"),
         (col("quality_score").isNotNull &&
           col("quality_score") >= cfg.qualityMin).as("__q_pass"))

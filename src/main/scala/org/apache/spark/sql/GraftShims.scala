@@ -42,6 +42,62 @@ object GraftShims {
       keyCols: String*): Dataset[Row] =
     doCheckpointPinned(df, numParts, keyCols)
 
+  /** [[checkpointHashPartitioned]] that ALSO returns `max(maxCol)`
+    * (a non-null long column), computed by the SAME action that
+    * materializes the checkpoint — one job instead of a checkpoint
+    * count plus a later scalar re-aggregate + broadcast build. The
+    * caller folds the scalar into its plan as a literal (an iterative
+    * fit's bounded driver decision — the BPE-trainer shape). Returns
+    * `Long.MinValue` for an empty input, which a caller that would
+    * previously have seen a NULL max on an empty cross-join side must
+    * treat as "no rows to scale". */
+  def checkpointHashPartitionedWithMax(df: Dataset[Row], numParts: Int,
+      keyCol: String, maxCol: String): (Dataset[Row], Long) = {
+    val ds = df.repartition(numParts, df.col(keyCol))
+      .asInstanceOf[classic.Dataset[Row]]
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val output = qe.analyzed.output
+    val idx = output.indexWhere(_.name == maxCol)
+    require(idx >= 0, s"no column $maxCol in ${output.map(_.name)}")
+    // the aggregate is the materializing action (first job over a
+    // locally-checkpointed RDD persists its blocks, same as count())
+    val m = rdd.aggregate(Long.MinValue)(
+      (acc, row) => if (row.isNullAt(idx)) acc
+        else math.max(acc, row.getLong(idx)),
+      math.max)
+    val keys = Seq(output.find(_.name == keyCol).get)
+    val part = HashPartitioning(keys, numParts)
+    (classic.Dataset.ofRows(ds.sparkSession,
+      LogicalRDD(output, rdd, part, Nil, isStreaming = false, None)(
+        ds.sparkSession, None, None)), m)
+  }
+
+  /** Eager local checkpoint that ALSO returns `sum(sumCol)` (a non-null
+    * LONG column), computed by the SAME action that materializes the
+    * blocks — one job instead of the checkpoint count plus a separate
+    * probe job. Physical partitioning/ordering are preserved exactly as
+    * `Dataset.localCheckpoint` would (via `LogicalRDD.fromDataset`), so
+    * this is a drop-in replacement wherever the caller would otherwise
+    * checkpoint eagerly and then immediately run a scalar probe over
+    * the result (an iterative fit's convergence test). */
+  def localCheckpointWithLongSum(df: Dataset[Row],
+      sumCol: String): (Dataset[Row], Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val output = qe.analyzed.output
+    val idx = output.indexWhere(_.name == sumCol)
+    require(idx >= 0, s"no column $sumCol in ${output.map(_.name)}")
+    val s = rdd.aggregate(0L)(
+      (acc, row) => if (row.isNullAt(idx)) acc else acc + row.getLong(idx),
+      _ + _)
+    (classic.Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(rdd, ds, isStreaming = false)), s)
+  }
+
   private def doCheckpointPinned(df: Dataset[Row], numParts: Int,
       keyCols: Seq[String]): Dataset[Row] = {
     require(keyCols.nonEmpty && numParts > 0)

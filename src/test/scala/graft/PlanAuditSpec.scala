@@ -25,12 +25,23 @@ class PlanAuditSpec extends SparkSpec {
   private def countOf(pattern: String, plan: String): Int =
     pattern.r.findAllIn(plan).size
 
+  /** Keyed exchanges EXCLUDING explicit widening repartitions:
+    * `Parallelism.ensure` hash-partitions on row content since round 14
+    * (it printed as RoundRobinPartitioning before and was invisible to
+    * these counts), and its exchanges carry the REPARTITION_BY_NUM
+    * cause marker. Engine-inserted shuffles (ENSURE_REQUIREMENTS) — the
+    * thing these audits guard — still count. */
+  private def keyedShuffles(plan: String): Int =
+    plan.linesIterator.count(l => l.contains("Exchange hashpartitioning") &&
+      !l.contains("REPARTITION_BY_NUM"))
+
   test("q03 dropna: the JSON parse runs ABOVE the widening exchange, not on the scan task") {
     val plan = planOf("q03_dropna_subset")
     // the barriered filter keeps get_json_object out of the scan stage:
-    // nothing json-shaped may appear below the RoundRobin exchange
+    // nothing json-shaped may appear below the widening exchange
+    // (REPARTITION_BY_NUM — ensure's content-hash repartition, round 14)
     val lines = plan.linesIterator.toSeq
-    val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    val exIdx = lines.indexWhere(_.contains("REPARTITION_BY_NUM"))
     assert(exIdx >= 0, plan.take(800))
     // physical plan prints top-down: everything BELOW the exchange line
     // is the scan stage — the parse must only appear above it
@@ -82,7 +93,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q29 minhash: no join anywhere; two hash shuffles (signatures, buckets)") {
     val plan = planOf("q29_dedup_minhash")
     assert(!plan.contains("Join"), plan.take(800))
-    assert(countOf("Exchange hashpartitioning", plan) <= 3, plan.take(800))
+    assert(keyedShuffles(plan) <= 3, plan.take(800))
     assert(plan.contains("partial_min"), "map-side partial aggregation missing")
   }
 
@@ -185,12 +196,12 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(800))
     // exchanges: the benchmark-side distinct (tiny) + the final per-doc
     // count — the corpus side itself never shuffles before the join
-    assert(countOf("Exchange hashpartitioning", plan) <= 2, plan.take(1000))
+    assert(keyedShuffles(plan) <= 2, plan.take(1000))
   }
 
   test("q59 pii redaction: pure narrow codegen'd map, zero exchanges") {
     val plan = planOf("q59_pii_redact")
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(keyedShuffles(plan) == 0, plan.take(800))
     assert(!plan.contains("Join"), plan.take(800))
   }
 
@@ -293,7 +304,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q71 quantization is a pure narrow map: zero exchanges, zero joins") {
     val plan = planOf("q71_quantize_int8")
     assert(!plan.contains("Join"), plan.take(800))
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(keyedShuffles(plan) == 0, plan.take(800))
     assert(!plan.contains("Window"), plan.take(800))
   }
 
@@ -328,9 +339,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf("top_k_by_score", plan) >= 2, plan.take(1000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
     // the lexical overlap must compute ABOVE the widening exchange (the
-    // q03 trap): nothing token-shaped below RoundRobin
+    // q03 trap): nothing token-shaped below the REPARTITION_BY_NUM
+    // widening
     val lines = plan.linesIterator.toSeq
-    val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    val exIdx = lines.indexWhere(_.contains("REPARTITION_BY_NUM"))
     assert(exIdx >= 0, plan.take(800))
     assert(!lines.drop(exIdx + 1).exists(_.contains("array_intersect")),
       lines.drop(exIdx + 1).filter(_.contains("array_intersect")).mkString("\n"))
@@ -569,9 +581,9 @@ class PlanAuditSpec extends SparkSpec {
   test("q127 winnowing: pure map + generate — no key shuffle, zero joins") {
     // the whole fingerprint pipeline is per-row (hashes, window minima,
     // per-doc distinct): the ONLY allowed exchange is Parallelism
-    // .ensure's RoundRobin widening of the single-row-group scan
+    // .ensure's widening of the single-row-group scan
     val plan = planOf("q127_winnow_fingerprints")
-    assert(!plan.contains("Exchange hashpartitioning") &&
+    assert(keyedShuffles(plan) == 0 &&
       !plan.contains("Exchange rangepartitioning"), plan.take(1200))
     assert(!plan.contains("Join"), plan.take(1200))
   }
@@ -604,9 +616,9 @@ class PlanAuditSpec extends SparkSpec {
   test("q133 span corruption: pure map — no key shuffle, zero joins, no window") {
     // the whole denoising-pair builder is per-row (block table bound
     // once, O(1) lookups): the ONLY allowed exchange is Parallelism
-    // .ensure's RoundRobin widening of the single-row-group scan
+    // .ensure's widening of the single-row-group scan
     val plan = planOf("q133_span_corruption")
-    assert(!plan.contains("Exchange hashpartitioning") &&
+    assert(keyedShuffles(plan) == 0 &&
       !plan.contains("Exchange rangepartitioning"), plan.take(1200))
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1200))
   }

@@ -47,7 +47,9 @@ class StageAuditSpec extends SparkSpec {
     // hypothetical) — the filter sits below the exchange in the plan
     val plan = trap.queryExecution.executedPlan.toString
     val lines = plan.linesIterator.toSeq
-    val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    // ensure's widening exchange (content-hash REPARTITION_BY_NUM since
+    // round 14; RoundRobinPartitioning before)
+    val exIdx = lines.indexWhere(_.contains("REPARTITION_BY_NUM"))
     assert(exIdx >= 0, plan.take(800))
     assert(lines.drop(exIdx + 1).exists(_.contains("xxhash64")),
       "trap did not arm (pushdown rules changed?):\n" + plan.take(1500))

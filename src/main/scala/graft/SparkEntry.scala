@@ -429,7 +429,10 @@ object SparkEntry {
     // numbers extract as their source text, same as get_json_object);
     // three get_json_object calls would parse the same string three times.
     "q45_json_props" -> ((s, d) =>
-      Tables.events(s, d)
+      // widen the scan: the JSON parse otherwise runs on the events
+      // table's single row-group task (439 ms serialized at sf0.1 —
+      // the round-14 StageAudit sf0.1 sweep finding)
+      wide(Tables.events(s, d).select("event_id", "props"))
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
             "k STRING, v STRING, missing STRING")).as("__p"))

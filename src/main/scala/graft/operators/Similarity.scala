@@ -741,8 +741,11 @@ object Similarity {
     val cbArr = codebook.agg(
       sort_array(collect_list(struct(col("code_id"),
         col("codeword").cast("array<double>").as("codeword")))).as("__cb"))
-    val joined = df
-      .select(col(idCol), col("embedding").cast("array<double>").as("__e"))
+    // widen the corpus side: the per-row argmin folds otherwise run on
+    // the single row-group scan task (355 ms serialized at sf0.1,
+    // round-14 StageAudit sweep)
+    val joined = Parallelism.ensure(
+        df.select(col(idCol), col("embedding").cast("array<double>").as("__e")))
       .crossJoin(broadcast(cbArr))
       .withColumn("__len", expr(s"size(__e) div $subspaces").cast("int"))
     val codes = (0 until subspaces).map { s =>
@@ -1039,11 +1042,15 @@ object Similarity {
   def jlProject(df: DataFrame, dIn: Int, kOut: Int,
       seed: String = "rp", idCol: String = "vec_id"): DataFrame = {
     require(kOut >= 1 && dIn >= kOut, "need 1 <= kOut <= dIn")
-    val base = df
+    // widen the embeddings scan (373 ms serialized at sf0.1, round-14
+    // StageAudit sweep); the dimension filter is pinned unpushable or
+    // its substituted transform would drag the whole quantization
+    // below the widening exchange (the q141 trap)
+    val base = Parallelism.ensure(df.select(col(idCol), col("embedding")))
       .select(col(idCol),
         transform(col("embedding").cast("array<double>"),
           v => floor(v * lit(1e6) + lit(0.5)).cast(LongType)).as("__vm"))
-      .filter(size(col("__vm")) === dIn)
+      .filter(Parallelism.unpushable(size(col("__vm")) === dIn))
     val projs = (0 until kOut).map { j =>
       val signs = (0 until dIn).map(i =>
         if (graft.functions.Hashing.hexLongJvm(s"$seed:$j:$i") % 2 == 0)

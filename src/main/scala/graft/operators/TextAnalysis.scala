@@ -3752,7 +3752,10 @@ object TextAnalysis {
     import org.apache.spark.sql.types.LongType
     def cnt(pat: String) =
       regexp_count(col("__tx"), lit(pat)).cast(LongType)
-    df.filter(textCol.isNotNull)
+    // widen before the regexp counts (328 ms serialized at sf0.1,
+    // round-14 StageAudit sweep); ensure(df) rather than
+    // ensure(select) so a spiked textCol evaluates above the exchange
+    Parallelism.ensure(df).filter(textCol.isNotNull)
       .select(col(idCol), textCol.as("__tx"))
       .withColumn("n_chars", length(col("__tx")).cast(LongType))
       .filter(col("n_chars") > 0L)
@@ -3788,13 +3791,21 @@ object TextAnalysis {
     * syllables, zero shuffles. Empty/null texts (W = 0) carry no
     * readability and are excluded — mirror `n_words > 0`. */
   def readability(df: DataFrame, idCol: String, textCol: Column): DataFrame =
-    df.select(col(idCol),
+    // widen the whole frame FIRST (ensure(df), not ensure(select)): the
+    // caller's textCol often carries a spike expression, and selecting
+    // below the exchange would evaluate it on the single scan task —
+    // q178 ran fully serialized (615 ms at sf0.1, round-14 StageAudit
+    // sweep). The n_words filter is pinned unpushable: substituted, it
+    // would drag the whole tokenization below the widening exchange
+    // (the q141 trap).
+    Parallelism.ensure(df)
+      .select(col(idCol),
         filter(tokens(regexp_replace(textCol, "\\.", " ")),
           w => length(w) > 0).as("__w"),
         greatest(lit(1L),
           regexp_count(textCol, lit("\\.")).cast(LongType)).as("n_sentences"))
       .withColumn("n_words", size(col("__w")).cast(LongType))
-      .filter(col("n_words") > 0L)
+      .filter(Parallelism.unpushable(col("n_words") > 0L))
       .withColumn("n_syllables",
         aggregate(col("__w"), lit(0L), (acc, w) => acc +
           greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast(LongType))))

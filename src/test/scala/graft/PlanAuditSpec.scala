@@ -557,7 +557,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     assert(!plan.contains("SortAggregate"), plan.take(1200))
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+    assert(keyedShuffles(plan) == 0, plan.take(1200))
   }
 
   test("q121 percent-rank: the global window runs over the DISTINCT-VALUE table, not the corpus") {

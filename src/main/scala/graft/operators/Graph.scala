@@ -90,11 +90,12 @@ object Graph {
     val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
     val outEdges = GraftShims.checkpointClaimHashPartitioned(
       eRaw.join(deg, "src"), p, "src")
-    val nodes = GraftShims.checkpointHashPartitioned(
+    // the checkpoint's materializing action counts anyway — reuse it
+    // for the size gate instead of a separate whole-table scan job
+    val (nodes, n) = GraftShims.checkpointHashPartitionedWithCount(
       outEdges.select(col("src").as("node"))
         .union(outEdges.select(col("dst").as("node"))).distinct(),
       p, "node")
-    val n = nodes.count()
     if (n == 0L)
       return nodes.select(col("node"), lit(0L).as("rank_unit"))
     // all-positive integer arithmetic: Scala / == SQL div here, so the
@@ -159,21 +160,22 @@ object Graph {
     val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
     val outEdges = GraftShims.checkpointClaimHashPartitioned(
       eRaw.join(deg, "src"), p, "src")
-    val s = GraftShims.checkpointHashPartitioned(
+    // both checkpoints surface their counts — no separate scan jobs
+    // for the seed share or the broadcast gate
+    val (s, nSeeds) = GraftShims.checkpointHashPartitionedWithCount(
       seeds.select(col(seedCol).cast("long").as("node"))
         .filter(col("node").isNotNull).distinct(),
       p, "node")
-    val nodes = GraftShims.checkpointHashPartitioned(
+    val (nodes, nNodes) = GraftShims.checkpointHashPartitionedWithCount(
       outEdges.select(col("src").as("node"))
         .union(outEdges.select(col("dst").as("node")))
         .union(s.select(col("node"))).distinct(),
       p, "node")
-    val nSeeds = s.count()
     if (nSeeds == 0L)
       return nodes.select(col("node"), lit(0L).as("rank_unit"))
     val tele = ((100L - dampingPct) * (unit / nSeeds)) / 100L
     val gate: DataFrame => DataFrame =
-      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
     // tele(v) joins as a seed flag once; r0 = the teleport vector
     val teleCol = when(col("__seed").isNotNull, lit(tele))
       .otherwise(lit(0L))
@@ -257,11 +259,10 @@ object Graph {
         .distinct(),
       p, "src")
     val eDst = GraftShims.checkpointHashPartitioned(eSrc, p, "dst")
-    val nodes = GraftShims.checkpointHashPartitioned(
+    val (nodes, n) = GraftShims.checkpointHashPartitionedWithCount(
       eSrc.select(col("src").as("node"))
         .union(eSrc.select(col("dst").as("node"))).distinct(),
       p, "node")
-    val n = nodes.count()
     if (n == 0L)
       return nodes.select(col("node"), lit(0L).as("auth_unit"),
         lit(0L).as("hub_unit"))
@@ -372,16 +373,16 @@ object Graph {
       .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
     // repartition FIRST, then distinct (the [[hits]] idiom): one |E|
     // exchange instead of distinct's own + the checkpoint repartition
-    val canon = GraftShims.checkpointClaimHashPartitioned(
+    val (canon, nCanon) = GraftShims.checkpointClaimHashPartitionedWithCount(
       e0.select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
         .repartition(p, col("a"))
         .distinct(),
       p, "a")
-    // the broadcast gate reads an eager count — a scalar, and this
-    // operator is already eager through its checkpoints
+    // the broadcast gate reads the checkpoint's own count — a scalar,
+    // and this operator is already eager through its checkpoints
     val gate: DataFrame => DataFrame =
-      if (canon.count() <= broadcastMaxEdges) broadcast else identity
+      if (nCanon <= broadcastMaxEdges) broadcast else identity
     // undirected degree: |V|-sized from here on. CHECKPOINTED: it is
     // consumed three times (two gated attach sides + the output join),
     // and each gated broadcast build otherwise re-derives the whole
@@ -472,21 +473,28 @@ object Graph {
     require(k >= 1 && rounds >= 1)
     require(broadcastMaxNodes >= 0L)
     val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // symmetrize in ONE pass (the [[Dedup.connectedComponents]] round-14
+    // explode form — a union-of-swap evaluates the caller's edge
+    // subplan, often a self-join, once per branch), then repartition
+    // FIRST and distinct (the [[hits]] idiom): the dedup aggregate runs
+    // exchange-free on the target v layout — one |E| shuffle instead of
+    // distinct's own + the checkpoint repartition
     val raw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    // repartition FIRST, then distinct (the [[hits]] idiom): the dedup
-    // aggregate runs exchange-free on the target v layout — one |E|
-    // shuffle instead of distinct's own + the checkpoint repartition
     val e = GraftShims.checkpointClaimHashPartitioned(
-      raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      raw.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
         .repartition(p, col("v"))
         .distinct(),
       p, "v")
-    var survivors = GraftShims.checkpointHashPartitioned(
+    val (survivors0, nSurv) = GraftShims.checkpointHashPartitionedWithCount(
       e.select(col("u").as("node")).distinct(), p, "node")
+    var survivors = survivors0
     val gate: DataFrame => DataFrame =
-      if (survivors.count() <= broadcastMaxNodes) broadcast else identity
+      if (nSurv <= broadcastMaxNodes) broadcast else identity
     def aliveDeg(s: DataFrame): DataFrame =
       e.join(gate(s), col("v") === col("node"), "left_semi")
         .groupBy("u").agg(count(lit(1)).as("__c"))
@@ -535,18 +543,20 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    // repartition FIRST, then distinct — one |E| shuffle (the [[hits]]
-    // idiom, see [[kCore]])
+    // one-pass symmetrize + repartition-first distinct — one |E|
+    // shuffle, edge subplan evaluated once (see [[kCore]])
     val e = GraftShims.checkpointClaimHashPartitioned(
-      raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      raw.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
         .repartition(p, col("v"))
         .distinct(),
       p, "v")
     // symmetric edge list: the u side alone covers every non-isolated
     // node, and isolated nodes have no business in a vote
-    val nodes = GraftShims.checkpointHashPartitioned(
+    val (nodes, n) = GraftShims.checkpointHashPartitionedWithCount(
       e.select(col("u").as("node")).distinct(), p, "node")
-    val n = nodes.count()
     if (n == 0L) return nodes.select(col("node"), col("node").as("community"))
     val gate: DataFrame => DataFrame =
       if (n <= broadcastMaxNodes) broadcast else identity

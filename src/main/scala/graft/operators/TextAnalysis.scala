@@ -3288,10 +3288,16 @@ object TextAnalysis {
         .as("__p"))
       .select(col("__p.w1"), col("__p.w2"))
       .filter(col("w1") =!= col("w2"))
-    val edges = bp.select(Hashing.hexLong(col("w1")).as("src"),
-        Hashing.hexLong(col("w2")).as("dst"))
-      .union(bp.select(Hashing.hexLong(col("w2")).as("src"),
-        Hashing.hexLong(col("w1")).as("dst")))
+    // symmetrize in ONE pass (the CC round-14 explode form): the union
+    // form evaluated the whole bigram pipeline once per branch, and
+    // binding the two md5s to real columns first hashes each word once
+    val edges = bp
+      .select(Hashing.hexLong(col("w1")).as("__h1"),
+        Hashing.hexLong(col("w2")).as("__h2"))
+      .select(explode(array(
+        struct(col("__h1").as("src"), col("__h2").as("dst")),
+        struct(col("__h2").as("src"), col("__h1").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
     val ranks = Graph.pageRank(edges, "src", "dst", iters)
     val vocab = ft.select(explode(col("__fw")).as("keyword")).distinct()
       .select(col("keyword"), Hashing.hexLong(col("keyword")).as("node"))

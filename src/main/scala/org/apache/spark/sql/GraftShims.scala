@@ -30,7 +30,23 @@ object GraftShims {
   def checkpointHashPartitioned(df: Dataset[Row], numParts: Int,
       keyCols: String*): Dataset[Row] =
     doCheckpointPinned(df.repartition(numParts, keyCols.map(df.col): _*),
+      numParts, keyCols)._1
+
+  /** [[checkpointHashPartitioned]] that ALSO returns the row count —
+    * the materializing action counts anyway, and callers that need the
+    * count for a size gate (broadcast thresholds, teleport shares)
+    * otherwise pay a separate whole-table scan job for a number the
+    * checkpoint just computed. */
+  def checkpointHashPartitionedWithCount(df: Dataset[Row], numParts: Int,
+      keyCols: String*): (Dataset[Row], Long) =
+    doCheckpointPinned(df.repartition(numParts, keyCols.map(df.col): _*),
       numParts, keyCols)
+
+  /** [[checkpointClaimHashPartitioned]] with the row count, see
+    * [[checkpointHashPartitionedWithCount]]. */
+  def checkpointClaimHashPartitionedWithCount(df: Dataset[Row], numParts: Int,
+      keyCols: String*): (Dataset[Row], Long) =
+    doCheckpointPinned(df, numParts, keyCols)
 
   /** Variant that pins WITHOUT shuffling: the caller asserts the input's
     * physical layout already is `HashPartitioning(keys, numParts)` —
@@ -40,7 +56,7 @@ object GraftShims {
     * call sites whose derivation provably preserves the layout. */
   def checkpointClaimHashPartitioned(df: Dataset[Row], numParts: Int,
       keyCols: String*): Dataset[Row] =
-    doCheckpointPinned(df, numParts, keyCols)
+    doCheckpointPinned(df, numParts, keyCols)._1
 
   /** [[checkpointHashPartitioned]] that ALSO returns `max(maxCol)`
     * (a non-null long column), computed by the SAME action that
@@ -99,19 +115,22 @@ object GraftShims {
   }
 
   private def doCheckpointPinned(df: Dataset[Row], numParts: Int,
-      keyCols: Seq[String]): Dataset[Row] = {
+      keyCols: Seq[String]): (Dataset[Row], Long) = {
     require(keyCols.nonEmpty && numParts > 0)
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val qe = ds.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // materialize now — same eager contract as Dataset.localCheckpoint
+    // materialize now — same eager contract as Dataset.localCheckpoint;
+    // the count is surfaced (WithCount variants) so size-gate callers
+    // don't pay a separate whole-table scan job for it
+    val n = rdd.count()
     val output = qe.analyzed.output
     val keys = keyCols.map(k => output.find(_.name == k).getOrElse(
       throw new IllegalArgumentException(s"no column $k in ${output.map(_.name)}")))
     val part = HashPartitioning(keys, numParts)
-    classic.Dataset.ofRows(ds.sparkSession,
+    (classic.Dataset.ofRows(ds.sparkSession,
       LogicalRDD(output, rdd, part, Nil, isStreaming = false, None)(
-        ds.sparkSession, None, None))
+        ds.sparkSession, None, None)), n)
   }
 }

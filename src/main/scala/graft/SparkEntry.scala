@@ -40,6 +40,38 @@ object SparkEntry {
   private def wide(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Parallelism.ensure(df)
 
+  /** The co-purchase part graph (two parts edge when one order holds
+    * both, directed both ways) shared by q84/q173. Round-14 shape: one
+    * widened exchange on l_orderkey, per-order DISTINCT part sets, the
+    * lazy native pair generator, and a both-orientations explode — the
+    * identical edge set the old `wide(li) ⋈ broadcast(li)` self-join
+    * produced (IdPairs emits each unordered distinct pair once; the
+    * explode restores both directions; the operator's distinct
+    * collapses duplicates across orders), minus the second lineitem
+    * scan, the 600 k-row broadcast build job and the hashtable probe. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    coPurchasePairs(s, d)
+      .select(explode(array(
+        struct(col("__x").as("src"), col("__y").as("dst")),
+        struct(col("__y").as("src"), col("__x").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
+  /** Unordered (x < y) co-purchase part pairs — the undirected form
+    * [[coPurchaseEdges]] explodes; q111's triangle counter canonicalizes
+    * to (a < b) anyway, so it consumes this directly. */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .repartition(par, col("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("__ps"))
+      .filter(size(col("__ps")) >= 2)
+      .select(graft.functions.Native.idPairs(col("__ps"))
+        .as(Seq("__x", "__y")))
+  }
+
   /** Graded near-dup twin corpus shared by the LSH calibration audits
     * (q206 single point, q208 sweep): documents spiked so doc_id%30 ∈
     * {1, 11, 21} become twins of doc_id−1 at three Jaccard grades
@@ -1866,15 +1898,12 @@ object SparkEntry {
     // compact-forward degree ordering caps wedge fan-out at sqrt(m);
     // the oracle's naive id-ordering must count identically
     "q111_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      // widen the PROBE side before the self-join: the pair fan-out and
-      // the canonical-edge partial distinct otherwise run on the 3
-      // lineitem scan tasks (1.5 s serialized of q111's 3.6 s, round 12)
-      val e = wide(li).as("a").join(broadcast(li.as("b")),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      Graph.triangleCounts(e, "src", "dst")
+      // undirected co-purchase pairs from the shared per-order builder
+      // (round 14: one widened orderkey exchange + the lazy pair
+      // generator — no broadcast self-join, no second lineitem scan);
+      // the operator canonicalizes (a < b) itself, so the unordered
+      // x < y pair form is the exact same edge set
+      Graph.triangleCounts(coPurchasePairs(s, d), "__x", "__y")
         .select(col("node").as("l_partkey"), col("degree"),
           col("n_triangles"))
     }),
@@ -2647,14 +2676,21 @@ object SparkEntry {
     // -> 45 -> 45 survivors; converged by round 6), so the oracle's
     // unrolled peels each do real work, not a vacuous fixed point
     "q157_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // per-order pair builder (the q84/q111 round-14 shape) over the
+      // high-quantity slice; kCore symmetrizes internally, so the
+      // unordered x < y pairs are the same undirected edge set the old
+      // self-join produced
+      val par = s.sparkContext.defaultParallelism
+      val pairs = Tables.lineitem(s, d)
         .filter(col("l_quantity") > 45)
         .select("l_orderkey", "l_partkey")
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      Graph.kCore(e, "src", "dst", k = 3, rounds = 6)
+        .repartition(par, col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("__ps"))
+        .filter(size(col("__ps")) >= 2)
+        .select(graft.functions.Native.idPairs(col("__ps"))
+          .as(Seq("__x", "__y")))
+      Graph.kCore(pairs, "__x", "__y", k = 3, rounds = 6)
         .select(col("node").as("l_partkey"), col("core_degree"))
     }),
 
@@ -2877,15 +2913,7 @@ object SparkEntry {
     // units so the per-node sums are order-independent and the iterative
     // result hash-matches the oracle's unrolled CTE chain exactly
     "q84_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      // widen the probe side before the self-join (the q111 lesson):
-      // the pair fan-out + edge partial aggregate otherwise run on the
-      // 3 lineitem scan tasks (1.6 s serialized of q84's 3.9 s)
-      val e = wide(li).as("a").join(broadcast(li.as("b")),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      Graph.pageRank(e, "src", "dst", iters = 5)
+      Graph.pageRank(coPurchaseEdges(s, d), "src", "dst", iters = 5)
         .select(col("node").as("l_partkey"), col("rank_unit"))
     }),
 
@@ -2961,16 +2989,10 @@ object SparkEntry {
     // sit far above non-seeds, and non-seed ranks spread with
     // co-purchase distance rather than collapsing to one value
     "q173_ppr" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      // same probe-side widening as q84/q111
-      val e = wide(li).as("a").join(broadcast(li.as("b")),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       val seeds = Tables.part(s, d).select(col("p_partkey"))
         .filter(col("p_partkey") % 41 === 0)
-      Graph.personalizedPageRank(e, seeds, "p_partkey", "src", "dst",
-          iters = 5)
+      Graph.personalizedPageRank(coPurchaseEdges(s, d), seeds,
+          "p_partkey", "src", "dst", iters = 5)
         .select(col("node").as("l_partkey"), col("rank_unit"))
     }),
 
